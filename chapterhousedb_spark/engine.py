@@ -1,0 +1,178 @@
+"""Query engine: submit -> execute -> materialize -> paged fetch.
+
+Reproduces the reference's client-visible lifecycle (SURVEY.md §3):
+
+- submit SQL, get a query id immediately (reference AsyncQueryClient::run_query,
+  src/client/async_query_client.rs:40-60);
+- poll status through Queued/Running/Complete/Error (reference
+  query_handler_state.rs:28-35);
+- fetch results by cursor over per-query materialized parquet
+  (query_data_handler.rs:239-571).
+
+Planning/scheduling/execution (reference stages 3-8: logical planner,
+physical planner, capacity-claim scheduler, exchange dataflow) are
+entirely Catalyst + the Spark scheduler here; the engine only rewrites
+the `read_files()` table function before handing the statement to
+spark.sql(). Statements execute on a driver-side thread pool — Spark
+schedules jobs from concurrent threads fairly, which replaces the
+reference's multi-query admission loop (query_handler_state.rs:421-466).
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import shutil
+import tempfile
+import threading
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+
+from chapterhousedb_spark.config import ConnectionRegistry
+from chapterhousedb_spark.results import QueryDataIterator, ResultCursor, ResultManifest
+from chapterhousedb_spark.session import build_session
+from chapterhousedb_spark.sqlfront import rewrite_read_files, split_statements
+
+
+class QueryStatus(enum.Enum):
+    """Mirrors the reference's Status enum (query_handler_state.rs:28-35)."""
+
+    QUEUED = "queued"
+    RUNNING = "running"
+    COMPLETE = "complete"
+    ERROR = "error"
+
+    def terminal(self) -> bool:
+        return self in (QueryStatus.COMPLETE, QueryStatus.ERROR)
+
+
+@dataclass
+class QueryHandle:
+    query_id: str
+    sql: str
+    status: QueryStatus = QueryStatus.QUEUED
+    error: str | None = None
+    result_dir: str | None = None
+    num_rows: int | None = None
+    _done: threading.Event = field(default_factory=threading.Event, repr=False)
+
+    def wait(self, timeout: float | None = None) -> "QueryHandle":
+        self._done.wait(timeout)
+        return self
+
+
+class Engine:
+    """Driver-side engine facade around one SparkSession."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        results_dir: str | None = None,
+        connections: ConnectionRegistry | None = None,
+        max_concurrent_queries: int = 8,
+    ):
+        self.spark = spark or build_session()
+        self.results_dir = results_dir or os.path.join(
+            tempfile.gettempdir(), "chdb_spark_results"
+        )
+        os.makedirs(self.results_dir, exist_ok=True)
+        self.connections = connections or ConnectionRegistry()
+        self.connections.apply_hadoop_conf(self.spark)
+        self._queries: dict[str, QueryHandle] = {}
+        self._pool = ThreadPoolExecutor(max_workers=max_concurrent_queries)
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------ submit
+
+    def sql(self, text: str) -> list[QueryHandle]:
+        """Submit every statement in `text`; returns handles immediately."""
+        return [self.submit(stmt) for stmt in split_statements(text)]
+
+    def sql_wait(self, text: str) -> list[QueryHandle]:
+        """Submit and block until all statements reach a terminal status."""
+        handles = self.sql(text)
+        for h in handles:
+            h.wait()
+        return handles
+
+    def submit(self, statement: str) -> QueryHandle:
+        handle = QueryHandle(query_id=uuid.uuid4().hex, sql=statement)
+        with self._lock:
+            self._queries[handle.query_id] = handle
+        self._pool.submit(self._run, handle)
+        return handle
+
+    def dataframe(self, statement: str) -> DataFrame:
+        """Plan a single statement to a DataFrame without materializing.
+
+        View names are unique per call: concurrent statements share one
+        SparkSession temp-view namespace, so a fixed prefix would let one
+        query's read_files view clobber another's mid-flight. Views are
+        dropped right after planning (spark.sql analyzes eagerly; the
+        resolved plan no longer needs the view).
+        """
+        prefix = f"__read_files_{uuid.uuid4().hex[:12]}"
+        rewritten, calls = rewrite_read_files(statement, view_prefix=prefix)
+        try:
+            for call in calls:
+                path = self.connections.resolve(call.glob, call.connection)
+                self.spark.read.parquet(path).createOrReplaceTempView(call.view_name)
+            return self.spark.sql(rewritten)
+        finally:
+            for call in calls:
+                self.spark.catalog.dropTempView(call.view_name)
+
+    # ----------------------------------------------------------------- execute
+
+    def _run(self, handle: QueryHandle) -> None:
+        handle.status = QueryStatus.RUNNING
+        out_dir = os.path.join(self.results_dir, handle.query_id)
+        try:
+            df = self.dataframe(handle.sql)
+            df.write.mode("overwrite").parquet(out_dir)
+            manifest = ResultManifest.build(out_dir)
+            manifest.save(out_dir)
+            handle.result_dir = out_dir
+            handle.num_rows = manifest.total_rows
+            handle.status = QueryStatus.COMPLETE
+        except Exception as exc:  # surfaced via status/error like the reference
+            handle.status = QueryStatus.ERROR
+            handle.error = f"{type(exc).__name__}: {exc}"
+        finally:
+            handle._done.set()
+
+    # ------------------------------------------------------------------- fetch
+
+    def status(self, query_id: str) -> QueryStatus:
+        return self._queries[query_id].status
+
+    def handle(self, query_id: str) -> QueryHandle:
+        return self._queries[query_id]
+
+    def fetch(self, query_id: str, offset: int = 0, limit: int = 50) -> pa.Table:
+        h = self._queries[query_id]
+        if h.status is not QueryStatus.COMPLETE:
+            raise RuntimeError(f"query {query_id} not complete (status={h.status})")
+        assert h.result_dir is not None
+        return ResultCursor(h.result_dir).fetch(offset, limit)
+
+    def iterator(self, query_id: str, page_size: int = 50) -> QueryDataIterator:
+        h = self._queries[query_id]
+        if h.status is not QueryStatus.COMPLETE:
+            raise RuntimeError(f"query {query_id} not complete (status={h.status})")
+        assert h.result_dir is not None
+        return QueryDataIterator(ResultCursor(h.result_dir), page_size)
+
+    # ----------------------------------------------------------------- cleanup
+
+    def drop_results(self, query_id: str) -> None:
+        h = self._queries.pop(query_id, None)
+        if h and h.result_dir and os.path.isdir(h.result_dir):
+            shutil.rmtree(h.result_dir, ignore_errors=True)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=True)

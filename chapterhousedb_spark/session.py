@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the engine's execution profile.
+
+The reference hand-rolls its runtime (tokio actors, exchanges with
+heartbeat/requeue, capacity-claim scheduling — reference
+src/worker/query_worker.rs:44-136, exchange_operator.rs). All of that is
+subsumed by Spark's scheduler/shuffle/fault-tolerance; the only things we
+configure here are the knobs that matter at scale:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  replaces the reference's single hand-written optimizer pass
+  (physical_planner.rs:359-429 sampling-config injection).
+- shuffle.partitions sized to the local core count for tests; on a real
+  cluster this is left to AQE's coalescing from a high initial value.
+- Arrow transfer on, since every custom (pandas-UDF) operator crosses the
+  JVM<->Python boundary in Arrow batches, mirroring the reference's
+  Arrow-IPC wire format (message_handler/messages/exchange.rs:98).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Core count the driver told us to use (local[N])."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "chapterhousedb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    On a real cluster, drop ``master`` and submit normally; nothing here
+    is local-mode-specific except the default master.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

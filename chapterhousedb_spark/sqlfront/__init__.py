@@ -1,0 +1,12 @@
+"""SQL front door: statement splitting + read_files() rewriting.
+
+This is the thin layer the reference implements with the sqlparser crate
+(reference src/planner/logical_planner.rs:209-216) before its own
+planner. Here everything after the rewrite is handed to spark.sql() and
+planned by Catalyst.
+"""
+
+from chapterhousedb_spark.sqlfront.read_files import ReadFilesCall, rewrite_read_files
+from chapterhousedb_spark.sqlfront.splitter import split_statements
+
+__all__ = ["ReadFilesCall", "rewrite_read_files", "split_statements"]

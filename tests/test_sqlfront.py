@@ -1,0 +1,86 @@
+"""SQL front door unit tests.
+
+Mirrors the reference's parser/planner tests: multi-statement splitting
+with ';' inside strings (test_sqlparser_behavior.rs:6-27) and
+read_files arg parsing incl. the connection named arg
+(test_logical_planner.rs:10-159, read_files_task.rs:65-114).
+"""
+
+import pytest
+
+from chapterhousedb_spark.sqlfront import rewrite_read_files, split_statements
+from chapterhousedb_spark.sqlfront.read_files import ReadFilesSyntaxError
+
+
+class TestSplitStatements:
+    def test_single(self):
+        assert split_statements("select 1") == ["select 1"]
+
+    def test_multiple(self):
+        assert split_statements("select 1; select 2;") == ["select 1", "select 2"]
+
+    def test_semicolon_inside_string(self):
+        stmts = split_statements("select 'a;b' as x; select 2")
+        assert stmts == ["select 'a;b' as x", "select 2"]
+
+    def test_escaped_quote_inside_string(self):
+        stmts = split_statements("select 'it''s; fine'; select 2")
+        assert stmts == ["select 'it''s; fine'", "select 2"]
+
+    def test_line_comment_with_semicolon(self):
+        stmts = split_statements("select 1 -- trailing; comment\n; select 2")
+        assert len(stmts) == 2
+        assert stmts[1] == "select 2"
+
+    def test_block_comment(self):
+        stmts = split_statements("select /* ; */ 1; select 2")
+        assert len(stmts) == 2
+
+    def test_empty_and_comment_only_dropped(self):
+        assert split_statements(";;  ; -- nothing\n;") == []
+
+    def test_double_quoted_identifier(self):
+        stmts = split_statements('select "a;b" from t; select 2')
+        assert len(stmts) == 2
+
+
+class TestRewriteReadFiles:
+    def test_basic(self):
+        sql, calls = rewrite_read_files(
+            "select * from read_files('data/*.parquet')"
+        )
+        assert sql == "select * from __read_files_0"
+        assert len(calls) == 1
+        assert calls[0].glob == "data/*.parquet"
+        assert calls[0].connection is None
+
+    def test_connection_named_arg(self):
+        sql, calls = rewrite_read_files(
+            "select * from READ_FILES('simple/*.parquet', connection=>'s3_dev')"
+        )
+        assert calls[0].connection == "s3_dev"
+        assert "__read_files_0" in sql
+
+    def test_multiple_calls(self):
+        sql, calls = rewrite_read_files(
+            "select * from read_files('a/*.parquet') t1, read_files('b/*.parquet') t2"
+        )
+        assert [c.view_name for c in calls] == ["__read_files_0", "__read_files_1"]
+        assert "__read_files_0 t1" in sql and "__read_files_1 t2" in sql
+
+    def test_ignores_inside_string_literal(self):
+        sql, calls = rewrite_read_files("select 'read_files(''x'')' as s")
+        assert calls == []
+        assert sql == "select 'read_files(''x'')' as s"
+
+    def test_quote_escape_in_glob(self):
+        _, calls = rewrite_read_files("select * from read_files('it''s/*.parquet')")
+        assert calls[0].glob == "it's/*.parquet"
+
+    def test_bad_args_raise(self):
+        with pytest.raises(ReadFilesSyntaxError):
+            rewrite_read_files("select * from read_files(42)")
+
+    def test_no_call_passthrough(self):
+        sql, calls = rewrite_read_files("select 1 as x")
+        assert sql == "select 1 as x" and calls == []
