@@ -3,8 +3,13 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+The declared inventory lives in chapterhousedb_spark.workload:
+relational.py (reference-parity scan/filter/project/order-by plus the
+beyond-reference joins/aggs/windows/set-ops/CTE surface), llm.py
+(dedup / similarity / text analysis / multimodal), temporal.py
+(event-stream batch twins incl. the as-of join operator).
 """
 
 from __future__ import annotations
@@ -15,24 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the TPC-H-Q1-shaped
+    pricing summary (partial agg -> single shuffle)."""
+    from chapterhousedb_spark.workload import QUERIES
+
+    return QUERIES["agg_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from chapterhousedb_spark.workload import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins for every SQL-expressible query (others get the
+    driver's rows-only check)."""
+    from chapterhousedb_spark.workload import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,82 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Each query is forced to full execution: aggregate/top-k results are
+collected (small), wide results are written to a scratch parquet sink
+(count()-style shortcuts would let Spark skip projection work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from chapterhousedb_spark.session import build_session
+from chapterhousedb_spark.workload import QUERIES
+
+# Headline set: reference-parity scan/sort shapes + the heavy relational
+# operators + one of each LLM-operator family.
+HEADLINE = [
+    "scan_filter_project",
+    "order_by_multi",
+    "agg_pricing_summary",
+    "agg_distinct",
+    "join_broadcast_dims",
+    "join_fact_fact",
+    "window_topk_per_group",
+    "cte_subquery",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats",
+    "similarity_topk",
+    "events_sessionize",
+    "asof_join_events",
+]
+
+# queries whose output is wide/large: write to sink instead of collect
+_WRITE_SINK = {"scan_filter_project", "text_stats", "asof_join_events"}
+
+
+def run_query(spark, name: str, sf_dir: str, sink_root: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
+    if name in _WRITE_SINK:
+        df.write.mode("overwrite").parquet(os.path.join(sink_root, name))
+    else:
+        df.collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="chdb-bench")
+    sink_root = tempfile.mkdtemp(prefix="chdb_bench_")
+    try:
+        # one tiny warmup to exclude JVM/session startup from per-query time
+        QUERIES["scan_filter_project"](spark, sf_dir).limit(1).collect()
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            times[name] = round(run_query(spark, name, sf_dir, sink_root), 3)
+        total = round(sum(times.values()), 3)
+        sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": times,
+                    "sf": float(sf) if sf else None,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(sink_root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""Beyond-reference operators: the LLM-data-pipeline surface.
+
+The reference engine has none of these (SURVEY.md §2.4); they are the
+extension operators a 100 TB training-data pipeline needs. Every
+operator is a DataFrame -> DataFrame transform built on Spark
+primitives: built-in higher-order functions on the hot path (JVM-side,
+whole-stage codegen), shuffle-based candidate generation (never
+driver-side loops), Pandas UDFs only where Python is genuinely needed
+(multimodal decode).
+"""
+
+from chapterhousedb_spark.operators.asof import asof_join
+from chapterhousedb_spark.operators.dedup import (
+    char_shingle_posts,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    normalize_text,
+    simhash,
+    simhash_near_dup_pairs,
+    word_shingle_posts,
+)
+from chapterhousedb_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    srp_signature,
+    srp_ann_topk,
+)
+from chapterhousedb_spark.operators.text import (
+    lang_id,
+    text_fingerprint,
+    text_stats,
+    token_count,
+)
+
+__all__ = [
+    "asof_join",
+    "char_shingle_posts",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "exact_dedup",
+    "lang_id",
+    "minhash_near_dup_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "normalize_text",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "srp_ann_topk",
+    "srp_signature",
+    "text_fingerprint",
+    "text_stats",
+    "token_count",
+    "word_shingle_posts",
+]

@@ -1,0 +1,74 @@
+"""As-of (most-recent-match) join — an operator Spark lacks natively.
+
+asof_join(left, right): for each left row, attach the right row with
+the greatest right_time <= left_time within the same key group.
+
+Implemented as the union-sort-window construction rather than the
+naive range join: tag both sides, union them, and take last(right
+value, ignorenulls) over a window partitioned by key and ordered by
+(time, tag) — right rows sort before left rows at equal timestamps, so
+the match is inclusive (<=), matching DuckDB's ASOF JOIN semantics.
+
+Scale: exactly one shuffle (the window's hash partition on key) over
+rows_left + rows_right — no range-join explosion, no per-key skew
+beyond the key distribution itself. This is the standard distributed
+as-of construction used for e.g. trade/quote joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_by: str,
+    right_by: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: all left columns + the latest right_cols values.
+
+    right_cols defaults to every right column except its key/time.
+    Right-side ties on (key, time) resolve to the row latest in
+    right_on order then by the first right_col — deterministic.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (right_on, right_by)]
+
+    lt = [c for c in left.columns]
+    l_tag = left.select(
+        *lt,
+        F.col(left_by).alias("__key"),
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lt],
+        F.col(right_by).alias("__key"),
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t"), F.col("__tag"), F.col(f"__r_{right_cols[0]}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lt,
+        "__tag",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__tag") == 1).select(
+        *lt, *[F.col(f"__f_{c}").alias(c) for c in right_cols]
+    )

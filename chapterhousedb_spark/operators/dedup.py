@@ -1,0 +1,333 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All candidate generation is shuffle-based (explode -> groupBy/join on
+bucket keys); nothing collects to the driver, so each operator scales to
+arbitrarily many documents given executors. Hashing uses Spark's
+built-in xxhash64 (JVM, codegen) — no Python in the hot path.
+
+Standard construction (Broder MinHash, Charikar SimHash — public
+algorithms).
+
+Performance note — why everything is explode/aggregate-shaped: deriving
+shingles as per-row array columns and folding over them with nested
+higher-order lambdas looks natural, but Catalyst's CollapseProject
+inlines single-use projection aliases into consumer expressions — when
+the consumer is a lambda body, the inlined expression (normalize
+regexp, tokenizer, shingle builder) re-evaluates once per array element
+per seed (measured 10-60x slowdowns). Generate (explode) and Aggregate
+are optimizer barriers: the expensive column is computed once per input
+row, postings flow through map-side partial aggregation, and the
+shuffle carries only (id, hash) pairs. This is also the shape that
+scales: no giant per-row arrays, partial agg before every shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalized: bool = True
+) -> DataFrame:
+    """Exact dedup: one canonical (min id) row per distinct text.
+
+    Returns (canonical id, copies). Hash-groupBy with map-side partial
+    aggregation; the shuffle key is the text hash, not the text, so
+    100 TB of text shuffles only ids + 8-byte keys after the partial.
+    """
+    c = normalize_text(text_col) if normalized else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.xxhash64(c).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("copies"),
+        )
+        .select(id_col, "copies")
+    )
+
+
+# ------------------------------------------------------- shingle postings
+
+
+def char_shingle_posts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, shingle) postings: character k-grams of the normalized text.
+
+    May contain duplicate shingles per doc (harmless for min-hashing;
+    de-dup with dropDuplicates where set semantics matter). The
+    normalize regexp runs once per document — the Generate node is the
+    barrier that stops Catalyst inlining it per position.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm"))
+        .select(
+            "id",
+            "__norm",
+            F.explode(
+                F.expr(f"sequence(1, greatest(1, length(__norm) - {k - 1}))")
+            ).alias("i"),
+        )
+        .select("id", F.expr(f"substring(__norm, i, {k})").alias("shingle"))
+    )
+
+
+def word_shingle_posts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, gram) postings: word k-grams (k consecutive tokens)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(text_col), " ").alias("__toks"),
+        )
+        .select(
+            "id",
+            "__toks",
+            F.explode(
+                F.expr(f"sequence(1, greatest(1, size(__toks) - {k - 1}))")
+            ).alias("i"),
+        )
+        .select("id", F.expr(f"array_join(slice(__toks, i, {k}), ' ')").alias("shingle"))
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    with_shingle_set: bool = False,
+) -> DataFrame:
+    """(id, sig[, shingles]): MinHash signature of the char-shingle set.
+
+    sig[s] = min over shingles of a seeded hash; the seeded family is
+    xxhash64(xxhash64(shingle), seed), so the base hash is computed once
+    per posting and each seed adds one 8-byte hash. Aggregation is
+    min() per seed — map-side partial, so the shuffle carries one
+    64-long vector per doc per map partition, independent of doc size.
+    """
+    posts = char_shingle_posts(df, text_col, id_col, shingle_k).withColumn(
+        "h0", F.xxhash64("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("h0"), F.lit(s))).alias(f"__m{s}")
+        for s in range(num_hashes)
+    ]
+    if with_shingle_set:
+        aggs.append(F.collect_set("shingle").alias("shingles"))
+    agged = posts.groupBy("id").agg(*aggs)
+    keep = ["id", "shingles"] if with_shingle_set else ["id"]
+    return agged.select(
+        *keep, F.array(*[F.col(f"__m{s}") for s in range(num_hashes)]).alias("sig")
+    ).withColumnRenamed("id", id_col)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    LSH banding: num_hashes/bands rows per band; docs sharing any band
+    hash become candidates (one explode + one equi-join shuffle keyed on
+    the band hash — never an all-pairs comparison). Candidates are
+    verified with exact Jaccard on shingle sets carried from the same
+    aggregation.
+
+    At 100 TB: band-join keys grow with the corpus so the shuffle stays
+    balanced; a hot band (a huge cluster of near-identical docs) should
+    be bounded by running exact_dedup upstream first. Shingle sets ride
+    along the band explode (bands x text amplification); for petabyte
+    corpora swap to join-back-by-id verification at the cost of two
+    extra shuffles.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_k, with_shingle_set=True
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        "shingles",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'h', xxhash64(slice(sig, b * {rows} + 1, {rows}))))"
+            )
+        ).alias("bh"),
+    ).select(id_col, "shingles", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity pairs via an inverted index.
+
+    Instead of a cross join, explode each doc's distinct n-grams and
+    equi-join on the n-gram (inverted-index candidate generation):
+    co-occurrence counts give |A ∩ B| directly and |A ∪ B| follows from
+    per-doc set sizes. Scales with total postings, not doc pairs.
+    """
+    grams = word_shingle_posts(df, text_col, id_col, ngram_k).dropDuplicates(
+        ["id", "shingle"]
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    posts = grams.join(sizes, "id").select("id", "n_grams", F.col("shingle").alias("g"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_grams").alias("na"),
+            F.col("b.n_grams").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash): Charikar SimHash over word tokens
+    (frequency-weighted: repeated tokens vote once per occurrence).
+
+    Token postings explode once; per-bit ±1 votes aggregate with
+    map-side partial sums (64 small long counters per doc); bits pack
+    into one signed 64-bit fingerprint at the end.
+    """
+    posts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(text_col), " ").alias("__toks"),
+        )
+        .select("id", F.explode("__toks").alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = posts.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"((h >> {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = votes.select(
+        "id",
+        F.array(*[F.col(f"__b{i}") for i in range(bits)]).alias("__bits"),
+    ).select(
+        "id",
+        F.expr(
+            "aggregate(sequence(0, size(__bits) - 1), 0L, "
+            "(acc, i) -> acc + CASE WHEN __bits[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)"
+        ).alias("simhash"),
+    )
+    return packed.withColumnRenamed("id", id_col)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into `chunks`
+    16-bit blocks; any pair within hamming distance < chunks must agree
+    on at least one block, so candidates come from equi-joins on
+    (block_idx, block_value) — shuffle-based, no cross join. Verified
+    with bit_count on the xor.
+    """
+    sh = simhash(df, text_col, id_col)
+    width = 64 // chunks
+    blocked = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), "
+                f"c -> named_struct('blk', c, 'v', (simhash >> (c * {width})) & {(1 << width) - 1}))"
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.v").alias("v"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

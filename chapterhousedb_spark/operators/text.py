@@ -1,0 +1,159 @@
+"""Text-analysis operators: stats/quality, language id, token counting,
+document fingerprinting.
+
+Everything here is built-in pyspark.sql.functions (JVM, codegen) — no
+Python UDFs — so these run at full scan speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.operators.dedup import normalize_text
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "del", "por"],
+    "de": ["der", "die", "und", "das", "in", "von", "zu", "den", "mit", "ist"],
+    "fr": ["le", "la", "et", "les", "des", "de", "un", "une", "dans", "est"],
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-style pre-tokenization count: words, numbers, punctuation
+    runs counted separately (a GPT-2-like pre-tokenizer regex without
+    the learned merges — an upper bound proxy for LLM token budgets)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split into word / number / punctuation-run units, then count
+    pieces = F.split(
+        F.trim(F.regexp_replace(c, r"([^\s\p{L}\p{N}]+|\p{N}+)", r" $1 ")), r"\s+"
+    )
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(pieces))
+
+
+def text_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
+
+    Ratios are double divisions of integer counts — deterministic and
+    oracle-reproducible. The quality score mirrors common pretraining
+    filters (Gopher/C4-style length + symbol-ratio rules, public
+    heuristics)."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    n_space = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    en_stop = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    toks = F.split(normalize_text(c), " ")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
+            "avg_token_len"
+        ),
+        (n_alpha.cast("double") / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        (n_digit.cast("double") / F.greatest(n_chars, F.lit(1))).alias("digit_ratio"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_space.cast("double") / F.greatest(n_chars, F.lit(1))).alias("space_ratio"),
+        (n_stop.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(
+            "stopword_ratio"
+        ),
+        (
+            (n_tokens >= 10)
+            & (n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)) > 0.6)
+            & (n_punct.cast("double") / F.greatest(n_chars, F.lit(1)) < 0.2)
+        )
+        .cast("boolean")
+        .alias("passes_quality"),
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language id: charset detection for CJK/Cyrillic/Arabic,
+    stopword-profile voting among latin-script languages.
+
+    Returns (id, lang_pred, lang_score). Pure built-ins; the per-language
+    stopword hit counts are computed with array intersections over the
+    token set, argmax taken with greatest()."""
+    c = F.col(text_col)
+    toks = F.array_distinct(F.split(normalize_text(c), " "))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).cast("double")
+        / F.greatest(F.size(toks), F.lit(1))
+        for lang, words in _STOPWORDS.items()
+    }
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+    cyr = F.length(F.regexp_replace(c, r"[^Ѐ-ӿ]", ""))
+    arab = F.length(F.regexp_replace(c, r"[^؀-ۿ]", ""))
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    best_latin_score = F.greatest(*scores.values())
+    best_latin = (
+        F.when(scores["en"] == best_latin_score, "en")
+        .when(scores["es"] == best_latin_score, "es")
+        .when(scores["de"] == best_latin_score, "de")
+        .otherwise("fr")
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(cjk.cast("double") / n_chars > 0.2, "zh")
+        .when(cyr.cast("double") / n_chars > 0.2, "ru")
+        .when(arab.cast("double") / n_chars > 0.2, "ar")
+        .when(best_latin_score > 0, best_latin)
+        .otherwise("unknown")
+        .alias("lang_pred"),
+        best_latin_score.alias("lang_score"),
+    )
+
+
+def text_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text plus the
+    min/max of rolling k-gram hashes (winnowing-style, robust to small
+    edits; public scheme, Schleimer et al.).
+
+    Built explode->aggregate (see operators.dedup module docstring for
+    why: Catalyst would otherwise re-run the normalize regexp per
+    k-gram position inside a lambda)."""
+    k = 8
+    posts = (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm"))
+        .select(
+            "id",
+            "__norm",
+            F.explode(
+                F.expr(f"sequence(1, greatest(1, length(__norm) - {k - 1}))")
+            ).alias("i"),
+        )
+        .select("id", F.xxhash64(F.expr(f"substring(__norm, i, {k})")).alias("gh"))
+    )
+    mins = posts.groupBy("id").agg(
+        F.min("gh").alias("winnow_min"), F.max("gh").alias("winnow_max")
+    )
+    md5s = df.select(
+        F.col(id_col).alias("id"), F.md5(normalize_text(text_col)).alias("md5_fp")
+    )
+    return (
+        md5s.join(mins, "id")
+        .select("id", "md5_fp", "winnow_min", "winnow_max")
+        .withColumnRenamed("id", id_col)
+    )

@@ -1,0 +1,165 @@
+"""Structured Streaming operators over event streams.
+
+Maps the reference's DEV_NOTES streaming sketch —
+`batch(deploy.stream, 10_000, '5 seconds')` — onto the real Spark
+constructs: file-source micro-batches (maxFilesPerTrigger ≈ batch rows,
+trigger(processingTime) ≈ the 5-second tick), watermarked windowed
+aggregation for late data, and applyInPandasWithState for custom
+stateful sessionization.
+
+At scale: the file source tracks processed files in the checkpoint, so
+an S3/HDFS landing dir streams exactly-once; state stores shard by key
+across executors (RocksDB state store in production configs).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source event stream with an explicit schema (streaming
+    sources must not infer schemas job-by-job)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and dropped, so state size is
+    O(active windows x event types) regardless of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_STATE_SCHEMA = "last_ts long, n_events int, started long"
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.LongType(), False),
+        T.StructField("n_events", T.IntegerType(), False),
+        T.StructField("by_timeout", T.BooleanType(), False),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    applyInPandasWithState (the reference has no stateful operators at
+    all). Emits a row per closed session: by_timeout=False when a later
+    event closed it (gap exceeded), True when the event-time timeout
+    (watermark passed last_ts + gap) closed it.
+
+    Event-time timeouts, not processing-time: with processing-time the
+    query would idle wall-clock `gap_minutes` before closing sessions —
+    under trigger(availableNow) that spins "no new data but cleaning up
+    state" batches until the timer fires (observed live). Event-time
+    timeouts resolve against the watermark, so backfills terminate and
+    production streams close sessions as event time advances. State per
+    user is three numbers, sharded by user_id across executors.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = []
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_list.sort()
+        if state.hasTimedOut:
+            if state.exists:
+                last_ts, n_events, started = state.get
+                rows.append((user_id, started, int(n_events), True))
+                state.remove()
+        else:
+            if state.exists:
+                last_ts, n_events, started = state.get
+            else:
+                last_ts, n_events, started = None, 0, None
+            for t in ts_list:
+                if last_ts is not None and t - last_ts > gap_us:
+                    rows.append((user_id, started, int(n_events), False))
+                    n_events, started = 0, t
+                if started is None:
+                    started = t
+                n_events += 1
+                last_ts = t
+            if last_ts is not None:
+                state.update((last_ts, n_events, started))
+                # close when the watermark passes last event + gap (ms)
+                state.setTimeoutTimestamp(last_ts // 1000 + gap_minutes * 60 * 1000)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "session_start", "n_events", "by_timeout"]
+            )
+
+    return (
+        events.withWatermark("ts", f"{gap_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    stream: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
+):
+    """Drain everything currently available, then stop (the test/backfill
+    trigger); returns the finished StreamingQuery."""
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,206 @@
+"""LLM-data-pipeline workload entries over documents/embeddings.
+
+Each entry wires an operator from chapterhousedb_spark.operators into
+the declared-query registry. Oracle SQL is provided wherever the
+operator is ANSI/DuckDB-expressible with bit-exact results; LSH-based
+operators (minhash/simhash/SRP — xxhash64-dependent) get rows-only
+checks and are instead verified by unit tests on constructed
+duplicates (tests/test_dedup.py, tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from chapterhousedb_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    srp_ann_topk,
+)
+from chapterhousedb_spark.operators.text import (
+    lang_id,
+    text_fingerprint,
+    text_stats,
+)
+from chapterhousedb_spark.workload.registry import load, query
+
+# normalized text, oracle side (mirror of operators.dedup.normalize_text)
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT)    AS copies
+    FROM documents GROUP BY {_NORM}
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text (hash-groupBy, SURVEY.md north star)."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len({_TOKS}) AS INT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / greatest(len({_TOKS}), 1) AS avg_token_len,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS alpha_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digit_ratio,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^\\s]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS space_ratio,
+           CAST(len(list_filter({_TOKS},
+                t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t)))
+                AS DOUBLE) / greatest(len({_TOKS}), 1) AS stopword_ratio,
+           (len({_TOKS}) >= 10
+            AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1) > 0.6
+            AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1) < 0.2) AS passes_quality
+    FROM documents
+    """,
+)
+def text_stats_q(spark, sf_dir):
+    """Quality statistics per document (pretraining-filter features)."""
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+@query("lang_id")  # heuristic, engine-specific hash-free but charset/stopword logic
+def lang_id_q(spark, sf_dir):
+    """Language identification (charset + stopword profiles); accuracy
+    asserted in tests/test_text.py on multilingual fixtures."""
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS md5_fp FROM documents",
+)
+def text_fingerprint_q(spark, sf_dir):
+    """Normalized-text md5 fingerprint (winnowing variant is rows-only,
+    xxhash64-based — covered by unit tests)."""
+    return text_fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "md5_fp"
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(1, len({_TOKS}) - 2)),
+               i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+             )) AS grams
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+    """,
+)
+def ngram_jaccard_q(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs. Spark side uses the
+    inverted-index construction (scales with postings, not doc pairs);
+    the oracle brute-forces the same result at sf0.01."""
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), ngram_k=3, threshold=0.2
+    )
+
+
+@query("dedup_minhash")
+def dedup_minhash_q(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (banded signature join; xxhash64-based
+    so rows-only here; recall/precision asserted in tests/test_dedup.py)."""
+    return minhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, bands=16
+    )
+
+
+@query("dedup_simhash")
+def dedup_simhash_q(spark, sf_dir):
+    """SimHash near-dup pairs (pigeonhole-blocked hamming join)."""
+    return simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_ONES64 = [1.0] * 64
+
+
+@query(
+    "similarity_topk",
+    oracle="""
+    SELECT vec_id,
+           list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              * 8.0) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_q(spark, sf_dir):
+    """Brute-force cosine top-10 to the all-ones query vector (exact
+    baseline; dot product as a JVM higher-order expression, top-k as
+    TakeOrdered). ||ones64|| = 8.0 exactly, so both engines divide by
+    the same constant."""
+    return cosine_topk(load(spark, sf_dir, "embeddings"), _ONES64, k=10)
+
+
+@query("similarity_ann")
+def similarity_ann_q(spark, sf_dir):
+    """SRP-LSH approximate top-10 (bucket + multiprobe scan reduction);
+    recall vs brute force asserted in tests/test_similarity.py. planes=6
+    (64 buckets) fits the small test corpus; at 100 TB raise planes so
+    buckets stay ~1e3-1e5 vectors."""
+    return srp_ann_topk(load(spark, sf_dir, "embeddings"), _ONES64, k=10, planes=6)
+
+
+@query("embedding_near_dup")
+def embedding_near_dup_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via SRP blocking (planes=6 for
+    the small corpus; threshold tuned to the clustered testdata)."""
+    return embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.9, planes=6
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(floor(octet_length(encode(text)) / 4096.0) AS INT) AS n_chunks_4k
+    FROM documents
+    """,
+)
+def multimodal_meta_q(spark, sf_dir):
+    """Opaque-binary plumbing demo: payload byte length + fixed-size
+    chunk count over utf-8 payload bytes (the real decode path is
+    tests/test_multimodal.py over mapInPandas)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.floor(F.octet_length(payload) / 4096).cast("int").alias("n_chunks_4k"),
+    )

@@ -1,0 +1,621 @@
+"""Reference-parity + beyond-reference relational queries.
+
+The first group reproduces the reference's implemented surface —
+scan / filter / arithmetic projection / ORDER BY
+(reference sample_queries/*.sql; SURVEY.md §2.2) — including going
+through the engine's `read_files()` front door. The rest is the
+beyond-reference standard-SQL surface the reference only roadmaps
+(README.md:47-77 unchecked boxes): aggregations, joins of every
+flavor, windows, limits, set ops, CTEs/subqueries, scalar functions.
+
+Every query aliases computed columns identically in the Spark code and
+the DuckDB oracle; floating aggregates use the exact-decimal helpers
+(chapterhousedb_spark.functions.exact) so values hash-match across
+engines.
+
+Scale notes are inline: each query states the plan shape we expect at
+100 TB (broadcast vs shuffle, pushdown, partial aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chapterhousedb_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from chapterhousedb_spark.workload.registry import load, query
+
+# --------------------------------------------------------------------------
+# Reference-surface parity (scan / filter / project / order by)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project",
+    oracle="""
+    SELECT l_orderkey,
+           l_quantity + 10.0                 AS q_plus_10,
+           (l_extendedprice + 10) / 100      AS price_scaled,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    WHERE l_orderkey % 2 = 0 AND l_quantity < 30
+    """,
+)
+def scan_filter_project(spark, sf_dir):
+    """Reference sample_queries/simple.sql query-4 shape: arithmetic
+    projections over a filtered scan (filter_task.rs + record_projection.rs).
+    At scale: filter and column pruning push into the parquet scan
+    (both absent in the reference, SURVEY.md §4.1)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") % 2 == 0) & (F.col("l_quantity") < 30)).select(
+        "l_orderkey",
+        (F.col("l_quantity") + 10.0).alias("q_plus_10"),
+        ((F.col("l_extendedprice") + 10) / 100).alias("price_scaled"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+@query(
+    "read_files_front_door",
+    oracle="""
+    SELECT p_partkey, upper(p_brand) AS brand_uc, p_retailprice
+    FROM part WHERE p_size > 20
+    """,
+)
+def read_files_front_door(spark, sf_dir):
+    """The reference's one table function, exercised through our SQL
+    front door end-to-end (read_files_task.rs:65-114 -> temp-view rewrite)."""
+    from chapterhousedb_spark.engine import Engine
+
+    eng = Engine.__new__(Engine)  # lightweight: reuse session, no results dir
+    eng.spark = spark
+    from chapterhousedb_spark.config import ConnectionRegistry
+
+    eng.connections = ConnectionRegistry()
+    return eng.dataframe(
+        f"""
+        select p_partkey, upper(p_brand) as brand_uc, p_retailprice
+        from read_files('{sf_dir}/part.parquet') where p_size > 20
+        """
+    )
+
+
+@query(
+    "order_by_multi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS FIRST, o_orderkey ASC NULLS FIRST
+    LIMIT 100
+    """,
+)
+def order_by_multi(spark, sf_dir):
+    """ORDER BY with the reference's nulls-first-by-default semantics
+    (compute_order_by_record.rs:33 — Spark's desc is nulls-last, so we
+    emit desc_nulls_first explicitly; SURVEY.md §7.3.5). LIMIT makes the
+    result a deterministic set. At scale: orderBy is a range shuffle
+    (repartitionByRange + per-partition sort, the reference's
+    partition_task.rs + unfinished sort_task.rs); LIMIT 100 collapses to
+    a TakeOrdered plan with no full sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_first(),
+            F.col("o_orderkey").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')}                              AS sum_qty,
+           {dsum_sql('l_extendedprice')}                         AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)}   AS sum_disc_price,
+           {davg_sql('l_quantity')}                              AS avg_qty,
+           {davg_sql('l_discount')}                              AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1995-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary. At scale: partial (map-side)
+    aggregation before one shuffle on the low-cardinality grouping key;
+    the shipdate filter pushes to parquet row groups."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "sum_disc_price"
+            ),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Multi-distinct aggregation. At scale Spark expands to a
+    partial-distinct two-phase plan automatically."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def agg_having(spark, sf_dir):
+    """GROUP BY + HAVING (reference: absent, README.md:59)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (reference: absent entirely — logical_planner.rs:332-348 rejects
+# multi-table FROM; README.md:60 unchecked)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast_dims",
+    oracle=f"""
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT)   AS n_customers,
+           {dsum_sql('c.c_acctbal', 2)} AS sum_acctbal
+    FROM customer c
+    JOIN nation n  ON c.c_nationkey = n.n_nationkey
+    JOIN region r  ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Star join through two dimension tables. At scale: nation/region
+    are tiny -> explicit broadcast, so the fact side never shuffles for
+    the join; only the final low-cardinality agg shuffles."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_fact_fact",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_fact_fact(spark, sf_dir):
+    """Fact-to-fact equi-join. At scale: shuffle (sort-merge) join on
+    orderkey; AQE may convert to broadcast after the selective
+    orderstatus filter. Filter pushes below the join."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT)          AS n_customers,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_outer(spark, sf_dir):
+    """Left outer join preserving order-less customers."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 500.0),
+                 ('mid', 500.0, 1200.0),
+                 ('premium', 1200.0, 1e9)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bands(spark, sf_dir):
+    """Range (non-equi) join against a banding table. At scale the band
+    side is tiny: broadcast nested-loop, no fact shuffle."""
+    p = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+    WHERE rnk <= 2
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number (deterministic tiebreak on key).
+    At scale: single hash shuffle on the partition key; no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Running total per customer (decimal-exact so engines agree)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           value - LAG(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    """LAG over an event stream (per-row double subtraction is exact)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / distinct / subqueries
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'both' AS which, CAST(n_nationkey AS INT) AS nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier) t1
+    UNION ALL
+    SELECT 'cust_only' AS which, CAST(n_nationkey AS INT) AS nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier) t2
+    """,
+)
+def set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL (reference parser rejects set
+    expressions, logical_planner.rs:233-236)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_nationkey")
+    both = (
+        c.intersect(s.withColumnRenamed("s_nationkey", "n_nationkey"))
+        .select(F.lit("both").alias("which"), F.col("n_nationkey").cast("int").alias("nationkey"))
+    )
+    cust_only = (
+        c.subtract(s.withColumnRenamed("s_nationkey", "n_nationkey"))
+        .select(F.lit("cust_only").alias("which"), F.col("n_nationkey").cast("int").alias("nationkey"))
+    )
+    return both.unionAll(cust_only)
+
+
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark, sf_dir):
+    """SELECT DISTINCT (hash aggregate at scale, partial combine first)."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "cte_subquery",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, {dsum_sql('o_totalprice', 2)} AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_big_spenders
+    FROM customer c
+    JOIN spend s ON s.o_custkey = c.c_custkey
+    WHERE s.total_spend > 1000000.0
+      AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def cte_subquery(spark, sf_dir):
+    """CTE + IN-subquery (reference: WITH unsupported, README.md:61)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    # rename the key in each derived frame: both descend from `o`, and a
+    # shared o_custkey attribute would be an ambiguous self-join
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(dsum("o_totalprice", 2).alias("total_spend"))
+        .withColumnRenamed("o_custkey", "spend_custkey")
+    )
+    big_orders = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("big_custkey"))
+        .distinct()
+    )
+    return (
+        c.join(spend, spend.spend_custkey == c.c_custkey)
+        .filter(F.col("total_spend") > 1000000.0)
+        .join(big_orders, c.c_custkey == big_orders.big_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_big_spenders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar expression surface
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_funcs",
+    oracle="""
+    SELECT p_partkey,
+           p_brand || '#' || p_type                          AS brand_type,
+           upper(p_name)                                     AS name_uc,
+           substr(p_name, 1, 5)                              AS name5,
+           CAST(length(p_name) AS INT)                       AS name_len,
+           CASE WHEN p_size BETWEEN 10 AND 20 THEN 'mid'
+                WHEN p_size IN (1,2,3) THEN 'tiny'
+                ELSE 'other' END                             AS size_class,
+           -p_retailprice                                    AS neg_price,
+           abs(p_retailprice - 1000)                         AS dist_1000,
+           floor(p_retailprice)                              AS price_floor,
+           ceil(p_retailprice)                               AS price_ceil,
+           (p_type LIKE '%BRASS%')                           AS is_brass,
+           (p_brand IS NULL)                                 AS brand_null,
+           CAST(p_size AS VARCHAR)                           AS size_str
+    FROM part
+    """,
+)
+def scalar_funcs(spark, sf_dir):
+    """The scalar surface the reference lacks (SURVEY.md §2.3: no minus,
+    concat, LIKE, CASE, BETWEEN, IN, IS NULL, casts, named functions —
+    compute_value.rs:210-216). All built-in, whole-stage-codegen'd."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("#", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.upper("p_name").alias("name_uc"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_size").between(10, 20), "mid")
+        .when(F.col("p_size").isin(1, 2, 3), "tiny")
+        .otherwise("other")
+        .alias("size_class"),
+        (-F.col("p_retailprice")).alias("neg_price"),
+        F.abs(F.col("p_retailprice") - 1000).alias("dist_1000"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.col("p_brand").isNull().alias("brand_null"),
+        F.col("p_size").cast("string").alias("size_str"),
+    )
+
+
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)       AS order_year,
+           CAST(month(o_orderdate) AS INT)      AS order_month,
+           CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
+           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    """,
+)
+def date_funcs(spark, sf_dir):
+    """Date/time surface (reference: time types unsupported, README.md:49)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
+        .alias("month_epoch"),
+    )

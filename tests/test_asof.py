@@ -1,0 +1,66 @@
+"""As-of join operator tests vs a python brute-force oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from chapterhousedb_spark.operators.asof import asof_join
+
+
+def ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left_rows = [
+        (1, 100, ts(5)),
+        (2, 100, ts(10)),
+        (3, 100, ts(2)),   # before any right row for key 100
+        (4, 200, ts(7)),
+        (5, 300, ts(9)),   # key with no right rows at all
+    ]
+    right_rows = [
+        (100, ts(4), "q1", 10.0),
+        (100, ts(10), "q2", 20.0),  # equal-ts: must match event 2 (<= semantics)
+        (200, ts(1), "q3", 30.0),
+        (200, ts(6), "q4", 40.0),
+    ]
+    left = spark.createDataFrame(left_rows, ["event_id", "key", "etime"])
+    right = spark.createDataFrame(right_rows, ["rkey", "rtime", "quote", "price"])
+    return left, right
+
+
+def test_asof_join_matches_bruteforce(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, left_on="etime", right_on="rtime", left_by="key", right_by="rkey"
+    )
+    got = {r["event_id"]: (r["quote"], r["price"]) for r in out.collect()}
+    assert got == {
+        1: ("q1", 10.0),
+        2: ("q2", 20.0),   # inclusive <=
+        3: (None, None),   # nothing at-or-before
+        4: ("q4", 40.0),
+        5: (None, None),   # key never seen on right
+    }
+    assert out.count() == left.count()  # left-join semantics: all rows kept
+
+
+def test_asof_join_single_shuffle(frames):
+    left, right = frames
+    plan = (
+        asof_join(
+            left, right, left_on="etime", right_on="rtime", left_by="key", right_by="rkey"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union + one window; no join node, no cartesian explosion
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window shuffle (+AQE variance)

@@ -1,0 +1,115 @@
+"""Dedup operator tests on constructed corpora with planted duplicates
+(the testdata documents table has no true dups, so recall/precision are
+asserted here; the workload entries then run the same operators on
+testdata)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill and the birds sing in the old oak tree near "
+    "the river that flows past the quiet village every single morning"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Docs 0/1: identical (mod case/space). 2: near-dup of 0 (one word
+    changed). 3: half-overlapping. 4/5: unrelated."""
+    rows = [
+        (0, BASE),
+        (1, BASE.upper().replace(" ", "  ")),
+        (2, BASE.replace("lazy", "sleepy")),
+        (3, BASE[: len(BASE) // 2] + " completely different ending about ships and storms at sea"),
+        (4, "entirely unrelated text about numerical linear algebra and matrix factorizations on gpus"),
+        (5, "another document on cooking pasta with garlic olive oil and fresh basil leaves tonight"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_collapses_normalized_duplicates(corpus):
+    out = exact_dedup(corpus).orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r["copies"] for r in out}
+    assert by_id[0] == 2  # doc 1 collapsed into doc 0
+    assert 1 not in by_id
+    assert by_id[2] == 1 and by_id[4] == 1
+
+
+def test_minhash_signature_shape_and_identity(corpus):
+    sig = minhash_signature(corpus, num_hashes=32)
+    rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert len(rows[0]) == 32
+    assert rows[0] == rows[1]  # normalized-identical docs -> same signature
+    assert rows[0] != rows[4]
+
+
+def test_minhash_near_dup_pairs_recall_and_precision(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(corpus, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8  # one-word edit
+    assert (1, 2) in pairs
+    # unrelated docs never pair
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_ngram_jaccard_matches_bruteforce(corpus, spark):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, ngram_k=3, threshold=0.05).collect()
+    }
+
+    # brute-force oracle in python
+    def grams(text: str) -> set[str]:
+        toks = " ".join(text.lower().split()).split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(max(1, len(toks) - 2))}
+
+    docs = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for (a, b), j in out.items():
+        ga, gb = grams(docs[a]), grams(docs[b])
+        expected = len(ga & gb) / len(ga | gb)
+        assert abs(j - expected) < 1e-12, (a, b)
+    assert (0, 1) in out and out[(0, 1)] == 1.0
+    assert (0, 3) in out  # half-overlap above the low threshold
+
+
+def test_simhash_identity_and_locality(corpus):
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
+    assert rows[0] == rows[1]
+    ham_near = bin(rows[0] ^ rows[2]).count("1")
+    ham_far = bin(rows[0] ^ rows[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_dup_pairs(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(corpus, max_hamming=6).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert (0, 2) in pairs
+    assert not any((a in (4, 5)) ^ (b in (4, 5)) for (a, b) in pairs), (
+        "unrelated docs must not pair with the base cluster"
+    )
+
+
+def test_minhash_scales_without_cross_join(corpus):
+    """Plan sanity: candidate generation must be an equi-join (hash or
+    sort-merge on band hash), never a cartesian/broadcast-NL product."""
+    plan = minhash_near_dup_pairs(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,70 @@
+"""Multimodal binary-column plumbing tests (decode is a deterministic
+stub; the Spark-side schema/batching/UDF shape is real)."""
+
+from __future__ import annotations
+
+import pytest
+
+from chapterhousedb_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_real,
+    decode_stub,
+    documents_as_media,
+    extract_features,
+    make_fake_blob,
+    sample_frames,
+)
+from chapterhousedb_spark.workload.registry import load
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", make_fake_blob(4, 3), ("s0", 4 * 3 + 16)),
+        (1, "video", make_fake_blob(2, 2, n_frames=5, fill=7), ("s1", 2 * 2 * 5 + 16)),
+        (2, "image", b"not a real blob", ("s2", 15)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features(media):
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows[0]["width"] == 4 and rows[0]["height"] == 3 and rows[0]["n_frames"] == 1
+    # pixels are (fill + i) % 256 -> mean of 0..11 is 5.5
+    assert rows[0]["mean_pixel"] == pytest.approx(5.5)
+    assert rows[1]["n_frames"] == 5
+    assert rows[2]["ok"] is False and rows[2]["width"] is None
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media, every_nth=2).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert 0 in by_media and len(by_media[0]) == 1  # still image: frame 0
+    assert 1 in by_media and [r["frame_idx"] for r in sorted(by_media[1], key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    assert 2 not in by_media  # undecodable blob skipped
+    # frame payload is w*h bytes
+    assert all(len(r["frame"]) == 4 for r in by_media[1])
+
+
+def test_documents_as_media_roundtrip(spark):
+    docs = load(spark, SF_SMOKE, "documents").limit(20)
+    media = documents_as_media(docs)
+    feats = extract_features(media)
+    ok = feats.filter("ok").count()
+    assert ok == 20
+    widths = [r["width"] for r in feats.collect()]
+    assert all(1 <= w <= 64 for w in widths)
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"anything")
+
+
+def test_decode_stub_rejects_garbage():
+    assert decode_stub(b"") == {
+        "width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False,
+    }

@@ -1,0 +1,87 @@
+"""Replicates the driver's t2 gate locally at sf0.001: every declared
+query with an oracle must match DuckDB on row count, column names, and
+(order-insensitively) values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from chapterhousedb_spark.workload import ORACLES, QUERIES
+
+from tests.conftest import SF_SMOKE
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted."""
+    df = df[sorted(df.columns)]
+    # normalize arrow/np scalar types to plain python for stable sorting
+    df = df.reset_index(drop=True)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b  # exact: the driver hashes values
+    if pd.isna(a) and pd.isna(b):
+        return True
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    odf = duck.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: columns {sorted(sdf.columns)} != {sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != {len(odf)}"
+    a, b = _canon(sdf), _canon(odf)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        mism = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(av, bv))
+            if not _values_equal(x, y)
+        ]
+        assert not mism, f"{name}.{col}: first mismatches {mism[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF_SMOKE)
+    n = df.count()
+    assert n >= 0
+    df.limit(5).collect()  # schema + values materialize without error

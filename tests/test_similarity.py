@@ -1,0 +1,79 @@
+"""Similarity-search tests: brute-force vs numpy, ANN recall, near-dup
+pair detection on planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from chapterhousedb_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    srp_ann_topk,
+)
+
+DIMS = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    # two clusters + noise, plus planted near-duplicates of vector 0
+    centers = rng.normal(size=(2, DIMS))
+    vecs = []
+    for i in range(N):
+        c = centers[i % 2]
+        vecs.append(c + 0.3 * rng.normal(size=DIMS))
+    vecs[1] = vecs[0] + 0.001 * rng.normal(size=DIMS)  # planted near-dup pair (0,1)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], schema
+    )
+    return df, np.array([np.array(v, dtype=np.float32) for v in vecs])
+
+
+def _numpy_topk(mat: np.ndarray, q: np.ndarray, k: int) -> list[int]:
+    qd = q.astype(np.float64)
+    md = mat.astype(np.float64)
+    cos = (md @ qd) / (np.linalg.norm(md, axis=1) * np.linalg.norm(qd))
+    order = sorted(range(len(cos)), key=lambda i: (-cos[i], i))
+    return order[:k]
+
+
+def test_bruteforce_topk_matches_numpy(vectors):
+    df, mat = vectors
+    q = [1.0] * DIMS
+    got = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    assert got == _numpy_topk(mat, np.array(q), 10)
+
+
+def test_bruteforce_is_take_ordered(vectors):
+    df, _ = vectors
+    plan = cosine_topk(df, [1.0] * DIMS, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, "top-k must not be a full sort"
+
+
+def test_ann_recall(vectors):
+    df, mat = vectors
+    q = [1.0] * DIMS
+    exact = set(_numpy_topk(mat, np.array(q), 10))
+    got = {r["vec_id"] for r in srp_ann_topk(df, q, k=10, planes=4, multiprobe=1).collect()}
+    # 4 planes / 16 buckets on clustered data: expect most of the true top-k
+    assert len(got & exact) >= 5
+
+
+def test_embedding_near_dup_finds_planted_pair(vectors):
+    df, _ = vectors
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, threshold=0.999, planes=4).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.999

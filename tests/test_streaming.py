@@ -1,0 +1,115 @@
+"""Structured Streaming tests: file-source micro-batches drained with
+availableNow, windowed counts vs the batch twin, stateful sessionization."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.streaming import (
+    read_event_stream,
+    sessionize_stream,
+    windowed_counts,
+)
+from chapterhousedb_spark.workload.registry import load
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Stage the events table as a landing dir of several parquet files
+    (micro-batch boundaries), with ts as a proper timestamp."""
+    d = str(tmp_path_factory.mktemp("events_landing"))
+    ev = load(spark, SF_SMOKE, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_drains_all_events(spark, event_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.read.parquet(out).count()
+    n_batch = load(spark, SF_SMOKE, "events").count()
+    assert n_stream == n_batch
+    # restart with no new files: exactly-once, nothing reprocessed
+    q2 = (
+        read_event_stream(spark, event_dir).writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_batch
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["h"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_sessionize_stream_closes_sessions(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    sess = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from sessions").collect()
+    # the batch twin: sessions closed by a later event (gap exceeded)
+    # must match n_sessions - 1 per user exactly; timeout-closed
+    # sessions (watermark passed) add at most one more
+    from chapterhousedb_spark.workload import QUERIES
+
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in QUERIES["events_sessionize"](spark, SF_SMOKE).collect()
+    }
+    gap_closed: dict[int, int] = {}
+    total_closed: dict[int, int] = {}
+    for r in rows:
+        total_closed[r["user_id"]] = total_closed.get(r["user_id"], 0) + 1
+        if not r["by_timeout"]:
+            gap_closed[r["user_id"]] = gap_closed.get(r["user_id"], 0) + 1
+    for user, n_sessions in batch.items():
+        assert gap_closed.get(user, 0) == n_sessions - 1, (
+            f"user {user}: gap-closed {gap_closed.get(user, 0)} vs batch {n_sessions}"
+        )
+        assert total_closed.get(user, 0) <= n_sessions

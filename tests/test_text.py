@@ -1,0 +1,85 @@
+"""Text-analysis operator tests: stats vs python oracle, lang-id on real
+multilingual samples, token counting edge cases, fingerprints."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.operators.text import (
+    bpe_ish_token_count,
+    lang_id,
+    text_fingerprint,
+    text_stats,
+    token_count,
+)
+
+SAMPLES = [
+    (0, "The quick brown fox jumps over the lazy dog, and it is happy for now.", "en"),
+    (1, "El perro corre por el parque y la niña juega con un gato en los jardines.", "es"),
+    (2, "Der Hund läuft durch den Park und die Kinder spielen mit dem Ball im Garten.", "de"),
+    (3, "Le chat dort dans la maison et les enfants jouent dans le jardin près de une fontaine.", "fr"),
+    (4, "今天天气很好我们一起去公园散步吧然后喝茶聊天看风景", "zh"),
+    (5, "Сегодня хорошая погода и мы идем гулять в парк с друзьями", "ru"),
+]
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in SAMPLES], ["doc_id", "text"]
+    )
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "one"), (3, "a  b\tc\nd"), (4, " padded ")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 4, 4: 1}
+
+
+def test_bpe_ish_token_count_splits_punct_and_numbers(spark):
+    df = spark.createDataFrame([(0, "hello, world! 42x")], ["doc_id", "text"])
+    n = df.select(bpe_ish_token_count("text").alias("n")).collect()[0]["n"]
+    # hello , world ! 42 x -> 6 units
+    assert n == 6
+
+
+def test_text_stats_against_python(sample_df):
+    rows = {r["doc_id"]: r for r in text_stats(sample_df).collect()}
+    en = SAMPLES[0][1]
+    r = rows[0]
+    assert r["n_chars"] == len(en)
+    assert r["n_tokens"] == len(en.split())
+    alpha = sum(ch.isalpha() and ch.isascii() for ch in en)
+    assert r["alpha_ratio"] == alpha / len(en)
+    assert 0 < r["stopword_ratio"] < 1
+    assert r["punct_ratio"] > 0
+
+
+def test_lang_id_accuracy(sample_df):
+    preds = {r["doc_id"]: r["lang_pred"] for r in lang_id(sample_df).collect()}
+    expected = {i: lang for i, _, lang in SAMPLES}
+    correct = sum(preds[i] == expected[i] for i in preds)
+    assert correct >= 5, f"lang_id got {preds} want {expected}"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "Hello   World  this is Fine"),
+            (1, "hello world THIS is fine"),
+            (2, "a completely different sentence here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text_fingerprint(df).collect()}
+    assert rows[0]["md5_fp"] == rows[1]["md5_fp"]
+    assert rows[0]["winnow_min"] == rows[1]["winnow_min"]
+    assert rows[0]["winnow_max"] == rows[1]["winnow_max"]
+    assert rows[0]["md5_fp"] != rows[2]["md5_fp"]
