@@ -348,19 +348,21 @@ def join_outer(spark, sf_dir):
     oracle="""
     SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_parts
     FROM part p
-    JOIN (VALUES ('budget', 0.0, 500.0),
-                 ('mid', 500.0, 1200.0),
-                 ('premium', 1200.0, 1e9)) AS b(band, lo, hi)
+    JOIN (VALUES ('budget', 0.0, 907.0),
+                 ('mid', 907.0, 914.0),
+                 ('premium', 914.0, 1e9)) AS b(band, lo, hi)
       ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
     GROUP BY b.band
     """,
 )
 def join_range_bands(spark, sf_dir):
     """Range (non-equi) join against a banding table. At scale the band
-    side is tiny: broadcast nested-loop, no fact shuffle."""
+    side is tiny: broadcast nested-loop, no fact shuffle. (Band edges
+    sit inside the testdata price range 900-920 so the join
+    discriminates.)"""
     p = load(spark, sf_dir, "part")
     bands = spark.createDataFrame(
-        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
+        [("budget", 0.0, 907.0), ("mid", 907.0, 914.0), ("premium", 914.0, 1e9)],
         ["band", "lo", "hi"],
     )
     return (

@@ -61,10 +61,21 @@ def test_minhash_near_dup_pairs_recall_and_precision(corpus):
         for r in minhash_near_dup_pairs(corpus, threshold=0.5).collect()
     }
     assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
-    assert (0, 2) in pairs and pairs[(0, 2)] > 0.8  # one-word edit
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7  # one-word edit (sig estimate)
     assert (1, 2) in pairs
     # unrelated docs never pair
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_exact_verify_returns_true_jaccard(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            corpus, threshold=0.5, exact_verify=True
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.85 < pairs[(0, 2)] < 1.0  # true char-5-gram jaccard of the edit
 
 
 def test_ngram_jaccard_matches_bruteforce(corpus, spark):

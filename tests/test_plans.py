@@ -1,0 +1,85 @@
+"""Plan-shape regression tests: the optimizer properties we designed for
+(SURVEY.md §4: everything the reference lacks must actually fire here).
+These run against sf0.001 — plan shape is scale-independent."""
+
+from __future__ import annotations
+
+import pytest
+
+from chapterhousedb_spark.plans import (
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+from chapterhousedb_spark.workload import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def q(name, spark):
+    return QUERIES[name](spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q("scan_filter_project", spark)
+    pf = pushed_filters(df)
+    assert any("LessThan(l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning(spark):
+    df = q("scan_filter_project", spark)
+    [cols] = read_schema_columns(df)
+    # lineitem has 11 columns; the query needs exactly 4
+    assert sorted(cols) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_quantity",
+    ]
+
+
+def test_timestamp_pushdown(spark):
+    pf = pushed_filters(q("agg_pricing_summary", spark))
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = physical_plan(q("agg_pricing_summary", spark))
+    assert "partial_sum" in plan, "map-side combine missing"
+
+
+def test_dim_joins_broadcast(spark):
+    plan = physical_plan(q("join_broadcast_dims", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_broadcast_nl(spark):
+    plan = physical_plan(q("join_range_bands", spark))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_order_by_limit_is_take_ordered(spark):
+    plan = physical_plan(q("order_by_multi", spark))
+    assert "TakeOrderedAndProject" in plan, "LIMIT over ORDER BY must not full-sort"
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in physical_plan(q("join_semi", spark))
+    assert "LeftAnti" in physical_plan(q("join_anti", spark))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash", "dedup_simhash", "ngram_jaccard_pairs", "embedding_near_dup"],
+)
+def test_no_cartesian_in_lsh_operators(spark, name):
+    plan = physical_plan(q(name, spark))
+    assert "CartesianProduct" not in plan, f"{name} degenerated to a cross join"
+
+
+def test_no_python_udfs_in_relational_and_text_paths(spark):
+    """Hot paths must stay JVM-side (BatchEvalPython = row-at-a-time udf)."""
+    for name in ["scan_filter_project", "text_stats", "dedup_minhash", "lang_id"]:
+        plan = physical_plan(q(name, spark))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
