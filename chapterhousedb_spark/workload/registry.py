@@ -34,6 +34,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     microsecond timestamp with truncation, matching how DuckDB reads
     the same file (ns -> us truncation), so oracle comparisons agree.
     """
+    if table == "events":
+        # Defensive: the correctness harness builds its own plain
+        # SparkSession where build_session()'s conf is absent; without
+        # this, reading TIMESTAMP(NANOS) throws PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

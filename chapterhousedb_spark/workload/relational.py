@@ -588,8 +588,8 @@ def scalar_funcs(spark, sf_dir):
         .alias("size_class"),
         (-F.col("p_retailprice")).alias("neg_price"),
         F.abs(F.col("p_retailprice") - 1000).alias("dist_1000"),
-        F.floor("p_retailprice").alias("price_floor"),
-        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
         F.col("p_type").like("%BRASS%").alias("is_brass"),
         F.col("p_brand").isNull().alias("brand_null"),
         F.col("p_size").cast("string").alias("size_str"),
