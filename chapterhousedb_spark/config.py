@@ -53,17 +53,22 @@ class S3Connection:
         return f"s3a://{self.bucket}/{glob.lstrip('/')}"
 
     def hadoop_conf(self) -> dict[str, str]:
+        # Per-bucket scoped keys (hadoop-aws "per-bucket configuration"):
+        # global fs.s3a.* keys would clobber each other when two named
+        # connections use different endpoints/credentials — last one
+        # registered would win for ALL buckets.
+        p = f"fs.s3a.bucket.{self.bucket}"
         conf: dict[str, str] = {}
         if self.endpoint:
-            conf["fs.s3a.endpoint"] = self.endpoint
+            conf[f"{p}.endpoint"] = self.endpoint
         if self.region:
-            conf["fs.s3a.endpoint.region"] = self.region
+            conf[f"{p}.endpoint.region"] = self.region
         if self.access_key_id:
-            conf["fs.s3a.access.key"] = self.access_key_id
+            conf[f"{p}.access.key"] = self.access_key_id
         if self.secret_access_key:
-            conf["fs.s3a.secret.key"] = self.secret_access_key
+            conf[f"{p}.secret.key"] = self.secret_access_key
         if self.path_style:
-            conf["fs.s3a.path.style.access"] = "true"
+            conf[f"{p}.path.style.access"] = "true"
         return conf
 
 

@@ -34,41 +34,50 @@ def asof_join(
     """Left as-of join: all left columns + the latest right_cols values.
 
     right_cols defaults to every right column except its key/time.
-    Right-side ties on (key, time) resolve to the row latest in
-    right_on order then by the first right_col — deterministic.
+    Right-side ties on (key, time) resolve to the row whose packed
+    value-struct sorts last (lexicographic by field) — deterministic.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (right_on, right_by)]
+    if not right_cols:
+        # Nothing to attach: the left as-of join degenerates to left itself.
+        return left
 
+    # All right payload columns travel as ONE struct so last(..., ignorenulls)
+    # picks whole rows, never stitches columns from different right rows
+    # (a matched right row holding NULL in one column must yield that NULL,
+    # not an older row's value — DuckDB ASOF row-level semantics).
+    from pyspark.sql import types as T
+
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in right_cols]
+    )
     lt = [c for c in left.columns]
     l_tag = left.select(
         *lt,
         F.col(left_by).alias("__key"),
         F.col(left_on).alias("__t"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lt],
         F.col(right_by).alias("__key"),
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t"), F.col("__tag"), F.col(f"__r_{right_cols[0]}"))
+        .orderBy(F.col("__t"), F.col("__tag"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *lt,
         "__tag",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__f"),
     )
     return filled.filter(F.col("__tag") == 1).select(
-        *lt, *[F.col(f"__f_{c}").alias(c) for c in right_cols]
+        *lt, *[F.col("__f").getField(c).alias(c) for c in right_cols]
     )

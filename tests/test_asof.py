@@ -64,3 +64,37 @@ def test_asof_join_single_shuffle(frames):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # window shuffle (+AQE variance)
+
+
+def test_asof_join_row_level_nulls(spark):
+    """A matched right row holding NULL in one column must yield that NULL —
+    never stitch the missing value from an older right row (DuckDB ASOF
+    row-level semantics)."""
+    left = spark.createDataFrame([(1, 100, ts(10))], ["event_id", "key", "etime"])
+    right = spark.createDataFrame(
+        [(100, ts(4), "old", 10.0), (100, ts(9), None, 20.0)],
+        T.StructType([
+            T.StructField("rkey", T.LongType()),
+            T.StructField("rtime", T.TimestampType()),
+            T.StructField("quote", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]),
+    )
+    out = asof_join(
+        left, right, left_on="etime", right_on="rtime", left_by="key", right_by="rkey"
+    ).collect()
+    assert len(out) == 1
+    # the ts(9) row matches; its quote is NULL and must STAY NULL
+    assert out[0]["quote"] is None
+    assert out[0]["price"] == 20.0
+
+
+def test_asof_join_empty_right_cols(spark):
+    """No payload columns on the right: degenerates to left unchanged."""
+    left = spark.createDataFrame([(1, 100, ts(5))], ["event_id", "key", "etime"])
+    right = spark.createDataFrame([(100, ts(4))], ["rkey", "rtime"])
+    out = asof_join(
+        left, right, left_on="etime", right_on="rtime", left_by="key", right_by="rkey"
+    )
+    assert out.columns == left.columns
+    assert out.count() == 1

@@ -123,5 +123,20 @@ def test_s3_connection_conf_mapping():
     )
     assert conn.resolve("data/*.parquet") == "s3a://mybucket/data/*.parquet"
     conf = conn.hadoop_conf()
-    assert conf["fs.s3a.endpoint"] == "http://localhost:9000"
-    assert conf["fs.s3a.path.style.access"] == "true"
+    assert conf["fs.s3a.bucket.mybucket.endpoint"] == "http://localhost:9000"
+    assert conf["fs.s3a.bucket.mybucket.path.style.access"] == "true"
+
+
+def test_two_s3_connections_do_not_clobber():
+    """Two named S3 connections must coexist: per-bucket scoped keys."""
+    a = S3Connection(name="a", bucket="bkt-a", endpoint="http://a:9000",
+                     access_key_id="akA", secret_access_key="skA")
+    b = S3Connection(name="b", bucket="bkt-b", endpoint="http://b:9000",
+                     access_key_id="akB", secret_access_key="skB")
+    merged: dict[str, str] = {}
+    merged.update(a.hadoop_conf())
+    merged.update(b.hadoop_conf())
+    assert merged["fs.s3a.bucket.bkt-a.access.key"] == "akA"
+    assert merged["fs.s3a.bucket.bkt-b.access.key"] == "akB"
+    assert merged["fs.s3a.bucket.bkt-a.endpoint"] == "http://a:9000"
+    assert merged["fs.s3a.bucket.bkt-b.endpoint"] == "http://b:9000"
