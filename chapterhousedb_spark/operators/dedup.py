@@ -86,7 +86,12 @@ def char_shingle_posts(
 def word_shingle_posts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, gram) postings: word k-grams (k consecutive tokens)."""
+    """(id, gram) postings: word k-grams (k consecutive tokens).
+
+    Only FULL k-grams are emitted: documents with fewer than k tokens
+    produce no postings (they can never near-dup-pair on k-grams), which
+    also matches how an ANSI oracle naturally expresses the gram set.
+    """
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -99,6 +104,7 @@ def word_shingle_posts(
                 F.expr(f"sequence(1, greatest(1, size(__toks) - {k - 1}))")
             ).alias("i"),
         )
+        .filter(F.expr(f"size(__toks) >= i + {k - 1}"))
         .select("id", F.expr(f"array_join(slice(__toks, i, {k}), ' ')").alias("shingle"))
     )
 
@@ -223,17 +229,38 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     ngram_k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Word n-gram Jaccard similarity pairs via an inverted index.
 
     Instead of a cross join, explode each doc's distinct n-grams and
     equi-join on the n-gram (inverted-index candidate generation):
     co-occurrence counts give |A ∩ B| directly and |A ∪ B| follows from
-    per-doc set sizes. Scales with total postings, not doc pairs.
+    per-doc set sizes.
+
+    max_doc_freq is the scale guard: a gram appearing in d documents
+    contributes d^2/2 candidate pairs to the self-join, so one stop-gram
+    in 1e7 docs is ~5e13 pairs. With a cap, grams whose document
+    frequency exceeds it are dropped from candidate generation AND from
+    the per-doc set sizes — the result is exact Jaccard over the
+    df-filtered gram universe (standard prefix/df filtering). Pairs
+    sharing ONLY ultra-common grams are intentionally not near-dups.
+    With the cap the join cost is bounded by postings * max_doc_freq.
+    None = exact, unbounded (small corpora / post-LSH verify only).
     """
     grams = word_shingle_posts(df, text_col, id_col, ngram_k).dropDuplicates(
         ["id", "shingle"]
     )
+    if max_doc_freq is not None:
+        rare = (
+            grams.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        # co-partitioned on the gram (same key as the groupBy) — no
+        # extra shuffle of the postings beyond the df computation
+        grams = grams.join(rare, "shingle").select("id", "shingle")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     posts = grams.join(sizes, "id").select("id", "n_grams", F.col("shingle").alias("g"))
     a = posts.alias("a")

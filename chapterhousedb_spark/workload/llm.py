@@ -101,28 +101,35 @@ def text_fingerprint_q(spark, sf_dir):
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
-    WITH g AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(1, len({_TOKS}) - 2)),
+    WITH posts AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len({_TOKS}) - 2),
                i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
-             )) AS grams
-      FROM documents)
+             ))) AS g
+      FROM documents WHERE len({_TOKS}) >= 3),
+    rare AS (
+      SELECT g FROM posts GROUP BY g HAVING COUNT(*) <= 100),
+    fg AS (
+      SELECT p.doc_id, count(*) AS n_grams, list(p.g) AS grams
+      FROM posts p JOIN rare r USING (g)
+      GROUP BY p.doc_id)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+             / (a.n_grams + b.n_grams - len(list_intersect(a.grams, b.grams)))
              AS jaccard
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    FROM fg a JOIN fg b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+          / (a.n_grams + b.n_grams - len(list_intersect(a.grams, b.grams))) >= 0.2
     """,
 )
 def ngram_jaccard_q(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs. Spark side uses the
-    inverted-index construction (scales with postings, not doc pairs);
-    the oracle brute-forces the same result at sf0.01."""
+    inverted-index construction with a document-frequency cap (a gram in
+    d docs contributes d^2/2 candidates — the cap bounds the join at
+    scale); the oracle brute-forces the identical df-filtered Jaccard
+    at sf0.01. Only full 3-grams count on both sides."""
     return ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), ngram_k=3, threshold=0.2
+        load(spark, sf_dir, "documents"), ngram_k=3, threshold=0.2, max_doc_freq=100
     )
 
 

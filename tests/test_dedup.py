@@ -98,6 +98,37 @@ def test_ngram_jaccard_matches_bruteforce(corpus, spark):
     assert (0, 3) in out  # half-overlap above the low threshold
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_grams(spark):
+    """A stop-gram shared by d docs contributes d^2/2 candidate pairs;
+    the document-frequency cap must drop those while pairs backed by
+    rare grams survive."""
+    stop = "the of the and the"  # 5 tokens -> 3 full 3-grams, all hot
+    rows = [(i, stop) for i in range(40)]
+    rows += [
+        (100, "unique protein folding simulation results chapter seven"),
+        (101, "unique protein folding simulation results chapter eight"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # uncapped: the 40 identical stop-gram docs all pair (C(40,2) = 780)
+    assert ngram_jaccard_pairs(df, threshold=0.2).count() >= 780
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.2, max_doc_freq=10).collect()
+    }
+    assert (100, 101) in capped  # rare-gram pair survives
+    assert all(a >= 100 for a, _ in capped)  # hot-gram-only pairs are gone
+
+
+def test_ngram_jaccard_short_docs_emit_no_partial_grams(spark):
+    """Docs with fewer than k tokens produce no postings (full k-grams
+    only) — pins the oracle-parity semantics for short documents."""
+    df = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc"), (2, "three token doc")],
+        ["doc_id", "text"],
+    )
+    assert ngram_jaccard_pairs(df, threshold=0.1).collect() == []
+
+
 def test_simhash_identity_and_locality(corpus):
     rows = {r["doc_id"]: r["simhash"] for r in simhash(corpus).collect()}
     assert rows[0] == rows[1]
