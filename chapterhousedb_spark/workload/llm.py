@@ -24,6 +24,7 @@ from chapterhousedb_spark.operators.similarity import (
     srp_ann_topk,
 )
 from chapterhousedb_spark.operators.text import (
+    _STOPWORDS,
     lang_id,
     text_fingerprint,
     text_stats,
@@ -33,6 +34,51 @@ from chapterhousedb_spark.workload.registry import load, query
 # normalized text, oracle side (mirror of operators.dedup.normalize_text)
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+
+# ---------------------------------------------------------------- SRP oracle
+# The SRP hyperplane signs are deterministic: sign[p][d] =
+# (xxhash64(p*64 + d, 7) & 1) * 2 - 1 (operators/similarity.py
+# srp_signature, planes=6, dims=64, seed=7). DuckDB cannot compute
+# Spark's xxhash64, so the derived +-1 matrix is pinned here as
+# literals and embedded in the oracle SQL — the oracle then replays the
+# ENTIRE ANN pipeline (bucket, probe, exact rerank) hash-exactly.
+# tests/test_similarity.py asserts this matrix equals the live Spark
+# derivation, so any drift in planes/seed/hash breaks the test first.
+_SRP_SIGNS = [
+    [-1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1],
+    [-1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1],
+    [1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1],
+    [-1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1],
+    [-1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1],
+    [1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1],
+]
+
+
+def _srp_bucket_sql(vec: str) -> str:
+    """DuckDB expression for the 6-plane SRP bucket of `vec`."""
+    terms = []
+    for p, row in enumerate(_SRP_SIGNS):
+        signs = ", ".join(str(s) for s in row)
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{signs}][i]))) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _srp_probes(planes: int = 6) -> list[int]:
+    """Query bucket of the all-ones vector + its 1-bit-flip neighbors
+    (multiprobe=1), from the pinned sign matrix."""
+    qb = 0
+    for p, row in enumerate(_SRP_SIGNS[:planes]):
+        if float(sum(row)) > 0:
+            qb |= 1 << p
+    return sorted({qb} | {qb ^ (1 << p) for p in range(planes)})
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
 @query(
@@ -79,10 +125,47 @@ def text_stats_q(spark, sf_dir):
     return text_stats(load(spark, sf_dir, "documents"))
 
 
-@query("lang_id")  # heuristic, engine-specific hash-free but charset/stopword logic
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, list_distinct({_TOKS}) AS toks FROM documents),
+    s AS (
+      SELECT doc_id, text,
+        CAST(len(list_intersect(toks, {_sql_list(_STOPWORDS["en"])})) AS DOUBLE)
+          / greatest(len(toks), 1) AS s_en,
+        CAST(len(list_intersect(toks, {_sql_list(_STOPWORDS["es"])})) AS DOUBLE)
+          / greatest(len(toks), 1) AS s_es,
+        CAST(len(list_intersect(toks, {_sql_list(_STOPWORDS["de"])})) AS DOUBLE)
+          / greatest(len(toks), 1) AS s_de,
+        CAST(len(list_intersect(toks, {_sql_list(_STOPWORDS["fr"])})) AS DOUBLE)
+          / greatest(len(toks), 1) AS s_fr
+      FROM t),
+    m AS (
+      SELECT doc_id, s_en, s_es, s_de, s_fr,
+             greatest(s_en, s_es, s_de, s_fr) AS best,
+             CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE) AS cjk,
+             CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS DOUBLE) AS cyr,
+             CAST(length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) AS DOUBLE) AS arab,
+             greatest(length(text), 1) AS n1
+      FROM s)
+    SELECT doc_id,
+           CASE WHEN cjk / n1 > 0.2 THEN 'zh'
+                WHEN cyr / n1 > 0.2 THEN 'ru'
+                WHEN arab / n1 > 0.2 THEN 'ar'
+                WHEN best > 0 THEN (CASE WHEN s_en = best THEN 'en'
+                                         WHEN s_es = best THEN 'es'
+                                         WHEN s_de = best THEN 'de'
+                                         ELSE 'fr' END)
+                ELSE 'unknown' END AS lang_pred,
+           best AS lang_score
+    FROM m
+    """,
+)
 def lang_id_q(spark, sf_dir):
     """Language identification (charset + stopword profiles); accuracy
-    asserted in tests/test_text.py on multilingual fixtures."""
+    asserted in tests/test_text.py on multilingual fixtures; the oracle
+    mirrors the same charset-regex + stopword-intersection logic."""
     return lang_id(load(spark, sf_dir, "documents"))
 
 
@@ -173,21 +256,69 @@ def similarity_topk_q(spark, sf_dir):
     return cosine_topk(load(spark, sf_dir, "embeddings"), _ONES64, k=10)
 
 
-@query("similarity_ann")
+_COS_ONES = (
+    "list_sum(list_transform(generate_series(1, 64), i -> CAST({v}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, 64),"
+    " i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)))) * 8.0)"
+)
+
+
+@query(
+    "similarity_ann",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_srp_bucket_sql("embedding")} AS bucket
+      FROM embeddings)
+    SELECT vec_id, {_COS_ONES.format(v="embedding")} AS cosine
+    FROM b
+    WHERE bucket IN ({", ".join(str(p) for p in _srp_probes())})
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
 def similarity_ann_q(spark, sf_dir):
-    """SRP-LSH approximate top-10 (bucket + multiprobe scan reduction);
-    recall vs brute force asserted in tests/test_similarity.py. planes=6
-    (64 buckets) fits the small test corpus; at 100 TB raise planes so
-    buckets stay ~1e3-1e5 vectors."""
+    """SRP-LSH approximate top-10 (bucket + multiprobe scan reduction).
+    The oracle replays the identical pipeline — pinned hyperplane signs,
+    bucket probe set, exact rerank — in DuckDB, so the hash-match checks
+    the full ANN path, not just row counts. planes=6 (64 buckets) fits
+    the small test corpus; at 100 TB raise planes so buckets stay
+    ~1e3-1e5 vectors."""
     return srp_ann_topk(load(spark, sf_dir, "embeddings"), _ONES64, k=10, planes=6)
 
 
-@query("embedding_near_dup")
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_srp_bucket_sql("embedding")} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+             AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))
+          >= 0.45
+    """,
+)
 def embedding_near_dup_q(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via SRP blocking (planes=6 for
-    the small corpus; threshold tuned to the clustered testdata)."""
+    """Embedding-cosine near-dup pairs via SRP blocking. threshold=0.45
+    is below the testdata's max off-diagonal cosine (~0.51), so the
+    check is non-vacuous; the oracle replays the same blocked pipeline
+    (pinned signs) in DuckDB."""
     return embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.9, planes=6
+        load(spark, sf_dir, "embeddings"), threshold=0.45, planes=6
     )
 
 

@@ -69,6 +69,30 @@ def test_ann_recall(vectors):
     assert len(got & exact) >= 5
 
 
+def test_pinned_srp_signs_match_spark_derivation(spark):
+    """The oracle SQL embeds the SRP hyperplane sign matrix as literals
+    (DuckDB can't compute Spark's xxhash64). Assert the pinned matrix
+    and probe set still equal the live derivation — any change to
+    planes/seed/hash must break here before it breaks the oracle."""
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.workload.llm import _SRP_SIGNS, _srp_probes
+
+    rows = (
+        spark.range(6 * 64)
+        .select(
+            F.col("id").cast("int").alias("i"),
+            F.expr("(xxhash64(CAST(id AS INT), 7) & 1) * 2 - 1").alias("s"),
+        )
+        .collect()
+    )
+    live = [0] * (6 * 64)
+    for r in rows:
+        live[r["i"]] = r["s"]
+    assert [live[p * 64 : (p + 1) * 64] for p in range(6)] == _SRP_SIGNS
+    assert _srp_probes() == [3, 33, 34, 35, 39, 43, 51]
+
+
 def test_embedding_near_dup_finds_planted_pair(vectors):
     df, _ = vectors
     pairs = {
