@@ -18,6 +18,7 @@ from chapterhousedb_spark.config import ConnectionRegistry, FsConnection, S3Conn
 from chapterhousedb_spark.engine import Engine, QueryHandle, QueryStatus
 from chapterhousedb_spark.results import QueryDataIterator, ResultCursor
 from chapterhousedb_spark.session import build_session
+from chapterhousedb_spark.sqlfront import TableFunction, TableFunctionRegistry
 
 __version__ = "0.1.0"
 
@@ -30,5 +31,7 @@ __all__ = [
     "QueryStatus",
     "ResultCursor",
     "S3Connection",
+    "TableFunction",
+    "TableFunctionRegistry",
     "build_session",
 ]

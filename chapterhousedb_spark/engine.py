@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from chapterhousedb_spark.config import ConnectionRegistry
 from chapterhousedb_spark.results import QueryDataIterator, ResultCursor, ResultManifest
 from chapterhousedb_spark.session import build_session
-from chapterhousedb_spark.sqlfront import rewrite_read_files, split_statements
+from chapterhousedb_spark.sqlfront import split_statements
+from chapterhousedb_spark.sqlfront.table_funcs import (
+    TableFunction,
+    TableFunctionRegistry,
+    default_table_function_registry,
+)
 
 
 class QueryStatus(enum.Enum):
@@ -74,6 +79,7 @@ class Engine:
         results_dir: str | None = None,
         connections: ConnectionRegistry | None = None,
         max_concurrent_queries: int = 8,
+        table_functions: TableFunctionRegistry | None = None,
     ):
         self.spark = spark or build_session()
         self.results_dir = results_dir or os.path.join(
@@ -82,9 +88,26 @@ class Engine:
         os.makedirs(self.results_dir, exist_ok=True)
         self.connections = connections or ConnectionRegistry()
         self.connections.apply_hadoop_conf(self.spark)
+        self.table_functions = table_functions or default_table_function_registry()
         self._queries: dict[str, QueryHandle] = {}
         self._pool = ThreadPoolExecutor(max_workers=max_concurrent_queries)
         self._lock = threading.Lock()
+
+    # ---------------------------------------------------------------- registry
+
+    def register_table_function(self, func: TableFunction) -> None:
+        """Register a user table function for the SQL front door (the
+        reference's add_table_func_task_builder extension point,
+        operator_task_registry.rs:106-126)."""
+        self.table_functions.register(func)
+
+    def register_table(self, name: str, glob: str, connection: str | None = None) -> None:
+        """Register a parquet path as a named table queryable by plain
+        `FROM <name>`. The reference plans a Table node but cannot
+        execute it (operators/builder.rs:67-72 NotImplemented); here it
+        is a registered temp view over the resolved path."""
+        path = self.connections.resolve(glob, connection)
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
 
     # ------------------------------------------------------------------ submit
 
@@ -116,11 +139,13 @@ class Engine:
         resolved plan no longer needs the view).
         """
         prefix = f"__read_files_{uuid.uuid4().hex[:12]}"
-        rewritten, calls = rewrite_read_files(statement, view_prefix=prefix)
+        rewritten, calls = self.table_functions.rewrite(statement, view_prefix=prefix)
         try:
             for call in calls:
-                path = self.connections.resolve(call.glob, call.connection)
-                self.spark.read.parquet(path).createOrReplaceTempView(call.view_name)
+                df = self.table_functions.get(call.func).build(
+                    self.spark, self.connections, call
+                )
+                df.createOrReplaceTempView(call.view_name)
             return self.spark.sql(rewritten)
         finally:
             for call in calls:

@@ -8,5 +8,23 @@ planned by Catalyst.
 
 from chapterhousedb_spark.sqlfront.read_files import ReadFilesCall, rewrite_read_files
 from chapterhousedb_spark.sqlfront.splitter import split_statements
+from chapterhousedb_spark.sqlfront.table_funcs import (
+    TableFuncCall,
+    TableFuncSyntaxError,
+    TableFunction,
+    TableFunctionRegistry,
+    default_table_function_registry,
+    rewrite_table_funcs,
+)
 
-__all__ = ["ReadFilesCall", "rewrite_read_files", "split_statements"]
+__all__ = [
+    "ReadFilesCall",
+    "TableFuncCall",
+    "TableFuncSyntaxError",
+    "TableFunction",
+    "TableFunctionRegistry",
+    "default_table_function_registry",
+    "rewrite_read_files",
+    "rewrite_table_funcs",
+    "split_statements",
+]

@@ -1,0 +1,269 @@
+"""Pluggable table-function registry for the SQL front door.
+
+Mirrors the reference's extension point — the operator task registry
+accepts user-registered table functions, each with a syntax validator
+and a task builder (reference
+src/handlers/operator_handler/operator_task_registry.rs:106-126,
+`add_table_func_task_builder` + `TableFuncSyntaxValidator`;
+`read_files` is the sole registered entry there, registry.rs:196-210).
+
+Here a TableFunction pairs a validator (allowed named args) with a
+builder that turns a parsed call into a DataFrame; the registry rewrites
+every registered `func('<glob>' [, name=>'value']...)` call site into a
+generated temp-view reference before the statement reaches spark.sql().
+Built-ins: `read_files` (parquet, the reference's function) and
+`read_csv` (the reference's README.md:63-66 unchecked roadmap box —
+proving the plug point).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:
+    from chapterhousedb_spark.config import ConnectionRegistry
+
+
+class TableFuncSyntaxError(ValueError):
+    """Bad table-function arguments (the validator half of the
+    reference's TableFuncSyntaxValidator trait)."""
+
+
+@dataclass(frozen=True)
+class TableFuncCall:
+    """One parsed call site of a registered table function."""
+
+    func: str
+    glob: str
+    named_args: dict[str, str]
+    view_name: str
+
+    @property
+    def connection(self) -> str | None:
+        return self.named_args.get("connection")
+
+
+Builder = Callable[[SparkSession, "ConnectionRegistry", TableFuncCall], DataFrame]
+
+
+@dataclass(frozen=True)
+class TableFunction:
+    """A registered table function: name + arg whitelist + builder."""
+
+    name: str
+    build: Builder
+    allowed_args: frozenset[str] = frozenset({"connection"})
+
+    def validate(self, call: TableFuncCall) -> None:
+        unknown = set(call.named_args) - self.allowed_args
+        if unknown:
+            raise TableFuncSyntaxError(
+                f"{self.name}: unknown named argument(s) {sorted(unknown)}; "
+                f"allowed: {sorted(self.allowed_args)}"
+            )
+
+
+# ------------------------------------------------------------ arg parsing
+
+_FIRST_ARG_RE = re.compile(r"^\s*'(?P<glob>(?:[^']|'')*)'\s*(?P<rest>.*)$", re.DOTALL)
+_NAMED_ARG_RE = re.compile(
+    r"\s*,\s*(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*=>\s*'(?P<val>(?:[^']|'')*)'\s*"
+)
+
+
+def parse_call_args(func: str, arg_text: str) -> tuple[str, dict[str, str]]:
+    """Parse `'<glob>' [, name=>'value']...` (the argument grammar of the
+    reference's read_files, read_files_task.rs:65-114, generalized to
+    any named args — each function's whitelist is checked separately)."""
+    m = _FIRST_ARG_RE.match(arg_text)
+    if not m:
+        raise TableFuncSyntaxError(
+            f"{func} arguments must be '<glob>' [, name=>'value']...; got: {arg_text!r}"
+        )
+    glob = m.group("glob").replace("''", "'")
+    rest = m.group("rest").rstrip()
+    named: dict[str, str] = {}
+    pos = 0
+    while pos < len(rest):
+        nm = _NAMED_ARG_RE.match(rest, pos)
+        if not nm:
+            raise TableFuncSyntaxError(
+                f"{func}: malformed named argument near {rest[pos:]!r}"
+            )
+        named[nm.group("name").lower()] = nm.group("val").replace("''", "'")
+        pos = nm.end()
+    return glob, named
+
+
+# --------------------------------------------------------------- rewriting
+
+
+def _scan_literal_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of string literals/comments where calls must be ignored."""
+    spans = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            spans.append((i, j + 1))
+            i = j + 1
+        elif sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            spans.append((i, j))
+            i = j
+        elif sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def rewrite_table_funcs(
+    sql: str, names: list[str], view_prefix: str = "__tf"
+) -> tuple[str, list[TableFuncCall]]:
+    """Replace every registered-function call with a generated view name.
+
+    Returns (rewritten_sql, calls); the caller builds each call's
+    DataFrame and registers it as a temp view named call.view_name.
+    """
+    if not names:
+        return sql, []
+    # longest-first so a name that prefixes another can't shadow it
+    ordered = sorted(names, key=len, reverse=True)
+    call_re = re.compile(
+        r"\b(" + "|".join(re.escape(n) for n in ordered) + r")\s*\(", re.IGNORECASE
+    )
+    spans = _scan_literal_spans(sql)
+
+    def in_literal(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
+    out: list[str] = []
+    calls: list[TableFuncCall] = []
+    last = 0
+    for m in call_re.finditer(sql):
+        if in_literal(m.start()):
+            continue
+        func = m.group(1).lower()
+        # find the matching close paren, honoring quotes
+        depth, i, n = 1, m.end(), len(sql)
+        while i < n and depth:
+            c = sql[i]
+            if c == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise TableFuncSyntaxError(f"unterminated {func}(...) call")
+        glob, named = parse_call_args(func, sql[m.end() : i - 1])
+        view = f"{view_prefix}_{len(calls)}"
+        calls.append(
+            TableFuncCall(func=func, glob=glob, named_args=named, view_name=view)
+        )
+        out.append(sql[last : m.start()])
+        out.append(view)
+        last = i
+    out.append(sql[last:])
+    return "".join(out), calls
+
+
+# ---------------------------------------------------------------- registry
+
+
+class TableFunctionRegistry:
+    """Named table functions consumed by the SQL front door's rewriter
+    (the reference's build_default_operator_task_registry shape)."""
+
+    def __init__(self) -> None:
+        self._funcs: dict[str, TableFunction] = {}
+
+    def register(self, func: TableFunction) -> None:
+        self._funcs[func.name.lower()] = func
+
+    def get(self, name: str) -> TableFunction:
+        key = name.lower()
+        if key not in self._funcs:
+            raise KeyError(
+                f"unknown table function '{name}'; registered: {self.names()}"
+            )
+        return self._funcs[key]
+
+    def names(self) -> list[str]:
+        return sorted(self._funcs)
+
+    def rewrite(
+        self, sql: str, view_prefix: str = "__tf"
+    ) -> tuple[str, list[TableFuncCall]]:
+        rewritten, calls = rewrite_table_funcs(sql, self.names(), view_prefix)
+        for call in calls:
+            self.get(call.func).validate(call)
+        return rewritten, calls
+
+
+# --------------------------------------------------------------- built-ins
+
+
+def _build_read_files(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    return spark.read.parquet(connections.resolve(call.glob, call.connection))
+
+
+def _build_read_csv(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    path = connections.resolve(call.glob, call.connection)
+    return (
+        spark.read.option("header", call.named_args.get("header", "true"))
+        .option("sep", call.named_args.get("delimiter", ","))
+        .option("inferSchema", call.named_args.get("infer_schema", "true"))
+        .csv(path)
+    )
+
+
+READ_FILES = TableFunction(
+    name="read_files",
+    build=_build_read_files,
+    allowed_args=frozenset({"connection"}),
+)
+
+READ_CSV = TableFunction(
+    name="read_csv",
+    build=_build_read_csv,
+    allowed_args=frozenset({"connection", "header", "delimiter", "infer_schema"}),
+)
+
+
+def default_table_function_registry() -> TableFunctionRegistry:
+    reg = TableFunctionRegistry()
+    reg.register(READ_FILES)
+    reg.register(READ_CSV)
+    return reg

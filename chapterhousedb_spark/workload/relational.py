@@ -70,13 +70,34 @@ def read_files_front_door(spark, sf_dir):
     eng = Engine.__new__(Engine)  # lightweight: reuse session, no results dir
     eng.spark = spark
     from chapterhousedb_spark.config import ConnectionRegistry
+    from chapterhousedb_spark.sqlfront import default_table_function_registry
 
     eng.connections = ConnectionRegistry()
+    eng.table_functions = default_table_function_registry()
     return eng.dataframe(
         f"""
         select p_partkey, upper(p_brand) as brand_uc, p_retailprice
         from read_files('{sf_dir}/part.parquet') where p_size > 20
         """
+    )
+
+
+@query(
+    "named_table_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3
+    """,
+)
+def named_table_scan(spark, sf_dir):
+    """Named-table scan: the reference plans a Table node but cannot
+    execute it (operators/builder.rs:67-72 NotImplemented;
+    operator_task_registry.rs:136-139). Here a registered temp view +
+    spark.table() makes it a first-class scan."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("chdb_nation_scan")
+    return (
+        spark.table("chdb_nation_scan")
+        .filter(F.col("n_regionkey") < 3)
+        .select("n_nationkey", "n_name", "n_regionkey")
     )
 
 

@@ -111,6 +111,45 @@ def test_concurrent_submissions(engine, sf_dir):
     assert [h.status for h in handles] == [QueryStatus.COMPLETE] * 4
 
 
+def test_read_csv_table_function(engine, tmp_path_factory):
+    csv = tmp_path_factory.mktemp("csvsrc") / "people.csv"
+    csv.write_text("name,age\nalice,30\nbob,25\n")
+    [h] = engine.sql_wait(f"select name, age from read_csv('{csv}') where age > 26")
+    assert h.status is QueryStatus.COMPLETE, h.error
+    t = engine.fetch(h.query_id, 0, 10)
+    assert t.num_rows == 1
+    assert t.column("name")[0].as_py() == "alice"
+
+
+def test_user_registered_table_function(engine):
+    """A user plugs a new source into the front door — the reference's
+    add_table_func_task_builder extension point, end to end."""
+    from chapterhousedb_spark.sqlfront import TableFunction
+
+    def build(spark, connections, call):
+        return spark.range(int(call.named_args.get("n", "5"))).withColumnRenamed(
+            "id", "v"
+        )
+
+    engine.register_table_function(
+        TableFunction(name="range_rows", build=build, allowed_args=frozenset({"n"}))
+    )
+    [h] = engine.sql_wait("select sum(v) as s from range_rows('unused', n=>'10')")
+    assert h.status is QueryStatus.COMPLETE, h.error
+    assert engine.fetch(h.query_id, 0, 1).column("s")[0].as_py() == 45
+
+
+def test_named_table_scan(engine, sf_dir):
+    """Named-table scan the reference plans but cannot execute
+    (operators/builder.rs:67-72 NotImplemented)."""
+    engine.register_table("nation_tbl", f"{sf_dir}/nation.parquet")
+    [h] = engine.sql_wait(
+        "select n_name from nation_tbl where n_regionkey = 0 order by n_name"
+    )
+    assert h.status is QueryStatus.COMPLETE, h.error
+    assert engine.fetch(h.query_id, 0, 100).num_rows > 0
+
+
 def test_s3_connection_conf_mapping():
     conn = S3Connection(
         name="s3_dev",

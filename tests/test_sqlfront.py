@@ -8,7 +8,13 @@ read_files arg parsing incl. the connection named arg
 
 import pytest
 
-from chapterhousedb_spark.sqlfront import rewrite_read_files, split_statements
+from chapterhousedb_spark.sqlfront import (
+    TableFuncSyntaxError,
+    TableFunction,
+    default_table_function_registry,
+    rewrite_read_files,
+    split_statements,
+)
 from chapterhousedb_spark.sqlfront.read_files import ReadFilesSyntaxError
 
 
@@ -84,3 +90,49 @@ class TestRewriteReadFiles:
     def test_no_call_passthrough(self):
         sql, calls = rewrite_read_files("select 1 as x")
         assert sql == "select 1 as x" and calls == []
+
+
+class TestTableFunctionRegistry:
+    """The extension point mirroring the reference's
+    add_table_func_task_builder + TableFuncSyntaxValidator
+    (operator_task_registry.rs:106-126)."""
+
+    def test_read_csv_named_args(self):
+        reg = default_table_function_registry()
+        sql, calls = reg.rewrite(
+            "select * from read_csv('d/*.csv', header=>'false', delimiter=>'|')"
+        )
+        assert calls[0].func == "read_csv"
+        assert calls[0].glob == "d/*.csv"
+        assert calls[0].named_args == {"header": "false", "delimiter": "|"}
+        assert "__tf_0" in sql
+
+    def test_unknown_named_arg_rejected(self):
+        reg = default_table_function_registry()
+        with pytest.raises(TableFuncSyntaxError):
+            reg.rewrite("select * from read_files('a.parquet', header=>'true')")
+
+    def test_mixed_functions_one_statement(self):
+        reg = default_table_function_registry()
+        _, calls = reg.rewrite(
+            "select * from read_files('a.parquet') t1 "
+            "join read_csv('b.csv') t2 on t1.id = t2.id"
+        )
+        assert [c.func for c in calls] == ["read_files", "read_csv"]
+
+    def test_user_registered_function_rewrites(self):
+        reg = default_table_function_registry()
+        reg.register(
+            TableFunction(
+                name="my_source",
+                build=lambda spark, conns, call: None,
+                allowed_args=frozenset({"n"}),
+            )
+        )
+        _, calls = reg.rewrite("select * from my_source('x', n=>'3')")
+        assert calls[0].func == "my_source" and calls[0].named_args == {"n": "3"}
+
+    def test_unregistered_function_untouched(self):
+        reg = default_table_function_registry()
+        sql, calls = reg.rewrite("select * from other_func('x')")
+        assert calls == [] and "other_func('x')" in sql
