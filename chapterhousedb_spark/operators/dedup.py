@@ -326,6 +326,33 @@ def simhash(
     return packed.withColumnRenamed("id", id_col)
 
 
+def _simhash_block_keys(chunks: int, max_hamming: int) -> list[Column]:
+    """Blocking keys for hamming(simhash) <= max_hamming (Manku et al.,
+    WWW'07 construction, public algorithm).
+
+    The 64 bits partition into `chunks` blocks (widths as even as
+    possible, covering all 64 bits). A pair within the hamming budget
+    differs in at most max_hamming blocks, so it AGREES on at least
+    `agree = chunks - max_hamming` blocks — and therefore collides on
+    at least one of the C(chunks, agree) block-index combinations. Each
+    combination becomes one xxhash64(combo_id, block values...) key.
+    """
+    import itertools
+
+    agree = max(1, chunks - max_hamming)
+    base, rem = divmod(64, chunks)
+    widths = [base + 1 if i < rem else base for i in range(chunks)]
+    offsets = [sum(widths[:i]) for i in range(chunks)]
+    blocks = [
+        F.expr(f"(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1}")
+        for i in range(chunks)
+    ]
+    return [
+        F.xxhash64(F.lit(ci), *[blocks[j] for j in combo])
+        for ci, combo in enumerate(itertools.combinations(range(chunks), agree))
+    ]
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -335,31 +362,32 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole blocking: split the 64-bit fingerprint into `chunks`
-    16-bit blocks; any pair within hamming distance < chunks must agree
-    on at least one block, so candidates come from equi-joins on
-    (block_idx, block_value) — shuffle-based, no cross join. Verified
-    with bit_count on the xor.
+    Pigeonhole blocking, scale-parameterized by `chunks`: candidates
+    come from equi-joins on C(chunks, chunks-max_hamming) combination
+    keys (_simhash_block_keys), verified exactly with bit_count(xor).
+    No cross join at any setting.
+
+    Sizing rule: each key carries ~(chunks-max_hamming) * 64/chunks
+    bits, so expected same-key bucket size is n / 2^(that many bits).
+    chunks=4 (16-bit single-block keys, explode x4) is right up to
+    ~1e7 docs; at 1e9+ use chunks=7..8 (e.g. chunks=8, max_hamming=3
+    -> C(8,5)=56 keys of ~40 bits, explode x56 but buckets stay tiny).
+    Raising chunks trades shuffle volume for per-bucket quadratic cost;
+    recall is guaranteed either way by the pigeonhole argument.
     """
     sh = simhash(df, text_col, id_col)
-    width = 64 // chunks
+    keys = _simhash_block_keys(chunks, max_hamming)
     blocked = sh.select(
         F.col(id_col),
         "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {chunks - 1}), "
-                f"c -> named_struct('blk', c, 'v', (simhash >> (c * {width})) & {(1 << width) - 1}))"
-            )
-        ).alias("b"),
-    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.v").alias("v"))
+        F.explode(F.array(*keys)).alias("bk"),
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.v") == F.col("b.v"))
+            (F.col("a.bk") == F.col("b.bk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

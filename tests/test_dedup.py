@@ -149,6 +149,47 @@ def test_simhash_near_dup_pairs(corpus):
     )
 
 
+def test_simhash_chunk_scaling_selectivity_and_recall(spark):
+    """Scale parameterization: chunks=8 (C(8,5) ~40-bit combo keys)
+    must generate far fewer false candidates than chunks=4 (16-bit
+    single-block keys) on dissimilar docs, while still finding a
+    planted duplicate (pigeonhole recall guarantee)."""
+    import random
+
+    from chapterhousedb_spark.operators.dedup import _simhash_block_keys
+
+    random.seed(7)
+    words = [f"w{i}" for i in range(5000)]
+    rows = [(i, " ".join(random.sample(words, 30))) for i in range(3000)]
+    rows.append((9999, rows[0][1]))  # planted exact dup of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = simhash(df).cache()
+
+    def n_candidates(chunks: int) -> int:
+        keys = _simhash_block_keys(chunks, 3)
+        blocked = sh.select("doc_id", F.explode(F.array(*keys)).alias("bk"))
+        a, b = blocked.alias("a"), blocked.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .dropDuplicates()
+            .count()
+        )
+
+    c4, c8 = n_candidates(4), n_candidates(8)
+    assert c8 < max(c4 / 3, 5), (c4, c8)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(df, max_hamming=3, chunks=8).collect()
+    }
+    assert (0, 9999) in pairs
+    sh.unpersist()
+
+
 def test_minhash_scales_without_cross_join(corpus):
     """Plan sanity: candidate generation must be an equi-join (hash or
     sort-merge on band hash), never a cartesian/broadcast-NL product."""
