@@ -24,6 +24,7 @@ HEADLINE = [
     "scan_filter_project",
     "order_by_multi",
     "agg_pricing_summary",
+    "agg_pricing_summary_double",  # prices the decimal-exact overhead
     "agg_distinct",
     "join_broadcast_dims",
     "join_fact_fact",
@@ -51,6 +52,30 @@ def run_query(spark, name: str, sf_dir: str, sink_root: str) -> float:
     return time.perf_counter() - t0
 
 
+def _previous_round_times() -> tuple[int | None, dict[str, float]]:
+    """Latest BENCH_r<N>.json next to this script, for round deltas."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best_times = None, {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best_n is None or n > best_n:
+            try:
+                obj = json.load(open(p))
+            except (OSError, json.JSONDecodeError):
+                continue
+            parsed = obj.get("parsed", obj)
+            times = parsed.get("queries") or {}
+            if times:
+                best_n, best_times = n, times
+    return best_n, best_times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session(app_name="chdb-bench")
@@ -63,6 +88,10 @@ def main() -> None:
             times[name] = round(run_query(spark, name, sf_dir, sink_root), 3)
         total = round(sum(times.values()), 3)
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+        prev_n, prev = _previous_round_times()
+        deltas = {
+            q: round(times[q] - prev[q], 3) for q in times if q in prev
+        }
         print(
             json.dumps(
                 {
@@ -71,6 +100,8 @@ def main() -> None:
                     "unit": "sec",
                     "queries": times,
                     "sf": float(sf) if sf else None,
+                    "prev_round": prev_n,
+                    "deltas_vs_prev": deltas,
                 }
             )
         )

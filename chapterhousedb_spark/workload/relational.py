@@ -170,6 +170,29 @@ def agg_pricing_summary(spark, sf_dir):
     )
 
 
+@query("agg_pricing_summary_double")
+def agg_pricing_summary_double(spark, sf_dir):
+    """Plain-double twin of agg_pricing_summary, benchmarked to price
+    the decimal-exact overhead (functions/exact.py cost note). Rows-only
+    by design: double SUM is shuffle-order-dependent in the last ulp, so
+    a bit-exact cross-engine hash is not meaningful for this variant."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 @query(
     "agg_distinct",
     oracle="""
