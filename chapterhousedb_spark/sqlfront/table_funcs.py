@@ -262,8 +262,28 @@ READ_CSV = TableFunction(
 )
 
 
+def _build_read_json(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    path = connections.resolve(call.glob, call.connection)
+    reader = spark.read
+    if call.named_args.get("multiline", "false") == "true":
+        reader = reader.option("multiLine", "true")
+    return reader.json(path)
+
+
+READ_JSON = TableFunction(
+    name="read_json",
+    build=_build_read_json,
+    allowed_args=frozenset({"connection", "multiline"}),
+)
+
+
 def default_table_function_registry() -> TableFunctionRegistry:
+    """read_files (the reference's sole function) + the reference's
+    unchecked roadmap formats (README.md:63-66: CSV, JSON)."""
     reg = TableFunctionRegistry()
     reg.register(READ_FILES)
     reg.register(READ_CSV)
+    reg.register(READ_JSON)
     return reg

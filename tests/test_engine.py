@@ -121,6 +121,15 @@ def test_read_csv_table_function(engine, tmp_path_factory):
     assert t.column("name")[0].as_py() == "alice"
 
 
+def test_read_json_table_function(engine, tmp_path_factory):
+    p = tmp_path_factory.mktemp("jsonsrc") / "rows.jsonl"
+    p.write_text('{"k": 1, "v": "x"}\n{"k": 2, "v": "y"}\n{"k": 3, "v": "z"}\n')
+    [h] = engine.sql_wait(f"select k, v from read_json('{p}') where k >= 2 order by k")
+    assert h.status is QueryStatus.COMPLETE, h.error
+    t = engine.fetch(h.query_id, 0, 10)
+    assert t.num_rows == 2 and t.column("v").to_pylist() == ["y", "z"]
+
+
 def test_user_registered_table_function(engine):
     """A user plugs a new source into the front door — the reference's
     add_table_func_task_builder extension point, end to end."""
@@ -148,6 +157,40 @@ def test_named_table_scan(engine, sf_dir):
     )
     assert h.status is QueryStatus.COMPLETE, h.error
     assert engine.fetch(h.query_id, 0, 100).num_rows > 0
+
+
+def test_register_scalar_pandas_udf(engine, sf_dir):
+    """Scalar UDF through the SQL surface, Arrow-batched (pandas UDF)."""
+    def double_qty(s):  # pd.Series -> pd.Series (annotation-free: pyspark
+        return s * 2.0  # resolves string hints against the fn's module)
+
+    engine.register_function("double_qty", double_qty, "double")
+    [h] = engine.sql_wait(
+        f"select max(double_qty(l_quantity)) as m from read_files('{sf_dir}/lineitem.parquet')"
+    )
+    assert h.status is QueryStatus.COMPLETE, h.error
+    [h2] = engine.sql_wait(
+        f"select max(l_quantity) * 2 as m from read_files('{sf_dir}/lineitem.parquet')"
+    )
+    got = engine.fetch(h.query_id, 0, 1).column("m")[0].as_py()
+    want = engine.fetch(h2.query_id, 0, 1).column("m")[0].as_py()
+    assert abs(got - float(want)) < 1e-9
+
+
+def test_register_udtf(engine):
+    """Python UDTF callable as a FROM-clause table function."""
+
+    class SplitParts:
+        def eval(self, s: str):
+            for i, p in enumerate(s.split(",")):
+                yield (i, p)
+
+    engine.register_udtf("split_parts", SplitParts, "idx int, part string")
+    [h] = engine.sql_wait("select * from split_parts('a,b,c') order by idx")
+    assert h.status is QueryStatus.COMPLETE, h.error
+    t = engine.fetch(h.query_id, 0, 10)
+    assert t.num_rows == 3
+    assert t.column("part").to_pylist() == ["a", "b", "c"]
 
 
 def test_s3_connection_conf_mapping():
