@@ -665,3 +665,168 @@ def date_funcs(spark, sf_dir):
         F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
         .alias("month_epoch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Advanced SQL surface (round 2): cube, subqueries, pivot, window frames,
+# percentiles — all absent from the reference (README.md:47-77)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations in one pass. At scale Spark
+    expands to an Expand node feeding one partial-agg + shuffle (rows
+    multiply by the number of grouping sets, not by data passes)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def exists_subquery(spark, sf_dir):
+    """Correlated EXISTS through the SQL path — Catalyst decorrelates
+    it to a left-semi hash join (no per-row subquery execution)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("chdb_adv_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("chdb_adv_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM chdb_adv_customer c
+        WHERE EXISTS (SELECT 1 FROM chdb_adv_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery as a filter threshold (MAX is
+    order-independent, so the threshold is bit-identical on both
+    engines). Catalyst runs the subquery once and broadcasts the
+    scalar into the main scan's filter."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("chdb_adv_orders2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM chdb_adv_orders2
+        WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM chdb_adv_orders2)
+        """
+    )
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "pivot_mktsegment",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS automobile,
+           CAST(COUNT(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 END) AS BIGINT) AS building,
+           CAST(COUNT(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 END) AS BIGINT) AS furniture,
+           CAST(COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 END) AS BIGINT) AS household,
+           CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 END) AS BIGINT) AS machinery
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def pivot_mktsegment(spark, sf_dir):
+    """PIVOT (wide conditional aggregation). The explicit values list
+    keeps the output schema static — at scale never let pivot infer
+    values (that is a whole extra distinct scan + driver collect)."""
+    c = load(spark, sf_dir, "customer")
+    piv = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_shipdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4)))
+                OVER (PARTITION BY l_returnflag ORDER BY l_shipdate
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS run_qty
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (peer rows included — differs from ROWS on ties).
+    Exact-decimal accumulation keeps the running sum order-independent
+    within each peer group, so it hash-matches across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_shipdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.sum(F.col("l_quantity").cast("decimal(28,4)")).over(w).cast("double")
+        .alias("run_qty"),
+    )
+
+
+@query(
+    "percentile_agg",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)      AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_agg(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont: same (1-f)*lo + f*hi interpolation on the sorted
+    values). At 100 TB prefer approx_percentile (t-digest sketch,
+    single pass, mergeable) — declared here as the exact baseline."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        )
+    )

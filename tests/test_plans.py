@@ -78,6 +78,26 @@ def test_no_cartesian_in_lsh_operators(spark, name):
     assert "CartesianProduct" not in plan, f"{name} degenerated to a cross join"
 
 
+def test_exists_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must become a semi join, not per-row subqueries."""
+    plan = physical_plan(q("exists_subquery", spark))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cube_is_single_pass_expand(spark):
+    """CUBE = one Expand + one aggregate pipeline, not N scans."""
+    plan = physical_plan(q("agg_cube", spark))
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_pivot_stays_single_aggregate(spark):
+    """Explicit pivot values: no extra distinct-scan; one agg pipeline."""
+    plan = physical_plan(q("pivot_mktsegment", spark))
+    assert plan.count("FileScan") == 1
+
+
 def test_no_python_udfs_in_relational_and_text_paths(spark):
     """Hot paths must stay JVM-side (BatchEvalPython = row-at-a-time udf)."""
     for name in ["scan_filter_project", "text_stats", "dedup_minhash", "lang_id"]:
