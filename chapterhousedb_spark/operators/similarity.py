@@ -118,6 +118,61 @@ def srp_ann_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+    max_iter: int = 5,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: a seeded KMeans coarse quantizer assigns
+    each vector to a cell; the query probes only the `nprobe` nearest
+    cells and reranks candidates exactly (cosine).
+
+    Vectors are L2-normalized before clustering so Euclidean KMeans
+    cells align with cosine neighborhoods. At scale: fit the quantizer
+    on a sample (sample_fraction) — centroids are tiny driver-side
+    state; assignment is one scan; the `ivf_cell` column supports
+    writing the corpus partitioned by cell so probes prune file reads.
+    nprobe=n_cells degenerates to exact brute force (recall 1.0).
+
+    Complements srp_ann_topk: IVF adapts cells to the data distribution
+    (better recall on clustered corpora), SRP needs no training state.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = F.expr(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE) / "
+        f"greatest(sqrt(aggregate({vec_col}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v)), 1e-12))"
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__v", array_to_vector(unit)
+    )
+    train = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__v",
+        predictionCol="ivf_cell",
+    ).fit(train)
+    assigned = model.transform(vecs)
+    centers = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    q = np.asarray(query_vec, dtype=float)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+    probes = [int(i) for i in order[: max(1, nprobe)]]
+    cand = assigned.filter(F.col("ivf_cell").isin(probes)).select(id_col, vec_col)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

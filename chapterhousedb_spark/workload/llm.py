@@ -21,6 +21,7 @@ from chapterhousedb_spark.operators.dedup import (
 from chapterhousedb_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_ann_topk,
     srp_ann_topk,
 )
 from chapterhousedb_spark.operators.text import (
@@ -285,6 +286,17 @@ def similarity_ann_q(spark, sf_dir):
     the small test corpus; at 100 TB raise planes so buckets stay
     ~1e3-1e5 vectors."""
     return srp_ann_topk(load(spark, sf_dir, "embeddings"), _ONES64, k=10, planes=6)
+
+
+@query("similarity_ivf")
+def similarity_ivf_q(spark, sf_dir):
+    """IVF approximate top-10 (seeded-KMeans coarse quantizer + probe +
+    exact rerank). Rows-only by design: the quantizer is an iterative
+    algorithm, not SQL-expressible; tests/test_similarity.py pins
+    recall and the nprobe=n_cells==brute-force invariant."""
+    return ivf_ann_topk(
+        load(spark, sf_dir, "embeddings"), _ONES64, k=10, n_cells=8, nprobe=3
+    )
 
 
 @query(

@@ -10,6 +10,7 @@ from pyspark.sql import types as T
 from chapterhousedb_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_ann_topk,
     srp_ann_topk,
 )
 
@@ -67,6 +68,24 @@ def test_ann_recall(vectors):
     got = {r["vec_id"] for r in srp_ann_topk(df, q, k=10, planes=4, multiprobe=1).collect()}
     # 4 planes / 16 buckets on clustered data: expect most of the true top-k
     assert len(got & exact) >= 5
+
+
+def test_ivf_ann_recall_and_full_probe_exactness(vectors):
+    df, mat = vectors
+    q = [1.0] * DIMS
+    exact = _numpy_topk(mat, np.array(q), 10)
+    # partial probe: clustered data, cells adapt -> high recall
+    got = {
+        r["vec_id"]
+        for r in ivf_ann_topk(df, q, k=10, n_cells=4, nprobe=2).collect()
+    }
+    assert len(got & set(exact)) >= 7
+    # probing every cell must equal brute force exactly (incl. order)
+    full = [
+        r["vec_id"]
+        for r in ivf_ann_topk(df, q, k=10, n_cells=4, nprobe=4).collect()
+    ]
+    assert full == exact
 
 
 def test_pinned_srp_signs_match_spark_derivation(spark):
