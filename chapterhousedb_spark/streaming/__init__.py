@@ -2,6 +2,8 @@
 in DEV_NOTES.md "deploy/batch" ideas — zero implementation)."""
 
 from chapterhousedb_spark.streaming.batcher import (
+    dedup_stream,
+    enrich_stream,
     read_event_stream,
     run_available_now,
     sessionize_stream,
@@ -9,6 +11,8 @@ from chapterhousedb_spark.streaming.batcher import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "enrich_stream",
     "read_event_stream",
     "run_available_now",
     "sessionize_stream",

@@ -148,6 +148,32 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    id_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    dropDuplicatesWithinWatermark keeps only keys newer than the
+    watermark horizon — a plain streaming dropDuplicates would grow
+    state forever on an unbounded stream. Duplicates arriving later
+    than the watermark are the accepted trade-off (bound the horizon to
+    your ingestion's real max lateness). This is the streaming twin of
+    operators.dedup.exact_dedup for at-least-once landing zones.
+    """
+    keys = id_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str | list[str]) -> DataFrame:
+    """Stream-static enrichment join: the static dim is broadcast to
+    every micro-batch (no stream-side shuffle, no state). The standard
+    shape for attaching user/device/catalog attributes at ingest."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def run_available_now(
     stream: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
 ):

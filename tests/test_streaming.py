@@ -10,7 +10,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from chapterhousedb_spark.streaming import (
+    dedup_stream,
+    enrich_stream,
     read_event_stream,
+    run_available_now,
     sessionize_stream,
     windowed_counts,
 )
@@ -79,6 +82,44 @@ def test_windowed_counts_match_batch(spark, event_dir):
     )
     want = {(r["h"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_dedup_stream_drops_replayed_files(spark, event_dir, tmp_path_factory):
+    """At-least-once landing: the same events land twice (two copies of
+    every file); the streaming dedup must emit each event_id once."""
+    d = str(tmp_path_factory.mktemp("dup_landing"))
+    ev = spark.read.parquet(event_dir)
+    ev.write.mode("overwrite").parquet(d)
+    ev.write.mode("append").parquet(d)  # replay: every event twice
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    stream = dedup_stream(read_event_stream(spark, d, max_files_per_trigger=100))
+    run_available_now(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    n_unique = ev.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_enrich_stream_broadcast_join(spark, event_dir):
+    dim = spark.createDataFrame(
+        [(t, f"cat_{t}") for t in ["click", "view", "purchase", "scroll"]],
+        ["event_type", "category"],
+    )
+    stream = enrich_stream(read_event_stream(spark, event_dir), dim, "event_type")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "select count(*) as n, count(category) as with_cat from enriched"
+    ).collect()[0]
+    assert rows["n"] == spark.read.parquet(event_dir).count()
+    assert rows["with_cat"] > 0
 
 
 def test_sessionize_stream_closes_sessions(spark, event_dir):
