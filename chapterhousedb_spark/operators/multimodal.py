@@ -135,6 +135,40 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(_sample, schema)
 
 
+def chunk_binary(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    chunk_size: int = 4096,
+) -> DataFrame:
+    """Fixed-size binary chunking, fully JVM-side (substring slices
+    binary): (id, chunk_idx, chunk), last chunk short. The standard
+    shape for sharding large blobs into row-group-friendly pieces for
+    storage/transport; concat(chunks in order) == original payload.
+    At scale: one Generate per row, no Python, no driver involvement.
+    """
+    return (
+        df.select(F.col(id_col), F.col(payload_col).alias("__p"))
+        .select(
+            id_col,
+            "__p",
+            F.explode(
+                F.expr(
+                    f"sequence(CAST(0 AS INT), "
+                    f"CAST(greatest(ceil(octet_length(__p) / {chunk_size}.0), 1) - 1 AS INT))"
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(f"substring(__p, chunk_idx * {chunk_size} + 1, {chunk_size})").alias(
+                "chunk"
+            ),
+        )
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter used by tests/workload: wrap the documents table's text
     bytes as fake image blobs so the binary plumbing runs on real

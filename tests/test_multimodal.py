@@ -7,6 +7,7 @@ import pytest
 
 from chapterhousedb_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    chunk_binary,
     decode_real,
     decode_stub,
     documents_as_media,
@@ -57,6 +58,26 @@ def test_documents_as_media_roundtrip(spark):
     assert ok == 20
     widths = [r["width"] for r in feats.collect()]
     assert all(1 <= w <= 64 for w in widths)
+
+
+def test_chunk_binary_roundtrip(media):
+    """Concatenating chunks in order must reproduce every payload."""
+    chunks = chunk_binary(media, chunk_size=7).collect()
+    by_id: dict[int, list] = {}
+    for r in chunks:
+        by_id.setdefault(r["media_id"], []).append((r["chunk_idx"], bytes(r["chunk"])))
+    originals = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, payload in originals.items():
+        parts = [c for _, c in sorted(by_id[mid])]
+        assert b"".join(parts) == payload
+        assert all(len(c) == 7 for c in parts[:-1])  # only last chunk short
+
+
+def test_chunk_binary_stays_jvm_side(media):
+    plan = (
+        chunk_binary(media)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_decode_real_is_stubbed():
