@@ -25,6 +25,22 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _persist_for_self_join(df: DataFrame, persist: bool) -> DataFrame:
+    """Self-joins consume the same subplan twice and Catalyst does NOT
+    reuse the exchange across the two sides (verified: two FileScans,
+    no ReusedExchange) — without materialization the whole upstream
+    pipeline (text scan + normalize + shingle explode + signatures)
+    runs twice. Persist the most COMPACT intermediate (signatures /
+    fingerprints, not the banded/exploded form): at 1e9 docs minhash
+    sigs are ~512 GB cluster-wide vs re-shingling 100 TB of text twice;
+    MEMORY_AND_DISK spills instead of failing. At small scale the cache
+    write roughly cancels the recompute saving — the default targets
+    the large-corpus regime; pass persist=False for one-shot small
+    jobs."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -153,6 +169,7 @@ def minhash_near_dup_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     exact_verify: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -175,6 +192,9 @@ def minhash_near_dup_pairs(
     sigs = minhash_signature(
         df, text_col, id_col, num_hashes, shingle_k, with_shingle_set=exact_verify
     )
+    # persist the compact per-doc signatures; the banding explode is
+    # cheap to recompute per join side from the cached sigs
+    sigs = _persist_for_self_join(sigs, persist)
     payload = ["shingles"] if exact_verify else ["sig"]
     banded = sigs.select(
         F.col(id_col),
@@ -230,6 +250,7 @@ def ngram_jaccard_pairs(
     ngram_k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Word n-gram Jaccard similarity pairs via an inverted index.
 
@@ -263,6 +284,7 @@ def ngram_jaccard_pairs(
         grams = grams.join(rare, "shingle").select("id", "shingle")
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     posts = grams.join(sizes, "id").select("id", "n_grams", F.col("shingle").alias("g"))
+    posts = _persist_for_self_join(posts, persist)
     a = posts.alias("a")
     b = posts.alias("b")
     inter = (
@@ -359,6 +381,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     chunks: int = 4,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -376,6 +399,9 @@ def simhash_near_dup_pairs(
     recall is guaranteed either way by the pigeonhole argument.
     """
     sh = simhash(df, text_col, id_col)
+    # persist the compact (id, simhash) fingerprints — 16 bytes/doc —
+    # not the keys-exploded form (x C(chunks, agree) larger)
+    sh = _persist_for_self_join(sh, persist)
     keys = _simhash_block_keys(chunks, max_hamming)
     blocked = sh.select(
         F.col(id_col),

@@ -180,6 +180,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     planes: int = 12,
     seed: int = 7,
+    persist: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP bucket blocking.
 
@@ -193,6 +194,12 @@ def embedding_near_dup_pairs(
     bucketed = df.select(
         F.col(id_col), F.col(vec_col), srp_signature(vec_col, planes, dims, seed).alias("bucket")
     )
+    if persist:
+        # self-join: both sides would recompute the SRP bucketing scan
+        # (no exchange reuse across self-join sides — see dedup.py)
+        from pyspark.storagelevel import StorageLevel
+
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
