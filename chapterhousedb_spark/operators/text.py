@@ -124,6 +124,80 @@ def lang_id(
     )
 
 
+def token_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding token windows with overlap: (id, chunk_idx, chunk_text,
+    n_tokens) — the standard document -> context-window shaping for LLM
+    training corpora. JVM-side: tokenize once per doc (Generate is the
+    optimizer barrier, see dedup.py docstring), explode window starts,
+    slice + rejoin. Windows start every (chunk_tokens - overlap) tokens;
+    the last window may be short but every token is covered.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        )
+        .select(
+            id_col,
+            "__toks",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(size(__toks) - {overlap}, 1), {stride})"
+                )
+            ).alias("__start"),
+        )
+        .select(
+            id_col,
+            ((F.col("__start") - 1) / stride).cast("int").alias("chunk_idx"),
+            F.expr(f"array_join(slice(__toks, __start, {chunk_tokens}), ' ')").alias(
+                "chunk_text"
+            ),
+            F.expr(f"least({chunk_tokens}, size(__toks) - __start + 1)")
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition ratios (boilerplate/loop filters used
+    in pretraining pipelines): duplicate-line ratio and duplicate-token
+    ratio, plus the line count. All built-ins."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    toks = F.split(normalize_text(c), " ")
+    n_lines = F.size(lines)
+    n_toks = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        (
+            1.0
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.greatest(n_lines, F.lit(1))
+        ).alias("dup_line_ratio"),
+        (
+            1.0
+            - F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(n_toks, F.lit(1))
+        ).alias("dup_token_ratio"),
+    )
+
+
 def text_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

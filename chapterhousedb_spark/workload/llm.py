@@ -27,8 +27,10 @@ from chapterhousedb_spark.operators.similarity import (
 from chapterhousedb_spark.operators.text import (
     _STOPWORDS,
     lang_id,
+    repetition_stats,
     text_fingerprint,
     text_stats,
+    token_chunks,
 )
 from chapterhousedb_spark.workload.registry import load, query
 
@@ -180,6 +182,58 @@ def text_fingerprint_q(spark, sf_dir):
     return text_fingerprint(load(spark, sf_dir, "documents")).select(
         "doc_id", "md5_fp"
     )
+
+
+@query(
+    "text_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 32, 1), 96),
+               s -> struct_pack(
+                 s := s,
+                 txt := array_to_string(toks[s : s + 127], ' '),
+                 nt := least(128, len(toks) - s + 1)))) AS ch
+      FROM t)
+    SELECT doc_id,
+           CAST((ch.s - 1) // 96 AS INT) AS chunk_idx,
+           ch.txt AS chunk_text,
+           CAST(ch.nt AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def text_chunks_q(spark, sf_dir):
+    """Sliding 128-token windows with 32-token overlap — the
+    document -> context-window shaping step of an LLM training
+    pipeline, entirely JVM-side."""
+    return token_chunks(
+        load(spark, sf_dir, "documents"), chunk_tokens=128, overlap=32
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / greatest(len(lines), 1)
+             AS dup_line_ratio,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)
+             AS dup_token_ratio
+    FROM (SELECT doc_id,
+                 list_filter(list_transform(regexp_split_to_array(text, '\\n'),
+                                            x -> trim(x)), x -> x != '') AS lines,
+                 {_TOKS} AS toks
+          FROM documents)
+    """,
+)
+def text_repetition_q(spark, sf_dir):
+    """Within-document repetition ratios (boilerplate/loop filters)."""
+    return repetition_stats(load(spark, sf_dir, "documents"))
 
 
 @query(

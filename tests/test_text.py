@@ -83,3 +83,47 @@ def test_fingerprint_normalization_invariance(spark):
     assert rows[0]["winnow_min"] == rows[1]["winnow_min"]
     assert rows[0]["winnow_max"] == rows[1]["winnow_max"]
     assert rows[0]["md5_fp"] != rows[2]["md5_fp"]
+
+
+def test_token_chunks_overlap_and_coverage(spark):
+    from chapterhousedb_spark.operators.text import token_chunks
+
+    words = [f"w{i}" for i in range(300)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        token_chunks(df, chunk_tokens=128, overlap=32).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts at 1, 97, 193 (stride 96); 300 tokens -> 3 windows
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [128, 128, 108]
+    c0, c1 = rows[0]["chunk_text"].split(" "), rows[1]["chunk_text"].split(" ")
+    assert c0[96:] == c1[:32]  # 32-token overlap
+    # every token covered, last window reaches the end
+    assert rows[2]["chunk_text"].split(" ")[-1] == "w299"
+
+
+def test_token_chunks_short_doc_single_window(spark):
+    from chapterhousedb_spark.operators.text import token_chunks
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    rows = token_chunks(df, chunk_tokens=128, overlap=32).collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 3
+
+
+def test_repetition_stats_detects_duplicates(spark):
+    from chapterhousedb_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nother"),
+            (2, "all tokens unique here now"),
+            (3, "loop loop loop loop"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_lines"] == 4
+    assert rows[1]["dup_line_ratio"] == pytest.approx(0.5)  # 2 distinct of 4
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[3]["dup_token_ratio"] == pytest.approx(0.75)
