@@ -176,6 +176,29 @@ class Engine:
             for call in calls:
                 self.spark.catalog.dropTempView(call.view_name)
 
+    def write(
+        self,
+        statement: str,
+        dest_glob: str,
+        connection: str | None = None,
+        mode: str = "overwrite",
+        data_format: str = "parquet",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """CTAS-style materialization: run one statement and write the
+        result to a user destination resolved through the connection
+        registry (the reference's MaterializeFiles sink generalized
+        beyond the internal results dir, materialize_files_task.rs:68-171).
+        partition_by writes a hive-partitioned layout so downstream
+        scans prune on those columns. Returns the resolved path."""
+        df = self.dataframe(statement)
+        path = self.connections.resolve(dest_glob, connection)
+        writer = df.write.mode(mode).format(data_format)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+        return path
+
     # ----------------------------------------------------------------- execute
 
     def _run(self, handle: QueryHandle) -> None:

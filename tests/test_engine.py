@@ -193,6 +193,30 @@ def test_register_udtf(engine):
     assert t.column("part").to_pylist() == ["a", "b", "c"]
 
 
+def test_write_ctas_roundtrip(engine, sf_dir, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("ctas") / "regions")
+    path = engine.write(
+        f"select r_regionkey, upper(r_name) as name_uc from read_files('{sf_dir}/region.parquet')",
+        dest,
+    )
+    back = engine.spark.read.parquet(path)
+    assert back.count() == 5
+    assert set(back.columns) == {"r_regionkey", "name_uc"}
+
+
+def test_write_partitioned_layout(engine, sf_dir, tmp_path_factory):
+    import os
+
+    dest = str(tmp_path_factory.mktemp("ctas_part") / "nations")
+    engine.write(
+        f"select n_nationkey, n_name, n_regionkey from read_files('{sf_dir}/nation.parquet')",
+        dest,
+        partition_by=["n_regionkey"],
+    )
+    parts = [d for d in os.listdir(dest) if d.startswith("n_regionkey=")]
+    assert len(parts) == 5  # hive layout -> partition-pruned scans
+
+
 def test_s3_connection_conf_mapping():
     conn = S3Connection(
         name="s3_dev",
