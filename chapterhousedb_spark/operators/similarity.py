@@ -155,6 +155,9 @@ def ivf_ann_topk(
     vecs = df.select(F.col(id_col), F.col(vec_col)).withColumn(
         "__v", array_to_vector(unit)
     )
+    if vecs.limit(1).count() == 0:
+        # KMeans cannot fit an empty corpus; empty in -> empty out
+        return cosine_topk(df, query_vec, k, vec_col, id_col)
     train = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
     model = KMeans(
         k=n_cells,

@@ -1,0 +1,114 @@
+"""Empty-input robustness: every operator must return an empty result
+with the right schema (not crash) on zero-row inputs — the shape of a
+fresh landing zone or a filter that matched nothing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from chapterhousedb_spark.operators.asof import asof_join
+from chapterhousedb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from chapterhousedb_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_ann_topk,
+    srp_ann_topk,
+)
+from chapterhousedb_spark.operators.text import (
+    lang_id,
+    repetition_stats,
+    text_stats,
+    token_chunks,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], DOC_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def empty_embs(spark):
+    return spark.createDataFrame([], EMB_SCHEMA)
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        exact_dedup,
+        lambda d: minhash_near_dup_pairs(d, persist=False),
+        lambda d: simhash_near_dup_pairs(d, persist=False),
+        lambda d: ngram_jaccard_pairs(d, max_doc_freq=10, persist=False),
+        text_stats,
+        lang_id,
+        repetition_stats,
+        token_chunks,
+    ],
+)
+def test_text_operators_on_empty(empty_docs, op):
+    assert op(empty_docs).count() == 0
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        lambda d: cosine_topk(d, [1.0] * 4),
+        lambda d: srp_ann_topk(d, [1.0] * 4, planes=4),
+        lambda d: embedding_near_dup_pairs(d, planes=4, persist=False),
+        lambda d: ivf_ann_topk(d, [1.0] * 4, n_cells=2),
+    ],
+)
+def test_similarity_operators_on_empty(empty_embs, op):
+    assert op(empty_embs).count() == 0
+
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame([(1, 10, 5.0)], ["id", "k", "t"])
+    right = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("rk", T.LongType()),
+                T.StructField("rt", T.DoubleType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+    )
+    out = asof_join(left, right, left_on="t", right_on="rt", left_by="k", right_by="rk")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v"] is None  # left preserved, null fill
+
+
+def test_asof_join_empty_left(spark):
+    left = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("k", T.LongType()),
+                T.StructField("t", T.DoubleType()),
+            ]
+        ),
+    )
+    right = spark.createDataFrame([(10, 4.0, "x")], ["rk", "rt", "v"])
+    out = asof_join(left, right, left_on="t", right_on="rt", left_by="k", right_by="rk")
+    assert out.count() == 0
