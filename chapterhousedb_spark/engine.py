@@ -90,6 +90,7 @@ class Engine:
         self.connections.apply_hadoop_conf(self.spark)
         self.table_functions = table_functions or default_table_function_registry()
         self._queries: dict[str, QueryHandle] = {}
+        self._streams: dict[str, object] = {}
         self._pool = ThreadPoolExecutor(max_workers=max_concurrent_queries)
         self._lock = threading.Lock()
 
@@ -217,6 +218,57 @@ class Engine:
             handle.error = f"{type(exc).__name__}: {exc}"
         finally:
             handle._done.set()
+
+    # --------------------------------------------------------------- streaming
+
+    def start_stream(
+        self,
+        stream: DataFrame,
+        dest_glob: str,
+        connection: str | None = None,
+        checkpoint_dir: str | None = None,
+        output_mode: str = "append",
+        trigger_interval: str | None = None,
+        available_now: bool = False,
+    ) -> str:
+        """Start a streaming sink to a connection-resolved destination;
+        returns a stream id for stream_status/stop_stream — the
+        streaming twin of the submit/status/stop query lifecycle (the
+        reference only sketches streaming in DEV_NOTES; here it is a
+        first-class engine surface). Checkpoints default under the
+        engine results dir, so restarts resume exactly-once."""
+        stream_id = uuid.uuid4().hex
+        path = self.connections.resolve(dest_glob, connection)
+        ckpt = checkpoint_dir or os.path.join(
+            self.results_dir, "_checkpoints", stream_id
+        )
+        writer = (
+            stream.writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .outputMode(output_mode)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_interval:
+            writer = writer.trigger(processingTime=trigger_interval)
+        with self._lock:
+            self._streams[stream_id] = writer.start()
+        return stream_id
+
+    def stream_status(self, stream_id: str) -> dict:
+        q = self._streams[stream_id]
+        return {
+            "active": q.isActive,
+            "last_progress": q.lastProgress,
+            "exception": q.exception() if not q.isActive else None,
+        }
+
+    def await_stream(self, stream_id: str, timeout: float | None = None) -> None:
+        self._streams[stream_id].awaitTermination(timeout)
+
+    def stop_stream(self, stream_id: str) -> None:
+        self._streams.pop(stream_id).stop()
 
     # ------------------------------------------------------------------- fetch
 

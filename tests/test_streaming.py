@@ -122,6 +122,35 @@ def test_enrich_stream_broadcast_join(spark, event_dir):
     assert rows["with_cat"] > 0
 
 
+def test_engine_stream_lifecycle(spark, event_dir, tmp_path_factory):
+    """Streaming through the engine surface: start -> status -> await,
+    output lands at a connection-resolved destination."""
+    from chapterhousedb_spark.config import ConnectionRegistry, FsConnection
+    from chapterhousedb_spark.engine import Engine
+
+    root = str(tmp_path_factory.mktemp("stream_engine"))
+    eng = Engine(
+        spark=spark,
+        results_dir=f"{root}/results",
+        connections=ConnectionRegistry(
+            {"out": FsConnection(name="out", base_path=root)}
+        ),
+    )
+    sid = eng.start_stream(
+        read_event_stream(spark, event_dir),
+        "landed/events",
+        connection="out",
+        available_now=True,
+    )
+    eng.await_stream(sid)
+    status = eng.stream_status(sid)
+    assert status["active"] is False and status["exception"] is None
+    assert spark.read.parquet(f"{root}/landed/events").count() == spark.read.parquet(
+        event_dir
+    ).count()
+    eng.close()
+
+
 def test_sessionize_stream_closes_sessions(spark, event_dir):
     stream = read_event_stream(spark, event_dir)
     sess = sessionize_stream(stream, gap_minutes=30)
