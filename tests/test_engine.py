@@ -217,6 +217,38 @@ def test_write_partitioned_layout(engine, sf_dir, tmp_path_factory):
     assert len(parts) == 5  # hive layout -> partition-pruned scans
 
 
+def test_bucketed_tables_eliminate_join_shuffle(engine, sf_dir):
+    """Bucketed co-located join: one shuffle paid at write time, zero at
+    query time — the repeat-join answer at 100 TB."""
+    engine.write_bucketed(
+        f"select o_orderkey, o_totalprice from read_files('{sf_dir}/orders.parquet')",
+        "bkt_orders",
+        bucket_cols=["o_orderkey"],
+        n_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    engine.write_bucketed(
+        f"select l_orderkey, l_quantity from read_files('{sf_dir}/lineitem.parquet')",
+        "bkt_lineitem",
+        bucket_cols=["l_orderkey"],
+        n_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    try:
+        joined = engine.spark.sql(
+            """
+            select /*+ MERGE(o) */ o.o_orderkey, o.o_totalprice, l.l_quantity
+            from bkt_orders o join bkt_lineitem l on o.o_orderkey = l.l_orderkey
+            """
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        engine.spark.sql("drop table if exists bkt_orders")
+        engine.spark.sql("drop table if exists bkt_lineitem")
+
+
 def test_s3_connection_conf_mapping():
     conn = S3Connection(
         name="s3_dev",
