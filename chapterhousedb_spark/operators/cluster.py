@@ -1,0 +1,122 @@
+"""Connected-components clustering over near-dup pairs.
+
+Pair generators (minhash/simhash/ngram/embedding near-dup) emit edges;
+an actual dedup pipeline needs the transitive closure of those edges —
+"doc A ~ B and B ~ C" must collapse to ONE cluster so exactly one
+survivor is kept per group. This module turns an edge list into
+(id, component) labels with component = min id in the component, the
+standard canonical-survivor convention.
+
+Algorithm: iterative min-label propagation. Every round each node takes
+the min of its own label and its neighbors' labels; converged when no
+label changes. Rounds needed = graph diameter, and near-dup graphs are
+dense clumps with tiny diameter (a dup cluster is near-clique shaped),
+so 2-4 rounds is typical regardless of corpus size.
+
+Scale shape (per round): one equi-join of labels against the symmetric
+edge list keyed on node id, one min-aggregate — both shuffle on node
+id, both benefit from map-side partial aggregation. Nothing is
+collected to the driver; convergence is detected with a 1-row
+aggregate. `localCheckpoint` after every round truncates lineage so
+the plan stays O(1) deep instead of growing per iteration (an
+un-checkpointed iterative join would hand Catalyst an exponentially
+nested plan). For adversarial graphs with large diameter (long chains,
+not dup-shaped), the published alternating large-star/small-star
+construction (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) converges in O(log^2 n) rounds; near-dup clustering
+does not need it, so we keep the simpler propagation and document the
+switch point.
+
+Reference parity note: the reference engine (ChapterhouseDB) has no
+clustering operator — this is part of the beyond-reference
+training-data surface (SURVEY.md §7.3.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    component_col: str = "component",
+    max_iters: int = 30,
+) -> DataFrame:
+    """(id, component) labels; component = min node id in the component.
+
+    edges: undirected pairs (any orientation, duplicates fine).
+    nodes: optional 1-column frame of ALL node ids — pass it to also
+    label isolated nodes (singleton components), e.g. every document in
+    a corpus, not only those appearing in some pair.
+
+    Monotone convergence: labels only ever decrease, so the global
+    label sum strictly decreases every non-converged round — one cheap
+    1-row aggregate per round detects the fixpoint without a join.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if nodes is None:
+        node_ids = sym.select(F.col("s").alias("id")).distinct()
+    else:
+        node_ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+
+    labels = node_ids.select("id", F.col("id").alias("comp")).localCheckpoint()
+    # decimal sum: immune to long overflow even at 1e9 nodes with 64-bit ids
+    sum_expr = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(sum_expr).first()[0]
+
+    for _ in range(max_iters):
+        neighbor = labels.join(sym, labels["id"] == sym["d"]).select(
+            F.col("s").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        new_sum = new_labels.agg(sum_expr).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters — raise it, or use a "
+            "large-star/small-star implementation for chain-shaped graphs)"
+        )
+
+    sym.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("comp").alias(component_col)
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """One row per cluster: the canonical survivor (min id) + cluster size.
+
+    The end state of a dedup pipeline: pairs -> components -> keep-list.
+    Singleton documents (no near-dup) survive as their own cluster of 1.
+    """
+    comps = connected_components(
+        pairs, src=src, dst=dst, nodes=docs.select(id_col), id_col=id_col
+    )
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("component").alias(id_col), "cluster_size")
+    )

@@ -12,6 +12,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from chapterhousedb_spark.operators.cluster import (
+    connected_components,
+    dedup_survivors,
+)
 from chapterhousedb_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -269,6 +273,85 @@ def ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), ngram_k=3, threshold=0.2, max_doc_freq=100
     )
+
+
+# Shared CTE chain: ngram-Jaccard pairs (same construction as the
+# ngram_jaccard_pairs oracle) -> symmetric edges -> transitive closure
+# via a recursive CTE (reach(id, comp): comp is reachable from id, so
+# min(comp) per id is the component's min node — exactly what the Spark
+# min-label propagation converges to).
+_CLUSTER_REACH = f"""
+    WITH RECURSIVE posts AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len({_TOKS}) - 2),
+               i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+             ))) AS g
+      FROM documents WHERE len({_TOKS}) >= 3),
+    rare AS (
+      SELECT g FROM posts GROUP BY g HAVING COUNT(*) <= 100),
+    fg AS (
+      SELECT p.doc_id, count(*) AS n_grams, list(p.g) AS grams
+      FROM posts p JOIN rare r USING (g)
+      GROUP BY p.doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fg a JOIN fg b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (a.n_grams + b.n_grams - len(list_intersect(a.grams, b.grams)))
+            >= 0.2),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS comp FROM documents
+      UNION
+      SELECT e.s AS id, r.comp FROM reach r JOIN edges e ON e.d = r.id)
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    {_CLUSTER_REACH}
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Transitive closure of ngram-Jaccard near-dup pairs: every document
+    labeled with its cluster id (min doc id in the connected component).
+    Spark side is iterative min-label propagation
+    (operators/cluster.py); the oracle replays it as a recursive CTE —
+    full hash-match on the component labeling."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, ngram_k=3, threshold=0.2, max_doc_freq=100)
+    return connected_components(
+        pairs,
+        nodes=docs.select("doc_id"),
+        id_col="doc_id",
+        component_col="cluster_id",
+    )
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    {_CLUSTER_REACH},
+    comps AS (
+      SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+    SELECT CAST(comp AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comps GROUP BY comp
+    """,
+)
+def dedup_survivors_q(spark, sf_dir):
+    """End state of the dedup pipeline: one canonical survivor (min doc
+    id) per near-dup cluster with its cluster size; singletons survive
+    as clusters of 1."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, ngram_k=3, threshold=0.2, max_doc_freq=100)
+    return dedup_survivors(docs, pairs)
 
 
 @query("dedup_minhash")
