@@ -1,0 +1,110 @@
+"""Deterministic sampling and dataset splitting.
+
+Training pipelines need REPRODUCIBLE sampling: the same document must
+land in the same split on every run, on any engine, at any parallelism
+— which rules out rand()/sample() (seed-dependent, engine-dependent,
+partition-order-dependent). The standard construction is hash-bucket
+thresholding: hash a stable key, keep the row iff the hash falls below
+the fraction's threshold.
+
+The hash here is md5 of the (salted) key string and the comparison is
+on the LEADING 8 HEX CHARS of the digest, compared lexicographically
+against the fraction's hex threshold. Hex strings of equal length
+compare identically as strings and as numbers, and md5 is available
+bit-identically in Spark, DuckDB, and practically everything else — so
+the exact same rows are selected by any engine (the DuckDB oracles
+replay these operators verbatim). xxhash64 would be cheaper but is not
+portable; md5 is one codegen'd JVM expression per row.
+
+Scale: all three operators are pure map-side column expressions — zero
+shuffles, no state, trivially linear at 100 TB. Changing the salt
+re-draws the assignment; keeping it fixed pins holdout membership
+across pipeline re-runs (the property that prevents eval contamination
+when the corpus is re-processed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex chars = 32 bits of the digest: fraction resolution 2^-32,
+# collision-free for thresholding purposes.
+_HEX_DIGITS = 8
+_SPACE = 1 << (4 * _HEX_DIGITS)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Hex threshold t such that P[md5_prefix < t] = floor(f * 2^32) / 2^32."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _SPACE), _SPACE - 1), f"0{_HEX_DIGITS}x")
+
+
+def _hash_prefix(id_col: str, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, _HEX_DIGITS
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by md5(salt || id) thresholding.
+
+    Same rows on every run and every engine; disjoint salts give
+    independent draws.
+    """
+    return df.filter(_hash_prefix(id_col, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a 'train'/'val'/'test' column by hash-bucketing the id.
+
+    Weights are normalized; membership is a pure function of
+    (salt, id) — stable under corpus growth: adding documents never
+    moves an existing document between splits.
+    """
+    total = sum(weights)
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    w_train, w_val, _ = (w / total for w in weights)
+    h = _hash_prefix(id_col, salt)
+    t1 = F.lit(_threshold_hex(w_train))
+    t2 = F.lit(_threshold_hex(w_train + w_val))
+    return df.withColumn(
+        split_col,
+        F.when(h < t1, F.lit("train")).when(h < t2, F.lit("val")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the dataset-mixing primitive.
+
+    fractions maps a stratum value (e.g. a source/domain name) to its
+    keep rate; strata absent from the map use default_fraction. This is
+    how corpus mixtures are weighted (upsample high-quality sources,
+    downsample boilerplate) while staying reproducible.
+    """
+    h = _hash_prefix(id_col, salt)
+    thr: Column = F.lit(_threshold_hex(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_threshold_hex(frac))
+        ).otherwise(thr)
+    return df.filter(h < thr)

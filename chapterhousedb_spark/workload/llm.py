@@ -22,6 +22,12 @@ from chapterhousedb_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from chapterhousedb_spark.operators.sampling import (
+    _threshold_hex,
+    deterministic_sample,
+    stratified_sample,
+    train_val_test_split,
+)
 from chapterhousedb_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -469,6 +475,65 @@ def embedding_near_dup_q(spark, sf_dir):
     return embedding_near_dup_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.45, planes=6
     )
+
+
+# md5-prefix expression shared by the sampling oracles — identical to
+# operators/sampling._hash_prefix (md5 is bit-identical across engines,
+# hex prefixes compare lexicographically the same as numerically).
+_H = "substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+
+@query(
+    "sample_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_H} < '{_threshold_hex(0.8)}' THEN 'train'
+                WHEN {_H} < '{_threshold_hex(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_q(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by salted
+    md5-bucket of doc_id — reproducible across runs, engines, and
+    corpus growth; the oracle replays the identical hash thresholds."""
+    return train_val_test_split(
+        load(spark, sf_dir, "documents"), weights=(0.8, 0.1, 0.1), salt="s1"
+    ).select("doc_id", "split")
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_H} < (CASE WHEN source = 'src0' THEN '{_threshold_hex(1.0)}'
+                       WHEN source = 'src1' THEN '{_threshold_hex(0.5)}'
+                       ELSE '{_threshold_hex(0.1)}' END)
+    """,
+)
+def sample_stratified_q(spark, sf_dir):
+    """Per-source deterministic sampling (dataset-mixing weights:
+    keep all of src0, half of src1, 10% elsewhere)."""
+    return stratified_sample(
+        load(spark, sf_dir, "documents"),
+        fractions={"src0": 1.0, "src1": 0.5},
+        default_fraction=0.1,
+        salt="s1",
+    ).select("doc_id", "source")
+
+
+@query(
+    "sample_fraction",
+    oracle=f"""
+    SELECT doc_id FROM documents WHERE {_H} < '{_threshold_hex(0.25)}'
+    """,
+)
+def sample_fraction_q(spark, sf_dir):
+    """Deterministic 25% sample (md5-threshold; zero shuffle)."""
+    return deterministic_sample(
+        load(spark, sf_dir, "documents"), fraction=0.25, salt="s1"
+    ).select("doc_id")
 
 
 @query(

@@ -1,0 +1,79 @@
+"""Deterministic sampling / splitting unit tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.operators.sampling import (
+    _threshold_hex,
+    deterministic_sample,
+    stratified_sample,
+    train_val_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+
+
+def test_threshold_hex_edges():
+    assert _threshold_hex(0.0) == "00000000"
+    assert _threshold_hex(1.0) == "ffffffff"
+    assert _threshold_hex(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        _threshold_hex(1.5)
+
+
+def test_sample_fraction_and_stability(ids):
+    a = deterministic_sample(ids, 0.3, salt="x")
+    got = {r["doc_id"] for r in a.collect()}
+    # close to the target rate (binomial, n=2000)
+    assert 0.25 < len(got) / 2000 < 0.35
+    # identical on a second run — no RNG anywhere
+    again = {r["doc_id"] for r in deterministic_sample(ids, 0.3, salt="x").collect()}
+    assert got == again
+    # a larger fraction with the same salt is a SUPERSET (threshold grows)
+    bigger = {r["doc_id"] for r in deterministic_sample(ids, 0.6, salt="x").collect()}
+    assert got <= bigger
+    # different salt re-draws
+    other = {r["doc_id"] for r in deterministic_sample(ids, 0.3, salt="y").collect()}
+    assert got != other
+
+
+def test_split_partitions_everything(ids):
+    df = train_val_test_split(ids, weights=(0.8, 0.1, 0.1), salt="s")
+    counts = {r["split"]: r["n"] for r in df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # membership is stable under corpus growth: the first 1000 ids get
+    # the same split whether or not the next 1000 exist
+    small = train_val_test_split(ids.filter("doc_id < 1000"), salt="s")
+    big = train_val_test_split(ids, salt="s").filter("doc_id < 1000")
+    assert {tuple(r) for r in small.collect()} == {tuple(r) for r in big.collect()}
+
+
+def test_split_weights_normalized(ids):
+    a = train_val_test_split(ids, weights=(8, 1, 1), salt="s").collect()
+    b = train_val_test_split(ids, weights=(0.8, 0.1, 0.1), salt="s").collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    with pytest.raises(ValueError):
+        train_val_test_split(ids, weights=(0, 0, 0))
+
+
+def test_stratified_rates(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b").otherwise("c").alias("source"),
+    )
+    out = stratified_sample(
+        df, fractions={"a": 1.0, "b": 0.2}, default_fraction=0.0, salt="z"
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] == 1000          # keep-all stratum
+    assert 120 < counts.get("b", 0) < 280  # ~20% of 1000
+    assert "c" not in counts            # default 0.0 drops the rest
