@@ -285,14 +285,17 @@ def ngram_jaccard_q(spark, sf_dir):
 # ngram_jaccard_pairs oracle) -> symmetric edges -> transitive closure
 # via a recursive CTE (reach(id, comp): comp is reachable from id, so
 # min(comp) per id is the component's min node — exactly what the Spark
-# min-label propagation converges to).
-_CLUSTER_REACH = f"""
-    WITH RECURSIVE posts AS (
+# min-label propagation converges to). `src` is the corpus CTE/table
+# (must expose doc_id + text) so composed pipelines can cluster a
+# filtered corpus.
+def _cluster_reach_sql(src: str = "documents") -> str:
+    return f"""
+    posts AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                generate_series(1, len({_TOKS}) - 2),
                i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
              ))) AS g
-      FROM documents WHERE len({_TOKS}) >= 3),
+      FROM {src} WHERE len({_TOKS}) >= 3),
     rare AS (
       SELECT g FROM posts GROUP BY g HAVING COUNT(*) <= 100),
     fg AS (
@@ -310,7 +313,7 @@ _CLUSTER_REACH = f"""
       UNION ALL
       SELECT id_b AS s, id_a AS d FROM pairs),
     reach AS (
-      SELECT doc_id AS id, doc_id AS comp FROM documents
+      SELECT doc_id AS id, doc_id AS comp FROM {src}
       UNION
       SELECT e.s AS id, r.comp FROM reach r JOIN edges e ON e.d = r.id)
 """
@@ -319,7 +322,7 @@ _CLUSTER_REACH = f"""
 @query(
     "dedup_clusters",
     oracle=f"""
-    {_CLUSTER_REACH}
+    WITH RECURSIVE {_cluster_reach_sql()}
     SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
     FROM reach GROUP BY id
     """,
@@ -343,7 +346,7 @@ def dedup_clusters_q(spark, sf_dir):
 @query(
     "dedup_survivors",
     oracle=f"""
-    {_CLUSTER_REACH},
+    WITH RECURSIVE {_cluster_reach_sql()},
     comps AS (
       SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
     SELECT CAST(comp AS BIGINT) AS doc_id,
@@ -534,6 +537,52 @@ def sample_fraction_q(spark, sf_dir):
     return deterministic_sample(
         load(spark, sf_dir, "documents"), fraction=0.25, salt="s1"
     ).select("doc_id")
+
+
+@query(
+    "pipeline_pretrain",
+    oracle=f"""
+    WITH RECURSIVE clean AS (
+      SELECT doc_id, text FROM documents
+      WHERE len({_TOKS}) >= 20
+        AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) > 0.6
+        AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) < 0.2),
+    {_cluster_reach_sql("clean")},
+    comps AS (
+      SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CASE WHEN {_H} < '{_threshold_hex(0.9)}' THEN 'train'
+                WHEN {_H} < '{_threshold_hex(0.95)}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM comps JOIN documents ON comps.id = documents.doc_id
+    WHERE id = comp
+    """,
+)
+def pipeline_pretrain_q(spark, sf_dir):
+    """The composed pretraining-prep pipeline, end-to-end and fully
+    oracle-checked: quality filter (C4-style stats rules + a 20-token
+    minimum that discriminates on this corpus) -> ngram
+    near-dup clustering over the CLEAN corpus -> canonical survivors
+    (min-id per component) -> deterministic 90/5/5 split. Each stage is
+    the declared operator used elsewhere; this entry pins that they
+    compose (the practical shape of a real corpus-prep job)."""
+    docs = load(spark, sf_dir, "documents")
+    clean = docs.join(
+        text_stats(docs)
+        .filter("passes_quality AND n_tokens >= 20")
+        .select("doc_id"),
+        "doc_id",
+    )
+    pairs = ngram_jaccard_pairs(clean, ngram_k=3, threshold=0.2, max_doc_freq=100)
+    comps = connected_components(
+        pairs, nodes=clean.select("doc_id"), id_col="doc_id", component_col="cluster_id"
+    )
+    survivors = comps.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return train_val_test_split(
+        survivors, weights=(0.9, 0.05, 0.05), salt="s1"
+    ).select("doc_id", "split")
 
 
 @query(
