@@ -36,6 +36,9 @@ HEADLINE = [
     "similarity_topk",
     "events_sessionize",
     "asof_join_events",
+    # round 2 additions (set only grows — deltas_vs_prev stays comparable)
+    "sample_split",
+    "pipeline_pretrain",
 ]
 
 # queries whose output is wide/large: write to sink instead of collect

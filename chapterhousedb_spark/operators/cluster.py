@@ -62,7 +62,17 @@ def connected_components(
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )
-    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # symmetrize in ONE pass over the edge source (union of e with its
+    # flip would consume the upstream plan twice — expensive when edges
+    # come straight out of a near-dup pair join)
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s"), F.col("d")),
+                F.struct(F.col("d").alias("s"), F.col("s").alias("d")),
+            )
+        ).alias("x")
+    ).select("x.s", "x.d")
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
 
     if nodes is None:
