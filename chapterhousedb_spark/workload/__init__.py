@@ -13,5 +13,6 @@ from chapterhousedb_spark.workload.registry import ORACLES, QUERIES, load, query
 from chapterhousedb_spark.workload import relational as _relational  # noqa: E402,F401
 from chapterhousedb_spark.workload import llm as _llm  # noqa: E402,F401
 from chapterhousedb_spark.workload import temporal as _temporal  # noqa: E402,F401
+from chapterhousedb_spark.workload import lifecycle as _lifecycle  # noqa: E402,F401
 
 __all__ = ["ORACLES", "QUERIES", "load", "query"]
