@@ -830,3 +830,117 @@ def percentile_agg(spark, sf_dir):
             F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
         )
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() markers (distinguishes a
+    subtotal NULL from a data NULL). Same Expand-node execution shape
+    as cube/rollup: one pass, one shuffle."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("chdb_adv_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n_rows
+        FROM chdb_adv_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS INT)
+             AS quartile,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS second_key
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """ntile bucketing + nth_value with an explicit ROWS frame. The
+    (o_totalprice, o_orderkey) order is total, so bucket boundaries are
+    engine-independent."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    w_order = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_frame = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w_order).alias("quartile"),
+        F.nth_value("o_orderkey", 2).over(w_frame).alias("second_key"),
+    )
+
+
+@query(
+    "lateral_explode",
+    oracle="""
+    SELECT p_partkey, u.pos, u.token
+    FROM (SELECT p_partkey,
+                 unnest(list_transform(
+                   generate_series(1, len(string_split(p_name, ' '))),
+                   i -> struct_pack(pos := CAST(i - 1 AS INT),
+                                    token := string_split(p_name, ' ')[i]))) AS u
+          FROM part WHERE p_partkey % 40 = 0)
+    """,
+)
+def lateral_explode(spark, sf_dir):
+    """Row-generating lateral expansion (posexplode): one row per token
+    with its position. The Generate node is codegen'd and never
+    materializes per-row arrays driver-side."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 40 == 0)
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "token")
+    )
+
+
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 1) AS type_head,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           reverse(p_brand) AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev_brand
+    FROM part
+    """,
+)
+def string_funcs(spark, sf_dir):
+    """String-function surface (split_part, regexp_extract, instr,
+    reverse, lpad, translate, levenshtein) — all JVM built-ins the
+    reference lacks entirely (README.md:53-58 unchecked)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("lev_brand"),
+    )
