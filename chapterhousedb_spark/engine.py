@@ -185,14 +185,31 @@ class Engine:
         mode: str = "overwrite",
         data_format: str = "parquet",
         partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int | None = None,
     ) -> str:
         """CTAS-style materialization: run one statement and write the
         result to a user destination resolved through the connection
         registry (the reference's MaterializeFiles sink generalized
         beyond the internal results dir, materialize_files_task.rs:68-171).
         partition_by writes a hive-partitioned layout so downstream
-        scans prune on those columns. Returns the resolved path."""
+        scans prune on those columns. cluster_by range-partitions and
+        sorts the data on the given columns before writing, so each
+        output file (and parquet row group) covers a narrow, disjoint
+        value range — point/range filters on those columns then skip
+        whole files via footer min/max stats without the directory
+        explosion of partition_by on a high-cardinality key (the
+        standard layout for timestamp-filtered scans at 100 TB).
+        cluster_files pins the output file count (default: let
+        AQE/shuffle-partitions decide — size it so files land near the
+        row-group sweet spot, ~128 MB-1 GB). Returns the resolved path."""
         df = self.dataframe(statement)
+        if cluster_by:
+            if cluster_files:
+                df = df.repartitionByRange(cluster_files, *cluster_by)
+            else:
+                df = df.repartitionByRange(*cluster_by)
+            df = df.sortWithinPartitions(*cluster_by)
         path = self.connections.resolve(dest_glob, connection)
         writer = df.write.mode(mode).format(data_format)
         if partition_by:

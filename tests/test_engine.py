@@ -278,3 +278,32 @@ def test_two_s3_connections_do_not_clobber():
     assert merged["fs.s3a.bucket.bkt-b.access.key"] == "akB"
     assert merged["fs.s3a.bucket.bkt-a.endpoint"] == "http://a:9000"
     assert merged["fs.s3a.bucket.bkt-b.endpoint"] == "http://b:9000"
+
+
+def test_clustered_write_gives_disjoint_file_ranges(engine, sf_dir, tmp_path_factory):
+    """cluster_by range-partitions + sorts before writing, so each
+    output file covers a narrow, pairwise-disjoint range of the cluster
+    column — the property min/max footer pruning depends on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path_factory.mktemp("clustered")) + "/li"
+    engine.write(
+        f"select l_orderkey, l_shipdate from read_files('{sf_dir}/lineitem.parquet')",
+        out,
+        cluster_by=["l_shipdate"],
+        cluster_files=4,
+    )
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) > 1, "need multiple files to demonstrate disjointness"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_shipdate"]
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next >= hi_prev, f"overlapping file ranges: {ranges}"

@@ -103,3 +103,14 @@ def test_no_python_udfs_in_relational_and_text_paths(spark):
     for name in ["scan_filter_project", "text_stats", "dedup_minhash", "lang_id"]:
         plan = physical_plan(q(name, spark))
         assert "BatchEvalPython" not in plan, f"{name} fell back to a Python UDF"
+
+
+def test_sampling_is_scanside_filter_no_shuffle(spark, sf_dir):
+    """Deterministic sampling must stay a pure map-side filter — no
+    Exchange, no Python eval; the md5 threshold runs in codegen."""
+    from chapterhousedb_spark.operators.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = deterministic_sample(docs, 0.25, salt="s")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
