@@ -112,3 +112,38 @@ def test_asof_join_empty_left(spark):
     right = spark.createDataFrame([(10, 4.0, "x")], ["rk", "rt", "v"])
     out = asof_join(left, right, left_on="t", right_on="rt", left_by="k", right_by="rk")
     assert out.count() == 0
+
+
+def test_connected_components_empty(spark):
+    from chapterhousedb_spark.operators.cluster import connected_components
+
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(e).count() == 0
+    # empty edges but real nodes: all singletons
+    n = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = {r["id"]: r["component"] for r in connected_components(e, nodes=n).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_dedup_survivors_empty(spark, empty_docs):
+    from chapterhousedb_spark.operators.cluster import dedup_survivors
+
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    out = dedup_survivors(empty_docs, e)
+    assert out.columns == ["doc_id", "cluster_size"]
+    assert out.count() == 0
+
+
+def test_sampling_empty(spark, empty_docs):
+    from chapterhousedb_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+        train_val_test_split,
+    )
+
+    assert deterministic_sample(empty_docs, 0.5).count() == 0
+    out = train_val_test_split(empty_docs)
+    assert out.columns == ["doc_id", "text", "split"]
+    assert out.count() == 0
+    df = spark.createDataFrame([], "doc_id long, source string")
+    assert stratified_sample(df, {"a": 1.0}).count() == 0
