@@ -73,7 +73,11 @@ def connected_components(
             )
         ).alias("x")
     ).select("x.s", "x.d")
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # pre-partition on the join key and persist THAT: every round's
+    # labels-edges join then reuses the cached distribution (Exchange
+    # only on the small label side), instead of re-shuffling the edge
+    # list once per round
+    sym = sym.repartition("d").persist(StorageLevel.MEMORY_AND_DISK)
 
     if nodes is None:
         node_ids = sym.select(F.col("s").alias("id")).distinct()

@@ -35,10 +35,16 @@ _SPACE = 1 << (4 * _HEX_DIGITS)
 
 
 def _threshold_hex(fraction: float) -> str:
-    """Hex threshold t such that P[md5_prefix < t] = floor(f * 2^32) / 2^32."""
+    """Hex threshold t such that P[md5_prefix < t] = floor(f * 2^32) / 2^32.
+
+    fraction >= 1.0 returns 'g' — lexicographically above every hex
+    string — so keep-all keeps ALL rows ('ffffffff' would drop the
+    1-in-4B ids whose digest prefix is exactly ffffffff)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * _SPACE), _SPACE - 1), f"0{_HEX_DIGITS}x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * _SPACE), f"0{_HEX_DIGITS}x")
 
 
 def _hash_prefix(id_col: str, salt: str) -> Column:

@@ -20,7 +20,9 @@ def ids(spark):
 
 def test_threshold_hex_edges():
     assert _threshold_hex(0.0) == "00000000"
-    assert _threshold_hex(1.0) == "ffffffff"
+    # keep-all must sort above every hex digest prefix ('ffffffff'
+    # would drop ids whose prefix is exactly ffffffff)
+    assert _threshold_hex(1.0) == "g"
     assert _threshold_hex(0.5) == "80000000"
     with pytest.raises(ValueError):
         _threshold_hex(1.5)
