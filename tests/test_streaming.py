@@ -183,3 +183,25 @@ def test_sessionize_stream_closes_sessions(spark, event_dir):
             f"user {user}: gap-closed {gap_closed.get(user, 0)} vs batch {n_sessions}"
         )
         assert total_closed.get(user, 0) <= n_sessions
+
+
+def test_deterministic_sample_on_stream_matches_batch(
+    spark, event_dir, tmp_path_factory
+):
+    """The sampling operators are stateless filters, so the SAME code
+    runs on a stream and selects the SAME rows as in batch — the
+    property that lets one pipeline definition serve backfill and
+    ingest."""
+    from chapterhousedb_spark.operators.sampling import deterministic_sample
+
+    out = str(tmp_path_factory.mktemp("sample_out"))
+    ckpt = str(tmp_path_factory.mktemp("sample_ckpt"))
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    sampled = deterministic_sample(stream, 0.3, id_col="event_id", salt="s")
+    run_available_now(sampled, out, ckpt)
+    got = {r["event_id"] for r in spark.read.parquet(out).select("event_id").collect()}
+    batch = deterministic_sample(
+        spark.read.parquet(event_dir), 0.3, id_col="event_id", salt="s"
+    )
+    want = {r["event_id"] for r in batch.select("event_id").collect()}
+    assert got == want and len(got) > 0
