@@ -30,12 +30,18 @@ def asof_join(
     left_by: str,
     right_by: str,
     right_cols: list[str] | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left as-of join: all left columns + the latest right_cols values.
 
     right_cols defaults to every right column except its key/time.
     Right-side ties on (key, time) resolve to the row whose packed
     value-struct sorts last (lexicographic by field) — deterministic.
+
+    tolerance (pandas merge_asof parity): maximum allowed gap between
+    left time and the matched right time — SECONDS for timestamp
+    columns, native units for numeric ones. A match older than the
+    tolerance is nulled out (the left row still survives, unmatched).
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (right_on, right_by)]
@@ -49,8 +55,11 @@ def asof_join(
     # not an older row's value — DuckDB ASOF row-level semantics).
     from pyspark.sql import types as T
 
+    # the matched right row's own time travels inside the struct (first
+    # field) so tolerance can compare against it after the fill
     r_struct_type = T.StructType(
-        [T.StructField(c, right.schema[c].dataType, True) for c in right_cols]
+        [T.StructField("__rt", right.schema[right_on].dataType, True)]
+        + [T.StructField(c, right.schema[c].dataType, True) for c in right_cols]
     )
     lt = [c for c in left.columns]
     l_tag = left.select(
@@ -65,7 +74,9 @@ def asof_join(
         F.col(right_by).alias("__key"),
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__tag"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            F.col(right_on).alias("__rt"), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -76,8 +87,21 @@ def asof_join(
     filled = unioned.select(
         *lt,
         "__tag",
+        "__t",
         F.last("__r", ignorenulls=True).over(w).alias("__f"),
     )
+    if tolerance is not None:
+        if isinstance(left.schema[left_on].dataType, T.TimestampType):
+            gap = F.unix_micros(F.col("__t")) - F.unix_micros(
+                F.col("__f.__rt")
+            )
+            max_gap = F.lit(int(tolerance * 1_000_000))
+        else:
+            gap = F.col("__t") - F.col("__f.__rt")
+            max_gap = F.lit(tolerance)
+        filled = filled.withColumn(
+            "__f", F.when(gap <= max_gap, F.col("__f"))
+        )
     return filled.filter(F.col("__tag") == 1).select(
         *lt, *[F.col("__f").getField(c).alias(c) for c in right_cols]
     )

@@ -98,3 +98,46 @@ def test_asof_join_empty_right_cols(spark):
     )
     assert out.columns == left.columns
     assert out.count() == 1
+
+
+def test_asof_join_tolerance(frames):
+    """pandas-merge_asof-style tolerance: matches older than the window
+    are nulled; the left row survives unmatched."""
+    left, right = frames
+    out = asof_join(
+        left, right, left_on="etime", right_on="rtime",
+        left_by="key", right_by="rkey", tolerance=60.0,  # 1 minute
+    )
+    got = {r["event_id"]: r["quote"] for r in out.collect()}
+    assert got == {
+        1: "q1",  # gap exactly 60 s == tolerance, inclusive
+        2: "q2",  # gap 0
+        3: None,  # nothing at-or-before
+        4: "q4",  # gap exactly 60 s
+        5: None,  # key never seen on right
+    }
+    assert out.count() == left.count()
+    # a tighter window nulls the 60 s matches but keeps every left row
+    tight = asof_join(
+        left, right, left_on="etime", right_on="rtime",
+        left_by="key", right_by="rkey", tolerance=30.0,
+    )
+    tgot = {r["event_id"]: r["quote"] for r in tight.collect()}
+    assert tgot == {1: None, 2: "q2", 3: None, 4: None, 5: None}
+
+
+def test_asof_join_tolerance_numeric(spark):
+    left = spark.createDataFrame([(1, 7, 100)], ["id", "t", "k"])
+    right = spark.createDataFrame(
+        [(100, 1, "old"), (100, 6, "new")], ["rk", "rt", "v"]
+    )
+    strict = asof_join(
+        left, right, left_on="t", right_on="rt", left_by="k", right_by="rk",
+        tolerance=0.5,
+    )
+    loose = asof_join(
+        left, right, left_on="t", right_on="rt", left_by="k", right_by="rk",
+        tolerance=1,
+    )
+    assert strict.collect()[0]["v"] is None   # gap 1 > 0.5
+    assert loose.collect()[0]["v"] == "new"   # gap 1 <= 1
