@@ -944,3 +944,52 @@ def string_funcs(spark, sf_dir):
         F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
         F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("lev_brand"),
     )
+
+
+_PROFILE_NUM = """
+    SELECT '{c}' AS column, CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS DOUBLE) AS min_num,
+           CAST(MAX({c}) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem"""
+_PROFILE_STR = """
+    SELECT '{c}' AS column, CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           MIN({c}) AS min_str, MAX({c}) AS max_str
+    FROM lineitem"""
+_PROFILE_TS = """
+    SELECT '{c}' AS column, CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(CAST(epoch(MIN({c})) AS BIGINT) AS DOUBLE) AS min_num,
+           CAST(CAST(epoch(MAX({c})) AS BIGINT) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem"""
+
+_PROFILE_COLS = [
+    ("l_orderkey", _PROFILE_NUM),
+    ("l_linenumber", _PROFILE_NUM),
+    ("l_quantity", _PROFILE_NUM),
+    ("l_discount", _PROFILE_NUM),
+    ("l_returnflag", _PROFILE_STR),
+    ("l_shipdate", _PROFILE_TS),
+]
+
+
+@query(
+    "table_profile",
+    oracle=" UNION ALL ".join(t.format(c=c) for c, t in _PROFILE_COLS),
+)
+def table_profile(spark, sf_dir):
+    """ANALYZE-style per-column statistics (count / distinct / min /
+    max) in ONE scan — the profiling step a pipeline runs per ingested
+    batch for drift detection. Exact distinct counts here (the oracle
+    must hash-match); operators/profile.py exposes
+    exact_distinct=False for the single-pass HLL sketch at 100 TB."""
+    from chapterhousedb_spark.operators.profile import profile
+
+    return profile(
+        load(spark, sf_dir, "lineitem"),
+        columns=[c for c, _ in _PROFILE_COLS],
+    )

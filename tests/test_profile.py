@@ -1,0 +1,48 @@
+"""Table-profiling operator tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from chapterhousedb_spark.operators.profile import profile
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    rows = [
+        (1, "a", 1.5, None),
+        (2, "b", -2.0, "2024-01-01 00:00:00"),
+        (3, None, None, "2024-01-02 00:00:00"),
+        (3, "a", 4.0, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, x double, t string")
+    return df.selectExpr("k", "s", "x", "cast(t as timestamp) as t")
+
+
+def test_profile_stats(mixed):
+    got = {r["column"]: r.asDict() for r in profile(mixed).collect()}
+    assert got["k"]["n_non_null"] == 4 and got["k"]["n_distinct"] == 3
+    assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 3.0
+    assert got["s"]["n_non_null"] == 3 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+    assert got["s"]["min_num"] is None  # strings carry no numeric extrema
+    assert got["x"]["min_num"] == -2.0 and got["x"]["max_num"] == 4.0
+    assert got["t"]["n_non_null"] == 2
+    assert got["t"]["max_num"] - got["t"]["min_num"] == 86400.0  # one day
+
+
+def test_profile_approx_distinct_close(mixed):
+    exact = {r["column"]: r["n_distinct"] for r in profile(mixed).collect()}
+    approx = {
+        r["column"]: r["n_distinct"]
+        for r in profile(mixed, exact_distinct=False).collect()
+    }
+    for c in exact:  # tiny cardinalities: HLL++ is exact here
+        assert approx[c] == exact[c]
+
+
+def test_profile_empty(spark):
+    df = spark.createDataFrame([], "k long, s string")
+    got = {r["column"]: r.asDict() for r in profile(df).collect()}
+    assert got["k"]["n_non_null"] == 0 and got["k"]["n_distinct"] == 0
+    assert got["k"]["min_num"] is None and got["s"]["min_str"] is None
