@@ -39,6 +39,7 @@ HEADLINE = [
     # round 2 additions (set only grows — deltas_vs_prev stays comparable)
     "sample_split",
     "pipeline_pretrain",
+    "table_profile",
 ]
 
 # queries whose output is wide/large: write to sink instead of collect
