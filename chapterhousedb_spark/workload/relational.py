@@ -242,19 +242,38 @@ def agg_having(spark, sf_dir):
 
 
 @query(
-    "agg_rollup",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+    "agg_rollup_cube",
+    oracle=f"""
+    SELECT 'rollup' AS which, l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('l_quantity')} AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS which, l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def agg_rollup(spark, sf_dir):
-    """ROLLUP grouping sets (subtotals + grand total)."""
-    return (
-        load(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"))
+def agg_rollup_cube(spark, sf_dir):
+    """ROLLUP (subtotals + grand total) and CUBE (all grouping-set
+    combinations), tagged and unioned into one declared query. At scale
+    each branch is one Expand node feeding one partial-agg + shuffle —
+    rows multiply by the number of grouping sets, not by data passes."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    ]
+    ru = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("which"), "*")
     )
+    cu = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("which"), "*")
+    )
+    return ru.unionAll(cu)
 
 
 # --------------------------------------------------------------------------
