@@ -91,11 +91,17 @@ def asof_join(
         F.last("__r", ignorenulls=True).over(w).alias("__f"),
     )
     if tolerance is not None:
-        if isinstance(left.schema[left_on].dataType, T.TimestampType):
-            gap = F.unix_micros(F.col("__t")) - F.unix_micros(
-                F.col("__f.__rt")
+        t_type = left.schema[left_on].dataType
+        if isinstance(t_type, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ: cast to the session zone first (unix_micros requires
+            # LTZ); the gap is a difference so the zone shift cancels
+            gap = F.unix_micros(F.col("__t").cast("timestamp")) - F.unix_micros(
+                F.col("__f.__rt").cast("timestamp")
             )
             max_gap = F.lit(int(tolerance * 1_000_000))
+        elif isinstance(t_type, T.DateType):
+            gap = F.datediff(F.col("__t"), F.col("__f.__rt"))
+            max_gap = F.lit(tolerance)
         else:
             gap = F.col("__t") - F.col("__f.__rt")
             max_gap = F.lit(tolerance)

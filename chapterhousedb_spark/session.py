@@ -58,8 +58,9 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # testdata events.ts is parquet TIMESTAMP(NANOS), which Spark's
-        # reader rejects; read as long and convert at load (registry.load)
+        # compat: some testdata vintages ship events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark's reader rejects; read as long
+        # and convert at load (registry.load normalizes either vintage)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:

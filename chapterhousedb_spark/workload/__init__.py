@@ -15,4 +15,53 @@ from chapterhousedb_spark.workload import llm as _llm  # noqa: E402,F401
 from chapterhousedb_spark.workload import temporal as _temporal  # noqa: E402,F401
 from chapterhousedb_spark.workload import lifecycle as _lifecycle  # noqa: E402,F401
 
+# The driver's correctness artifact covers the FIRST 50 declared queries
+# (dict order), so ordering is risk-based, not module-import order:
+# the entries most likely to regress (event-time handling, streaming,
+# the engine lifecycle, composed pipelines) come first, and the
+# rows-only-by-design entries (whose driver check is weakest) plus
+# family-redundant entries (their operator family has other covered
+# rows) come last, where truncation costs least.
+_DRIVER_FIRST = [
+    "events_hourly",
+    "events_sessionize",
+    "events_json",
+    "asof_join_events",
+    "engine_materialize_roundtrip",
+    "streaming_events_hourly",
+    "pipeline_pretrain",
+    "multimodal_meta",
+    "sample_split",
+    "sample_fraction",
+    "sample_stratified",
+]
+_DRIVER_LAST = [
+    # family-redundant oracle entries (windows/subqueries/distinct/
+    # grouping-sets/text each keep several covered rows above)
+    "window_ntile",
+    "scalar_subquery",
+    "distinct_pairs",
+    "agg_grouping_sets",
+    "text_repetition",
+    # rows-only by design: hash-function/iteration-dependent results
+    "agg_pricing_summary_double",
+    "dedup_minhash",
+    "dedup_simhash",
+    "similarity_ivf",
+]
+
+
+def _reorder() -> None:
+    order = [n for n in _DRIVER_FIRST if n in QUERIES]
+    order += [n for n in QUERIES if n not in _DRIVER_FIRST and n not in _DRIVER_LAST]
+    order += [n for n in _DRIVER_LAST if n in QUERIES]
+    assert len(order) == len(QUERIES)
+    for mapping in (QUERIES, ORACLES):
+        snap = dict(mapping)
+        mapping.clear()
+        mapping.update({n: snap[n] for n in order if n in snap})
+
+
+_reorder()
+
 __all__ = ["ORACLES", "QUERIES", "load", "query"]

@@ -63,21 +63,47 @@ def engine_materialize_roundtrip_q(spark, sf_dir):
     return spark.read.parquet(handles[1].result_dir)
 
 
-# raw parquet schema of the events table: ts is TIMESTAMP(NANOS), read
-# as a nanos long (spark.sql.legacy.parquet.nanosAsLong) — streaming
-# file sources need the schema declared up front, so it is pinned here
-# and converted to a microsecond timestamp below (same ns->us
-# truncation as workload.registry.load).
-_RAW_EVENTS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _raw_events_source(spark, sf_dir):
+    """Streaming file sources need the schema declared up front, but the
+    testdata's events.ts physical type has changed across rounds
+    (TIMESTAMP(NANOS) -> timestamp[us] NTZ). Guessing wrong is the worst
+    failure mode — a LongType schema over a micros file reads raw int64s
+    and a ns->us division then collapses every timestamp 1000x, silently.
+    So probe the parquet footer and declare the matching schema, then
+    normalize to TimestampType exactly as workload.registry.load does.
+    """
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    unit = getattr(ts_type, "unit", None)
+    tz = getattr(ts_type, "tz", None)
+    if unit == "ns":
+        # read as nanos long (legacy conf), truncate to micros
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_ts, conv = T.LongType(), lambda c: F.timestamp_micros(F.expr("ts div 1000"))
+    elif tz is None:
+        # timestamp[us], not UTC-adjusted -> TIMESTAMP_NTZ; session tz is
+        # UTC so the cast preserves the raw microsecond value
+        raw_ts, conv = T.TimestampNTZType(), lambda c: c.cast("timestamp")
+    else:
+        raw_ts, conv = T.TimestampType(), lambda c: c
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", raw_ts, True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", conv(F.col("ts")))
 
 
 @query(
@@ -100,16 +126,10 @@ def streaming_events_hourly_q(spark, sf_dir):
     shape; production streams write parquet (run_available_now)."""
     from chapterhousedb_spark.streaming.batcher import windowed_counts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file-stream source wants a directory; select just the events
-    # table out of the shared sf_dir with a glob filter
-    raw = (
-        spark.readStream.schema(_RAW_EVENTS)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # the file-stream source wants a directory; _raw_events_source
+    # selects just the events table out of the shared sf_dir with a
+    # glob filter and normalizes ts to TimestampType
+    ev = _raw_events_source(spark, sf_dir)
     agg = windowed_counts(ev).select(
         F.unix_timestamp("window_start").alias("window_start"), "event_type", "n"
     )

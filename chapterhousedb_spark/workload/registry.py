@@ -29,10 +29,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md layout).
 
-    events.ts is parquet TIMESTAMP(NANOS): Spark reads it as a nanos
-    long (spark.sql.legacy.parquet.nanosAsLong); convert to a
-    microsecond timestamp with truncation, matching how DuckDB reads
-    the same file (ns -> us truncation), so oracle comparisons agree.
+    events.ts normalization: downstream consumers (sessionize,
+    windowed aggs, as-of) all expect a session-zoned TimestampType.
+    The testdata has shipped the column two ways across rounds:
+    parquet TIMESTAMP(NANOS), which Spark reads as a nanos long under
+    spark.sql.legacy.parquet.nanosAsLong, and plain timestamp[us]
+    with isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
+    Both branches convert to TimestampType; the session timezone is
+    pinned to UTC (session.py), so the NTZ->LTZ cast preserves the
+    raw microsecond value and hash-matches DuckDB, which reads the
+    same file as a naive TIMESTAMP.
     """
     if table == "events":
         # Defensive: the correctness harness builds its own plain
@@ -40,8 +46,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # this, reading TIMESTAMP(NANOS) throws PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if table == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as nanos long
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # timestamp[us], not UTC-adjusted
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -693,30 +693,6 @@ def date_funcs(spark, sf_dir):
 
 
 @query(
-    "agg_cube",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {dsum_sql('l_quantity')} AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def agg_cube(spark, sf_dir):
-    """CUBE: all grouping-set combinations in one pass. At scale Spark
-    expands to an Expand node feeding one partial-agg + shuffle (rows
-    multiply by the number of grouping sets, not by data passes)."""
-    return (
-        load(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            dsum("l_quantity").alias("sum_qty"),
-        )
-    )
-
-
-@query(
     "exists_subquery",
     oracle="""
     SELECT c_custkey, c_mktsegment

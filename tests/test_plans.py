@@ -86,10 +86,11 @@ def test_exists_decorrelates_to_semi_join(spark):
 
 
 def test_cube_is_single_pass_expand(spark):
-    """CUBE = one Expand + one aggregate pipeline, not N scans."""
-    plan = physical_plan(q("agg_cube", spark))
+    """ROLLUP/CUBE = one Expand + one aggregate pipeline per branch,
+    not N scans per grouping set (agg_rollup_cube unions both)."""
+    plan = physical_plan(q("agg_rollup_cube", spark))
     assert "Expand" in plan
-    assert plan.count("FileScan") == 1
+    assert plan.count("FileScan") == 2
 
 
 def test_pivot_stays_single_aggregate(spark):
