@@ -73,7 +73,9 @@ def _previous_round_times() -> tuple[int | None, dict[str, float]]:
                 obj = json.load(open(p))
             except (OSError, json.JSONDecodeError):
                 continue
-            parsed = obj.get("parsed", obj)
+            # a crashed round records {"parsed": null}; fall back to the
+            # object itself, never to None
+            parsed = obj.get("parsed") or obj
             times = parsed.get("queries") or {}
             if times:
                 best_n, best_times = n, times

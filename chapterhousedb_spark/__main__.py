@@ -1,0 +1,149 @@
+"""CLI client: run a SQL file through the engine and page results.
+
+Reproduces the reference's primary user entry point, the TUI client
+binary (reference src/bin/client_tui.rs:372 `--sql-file` flag;
+client flow client_tui.rs:263-303: connect -> run each statement ->
+wait for terminal status -> browse results page by page with
+src/tui/record_table.rs). A terminal UI framework is out of scope
+(and would hide the engine surface); the same lifecycle is exposed
+as a batch pager: each statement is submitted asynchronously, polled
+to COMPLETE/ERROR, and its materialized result streamed to stdout in
+pages of --page-size rows.
+
+Usage:
+    python -m chapterhousedb_spark --sql-file q.sql \
+        --connection data=/root/testdata/sf0.001 [--page-size 50]
+    echo "select 1 as x" | python -m chapterhousedb_spark -
+
+Statements reference parquet through the read_files table function:
+    select * from read_files('lineitem.parquet', connection=>'data');
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import pyarrow as pa
+
+
+def _format_page(page: pa.Table, *, header: bool) -> str:
+    """Fixed-width text table for one page (record_table.rs parity:
+    column-name header + row grid). Driver-side formatting of an
+    already-paged Arrow table — never more than page_size rows."""
+    cols = page.column_names
+    rows = [
+        ["" if v is None else str(v) for v in row]
+        for row in zip(*(page.column(c).to_pylist() for c in cols))
+    ] if page.num_rows else []
+    widths = [
+        max(len(c), *(len(r[i]) for r in rows)) if rows else len(c)
+        for i, c in enumerate(cols)
+    ]
+    out = []
+    if header:
+        out.append(" | ".join(c.ljust(w) for c, w in zip(cols, widths)))
+        out.append("-+-".join("-" * w for w in widths))
+    for r in rows:
+        out.append(" | ".join(v.ljust(w) for v, w in zip(r, widths)))
+    return "\n".join(out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m chapterhousedb_spark",
+        description="Run a SQL file through the engine and page results "
+        "to stdout (the reference's client_tui flow, batch-mode).",
+    )
+    ap.add_argument(
+        "--sql-file",
+        default=None,
+        help="SQL file with one or more ';'-separated statements; "
+        "'-' reads from stdin",
+    )
+    ap.add_argument("--sql", default=None, help="inline SQL instead of a file")
+    ap.add_argument("--page-size", type=int, default=50)
+    ap.add_argument(
+        "--max-pages",
+        type=int,
+        default=0,
+        help="stop after N pages per statement (0 = all pages)",
+    )
+    ap.add_argument(
+        "--connection",
+        action="append",
+        default=[],
+        metavar="NAME=BASE_PATH",
+        help="named fs connection for read_files(..., connection=>'NAME'); "
+        "repeatable",
+    )
+    ap.add_argument(
+        "--results-dir", default=None, help="where materialized results land"
+    )
+    ap.add_argument(
+        "--shuffle-partitions", type=int, default=None, help="session override"
+    )
+    args = ap.parse_args(argv)
+
+    if (args.sql is None) == (args.sql_file is None):
+        ap.error("exactly one of --sql-file / --sql is required")
+    if args.sql is not None:
+        text = args.sql
+    elif args.sql_file == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.sql_file) as f:
+            text = f.read()
+
+    from chapterhousedb_spark import (
+        ConnectionRegistry,
+        Engine,
+        FsConnection,
+        QueryStatus,
+        build_session,
+    )
+
+    conns = {}
+    for spec in args.connection:
+        name, sep, base = spec.partition("=")
+        if not sep or not name:
+            ap.error(f"bad --connection {spec!r}; expected NAME=BASE_PATH")
+        conns[name] = FsConnection(name=name, base_path=base)
+
+    eng = Engine(
+        spark=build_session(
+            app_name="chdb-cli", shuffle_partitions=args.shuffle_partitions
+        ),
+        results_dir=args.results_dir,
+        connections=ConnectionRegistry(conns) if conns else None,
+    )
+    rc = 0
+    try:
+        # async submit of every statement up front (client_tui runs the
+        # file's statements through one connection), then page each in
+        # submission order as it completes
+        handles = eng.sql(text)
+        for i, h in enumerate(handles):
+            h.wait()
+            print(f"-- [{i + 1}/{len(handles)}] {h.status.value}: {h.sql.strip()}")
+            if h.status is QueryStatus.ERROR:
+                print(f"-- error: {h.error}", file=sys.stderr)
+                rc = 1
+                continue
+            it = eng.iterator(h.query_id, page_size=args.page_size)
+            n_pages = 0
+            while (page := it.next_page()) is not None:
+                print(_format_page(page, header=n_pages == 0))
+                n_pages += 1
+                if args.max_pages and n_pages >= args.max_pages:
+                    break
+                if page.num_rows == args.page_size:
+                    print(f"-- page {n_pages} --")
+            print(f"-- {h.num_rows} row(s)")
+    finally:
+        eng.close()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

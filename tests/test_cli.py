@@ -1,0 +1,89 @@
+"""CLI client tests (reference client_tui.rs:372 --sql-file flow):
+submit a multi-statement file via subprocess, assert paged stdout
+matches the DuckDB oracle, and that statement errors surface as a
+nonzero exit without killing the rest of the file."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import duckdb
+
+from tests.conftest import SF_SMOKE
+
+
+def _run_cli(args: list[str]) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "chapterhousedb_spark", *args],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_cli_sql_file_pages_match_oracle(tmp_path):
+    sql = tmp_path / "q.sql"
+    sql.write_text(
+        """
+        select count(*) as n_regions
+          from read_files('region.parquet', connection=>'data');
+        select n_nationkey, n_name
+          from read_files('nation.parquet', connection=>'data')
+         where n_regionkey = 1 order by n_nationkey;
+        select * from read_files('missing.parquet', connection=>'data');
+        """
+    )
+    proc = _run_cli(
+        [
+            "--sql-file",
+            str(sql),
+            "--connection",
+            f"data={SF_SMOKE}",
+            "--page-size",
+            "2",
+            "--shuffle-partitions",
+            "4",
+            "--results-dir",
+            str(tmp_path / "results"),
+        ]
+    )
+    # third statement errors -> exit 1, but the first two still complete
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "-- [1/3] complete:" in out
+    assert "-- [2/3] complete:" in out
+    assert "-- [3/3] error:" in out
+    assert "-- error:" in proc.stderr
+
+    oracle = duckdb.sql(
+        f"""select n_nationkey, n_name
+            from read_parquet('{SF_SMOKE}/nation.parquet')
+            where n_regionkey = 1 order by n_nationkey"""
+    ).fetchall()
+    # every oracle row appears as a 'key | name' grid line, in order
+    lines = [ln for ln in out.splitlines() if "|" in ln and "NATION" in ln]
+    got = [tuple(p.strip() for p in ln.split("|")) for ln in lines]
+    assert got == [(str(k), str(n)) for k, n in oracle]
+    # page-size 2 over 5 rows -> page separators were emitted
+    assert "-- page 1 --" in out and f"-- {len(oracle)} row(s)" in out
+
+
+def test_cli_inline_sql(tmp_path):
+    proc = _run_cli(
+        [
+            "--sql",
+            "select 1 as x union all select 2 order by x",
+            "--shuffle-partitions",
+            "1",
+            "--results-dir",
+            str(tmp_path / "results"),
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    body = [
+        ln
+        for ln in proc.stdout.splitlines()
+        if ln.strip() and "--" not in ln and set(ln.strip()) != {"-"}
+    ]
+    assert [ln.strip() for ln in body] == ["x", "1", "2"]
