@@ -63,6 +63,8 @@ class QueryHandle:
     error: str | None = None
     result_dir: str | None = None
     num_rows: int | None = None
+    pool: str | None = None
+    pool_applied: str | None = None
     _done: threading.Event = field(default_factory=threading.Event, repr=False)
 
     def wait(self, timeout: float | None = None) -> "QueryHandle":
@@ -80,8 +82,10 @@ class Engine:
         connections: ConnectionRegistry | None = None,
         max_concurrent_queries: int = 8,
         table_functions: TableFunctionRegistry | None = None,
+        default_pool: str | None = None,
     ):
         self.spark = spark or build_session()
+        self.default_pool = default_pool
         self.results_dir = results_dir or os.path.join(
             tempfile.gettempdir(), "chdb_spark_results"
         )
@@ -137,19 +141,29 @@ class Engine:
 
     # ------------------------------------------------------------------ submit
 
-    def sql(self, text: str) -> list[QueryHandle]:
+    def sql(self, text: str, pool: str | None = None) -> list[QueryHandle]:
         """Submit every statement in `text`; returns handles immediately."""
-        return [self.submit(stmt) for stmt in split_statements(text)]
+        return [self.submit(stmt, pool=pool) for stmt in split_statements(text)]
 
-    def sql_wait(self, text: str) -> list[QueryHandle]:
+    def sql_wait(self, text: str, pool: str | None = None) -> list[QueryHandle]:
         """Submit and block until all statements reach a terminal status."""
-        handles = self.sql(text)
+        handles = self.sql(text, pool=pool)
         for h in handles:
             h.wait()
         return handles
 
-    def submit(self, statement: str) -> QueryHandle:
-        handle = QueryHandle(query_id=uuid.uuid4().hex, sql=statement)
+    def submit(self, statement: str, pool: str | None = None) -> QueryHandle:
+        """Submit one statement; `pool` routes its Spark jobs to a named
+        scheduler pool (the admission-control mapping of the reference's
+        per-query capacity-claim loop, query_handler_state.rs:421-466:
+        instead of workers claiming per-operator compute budgets, each
+        query's jobs land in a FAIR pool whose weight/minShare bounds
+        its cluster share). Pools need spark.scheduler.mode=FAIR — see
+        session.build_session(fair_pools=...); an unknown pool name
+        falls back to a default-weight pool, Spark-side."""
+        handle = QueryHandle(
+            query_id=uuid.uuid4().hex, sql=statement, pool=pool or self.default_pool
+        )
         with self._lock:
             self._queries[handle.query_id] = handle
         self._pool.submit(self._run, handle)
@@ -222,7 +236,13 @@ class Engine:
     def _run(self, handle: QueryHandle) -> None:
         handle.status = QueryStatus.RUNNING
         out_dir = os.path.join(self.results_dir, handle.query_id)
+        sc = self.spark.sparkContext
         try:
+            # scheduler-pool routing is a thread-local property read at
+            # job-submit time, so it must be set HERE, on the executor-
+            # pool thread that triggers the write action (not in submit)
+            sc.setLocalProperty("spark.scheduler.pool", handle.pool)
+            handle.pool_applied = sc.getLocalProperty("spark.scheduler.pool")
             df = self.dataframe(handle.sql)
             df.write.mode("overwrite").parquet(out_dir)
             manifest = ResultManifest.build(out_dir)
@@ -234,6 +254,8 @@ class Engine:
             handle.status = QueryStatus.ERROR
             handle.error = f"{type(exc).__name__}: {exc}"
         finally:
+            # clear so a reused pool thread doesn't inherit this pool
+            sc.setLocalProperty("spark.scheduler.pool", None)
             handle._done.set()
 
     def write_bucketed(

@@ -17,6 +17,7 @@ from chapterhousedb_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     normalize_text,
+    release_self_join_caches,
     simhash,
     simhash_near_dup_pairs,
     word_shingle_posts,
@@ -45,6 +46,7 @@ __all__ = [
     "minhash_signature",
     "ngram_jaccard_pairs",
     "normalize_text",
+    "release_self_join_caches",
     "simhash",
     "simhash_near_dup_pairs",
     "srp_ann_topk",

@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+# persisted self-join intermediates not yet released (see
+# release_self_join_caches) — the pair DataFrames are returned lazily,
+# so the operator itself can never know when it is safe to unpersist
+_SELF_JOIN_CACHES: list[DataFrame] = []
+
+
 def _persist_for_self_join(df: DataFrame, persist: bool) -> DataFrame:
     """Self-joins consume the same subplan twice and Catalyst does NOT
     reuse the exchange across the two sides (verified: two FileScans,
@@ -39,8 +45,30 @@ def _persist_for_self_join(df: DataFrame, persist: bool) -> DataFrame:
     MEMORY_AND_DISK spills instead of failing. At small scale the cache
     write roughly cancels the recompute saving — the default targets
     the large-corpus regime; pass persist=False for one-shot small
-    jobs."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK) if persist else df
+    jobs.
+
+    The handle is tracked; call release_self_join_caches() once the
+    pair output is materialized (written/consumed) so long-lived
+    sessions don't accumulate executor storage."""
+    if not persist:
+        return df
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SELF_JOIN_CACHES.append(df)
+    return df
+
+
+def release_self_join_caches() -> int:
+    """Unpersist every tracked self-join intermediate (dedup +
+    similarity blocking caches); returns how many were released. Call
+    after materializing pair outputs — the streaming-agg twin of
+    cluster.py's in-operator sym.unpersist(), which the lazily-returned
+    pair DataFrames cannot do for themselves."""
+    n = 0
+    while _SELF_JOIN_CACHES:
+        df = _SELF_JOIN_CACHES.pop()
+        df.unpersist()
+        n += 1
+    return n
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -358,10 +386,22 @@ def _simhash_block_keys(chunks: int, max_hamming: int) -> list[Column]:
     `agree = chunks - max_hamming` blocks — and therefore collides on
     at least one of the C(chunks, agree) block-index combinations. Each
     combination becomes one xxhash64(combo_id, block values...) key.
+
+    Requires chunks > max_hamming: with chunks <= max_hamming a pair
+    inside the hamming budget can differ in EVERY block, so no blocking
+    key is guaranteed to collide and the pigeonhole recall guarantee is
+    void (silently clamping `agree` would hide exactly that).
     """
     import itertools
 
-    agree = max(1, chunks - max_hamming)
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"simhash blocking needs chunks > max_hamming for guaranteed "
+            f"recall (got chunks={chunks}, max_hamming={max_hamming}); "
+            f"raise chunks — e.g. {max_hamming + 1} splits 64 bits into "
+            f"blocks a within-budget pair must agree on at least one of"
+        )
+    agree = chunks - max_hamming
     base, rem = divmod(64, chunks)
     widths = [base + 1 if i < rem else base for i in range(chunks)]
     offsets = [sum(widths[:i]) for i in range(chunks)]

@@ -18,12 +18,13 @@ typed `min_num`/`max_num` (doubles; timestamps as epoch seconds),
 strings in `min_str`/`max_str` — a fixed output schema regardless of
 the profiled table's schema.
 
-Scale: exact distinct over high-cardinality columns shuffles one row
-per distinct value per column. Set exact_distinct=False to use
-approx_count_distinct (HLL++ sketch, mergeable) — then everything
-collapses to ONE map-side pass with no per-column shuffles at all; the
-declared oracle query uses exact counts because the oracle must
-hash-match.
+Scale: the DEFAULT is sketch mode (exact_distinct=False) —
+approx_count_distinct (HLL++ sketch, mergeable) collapses everything
+to ONE map-side pass with no per-column shuffles at all, which is the
+only sane shape at 100 TB. exact_distinct=True switches to the exact
+per-column two-stage aggregation (shuffles one row per distinct value
+per column) for when the counts must be exact — the declared oracle
+query passes it because the oracle must hash-match.
 """
 
 from __future__ import annotations
@@ -62,7 +63,7 @@ def _extrema(df: DataFrame, c: str):
 def profile(
     df: DataFrame,
     columns: list[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """(column, n_non_null, n_distinct, min_num, max_num, min_str, max_str).
 

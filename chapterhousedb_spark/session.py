@@ -28,16 +28,50 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def write_fair_scheduler_xml(
+    pools: dict[str, dict], path: str | None = None
+) -> str:
+    """Write a fair-scheduler allocation file for named pools; returns
+    its path. `pools` maps pool name -> {weight, minShare,
+    schedulingMode} (all optional). This is the admission-control
+    config of the reference's capacity-claim scheduler
+    (query_handler_state.rs:421-466) expressed as Spark FAIR pools:
+    weight = relative share under contention, minShare = guaranteed
+    cores before others get extra."""
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    parts = ["<?xml version=\"1.0\"?>", "<allocations>"]
+    for name, conf in pools.items():
+        parts.append(f"  <pool name=\"{escape(name)}\">")
+        for key in ("schedulingMode", "weight", "minShare"):
+            if key in conf:
+                parts.append(f"    <{key}>{escape(str(conf[key]))}</{key}>")
+        parts.append("  </pool>")
+    parts.append("</allocations>")
+    if path is None:
+        fd, path = tempfile.mkstemp(prefix="chdb_fair_", suffix=".xml")
+        os.close(fd)
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
 def build_session(
     app_name: str = "chapterhousedb-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    fair_pools: dict[str, dict] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     On a real cluster, drop ``master`` and submit normally; nothing here
     is local-mode-specific except the default master.
+
+    fair_pools enables FAIR scheduling with the given named pools (see
+    write_fair_scheduler_xml); Engine.submit(..., pool=...) then routes
+    each query's jobs to its pool.
     """
     cpus = default_parallelism()
     if master is None:
@@ -63,6 +97,10 @@ def build_session(
         # and convert at load (registry.load normalizes either vintage)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if fair_pools:
+        builder = builder.config("spark.scheduler.mode", "FAIR").config(
+            "spark.scheduler.allocation.file", write_fair_scheduler_xml(fair_pools)
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

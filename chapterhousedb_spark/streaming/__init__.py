@@ -2,6 +2,7 @@
 in DEV_NOTES.md "deploy/batch" ideas — zero implementation)."""
 
 from chapterhousedb_spark.streaming.batcher import (
+    asof_enrich_stream,
     dedup_stream,
     enrich_stream,
     read_event_stream,
@@ -11,6 +12,7 @@ from chapterhousedb_spark.streaming.batcher import (
 )
 
 __all__ = [
+    "asof_enrich_stream",
     "dedup_stream",
     "enrich_stream",
     "read_event_stream",

@@ -987,4 +987,5 @@ def table_profile(spark, sf_dir):
     return profile(
         load(spark, sf_dir, "lineitem"),
         columns=[c for c, _ in _PROFILE_COLS],
+        exact_distinct=True,
     )

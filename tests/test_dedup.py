@@ -138,9 +138,11 @@ def test_simhash_identity_and_locality(corpus):
 
 
 def test_simhash_near_dup_pairs(corpus):
+    # max_hamming=6 needs chunks > 6 for the pigeonhole guarantee
+    # (chunks=8 -> C(8,2) two-block agreement keys)
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_near_dup_pairs(corpus, max_hamming=6).collect()
+        for r in simhash_near_dup_pairs(corpus, max_hamming=6, chunks=8).collect()
     }
     assert pairs.get((0, 1)) == 0
     assert (0, 2) in pairs
@@ -196,3 +198,40 @@ def test_minhash_scales_without_cross_join(corpus):
     plan = minhash_near_dup_pairs(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_rejects_void_blocking_params(spark):
+    """chunks <= max_hamming voids the pigeonhole recall guarantee (a
+    within-budget pair can differ in every block) — must raise, never
+    silently clamp."""
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="chunks > max_hamming"):
+        simhash_near_dup_pairs(df, chunks=3, max_hamming=3).collect()
+    with pytest.raises(ValueError, match="chunks > max_hamming"):
+        simhash_near_dup_pairs(df, chunks=2, max_hamming=5).collect()
+
+
+def test_self_join_caches_are_released(spark):
+    """Pair generation persists compact intermediates; a long-lived
+    session must be able to release them all — no cached RDDs left
+    behind (VERDICT r3 item 9: mirror cluster.py's sym.unpersist)."""
+    from chapterhousedb_spark.operators.dedup import release_self_join_caches
+    from chapterhousedb_spark.operators.similarity import embedding_near_dup_pairs
+
+    def n_cached() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    release_self_join_caches()  # drop anything left by earlier tests
+    base = n_cached()  # other tests' module fixtures may hold caches
+    rows = [(i, f"doc {i} text body " * 3) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    minhash_near_dup_pairs(df).count()
+    simhash_near_dup_pairs(df).count()
+    vecs = [(i, [float(i), 1.0, 0.5]) for i in range(10)]
+    embedding_near_dup_pairs(
+        spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    ).count()
+    assert n_cached() >= base + 3
+    assert release_self_join_caches() == 3
+    assert n_cached() == base
+    assert release_self_join_caches() == 0  # idempotent

@@ -307,3 +307,63 @@ def test_clustered_write_gives_disjoint_file_ranges(engine, sf_dir, tmp_path_fac
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert lo_next >= hi_prev, f"overlapping file ranges: {ranges}"
+
+
+def test_scheduler_pool_routing(engine):
+    """Each query's jobs run under its named FAIR pool: the thread-local
+    spark.scheduler.pool property must be set on the executing thread
+    (that is what the DAG scheduler reads at job-submit time), and
+    cleared afterwards so reused pool threads don't inherit it."""
+    h_etl, h_adhoc, h_default = [
+        engine.submit(
+            "select count(*) as n from read_files('region.parquet', connection=>'testdata')",
+            pool=pool,
+        )
+        for pool in ("etl", "adhoc", None)
+    ]
+    for h in (h_etl, h_adhoc, h_default):
+        h.wait()
+        assert h.status is QueryStatus.COMPLETE, h.error
+    assert h_etl.pool_applied == "etl"
+    assert h_adhoc.pool_applied == "adhoc"
+    assert h_default.pool_applied is None
+    # the submitting thread never sees the worker-thread property
+    assert (
+        engine.spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+    )
+
+
+def test_engine_default_pool(spark, sf_dir, tmp_path_factory):
+    eng = Engine(
+        spark=spark,
+        results_dir=str(tmp_path_factory.mktemp("results_pool")),
+        connections=ConnectionRegistry(
+            {"testdata": FsConnection(name="testdata", base_path=sf_dir)}
+        ),
+        default_pool="batch",
+    )
+    try:
+        (h,) = eng.sql_wait(
+            "select count(*) as n from read_files('region.parquet', connection=>'testdata')"
+        )
+        assert h.status is QueryStatus.COMPLETE, h.error
+        assert h.pool_applied == "batch"
+    finally:
+        eng.close()
+
+
+def test_fair_scheduler_xml(tmp_path):
+    from chapterhousedb_spark.session import write_fair_scheduler_xml
+
+    p = write_fair_scheduler_xml(
+        {"etl": {"weight": 3, "minShare": 8, "schedulingMode": "FAIR"},
+         "adhoc": {"weight": 1}},
+        path=str(tmp_path / "pools.xml"),
+    )
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(p).getroot()
+    pools = {e.get("name"): e for e in root.findall("pool")}
+    assert pools["etl"].find("weight").text == "3"
+    assert pools["etl"].find("minShare").text == "8"
+    assert pools["adhoc"].find("weight").text == "1"

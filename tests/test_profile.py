@@ -20,7 +20,7 @@ def mixed(spark):
 
 
 def test_profile_stats(mixed):
-    got = {r["column"]: r.asDict() for r in profile(mixed).collect()}
+    got = {r["column"]: r.asDict() for r in profile(mixed, exact_distinct=True).collect()}
     assert got["k"]["n_non_null"] == 4 and got["k"]["n_distinct"] == 3
     assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 3.0
     assert got["s"]["n_non_null"] == 3 and got["s"]["n_distinct"] == 2
@@ -32,13 +32,25 @@ def test_profile_stats(mixed):
 
 
 def test_profile_approx_distinct_close(mixed):
-    exact = {r["column"]: r["n_distinct"] for r in profile(mixed).collect()}
-    approx = {
+    exact = {
         r["column"]: r["n_distinct"]
-        for r in profile(mixed, exact_distinct=False).collect()
+        for r in profile(mixed, exact_distinct=True).collect()
     }
+    approx = {r["column"]: r["n_distinct"] for r in profile(mixed).collect()}
     for c in exact:  # tiny cardinalities: HLL++ is exact here
         assert approx[c] == exact[c]
+
+
+def test_profile_default_is_single_pass(spark):
+    """The default (sketch) mode must be ONE map-side aggregation pass:
+    a single scan and a single partial->final agg exchange, never the
+    exact mode's per-column distinct shuffles."""
+    from chapterhousedb_spark.plans import physical_plan
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = physical_plan(profile(df, columns=["l_orderkey", "l_quantity", "l_returnflag"]))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 1
 
 
 def test_profile_empty(spark):

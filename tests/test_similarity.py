@@ -120,3 +120,48 @@ def test_embedding_near_dup_finds_planted_pair(vectors):
     }
     assert (0, 1) in pairs
     assert pairs[(0, 1)] > 0.999
+
+
+def test_embedding_near_dup_multi_seed_raises_recall(spark):
+    """Each extra blocking seed is an independent SRP pass: at planes=12
+    a cosine~0.96 pair collides per pass with p~0.3, so 3 seeds must
+    strictly beat 1 on a corpus of planted pairs, while candidates are
+    deduped before the exact verify (no duplicate output pairs)."""
+    import math
+    import random
+
+    random.seed(11)
+    dims, n_pairs = 16, 40
+    rows = []
+    for i in range(n_pairs):
+        v = [random.gauss(0, 1) for _ in range(dims)]
+        nv = math.sqrt(sum(x * x for x in v))
+        v = [x / nv for x in v]
+        # perturb to land near cosine ~0.96
+        w = [x + random.gauss(0, 0.28 / math.sqrt(dims)) for x in v]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, w))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def planted_found(seeds):
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                df, threshold=0.9, seeds=seeds
+            ).collect()
+        }
+        assert len(found) == len(set(found))
+        return sum((2 * i, 2 * i + 1) in found for i in range(n_pairs))
+
+    single = planted_found([7])
+    multi = planted_found([7, 8, 9])
+    assert multi > single, (single, multi)
+    assert multi <= n_pairs
+    # single-seed shorthand unchanged: seeds=None + seed=7 == seeds=[7]
+    a = sorted(
+        map(tuple, embedding_near_dup_pairs(df, threshold=0.9, seed=7).collect())
+    )
+    b = sorted(
+        map(tuple, embedding_near_dup_pairs(df, threshold=0.9, seeds=[7]).collect())
+    )
+    assert a == b

@@ -205,3 +205,119 @@ def test_deterministic_sample_on_stream_matches_batch(
     )
     want = {r["event_id"] for r in batch.select("event_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path_factory):
+    """Drained streaming as-of == batch asof_join on the same bounded
+    input; purchases and clicks land in SEPARATE micro-batch files, so
+    matches must flow through the watermarked state across batches."""
+    import os
+
+    from chapterhousedb_spark.operators.asof import asof_join
+    from chapterhousedb_spark.streaming.batcher import asof_enrich_stream
+
+    ev = load(spark, SF_SMOKE, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    d = str(tmp_path_factory.mktemp("asof_landing"))
+    # file 0: all purchases; file 1: all clicks — forces cross-batch state
+    ev.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(
+        os.path.join(d, "f0")
+    )
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.parquet(
+        os.path.join(d, "f1")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    out = asof_enrich_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["purchase_event_id"], r["purchase_value"])
+        for r in spark.sql("select * from asof_stream").collect()
+    }
+
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    expected = {
+        r["event_id"]: (r["purchase_event_id"], r["purchase_value"])
+        for r in asof_join(
+            clicks,
+            purchases,
+            left_on="ts",
+            right_on="ts",
+            left_by="user_id",
+            right_by="user_id",
+            right_cols=["purchase_event_id", "purchase_value"],
+        )
+        .select("event_id", "purchase_event_id", "purchase_value")
+        .collect()
+    }
+    assert len(got) == len(expected)
+    assert got == expected
+
+
+def test_asof_enrich_stream_state_is_pruned(spark, tmp_path_factory):
+    """Purchases older than the watermark (except the newest reachable
+    one) must leave state: drain a stream whose watermark advances far
+    past early purchases and assert the numRowsTotal state metric stays
+    bounded by the reachable set, not the full purchase history."""
+    import os
+
+    from chapterhousedb_spark.streaming.batcher import asof_enrich_stream
+
+    rows = []
+    # one user, 200 purchases spaced 1 min apart, then one click far out
+    for i in range(200):
+        rows.append((i, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", 1, "purchase", float(i)))
+    rows.append((1000, "2024-01-02 12:00:00", 1, "click", 0.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    d = str(tmp_path_factory.mktemp("asof_prune"))
+    # file 0: purchases (watermark -> 2024-01-01); file 1: the late click
+    # (watermark jumps a day) — after it, all but the newest purchase
+    # must be pruned from state
+    df.filter("event_type = 'purchase'").coalesce(1).write.parquet(os.path.join(d, "f0"))
+    df.filter("event_type = 'click'").coalesce(1).write.parquet(os.path.join(d, "f1"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        asof_enrich_stream(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("asof_prune")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the click matches the newest purchase
+    res = spark.sql("select * from asof_prune").collect()
+    assert len(res) == 1 and res[0]["purchase_event_id"] == 199
+    # state kept 1 user row whose arrays were pruned to the single
+    # reachable purchase (assert via the final progress state metrics)
+    prog = q.lastProgress
+    state = prog["stateOperators"][0]
+    assert state["numRowsTotal"] == 1
