@@ -82,6 +82,34 @@ def _previous_round_times() -> tuple[int | None, dict[str, float]]:
     return best_n, best_times
 
 
+def _calibration(spark) -> dict[str, float]:
+    """Host-speed probes so query times are comparable across rounds on
+    hosts of different speed (round 4 observed byte-identical queries
+    uniformly ~1.4x slower than round 2 on the same code — per-job
+    constant overhead, not plan changes). Normalize deltas against
+    these before reading a per-query delta as a regression."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    py = time.perf_counter() - t0
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((1200, 1200))
+    t0 = time.perf_counter()
+    float((a @ a).sum())
+    np_t = time.perf_counter() - t0
+    # fixed Spark job: measures JVM scheduler + codegen constant costs
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr("sum(id)").collect()
+    sp = time.perf_counter() - t0
+    return {
+        "python_loop_sec": round(py, 3),
+        "numpy_matmul_sec": round(np_t, 3),
+        "spark_range_sum_sec": round(sp, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session(app_name="chdb-bench")
@@ -89,6 +117,7 @@ def main() -> None:
     try:
         # one tiny warmup to exclude JVM/session startup from per-query time
         QUERIES["scan_filter_project"](spark, sf_dir).limit(1).collect()
+        calibration = _calibration(spark)
         times: dict[str, float] = {}
         for name in HEADLINE:
             times[name] = round(run_query(spark, name, sf_dir, sink_root), 3)
@@ -108,6 +137,7 @@ def main() -> None:
                     "sf": float(sf) if sf else None,
                     "prev_round": prev_n,
                     "deltas_vs_prev": deltas,
+                    "calibration": calibration,
                 }
             )
         )

@@ -25,6 +25,10 @@ from chapterhousedb_spark.operators.dedup import (
 from chapterhousedb_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_ann_topk,
+    ivf_assign,
+    ivf_fit,
+    ivf_probe_cells,
     srp_signature,
     srp_ann_topk,
 )
@@ -41,6 +45,10 @@ __all__ = [
     "cosine_topk",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "ivf_ann_topk",
+    "ivf_assign",
+    "ivf_fit",
+    "ivf_probe_cells",
     "lang_id",
     "minhash_near_dup_pairs",
     "minhash_signature",

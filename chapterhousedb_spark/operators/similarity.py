@@ -118,6 +118,94 @@ def srp_ann_topk(
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def _unit_expr(vec_col: str) -> Column:
+    """L2-normalized copy of an array<float> column (JVM expression)."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE) / "
+        f"greatest(sqrt(aggregate({vec_col}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v)), 1e-12))"
+    )
+
+
+def ivf_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    max_iter: int = 5,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Fit the IVF coarse quantizer; returns the centroids as PLAIN
+    python lists (json-serializable driver-side state, ~n_cells*dims
+    floats) — no ML runtime needed downstream, so the model can be
+    stored next to the corpus and reused across sessions, engines and
+    streaming jobs. Vectors are L2-normalized before clustering so
+    Euclidean KMeans cells align with cosine neighborhoods. At scale
+    fit on a sample (sample_fraction): the quantizer only needs the
+    cluster structure, not every row."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(array_to_vector(_unit_expr(vec_col)).alias("__v"))
+    train = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__v"
+    ).fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Append each vector's nearest-centroid cell id as a pure JVM
+    column expression (centroids inlined as literals — no broadcast, no
+    ML model, no Python in the hot path). The same expression works on
+    a readStream DataFrame, so ingest can cell-tag vectors as they
+    land; writing the corpus partitioned/bucketed by `cell_col` lets
+    probes prune whole files.
+
+    The normalized vector is materialized through explode(array(...))
+    — a Generate barrier — so Catalyst cannot re-inline the
+    normalization into every per-centroid distance lambda (the
+    CollapseProject hazard documented in dedup.py)."""
+    others = [c for c in df.columns]
+    unit = df.select(
+        *others, F.explode(F.array(_unit_expr(vec_col))).alias("__u")
+    )
+    dists = F.array(
+        *[
+            F.expr(
+                "aggregate(zip_with(__u, array("
+                + ",".join(f"{float(x)}D" for x in c)
+                + "), (x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)"
+            )
+            for c in centroids
+        ]
+    )
+    return unit.withColumn("__d", dists).select(
+        *others,
+        (F.expr("array_position(__d, array_min(__d))") - F.lit(1))
+        .cast("int")
+        .alias(cell_col),
+    )
+
+
+def ivf_probe_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Cell ids of the `nprobe` centroids nearest to the query (driver
+    side, O(n_cells * dims))."""
+    import numpy as np
+
+    centers = np.asarray(centroids, dtype=float)
+    q = np.asarray(query_vec, dtype=float)
+    q = q / max(float(np.linalg.norm(q)), 1e-12)
+    order = np.argsort(((centers - q) ** 2).sum(axis=1))
+    return [int(i) for i in order[: max(1, nprobe)]]
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -129,49 +217,26 @@ def ivf_ann_topk(
     seed: int = 7,
     max_iter: int = 5,
     sample_fraction: float | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: a seeded KMeans coarse quantizer assigns
-    each vector to a cell; the query probes only the `nprobe` nearest
-    cells and reranks candidates exactly (cosine).
-
-    Vectors are L2-normalized before clustering so Euclidean KMeans
-    cells align with cosine neighborhoods. At scale: fit the quantizer
-    on a sample (sample_fraction) — centroids are tiny driver-side
-    state; assignment is one scan; the `ivf_cell` column supports
-    writing the corpus partitioned by cell so probes prune file reads.
-    nprobe=n_cells degenerates to exact brute force (recall 1.0).
+    """IVF approximate top-k: the composition fit -> assign -> probe ->
+    exact rerank (cosine). Pass `centroids` (from a prior ivf_fit) to
+    skip the fit — the production shape: fit once per corpus version,
+    assign at write time, probe per query. nprobe=n_cells degenerates
+    to exact brute force (recall 1.0).
 
     Complements srp_ann_topk: IVF adapts cells to the data distribution
     (better recall on clustered corpora), SRP needs no training state.
     """
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    unit = F.expr(
-        f"transform({vec_col}, x -> CAST(x AS DOUBLE) / "
-        f"greatest(sqrt(aggregate({vec_col}, 0D, (s, v) -> s + CAST(v AS DOUBLE) * v)), 1e-12))"
+    if centroids is None:
+        if df.select(id_col).limit(1).count() == 0:
+            # KMeans cannot fit an empty corpus; empty in -> empty out
+            return cosine_topk(df, query_vec, k, vec_col, id_col)
+        centroids = ivf_fit(df, vec_col, n_cells, seed, max_iter, sample_fraction)
+    assigned = ivf_assign(
+        df.select(F.col(id_col), F.col(vec_col)), centroids, vec_col
     )
-    vecs = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "__v", array_to_vector(unit)
-    )
-    if vecs.limit(1).count() == 0:
-        # KMeans cannot fit an empty corpus; empty in -> empty out
-        return cosine_topk(df, query_vec, k, vec_col, id_col)
-    train = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
-    model = KMeans(
-        k=n_cells,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="__v",
-        predictionCol="ivf_cell",
-    ).fit(train)
-    assigned = model.transform(vecs)
-    centers = np.asarray([np.asarray(c) for c in model.clusterCenters()])
-    q = np.asarray(query_vec, dtype=float)
-    q = q / max(float(np.linalg.norm(q)), 1e-12)
-    order = np.argsort(((centers - q) ** 2).sum(axis=1))
-    probes = [int(i) for i in order[: max(1, nprobe)]]
+    probes = ivf_probe_cells(centroids, query_vec, nprobe)
     cand = assigned.filter(F.col("ivf_cell").isin(probes)).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 

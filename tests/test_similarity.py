@@ -165,3 +165,63 @@ def test_embedding_near_dup_multi_seed_raises_recall(spark):
         map(tuple, embedding_near_dup_pairs(df, threshold=0.9, seeds=[7]).collect())
     )
     assert a == b
+
+
+def test_ivf_fit_assign_probe_split(spark):
+    """The split quantizer: ivf_assign (pure JVM expression) must agree
+    with Spark ML's own transform-time assignment, the precomputed-
+    centroid path must equal the fit-inline path, and the assign plan
+    must contain no Python eval (usable at streaming ingest)."""
+    import random
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from chapterhousedb_spark.operators.similarity import (
+        _unit_expr,
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_fit,
+        ivf_probe_cells,
+    )
+    from chapterhousedb_spark.plans import physical_plan
+
+    random.seed(3)
+    rows = [
+        (i, [random.gauss(c, 0.3) for _ in range(8)])
+        for c in (-2.0, 0.0, 2.0)
+        for i in range(100 * int(c + 3), 100 * int(c + 3) + 60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = ivf_fit(df, n_cells=3, seed=7)
+    assert len(cents) == 3 and all(len(c) == 8 for c in cents)
+
+    got = {
+        r["vec_id"]: r["ivf_cell"] for r in ivf_assign(df, cents).collect()
+    }
+    model = KMeans(k=3, seed=7, featuresCol="__v").fit(
+        df.select(array_to_vector(_unit_expr("embedding")).alias("__v"))
+    )
+    # rebuild the reference assignment against OUR centroids (KMeans
+    # label ids may permute between fits; distances may not)
+    import numpy as np
+
+    centers = np.asarray(cents)
+    ref = {}
+    for r in df.collect():
+        v = np.asarray(r["embedding"], dtype=float)
+        v = v / np.linalg.norm(v)
+        ref[r["vec_id"]] = int(((centers - v) ** 2).sum(axis=1).argmin())
+    assert got == ref
+
+    plan = physical_plan(ivf_assign(df, cents))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    q = rows[0][1]
+    a = [tuple(r) for r in ivf_ann_topk(df, q, k=5, n_cells=3, nprobe=1).collect()]
+    b = [
+        tuple(r)
+        for r in ivf_ann_topk(df, q, k=5, nprobe=1, centroids=cents).collect()
+    ]
+    assert a == b
+    assert set(ivf_probe_cells(cents, q, 3)) == {0, 1, 2}
