@@ -258,6 +258,66 @@ class Engine:
             sc.setLocalProperty("spark.scheduler.pool", None)
             handle._done.set()
 
+    def compact(
+        self,
+        glob: str,
+        connection: str | None = None,
+        dest_glob: str | None = None,
+        target_file_mb: int = 256,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> dict:
+        """Small-files compaction for parquet landing zones: rewrite a
+        directory of many small files (the natural output of streaming
+        sinks and per-micro-batch materialization) into ~target_file_mb
+        files. Small files are the classic 100 TB operational killer —
+        scan tasks, footer reads and S3 requests all scale with file
+        count, not bytes; the reference materializes one file PER
+        RECORD BATCH (materialize_files_task.rs:117-142: rec_<id>
+        .parquet), so a compaction pass is the missing maintenance op
+        its layout needs.
+
+        Sizing reads the source byte size via the Hadoop FileSystem
+        (works for fs and s3a alike) and round-robin repartitions to
+        ceil(bytes / target) — balanced files regardless of input skew.
+        sort_by instead range-partitions + sorts, so compaction doubles
+        as clustering (file-skipping min/max stats, see write()).
+
+        Writes to dest_glob (default: '<glob>__compacted' sibling) —
+        never in place: overwriting a directory while scanning it would
+        corrupt the read; atomically swapping directories is the
+        caller's storage-layer concern. Returns
+        {path, files_before, files_after, bytes_before}.
+        """
+        src = self.connections.resolve(glob, connection)
+        dest = self.connections.resolve(
+            dest_glob if dest_glob is not None else f"{glob.rstrip('/')}__compacted",
+            connection,
+        )
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(src)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        summary = fs.getContentSummary(jpath)
+        total_bytes = summary.getLength()
+        if n_files is None:  # explicit override beats size-derived count
+            n_files = max(1, -(-int(total_bytes) // (target_file_mb * 1024 * 1024)))
+        df = self.spark.read.parquet(src)
+        files_before = len(df.inputFiles())
+        if sort_by:
+            out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            out = df.repartition(n_files)
+        out.write.mode("overwrite").parquet(dest)
+        files_after = len(self.spark.read.parquet(dest).inputFiles())
+        return {
+            "path": dest,
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes_before": int(total_bytes),
+        }
+
     def write_bucketed(
         self,
         statement: str,

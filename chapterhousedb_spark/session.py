@@ -63,6 +63,7 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     fair_pools: dict[str, dict] | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -72,6 +73,13 @@ def build_session(
     fair_pools enables FAIR scheduling with the given named pools (see
     write_fair_scheduler_xml); Engine.submit(..., pool=...) then routes
     each query's jobs to its pool.
+
+    rocksdb_state_store switches streaming state to the RocksDB
+    provider: state lives off-heap/on-disk per executor instead of in
+    JVM memory maps, which is the production choice once stateful
+    streaming state (sessionization, as-of history, dedup horizon)
+    outgrows executor heap — at 100 TB-scale key cardinality the
+    default HDFS-backed in-memory provider OOMs long before RocksDB.
     """
     cpus = default_parallelism()
     if master is None:
@@ -100,6 +108,12 @@ def build_session(
     if fair_pools:
         builder = builder.config("spark.scheduler.mode", "FAIR").config(
             "spark.scheduler.allocation.file", write_fair_scheduler_xml(fair_pools)
+        )
+    if rocksdb_state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
         )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -367,3 +367,44 @@ def test_fair_scheduler_xml(tmp_path):
     assert pools["etl"].find("weight").text == "3"
     assert pools["etl"].find("minShare").text == "8"
     assert pools["adhoc"].find("weight").text == "1"
+
+
+def test_compact_small_files(engine, sf_dir, tmp_path_factory):
+    """50 tiny files -> few target-sized files, values preserved; the
+    maintenance op for streaming-sink / per-batch-materialized layouts
+    (reference writes one parquet PER record batch)."""
+    root = str(tmp_path_factory.mktemp("compact"))
+    eng = Engine(
+        spark=engine.spark,
+        results_dir=str(tmp_path_factory.mktemp("compact_results")),
+        connections=ConnectionRegistry({"z": FsConnection(name="z", base_path=root)}),
+    )
+    src = engine.spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src.repartition(50).write.parquet(f"{root}/landing/orders")
+
+    info = eng.compact("landing/orders", connection="z", target_file_mb=8)
+    assert info["files_before"] == 50
+    assert 1 <= info["files_after"] < 10
+    out = engine.spark.read.parquet(info["path"])
+    assert out.count() == src.count()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, src.collect()))
+
+    # clustered compaction: disjoint per-file ranges on the sort key
+    info2 = eng.compact(
+        "landing/orders", connection="z", dest_glob="landing/orders_by_key",
+        n_files=4, sort_by=["o_orderkey"],
+    )
+    out2 = engine.spark.read.parquet(info2["path"])
+    assert out2.count() == src.count()
+    assert info2["files_after"] == 4
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in engine.spark.read.parquet(info2["path"]).inputFiles():
+        md = pq.read_metadata(f.replace("file:", ""))
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
+    eng.close()

@@ -321,3 +321,51 @@ def test_asof_enrich_stream_state_is_pruned(spark, tmp_path_factory):
     prog = q.lastProgress
     state = prog["stateOperators"][0]
     assert state["numRowsTotal"] == 1
+
+
+def test_rocksdb_state_store_runs_stateful_query(spark, event_dir):
+    """build_session(rocksdb_state_store=True) maps to the RocksDB
+    provider conf; here the shared session flips the same runtime conf,
+    runs the stateful sessionizer under RocksDB, and checks the state
+    operator actually reported RocksDB metrics (not just that the conf
+    was accepted)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, event_dir)
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("memory")
+            .queryName("sessions_rocksdb")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+        assert any("rocksdb" in k.lower() for k in metrics), metrics.keys()
+        # same gap-closure counts as the default-provider run asserted in
+        # test_sessionize_stream_closes_sessions (state backend must not
+        # change semantics)
+        rows = spark.sql("select * from sessions_rocksdb").collect()
+        from chapterhousedb_spark.workload import QUERIES
+
+        batch = {
+            r["user_id"]: r["n_sessions"]
+            for r in QUERIES["events_sessionize"](spark, SF_SMOKE).collect()
+        }
+        gap_closed: dict[int, int] = {}
+        for r in rows:
+            if not r["by_timeout"]:
+                gap_closed[r["user_id"]] = gap_closed.get(r["user_id"], 0) + 1
+        for user, n_sessions in batch.items():
+            assert gap_closed.get(user, 0) == n_sessions - 1
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
