@@ -34,6 +34,7 @@ from chapterhousedb_spark.operators.similarity import (
 )
 from chapterhousedb_spark.operators.text import (
     lang_id,
+    pack_sequences,
     text_fingerprint,
     text_stats,
     token_count,
@@ -54,6 +55,7 @@ __all__ = [
     "minhash_signature",
     "ngram_jaccard_pairs",
     "normalize_text",
+    "pack_sequences",
     "release_self_join_caches",
     "simhash",
     "simhash_near_dup_pairs",

@@ -231,3 +231,61 @@ def text_fingerprint(
         .select("id", "md5_fp", "winnow_min", "winnow_max")
         .withColumnRenamed("id", id_col)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a
+    training-sequence id under a fixed token budget (the step that
+    turns a cleaned corpus into fixed-length pretraining rows).
+
+    Documents are dealt into `n_shards` streams by an md5 shard key
+    (engine-portable, like operators.sampling), concatenated in
+    deterministic (shard, id) order, and chunked every `budget` tokens:
+    a document belongs to the pack where it STARTS (standard
+    concat-then-chunk packing — the tokenizer later splits any straddle
+    across the boundary). Output: (id, n_tokens, shard, pack_id,
+    pack_offset) — pack_offset is the document's start position inside
+    its pack, so a downstream writer can materialize sequences without
+    re-scanning order.
+
+    Scale: ONE shuffle (hash on shard) + a per-shard sort window;
+    n_shards bounds parallelism and is part of the deterministic
+    layout, so fix it per corpus version (not per cluster size) — 32
+    shards x ~corpus/32 tokens each; raise it for very large corpora.
+    """
+    from pyspark.sql.window import Window
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__start")
+    return (
+        df.select(
+            F.col(id_col),
+            token_count(text_col).cast("long").alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        .select(id_col, "n_tokens", "shard", start)
+        .select(
+            id_col,
+            "n_tokens",
+            "shard",
+            F.floor(F.col("__start") / budget).cast("long").alias("pack_id"),
+            (F.col("__start") % budget).cast("long").alias("pack_offset"),
+        )
+    )

@@ -31,6 +31,7 @@ _DRIVER_FIRST = [
     "streaming_events_hourly",
     "pipeline_pretrain",
     "multimodal_meta",
+    "pack_sequences",
     "sample_split",
     "sample_fraction",
     "sample_stratified",
@@ -43,6 +44,7 @@ _DRIVER_LAST = [
     "distinct_pairs",
     "agg_grouping_sets",
     "text_repetition",
+    "text_chunks",
     # rows-only by design: hash-function/iteration-dependent results
     "agg_pricing_summary_double",
     "dedup_minhash",

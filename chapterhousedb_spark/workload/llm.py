@@ -35,6 +35,7 @@ from chapterhousedb_spark.operators.similarity import (
     srp_ann_topk,
 )
 from chapterhousedb_spark.operators.text import (
+    pack_sequences,
     _STOPWORDS,
     lang_id,
     repetition_stats,
@@ -605,3 +606,32 @@ def multimodal_meta_q(spark, sf_dir):
         F.octet_length(payload).alias("n_bytes"),
         F.floor(F.octet_length(payload) / 4096).cast("int").alias("n_chunks_4k"),
     )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             CAST(('0x' || substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 32 AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start
+      FROM t)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+           CAST(start % 512 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Sequence packing for pretraining: every document assigned to a
+    512-token concat-and-chunk pack inside its md5 shard (the corpus ->
+    fixed-length-training-rows step; operators/text.py pack_sequences).
+    Deterministic layout, oracle-replayed exactly in ANSI SQL."""
+    return pack_sequences(load(spark, sf_dir, "documents"), budget=512)

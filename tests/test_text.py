@@ -127,3 +127,42 @@ def test_repetition_stats_detects_duplicates(spark):
     assert rows[1]["dup_line_ratio"] == pytest.approx(0.5)  # 2 distinct of 4
     assert rows[2]["dup_token_ratio"] == 0.0
     assert rows[3]["dup_token_ratio"] == pytest.approx(0.75)
+
+
+def test_pack_sequences_invariants(spark):
+    """Every doc lands in exactly one pack; start offsets are the
+    running token sum within (shard, id) order; a doc starts inside the
+    budget window of its pack (concat-then-chunk semantics)."""
+    from chapterhousedb_spark.operators.text import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40))) for i in range(200)]
+    rows.append((999, "   "))  # blank -> 0 tokens, still assigned
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, budget=64, n_shards=4).collect()
+    assert len(out) == len(rows)
+    assert {r["doc_id"] for r in out} == {r[0] for r in rows}
+    assert all(0 <= r["shard"] < 4 for r in out)
+    assert all(0 <= r["pack_offset"] < 64 for r in out)
+    # replay the packing per shard in python
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        start = 0
+        for r in shard_rows:
+            assert r["pack_id"] == start // 64
+            assert r["pack_offset"] == start % 64
+            start += r["n_tokens"]
+    blank = next(r for r in out if r["doc_id"] == 999)
+    assert blank["n_tokens"] == 0
+
+
+def test_pack_sequences_deterministic(spark):
+    from chapterhousedb_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, f"tok {i} " * (i % 9 + 1)) for i in range(50)], ["doc_id", "text"]
+    )
+    a = sorted(map(tuple, pack_sequences(df, budget=32).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(7), budget=32).collect()))
+    assert a == b  # layout independent of input partitioning
