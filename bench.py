@@ -40,6 +40,8 @@ HEADLINE = [
     "sample_split",
     "pipeline_pretrain",
     "table_profile",
+    # round 4 additions
+    "pack_sequences",
 ]
 
 # queries whose output is wide/large: write to sink instead of collect

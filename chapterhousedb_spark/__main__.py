@@ -81,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
         "--results-dir", default=None, help="where materialized results land"
     )
     ap.add_argument(
+        "--explain",
+        action="store_true",
+        help="print each statement's optimized plan instead of executing",
+    )
+    ap.add_argument(
         "--shuffle-partitions", type=int, default=None, help="session override"
     )
     args = ap.parse_args(argv)
@@ -119,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     rc = 0
     try:
+        if args.explain:
+            from chapterhousedb_spark.sqlfront import split_statements
+
+            for i, stmt in enumerate(split_statements(text)):
+                print(f"-- [{i + 1}] plan: {stmt.strip()}")
+                print(eng.explain(stmt))
+            return 0
         # async submit of every statement up front (client_tui runs the
         # file's statements through one connection), then page each in
         # submission order as it completes

@@ -191,6 +191,18 @@ class Engine:
             for call in calls:
                 self.spark.catalog.dropTempView(call.view_name)
 
+    def explain(self, statement: str, formatted: bool = True) -> str:
+        """Optimized plan text for one statement WITHOUT executing it —
+        the engine's window into Catalyst (the reference logs its
+        logical/physical plan structs at planning time; here the plan
+        is also the performance contract, see plans/). formatted=True
+        gives the sectioned operator tree + details; False the compact
+        physical tree."""
+        from chapterhousedb_spark.plans import formatted_plan, physical_plan
+
+        df = self.dataframe(statement)
+        return formatted_plan(df) if formatted else physical_plan(df)
+
     def write(
         self,
         statement: str,

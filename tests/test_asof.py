@@ -141,3 +141,41 @@ def test_asof_join_tolerance_numeric(spark):
     )
     assert strict.collect()[0]["v"] is None   # gap 1 > 0.5
     assert loose.collect()[0]["v"] == "new"   # gap 1 <= 1
+
+
+def test_asof_join_tolerance_ntz(spark):
+    """TIMESTAMP_NTZ time columns (how Spark reads non-UTC-adjusted
+    parquet timestamps, e.g. the testdata events table) must take the
+    timestamp tolerance path — regression for the round-3 latent bug
+    where NTZ fell into the numeric branch and failed analysis."""
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:05:00"), (2, 100, "2024-01-01 00:30:00")],
+        ["event_id", "key", "etime"],
+    ).selectExpr("event_id", "key", "cast(etime as timestamp_ntz) etime")
+    right = spark.createDataFrame(
+        [(100, "2024-01-01 00:04:00", "q1")], ["rkey", "rtime", "quote"]
+    ).selectExpr("rkey", "cast(rtime as timestamp_ntz) rtime", "quote")
+    assert dict(left.dtypes)["etime"] == "timestamp_ntz"
+    out = asof_join(
+        left, right, left_on="etime", right_on="rtime",
+        left_by="key", right_by="rkey", tolerance=120.0,
+    )
+    got = {r["event_id"]: r["quote"] for r in out.collect()}
+    # event 1 is 60s after the quote (inside 120s); event 2 is 26min after
+    assert got == {1: "q1", 2: None}
+
+
+def test_asof_join_tolerance_date(spark):
+    """DateType columns: tolerance counts DAYS via datediff."""
+    left = spark.createDataFrame(
+        [(1, 9, "2024-01-10"), (2, 9, "2024-02-01")], ["event_id", "key", "d"]
+    ).selectExpr("event_id", "key", "cast(d as date) d")
+    right = spark.createDataFrame(
+        [(9, "2024-01-08", "r1")], ["rkey", "rd", "tag"]
+    ).selectExpr("rkey", "cast(rd as date) rd", "tag")
+    out = asof_join(
+        left, right, left_on="d", right_on="rd",
+        left_by="key", right_by="rkey", tolerance=7,
+    )
+    got = {r["event_id"]: r["tag"] for r in out.collect()}
+    assert got == {1: "r1", 2: None}  # 2 days in, 24 days out

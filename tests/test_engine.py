@@ -408,3 +408,17 @@ def test_compact_small_files(engine, sf_dir, tmp_path_factory):
     ranges.sort()
     assert all(ranges[i][1] <= ranges[i + 1][0] for i in range(len(ranges) - 1))
     eng.close()
+
+
+def test_explain_returns_plan_without_executing(engine):
+    plan = engine.explain(
+        "select l_returnflag, count(*) as n "
+        "from read_files('lineitem.parquet', connection=>'testdata') "
+        "where l_quantity > 10 group by l_returnflag"
+    )
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    assert "PushedFilters" in plan  # formatted mode shows scan details
+    compact = engine.explain(
+        "select 1 as x", formatted=False
+    )
+    assert "Project" in compact or "Scan" in compact or "OneRowRelation" in compact
