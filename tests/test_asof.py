@@ -179,3 +179,79 @@ def test_asof_join_tolerance_date(spark):
     )
     got = {r["event_id"]: r["tag"] for r in out.collect()}
     assert got == {1: "r1", 2: None}  # 2 days in, 24 days out
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property test: asof_join == pandas.merge_asof (by-key, backward,
+    inclusive, with tolerance) over randomized inputs. Right (key, ts)
+    pairs are unique — the documented tie contract (callers dedup ties
+    like the asof_join_events query does)."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    ts0 = 1_700_000_000
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.data(),
+        st.integers(min_value=1, max_value=4),   # n keys
+        st.integers(min_value=0, max_value=12),  # n left rows
+        st.integers(min_value=0, max_value=8),   # n right rows
+    )
+    def run(data, n_keys, n_left, n_right):
+        left_rows = [
+            (
+                i,
+                data.draw(st.integers(1, n_keys)),
+                ts0 + data.draw(st.integers(0, 3600)),
+            )
+            for i in range(n_left)
+        ]
+        right_seen: set[tuple[int, int]] = set()
+        right_rows = []
+        for j in range(n_right):
+            k = data.draw(st.integers(1, n_keys))
+            t = ts0 + data.draw(st.integers(0, 3600))
+            if (k, t) in right_seen:
+                continue
+            right_seen.add((k, t))
+            right_rows.append((k, t, float(j)))
+        tol = data.draw(st.one_of(st.none(), st.integers(1, 1800)))
+
+        left = spark.createDataFrame(
+            left_rows or [(None, None, None)], "event_id long, key long, t long"
+        ).filter("event_id is not null").selectExpr(
+            "event_id", "key", "timestamp_seconds(t) as t"
+        )
+        right = spark.createDataFrame(
+            right_rows or [(None, None, None)], "rkey long, rt long, val double"
+        ).filter("rkey is not null").selectExpr(
+            "rkey", "timestamp_seconds(rt) as rt", "val"
+        )
+        got = {
+            r["event_id"]: r["val"]
+            for r in asof_join(
+                left, right, left_on="t", right_on="rt",
+                left_by="key", right_by="rkey",
+                tolerance=float(tol) if tol is not None else None,
+            ).collect()
+        }
+
+        lp = pd.DataFrame(left_rows, columns=["event_id", "key", "t"]).sort_values("t")
+        rp = pd.DataFrame(right_rows, columns=["key", "t", "val"]).sort_values("t")
+        lp["t"] = pd.to_datetime(lp["t"], unit="s")
+        rp["t"] = pd.to_datetime(rp["t"], unit="s")
+        if len(lp) and len(rp):
+            m = pd.merge_asof(
+                lp, rp, on="t", by="key", direction="backward",
+                tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
+            )
+            expected = {
+                int(r.event_id): (None if pd.isna(r.val) else float(r.val))
+                for r in m.itertuples()
+            }
+        else:
+            expected = {int(i): None for i, _, _ in left_rows}
+        assert got == expected
+
+    run()
