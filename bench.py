@@ -55,7 +55,16 @@ def run_query(spark, name: str, sf_dir: str, sink_root: str) -> float:
         df.write.mode("overwrite").parquet(os.path.join(sink_root, name))
     else:
         df.collect()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # the dedup/similarity queries persist self-join intermediates;
+    # release them between queries so cached state never occupies
+    # executor memory during later queries (unpersist is async driver
+    # bookkeeping — kept outside the measured window, matching how
+    # earlier rounds' numbers were recorded)
+    from chapterhousedb_spark.operators.dedup import release_self_join_caches
+
+    release_self_join_caches()
+    return elapsed
 
 
 def _previous_round_times() -> tuple[int | None, dict[str, float]]:
