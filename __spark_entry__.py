@@ -8,7 +8,9 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 The declared inventory lives in chapterhousedb_spark.workload:
 relational.py (reference-parity scan/filter/project/order-by plus the
 beyond-reference joins/aggs/windows/set-ops/CTE surface), llm.py
-(dedup / similarity / text analysis / multimodal), temporal.py
+(dedup / similarity / text analysis / sequence packing / multimodal),
+lifecycle.py (engine materialize roundtrip + streaming under the hash
+gate), temporal.py
 (event-stream batch twins incl. the as-of join operator).
 """
 
