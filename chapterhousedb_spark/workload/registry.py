@@ -45,6 +45,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # SparkSession where build_session()'s conf is absent; without
         # this, reading TIMESTAMP(NANOS) throws PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Same defense for the timezone: the NTZ->LTZ cast below and
+        # every downstream unix_timestamp/date_trunc interpret wall
+        # clocks in the SESSION zone; DuckDB reads the file naive. Only
+        # UTC makes them agree, so don't inherit the harness JVM's zone.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         from pyspark.sql import functions as F
