@@ -115,3 +115,13 @@ def test_sampling_is_scanside_filter_no_shuffle(spark, sf_dir):
     plan = deterministic_sample(docs, 0.25, salt="s")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_single_shuffle_jvm_only(spark):
+    """Sequence packing = exactly one Exchange (hash on shard) feeding
+    the per-shard sort window; md5/conv/window all stay in codegen."""
+    plan = physical_plan(q("pack_sequences", spark))
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan") == 1
