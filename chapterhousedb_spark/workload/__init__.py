@@ -45,6 +45,7 @@ _DRIVER_LAST = [
     "agg_grouping_sets",
     "text_repetition",
     "text_chunks",
+    "join_skew_salted",
     # rows-only by design: hash-function/iteration-dependent results
     "agg_pricing_summary_double",
     "dedup_minhash",

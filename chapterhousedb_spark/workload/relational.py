@@ -438,6 +438,39 @@ def join_range_bands(spark, sf_dir):
     )
 
 
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('l.l_extendedprice')} AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Salted skew join (operators/skew.py): the fact side spreads each
+    hot key over `salt` reduce tasks, the dim side replicates per salt.
+    Results must equal the UNSALTED join exactly — the oracle is the
+    plain SQL join, pinning the semantic-no-op property on real data
+    (unit tests in tests/test_skew.py pin the plan shape + cost
+    model)."""
+    from chapterhousedb_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, on="l_orderkey", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
