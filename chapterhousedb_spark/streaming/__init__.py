@@ -5,6 +5,7 @@ from chapterhousedb_spark.streaming.batcher import (
     asof_enrich_stream,
     dedup_stream,
     enrich_stream,
+    interval_join_streams,
     read_event_stream,
     run_available_now,
     sessionize_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "asof_enrich_stream",
     "dedup_stream",
     "enrich_stream",
+    "interval_join_streams",
     "read_event_stream",
     "run_available_now",
     "sessionize_stream",

@@ -256,6 +256,42 @@ def asof_enrich_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    max_delay_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: left rows matched to right rows of
+    the same key whose time falls in [left_ts, left_ts +
+    max_delay_seconds] — e.g. every purchase within an hour AFTER each
+    click, BOTH sides unbounded streams (enrich_stream covers the
+    stream-static case; asof_enrich_stream the latest-one-only case —
+    this emits ALL matches in the window).
+
+    State bounds come from the pair (watermark on both sides + a time
+    range condition on both event times): Spark derives how long each
+    side's rows can still match and evicts state past that horizon —
+    without the range condition a stream-stream join buffers forever.
+    left_ts/right_ts must be distinct column names (rename before the
+    call); output carries all columns of both sides.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])
+
+
 def dedup_stream(
     events: DataFrame,
     id_cols: list[str] | None = None,
