@@ -86,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
         help="print each statement's optimized plan instead of executing",
     )
     ap.add_argument(
+        "--pool",
+        default=None,
+        help="FAIR scheduler pool for the file's statements "
+        "(needs a FAIR-mode session; see build_session(fair_pools=...))",
+    )
+    ap.add_argument(
         "--shuffle-partitions", type=int, default=None, help="session override"
     )
     args = ap.parse_args(argv)
@@ -134,7 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         # async submit of every statement up front (client_tui runs the
         # file's statements through one connection), then page each in
         # submission order as it completes
-        handles = eng.sql(text)
+        handles = eng.sql(text, pool=args.pool)
         for i, h in enumerate(handles):
             h.wait()
             print(f"-- [{i + 1}/{len(handles)}] {h.status.value}: {h.sql.strip()}")
