@@ -12,6 +12,7 @@ driver-side loops), Pandas UDFs only where Python is genuinely needed
 from chapterhousedb_spark.operators.asof import asof_join
 from chapterhousedb_spark.operators.dedup import (
     char_shingle_posts,
+    contamination_pairs,
     exact_dedup,
     minhash_near_dup_pairs,
     minhash_signature,
@@ -43,6 +44,7 @@ from chapterhousedb_spark.operators.text import (
 __all__ = [
     "asof_join",
     "char_shingle_posts",
+    "contamination_pairs",
     "cosine_topk",
     "embedding_near_dup_pairs",
     "exact_dedup",

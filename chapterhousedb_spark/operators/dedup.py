@@ -466,3 +466,64 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-corpus contamination detection: (corpus_id, probe_id,
+    containment) where containment is the fraction of the probe
+    document's distinct word k-grams that appear in the corpus
+    document. The decontamination step of a training pipeline — find
+    benchmark/eval documents leaked into the training corpus — uses
+    exactly this metric (containment, not Jaccard: a short benchmark
+    item inside a long web page has tiny Jaccard but containment ~1).
+
+    Bipartite inverted-index construction (no self-join, no cross
+    join): both sides explode to distinct (id, gram) postings, the join
+    key is the gram, co-occurrence counts give the intersection, and
+    the probe's posting count is the denominator. Probe docs with
+    fewer than k tokens emit no grams and cannot be flagged — report
+    them separately if the probe set may contain ultra-short items.
+
+    max_doc_freq caps the CORPUS-side document frequency (a gram in d
+    corpus docs contributes d candidates per probe posting). Capped
+    grams can no longer attest containment, so with a cap the score is
+    a LOWER bound — sound for flagging (no false positives from stop
+    grams), never complete. None = exact.
+    """
+    cg = word_shingle_posts(corpus, text_col, id_col, ngram_k).dropDuplicates(
+        ["id", "shingle"]
+    ).withColumnRenamed("id", "corpus_id")
+    if max_doc_freq is not None:
+        rare = (
+            cg.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        cg = cg.join(rare, "shingle").select("corpus_id", "shingle")
+    pg = word_shingle_posts(probe, text_col, id_col, ngram_k).dropDuplicates(
+        ["id", "shingle"]
+    ).withColumnRenamed("id", "probe_id")
+    psize = pg.groupBy("probe_id").agg(F.count(F.lit(1)).alias("__n_p"))
+    inter = (
+        cg.join(pg, "shingle")
+        .groupBy("corpus_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    return (
+        inter.join(psize, "probe_id")
+        .select(
+            "corpus_id",
+            "probe_id",
+            (F.col("__i").cast("double") / F.col("__n_p")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -46,6 +46,7 @@ _DRIVER_LAST = [
     "text_repetition",
     "text_chunks",
     "join_skew_salted",
+    "contamination_check",
     # rows-only by design: hash-function/iteration-dependent results
     "agg_pricing_summary_double",
     "dedup_minhash",

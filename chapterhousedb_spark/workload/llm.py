@@ -17,6 +17,7 @@ from chapterhousedb_spark.operators.cluster import (
     dedup_survivors,
 )
 from chapterhousedb_spark.operators.dedup import (
+    contamination_pairs,
     exact_dedup,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
@@ -635,3 +636,39 @@ def pack_sequences_q(spark, sf_dir):
     fixed-length-training-rows step; operators/text.py pack_sequences).
     Deterministic layout, oracle-replayed exactly in ANSI SQL."""
     return pack_sequences(load(spark, sf_dir, "documents"), budget=512)
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH cposts AS (
+      SELECT doc_id AS corpus_id, unnest(list_distinct(list_transform(
+               generate_series(1, len({_TOKS}) - 7),
+               i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2] || ' ' || {_TOKS}[i+3] || ' ' || {_TOKS}[i+4] || ' ' || {_TOKS}[i+5] || ' ' || {_TOKS}[i+6] || ' ' || {_TOKS}[i+7]
+             ))) AS g
+      FROM documents WHERE len({_TOKS}) >= 8),
+    pposts AS (
+      SELECT corpus_id AS probe_id, g FROM cposts WHERE corpus_id % 17 = 0),
+    psize AS (
+      SELECT probe_id, COUNT(*) AS n_p FROM pposts GROUP BY probe_id),
+    inter AS (
+      SELECT c.corpus_id, p.probe_id, COUNT(*) AS i
+      FROM cposts c JOIN pposts p USING (g)
+      GROUP BY c.corpus_id, p.probe_id)
+    SELECT CAST(inter.corpus_id AS BIGINT) AS corpus_id,
+           CAST(inter.probe_id AS BIGINT) AS probe_id,
+           CAST(i AS DOUBLE) / n_p AS containment
+    FROM inter JOIN psize USING (probe_id)
+    WHERE CAST(i AS DOUBLE) / n_p >= 0.8
+    """,
+)
+def contamination_check_q(spark, sf_dir):
+    """Decontamination sweep: every 17th document plays the benchmark
+    set; containment (fraction of the probe's distinct word 8-grams
+    found in a corpus doc) >= 0.8 flags a leak. Bipartite inverted-index
+    join (operators/dedup.py contamination_pairs) — the training-
+    pipeline step that keeps eval data out of the corpus. Self-matches
+    (probe docs ARE in the corpus here) must all flag at 1.0."""
+    docs = load(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_pairs(docs, probe, ngram_k=8, threshold=0.8)

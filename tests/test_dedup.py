@@ -235,3 +235,60 @@ def test_self_join_caches_are_released(spark):
     assert release_self_join_caches() == 3
     assert n_cached() == base
     assert release_self_join_caches() == 0  # idempotent
+
+
+def test_contamination_pairs_flags_leaked_probe_docs(spark):
+    """A probe doc whose text sits verbatim inside a corpus doc must
+    flag at containment 1.0; a half-overlapping one scores its true
+    gram fraction; unrelated docs never flag."""
+    from chapterhousedb_spark.operators.dedup import contamination_pairs
+
+    bench_q = "what is the capital of france and when was it founded exactly"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"some web page text {bench_q} plus trailing boilerplate here"),
+            (2, "a completely different page about gardening tools and soil"),
+            (3, "what is the capital of france and nothing else matters here today"),
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame([(100, bench_q)], ["doc_id", "text"])
+    got = {
+        (r["corpus_id"], r["probe_id"]): r["containment"]
+        for r in contamination_pairs(
+            corpus, probe, ngram_k=5, threshold=0.3
+        ).collect()
+    }
+    assert got[(1, 100)] == 1.0  # verbatim inclusion
+    assert 0.3 <= got.get((3, 100), 0) < 1.0  # partial prefix overlap
+    assert not any(c == 2 for c, _ in got)
+
+
+def test_contamination_df_cap_is_lower_bound(spark):
+    """With a corpus-side df cap, stop grams can no longer attest:
+    scores only ever decrease, and hot-gram-only matches vanish."""
+    from chapterhousedb_spark.operators.dedup import contamination_pairs
+
+    hot = "the quick brown fox jumps again"
+    corpus = spark.createDataFrame(
+        [(i, hot) for i in range(20)] + [(99, "rare specific benchmark answer text here")],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(1000, hot), (1001, "rare specific benchmark answer text here")],
+        ["doc_id", "text"],
+    )
+    full = {
+        (r["corpus_id"], r["probe_id"]): r["containment"]
+        for r in contamination_pairs(corpus, probe, ngram_k=3, threshold=0.5).collect()
+    }
+    capped = {
+        (r["corpus_id"], r["probe_id"]): r["containment"]
+        for r in contamination_pairs(
+            corpus, probe, ngram_k=3, threshold=0.5, max_doc_freq=5
+        ).collect()
+    }
+    assert all(full[k] == 1.0 for k in full)
+    assert (99, 1001) in capped  # rare-gram leak still flags
+    assert not any(p == 1000 for _, p in capped)  # hot-gram matches gone
+    assert all(capped[k] <= full[k] for k in capped)
