@@ -47,6 +47,14 @@ HEADLINE = [
 # queries whose output is wide/large: write to sink instead of collect
 _WRITE_SINK = {"scan_filter_project", "text_stats", "asof_join_events"}
 
+# Host-speed anchor: the driver's round-4 calibration triple (BENCH_r04.json,
+# committed as the canonical anchor in BASELINE.md §host-calibration).
+# host_factor = this run's spark_range_sum_sec / anchor; a value of ~1.0 means
+# "same host speed as round 4"; round 2's record-fast host would have measured
+# ~0.72. spark_range_sum is the normalizer because it prices the same JVM
+# scheduler + codegen constant costs that dominate sub-second query times.
+_ANCHOR_SPARK_RANGE_SUM_SEC = 1.164
+
 
 def run_query(spark, name: str, sf_dir: str, sink_root: str) -> float:
     t0 = time.perf_counter()
@@ -67,13 +75,16 @@ def run_query(spark, name: str, sf_dir: str, sink_root: str) -> float:
     return elapsed
 
 
-def _previous_round_times() -> tuple[int | None, dict[str, float]]:
-    """Latest BENCH_r<N>.json next to this script, for round deltas."""
+def _previous_round_times() -> tuple[int | None, dict[str, float], float | None]:
+    """Latest BENCH_r<N>.json next to this script, for round deltas.
+
+    Returns (round_n, per-query times, that round's host_factor or None
+    if it predates the calibration probes)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best_times = None, {}
+    best_n, best_times, best_factor = None, {}, None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
@@ -89,8 +100,13 @@ def _previous_round_times() -> tuple[int | None, dict[str, float]]:
             parsed = obj.get("parsed") or obj
             times = parsed.get("queries") or {}
             if times:
+                cal = parsed.get("calibration") or {}
+                sp = cal.get("spark_range_sum_sec")
                 best_n, best_times = n, times
-    return best_n, best_times
+                best_factor = (
+                    round(sp / _ANCHOR_SPARK_RANGE_SUM_SEC, 3) if sp else None
+                )
+    return best_n, best_times, best_factor
 
 
 def _calibration(spark) -> dict[str, float]:
@@ -134,9 +150,23 @@ def main() -> None:
             times[name] = round(run_query(spark, name, sf_dir, sink_root), 3)
         total = round(sum(times.values()), 3)
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-        prev_n, prev = _previous_round_times()
+        prev_n, prev, prev_factor = _previous_round_times()
         deltas = {
             q: round(times[q] - prev[q], 3) for q in times if q in prev
+        }
+        # Host-normalized view: divide each side by its round's host_factor
+        # before differencing, so a uniformly slower/faster sandbox host
+        # (round 4 measured ~1.4x flat vs round 2) reads as ~0 delta and
+        # only genuine plan changes stand out. Rounds without calibration
+        # (r1-r3) normalize as factor 1.0 — their deltas stay raw.
+        host_factor = round(
+            calibration["spark_range_sum_sec"] / _ANCHOR_SPARK_RANGE_SUM_SEC, 3
+        )
+        pf = prev_factor or 1.0
+        deltas_norm = {
+            q: round(times[q] / host_factor - prev[q] / pf, 3)
+            for q in times
+            if q in prev
         }
         print(
             json.dumps(
@@ -148,6 +178,9 @@ def main() -> None:
                     "sf": float(sf) if sf else None,
                     "prev_round": prev_n,
                     "deltas_vs_prev": deltas,
+                    "host_factor": host_factor,
+                    "prev_host_factor": prev_factor,
+                    "deltas_vs_prev_host_normalized": deltas_norm,
                     "calibration": calibration,
                 }
             )
