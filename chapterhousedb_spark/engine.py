@@ -435,3 +435,8 @@ class Engine:
 
     def close(self) -> None:
         self._pool.shutdown(wait=True)
+        # release only THIS engine's session-scoped self-join caches —
+        # a concurrent Engine on another SparkSession keeps its own
+        from chapterhousedb_spark.operators.dedup import release_self_join_caches
+
+        release_self_join_caches(self.spark)

@@ -13,6 +13,7 @@ from chapterhousedb_spark.operators.asof import asof_join
 from chapterhousedb_spark.operators.dedup import (
     char_shingle_posts,
     contamination_pairs,
+    contamination_short_probes,
     exact_dedup,
     minhash_near_dup_pairs,
     minhash_signature,
@@ -45,6 +46,7 @@ __all__ = [
     "asof_join",
     "char_shingle_posts",
     "contamination_pairs",
+    "contamination_short_probes",
     "cosine_topk",
     "embedding_near_dup_pairs",
     "exact_dedup",

@@ -92,12 +92,17 @@ def asof_join(
     )
     if tolerance is not None:
         t_type = left.schema[left_on].dataType
-        if isinstance(t_type, (T.TimestampType, T.TimestampNTZType)):
-            # NTZ: cast to the session zone first (unix_micros requires
-            # LTZ); the gap is a difference so the zone shift cancels
-            gap = F.unix_micros(F.col("__t").cast("timestamp")) - F.unix_micros(
-                F.col("__f.__rt").cast("timestamp")
-            )
+        if isinstance(t_type, T.TimestampNTZType):
+            # NTZ carries no zone: the gap is the WALL-CLOCK difference,
+            # computed with timestampdiff directly on the NTZ values so
+            # it is independent of spark.sql.session.timeZone. (Casting
+            # to session-zone timestamp and differencing unix_micros is
+            # wrong for pairs straddling a DST transition in a non-UTC
+            # session — off by the offset change; verified.)
+            gap = F.expr("timestampdiff(MICROSECOND, __f.__rt, __t)")
+            max_gap = F.lit(int(tolerance * 1_000_000))
+        elif isinstance(t_type, T.TimestampType):
+            gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__f.__rt"))
             max_gap = F.lit(int(tolerance * 1_000_000))
         elif isinstance(t_type, T.DateType):
             gap = F.datediff(F.col("__t"), F.col("__f.__rt"))

@@ -23,15 +23,25 @@ scales: no giant per-row arrays, partial agg before every shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import threading
+import weakref
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
 # persisted self-join intermediates not yet released (see
 # release_self_join_caches) — the pair DataFrames are returned lazily,
-# so the operator itself can never know when it is safe to unpersist
-_SELF_JOIN_CACHES: list[DataFrame] = []
+# so the operator itself can never know when it is safe to unpersist.
+# Keyed per SparkSession (weakly, so a dropped session's entry vanishes
+# with it): Engine.submit runs jobs on a ThreadPoolExecutor, and with a
+# flat global list a release from one engine/session could unpersist
+# another session's intermediate mid-query.
+_SELF_JOIN_CACHES: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+_CACHES_LOCK = threading.Lock()
 
 
 def _persist_for_self_join(df: DataFrame, persist: bool) -> DataFrame:
@@ -53,19 +63,30 @@ def _persist_for_self_join(df: DataFrame, persist: bool) -> DataFrame:
     if not persist:
         return df
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _SELF_JOIN_CACHES.append(df)
+    with _CACHES_LOCK:
+        _SELF_JOIN_CACHES.setdefault(df.sparkSession, []).append(df)
     return df
 
 
-def release_self_join_caches() -> int:
-    """Unpersist every tracked self-join intermediate (dedup +
-    similarity blocking caches); returns how many were released. Call
-    after materializing pair outputs — the streaming-agg twin of
-    cluster.py's in-operator sym.unpersist(), which the lazily-returned
-    pair DataFrames cannot do for themselves."""
+def release_self_join_caches(spark: SparkSession | None = None) -> int:
+    """Unpersist tracked self-join intermediates (dedup + similarity
+    blocking caches); returns how many were released. Call after
+    materializing pair outputs — the streaming-agg twin of cluster.py's
+    in-operator sym.unpersist(), which the lazily-returned pair
+    DataFrames cannot do for themselves.
+
+    With `spark` given, releases only that session's caches (what
+    Engine.close does), leaving concurrent engines on other sessions
+    untouched; None releases every session's (single-session scripts,
+    bench.py)."""
+    with _CACHES_LOCK:
+        if spark is not None:
+            dfs = _SELF_JOIN_CACHES.pop(spark, [])
+        else:
+            dfs = [d for lst in _SELF_JOIN_CACHES.values() for d in lst]
+            _SELF_JOIN_CACHES.clear()
     n = 0
-    while _SELF_JOIN_CACHES:
-        df = _SELF_JOIN_CACHES.pop()
+    for df in dfs:
         df.unpersist()
         n += 1
     return n
@@ -526,4 +547,24 @@ def contamination_pairs(
             (F.col("__i").cast("double") / F.col("__n_p")).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def contamination_short_probes(
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+) -> DataFrame:
+    """(probe_id, n_tokens): probe documents too short to emit any
+    word k-gram — contamination_pairs structurally cannot flag them
+    (they produce zero postings), so a decontamination sweep must
+    report them for separate handling (exact-match or shorter-gram
+    screening). Pure projection + filter, no shuffle."""
+    return (
+        probe.select(
+            F.col(id_col).alias("probe_id"),
+            F.size(F.split(normalize_text(text_col), " ")).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") < ngram_k)
     )

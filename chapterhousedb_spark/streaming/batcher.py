@@ -210,7 +210,12 @@ def asof_enrich_stream(
         batch = pd.concat(list(pdfs), ignore_index=True)
         # no leading underscore: itertuples mangles private names
         batch["ts_us"] = pd.to_datetime(batch["ts"]).astype("int64") // 1000
-        batch = batch.sort_values(["ts_us", "event_id"])
+        # at equal timestamps, apply right-type rows (purchases) before
+        # left-type rows so an exactly-tied purchase is visible to the
+        # click's inclusive at-or-before match — same tie order as the
+        # batch asof_join's union-sort (operators/asof.py)
+        batch["rk"] = (batch["event_type"] != right_type).astype("int64")
+        batch = batch.sort_values(["ts_us", "rk", "event_id"])
         for r in batch.itertuples(index=False):
             if r.event_type == right_type:
                 i = bisect.bisect_right(p_ts, r.ts_us)

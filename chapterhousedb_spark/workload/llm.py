@@ -668,7 +668,19 @@ def contamination_check_q(spark, sf_dir):
     found in a corpus doc) >= 0.8 flags a leak. Bipartite inverted-index
     join (operators/dedup.py contamination_pairs) — the training-
     pipeline step that keeps eval data out of the corpus. Self-matches
-    (probe docs ARE in the corpus here) must all flag at 1.0."""
+    (probe docs ARE in the corpus here) must all flag at 1.0.
+
+    max_doc_freq=256 is the scale guard: a word 8-gram present in
+    hundreds of corpus documents is boilerplate/template text, not
+    contamination evidence, and uncapped it contributes df candidates
+    per probe posting — the one place a stop-gram could blow up the
+    join at 100x. The cap keeps this declared query EXACT (the oracle
+    runs uncapped): the highest 8-gram document frequency in the sf0.01
+    corpus is 3 (measured; near-dup cluster size), far under 256, so
+    the df filter drops nothing here. Probes too short to emit any
+    8-gram are reported by contamination_short_probes (tested)."""
     docs = load(spark, sf_dir, "documents")
     probe = docs.filter(F.col("doc_id") % 17 == 0)
-    return contamination_pairs(docs, probe, ngram_k=8, threshold=0.8)
+    return contamination_pairs(
+        docs, probe, ngram_k=8, threshold=0.8, max_doc_freq=256
+    )

@@ -165,6 +165,44 @@ def test_asof_join_tolerance_ntz(spark):
     assert got == {1: "q1", 2: None}
 
 
+def test_asof_join_tolerance_ntz_dst_non_utc(spark):
+    """NTZ tolerance must be the WALL-CLOCK gap regardless of
+    spark.sql.session.timeZone (ADVICE r4): under America/New_York the
+    2024-03-10 02:00 spring-forward means the session-zone-cast
+    difference between 01:30 and 03:30 NTZ is 3600s, but the wall-clock
+    gap is 7200s — with tolerance 5400s the pair must NOT match."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        left = spark.createDataFrame(
+            [(1, 7, "2024-03-10 03:30:00"), (2, 7, "2024-03-10 03:15:00")],
+            ["event_id", "key", "etime"],
+        ).selectExpr("event_id", "key", "cast(etime as timestamp_ntz) etime")
+        right = spark.createDataFrame(
+            [(7, "2024-03-10 01:30:00", "q1"), (7, "2024-03-10 03:00:00", "q2")],
+            ["rkey", "rtime", "quote"],
+        ).selectExpr("rkey", "cast(rtime as timestamp_ntz) rtime", "quote")
+        out = asof_join(
+            left, right, left_on="etime", right_on="rtime",
+            left_by="key", right_by="rkey", tolerance=5400.0,
+        )
+        got = {r["event_id"]: r["quote"] for r in out.collect()}
+        # event 2 matches q2 (900s gap); event 1's nearest is also q2
+        # (1800s, inside); drop q2 and event 1 would fall to q1 at a
+        # 7200s wall gap — outside 5400s even though the zone-cast gap
+        # is only 3600s
+        assert got == {1: "q2", 2: "q2"}
+        out2 = asof_join(
+            left.filter("event_id = 1"),
+            right.filter("quote = 'q1'"),
+            left_on="etime", right_on="rtime",
+            left_by="key", right_by="rkey", tolerance=5400.0,
+        )
+        assert [r["quote"] for r in out2.collect()] == [None]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_asof_join_tolerance_date(spark):
     """DateType columns: tolerance counts DAYS via datediff."""
     left = spark.createDataFrame(

@@ -237,6 +237,27 @@ def test_self_join_caches_are_released(spark):
     assert release_self_join_caches() == 0  # idempotent
 
 
+def test_self_join_caches_scoped_per_session(spark):
+    """Caches are keyed per SparkSession: releasing one engine's session
+    must not unpersist a concurrent engine's intermediates (VERDICT r4
+    wrong #1 — Engine.submit runs on a thread pool, so a flat global
+    list was a cross-engine hazard)."""
+    from chapterhousedb_spark.operators.dedup import release_self_join_caches
+
+    release_self_join_caches()  # clean slate across all sessions
+    other = spark.newSession()
+    rows = [(i, f"doc {i} text body " * 3) for i in range(10)]
+    df_a = spark.createDataFrame(rows, ["doc_id", "text"])
+    df_b = other.createDataFrame(rows, ["doc_id", "text"])
+    minhash_near_dup_pairs(df_a).count()
+    minhash_near_dup_pairs(df_b).count()
+    # releasing session A leaves session B's cache tracked and cached
+    assert release_self_join_caches(spark) == 1
+    assert release_self_join_caches(spark) == 0
+    assert release_self_join_caches(other) == 1
+    assert release_self_join_caches() == 0
+
+
 def test_contamination_pairs_flags_leaked_probe_docs(spark):
     """A probe doc whose text sits verbatim inside a corpus doc must
     flag at containment 1.0; a half-overlapping one scores its true
@@ -292,3 +313,33 @@ def test_contamination_df_cap_is_lower_bound(spark):
     assert (99, 1001) in capped  # rare-gram leak still flags
     assert not any(p == 1000 for _, p in capped)  # hot-gram matches gone
     assert all(capped[k] <= full[k] for k in capped)
+
+
+def test_contamination_short_probes_reported(spark):
+    """Probe docs with fewer than k tokens emit no k-grams and can
+    never be flagged by contamination_pairs — the short-probe report
+    must list exactly those (VERDICT r4 next #4)."""
+    from chapterhousedb_spark.operators.dedup import (
+        contamination_pairs,
+        contamination_short_probes,
+    )
+
+    probe = spark.createDataFrame(
+        [
+            (1, "too short"),
+            (2, "one two three four five six seven eight"),
+            (3, "  Spaced   OUT  "),  # 2 tokens after normalization
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame([(50, "too short")], ["doc_id", "text"])
+    short = {
+        r["probe_id"]: r["n_tokens"]
+        for r in contamination_short_probes(probe, ngram_k=8).collect()
+    }
+    assert short == {1: 2, 3: 2}
+    # and indeed the pairs op is blind to them, even verbatim matches
+    flagged = contamination_pairs(
+        corpus, probe, ngram_k=8, threshold=0.1
+    ).collect()
+    assert flagged == []

@@ -272,6 +272,51 @@ def test_asof_enrich_stream_matches_batch_asof(spark, tmp_path_factory):
     assert got == expected
 
 
+def test_asof_enrich_stream_equal_ts_tie(spark, tmp_path_factory):
+    """A purchase sharing a click's exact timestamp must be applied
+    BEFORE the click within a micro-batch (inclusive at-or-before
+    match, same tie order as batch asof_join) even when the purchase's
+    event_id is larger — ADVICE r4: a (ts_us, event_id) sort processed
+    the click first and missed the tied purchase."""
+    import datetime as dt
+    import os
+
+    from chapterhousedb_spark.streaming.batcher import asof_enrich_stream
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # click has the SMALLER event_id, purchase ties on ts
+        (1, 3, t, "click", 0.0),
+        (1, 5, t, "purchase", 9.5),
+        # control: later click sees the same purchase
+        (1, 8, t + dt.timedelta(minutes=1), "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    d = str(tmp_path_factory.mktemp("asof_tie"))
+    ev.coalesce(1).write.parquet(os.path.join(d, "f0"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        asof_enrich_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asof_tie")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["purchase_event_id"]
+        for r in spark.sql("select * from asof_tie").collect()
+    }
+    assert got == {3: 5, 8: 5}
+
+
 def test_asof_enrich_stream_state_is_pruned(spark, tmp_path_factory):
     """Purchases older than the watermark (except the newest reachable
     one) must leave state: drain a stream whose watermark advances far
