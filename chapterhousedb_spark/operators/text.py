@@ -289,3 +289,76 @@ def pack_sequences(
             (F.col("__start") % budget).cast("long").alias("pack_offset"),
         )
     )
+
+
+def pack_materialize(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Materialize the packs pack_sequences assigns: one row per
+    (shard, pack_id) holding the actual token sequence — (shard,
+    pack_id, n_tokens, tokens array<string>). Every row carries exactly
+    `budget` tokens except each shard's final (tail) pack.
+
+    Same deterministic layout as pack_sequences (identical shard key,
+    (shard, id) concat order, whitespace tokens of the trimmed text) —
+    the two are consistency-tested against each other: a document
+    assigned (pack_id, pack_offset) finds its first token at exactly
+    that offset of that pack.
+
+    Scale: the start-position window is one hash shuffle on shard; the
+    per-token explode then feeds a groupBy (shard, pack_id) whose
+    map-side partial aggregation assembles each pack WITHIN its shard
+    partition (a pack never spans shards), so the second exchange moves
+    one budget-bounded token array per pack — the output itself, no
+    token-granular shuffle. No driver collection, no Python UDFs.
+    """
+    from pyspark.sql.window import Window
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    base = (
+        df.select(F.col(id_col), shard.alias("shard"), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .withColumn("__start", F.sum("__n").over(w) - F.col("__n"))
+    )
+    tokens = base.select(
+        "shard",
+        "__start",
+        F.posexplode("__toks").alias("__pos", "tok"),
+    ).select(
+        "shard",
+        (F.col("__start") + F.col("__pos")).alias("__g"),
+        "tok",
+    )
+    return (
+        tokens.groupBy(
+            "shard", F.floor(F.col("__g") / budget).cast("long").alias("pack_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((F.col("__g") % budget).alias("o"), "tok"))
+                ),
+                lambda x: x["tok"],
+            ).alias("tokens"),
+        )
+        .select("shard", "pack_id", "n_tokens", "tokens")
+    )

@@ -144,3 +144,153 @@ def streaming_events_hourly_q(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_events_hourly_files",
+    oracle="""
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, m
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def streaming_events_hourly_files_q(spark, sf_dir):
+    """The PRODUCTION shape of streaming_events_hourly: the watermarked
+    hourly counts drain through a PARQUET sink in append mode
+    (run_available_now) and the returned rows are the files read back —
+    so the hash gate pins the whole path landing zone -> micro-batches
+    -> windowed state -> finalized-window emission -> parquet files.
+
+    Append mode only emits windows the final watermark has closed:
+    window_end <= max(event ts) - 2h (the inclusive boundary is
+    verified behavior — a window whose end equals the watermark IS
+    emitted). The oracle applies the same cutoff, so the held-back tail
+    windows are part of the checked semantics, not slack."""
+    import os
+
+    from chapterhousedb_spark.streaming.batcher import (
+        run_available_now,
+        windowed_counts,
+    )
+
+    ev = _raw_events_source(spark, sf_dir)
+    agg = windowed_counts(ev).select(
+        F.unix_timestamp("window_start").alias("window_start"), "event_type", "n"
+    )
+    root = tempfile.mkdtemp(prefix="chdb_stream_files_")
+    run_available_now(
+        agg, os.path.join(root, "out"), os.path.join(root, "ckpt")
+    )
+    return spark.read.parquet(os.path.join(root, "out"))
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.value AS purchase_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_interval_join_q(spark, sf_dir):
+    """Stream-stream interval join THROUGH the streaming engine: every
+    purchase within an hour after each click, both sides unbounded
+    file streams (streaming/batcher.py interval_join_streams — the
+    watermark + time-range pair is what lets Spark bound state). The
+    drained output hash-matches the batch interval-join oracle: inner
+    stream-stream joins emit eagerly, so on a bounded input no pair is
+    held back by the final watermark."""
+    clicks = (
+        _raw_events_source(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+    )
+    purchases = (
+        _raw_events_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("rts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    from chapterhousedb_spark.streaming.batcher import interval_join_streams
+
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="rts",
+        max_delay_seconds=3600,
+        watermark="2 hours",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "purchase_value",
+        # microsecond-exact on both engines (unix_timestamp truncates
+        # to seconds; DuckDB epoch keeps fractions — they'd disagree)
+        (F.unix_micros("rts") - F.unix_micros("ts")).alias("delay_us"),
+    )
+    name = f"stream_ij_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_ij_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def compaction_roundtrip_q(spark, sf_dir):
+    """Small-files compaction value fidelity: scatter documents into 64
+    tiny files (the reference's one-file-per-record-batch layout,
+    materialize_files_task.rs:117-142), run Engine.compact (size-derived
+    file count, sort_by=doc_id clustering, never-in-place), and return
+    the COMPACTED files read back — a hash match proves the maintenance
+    rewrite preserves every row and value exactly, the way
+    engine_materialize_roundtrip pins the sink."""
+    import os
+
+    from chapterhousedb_spark.config import ConnectionRegistry, FsConnection
+    from chapterhousedb_spark.engine import Engine
+    from chapterhousedb_spark.workload.registry import load
+
+    root = tempfile.mkdtemp(prefix="chdb_compact_")
+    load(spark, sf_dir, "documents").repartition(64).write.mode("overwrite").parquet(
+        os.path.join(root, "small")
+    )
+    eng = Engine(
+        spark=spark,
+        results_dir=os.path.join(root, "results"),
+        connections=ConnectionRegistry(
+            {"t": FsConnection(name="t", base_path=root)}
+        ),
+    )
+    try:
+        info = eng.compact("small", connection="t", sort_by=["doc_id"])
+        assert info["files_after"] < info["files_before"], info
+        return spark.read.parquet(info["path"])
+    finally:
+        eng.close()

@@ -36,6 +36,7 @@ from chapterhousedb_spark.operators.similarity import (
     srp_ann_topk,
 )
 from chapterhousedb_spark.operators.text import (
+    pack_materialize,
     pack_sequences,
     _STOPWORDS,
     lang_id,
@@ -636,6 +637,49 @@ def pack_sequences_q(spark, sf_dir):
     fixed-length-training-rows step; operators/text.py pack_sequences).
     Deterministic layout, oracle-replayed exactly in ANSI SQL."""
     return pack_sequences(load(spark, sf_dir, "documents"), budget=512)
+
+
+@query(
+    "pack_materialize",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+             CAST(('0x' || substring(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 32 AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens, shard,
+             SUM(len(toks)) OVER (PARTITION BY shard ORDER BY doc_id) - len(toks) AS start
+      FROM t),
+    u0 AS (
+      SELECT shard, start,
+             unnest(list_transform(generate_series(1, n_tokens),
+                                   i -> {'i': i, 'tok': toks[i]})) AS u
+      FROM c),
+    u AS (SELECT shard, start + u.i - 1 AS gpos, u.tok AS tok FROM u0)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(floor(gpos / 512.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY gpos)) AS tokens_md5
+    FROM u GROUP BY 1, 2
+    """,
+)
+def pack_materialize_q(spark, sf_dir):
+    """The materialized twin of pack_sequences: the ACTUAL fixed-length
+    token rows, one per (shard, pack_id), with the token sequence
+    reduced to md5(space-joined tokens) so the oracle can replay the
+    full concat-and-chunk layout — token identity AND order — in ANSI
+    SQL (operators/text.py pack_materialize; every non-tail pack
+    carries exactly 512 tokens, unit-tested)."""
+    return pack_materialize(
+        load(spark, sf_dir, "documents"), budget=512
+    ).select(
+        "shard",
+        "pack_id",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", F.col("tokens"))).alias("tokens_md5"),
+    )
 
 
 @query(

@@ -166,3 +166,43 @@ def test_pack_sequences_deterministic(spark):
     a = sorted(map(tuple, pack_sequences(df, budget=32).collect()))
     b = sorted(map(tuple, pack_sequences(df.repartition(7), budget=32).collect()))
     assert a == b  # layout independent of input partitioning
+
+
+def test_pack_materialize_fixed_length_rows(spark):
+    """Materialized packs: exactly `budget` tokens per row except each
+    shard's tail pack, tokens in concat order, and full consistency
+    with pack_sequences' assignments (a doc's first token sits at its
+    assigned (pack_id, pack_offset))."""
+    from chapterhousedb_spark.operators.text import pack_materialize, pack_sequences
+
+    rows = [(i, f"w{i} " * (i % 17 + 1)) for i in range(120)]
+    rows.append((999, "   "))  # blank doc contributes no tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    mat = pack_materialize(df, budget=64, n_shards=4).collect()
+    asg = pack_sequences(df, budget=64, n_shards=4).collect()
+
+    by_shard: dict[int, list] = {}
+    for r in mat:
+        assert r["n_tokens"] == len(r["tokens"])
+        by_shard.setdefault(r["shard"], []).append(r)
+    for packs in by_shard.values():
+        tail = max(p["pack_id"] for p in packs)
+        # contiguous pack ids, all non-tail packs exactly at budget
+        assert sorted(p["pack_id"] for p in packs) == list(range(tail + 1))
+        for p in packs:
+            if p["pack_id"] != tail:
+                assert p["n_tokens"] == 64
+            else:
+                assert 1 <= p["n_tokens"] <= 64
+
+    pk = {(r["shard"], r["pack_id"]): r["tokens"] for r in mat}
+    text_by_id = dict(rows)
+    for a in asg:
+        toks = text_by_id[a["doc_id"]].strip().split()
+        if not toks:
+            continue
+        assert pk[(a["shard"], a["pack_id"])][a["pack_offset"]] == toks[0]
+    # total token conservation
+    assert sum(r["n_tokens"] for r in mat) == sum(
+        len(t.strip().split()) for _, t in rows
+    )
