@@ -8,7 +8,9 @@ src/tui/record_table.rs). A terminal UI framework is out of scope
 (and would hide the engine surface); the same lifecycle is exposed
 as a batch pager: each statement is submitted asynchronously, polled
 to COMPLETE/ERROR, and its materialized result streamed to stdout in
-pages of --page-size rows.
+pages of --page-size rows. The reference TUI's BIDIRECTIONAL paging
+(tui_query_data_iterator.rs prev/next) is exposed scriptably via
+--browse 'n,n,p,n'; --format jsonl emits machine-readable rows.
 
 Usage:
     python -m chapterhousedb_spark --sql-file q.sql \
@@ -88,8 +90,33 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--pool",
         default=None,
-        help="FAIR scheduler pool for the file's statements "
-        "(needs a FAIR-mode session; see build_session(fair_pools=...))",
+        help="FAIR scheduler pool for the file's statements; requires "
+        "at least one --fair-pool so the session runs in FAIR mode "
+        "(on the default FIFO session the pool property is a no-op)",
+    )
+    ap.add_argument(
+        "--fair-pool",
+        action="append",
+        default=[],
+        metavar="NAME=WEIGHT[:MINSHARE]",
+        help="define a FAIR scheduler pool and switch the session to "
+        "FAIR mode (maps to build_session(fair_pools=...)); repeatable",
+    )
+    ap.add_argument(
+        "--format",
+        choices=("table", "jsonl"),
+        default="table",
+        help="table = fixed-width grid; jsonl = one JSON object per "
+        "row on stdout (status lines go to stderr)",
+    )
+    ap.add_argument(
+        "--browse",
+        default=None,
+        metavar="SEQ",
+        help="page the FIRST statement's result with an explicit "
+        "next/prev sequence, e.g. 'n,n,p,n' (the reference TUI's "
+        "bidirectional iterator, scriptable); other statements still "
+        "page forward",
     )
     ap.add_argument(
         "--shuffle-partitions", type=int, default=None, help="session override"
@@ -121,9 +148,32 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"bad --connection {spec!r}; expected NAME=BASE_PATH")
         conns[name] = FsConnection(name=name, base_path=base)
 
+    fair_pools: dict[str, dict] = {}
+    for spec in args.fair_pool:
+        name, sep, rest = spec.partition("=")
+        if not sep or not name:
+            ap.error(f"bad --fair-pool {spec!r}; expected NAME=WEIGHT[:MINSHARE]")
+        weight, _, min_share = rest.partition(":")
+        try:
+            pool: dict = {"weight": int(weight)}
+            if min_share:
+                pool["minShare"] = int(min_share)
+        except ValueError:
+            ap.error(f"bad --fair-pool {spec!r}; WEIGHT/MINSHARE must be ints")
+        fair_pools[name] = pool
+    if args.pool and not fair_pools:
+        # a pool property on the default FIFO session is silently ignored
+        # by Spark — refuse rather than no-op
+        ap.error(
+            f"--pool {args.pool!r} requires FAIR mode: define the pool "
+            f"with --fair-pool (e.g. --fair-pool {args.pool}=2:4)"
+        )
+
     eng = Engine(
         spark=build_session(
-            app_name="chdb-cli", shuffle_partitions=args.shuffle_partitions
+            app_name="chdb-cli",
+            shuffle_partitions=args.shuffle_partitions,
+            fair_pools=fair_pools or None,
         ),
         results_dir=args.results_dir,
         connections=ConnectionRegistry(conns) if conns else None,
@@ -137,27 +187,63 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"-- [{i + 1}] plan: {stmt.strip()}")
                 print(eng.explain(stmt))
             return 0
+        # status/progress lines: stdout for the human grid, stderr when
+        # stdout must stay machine-readable (jsonl)
+        note_stream = sys.stderr if args.format == "jsonl" else sys.stdout
+
+        def note(msg: str) -> None:
+            print(msg, file=note_stream)
+
+        def emit(page: pa.Table, *, first: bool) -> None:
+            if args.format == "jsonl":
+                import json
+
+                cols = page.column_names
+                for row in zip(*(page.column(c).to_pylist() for c in cols)):
+                    # default=str covers timestamps/decimals/bytes
+                    print(json.dumps(dict(zip(cols, row)), default=str))
+            else:
+                print(_format_page(page, header=first))
+
         # async submit of every statement up front (client_tui runs the
         # file's statements through one connection), then page each in
         # submission order as it completes
         handles = eng.sql(text, pool=args.pool)
         for i, h in enumerate(handles):
             h.wait()
-            print(f"-- [{i + 1}/{len(handles)}] {h.status.value}: {h.sql.strip()}")
+            note(f"-- [{i + 1}/{len(handles)}] {h.status.value}: {h.sql.strip()}")
             if h.status is QueryStatus.ERROR:
                 print(f"-- error: {h.error}", file=sys.stderr)
                 rc = 1
                 continue
             it = eng.iterator(h.query_id, page_size=args.page_size)
+            if args.browse is not None and i == 0:
+                # explicit bidirectional paging (reference
+                # tui_query_data_iterator.rs:58-143 prev/next flow)
+                for step in args.browse.split(","):
+                    s = step.strip().lower()
+                    if s in ("n", "next"):
+                        page, label = it.next_page(), "next"
+                    elif s in ("p", "prev"):
+                        page, label = it.prev_page(), "prev"
+                    else:
+                        ap.error(f"bad --browse step {step!r}; use n/p")
+                    if page is None:
+                        note(f"-- browse {label}: no page")
+                    else:
+                        note(f"-- browse {label}: rows={page.num_rows}")
+                        emit(page, first=True)
+                note(f"-- {h.num_rows} row(s) total")
+                continue
             n_pages = 0
             while (page := it.next_page()) is not None:
-                print(_format_page(page, header=n_pages == 0))
+                emit(page, first=n_pages == 0)
                 n_pages += 1
                 if args.max_pages and n_pages >= args.max_pages:
                     break
                 if page.num_rows == args.page_size:
-                    print(f"-- page {n_pages} --")
-            print(f"-- {h.num_rows} row(s)")
+                    note(f"-- page {n_pages} --")
+            note(f"-- {h.num_rows} row(s)")
     finally:
         eng.close()
     return rc

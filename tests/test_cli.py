@@ -87,3 +87,89 @@ def test_cli_inline_sql(tmp_path):
         if ln.strip() and "--" not in ln and set(ln.strip()) != {"-"}
     ]
     assert [ln.strip() for ln in body] == ["x", "1", "2"]
+
+
+def test_cli_browse_pages_forward_then_back(tmp_path):
+    """--browse n,n,p replays the reference TUI's bidirectional
+    iterator: the prev page must be byte-identical to the first page
+    served forward (fixed page grid, results.py prev_page)."""
+    sql = tmp_path / "q.sql"
+    sql.write_text(
+        "select n_nationkey, n_name"
+        " from read_files('nation.parquet', connection=>'data')"
+        " order by n_nationkey;"
+    )
+    proc = _run_cli(
+        [
+            "--sql-file", str(sql),
+            "--connection", f"data={SF_SMOKE}",
+            "--page-size", "5",
+            "--browse", "n,n,p,n",
+            "--shuffle-partitions", "4",
+            "--results-dir", str(tmp_path / "results"),
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout.splitlines()
+    # split the output into the four browsed pages
+    marks = [i for i, ln in enumerate(out) if ln.startswith("-- browse ")]
+    assert [out[i].split(":")[0] for i in marks] == [
+        "-- browse next", "-- browse next", "-- browse prev", "-- browse next",
+    ]
+    pages = []
+    for j, i in enumerate(marks):
+        end = marks[j + 1] if j + 1 < len(marks) else len(out)
+        pages.append([ln for ln in out[i + 1 : end] if "|" in ln])
+    # prev (page 1 again) == the page served by the first next
+    assert pages[2] == pages[0] and pages[0]
+    # the final next re-serves page 2
+    assert pages[3] == pages[1] and pages[1]
+    assert pages[0] != pages[1]
+
+
+def test_cli_jsonl_output(tmp_path):
+    """--format jsonl: stdout is pure JSON lines matching the oracle;
+    status lines move to stderr."""
+    import json
+
+    proc = _run_cli(
+        [
+            "--sql",
+            "select n_nationkey, n_name"
+            " from read_files('nation.parquet', connection=>'data')"
+            " where n_regionkey = 1 order by n_nationkey",
+            "--connection", f"data={SF_SMOKE}",
+            "--format", "jsonl",
+            "--shuffle-partitions", "4",
+            "--results-dir", str(tmp_path / "results"),
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(ln) for ln in proc.stdout.splitlines() if ln.strip()]
+    oracle = duckdb.sql(
+        f"""select n_nationkey, n_name
+            from read_parquet('{SF_SMOKE}/nation.parquet')
+            where n_regionkey = 1 order by n_nationkey"""
+    ).fetchall()
+    assert [(r["n_nationkey"], r["n_name"]) for r in rows] == oracle
+    assert "-- [1/1] complete:" in proc.stderr
+
+
+def test_cli_pool_requires_fair_mode(tmp_path):
+    """--pool on the default FIFO session is refused (ADVICE r4: it was
+    a silent no-op), and --fair-pool enables FAIR mode so --pool works."""
+    proc = _run_cli(["--sql", "select 1 as x", "--pool", "etl"])
+    assert proc.returncode == 2  # argparse error
+    assert "--fair-pool" in proc.stderr
+
+    proc = _run_cli(
+        [
+            "--sql", "select 1 as x",
+            "--pool", "etl",
+            "--fair-pool", "etl=2:1",
+            "--shuffle-partitions", "1",
+            "--results-dir", str(tmp_path / "results"),
+        ]
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "1" in proc.stdout
