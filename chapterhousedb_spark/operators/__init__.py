@@ -31,6 +31,9 @@ from chapterhousedb_spark.operators.similarity import (
     ivf_assign,
     ivf_fit,
     ivf_probe_cells,
+    ivf_probe_topk,
+    ivf_read_index,
+    ivf_write_index,
     srp_signature,
     srp_ann_topk,
 )
@@ -54,6 +57,9 @@ __all__ = [
     "ivf_assign",
     "ivf_fit",
     "ivf_probe_cells",
+    "ivf_probe_topk",
+    "ivf_read_index",
+    "ivf_write_index",
     "lang_id",
     "minhash_near_dup_pairs",
     "minhash_signature",

@@ -316,3 +316,82 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_write_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Persist the production IVF layout: the corpus cell-assigned and
+    PARTITIONED by cell under <path>/corpus, plus the centroids as a
+    JSON artifact at <path>/centroids.json — "fit once per corpus
+    version", reload anywhere (the centroids are plain lists; no ML
+    runtime needed to probe). The artifact is written through the
+    Hadoop FileSystem so fs/s3a paths both work.
+
+    Partitioning by cell is what makes probes prune at the FILE level:
+    a probe of `nprobe` cells reads only those directories (verified in
+    tests via inputFiles)."""
+    import json
+    import posixpath
+
+    spark = df.sparkSession
+    assigned = ivf_assign(df, centroids, vec_col, cell_col)
+    assigned.write.mode("overwrite").partitionBy(cell_col).parquet(
+        posixpath.join(path, "corpus")
+    )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "centroids.json"))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        payload = json.dumps(
+            {"centroids": centroids, "vec_col": vec_col, "cell_col": cell_col}
+        )
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Reload an ivf_write_index layout in any session: returns the
+    cell-partitioned corpus DataFrame and the centroid lists."""
+    import json
+    import posixpath
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "centroids.json"))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    meta = json.loads(data.decode("utf-8"))
+    corpus = spark.read.parquet(posixpath.join(path, "corpus"))
+    return corpus, meta["centroids"]
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Probe a pre-assigned (ivf_write_index / ivf_assign) corpus: score
+    only the `nprobe` nearest cells, exact cosine rerank. On a corpus
+    partitioned by `cell_col` the isin filter becomes PARTITION PRUNING
+    — only the probed cells' files are read (the 100 TB probe cost is
+    nprobe/n_cells of the corpus, at the scan level, not post-scan)."""
+    probes = ivf_probe_cells(centroids, query_vec, nprobe)
+    cand = assigned.filter(F.col(cell_col).isin(probes)).select(id_col, vec_col)
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)

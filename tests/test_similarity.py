@@ -225,3 +225,51 @@ def test_ivf_fit_assign_probe_split(spark):
     ]
     assert a == b
     assert set(ivf_probe_cells(cents, q, 3)) == {0, 1, 2}
+
+
+def test_ivf_index_roundtrip_across_sessions(spark, tmp_path):
+    """The fit-once-per-corpus-version production shape: ivf_write_index
+    persists a cell-PARTITIONED corpus + plain-JSON centroids;
+    ivf_read_index in a FRESH session reloads both, probe results are
+    identical to the in-memory path, and the probe's scan touches only
+    the probed cells' files (partition pruning)."""
+    from chapterhousedb_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_fit,
+        ivf_probe_cells,
+        ivf_probe_topk,
+        ivf_read_index,
+        ivf_write_index,
+    )
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = ivf_fit(emb, n_cells=4, seed=7)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, cents, path)
+
+    q = emb.orderBy("vec_id").first()["embedding"]
+    expected = [
+        tuple(r)
+        for r in ivf_ann_topk(
+            emb, q, k=5, nprobe=2, centroids=cents
+        ).collect()
+    ]
+
+    fresh = spark.newSession()
+    corpus, cents2 = ivf_read_index(fresh, path)
+    assert cents2 == cents  # JSON round-trip is exact (plain lists)
+    got_df = ivf_probe_topk(corpus, cents2, q, k=5, nprobe=2)
+    assert [tuple(r) for r in got_df.collect()] == expected
+
+    # partition pruning: the cell filter reaches the scan as a
+    # PARTITION filter (file-level pruning on the cell directories),
+    # not a post-scan predicate (inputFiles() can't show this — it
+    # lists the relation's full file set pre-pruning)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "ivf_cell" in pf
+    for cell in ivf_probe_cells(cents2, q, 2):
+        assert str(cell) in pf
