@@ -1,0 +1,137 @@
+"""Empirical scale probe (VERDICT r4 next #5): measure candidate-count
+and wall-time growth of the dedup/ANN candidate-generation bounds over
+a 10x corpus-size step with FIXED duplicate structure.
+
+Construction: every base document gets 3 perturbed near-dup copies
+(appended tail tokens / nudged first embedding component), so dup
+clusters have constant size 4 at both scales and the only variable is
+corpus size: small = 10% of sf0.1 (+copies), large = all of sf0.1
+(+copies) — exactly 10x. If banding / the df cap / SRP bucketing bound
+superlinear growth as SCALE.md claims analytically, candidate counts
+and wall times must grow ~linearly (~10x; wall-time ratios land BELOW
+10x at these sizes because per-job constant overhead dominates the
+small scale on 32 cores).
+
+Candidate counts are measured by running each pair operator with its
+verification threshold disabled (threshold 0 / -1): the output then IS
+the deduped candidate set.
+
+Usage: python scripts/scale_probe.py [sf_dir]  -> one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.operators.dedup import (
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    release_self_join_caches,
+)
+from chapterhousedb_spark.operators.similarity import embedding_near_dup_pairs
+from chapterhousedb_spark.session import build_session
+
+N_COPIES = 3
+
+
+def blow_up_docs(docs):
+    parts = [docs]
+    for r in range(1, N_COPIES + 1):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(f" probe copy tail {r} variant")
+                ).alias("text"),
+            )
+        )
+    out = parts[0].select("doc_id", "text")
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def blow_up_embs(embs):
+    parts = [embs.select("vec_id", "embedding")]
+    for r in range(1, N_COPIES + 1):
+        parts.append(
+            embs.select(
+                (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+                F.expr(
+                    f"transform(embedding, (x, i) -> x + CASE WHEN i = 0 "
+                    f"THEN CAST(0.003 * {r} AS FLOAT) ELSE CAST(0 AS FLOAT) END)"
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed_count(df) -> tuple[int, float]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return n, round(time.perf_counter() - t0, 3)
+
+
+def probe(spark, docs, embs) -> dict:
+    out: dict = {"n_docs": docs.count(), "n_vecs": embs.count()}
+    # candidate sets = thresholds disabled; real outputs = default thresholds
+    n, t = timed_count(
+        ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=50)
+    )
+    release_self_join_caches()
+    out["ngram_candidates"], out["ngram_candidates_sec"] = n, t
+    n, t = timed_count(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=50)
+    )
+    release_self_join_caches()
+    out["ngram_pairs"], out["ngram_pairs_sec"] = n, t
+    n, t = timed_count(minhash_near_dup_pairs(docs, threshold=0.0))
+    release_self_join_caches()
+    out["minhash_candidates"], out["minhash_candidates_sec"] = n, t
+    n, t = timed_count(minhash_near_dup_pairs(docs, threshold=0.7))
+    release_self_join_caches()
+    out["minhash_pairs"], out["minhash_pairs_sec"] = n, t
+    n, t = timed_count(embedding_near_dup_pairs(embs, threshold=-1.0))
+    release_self_join_caches()
+    out["embedding_candidates"], out["embedding_candidates_sec"] = n, t
+    n, t = timed_count(embedding_near_dup_pairs(embs, threshold=0.95))
+    release_self_join_caches()
+    out["embedding_pairs"], out["embedding_pairs_sec"] = n, t
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = build_session(app_name="scale-probe")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_docs = docs.count()
+    n_vecs = embs.count()
+    small = probe(
+        spark,
+        blow_up_docs(docs.filter(F.col("doc_id") < n_docs // 10)),
+        blow_up_embs(embs.filter(F.col("vec_id") < n_vecs // 10)),
+    )
+    large = probe(spark, blow_up_docs(docs), blow_up_embs(embs))
+    ratios = {
+        k: (round(large[k] / small[k], 2) if small[k] else None)
+        for k in small
+    }
+    print(json.dumps({"small": small, "large": large, "ratio": ratios}))
+
+
+if __name__ == "__main__":
+    main()
