@@ -14,6 +14,7 @@ from chapterhousedb_spark.operators.dedup import (
     char_shingle_posts,
     contamination_pairs,
     contamination_short_probes,
+    duplicate_spans,
     exact_dedup,
     minhash_near_dup_pairs,
     minhash_signature,
@@ -50,6 +51,7 @@ __all__ = [
     "char_shingle_posts",
     "contamination_pairs",
     "contamination_short_probes",
+    "duplicate_spans",
     "cosine_topk",
     "embedding_near_dup_pairs",
     "exact_dedup",

@@ -568,3 +568,75 @@ def contamination_short_probes(
         )
         .filter(F.col("n_tokens") < ngram_k)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact repeated-SPAN detection: maximal token spans whose every
+    `span_tokens`-token window occurs in >= min_df window positions
+    corpus-wide — substring-level dedup (the span-removal complement of
+    doc-level near-dup; cf. Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", which removes repeated substrings a
+    suffix array finds; here the distributed approximation is exact
+    window hashing, the standard shuffle-friendly construction).
+
+    Output: (doc_id, span_start, span_len, n_windows) — 1-based token
+    offset of each MAXIMAL duplicated span (adjacent duplicated windows
+    merged per doc via the start - row_number() island trick).
+
+    Construction: one window-hash per token position (xxhash64 of the
+    space-joined window — group equality stands in for window equality,
+    collision odds 2^-64), partial-aggregated groupBy for window df,
+    join back co-partitioned on the same key (no extra shuffle), then
+    one per-doc window for island merging. Shuffle volume is (8-byte
+    hash, id, pos) per token position — token-granular, which IS the
+    inherent cost of substring-level dedup; at 100 TB run it AFTER
+    doc-level dedup on the surviving corpus, and bound hot boilerplate
+    with max_doc_freq (a window in d positions joins back d times;
+    min_df/max_doc_freq are the df band of interest — e.g. cap at 1e4
+    to drop license boilerplate that a targeted rule handles better).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    wins = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= span_tokens)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {span_tokens - 1}), "
+                    f"i -> xxhash64(array_join(slice(__toks, i, {span_tokens}), ' ')))"
+                )
+            ).alias("__p", "whash"),
+        )
+        .select("id", (F.col("__p") + 1).alias("start"), "whash")
+    )
+    dfc = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("w_df")).filter(
+        F.col("w_df") >= min_df
+    )
+    if max_doc_freq is not None:
+        dfc = dfc.filter(F.col("w_df") <= max_doc_freq)
+    dup = wins.join(dfc, "whash").select("id", "start", "w_df")
+    w = Window.partitionBy("id").orderBy("start")
+    islands = dup.withColumn("__grp", F.col("start") - F.row_number().over(w))
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "__grp")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") - F.min("start") + F.lit(span_tokens)).alias(
+                "span_len"
+            ),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_len", "n_windows")
+    )

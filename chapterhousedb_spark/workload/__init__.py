@@ -38,6 +38,7 @@ _DRIVER_FIRST = [
     "compaction_roundtrip",
     "pack_materialize",
     "contamination_check",
+    "duplicate_spans",
     "join_skew_salted",
     "agg_grouping_sets",
     "scalar_subquery",
@@ -53,7 +54,9 @@ _DRIVER_LAST = [
     # family above: sampling keeps split+stratified; aggs keep
     # pricing_summary/distinct/rollup_cube/grouping_sets; windows keep
     # topk/lag_delta/range_frame; scalar exprs keep scalar_funcs;
-    # subqueries keep cte+scalar; text keeps text_stats; scans keep
+    # subqueries keep cte+scalar; text keeps text_stats; dedup
+    # clustering keeps dedup_survivors (whose recursive-CTE oracle
+    # subsumes the component computation); scans keep
     # read_files_front_door+scan_filter_project; set ops keep set_ops.
     # NOT driver-gated — re-verify by hand (scripts/check_fixes.py)
     # whenever their operator code changes.
@@ -69,6 +72,7 @@ _DRIVER_LAST = [
     "text_chunks",
     "lang_id",
     "named_table_scan",
+    "dedup_clusters",
     # rows-only by design: hash-function/iteration-dependent results
     "agg_pricing_summary_double",
     "dedup_minhash",

@@ -728,3 +728,43 @@ def contamination_check_q(spark, sf_dir):
     return contamination_pairs(
         docs, probe, ngram_k=8, threshold=0.8, max_doc_freq=256
     )
+
+
+@query(
+    "duplicate_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents),
+    w0 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 15),
+                    i -> {'start': i, 'win': array_to_string(toks[i:i+15], ' ')})) AS u
+      FROM t WHERE len(toks) >= 16),
+    ws AS (SELECT doc_id, u.start AS start, u.win AS win FROM w0),
+    d AS (SELECT win FROM ws GROUP BY win HAVING COUNT(*) >= 2),
+    dup AS (SELECT ws.doc_id, ws.start FROM ws JOIN d USING (win)),
+    g AS (SELECT doc_id, start,
+                 start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+          FROM dup)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) - min(start) + 16 AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY doc_id, grp
+    """,
+)
+def duplicate_spans_q(spark, sf_dir):
+    """Substring-level dedup sweep: every maximal token span whose
+    16-token windows repeat corpus-wide (operators/dedup.py
+    duplicate_spans — exact window hashing, the distributed stand-in
+    for suffix-array substring dedup). The oracle groups on the window
+    TEXT itself, so a hash-grouping discrepancy (collision or
+    tokenization drift) would hash-mismatch."""
+    from chapterhousedb_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        load(spark, sf_dir, "documents"), span_tokens=16, min_df=2
+    )

@@ -343,3 +343,44 @@ def test_contamination_short_probes_reported(spark):
         corpus, probe, ngram_k=8, threshold=0.1
     ).collect()
     assert flagged == []
+
+
+def test_duplicate_spans_finds_maximal_shared_spans(spark):
+    """Planted repeated span: two docs share a 12-token run inside
+    otherwise-unique text; with span_tokens=8 the merged island must
+    cover exactly that run in both docs (maximal, correct offsets),
+    and fully-unique docs must report nothing."""
+    from chapterhousedb_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),       # span at tokens 4..15
+        (2, "b1 " + shared + " b2 b3 b4 b5 b6"),     # span at tokens 2..13
+        (3, " ".join(f"u{i}" for i in range(30))),   # unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_len"], r["n_windows"])
+        for r in duplicate_spans(df, span_tokens=8, min_df=2).collect()
+    }
+    # 12-token shared run with 8-token windows -> 5 duplicated windows,
+    # island merges them into one span of length 12
+    assert out[1] == (4, 12, 5)
+    assert out[2] == (2, 12, 5)
+    assert 3 not in out
+    # max_doc_freq drops boilerplate windows above the band
+    capped = duplicate_spans(df, span_tokens=8, min_df=3).collect()
+    assert capped == []
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    """min_df counts window POSITIONS corpus-wide, so a span repeated
+    twice inside ONE document is also flagged (self-repetition)."""
+    from chapterhousedb_spark.operators.dedup import duplicate_spans
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(7, rep + " mid1 mid2 " + rep)], ["doc_id", "text"]
+    )
+    out = duplicate_spans(df, span_tokens=8, min_df=2).collect()
+    assert {(r["span_start"], r["span_len"]) for r in out} == {(1, 8), (11, 8)}
