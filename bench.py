@@ -42,6 +42,10 @@ HEADLINE = [
     "table_profile",
     # round 4 additions
     "pack_sequences",
+    # round 5 additions
+    "pack_materialize",
+    "duplicate_spans",
+    "contamination_check",
 ]
 
 # queries whose output is wide/large: write to sink instead of collect

@@ -125,3 +125,15 @@ def test_pack_sequences_single_shuffle_jvm_only(spark):
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_round5_operators_stay_jvm_and_join_safe(spark):
+    """pack_materialize and duplicate_spans: no Python eval, no
+    cartesian — the explode/groupBy/join shapes must stay equi-keyed
+    whole-stage-codegen pipelines."""
+    for name in ["pack_materialize", "duplicate_spans"]:
+        plan = physical_plan(q(name, spark))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
