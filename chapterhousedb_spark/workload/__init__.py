@@ -34,6 +34,7 @@ _DRIVER_FIRST = [
     # driver's 50-row window (ADVICE r4), paid for by demoting
     # long-stable family-redundant rows below
     "streaming_events_hourly_files",
+    "streaming_asof_enrich",
     "streaming_interval_join",
     "compaction_roundtrip",
     "pack_materialize",
@@ -73,6 +74,7 @@ _DRIVER_LAST = [
     "lang_id",
     "named_table_scan",
     "dedup_clusters",
+    "join_outer",
     # rows-only by design: hash-function/iteration-dependent results
     "agg_pricing_summary_double",
     "dedup_minhash",

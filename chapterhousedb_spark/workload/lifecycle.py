@@ -294,3 +294,54 @@ def compaction_roundtrip_q(spark, sf_dir):
         return spark.read.parquet(info["path"])
     finally:
         eng.close()
+
+
+@query(
+    "streaming_asof_enrich",
+    oracle="""
+    SELECT e.event_id,
+           p.purchase_event_id,
+           p.purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts,
+               event_id AS purchase_event_id,
+               value    AS purchase_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_type = 'purchase') d
+        WHERE rn = 1
+      ) p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def streaming_asof_enrich_q(spark, sf_dir):
+    """Streaming as-of enrichment THROUGH the streaming engine
+    (applyInPandasWithState, streaming/batcher.py asof_enrich_stream):
+    every click emitted with the user's most recent purchase
+    at-or-before it, drained with availableNow and hash-matched against
+    DuckDB's native ASOF JOIN — the same oracle as the batch
+    asof_join_events, so batch operator, streaming operator, and DuckDB
+    must agree three ways. Equal-timestamp ties resolve to the max
+    purchase event_id on every path (state applies right rows before
+    left within a batch, in event_id order; the oracle pins rn=1 DESC).
+    """
+    from chapterhousedb_spark.streaming.batcher import asof_enrich_stream
+
+    ev = _raw_events_source(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    out = asof_enrich_stream(ev).select(
+        "event_id", "purchase_event_id", "purchase_value"
+    )
+    name = f"stream_asof_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_sa_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
