@@ -147,3 +147,28 @@ def test_sampling_empty(spark, empty_docs):
     assert out.count() == 0
     df = spark.createDataFrame([], "doc_id long, source string")
     assert stratified_sample(df, {"a": 1.0}).count() == 0
+
+
+def test_round5_operators_empty(spark, empty_docs):
+    """duplicate_spans / pack_materialize / contamination_short_probes
+    on empty (and all-short) inputs: empty out, stable schemas."""
+    from chapterhousedb_spark.operators.dedup import (
+        contamination_short_probes,
+        duplicate_spans,
+    )
+    from chapterhousedb_spark.operators.text import pack_materialize
+
+    out = duplicate_spans(empty_docs, span_tokens=8)
+    assert out.columns == ["doc_id", "span_start", "span_len", "n_windows"]
+    assert out.count() == 0
+    # docs all shorter than the span emit no windows at all
+    short = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    assert duplicate_spans(short, span_tokens=8).count() == 0
+
+    out = pack_materialize(empty_docs, budget=64)
+    assert out.columns == ["shard", "pack_id", "n_tokens", "tokens"]
+    assert out.count() == 0
+
+    out = contamination_short_probes(empty_docs, ngram_k=8)
+    assert out.columns == ["probe_id", "n_tokens"]
+    assert out.count() == 0
