@@ -161,6 +161,16 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError:
             ap.error(f"bad --fair-pool {spec!r}; WEIGHT/MINSHARE must be ints")
         fair_pools[name] = pool
+    if args.browse is not None:
+        # fail fast: the sequence is fully known now — don't build a
+        # session and run statements before rejecting a typo
+        bad = [
+            s for s in (p.strip().lower() for p in args.browse.split(","))
+            if s not in ("n", "next", "p", "prev")
+        ]
+        if bad:
+            ap.error(f"bad --browse step(s) {bad}; use n/next/p/prev")
+
     if args.pool and not fair_pools:
         # a pool property on the default FIFO session is silently ignored
         # by Spark — refuse rather than no-op
@@ -224,10 +234,8 @@ def main(argv: list[str] | None = None) -> int:
                     s = step.strip().lower()
                     if s in ("n", "next"):
                         page, label = it.next_page(), "next"
-                    elif s in ("p", "prev"):
+                    else:  # validated at parse time: only p/prev left
                         page, label = it.prev_page(), "prev"
-                    else:
-                        ap.error(f"bad --browse step {step!r}; use n/p")
                     if page is None:
                         note(f"-- browse {label}: no page")
                     else:

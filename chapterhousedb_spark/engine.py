@@ -84,6 +84,10 @@ class Engine:
         table_functions: TableFunctionRegistry | None = None,
         default_pool: str | None = None,
     ):
+        # ownership decides whether close() releases the session's
+        # self-join caches: an engine handed someone else's session
+        # must not unpersist intermediates other components still use
+        self._owns_session = spark is None
         self.spark = spark or build_session()
         self.default_pool = default_pool
         self.results_dir = results_dir or os.path.join(
@@ -433,10 +437,18 @@ class Engine:
         if h and h.result_dir and os.path.isdir(h.result_dir):
             shutil.rmtree(h.result_dir, ignore_errors=True)
 
-    def close(self) -> None:
+    def close(self, release_caches: bool | None = None) -> None:
+        """Shut the submit pool down; release the session's self-join
+        caches only when this engine OWNS the session (it built it) or
+        the caller passes release_caches=True — an engine constructed
+        on a shared session must not unpersist intermediates that other
+        components on that session may still be consuming."""
         self._pool.shutdown(wait=True)
-        # release only THIS engine's session-scoped self-join caches —
-        # a concurrent Engine on another SparkSession keeps its own
-        from chapterhousedb_spark.operators.dedup import release_self_join_caches
+        if release_caches is None:
+            release_caches = self._owns_session
+        if release_caches:
+            from chapterhousedb_spark.operators.dedup import (
+                release_self_join_caches,
+            )
 
-        release_self_join_caches(self.spark)
+            release_self_join_caches(self.spark)

@@ -34,10 +34,15 @@ from pyspark.storagelevel import StorageLevel
 # persisted self-join intermediates not yet released (see
 # release_self_join_caches) — the pair DataFrames are returned lazily,
 # so the operator itself can never know when it is safe to unpersist.
-# Keyed per SparkSession (weakly, so a dropped session's entry vanishes
-# with it): Engine.submit runs jobs on a ThreadPoolExecutor, and with a
-# flat global list a release from one engine/session could unpersist
-# another session's intermediate mid-query.
+# Keyed per SparkSession: Engine.submit runs jobs on a
+# ThreadPoolExecutor, and with a flat global list a release from one
+# engine/session could unpersist another session's intermediate
+# mid-query. NOTE the weak keying is only a safety net for sessions
+# that somehow vanish without their DataFrames: a tracked DataFrame
+# strongly references its session, so a session with live cache
+# entries is pinned until release_self_join_caches(spark) (or
+# Engine.close on an engine that OWNS the session) drops them —
+# releasing is the caller's job, not the GC's.
 _SELF_JOIN_CACHES: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
     weakref.WeakKeyDictionary()
 )
@@ -561,10 +566,14 @@ def contamination_short_probes(
     (they produce zero postings), so a decontamination sweep must
     report them for separate handling (exact-match or shorter-gram
     screening). Pure projection + filter, no shuffle."""
+    # split('') yields [''], not [] — guard so blank docs report 0
+    n_tokens = F.when(normalize_text(text_col) == "", F.lit(0)).otherwise(
+        F.size(F.split(normalize_text(text_col), " "))
+    )
     return (
         probe.select(
             F.col(id_col).alias("probe_id"),
-            F.size(F.split(normalize_text(text_col), " ")).alias("n_tokens"),
+            n_tokens.alias("n_tokens"),
         )
         .filter(F.col("n_tokens") < ngram_k)
     )
@@ -592,14 +601,17 @@ def duplicate_spans(
 
     Construction: one window-hash per token position (xxhash64 of the
     space-joined window — group equality stands in for window equality,
-    collision odds 2^-64), partial-aggregated groupBy for window df,
-    join back co-partitioned on the same key (no extra shuffle), then
-    one per-doc window for island merging. Shuffle volume is (8-byte
-    hash, id, pos) per token position — token-granular, which IS the
-    inherent cost of substring-level dedup; at 100 TB run it AFTER
-    doc-level dedup on the surviving corpus, and bound hot boilerplate
-    with max_doc_freq (a window in d positions joins back d times;
-    min_df/max_doc_freq are the df band of interest — e.g. cap at 1e4
+    collision odds 2^-64); window df comes from a COUNT OVER
+    (PARTITION BY whash) analytic, so the token-granular explode is
+    evaluated exactly ONCE and there is no self-join (a groupBy +
+    join-back would consume the explode twice — the recompute hazard
+    _persist_for_self_join exists for); then one per-doc window merges
+    adjacent duplicated positions into maximal islands. Two shuffles
+    total (whash, then doc id), each carrying (8-byte hash, id, pos)
+    per token position — token-granular, which IS the inherent cost of
+    substring-level dedup; at 100 TB run it AFTER doc-level dedup on
+    the surviving corpus, and bound hot boilerplate with max_doc_freq
+    (min_df/max_doc_freq are the df band of interest — e.g. cap at 1e4
     to drop license boilerplate that a targeted rule handles better).
     """
     from pyspark.sql.window import Window
@@ -621,12 +633,13 @@ def duplicate_spans(
         )
         .select("id", (F.col("__p") + 1).alias("start"), "whash")
     )
-    dfc = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("w_df")).filter(
+    wdf = Window.partitionBy("whash")
+    dup = wins.withColumn("w_df", F.count(F.lit(1)).over(wdf)).filter(
         F.col("w_df") >= min_df
     )
     if max_doc_freq is not None:
-        dfc = dfc.filter(F.col("w_df") <= max_doc_freq)
-    dup = wins.join(dfc, "whash").select("id", "start", "w_df")
+        dup = dup.filter(F.col("w_df") <= max_doc_freq)
+    dup = dup.select("id", "start", "w_df")
     w = Window.partitionBy("id").orderBy("start")
     islands = dup.withColumn("__grp", F.col("start") - F.row_number().over(w))
     return (

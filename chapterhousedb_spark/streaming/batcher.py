@@ -218,7 +218,17 @@ def asof_enrich_stream(
         batch = batch.sort_values(["ts_us", "rk", "event_id"])
         for r in batch.itertuples(index=False):
             if r.event_type == right_type:
-                i = bisect.bisect_right(p_ts, r.ts_us)
+                # insertion point by (ts, event_id), not ts alone: a
+                # purchase arriving in a LATER micro-batch with the
+                # same ts but a smaller event_id must slot BEFORE the
+                # already-stored one, so the at-or-before lookup (last
+                # index <= ts) always resolves ties to the MAX
+                # event_id — the documented semantics and the
+                # streaming_asof_enrich oracle's rn=1 DESC dedup,
+                # independent of arrival order across batches
+                i = bisect.bisect_right(
+                    list(zip(p_ts, p_id)), (r.ts_us, r.event_id)
+                )
                 p_ts.insert(i, r.ts_us)
                 p_id.insert(i, r.event_id)
                 p_val.insert(i, r.value)

@@ -173,3 +173,14 @@ def test_cli_pool_requires_fair_mode(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "1" in proc.stdout
+
+
+def test_cli_browse_typo_fails_fast(tmp_path):
+    """A bad --browse step is rejected at argument-parse time (rc=2)
+    before any session build or statement submission."""
+    proc = _run_cli(
+        ["--sql", "select 1 as x", "--browse", "n,x,p"]
+    )
+    assert proc.returncode == 2
+    assert "bad --browse step" in proc.stderr
+    assert "complete:" not in proc.stdout  # nothing executed

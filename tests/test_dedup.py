@@ -338,6 +338,12 @@ def test_contamination_short_probes_reported(spark):
         for r in contamination_short_probes(probe, ngram_k=8).collect()
     }
     assert short == {1: 2, 3: 2}
+    # blank/whitespace-only probes report 0 tokens, not split('')'s ['']
+    blank = spark.createDataFrame([(9, ""), (10, "   ")], ["doc_id", "text"])
+    assert {
+        r["probe_id"]: r["n_tokens"]
+        for r in contamination_short_probes(blank, ngram_k=8).collect()
+    } == {9: 0, 10: 0}
     # and indeed the pairs op is blind to them, even verbatim matches
     flagged = contamination_pairs(
         corpus, probe, ngram_k=8, threshold=0.1

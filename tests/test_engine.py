@@ -422,3 +422,26 @@ def test_explain_returns_plan_without_executing(engine):
         "select 1 as x", formatted=False
     )
     assert "Project" in compact or "Scan" in compact or "OneRowRelation" in compact
+
+
+def test_engine_close_releases_caches_only_when_it_owns_the_session(spark):
+    """An Engine built ON a shared session must not unpersist that
+    session's self-join caches at close(); release_caches=True opts in
+    explicitly (code-review r5: compaction_roundtrip's throwaway engine
+    was wiping the shared workload session's caches)."""
+    from chapterhousedb_spark.engine import Engine
+    from chapterhousedb_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        release_self_join_caches,
+    )
+
+    release_self_join_caches()
+    rows = [(i, f"doc {i} body " * 3) for i in range(10)]
+    minhash_near_dup_pairs(spark.createDataFrame(rows, ["doc_id", "text"])).count()
+    eng = Engine(spark=spark)  # handed a shared session -> not owned
+    eng.close()
+    assert release_self_join_caches(spark) == 1  # cache survived close
+    minhash_near_dup_pairs(spark.createDataFrame(rows, ["doc_id", "text"])).count()
+    eng2 = Engine(spark=spark)
+    eng2.close(release_caches=True)  # explicit opt-in releases
+    assert release_self_join_caches(spark) == 0

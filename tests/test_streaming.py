@@ -463,3 +463,52 @@ def test_interval_join_streams_matches_batch(spark, event_dir, tmp_path_factory)
     }
     assert len(expected) > 0  # the fixture actually exercises the window
     assert got == expected
+
+
+def test_asof_enrich_stream_cross_batch_tie_is_max_event_id(spark, tmp_path_factory):
+    """A purchase with the SAME timestamp but smaller event_id arriving
+    in a LATER micro-batch must not shadow the already-stored larger
+    one: state insertion orders by (ts, event_id), so tied lookups
+    resolve to the max event_id regardless of arrival order (the
+    streaming_asof_enrich oracle's rn=1 DESC semantics)."""
+    import datetime as dt
+    import os
+
+    from chapterhousedb_spark.streaming.batcher import asof_enrich_stream
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    d = str(tmp_path_factory.mktemp("asof_xbatch"))
+    # batch 1: the larger-id purchase; batch 2: smaller-id tie + clicks
+    spark.createDataFrame(
+        [(1, 10, t, "purchase", 10.0)], schema
+    ).coalesce(1).write.parquet(os.path.join(d, "f0"))
+    spark.createDataFrame(
+        [
+            (1, 5, t, "purchase", 5.0),
+            (1, 20, t + dt.timedelta(minutes=1), "click", 0.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(os.path.join(d, "f0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        asof_enrich_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asof_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["purchase_event_id"]
+        for r in spark.sql("select * from asof_xbatch").collect()
+    }
+    assert got[20] == 10
