@@ -390,3 +390,54 @@ def test_duplicate_spans_within_doc_repeat(spark):
     )
     out = duplicate_spans(df, span_tokens=8, min_df=2).collect()
     assert {(r["span_start"], r["span_len"]) for r in out} == {(1, 8), (11, 8)}
+
+
+def test_duplicate_spans_matches_bruteforce_on_random_corpus(spark):
+    """Randomized (seeded) corpus from a tiny vocab so repeated windows
+    arise naturally; exact brute-force Python reference for window df,
+    duplicated positions, and island merging must match the operator
+    output row for row."""
+    import random
+
+    from chapterhousedb_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(42)
+    vocab = [f"v{i}" for i in range(6)]  # tiny vocab -> natural repeats
+    L = 4
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_len"], r["n_windows"])
+        for r in duplicate_spans(df, span_tokens=L, min_df=2).collect()
+    }
+
+    # brute force
+    from collections import Counter, defaultdict
+
+    win_df: Counter = Counter()
+    doc_wins: dict[int, list[tuple[int, str]]] = defaultdict(list)
+    for doc_id, text in rows:
+        toks = text.strip().split()
+        for i in range(len(toks) - L + 1):
+            w = " ".join(toks[i : i + L])
+            win_df[w] += 1
+            doc_wins[doc_id].append((i + 1, w))  # 1-based
+    expected = {}
+    for doc_id, wins in doc_wins.items():
+        dup_starts = sorted(s for s, w in wins if win_df[w] >= 2)
+        # island merge over consecutive starts
+        island: list[int] = []
+        for s in dup_starts + [None]:
+            if island and (s is None or s != island[-1] + 1):
+                expected[(doc_id, island[0])] = (
+                    island[-1] - island[0] + L,
+                    len(island),
+                )
+                island = []
+            if s is not None:
+                island.append(s)
+    assert got == expected
+    assert expected  # non-vacuous: the vocab guarantees repeats
