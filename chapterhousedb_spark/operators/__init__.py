@@ -40,6 +40,7 @@ from chapterhousedb_spark.operators.similarity import (
 )
 from chapterhousedb_spark.operators.text import (
     lang_id,
+    redact_pii,
     pack_sequences,
     text_fingerprint,
     text_stats,
@@ -68,6 +69,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "normalize_text",
     "pack_sequences",
+    "redact_pii",
     "release_self_join_caches",
     "simhash",
     "simhash_near_dup_pairs",

@@ -362,3 +362,46 @@ def pack_materialize(
         )
         .select("shard", "pack_id", "n_tokens", "tokens")
     )
+
+
+# PII patterns: shared RE2-compatible subset (no backreferences or
+# lookaround) so Spark (Java regex) and DuckDB (RE2) agree exactly —
+# the property the oracle-gated query depends on. Order matters and is
+# part of the contract: EMAIL first (may contain digits/dots), then IP
+# (so the phone pattern can't eat dotted quads), then SSN (dashed
+# 3-2-4 before the looser phone shape), then PHONE.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+\d{7,15}\b|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for pretraining corpora: emails, IPv4 addresses,
+    SSN-shaped ids and phone numbers replaced with typed placeholder
+    tokens, plus per-category match counts (for corpus-level PII-rate
+    reporting). Pure JVM regexp_replace/regexp_count chain — runs at
+    scan speed, no shuffle, and the same patterns are streamable
+    unchanged on a readStream (stateless projection).
+
+    Counts are measured on the ORIGINAL text per category, in the
+    fixed PII_PATTERNS order; replacements apply in that same order so
+    an IP is never half-eaten by the phone pattern. Regexes use the
+    RE2-compatible subset, so an ANSI oracle replays them exactly.
+    """
+    out = df
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, _tok in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        )
+    for name, pat, tok in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, tok)
+    return out.select(
+        F.col(id_col), redacted.alias("text_redacted"), *counts
+    )

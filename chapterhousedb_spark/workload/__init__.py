@@ -40,6 +40,7 @@ _DRIVER_FIRST = [
     "pack_materialize",
     "contamination_check",
     "duplicate_spans",
+    "pii_redaction",
     "join_skew_salted",
     "agg_grouping_sets",
     "scalar_subquery",
@@ -75,6 +76,7 @@ _DRIVER_LAST = [
     "named_table_scan",
     "dedup_clusters",
     "join_outer",
+    "window_lag_delta",
     # rows-only by design: hash-function/iteration-dependent results
     "agg_pricing_summary_double",
     "dedup_minhash",

@@ -768,3 +768,63 @@ def duplicate_spans_q(spark, sf_dir):
     return duplicate_spans(
         load(spark, sf_dir, "documents"), span_tokens=16, min_df=2
     )
+
+
+@query(
+    "pii_redaction",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7, ssn 123-45-6789, tel 555-867-5309' AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+             '\\+\\d{7,15}\\b|\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g')
+             AS text_redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+             '\\+\\d{7,15}\\b|\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b')) AS INT) AS n_phone
+    FROM t
+    """,
+)
+def pii_redaction_q(spark, sf_dir):
+    """PII scrubbing (operators/text.py redact_pii) with deterministic
+    planted PII — each doc gets an email/IP/SSN/phone suffix derived
+    from its doc_id, so every category redacts non-vacuously and the
+    oracle replays the identical RE2-subset regex chain. Counts are
+    per-category match rates on the pre-redaction text."""
+    from chapterhousedb_spark.operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, ssn 123-45-6789, tel 555-867-5309"),
+        ).alias("text"),
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        "text_redacted",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ip").cast("int").alias("n_ip"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+    )

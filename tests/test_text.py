@@ -206,3 +206,29 @@ def test_pack_materialize_fixed_length_rows(spark):
     assert sum(r["n_tokens"] for r in mat) == sum(
         len(t.strip().split()) for _, t in rows
     )
+
+
+def test_redact_pii_categories_and_order(spark):
+    """Every category redacts with its typed token; the fixed apply
+    order protects IPs from the phone pattern; counts measure the
+    original text; clean text passes through untouched."""
+    from chapterhousedb_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.org and x@y.io now"),
+        (2, "server at 192.168.0.1 and 10.0.255.7"),
+        (3, "ssn 123-45-6789 tel 555-867-5309 intl +4915112345678"),
+        (4, "no pii here at all, just words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert out[1]["text_redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[1]["n_email"] == 2
+    assert out[2]["text_redacted"] == "server at <IP> and <IP>"
+    assert out[2]["n_ip"] == 2 and out[2]["n_phone"] == 0  # IPs not eaten
+    assert out[3]["text_redacted"] == "ssn <SSN> tel <PHONE> intl <PHONE>"
+    assert out[3]["n_ssn"] == 1 and out[3]["n_phone"] == 2
+    assert out[4]["text_redacted"] == rows[3][1]
+    assert all(
+        out[4][k] == 0 for k in ("n_email", "n_ip", "n_ssn", "n_phone")
+    )
