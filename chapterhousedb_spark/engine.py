@@ -25,6 +25,7 @@ import os
 import shutil
 import tempfile
 import threading
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -65,6 +66,7 @@ class QueryHandle:
     num_rows: int | None = None
     pool: str | None = None
     pool_applied: str | None = None
+    finished_at: float | None = None  # time.time() at COMPLETE/ERROR
     _done: threading.Event = field(default_factory=threading.Event, repr=False)
 
     def wait(self, timeout: float | None = None) -> "QueryHandle":
@@ -272,6 +274,7 @@ class Engine:
         finally:
             # clear so a reused pool thread doesn't inherit this pool
             sc.setLocalProperty("spark.scheduler.pool", None)
+            handle.finished_at = time.time()
             handle._done.set()
 
     def compact(
@@ -436,6 +439,27 @@ class Engine:
         h = self._queries.pop(query_id, None)
         if h and h.result_dir and os.path.isdir(h.result_dir):
             shutil.rmtree(h.result_dir, ignore_errors=True)
+
+    def vacuum(self, older_than_seconds: float = 0.0) -> list[str]:
+        """Drop the materialized results (and tracking) of every
+        TERMINAL query that finished more than `older_than_seconds`
+        ago; returns the dropped query ids. The retention maintenance
+        op for long-lived engines — the reference's query data lives
+        until its handler drops it too; without a sweep, per-query
+        parquet results accumulate without bound. Running/queued
+        queries are never touched."""
+        now = time.time()
+        with self._lock:
+            victims = [
+                qid
+                for qid, h in self._queries.items()
+                if h.status.terminal()
+                and h.finished_at is not None
+                and now - h.finished_at >= older_than_seconds
+            ]
+        for qid in victims:
+            self.drop_results(qid)
+        return victims
 
     def close(self, release_caches: bool | None = None) -> None:
         """Shut the submit pool down; release the session's self-join

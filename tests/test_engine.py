@@ -445,3 +445,27 @@ def test_engine_close_releases_caches_only_when_it_owns_the_session(spark):
     eng2 = Engine(spark=spark)
     eng2.close(release_caches=True)  # explicit opt-in releases
     assert release_self_join_caches(spark) == 0
+
+
+def test_engine_vacuum_drops_old_terminal_results(spark, tmp_path):
+    """vacuum(ttl) removes only terminal queries older than the TTL;
+    fresh results and their fetch paths survive."""
+    import os
+    import time
+
+    from chapterhousedb_spark.engine import Engine
+
+    eng = Engine(spark=spark, results_dir=str(tmp_path / "res"))
+    h1 = eng.sql_wait("select 1 as x")[0]
+    h2 = eng.sql_wait("select 2 as y")[0]
+    assert os.path.isdir(h1.result_dir) and os.path.isdir(h2.result_dir)
+    # age h1 artificially; h2 stays fresh
+    eng.handle(h1.query_id).finished_at = time.time() - 3600
+    dropped = eng.vacuum(older_than_seconds=600)
+    assert dropped == [h1.query_id]
+    assert not os.path.isdir(h1.result_dir)
+    assert eng.fetch(h2.query_id).to_pydict() == {"y": [2]}
+    # idempotent; a zero-TTL sweep then takes the rest
+    assert eng.vacuum(older_than_seconds=600) == []
+    assert eng.vacuum() == [h2.query_id]
+    eng.close()

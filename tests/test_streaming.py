@@ -512,3 +512,26 @@ def test_asof_enrich_stream_cross_batch_tie_is_max_event_id(spark, tmp_path_fact
         for r in spark.sql("select * from asof_xbatch").collect()
     }
     assert got[20] == 10
+
+
+def test_redact_pii_on_stream_matches_batch(spark, tmp_path_factory):
+    """redact_pii is a stateless projection, so the identical code runs
+    on a readStream and yields exactly the batch result — the property
+    that lets one scrubbing definition serve backfill and ingest."""
+    from chapterhousedb_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "write to a@b.io from 10.0.0.1"),
+        (2, "ssn 123-45-6789 plain text"),
+        (3, "clean document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path_factory.mktemp("pii_landing"))
+    df.write.mode("overwrite").parquet(d)
+    out = str(tmp_path_factory.mktemp("pii_out"))
+    ckpt = str(tmp_path_factory.mktemp("pii_ckpt"))
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    run_available_now(redact_pii(stream), out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, redact_pii(df).collect()))
+    assert got == want and len(got) == 3
