@@ -137,3 +137,13 @@ def test_round5_operators_stay_jvm_and_join_safe(spark):
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_round5_scans_prune_columns(spark):
+    """duplicate_spans and pii_redaction must read only the columns
+    they use from the 5-column documents table (doc_id + text)."""
+    for name in ["duplicate_spans", "pii_redaction"]:
+        schemas = read_schema_columns(q(name, spark))
+        assert schemas, name
+        for cols in schemas:
+            assert set(cols) == {"doc_id", "text"}, (name, cols)
