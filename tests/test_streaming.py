@@ -535,3 +535,52 @@ def test_redact_pii_on_stream_matches_batch(spark, tmp_path_factory):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, redact_pii(df).collect()))
     assert got == want and len(got) == 3
+
+
+def test_asof_enrich_stream_state_survives_restart(spark, tmp_path_factory):
+    """Stop the stream after the purchases batch, then RESTART from the
+    same checkpoint with a new clicks file: the purchase history must
+    come back from the state store, so post-restart clicks still match
+    pre-restart purchases — the recovery property a production landing
+    zone relies on."""
+    import datetime as dt
+    import os
+
+    from chapterhousedb_spark.streaming.batcher import asof_enrich_stream
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+    d = str(tmp_path_factory.mktemp("asof_restart"))
+    ckpt = str(tmp_path_factory.mktemp("asof_restart_ckpt"))
+    spark.createDataFrame(
+        [(1, 10, t, "purchase", 42.0)], schema
+    ).coalesce(1).write.parquet(os.path.join(d, "f0"))
+
+    out = str(tmp_path_factory.mktemp("asof_restart_out"))
+
+    def drain():
+        # parquet sink: the memory sink refuses checkpoint recovery
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(os.path.join(d, "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        run_available_now(asof_enrich_stream(stream), out, ckpt)
+
+    drain()  # run 1: only the purchase; no clicks emitted
+    assert spark.read.parquet(out).count() == 0
+    # new file lands AFTER the first run stopped
+    spark.createDataFrame(
+        [(1, 20, t + dt.timedelta(minutes=5), "click", 0.0)], schema
+    ).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    drain()  # run 2: resumes from checkpoint, reads only f1
+    got = {
+        r["event_id"]: (r["purchase_event_id"], r["purchase_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {20: (10, 42.0)}  # matched the pre-restart purchase
