@@ -46,10 +46,18 @@ HEADLINE = [
     "pack_materialize",
     "duplicate_spans",
     "contamination_check",
+    "tpch_q3_shipping",
+    "tpch_q5_region_revenue",
+    "incremental_merge",
 ]
 
 # queries whose output is wide/large: write to sink instead of collect
-_WRITE_SINK = {"scan_filter_project", "text_stats", "asof_join_events"}
+_WRITE_SINK = {
+    "scan_filter_project",
+    "text_stats",
+    "asof_join_events",
+    "incremental_merge",
+}
 
 # Host-speed anchor: the driver's round-4 calibration triple (BENCH_r04.json,
 # committed as the canonical anchor in BASELINE.md §host-calibration).

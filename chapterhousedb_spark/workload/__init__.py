@@ -36,6 +36,10 @@ _DRIVER_FIRST = [
     "streaming_events_hourly_files",
     "streaming_asof_enrich",
     "streaming_interval_join",
+    "streaming_dedup",
+    "incremental_merge",
+    "tpch_q3_shipping",
+    "tpch_q5_region_revenue",
     "compaction_roundtrip",
     "pack_materialize",
     "contamination_check",
@@ -64,6 +68,16 @@ _DRIVER_LAST = [
     # whenever their operator code changes.
     "sample_fraction",
     "agg_having",
+    # demoted round 5 to make room for streaming_dedup /
+    # incremental_merge / tpch_q3 / tpch_q5: joins keep
+    # broadcast+fact_fact+semi+range_bands+skew_salted+q3+q5 gated;
+    # aggs keep pricing_summary+rollup_cube+grouping_sets+percentile;
+    # scalar exprs keep scalar_funcs; similarity keeps
+    # topk+embedding_near_dup
+    "join_anti",
+    "agg_distinct",
+    "date_funcs",
+    "similarity_ann",
     "window_running_sum",
     "window_ntile",
     "string_funcs",

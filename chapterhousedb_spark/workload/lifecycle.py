@@ -345,3 +345,70 @@ def streaming_asof_enrich_q(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start
+    FROM events
+    """,
+)
+def streaming_dedup_q(spark, sf_dir):
+    """Watermarked streaming dedup THROUGH the streaming engine
+    (streaming/batcher.py dedup_stream -> dropDuplicatesWithinWatermark):
+    distinct (user_id, event_type, hour) keys with bounded state.
+
+    Determinism argument (why this hash-matches a batch DISTINCT):
+    the events table is scattered into ts-range files whose mtimes are
+    set monotonically in range order, so FileStreamSource (which orders
+    by mtime) replays them in EVENT-TIME order. Then (a) no row is ever
+    late — every file's min ts >= the previous file's max ts >= the
+    watermark + delay; (b) no key's state is evicted while duplicates
+    can still arrive — duplicates of an hour-key lie within 1h of each
+    other, far under the 24h delay, and nothing older than
+    watermark+delay is ever re-sent. Only the key columns are emitted,
+    so which physical row survived a within-batch race is invisible.
+    At scale this is THE streaming dedup shape: state is keys within
+    the lateness horizon, not the whole stream's key space."""
+    import os
+
+    from chapterhousedb_spark.streaming.batcher import dedup_stream
+    from chapterhousedb_spark.workload.registry import load
+
+    scatter = tempfile.mkdtemp(prefix="chdb_sdedup_src_")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(scatter)
+    parts = sorted(
+        f for f in os.listdir(scatter) if f.startswith("part-")
+    )
+    base_mtime = 1_600_000_000
+    for i, fname in enumerate(parts):
+        os.utime(os.path.join(scatter, fname), (base_mtime + i, base_mtime + i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scatter)
+        .withColumn(
+            "hour_start", F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        )
+    )
+    deduped = dedup_stream(
+        stream,
+        id_cols=["user_id", "event_type", "hour_start"],
+        ts_col="ts",
+        watermark="24 hours",
+    ).select("user_id", "event_type", "hour_start")
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_sd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

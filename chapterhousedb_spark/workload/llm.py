@@ -828,3 +828,74 @@ def pii_redaction_q(spark, sf_dir):
         F.col("n_ssn").cast("int").alias("n_ssn"),
         F.col("n_phone").cast("int").alias("n_phone"),
     )
+
+
+@query(
+    "incremental_merge",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             1 AS version, FALSE AS deleted, 0 AS src
+      FROM documents
+    ),
+    upd AS (
+      SELECT doc_id, 'rev2: ' || text AS text, lang, source,
+             n_chars + 6 AS n_chars, 2 AS version, FALSE AS deleted, 1 AS src
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id, text, lang, source, n_chars,
+             2 AS version, TRUE AS deleted, 1 AS src
+      FROM documents WHERE doc_id % 13 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new: ' || text, lang, source,
+             n_chars + 5, 2 AS version, FALSE AS deleted, 1 AS src
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY version DESC, src DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+    )
+    SELECT doc_id, text, lang, source, n_chars, version
+    FROM merged WHERE rn = 1 AND NOT deleted
+    """,
+)
+def incremental_merge_q(spark, sf_dir):
+    """Incremental corpus refresh (operators/merge.py merge_upsert):
+    a synthetic crawl batch derived deterministically from `documents`
+    — revisions (doc_id%7, excluding tombstoned ids), tombstone deletes
+    (doc_id%13), and brand-new docs (doc_id%11 shifted +1e6) — merged
+    into the v1 corpus with latest-version-wins + update-wins-ties.
+    The reference has no mutation surface (one-shot scan->materialize,
+    materialize_files_task.rs:68-171); a production corpus needs this
+    MERGE. Plan: ONE hash shuffle of base+updates on doc_id, then a
+    codegen'd row_number — the same cost profile at 100 TB as an
+    equi-join on the key."""
+    from chapterhousedb_spark.operators.merge import merge_upsert
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.withColumn("version", F.lit(1))
+    rev = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0))
+        .withColumn("text", F.concat(F.lit("rev2: "), F.col("text")))
+        .withColumn("n_chars", F.col("n_chars") + 6)
+        .withColumn("version", F.lit(2))
+        .withColumn("deleted", F.lit(False))
+    )
+    dele = (
+        docs.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("version", F.lit(2))
+        .withColumn("deleted", F.lit(True))
+    )
+    ins = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat(F.lit("new: "), F.col("text")))
+        .withColumn("n_chars", F.col("n_chars") + 5)
+        .withColumn("version", F.lit(2))
+        .withColumn("deleted", F.lit(False))
+    )
+    updates = rev.unionByName(dele).unionByName(ins)
+    return merge_upsert(
+        base, updates, keys=["doc_id"], version_col="version", delete_col="deleted"
+    ).select("doc_id", "text", "lang", "source", "n_chars", "version")

@@ -1022,3 +1022,112 @@ def table_profile(spark, sf_dir):
         columns=[c for c, _ in _PROFILE_COLS],
         exact_distinct=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Composed multi-join analytics (TPC-H shapes over the testdata schema)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q3_shipping",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): 3-way join, filtered on all
+    three tables, grouped per order, top-10 by revenue. The classic
+    composed workload a user of the reference would eventually need —
+    the reference can express none of it (single-table FROM only,
+    logical_planner.rs:332-348). At scale: both date filters and
+    mktsegment push into the scans; customer (selective) broadcasts
+    under AQE, orders><lineitem is the one real shuffle, and the
+    ORDER BY+LIMIT collapses to TakeOrderedAndProject — no global sort.
+    (revenue, l_orderkey) is a total order, so the LIMIT 10 frontier is
+    deterministic for the hash gate."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+)
+def tpch_q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-way join across the
+    whole star, including the correlation predicate c_nationkey =
+    s_nationkey that makes it a fact-fact-dim lattice rather than a
+    chain. At scale: region/nation/supplier broadcast (explicitly —
+    they stay small at any SF); orders><lineitem is the single big
+    shuffle; the 1-year date filter pushes into the orders scan and
+    AQE prunes the join output before the tiny n_name agg."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc())
+    )
