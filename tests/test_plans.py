@@ -147,3 +147,32 @@ def test_round5_scans_prune_columns(spark):
         assert schemas, name
         for cols in schemas:
             assert set(cols) == {"doc_id", "text"}, (name, cols)
+
+
+def test_tpch_q3_take_ordered_and_pushdown(spark):
+    """Q3's top-10 must collapse to TakeOrderedAndProject (no global
+    sort) and all three single-table filters must reach their scans."""
+    df = q("tpch_q3_shipping", spark)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    pf = pushed_filters(df)
+    assert any("o_orderdate" in f for f in pf), pf
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("c_mktsegment" in f for f in pf), pf
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    """Q5's supplier/nation/region joins must be broadcast (no shuffle
+    for the dim lattice); the only shuffle joins are the fact chain."""
+    plan = physical_plan(q("tpch_q5_region_revenue", spark))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_merge_single_shuffle_no_join(spark):
+    """Declared merge query: one hash shuffle on doc_id + window, no
+    join operator anywhere (merge.py's 100 TB cost claim)."""
+    plan = physical_plan(q("incremental_merge", spark))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
