@@ -37,6 +37,7 @@ _DRIVER_FIRST = [
     "streaming_asof_enrich",
     "streaming_interval_join",
     "streaming_dedup",
+    "streaming_enrich",
     "incremental_merge",
     "tpch_q3_shipping",
     "tpch_q5_region_revenue",
@@ -78,6 +79,10 @@ _DRIVER_LAST = [
     "agg_distinct",
     "date_funcs",
     "similarity_ann",
+    # demoted for streaming_enrich: subquery family keeps
+    # scalar_subquery gated; the CTE+IN-subquery shape is long-stable
+    # (driver-green r1-r4) and its semi-join plan is test-asserted
+    "cte_subquery",
     "window_running_sum",
     "window_ntile",
     "string_funcs",

@@ -412,3 +412,44 @@ def streaming_dedup_q(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "streaming_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_mktsegment, c.c_acctbal
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_enrich_q(spark, sf_dir):
+    """Stream-static enrichment THROUGH the streaming engine
+    (streaming/batcher.py enrich_stream): every event joined to the
+    static customer dim, broadcast to each micro-batch — no stream-side
+    shuffle, no state, so the drained rows equal the batch LEFT JOIN
+    exactly regardless of file arrival order. The standard shape for
+    attaching user/catalog attributes at ingest; at scale the dim
+    refreshes per batch from its source without restarting the stream."""
+    from chapterhousedb_spark.streaming.batcher import enrich_stream
+    from chapterhousedb_spark.workload.registry import load
+
+    ev = _raw_events_source(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_acctbal"
+    )
+    out = enrich_stream(ev, dim, on="user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment", "c_acctbal"
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_se_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

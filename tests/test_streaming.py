@@ -584,3 +584,51 @@ def test_asof_enrich_stream_state_survives_restart(spark, tmp_path_factory):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {20: (10, 42.0)}  # matched the pre-restart purchase
+
+
+def test_dedup_stream_state_survives_restart(spark, tmp_path_factory):
+    """Restart-safety of the streaming dedup: a key deduped BEFORE the
+    stop must stay deduped when its duplicate arrives AFTER the restart
+    — the state store, not the batch, carries the seen-keys set."""
+    import datetime as dt
+    import os
+
+    from chapterhousedb_spark.streaming.batcher import (
+        dedup_stream,
+        run_available_now,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp"
+    d = str(tmp_path_factory.mktemp("dedup_restart"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_restart_ckpt"))
+    out = str(tmp_path_factory.mktemp("dedup_restart_out"))
+    spark.createDataFrame(
+        [(1, t), (2, t + dt.timedelta(minutes=1))], schema
+    ).coalesce(1).write.parquet(os.path.join(d, "f0"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(os.path.join(d, "f0")).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        run_available_now(
+            dedup_stream(stream, id_cols=["user_id"], watermark="24 hours"),
+            out,
+            ckpt,
+        )
+
+    drain()
+    assert spark.read.parquet(out).count() == 2
+    # duplicate of user 1 (newer ts, inside the horizon) + a new user
+    spark.createDataFrame(
+        [(1, t + dt.timedelta(minutes=2)), (3, t + dt.timedelta(minutes=3))],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    drain()  # resumes from checkpoint, reads only f1
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["user_id"] for r in rows) == [1, 2, 3]
