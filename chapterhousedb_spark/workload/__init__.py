@@ -38,6 +38,7 @@ _DRIVER_FIRST = [
     "streaming_interval_join",
     "streaming_dedup",
     "streaming_enrich",
+    "events_sliding",
     "incremental_merge",
     "tpch_q3_shipping",
     "tpch_q5_region_revenue",
@@ -83,6 +84,10 @@ _DRIVER_LAST = [
     # scalar_subquery gated; the CTE+IN-subquery shape is long-stable
     # (driver-green r1-r4) and its semi-join plan is test-asserted
     "cte_subquery",
+    # demoted for events_sliding: exact dedup is long-stable (r1-r4)
+    # and the dedup family keeps dedup_survivors, ngram_jaccard_pairs,
+    # duplicate_spans, contamination_check and pipeline_pretrain gated
+    "dedup_exact",
     "window_running_sum",
     "window_ntile",
     "string_funcs",

@@ -148,3 +148,35 @@ def asof_join_events(spark, sf_dir):
         right_cols=["purchase_event_id", "purchase_value"],
     )
     return joined.select("event_id", "purchase_event_id", "purchase_value")
+
+
+@query(
+    "events_sliding",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) - 3600 * k.k AS BIGINT)
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark, sf_dir):
+    """Sliding-window aggregation: 2-hour windows advancing every hour
+    (F.window with a slide), so each event lands in exactly two
+    overlapping windows. The oracle replays the expansion explicitly —
+    every event joined to offsets {0,1} hours — which is precisely the
+    Expand Spark's plan generates. At scale the expansion is map-side
+    (rows duplicated into window buckets before the ONE shuffle of the
+    grouped agg); state for the streaming twin is bounded by
+    window+watermark, not the stream."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"), "event_type", "n"
+        )
+    )
