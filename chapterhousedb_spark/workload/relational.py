@@ -1101,10 +1101,13 @@ def tpch_q5_region_revenue(spark, sf_dir):
     """TPC-H Q5 shape (local supplier volume): 6-way join across the
     whole star, including the correlation predicate c_nationkey =
     s_nationkey that makes it a fact-fact-dim lattice rather than a
-    chain. At scale: region/nation/supplier broadcast (explicitly —
-    they stay small at any SF); orders><lineitem is the single big
-    shuffle; the 1-year date filter pushes into the orders scan and
-    AQE prunes the join output before the tiny n_name agg."""
+    chain. At scale: nation/region are fixed-size and always broadcast;
+    supplier grows with SF (~10k rows/SF) but remains orders of
+    magnitude smaller than the facts — broadcast until it outgrows the
+    threshold, at which point dropping the hint lets AQE pick a shuffle
+    join on s_suppkey. orders><lineitem is the single big shuffle; the
+    1-year date filter pushes into the orders scan and AQE prunes the
+    join output before the tiny n_name agg."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))

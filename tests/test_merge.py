@@ -106,3 +106,71 @@ def test_merge_single_shuffle_plan(corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_merge_randomized_vs_pandas_reference(spark):
+    """Seeded randomized cross-check: merge_upsert equals an
+    independent pandas implementation of latest-version-wins +
+    update-wins-ties + tombstones, across random key overlaps and
+    version orderings (unique (key, version) per side, as required)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        keys = rng.choice(np.arange(40), size=25, replace=False)
+        base_pd = pd.DataFrame(
+            {
+                "doc_id": keys,
+                "text": [f"b{k}" for k in keys],
+                "version": rng.integers(1, 4, size=25),
+                "deleted": False,
+            }
+        )
+        ukeys = rng.choice(np.arange(50), size=20, replace=False)
+        upd_pd = pd.DataFrame(
+            {
+                "doc_id": ukeys,
+                "text": [f"u{k}" for k in ukeys],
+                "version": rng.integers(1, 4, size=20),
+                "deleted": rng.random(20) < 0.3,
+            }
+        )
+        # guard the operator precondition: same (key, version) on both
+        # sides is fine (updates win), duplicates WITHIN a side are not
+        # generated by construction (keys unique per side)
+        both = pd.concat(
+            [base_pd.assign(__src=0), upd_pd.assign(__src=1)], ignore_index=True
+        )
+        win = (
+            both.sort_values(
+                ["doc_id", "version", "__src"], ascending=[True, False, False]
+            )
+            .groupby("doc_id", as_index=False)
+            .first()
+        )
+        expect = (
+            win[~win["deleted"]]
+            .drop(columns=["deleted", "__src"])
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        from chapterhousedb_spark.operators.merge import merge_upsert
+
+        got = (
+            merge_upsert(
+                spark.createDataFrame(base_pd),
+                spark.createDataFrame(upd_pd),
+                keys=["doc_id"],
+                version_col="version",
+                delete_col="deleted",
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[expect.columns]
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"version": "int64"}),
+            expect.astype({"version": "int64"}),
+            check_dtype=False,
+        )
