@@ -25,6 +25,11 @@ from chapterhousedb_spark.operators.dedup import (
     simhash_near_dup_pairs,
     word_shingle_posts,
 )
+from chapterhousedb_spark.operators.merge import (
+    merge_stats,
+    merge_upsert,
+    merge_upsert_small_updates,
+)
 from chapterhousedb_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
@@ -64,6 +69,9 @@ __all__ = [
     "ivf_read_index",
     "ivf_write_index",
     "lang_id",
+    "merge_stats",
+    "merge_upsert",
+    "merge_upsert_small_updates",
     "minhash_near_dup_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",

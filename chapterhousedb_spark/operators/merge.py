@@ -77,6 +77,36 @@ def merge_upsert(
     return out
 
 
+def merge_upsert_small_updates(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """merge_upsert variant for the common production shape: updates is
+    orders of magnitude smaller than base (a crawl batch into a 100 TB
+    corpus). Here base must NEVER pay a shuffle — the distinct update
+    key set broadcasts to a left-anti join (untouched base rows stream
+    straight through, zero movement) and a left-semi join (only the
+    touched base rows enter the rank), so the single hash shuffle moves
+    O(touched + updates) rows instead of O(base). Same semantics as
+    merge_upsert (latest version wins, updates win ties, tombstones
+    delete); equality is test-pinned.
+
+    Use merge_upsert when updates is a large fraction of base (the
+    broadcast stops fitting); this one when it's a small batch.
+    """
+    d = delete_col
+    ukeys = updates.select(*keys).dropDuplicates(keys)
+    untouched = base.join(F.broadcast(ukeys), keys, "left_anti")
+    touched = base.join(F.broadcast(ukeys), keys, "left_semi")
+    winners = merge_upsert(touched, updates, keys, version_col, delete_col)
+    if d is not None and d in untouched.columns:
+        untouched = untouched.drop(d)
+    return untouched.unionByName(winners)
+
+
 def merge_stats(
     base: DataFrame, updates: DataFrame, keys: list[str]
 ) -> DataFrame:

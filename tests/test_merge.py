@@ -174,3 +174,63 @@ def test_merge_randomized_vs_pandas_reference(spark):
             expect.astype({"version": "int64"}),
             check_dtype=False,
         )
+
+
+def test_merge_small_updates_variant_equals_full(corpus):
+    """merge_upsert_small_updates must produce exactly merge_upsert's
+    rows, and its plan must keep base out of every shuffle: the update
+    key set broadcasts (2 BroadcastHashJoin), and the one hash exchange
+    feeds only the touched+updates rank."""
+    from chapterhousedb_spark.operators.merge import merge_upsert_small_updates
+
+    base, updates = corpus
+    kwargs = dict(keys=["doc_id"], version_col="version", delete_col="deleted")
+    full = merge_upsert(base, updates, **kwargs)
+    small = merge_upsert_small_updates(base, updates, **kwargs)
+    assert sorted(small.collect()) == sorted(full.collect())
+    # AQE's toString appends an "Initial Plan" duplicate; assert on the
+    # final plan only
+    plan = (
+        small._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # anti + semi join against the broadcast update key set
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # the only hash shuffles: the tiny ukeys dedup and the
+    # touched+updates window — base feeds no Exchange
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_merge_small_updates_randomized(spark):
+    """Randomized equality of the two merge strategies."""
+    import numpy as np
+    import pandas as pd
+
+    from chapterhousedb_spark.operators.merge import merge_upsert_small_updates
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(np.arange(60), size=30, replace=False)
+    base_pd = pd.DataFrame(
+        {
+            "doc_id": keys,
+            "text": [f"b{k}" for k in keys],
+            "version": rng.integers(1, 4, size=30),
+            "deleted": False,
+        }
+    )
+    ukeys = rng.choice(np.arange(70), size=15, replace=False)
+    upd_pd = pd.DataFrame(
+        {
+            "doc_id": ukeys,
+            "text": [f"u{k}" for k in ukeys],
+            "version": rng.integers(1, 4, size=15),
+            "deleted": rng.random(15) < 0.3,
+        }
+    )
+    b, u = spark.createDataFrame(base_pd), spark.createDataFrame(upd_pd)
+    kwargs = dict(keys=["doc_id"], version_col="version", delete_col="deleted")
+    assert sorted(merge_upsert_small_updates(b, u, **kwargs).collect()) == sorted(
+        merge_upsert(b, u, **kwargs).collect()
+    )
