@@ -586,6 +586,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     min_df: int = 2,
     max_doc_freq: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact repeated-SPAN detection: maximal token spans whose every
     `span_tokens`-token window occurs in >= min_df window positions
@@ -601,18 +602,25 @@ def duplicate_spans(
 
     Construction: one window-hash per token position (xxhash64 of the
     space-joined window — group equality stands in for window equality,
-    collision odds 2^-64); window df comes from a COUNT OVER
-    (PARTITION BY whash) analytic, so the token-granular explode is
-    evaluated exactly ONCE and there is no self-join (a groupBy +
-    join-back would consume the explode twice — the recompute hazard
-    _persist_for_self_join exists for); then one per-doc window merges
-    adjacent duplicated positions into maximal islands. Two shuffles
-    total (whash, then doc id), each carrying (8-byte hash, id, pos)
-    per token position — token-granular, which IS the inherent cost of
-    substring-level dedup; at 100 TB run it AFTER doc-level dedup on
-    the surviving corpus, and bound hot boilerplate with max_doc_freq
-    (min_df/max_doc_freq are the df band of interest — e.g. cap at 1e4
-    to drop license boilerplate that a targeted rule handles better).
+    collision odds 2^-64); window df comes from groupBy(whash).count()
+    + an inner join back onto the positions. The aggregation has
+    MAP-SIDE partial combine, so a hot boilerplate window (one whash in
+    millions of docs) reduces to one row per map partition before the
+    shuffle — a COUNT OVER (PARTITION BY whash) analytic would instead
+    buffer every position of the hot key in a single window task (the
+    skew this join-back shape avoids; hot whashes OUTSIDE the df band
+    are absent from the join's build side, so their positions stream
+    through the join unmatched and AQE can split what remains). The
+    join consumes the token-granular explode twice, hence
+    _persist_for_self_join on the positions (persist=False for
+    one-shot small jobs). Then one per-doc window merges adjacent
+    duplicated positions into maximal islands. Shuffles carry (8-byte
+    hash, id, pos) per token position — token-granular, which IS the
+    inherent cost of substring-level dedup; at 100 TB run it AFTER
+    doc-level dedup on the surviving corpus, and bound hot boilerplate
+    with max_doc_freq (min_df/max_doc_freq are the df band of interest
+    — e.g. cap at 1e4 to drop license boilerplate that a targeted rule
+    handles better).
     """
     from pyspark.sql.window import Window
 
@@ -633,13 +641,13 @@ def duplicate_spans(
         )
         .select("id", (F.col("__p") + 1).alias("start"), "whash")
     )
-    wdf = Window.partitionBy("whash")
-    dup = wins.withColumn("w_df", F.count(F.lit(1)).over(wdf)).filter(
+    wins = _persist_for_self_join(wins, persist)
+    counts = wins.groupBy("whash").agg(F.count(F.lit(1)).alias("w_df")).filter(
         F.col("w_df") >= min_df
     )
     if max_doc_freq is not None:
-        dup = dup.filter(F.col("w_df") <= max_doc_freq)
-    dup = dup.select("id", "start", "w_df")
+        counts = counts.filter(F.col("w_df") <= max_doc_freq)
+    dup = wins.join(counts, "whash").select("id", "start", "w_df")
     w = Window.partitionBy("id").orderBy("start")
     islands = dup.withColumn("__grp", F.col("start") - F.row_number().over(w))
     return (

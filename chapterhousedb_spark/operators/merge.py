@@ -96,14 +96,40 @@ def merge_upsert_small_updates(
 
     Use merge_upsert when updates is a large fraction of base (the
     broadcast stops fitting); this one when it's a small batch.
+
+    Semantic parity corner cases (why the extra plumbing below):
+    base-side tombstones must still be filtered on the untouched branch
+    (merge_upsert drops EVERY winner flagged deleted, even untouched
+    ones), and null-key rows never match an equi-join, so they are
+    routed into the rank alongside the updates rather than through the
+    anti join — otherwise base and update null-key rows would both
+    survive where merge_upsert keeps one winner.
     """
+    import functools
+
     d = delete_col
+    null_key = functools.reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    base_nn, base_nullk = base.filter(~null_key), base.filter(null_key)
     ukeys = updates.select(*keys).dropDuplicates(keys)
-    untouched = base.join(F.broadcast(ukeys), keys, "left_anti")
-    touched = base.join(F.broadcast(ukeys), keys, "left_semi")
-    winners = merge_upsert(touched, updates, keys, version_col, delete_col)
-    if d is not None and d in untouched.columns:
-        untouched = untouched.drop(d)
+    untouched = base_nn.join(F.broadcast(ukeys), keys, "left_anti")
+    touched = base_nn.join(F.broadcast(ukeys), keys, "left_semi")
+    if d is not None:
+        if d not in untouched.columns:
+            untouched = untouched.withColumn(d, F.lit(False))
+        untouched = untouched.filter(
+            ~F.coalesce(F.col(d), F.lit(False))
+        ).drop(d)
+        if d not in base_nullk.columns:
+            base_nullk = base_nullk.withColumn(d, F.lit(False))
+    winners = merge_upsert(
+        touched.unionByName(base_nullk, allowMissingColumns=True),
+        updates,
+        keys,
+        version_col,
+        delete_col,
+    )
     return untouched.unionByName(winners)
 
 

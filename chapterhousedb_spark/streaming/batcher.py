@@ -209,11 +209,19 @@ def asof_enrich_stream(
             state.remove()
             return
         import bisect
+        import math
 
+        # state lives as three parallel arrays (the state schema), but
+        # the working form is ONE sorted list of (ts, id, value): a
+        # per-purchase insertion is then a bisect + list.insert
+        # (pointer memmove), not a rebuilt zip of the whole history —
+        # O(P) tuple allocations per insert made a purchase-heavy
+        # batch quadratic in history size. (ts, id) pairs are unique,
+        # so probes never fall through to comparing values.
         if state.exists:
-            p_ts, p_id, p_val = (list(v) for v in state.get)
+            items = list(zip(*state.get))
         else:
-            p_ts, p_id, p_val = [], [], []
+            items = []
         rows = []
         batch = pd.concat(list(pdfs), ignore_index=True)
         # no leading underscore: itertuples mangles private names
@@ -234,29 +242,32 @@ def asof_enrich_stream(
                 # event_id — the documented semantics and the
                 # streaming_asof_enrich oracle's rn=1 DESC dedup,
                 # independent of arrival order across batches
-                i = bisect.bisect_right(
-                    list(zip(p_ts, p_id)), (r.ts_us, r.event_id)
-                )
-                p_ts.insert(i, r.ts_us)
-                p_id.insert(i, r.event_id)
-                p_val.insert(i, r.value)
+                i = bisect.bisect_right(items, (r.ts_us, r.event_id))
+                items.insert(i, (r.ts_us, r.event_id, r.value))
             elif r.event_type == left_type:
-                i = bisect.bisect_right(p_ts, r.ts_us) - 1
+                i = bisect.bisect_right(items, (r.ts_us, math.inf)) - 1
                 rows.append(
                     (
                         user_id,
                         r.event_id,
                         r.ts,
-                        p_id[i] if i >= 0 else None,
-                        p_val[i] if i >= 0 else None,
+                        items[i][1] if i >= 0 else None,
+                        items[i][2] if i >= 0 else None,
                     )
                 )
         # prune: the watermark is already max(event ts) - horizon, and
         # clicks older than it are dropped by Spark, so every purchase
         # older than the watermark except the NEWEST one is unreachable
         wm_us = state.getCurrentWatermarkMs() * 1000
-        cut = max(0, bisect.bisect_right(p_ts, wm_us) - 1)
-        state.update((p_ts[cut:], p_id[cut:], p_val[cut:]))
+        cut = max(0, bisect.bisect_right(items, (wm_us, math.inf)) - 1)
+        items = items[cut:]
+        state.update(
+            (
+                [t for t, _, _ in items],
+                [i for _, i, _ in items],
+                [v for _, _, v in items],
+            )
+        )
         if rows:
             yield pd.DataFrame(
                 rows,

@@ -1094,7 +1094,7 @@ def tpch_q3_shipping(spark, sf_dir):
       AND o.o_orderdate >= TIMESTAMP '1997-01-01'
       AND o.o_orderdate <  TIMESTAMP '1998-01-01'
     GROUP BY n.n_name
-    ORDER BY revenue DESC
+    ORDER BY revenue DESC, n.n_name
     """,
 )
 def tpch_q5_region_revenue(spark, sf_dir):
@@ -1132,5 +1132,5 @@ def tpch_q5_region_revenue(spark, sf_dir):
                 "revenue"
             )
         )
-        .orderBy(F.col("revenue").desc())
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )

@@ -1,9 +1,10 @@
 """Round-2 fix verification: run the affected queries on a VANILLA
 SparkSession (no build_session conf) and compare to DuckDB oracles the
 same way the driver does (sort columns by name, hash values)."""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd

@@ -234,3 +234,35 @@ def test_merge_small_updates_randomized(spark):
     assert sorted(merge_upsert_small_updates(b, u, **kwargs).collect()) == sorted(
         merge_upsert(b, u, **kwargs).collect()
     )
+
+
+def test_merge_small_updates_base_tombstones_and_null_keys(spark):
+    """The review corner cases: base-side tombstones must be filtered
+    on the untouched branch too, and null-key rows must rank exactly as
+    merge_upsert ranks them (one winner), not duplicate through the
+    anti join."""
+    from chapterhousedb_spark.operators.merge import merge_upsert_small_updates
+
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=9, text="ghost", version=1, deleted=True),  # base tombstone
+            Row(doc_id=1, text="keep", version=1, deleted=False),
+            Row(doc_id=None, text="null-base", version=1, deleted=False),
+        ]
+    )
+    updates = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="keep-v2", version=2, deleted=False),
+            Row(doc_id=None, text="null-upd", version=2, deleted=False),
+        ]
+    )
+    kwargs = dict(keys=["doc_id"], version_col="version", delete_col="deleted")
+    key = lambda r: (r.doc_id is None, r.doc_id or 0, r.text)  # noqa: E731
+    full = sorted(merge_upsert(base, updates, **kwargs).collect(), key=key)
+    small = sorted(
+        merge_upsert_small_updates(base, updates, **kwargs).collect(), key=key
+    )
+    assert small == full
+    ids = [r.text for r in small]
+    assert "ghost" not in ids  # untouched tombstone filtered
+    assert ids.count("null-upd") == 1 and "null-base" not in ids
