@@ -107,6 +107,18 @@ def probe(spark, docs, embs) -> dict:
     n, t = timed_count(embedding_near_dup_pairs(embs, threshold=0.95))
     release_self_join_caches()
     out["embedding_pairs"], out["embedding_pairs_sec"] = n, t
+    # duplicate_spans is token-granular (positions ~ corpus tokens); the
+    # df band (min_df=2, capped) must keep OUTPUT spans ~linear in the
+    # duplicate structure. The blown-up corpus repeats every base doc's
+    # windows 4x, so spans scale with docs — ratio ~10x proves the
+    # groupBy+join-back df shape adds no superlinear term.
+    from chapterhousedb_spark.operators.dedup import duplicate_spans
+
+    n, t = timed_count(
+        duplicate_spans(docs, span_tokens=16, max_doc_freq=1000)
+    )
+    release_self_join_caches()
+    out["span_rows"], out["span_rows_sec"] = n, t
     return out
 
 
