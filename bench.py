@@ -49,6 +49,7 @@ HEADLINE = [
     "tpch_q3_shipping",
     "tpch_q5_region_revenue",
     "incremental_merge",
+    "events_sliding",
 ]
 
 # queries whose output is wide/large: write to sink instead of collect
