@@ -41,14 +41,19 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 
 def text_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-document quality statistics + a composite quality score.
 
     Ratios are double divisions of integer counts — deterministic and
     oracle-reproducible. The quality score mirrors common pretraining
     filters (Gopher/C4-style length + symbol-ratio rules, public
-    heuristics)."""
+    heuristics). `keep_cols` passes grouping attributes (source,
+    lang, ...) through for downstream per-stratum aggregation without
+    a join back onto the corpus."""
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
@@ -61,6 +66,7 @@ def text_stats(
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in (keep_cols or [])],
         n_chars.cast("int").alias("n_chars"),
         n_tokens.cast("int").alias("n_tokens"),
         (n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))).alias(

@@ -39,6 +39,7 @@ _DRIVER_FIRST = [
     "streaming_dedup",
     "streaming_enrich",
     "events_sliding",
+    "corpus_report",
     "incremental_merge",
     "tpch_q3_shipping",
     "tpch_q5_region_revenue",
@@ -88,6 +89,9 @@ _DRIVER_LAST = [
     # and the dedup family keeps dedup_survivors, ngram_jaccard_pairs,
     # duplicate_spans, contamination_check and pipeline_pretrain gated
     "dedup_exact",
+    # demoted for corpus_report, which SUBSUMES its oracle (the report
+    # aggregates the same per-row ratio/quality SQL per source)
+    "text_stats",
     "window_running_sum",
     "window_ntile",
     "string_funcs",

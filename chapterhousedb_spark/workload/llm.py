@@ -45,6 +45,7 @@ from chapterhousedb_spark.operators.text import (
     text_stats,
     token_chunks,
 )
+from chapterhousedb_spark.functions.exact import davg, davg_sql
 from chapterhousedb_spark.workload.registry import load, query
 
 # normalized text, oracle side (mirror of operators.dedup.normalize_text)
@@ -899,3 +900,49 @@ def incremental_merge_q(spark, sf_dir):
     return merge_upsert(
         base, updates, keys=["doc_id"], version_col="version", delete_col="deleted"
     ).select("doc_id", "text", "lang", "source", "n_chars", "version")
+
+
+@query(
+    "corpus_report",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             len({_TOKS}) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS alpha_ratio,
+             (len({_TOKS}) >= 10
+              AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1) > 0.6
+              AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1) < 0.2) AS passes_quality
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           {davg_sql('alpha_ratio', 9)} AS avg_alpha_ratio,
+           CAST(SUM(CASE WHEN passes_quality THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS quality_pass_rate
+    FROM s GROUP BY source
+    """,
+)
+def corpus_report_q(spark, sf_dir):
+    """Per-source corpus statistics report — the dashboard a training
+    pipeline keeps per ingest batch: document counts, token totals,
+    mean quality ratios, and quality-filter pass rate per source. Built
+    on text_stats with `keep_cols` passing the stratum through (no join
+    back onto the corpus), then one low-cardinality grouped agg with
+    map-side partial combine — at 100 TB, one scan + one tiny shuffle.
+    Ratio averages use the exact-decimal mean (functions/exact.py) so
+    both engines sum in the same order-independent arithmetic."""
+    stats = text_stats(
+        load(spark, sf_dir, "documents"), keep_cols=["source"]
+    )
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        davg("alpha_ratio", 9).alias("avg_alpha_ratio"),
+        (
+            F.sum(F.when(F.col("passes_quality"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("quality_pass_rate"),
+    )
