@@ -94,14 +94,18 @@ def srp_ann_topk(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose SRP bucket is within
-    `multiprobe` bit flips of the query's bucket.
+    hamming distance `multiprobe` (bit flips) of the query's bucket.
 
     At scale the corpus is bucketed once (16 planes -> 65k buckets) and
-    a query touches 1 + planes buckets (multiprobe=1) — a ~4000x scan
-    reduction, tunable via planes/multiprobe. Bucket ids are a plain
-    column, so the bucketed corpus can be written partitioned/bucketed
-    by `bucket` for pruned reads.
+    a query touches sum_{h<=multiprobe} C(planes, h) buckets — 17 at
+    multiprobe=1, 137 at multiprobe=2 — a ~4000x scan reduction at the
+    default, tunable via planes/multiprobe (recall is monotone in
+    multiprobe; multiprobe=planes degenerates to a full scan). Bucket
+    ids are a plain column, so the bucketed corpus can be written
+    partitioned/bucketed by `bucket` for pruned reads.
     """
+    if not 0 <= multiprobe <= planes:
+        raise ValueError(f"multiprobe must be in [0, planes={planes}], got {multiprobe}")
     dims = len(query_vec)
     bucketed = df.withColumn("bucket", srp_signature(vec_col, planes, dims, seed))
     # compute the query's bucket with the same JVM expression (1-row df)
@@ -111,11 +115,24 @@ def srp_ann_topk(
     qbucket = qdf.select(srp_signature("qv", planes, dims, seed).alias("b")).collect()[
         0
     ]["b"]
-    probes = [qbucket]
-    if multiprobe >= 1:
-        probes += [qbucket ^ (1 << p) for p in range(planes)]
+    probes = srp_probe_buckets(qbucket, planes, multiprobe)
     cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def srp_probe_buckets(qbucket: int, planes: int, multiprobe: int) -> list[int]:
+    """All bucket ids within hamming distance `multiprobe` of `qbucket`
+    (driver side; the count is sum_{h<=multiprobe} C(planes, h))."""
+    from itertools import combinations
+
+    probes = [qbucket]
+    for h in range(1, max(0, multiprobe) + 1):
+        for idxs in combinations(range(planes), h):
+            mask = 0
+            for p in idxs:
+                mask |= 1 << p
+            probes.append(qbucket ^ mask)
+    return probes
 
 
 def _unit_expr(vec_col: str) -> Column:

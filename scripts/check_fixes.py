@@ -1,6 +1,8 @@
-"""Round-2 fix verification: run the affected queries on a VANILLA
-SparkSession (no build_session conf) and compare to DuckDB oracles the
-same way the driver does (sort columns by name, hash values)."""
+"""General per-query oracle re-check (the re-verification recipe
+referenced by OPERATORS.md and the verify skill): run the named
+declared queries on a VANILLA SparkSession (no build_session conf) and
+compare to DuckDB oracles the same way the driver does (sort columns by
+name, hash values). Usage: python scripts/check_fixes.py [name ...]"""
 import os
 import sys
 

@@ -70,6 +70,37 @@ def test_ann_recall(vectors):
     assert len(got & exact) >= 5
 
 
+def test_multiprobe_expands_probe_set_and_recall_is_monotone(vectors):
+    from chapterhousedb_spark.operators.similarity import srp_probe_buckets
+
+    # probe-set algebra: hamming<=h shells are disjoint and complete
+    p1 = srp_probe_buckets(0b1010, planes=4, multiprobe=1)
+    p2 = srp_probe_buckets(0b1010, planes=4, multiprobe=2)
+    assert len(p1) == 1 + 4 and len(set(p1)) == len(p1)
+    assert len(p2) == 1 + 4 + 6 and set(p1) < set(p2)
+    p_all = srp_probe_buckets(0, planes=4, multiprobe=4)
+    assert sorted(p_all) == list(range(16))  # full hamming ball = all buckets
+
+    # recall is monotone in multiprobe; multiprobe=planes == exact
+    df, mat = vectors
+    q = [1.0] * DIMS
+    exact = _numpy_topk(mat, np.array(q), 10)
+    hits = []
+    for mp in (0, 1, 2, 4):
+        got = {
+            r["vec_id"]
+            for r in srp_ann_topk(df, q, k=10, planes=4, multiprobe=mp).collect()
+        }
+        hits.append(len(got & set(exact)))
+    assert hits == sorted(hits), f"recall not monotone in multiprobe: {hits}"
+    full = [
+        r["vec_id"] for r in srp_ann_topk(df, q, k=10, planes=4, multiprobe=4).collect()
+    ]
+    assert full == exact, "multiprobe=planes must equal brute force"
+    with pytest.raises(ValueError):
+        srp_ann_topk(df, q, planes=4, multiprobe=5)
+
+
 def test_ivf_ann_recall_and_full_probe_exactness(vectors):
     df, mat = vectors
     q = [1.0] * DIMS
