@@ -443,11 +443,13 @@ class Engine:
     def vacuum(self, older_than_seconds: float = 0.0) -> list[str]:
         """Drop the materialized results (and tracking) of every
         TERMINAL query that finished more than `older_than_seconds`
-        ago; returns the dropped query ids. The retention maintenance
-        op for long-lived engines — the reference's query data lives
-        until its handler drops it too; without a sweep, per-query
-        parquet results accumulate without bound. Running/queued
-        queries are never touched."""
+        ago, plus the checkpoint dirs of STOPPED streams; returns the
+        dropped query/stream ids. The retention maintenance op for
+        long-lived engines — the reference's query data lives until its
+        handler drops it too; without a sweep, per-query parquet
+        results and per-stream `_checkpoints/<id>` dirs accumulate
+        without bound. Running/queued queries and ACTIVE streams are
+        never touched."""
         now = time.time()
         with self._lock:
             victims = [
@@ -457,8 +459,22 @@ class Engine:
                 and h.finished_at is not None
                 and now - h.finished_at >= older_than_seconds
             ]
+            active_streams = {
+                sid for sid, q in self._streams.items() if q.isActive
+            }
         for qid in victims:
             self.drop_results(qid)
+        # a stopped stream's checkpoint outlives its tracking entry
+        # (stop_stream pops it); sweep inactive/untracked checkpoint dirs
+        ckpt_root = os.path.join(self.results_dir, "_checkpoints")
+        if os.path.isdir(ckpt_root):
+            for sid in os.listdir(ckpt_root):
+                full = os.path.join(ckpt_root, sid)
+                if sid in active_streams or not os.path.isdir(full):
+                    continue
+                if now - os.path.getmtime(full) >= older_than_seconds:
+                    shutil.rmtree(full, ignore_errors=True)
+                    victims.append(sid)
         return victims
 
     def close(self, release_caches: bool | None = None) -> None:

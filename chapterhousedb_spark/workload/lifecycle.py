@@ -63,6 +63,52 @@ def engine_materialize_roundtrip_q(spark, sf_dir):
     return spark.read.parquet(handles[1].result_dir)
 
 
+def _normalize_nanos_events(spark, sf_dir):
+    """One-time nanos->micros normalization of events.parquet into a
+    temp dir (returned) holding a single file named events.parquet —
+    the same layout the streaming source expects. The nanosAsLong conf
+    is saved/set/restored around a fully-materializing batch write, so
+    nothing leaks into later queries on the session (the write is an
+    action: by the time this returns, no plan still needs the conf)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)  # None = not explicitly set
+    out_dir = tempfile.mkdtemp(prefix="chdb_events_norm_")
+    tmp = os.path.join(out_dir, "_tmp")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.LongType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    spark.conf.set(key, "true")
+    try:
+        (
+            spark.read.schema(raw_schema)
+            .parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(out_dir, "events.parquet"))
+    shutil.rmtree(tmp)
+    return out_dir
+
+
 def _raw_events_source(spark, sf_dir):
     """Streaming file sources need the schema declared up front, but the
     testdata's events.ts physical type has changed across rounds
@@ -78,9 +124,15 @@ def _raw_events_source(spark, sf_dir):
     unit = getattr(ts_type, "unit", None)
     tz = getattr(ts_type, "tz", None)
     if unit == "ns":
-        # read as nanos long (legacy conf), truncate to micros
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_ts, conv = T.LongType(), lambda c: F.timestamp_micros(F.expr("ts div 1000"))
+        # Nanos parquet needs spark.sql.legacy.parquet.nanosAsLong, but
+        # that conf is consulted at every micro-batch read — setting it
+        # session-wide would leak into unrelated queries. Instead run a
+        # ONE-TIME batch normalization (the conf scoped save/set/restore
+        # around a fully-materializing write) into a temp landing dir of
+        # micros timestamps, and stream from that. At scale this is the
+        # ingest-time normalization pass a landing zone does anyway.
+        sf_dir = _normalize_nanos_events(spark, sf_dir)
+        raw_ts, conv = T.TimestampType(), lambda c: c
     elif tz is None:
         # timestamp[us], not UTC-adjusted -> TIMESTAMP_NTZ; session tz is
         # UTC so the cast preserves the raw microsecond value

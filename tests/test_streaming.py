@@ -151,6 +151,49 @@ def test_engine_stream_lifecycle(spark, event_dir, tmp_path_factory):
     eng.close()
 
 
+def test_vacuum_sweeps_stopped_stream_checkpoints(spark, event_dir, tmp_path_factory):
+    """Engine.vacuum removes the `_checkpoints/<id>` dirs of finished/
+    stopped streams while an active stream's checkpoint is untouched."""
+    import os
+
+    from chapterhousedb_spark.config import ConnectionRegistry, FsConnection
+    from chapterhousedb_spark.engine import Engine
+
+    root = str(tmp_path_factory.mktemp("stream_vacuum"))
+    eng = Engine(
+        spark=spark,
+        results_dir=f"{root}/results",
+        connections=ConnectionRegistry(
+            {"out": FsConnection(name="out", base_path=root)}
+        ),
+    )
+    ckpt_root = f"{root}/results/_checkpoints"
+    done = eng.start_stream(
+        read_event_stream(spark, event_dir),
+        "landed/a",
+        connection="out",
+        available_now=True,
+    )
+    eng.await_stream(done)
+    live = eng.start_stream(
+        read_event_stream(spark, event_dir),
+        "landed/b",
+        connection="out",
+        trigger_interval="1 second",
+    )
+    assert os.path.isdir(f"{ckpt_root}/{done}") and os.path.isdir(
+        f"{ckpt_root}/{live}"
+    )
+    swept = eng.vacuum()
+    assert done in swept and live not in swept
+    assert not os.path.isdir(f"{ckpt_root}/{done}")
+    assert os.path.isdir(f"{ckpt_root}/{live}")
+    eng.stop_stream(live)
+    assert live in eng.vacuum()
+    assert not os.path.isdir(f"{ckpt_root}/{live}")
+    eng.close()
+
+
 def test_sessionize_stream_closes_sessions(spark, event_dir):
     stream = read_event_stream(spark, event_dir)
     sess = sessionize_stream(stream, gap_minutes=30)
@@ -661,5 +704,64 @@ def test_sliding_windowed_counts_match_batch(spark, event_dir):
     )
     want = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want
-    # every batch tumbling-hour count appears in exactly 2 sliding sums
     assert len(got) > 0
+    # 2h window / 1h slide: every event falls in exactly 2 windows, so
+    # the sliding sums double-count the corpus exactly once over
+    n_events = spark.read.parquet(event_dir).count()
+    assert sum(got.values()) == 2 * n_events
+    # and each event-hour contributes to both enclosing window starts
+    import datetime
+
+    hours = {
+        (r["h"], r["event_type"])
+        for r in spark.read.parquet(event_dir)
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .collect()
+    }
+    for h, et in hours:
+        assert (h, et) in got and (h - datetime.timedelta(hours=1), et) in got
+
+
+def test_nanos_events_source_restores_session_conf(spark, tmp_path_factory):
+    """_raw_events_source on a TIMESTAMP(NANOS) events table must not
+    leak spark.sql.legacy.parquet.nanosAsLong into the session: the
+    nanos->micros normalization is a conf-scoped batch pass, and the
+    drained stream carries the exactly-truncated micros values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chapterhousedb_spark.workload.lifecycle import _raw_events_source
+
+    d = str(tmp_path_factory.mktemp("nanos_events"))
+    ts = [1_700_000_000_000_000_000 + i * 3_600_000_000_000 + 1234 for i in range(4)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["a", "b", "a", "b"]),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    src = _raw_events_source(spark, d)
+    q = (
+        src.writeStream.format("memory")
+        .queryName("nanos_norm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.conf.get(key, None) == before, "nanosAsLong leaked into the session"
+    got = [
+        r["us"]
+        for r in spark.sql(
+            "select event_id, unix_micros(ts) as us from nanos_norm order by event_id"
+        ).collect()
+    ]
+    assert got == [t // 1000 for t in ts]
