@@ -21,7 +21,11 @@ from chapterhousedb_spark.workload import lifecycle as _lifecycle  # noqa: E402,
 # the engine lifecycle, composed pipelines) come first, and the
 # rows-only-by-design entries (whose driver check is weakest) plus
 # family-redundant entries (their operator family has other covered
-# rows) come last, where truncation costs least.
+# rows) come last, where truncation costs least. On top of the static
+# ordering, a deterministic per-round ROTATION (below) swaps a few
+# stable tail rows into the window each round so every oracle row
+# re-earns driver-green every handful of rounds without judge
+# intervention (ADVICE/VERDICT r5 #4).
 _DRIVER_FIRST = [
     "events_hourly",
     "events_sessionize",
@@ -38,6 +42,13 @@ _DRIVER_FIRST = [
     "streaming_interval_join",
     "streaming_dedup",
     "streaming_enrich",
+    # round-6 additions: the last streaming operator under the gate,
+    # the correlated-aggregate decorrelation shape, and the forced
+    # sort-merge-join strategy pin (paid for by permanently demoting
+    # join_semi / join_range_bands / pivot_mktsegment below)
+    "streaming_sessionize",
+    "tpch_q17_small_qty",
+    "tpch_q4_order_priority",
     "events_sliding",
     "corpus_report",
     "incremental_merge",
@@ -67,13 +78,14 @@ _DRIVER_LAST = [
     # clustering keeps dedup_survivors (whose recursive-CTE oracle
     # subsumes the component computation); scans keep
     # read_files_front_door+scan_filter_project; set ops keep set_ops.
-    # NOT driver-gated — re-verify by hand (scripts/check_fixes.py)
-    # whenever their operator code changes.
+    # NOT permanently driver-gated — each re-earns driver-green via the
+    # rotation below, and scripts/check_fixes.py re-verifies by hand
+    # whenever operator code changes.
     "sample_fraction",
     "agg_having",
     # demoted round 5 to make room for streaming_dedup /
     # incremental_merge / tpch_q3 / tpch_q5: joins keep
-    # broadcast+fact_fact+semi+range_bands+skew_salted+q3+q5 gated;
+    # broadcast+fact_fact+skew_salted+q3+q5 gated;
     # aggs keep pricing_summary+rollup_cube+grouping_sets+percentile;
     # scalar exprs keep scalar_funcs; similarity keeps
     # topk+embedding_near_dup
@@ -92,6 +104,13 @@ _DRIVER_LAST = [
     # demoted for corpus_report, which SUBSUMES its oracle (the report
     # aggregates the same per-row ratio/quality SQL per source)
     "text_stats",
+    # demoted round 6 for streaming_sessionize / tpch_q17 / tpch_q4:
+    # semi-join semantics stay gated through tpch_q4 (SMJ left-semi),
+    # the range-join plan is test-asserted (test_plans.py), and the agg
+    # family keeps pricing_summary/rollup_cube/grouping_sets/percentile
+    "join_semi",
+    "join_range_bands",
+    "pivot_mktsegment",
     "window_running_sum",
     "window_ntile",
     "string_funcs",
@@ -112,12 +131,77 @@ _DRIVER_LAST = [
     "similarity_ivf",
 ]
 
+# --------------------------------------------------------------- rotation
+# Stable in-window rows eligible for TEMPORARY demotion. Every entry is
+# long driver-green and family-redundant (its operator family keeps
+# other gated rows while it sits out a round): aggs keep
+# pricing_summary/grouping_sets, joins keep broadcast/skew/q3/q5/q4,
+# windows keep topk, sampling keeps stratified, packs keep
+# pack_materialize, dedup keeps duplicate_spans/contamination/survivors.
+_SWAP_POOL = [
+    "percentile_agg",
+    "lateral_explode",
+    "window_range_frame",
+    "sample_split",
+    "agg_rollup_cube",
+    "join_fact_fact",
+    "join_broadcast_dims",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+]
+_WINDOW = 50
+_ROTATION_K = 4
+
+
+def _current_round() -> int:
+    """Driver round number, derived from the CORRECTNESS_r{N}.json
+    artifacts the round driver leaves at the repo root (max N + 1;
+    1 outside a driver checkout). Deterministic within a round: the
+    current round's artifact is only written AFTER the correctness run
+    that consumes this ordering."""
+    import glob
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", f)]
+        if m
+    ]
+    return max(ns) + 1 if ns else 1
+
+
+def _rotate(order: list[str]) -> list[str]:
+    """Swap _ROTATION_K stable tail rows into the driver's window
+    (and _ROTATION_K _SWAP_POOL rows out), round-robin keyed on the
+    round number — so every oracle-able row re-earns driver-green
+    every ~len(pool)/K rounds. Pure reordering: the set of declared
+    queries and their definitions never change."""
+    window, tail = order[:_WINDOW], order[_WINDOW:]
+    pool = [n for n in tail if n in ORACLES]
+    demotable = [n for n in _SWAP_POOL if n in window]
+    if not pool or len(demotable) < _ROTATION_K:
+        return order
+    base = (_current_round() - 6) * _ROTATION_K  # rotation started round 6
+    promoted = [pool[(base + i) % len(pool)] for i in range(_ROTATION_K)]
+    demoted = [demotable[(base + i) % len(demotable)] for i in range(_ROTATION_K)]
+    promoted = list(dict.fromkeys(promoted))  # dedupe if pool < K (defensive)
+    new_window = [n for n in window if n not in demoted] + promoted
+    new_tail = demoted + [n for n in tail if n not in promoted]
+    return new_window + new_tail
+
 
 def _reorder() -> None:
     order = [n for n in _DRIVER_FIRST if n in QUERIES]
     order += [n for n in QUERIES if n not in _DRIVER_FIRST and n not in _DRIVER_LAST]
     order += [n for n in _DRIVER_LAST if n in QUERIES]
     assert len(order) == len(QUERIES)
+    order = _rotate(order)
+    assert sorted(order) == sorted(QUERIES)
     for mapping in (QUERIES, ORACLES):
         snap = dict(mapping)
         mapping.clear()

@@ -109,6 +109,41 @@ def _normalize_nanos_events(spark, sf_dir):
     return out_dir
 
 
+def _scatter_ordered_by_ts(df, ts_col="ts", n_files=8):
+    """Stage a bounded DataFrame as a landing dir whose files replay in
+    EVENT-TIME order: range-partition on ts, then rename each part to
+    an explicit sequence name f###.parquet ordered by the file's ACTUAL
+    min(ts) (read back from the parquet itself — no reliance on Spark's
+    part-file-name <-> range-partition mapping), with mtimes increasing
+    in the same sequence. FileStreamSource orders by (mtime, path):
+    both orders agree here, so the replay order is pinned whichever the
+    engine consults (the undocumented-coupling fix from ADVICE r5).
+    Returns the landing dir path; empty range partitions are dropped."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    scatter = tempfile.mkdtemp(prefix="chdb_scatter_")
+    tmp = os.path.join(scatter, "_tmp")
+    df.repartitionByRange(n_files, ts_col).write.mode("overwrite").parquet(tmp)
+    keyed = []
+    for fname in os.listdir(tmp):
+        if not (fname.startswith("part-") and fname.endswith(".parquet")):
+            continue
+        tbl = pq.read_table(os.path.join(tmp, fname), columns=[ts_col])
+        if tbl.num_rows:
+            keyed.append((min(tbl.column(ts_col).to_pylist()), fname))
+    keyed.sort()
+    base_mtime = 1_600_000_000
+    for i, (_, fname) in enumerate(keyed):
+        dest = os.path.join(scatter, f"f{i:03d}.parquet")
+        shutil.move(os.path.join(tmp, fname), dest)
+        os.utime(dest, (base_mtime + i, base_mtime + i))
+    shutil.rmtree(tmp)
+    return scatter
+
+
 def _raw_events_source(spark, sf_dir):
     """Streaming file sources need the schema declared up front, but the
     testdata's events.ts physical type has changed across rounds
@@ -413,9 +448,11 @@ def streaming_dedup_q(spark, sf_dir):
     distinct (user_id, event_type, hour) keys with bounded state.
 
     Determinism argument (why this hash-matches a batch DISTINCT):
-    the events table is scattered into ts-range files whose mtimes are
-    set monotonically in range order, so FileStreamSource (which orders
-    by mtime) replays them in EVENT-TIME order. Then (a) no row is ever
+    the events table is scattered by _scatter_ordered_by_ts into
+    explicitly-sequenced ts-range files (f000, f001, ... — sequence
+    verified against each file's actual min ts, mtimes monotone in the
+    same order), so FileStreamSource replays them in EVENT-TIME order
+    whether it sorts by mtime or by path. Then (a) no row is ever
     late — every file's min ts >= the previous file's max ts >= the
     watermark + delay; (b) no key's state is evicted while duplicates
     can still arrive — duplicates of an hour-key lie within 1h of each
@@ -424,20 +461,11 @@ def streaming_dedup_q(spark, sf_dir):
     so which physical row survived a within-batch race is invisible.
     At scale this is THE streaming dedup shape: state is keys within
     the lateness horizon, not the whole stream's key space."""
-    import os
-
     from chapterhousedb_spark.streaming.batcher import dedup_stream
     from chapterhousedb_spark.workload.registry import load
 
-    scatter = tempfile.mkdtemp(prefix="chdb_sdedup_src_")
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(scatter)
-    parts = sorted(
-        f for f in os.listdir(scatter) if f.startswith("part-")
-    )
-    base_mtime = 1_600_000_000
-    for i, fname in enumerate(parts):
-        os.utime(os.path.join(scatter, fname), (base_mtime + i, base_mtime + i))
+    scatter = _scatter_ordered_by_ts(ev)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -459,6 +487,89 @@ def streaming_dedup_q(spark, sf_dir):
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_sd_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "streaming_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       > 30 * 60 * 1000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(epoch_us(ts)) AS session_start,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(*) AS INTEGER) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    mx AS (SELECT MAX(epoch_ms(ts)) AS max_ms FROM events),
+    l AS (SELECT user_id, MAX(sid) AS max_sid FROM agg GROUP BY user_id)
+    SELECT a.user_id, a.session_start, a.n_events
+    FROM agg a JOIN l ON a.user_id = l.user_id, mx
+    WHERE a.sid < l.max_sid
+       OR a.last_us // 1000 + 1800000 < mx.max_ms - 1800000
+    """,
+)
+def streaming_sessionize_q(spark, sf_dir):
+    """Stateful streaming sessionization THROUGH the streaming engine
+    (applyInPandasWithState + event-time timeout, streaming/batcher.py
+    sessionize_stream), drained with availableNow and hash-matched
+    against the batch gaps-and-islands oracle — the last streaming
+    operator to graduate to the DuckDB gate (VERDICT r5 #3).
+
+    What the gate pins and what it deliberately does not:
+    - Emitted rows are (user_id, session_start, n_events) of every
+      CLOSED session. The closure REASON (by_timeout) is excluded: a
+      session the batch view sees as gap-closed can legitimately close
+      by mid-stream event-time timeout when the watermark (driven by
+      other users' events on an event-time-ordered replay) passes
+      last_ts + gap before the user's next event is processed — the
+      session CONTENT is identical either way (the next event starts a
+      fresh session in both paths; with ordered files a mid-stream
+      timeout requires next_ts - last_ts > 2*gap > gap, which the batch
+      view also splits). by_timeout stays covered by unit tests.
+    - The final still-open session per user is emitted only if the
+      final watermark closed it: Spark fires an event-time timeout iff
+      timeout_ms < watermark_ms, with timeout_ms = floor(last_us/1e3) +
+      gap_ms and watermark_ms = floor(max_us/1e3) - gap_ms (event-time
+      stats are ms-truncated) — the oracle's last predicate replays
+      exactly that arithmetic.
+    Ordered replay via _scatter_ordered_by_ts means no late drops, so
+    the session set is deterministic (same argument as streaming_dedup).
+    """
+    from chapterhousedb_spark.streaming.batcher import sessionize_stream
+    from chapterhousedb_spark.workload.registry import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    scatter = _scatter_ordered_by_ts(ev)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(scatter)
+    )
+    sess = sessionize_stream(stream, gap_minutes=30).select(
+        "user_id", "session_start", "n_events"
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:12]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_ss_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -1134,3 +1134,93 @@ def tpch_q5_region_revenue(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+@query(
+    "tpch_q17_small_qty",
+    oracle=f"""
+    SELECT {dsum_sql('l.l_extendedprice', 6)} / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def tpch_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity orders): a CORRELATED scalar
+    aggregate subquery — each lineitem compares against the average
+    quantity OF ITS OWN PART. scalar_subquery covers the uncorrelated
+    pattern; this is the decorrelation pattern: Catalyst rewrites the
+    per-key subquery into an aggregate over lineitem grouped by
+    l_partkey joined back on the key (plan-asserted: no
+    BroadcastNestedLoopJoin, one extra Aggregate). At scale that is
+    exactly the hand-written shape — one shuffle to build per-part
+    averages (map-side partial), one equi-join back; the brand filter
+    pushes into the part scan and prunes the join's build side.
+
+    Determinism of the threshold: l_quantity is integral (1..50), so
+    the double SUM underlying AVG is exact in any accumulation order
+    and `0.5 * avg` is bit-identical on both engines; l_extendedprice
+    goes through the exact-decimal dsum. Testdata has no
+    p_container column, so the brand predicate alone plays the role of
+    Q17's brand+container selectivity."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("chdb_q17_li")
+    load(spark, sf_dir, "part").createOrReplaceTempView("chdb_q17_part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM chdb_q17_li l JOIN chdb_q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                              FROM chdb_q17_li l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking) with the join strategy
+    PINNED to sort-merge: the EXISTS becomes a left-semi join and the
+    `merge` hint forces SortMergeJoin even though AQE would happily
+    broadcast at test scale — pinning the one major join strategy no
+    other gated query exercises (plan-asserted: SortMergeJoin LeftSemi,
+    no BroadcastHashJoin). At 100 TB orders><lineitem is far past any
+    broadcast threshold, so SMJ-semi IS the production plan: both sides
+    shuffle-sort on orderkey, the semi probe streams without
+    materializing matches, and the returnflag + date filters push into
+    the scans. (Testdata has no l_commitdate/l_receiptdate, so
+    `l_returnflag = 'R'` plays Q4's late-delivery predicate.)"""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .hint("merge")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

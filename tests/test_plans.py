@@ -169,6 +169,35 @@ def test_tpch_q5_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q17_decorrelates_no_nested_loop(spark):
+    """Q17's correlated scalar-aggregate subquery must decorrelate into
+    an aggregate + equi-join — never a per-row nested-loop replay. The
+    brand filter must still push into the part scan."""
+    df = q("tpch_q17_small_qty", spark)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # the decorrelated per-part average is a real aggregate in the plan
+    assert "avg(" in plan or "partial_avg" in plan, plan
+    pf = pushed_filters(df)
+    assert any("p_brand" in f for f in pf), pf
+
+
+def test_tpch_q4_forces_sort_merge_semi(spark):
+    """Q4's EXISTS under the merge hint must run as a sort-merge
+    LEFT-SEMI join (the 100 TB orders><lineitem strategy) — no
+    broadcast, no nested loop — with both scan filters pushed."""
+    df = q("tpch_q4_order_priority", spark)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    pf = pushed_filters(df)
+    assert any("l_returnflag" in f for f in pf), pf
+    assert any("o_orderdate" in f for f in pf), pf
+
+
 def test_incremental_merge_single_shuffle_no_join(spark):
     """Declared merge query: one hash shuffle on doc_id + window, no
     join operator anywhere (merge.py's 100 TB cost claim)."""
