@@ -50,7 +50,16 @@ HEADLINE = [
     "tpch_q5_region_revenue",
     "incremental_merge",
     "events_sliding",
+    # round 6 additions
+    "tpch_q17_small_qty",
+    "tpch_q4_order_priority",
 ]
+
+# Cheap stable queries re-run twice at the end of the suite; their
+# first-vs-repeat spread is the round's empirical NOISE FLOOR — a
+# per-query delta smaller than this spread is noise, not regression
+# (VERDICT r5: one calibration probe couldn't distinguish the two).
+_NOISE_PROBES = ["agg_distinct", "join_broadcast_dims"]
 
 # queries whose output is wide/large: write to sink instead of collect
 _WRITE_SINK = {
@@ -88,16 +97,19 @@ def run_query(spark, name: str, sf_dir: str, sink_root: str) -> float:
     return elapsed
 
 
-def _previous_round_times() -> tuple[int | None, dict[str, float], float | None]:
+def _previous_round_times() -> (
+    tuple[int | None, dict[str, float], float | None, float | None]
+):
     """Latest BENCH_r<N>.json next to this script, for round deltas.
 
-    Returns (round_n, per-query times, that round's host_factor or None
-    if it predates the calibration probes)."""
+    Returns (round_n, per-query times, that round's cold host_factor or
+    None if it predates the calibration probes, that round's median
+    Spark probe or None if it predates the median probes (r6))."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best_times, best_factor = None, {}, None
+    best_n, best_times, best_factor, best_median = None, {}, None, None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
@@ -119,34 +131,61 @@ def _previous_round_times() -> tuple[int | None, dict[str, float], float | None]
                 best_factor = (
                     round(sp / _ANCHOR_SPARK_RANGE_SUM_SEC, 3) if sp else None
                 )
-    return best_n, best_times, best_factor
+                best_median = cal.get("spark_range_sum_median_sec")
+    return best_n, best_times, best_factor, best_median
 
 
-def _calibration(spark) -> dict[str, float]:
+def _median_of(fn, n: int) -> tuple[float, list[float]]:
+    import statistics
+
+    xs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        xs.append(time.perf_counter() - t0)
+    return statistics.median(xs), [round(x, 3) for x in xs]
+
+
+def _calibration(spark) -> dict[str, object]:
     """Host-speed probes so query times are comparable across rounds on
     hosts of different speed (round 4 observed byte-identical queries
     uniformly ~1.4x slower than round 2 on the same code — per-job
     constant overhead, not plan changes). Normalize deltas against
-    these before reading a per-query delta as a regression."""
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(5_000_000):
-        x += i
-    py = time.perf_counter() - t0
+    these before reading a per-query delta as a regression.
+
+    Each probe is a MEDIAN of repeats (5x for the Spark normalizer,
+    3x for the cheap ones) with the raw samples emitted alongside:
+    round 5's single-shot probe measured 0.944 while 16/19 queries ran
+    slower normalized — one sample cannot tell probe noise from a real
+    drift, the sample list can (VERDICT r5 #1)."""
+
+    def _py():
+        x = 0
+        for i in range(5_000_000):
+            x += i
+
+    py, py_all = _median_of(_py, 3)
     import numpy as np
 
     a = np.random.default_rng(0).standard_normal((1200, 1200))
-    t0 = time.perf_counter()
-    float((a @ a).sum())
-    np_t = time.perf_counter() - t0
-    # fixed Spark job: measures JVM scheduler + codegen constant costs
-    t0 = time.perf_counter()
-    spark.range(50_000_000).selectExpr("sum(id)").collect()
-    sp = time.perf_counter() - t0
+    np_t, np_all = _median_of(lambda: float((a @ a).sum()), 3)
+    # fixed Spark job: measures JVM scheduler + codegen constant costs.
+    # The FIRST sample includes codegen compilation (the r2-r5 anchors
+    # were recorded exactly that way, so `spark_range_sum_sec` keeps
+    # that cold semantic for anchor comparability); the MEDIAN strips
+    # the compile spike (observed: cold 1.38 s vs warm median 0.24 s on
+    # one host) and is what round-to-round normalization uses from r6 on.
+    sp_med, sp_all = _median_of(
+        lambda: spark.range(50_000_000).selectExpr("sum(id)").collect(), 5
+    )
     return {
         "python_loop_sec": round(py, 3),
         "numpy_matmul_sec": round(np_t, 3),
-        "spark_range_sum_sec": round(sp, 3),
+        "spark_range_sum_sec": sp_all[0],  # cold (anchor-comparable)
+        "spark_range_sum_median_sec": round(sp_med, 3),
+        "python_loop_all": py_all,
+        "numpy_matmul_all": np_all,
+        "spark_range_sum_all": sp_all,
     }
 
 
@@ -161,23 +200,47 @@ def main() -> None:
         times: dict[str, float] = {}
         for name in HEADLINE:
             times[name] = round(run_query(spark, name, sf_dir, sink_root), 3)
+        # empirical noise floor: same query, same session, seconds apart
+        noise_floor = {}
+        for name in _NOISE_PROBES:
+            rep = round(run_query(spark, name, sf_dir, sink_root), 3)
+            first = times[name]
+            noise_floor[name] = {
+                "first_sec": first,
+                "repeat_sec": rep,
+                "spread_sec": round(abs(first - rep), 3),
+                "spread_pct": round(200.0 * abs(first - rep) / (first + rep), 1)
+                if first + rep
+                else 0.0,
+            }
         total = round(sum(times.values()), 3)
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-        prev_n, prev, prev_factor = _previous_round_times()
+        prev_n, prev, prev_factor, prev_median = _previous_round_times()
         deltas = {
             q: round(times[q] - prev[q], 3) for q in times if q in prev
         }
         # Host-normalized view: divide each side by its round's host_factor
         # before differencing, so a uniformly slower/faster sandbox host
         # (round 4 measured ~1.4x flat vs round 2) reads as ~0 delta and
-        # only genuine plan changes stand out. Rounds without calibration
-        # (r1-r3) normalize as factor 1.0 — their deltas stay raw.
+        # only genuine plan changes stand out. When the previous round
+        # recorded a MEDIAN probe (r6+), normalize median-to-median —
+        # this round's times are rescaled into the previous round's host
+        # seconds (anchor constants cancel in the delta); otherwise fall
+        # back to the cold-probe/anchor pair (r1-r3 normalize as 1.0).
         host_factor = round(
             calibration["spark_range_sum_sec"] / _ANCHOR_SPARK_RANGE_SUM_SEC, 3
         )
-        pf = prev_factor or 1.0
+        if prev_median:
+            f_now = round(
+                calibration["spark_range_sum_median_sec"] / prev_median, 3
+            )
+            f_prev = 1.0
+            norm_kind = "median_pair"
+        else:
+            f_now, f_prev = host_factor, (prev_factor or 1.0)
+            norm_kind = "cold_anchor"
         deltas_norm = {
-            q: round(times[q] / host_factor - prev[q] / pf, 3)
+            q: round(times[q] / f_now - prev[q] / f_prev, 3)
             for q in times
             if q in prev
         }
@@ -193,7 +256,10 @@ def main() -> None:
                     "deltas_vs_prev": deltas,
                     "host_factor": host_factor,
                     "prev_host_factor": prev_factor,
+                    "host_factor_vs_prev": f_now,
+                    "host_norm_kind": norm_kind,
                     "deltas_vs_prev_host_normalized": deltas_norm,
+                    "noise_floor": noise_floor,
                     "calibration": calibration,
                 }
             )
