@@ -26,6 +26,7 @@ from chapterhousedb_spark.operators.dedup import (
     word_shingle_posts,
 )
 from chapterhousedb_spark.operators.merge import (
+    merge_apply_partitioned,
     merge_stats,
     merge_upsert,
     merge_upsert_small_updates,
@@ -69,6 +70,7 @@ __all__ = [
     "ivf_read_index",
     "ivf_write_index",
     "lang_id",
+    "merge_apply_partitioned",
     "merge_stats",
     "merge_upsert",
     "merge_upsert_small_updates",

@@ -36,6 +36,7 @@ def merge_upsert(
     keys: list[str],
     version_col: str,
     delete_col: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Merge `updates` into `base`, keyed by `keys`.
 
@@ -46,13 +47,43 @@ def merge_upsert(
     Rows of `base` whose key never appears in `updates` pass through
     unchanged.
 
+    NULL-key contract (where this deliberately differs from SQL MERGE):
+    Window.partitionBy treats NULL keys as EQUAL, so all null-key rows
+    — across both sides — form ONE group with a single winner, and a
+    null-key tombstone deletes them all. SQL MERGE's ON clause never
+    matches on NULL (every null-key source row would be an INSERT and
+    every null-key target row would pass through). This operator's
+    semantics are "NULL is a key value like any other" — the right
+    behavior for corpus keys like doc_id where NULL means "unkeyed
+    junk" that should collapse rather than accumulate. Callers that
+    need SQL-MERGE null behavior should route null-key rows around the
+    merge themselves (filter + unionByName).
+
     Requires: `updates` has the same columns as `base` (delete_col may
     exist on either side or both; it is coalesced to false and removed
     from the output). Each (key, version) must be unique per side —
     duplicate versions on the SAME side would make the winner
     arbitrary, so callers dedup their batch first (exact_dedup).
+    Pass validate=True to enforce that precondition with an extra
+    aggregation pass per side (raises ValueError naming the side and an
+    offending key instead of silently picking an arbitrary winner).
     """
     d = delete_col
+    if validate:
+        for side_name, side in (("base", base), ("updates", updates)):
+            dup = (
+                side.groupBy(*keys, version_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"{side_name} violates (key, version) uniqueness, "
+                    f"e.g. {dup[0].asDict()} — dedup the batch first "
+                    "(exact_dedup) or fix the version assignment"
+                )
     if d is not None:
         if d not in base.columns:
             base = base.withColumn(d, F.lit(False))
@@ -131,6 +162,99 @@ def merge_upsert_small_updates(
         delete_col,
     )
     return untouched.unionByName(winners)
+
+
+def merge_apply_partitioned(
+    updates: DataFrame,
+    base_path: str,
+    keys: list[str],
+    version_col: str,
+    partition_cols: list[str],
+    delete_col: str | None = None,
+    small_updates: bool = True,
+) -> list[tuple]:
+    """Apply a merge INCREMENTALLY to a hive-partitioned parquet base:
+    only the partitions containing updated keys are read and rewritten
+    (dynamic partition overwrite); every other partition directory is
+    neither scanned nor touched — its files stay byte-identical
+    (test-pinned via size+mtime+inode). Returns the affected partition
+    value tuples.
+
+    This is the incremental shape merge_upsert's module docstring
+    promises: at 100 TB a crawl batch touches a handful of date/source
+    partitions, so the job cost is O(touched partitions + updates), not
+    O(base). Requires partition_cols ⊆ keys — then a key lives in
+    exactly ONE partition, so the update batch's partition values are
+    exactly the partitions that can contain matching base rows (a key
+    could otherwise "move" partitions and leave a stale twin behind).
+
+    Mechanics: affected partition values are collected from the updates
+    batch (one row per touched partition — driver-safe), the base read
+    is partition-pruned to those values, the merge runs with the chosen
+    strategy, and the result is localCheckpointed before the write so
+    the overwrite never reads from the files it replaces. Partitions
+    fully emptied by tombstones are deleted explicitly (dynamic
+    overwrite only rewrites partitions PRESENT in the output). At
+    production scale prefer a staging dir over localCheckpoint if a
+    single batch touches more data than executor storage holds.
+    """
+    import functools
+    import operator
+
+    spark = updates.sparkSession
+    if not set(partition_cols) <= set(keys):
+        raise ValueError(
+            f"partition_cols {partition_cols} must be a subset of keys "
+            f"{keys}: otherwise an update can move a key across "
+            "partitions and strand the old row"
+        )
+    pvals = [
+        tuple(r) for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    if not pvals:
+        return []
+    base = spark.read.parquet(base_path)
+    cond = functools.reduce(
+        operator.or_,
+        [
+            functools.reduce(
+                operator.and_,
+                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(partition_cols, pv)],
+            )
+            for pv in pvals
+        ],
+    )
+    touched_base = base.filter(cond)
+    merge_fn = merge_upsert_small_updates if small_updates else merge_upsert
+    merged = merge_fn(touched_base, updates, keys, version_col, delete_col)
+    merged = merged.localCheckpoint(eager=True)  # sever lineage from base files
+    remaining = {
+        tuple(r) for r in merged.select(*partition_cols).distinct().collect()
+    }
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            base_path
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    emptied = [pv for pv in pvals if pv not in remaining]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for pv in emptied:
+            sub = "/".join(
+                f"{c}={v}" for c, v in zip(partition_cols, pv)
+            )
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{sub}")
+            fs = jpath.getFileSystem(hconf)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+    return pvals
 
 
 def merge_stats(

@@ -266,3 +266,123 @@ def test_merge_small_updates_base_tombstones_and_null_keys(spark):
     ids = [r.text for r in small]
     assert "ghost" not in ids  # untouched tombstone filtered
     assert ids.count("null-upd") == 1 and "null-base" not in ids
+
+
+def test_merge_validate_flags_duplicate_key_version(spark):
+    base = spark.createDataFrame(
+        [Row(doc_id=1, text="a", version=1), Row(doc_id=1, text="b", version=1)]
+    )
+    updates = spark.createDataFrame([Row(doc_id=1, text="c", version=2)])
+    with pytest.raises(ValueError, match="base violates"):
+        merge_upsert(base, updates, ["doc_id"], "version", validate=True)
+    with pytest.raises(ValueError, match="updates violates"):
+        merge_upsert(
+            updates,
+            base.withColumn("version", F.lit(3)),
+            ["doc_id"],
+            "version",
+            validate=True,
+        )
+    # clean inputs pass with validate on
+    clean = spark.createDataFrame([Row(doc_id=2, text="d", version=1)])
+    assert merge_upsert(clean, updates, ["doc_id"], "version", validate=True).count() == 2
+
+
+def _partition_file_stats(root):
+    import os
+
+    stats = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            stats[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns, st.st_ino)
+    return stats
+
+
+def test_merge_apply_partitioned_rewrites_only_affected(spark, tmp_path):
+    """Partition-pruned incremental apply: untouched partition files are
+    byte-identical (size+mtime+inode) after the merge, and the merged
+    table equals a full merge_upsert row-for-row."""
+    import os
+
+    from chapterhousedb_spark.operators.merge import merge_apply_partitioned
+
+    base_path = str(tmp_path / "base")
+    base_rows = [
+        Row(src="a", doc_id=1, text="a1", version=1),
+        Row(src="a", doc_id=2, text="a2", version=1),
+        Row(src="b", doc_id=3, text="b3", version=1),
+        Row(src="c", doc_id=4, text="c4", version=1),
+    ]
+    base = spark.createDataFrame(base_rows)
+    base.repartition(1).write.partitionBy("src").parquet(base_path)
+    updates = spark.createDataFrame(
+        [
+            Row(src="a", doc_id=2, text="a2-v2", version=2, deleted=False),
+            Row(src="a", doc_id=9, text="a9", version=2, deleted=False),
+        ]
+    )
+    before = _partition_file_stats(base_path)
+    untouched_before = {k: v for k, v in before.items() if "src=a" not in k}
+
+    touched = merge_apply_partitioned(
+        updates, base_path, ["src", "doc_id"], "version",
+        partition_cols=["src"], delete_col="deleted",
+    )
+    assert touched == [("a",)]
+    after = _partition_file_stats(base_path)
+    untouched_after = {k: v for k, v in after.items() if "src=a" not in k}
+    assert untouched_before == untouched_after, "untouched partitions were rewritten"
+
+    got = {
+        (r.src, r.doc_id, r.text, r.version)
+        for r in spark.read.parquet(base_path).collect()
+    }
+    want = {
+        (r.src, r.doc_id, r.text, r.version)
+        for r in merge_upsert(
+            base, updates, ["src", "doc_id"], "version", delete_col="deleted"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_merge_apply_partitioned_tombstones_can_empty_a_partition(spark, tmp_path):
+    from chapterhousedb_spark.operators.merge import merge_apply_partitioned
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [
+            Row(src="a", doc_id=1, text="a1", version=1),
+            Row(src="b", doc_id=2, text="b2", version=1),
+        ]
+    ).repartition(1).write.partitionBy("src").parquet(base_path)
+    updates = spark.createDataFrame(
+        [Row(src="b", doc_id=2, text="", version=2, deleted=True)]
+    )
+    merge_apply_partitioned(
+        updates, base_path, ["src", "doc_id"], "version",
+        partition_cols=["src"], delete_col="deleted",
+    )
+    import os
+
+    assert not os.path.isdir(os.path.join(base_path, "src=b")), "emptied partition must go"
+    rows = spark.read.parquet(base_path).collect()
+    assert [(r.src, r.doc_id) for r in rows] == [("a", 1)]
+
+
+def test_merge_apply_partitioned_requires_partition_in_key(spark, tmp_path):
+    from chapterhousedb_spark.operators.merge import merge_apply_partitioned
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame([Row(src="a", doc_id=1, version=1)]).write.partitionBy(
+        "src"
+    ).parquet(base_path)
+    with pytest.raises(ValueError, match="subset of keys"):
+        merge_apply_partitioned(
+            spark.createDataFrame([Row(src="a", doc_id=1, version=2)]),
+            base_path, ["doc_id"], "version", partition_cols=["src"],
+        )
