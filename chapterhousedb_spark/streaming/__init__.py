@@ -5,8 +5,11 @@ from chapterhousedb_spark.streaming.batcher import (
     asof_enrich_stream,
     dedup_stream,
     enrich_stream,
+    init_versioned_base,
     interval_join_streams,
+    merge_stream,
     read_event_stream,
+    read_versioned_base,
     run_available_now,
     sessionize_stream,
     windowed_counts,
@@ -16,8 +19,11 @@ __all__ = [
     "asof_enrich_stream",
     "dedup_stream",
     "enrich_stream",
+    "init_versioned_base",
     "interval_join_streams",
+    "merge_stream",
     "read_event_stream",
+    "read_versioned_base",
     "run_available_now",
     "sessionize_stream",
     "windowed_counts",

@@ -352,6 +352,103 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str | list[str]) -> Dat
     return events.join(F.broadcast(dim), on, "left")
 
 
+def init_versioned_base(df: DataFrame, base_root: str) -> str:
+    """Seed a versioned parquet base: write `df` as v000000 and point
+    the _LATEST marker at it. The versioned layout is what makes
+    streaming merge safe on plain parquet: every merge writes a NEW
+    version directory and flips the marker last, so readers never see a
+    half-written base and a crashed batch leaves the previous version
+    intact."""
+    path = f"{base_root}/v000000"
+    df.write.mode("overwrite").parquet(path)
+    _write_latest_marker(df.sparkSession, base_root, 0)
+    return path
+
+
+def read_versioned_base(spark: SparkSession, base_root: str) -> tuple[DataFrame, int]:
+    """Current version of a versioned base: (DataFrame, version number)."""
+    ver = _read_latest_marker(spark, base_root)
+    return spark.read.parquet(f"{base_root}/v{ver:06d}"), ver
+
+
+def merge_stream(
+    updates: DataFrame,
+    base_root: str,
+    keys: list[str],
+    version_col: str,
+    delete_col: str | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Continuous ingest-merge: each update micro-batch is merged into
+    the versioned parquet base via merge_upsert_small_updates inside
+    foreachBatch — the production loop that the merge + streaming
+    pieces compose into (a crawl stream upserting a corpus). Returns
+    the started StreamingQuery.
+
+    Crash safety / exactly-once-ish: foreachBatch may REPLAY a batch
+    after a restart (sink side is at-least-once). The merge makes the
+    replay a semantic no-op: re-merging the same batch into a base that
+    already absorbed it picks the same winners (updates win version
+    ties), so base version N+k converges to the same table whether a
+    batch ran once or twice — only the version counter differs. Each
+    batch writes a NEW v{n} directory (never reads and overwrites the
+    same files) and flips the _LATEST marker as the last step.
+
+    At 100 TB use merge_apply_partitioned in the batch function instead
+    (hive-partitioned base, only touched partitions rewritten) — this
+    versioned whole-base rewrite is the small/medium-corpus shape and
+    the test harness for the loop.
+    """
+    import tempfile as _tf
+
+    from chapterhousedb_spark.operators.merge import merge_upsert_small_updates
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        base, ver = read_versioned_base(spark, base_root)
+        merged = merge_upsert_small_updates(
+            base, batch_df, keys, version_col, delete_col
+        )
+        merged.write.mode("overwrite").parquet(f"{base_root}/v{ver + 1:06d}")
+        _write_latest_marker(spark, base_root, ver + 1)
+
+    writer = updates.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation",
+        checkpoint or _tf.mkdtemp(prefix="chdb_merge_ckpt_"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _write_latest_marker(spark: SparkSession, base_root: str, ver: int) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{base_root}/_LATEST")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(str(ver).encode("ascii")))
+    finally:
+        out.close()
+
+
+def _read_latest_marker(spark: SparkSession, base_root: str) -> int:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{base_root}/_LATEST")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return int(data.decode("ascii"))
+
+
 def run_available_now(
     stream: DataFrame, out_path: str, checkpoint: str, output_mode: str = "append"
 ):

@@ -765,3 +765,73 @@ def test_nanos_events_source_restores_session_conf(spark, tmp_path_factory):
         ).collect()
     ]
     assert got == [t // 1000 for t in ts]
+
+
+def test_merge_stream_two_batches_equal_one_shot_merge(spark, tmp_path_factory):
+    """foreachBatch ingest-merge loop: two update micro-batches applied
+    sequentially to the versioned base equal ONE merge_upsert of their
+    union, and the version chain v0 -> v1 -> v2 is preserved."""
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.merge import merge_upsert
+    from chapterhousedb_spark.streaming import (
+        init_versioned_base,
+        merge_stream,
+        read_versioned_base,
+    )
+
+    root = tmp_path_factory.mktemp("merge_stream")
+    base_root = str(root / "base")
+    landing = str(root / "landing")
+    os.makedirs(landing)
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one", version=0, deleted=False),
+            Row(doc_id=2, text="two", version=0, deleted=False),
+            Row(doc_id=3, text="three", version=0, deleted=False),
+        ]
+    )
+    init_versioned_base(base, base_root)
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=2, text="two-v1", version=1, deleted=False),
+            Row(doc_id=4, text="four", version=1, deleted=False),
+        ]
+    )
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=2, text="two-v2", version=2, deleted=False),
+            Row(doc_id=3, text="", version=2, deleted=True),
+        ]
+    )
+    b1.coalesce(1).write.parquet(f"{landing}/f0")
+    b2.coalesce(1).write.parquet(f"{landing}/f1")
+    # mtime sequence pins micro-batch order f0 then f1
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i, 1_600_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    q = merge_stream(
+        stream, base_root, ["doc_id"], "version", delete_col="deleted",
+        checkpoint=str(root / "ckpt"),
+    )
+    q.awaitTermination()
+
+    final, ver = read_versioned_base(spark, base_root)
+    assert ver == 2, "two non-empty batches must advance the version twice"
+    got = {(r.doc_id, r.text, r.version) for r in final.collect()}
+    want = {
+        (r.doc_id, r.text, r.version)
+        for r in merge_upsert(
+            base, b1.unionByName(b2), ["doc_id"], "version", delete_col="deleted"
+        ).collect()
+    }
+    assert got == want
