@@ -6,12 +6,15 @@ the Spark-idiomatic shape for per-blob Python work: batches stream
 through workers, nothing collects to the driver, and partition sizing
 controls memory per task.
 
-The actual codec decode is STUBBED (media libraries are not available
-in this environment): `decode_stub` parses a deterministic fake header
-instead of calling a real decoder, and `decode_real` raises
-NotImplementedError where PIL/ffmpeg would plug in. Everything
-Spark-side — schema, batching, UDF signatures, partitioning — is real
-and tested (tests/test_multimodal.py).
+Codec story: `decode_real` REALLY decodes the formats a pure-python
+parser can handle with no external library — binary PPM (P6) images
+and PCM WAV audio — and raises NotImplementedError for compressed
+formats (JPEG/PNG/MP4 need PIL/ffmpeg, absent in this environment).
+`decode_stub` parses a deterministic fake header for plumbing tests
+that want full control of the bytes. Everything Spark-side — schema,
+batching, UDF signatures, partitioning — is identical for both and
+tested (tests/test_multimodal.py), including decode_real through the
+mapInPandas path on generated PPM/WAV payloads.
 
 Fake blob format (deterministic, produced by make_fake_blob):
   bytes 0-3   magic b"FAKE"
@@ -69,10 +72,123 @@ def make_fake_blob(width: int, height: int, n_frames: int = 1, fill: int = 0) ->
 
 
 def decode_real(payload: bytes) -> dict:
-    """Where a real codec (PIL / soundfile / ffmpeg) would be called."""
+    """Decode REAL media bytes for the formats a pure-python parser can
+    handle with no external codec: binary PPM (P6) images and PCM WAV
+    audio. Compressed formats (JPEG/PNG/MP4/...) still raise
+    NotImplementedError — those genuinely need PIL/ffmpeg, which this
+    sandbox lacks. Returns the same dict shape as decode_stub, with the
+    audio mapping documented on _decode_wav.
+    """
+    if payload is not None and payload[:2] == b"P6":
+        return _decode_ppm_p6(payload)
+    if (
+        payload is not None
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "real media decoding requires PIL/ffmpeg, not available in this environment"
+        "only PPM (P6) and PCM WAV decode without external codecs; "
+        "JPEG/PNG/MP4 etc. require PIL/ffmpeg, not available here"
     )
+
+
+def _decode_ppm_p6(payload: bytes) -> dict:
+    """Binary PPM: ASCII header `P6 <w> <h> <maxval>` (whitespace- and
+    #-comment-tolerant), then w*h*3 raw RGB bytes (maxval < 256).
+    mean_pixel = mean over all RGB bytes."""
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(payload) and payload[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        else:
+            break
+    if len(fields) < 3 or fields[2] > 255:
+        return {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    w, h, _maxval = fields
+    pos += 1  # single whitespace byte after maxval per spec
+    body = payload[pos : pos + w * h * 3]
+    if len(body) != w * h * 3:
+        return {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "mean_pixel": sum(body) / len(body) if body else None,
+        "ok": True,
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """PCM WAV (RIFF chunks; 8- or 16-bit). Feature mapping into the
+    image-shaped FEATURE_SCHEMA, documented here once: width = sample
+    rate (Hz), height = channel count, n_frames = samples per channel,
+    mean_pixel = mean ABSOLUTE sample amplitude (raw integer units)."""
+    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    pos, n = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return bad
+    audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or channels == 0 or bits not in (8, 16):
+        return bad
+    if bits == 8:
+        samples = list(data)  # unsigned, centered at 128
+        mean_abs = sum(abs(s - 128) for s in samples) / len(samples) if samples else None
+    else:
+        count = len(data) // 2
+        samples = struct.unpack(f"<{count}h", data[: count * 2])
+        mean_abs = sum(abs(s) for s in samples) / count if count else None
+    n_frames = len(samples) // channels
+    return {
+        "width": int(sample_rate),
+        "height": int(channels),
+        "n_frames": int(n_frames),
+        "mean_pixel": mean_abs,
+        "ok": True,
+    }
+
+
+def make_ppm_blob(width: int, height: int, fill: int = 0) -> bytes:
+    """A real binary PPM (P6) payload with a deterministic pixel ramp."""
+    body = bytes((fill + i) % 256 for i in range(width * height * 3))
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + body
+
+
+def make_wav_blob(
+    samples: list[int], sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """A real PCM WAV (16-bit little-endian) payload from raw samples."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def decode_stub(payload: bytes) -> dict:
@@ -86,19 +202,35 @@ def decode_stub(payload: bytes) -> dict:
     return {"width": w, "height": h, "n_frames": nf, "mean_pixel": mean, "ok": True}
 
 
-def extract_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_hint_rows: int = 1024, decoder=None
+) -> DataFrame:
     """Decode + feature-extract every blob via mapInPandas.
 
     Arrow streams batches of rows into Python; each batch is decoded
     row-wise in pandas (a real decoder would vectorize here). Output
-    rows align 1:1 with input blobs. At 100 TB: throughput scales with
-    partitions; `spark.sql.files.maxPartitionBytes` bounds per-task
-    payload memory, and binary columns never pass through the driver.
+    rows align 1:1 with input blobs. `decoder` defaults to decode_stub
+    (the FAKE header format); pass decode_real to run the pure-python
+    PPM/WAV codecs over actual media bytes — a decoder that raises
+    (unsupported format) records ok=False for that row rather than
+    failing the task. At 100 TB: throughput scales with partitions;
+    `spark.sql.files.maxPartitionBytes` bounds per-task payload memory,
+    and binary columns never pass through the driver.
     """
+    dec = decoder or decode_stub
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bad = {
+            "width": None, "height": None, "n_frames": None,
+            "mean_pixel": None, "ok": False,
+        }
         for pdf in batches:
-            feats = [decode_stub(p) for p in pdf["payload"]]
+            feats = []
+            for p in pdf["payload"]:
+                try:
+                    feats.append(dec(p))
+                except NotImplementedError:
+                    feats.append(dict(bad))
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out[["media_id", "width", "height", "n_frames", "mean_pixel", "ok"]]

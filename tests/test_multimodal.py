@@ -80,9 +80,71 @@ def test_chunk_binary_stays_jvm_side(media):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_rejects_compressed_formats():
     with pytest.raises(NotImplementedError):
-        decode_real(b"anything")
+        decode_real(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_decode_real_ppm_roundtrip():
+    from chapterhousedb_spark.operators.multimodal import make_ppm_blob
+
+    blob = make_ppm_blob(4, 3, fill=10)
+    d = decode_real(blob)
+    body = bytes((10 + i) % 256 for i in range(4 * 3 * 3))
+    assert d == {
+        "width": 4,
+        "height": 3,
+        "n_frames": 1,
+        "mean_pixel": sum(body) / len(body),
+        "ok": True,
+    }
+    # comment- and whitespace-tolerant header
+    blob2 = b"P6\n# a comment\n 4  3 \n255\n" + body
+    assert decode_real(blob2)["ok"] is True
+    # truncated body -> not ok, no exception
+    assert decode_real(blob[:-1])["ok"] is False
+
+
+def test_decode_real_wav_roundtrip():
+    from chapterhousedb_spark.operators.multimodal import make_wav_blob
+
+    samples = [0, 100, -100, 200, -200, 300]
+    blob = make_wav_blob(samples, sample_rate=16000, channels=2)
+    d = decode_real(blob)
+    assert d == {
+        "width": 16000,
+        "height": 2,
+        "n_frames": 3,
+        "mean_pixel": sum(abs(s) for s in samples) / len(samples),
+        "ok": True,
+    }
+
+
+def test_decode_real_through_mapinpandas(spark):
+    """The real pure-python codecs through the Arrow-batched Spark
+    path: PPM + WAV rows decode, an unsupported blob rows ok=False."""
+    from chapterhousedb_spark.operators.multimodal import (
+        extract_features,
+        make_ppm_blob,
+        make_wav_blob,
+    )
+
+    rows = [
+        (1, "image", make_ppm_blob(8, 2), ("t", 0)),
+        (2, "audio", make_wav_blob([10, -10, 20, -20]), ("t", 0)),
+        (3, "video", b"\x00\x01\x02 not a real format", ("t", 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in extract_features(media, decoder=decode_real).collect()
+    }
+    assert got[1]["ok"] and got[1]["width"] == 8 and got[1]["height"] == 2
+    assert got[2]["ok"] and got[2]["width"] == 8000 and got[2]["n_frames"] == 4
+    assert got[3] == {
+        "media_id": 3, "width": None, "height": None, "n_frames": None,
+        "mean_pixel": None, "ok": False,
+    }
 
 
 def test_decode_stub_rejects_garbage():
