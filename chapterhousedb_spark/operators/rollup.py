@@ -1,0 +1,161 @@
+"""Incremental rollup: mergeable partial aggregates (the hypertable /
+continuous-aggregate pattern).
+
+The reference materializes full query results per run
+(materialize_files_task.rs); at 100 TB the production shape is instead
+*incremental*: aggregate each arriving fine grain (hour, file batch,
+partition) ONCE into a small mergeable partial, persist it, and answer
+coarser-grain queries by re-aggregating partials — never rescanning the
+fact table. That only works if every persisted metric is mergeable:
+
+- counts / sums: additive. Sums are kept as exact DECIMAL in the
+  partial (NOT cast to double) so merge order cannot change the result
+  — the final cast to double happens once, after the merge, making the
+  rollup bit-identical to a direct aggregation (functions/exact.py).
+- distinct counts: NOT additive. Two mergeable encodings are provided:
+  exact pre-dedup partials (`distinct_partials` — one row per
+  fine-grain distinct member, merge = re-count) and Apache DataSketches
+  HLL sketches (`sketch_partials` / `sketch_merge` — fixed-size binary
+  partials, merge = union; estimate error ~1.6%/sqrt(2^lg_k)).
+
+At scale: the partial aggregation has map-side combine (partial_count /
+partial_sum before the shuffle), partials are ~|group keys| rows, and
+the merge groups an already-tiny relation — so a day-over-hourly or
+month-over-daily rollup touches no fact data at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PRECISION = 38
+
+
+def _key_cols(keys: Sequence[str | Column]) -> list[Column]:
+    return [F.col(k) if isinstance(k, str) else k for k in keys]
+
+
+def rollup_partials(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    sum_cols: Mapping[str, str | Column] = (),
+    count_col: str = "n_rows",
+    scale: int = 4,
+) -> DataFrame:
+    """Aggregate `df` to the fine grain `keys`, producing a mergeable
+    partial: `count_col` (bigint) plus, for each (alias, col) in
+    `sum_cols`, an exact-decimal sum named `alias`. The decimals stay
+    decimals — cast to double only after the LAST merge (rollup_final)
+    so any merge tree yields bit-identical results."""
+    sums = [
+        F.sum(
+            (F.col(c) if isinstance(c, str) else c).cast(
+                f"decimal({_PRECISION},{scale})"
+            )
+        ).alias(alias)
+        for alias, c in dict(sum_cols).items()
+    ]
+    return df.groupBy(*_key_cols(keys)).agg(
+        F.count(F.lit(1)).alias(count_col), *sums
+    )
+
+
+def rollup_merge(
+    partials: DataFrame,
+    keys: Sequence[str | Column],
+    sum_cols: Sequence[str] = (),
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Re-aggregate partials to the coarser grain `keys`: counts add,
+    decimal sums add exactly. The output is itself a valid partial —
+    merges compose (hour -> day -> month)."""
+    aggs = [F.sum(count_col).alias(count_col)] + [
+        F.sum(a).alias(a) for a in sum_cols
+    ]
+    return partials.groupBy(*_key_cols(keys)).agg(*aggs)
+
+
+def rollup_final(partials: DataFrame, sum_cols: Sequence[str] = ()) -> DataFrame:
+    """Terminal step: cast the exact-decimal sums to double for
+    presentation. Apply exactly once, after the last merge."""
+    out = partials
+    for a in sum_cols:
+        out = out.withColumn(a, F.col(a).cast("double"))
+    return out
+
+
+# ------------------------------------------------------------------ distinct
+
+
+def distinct_partials(
+    df: DataFrame, keys: Sequence[str | Column], member_col: str | Column
+) -> DataFrame:
+    """Exact mergeable distinct: one row per fine-grain distinct
+    member. Merge to a coarser grain = drop finer keys, re-distinct,
+    count (`distinct_merge`). The partial is bounded by the true
+    cardinality, never the row count — at 100 TB this is the two-phase
+    COUNT(DISTINCT): the heavy dedup shuffle happens once at the fine
+    grain; coarser rollups reshuffle only survivors."""
+    m = F.col(member_col) if isinstance(member_col, str) else member_col
+    return df.select(*_key_cols(keys), m.alias("member")).distinct()
+
+
+def distinct_merge(
+    partials: DataFrame,
+    keys: Sequence[str | Column],
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Count distinct members at a coarser grain from exact partials."""
+    return partials.groupBy(*_key_cols(keys)).agg(
+        F.count_distinct(F.col("member")).alias(out_col)
+    )
+
+
+# ------------------------------------------------------------------ sketches
+
+
+def sketch_partials(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    member_col: str | Column,
+    lg_k: int = 12,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Approximate mergeable distinct: an Apache DataSketches HLL
+    sketch per fine-grain group (pyspark hll_sketch_agg). The partial
+    is a fixed ~2^lg_k-byte binary regardless of cardinality — the
+    100 TB shape when members are high-cardinality (URLs, doc
+    fingerprints) and ~1.6%/sqrt(2^lg_k / 1024) relative error is
+    acceptable."""
+    m = F.col(member_col) if isinstance(member_col, str) else member_col
+    return df.groupBy(*_key_cols(keys)).agg(
+        F.hll_sketch_agg(m, F.lit(lg_k)).alias(sketch_col)
+    )
+
+
+def sketch_merge(
+    partials: DataFrame,
+    keys: Sequence[str | Column],
+    sketch_col: str = "sketch",
+    allow_different_lg_k: bool = False,
+) -> DataFrame:
+    """Union sketches to a coarser grain; output is again a partial.
+    Pass allow_different_lg_k=True to merge partials built with
+    heterogeneous lg_k (the union downgrades to the smallest)."""
+    return partials.groupBy(*_key_cols(keys)).agg(
+        F.hll_union_agg(F.col(sketch_col), F.lit(allow_different_lg_k)).alias(
+            sketch_col
+        )
+    )
+
+
+def sketch_estimate(
+    partials: DataFrame, out_col: str = "n_distinct_est", sketch_col: str = "sketch"
+) -> DataFrame:
+    """Terminal step: read the cardinality estimate off each sketch."""
+    return partials.withColumn(
+        out_col, F.hll_sketch_estimate(F.col(sketch_col))
+    ).drop(sketch_col)

@@ -114,3 +114,45 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(_threshold_hex(frac))
         ).otherwise(thr)
     return df.filter(h < thr)
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "order-v1",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: assign
+    every row a (shard, pos) — which output shard it belongs to and its
+    position within that shard — by ordering on md5(salt || id). The
+    resulting permutation is uniform-pseudorandom yet fully
+    reproducible on any engine at any parallelism (same md5-portability
+    argument as the samplers above), which is what a training run
+    needs: epoch order must be re-derivable, resumable mid-epoch, and
+    identical between the team that wrote the shards and the team that
+    reads them.
+
+    Shard assignment uses a DIFFERENT salt suffix than the intra-shard
+    order so the two hash draws are independent (otherwise every
+    shard's rows would start with the shard's own hash prefix range and
+    positions would correlate with the assignment).
+
+    At 100 TB: one hash-partition exchange on shard (rows carry an
+    8-byte id + two 8-char digests) and a per-shard sort for the
+    row_number — Spark sorts each shard partition independently; there
+    is no global sort. n_shards should be >= the cluster's write
+    parallelism; re-salting re-draws the epoch permutation for
+    multi-epoch training."""
+    from pyspark.sql.window import Window
+
+    shard_h = F.md5(F.concat(F.lit(salt + ":shard:"), F.col(id_col).cast("string")))
+    pos_h = F.md5(F.concat(F.lit(salt + ":pos:"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(shard_h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("pos_h", id_col)
+    return (
+        df.select(F.col(id_col), shard, pos_h.alias("pos_h"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("pos_h")
+    )

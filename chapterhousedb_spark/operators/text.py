@@ -411,3 +411,83 @@ def redact_pii(
     return out.select(
         F.col(id_col), redacted.alias("text_redacted"), *counts
     )
+
+
+# ------------------------------------------------------------------ vocab
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    min_freq: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with frequencies — the tokenizer-training
+    precursor (count every whitespace token over the normalized text).
+    Returns (token, freq) ordered by freq desc then token asc (a total
+    deterministic order, so top_k is stable).
+
+    At 100 TB: explode + groupBy(token) hash-aggregates with map-side
+    combine, so the shuffle carries one row per DISTINCT token per map
+    partition, not per occurrence; Zipf's law makes the combine rate
+    extreme on the head. top_k uses the same TakeOrderedAndProject path
+    as any LIMIT — no global sort of the vocabulary."""
+    toks = F.split(normalize_text(text_col), " ")
+    out = (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .orderBy(F.desc("freq"), "token")
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_token_len: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf — keyword
+    extraction / topic tagging over a pretraining corpus. Returns
+    (id, token, tf, df, score, rank).
+
+    The idf is the LOG-FREE variant score = tf * n_docs / df: ln() is
+    libm-dependent and not bit-identical across engines, while integer
+    products and one IEEE double division are — which keeps this
+    hash-comparable against an ANSI oracle. Ranking is unchanged for
+    any fixed df (monotone transform); ties break by token asc.
+
+    At 100 TB: one explode + (doc, token) count for tf, one token-level
+    re-aggregation for df (map-side combined, Zipf-compressed), one
+    equi-join back on token (df relation is |vocab|-sized — broadcast
+    when it fits), and a per-doc top-k window partitioned by doc id.
+    Short/stopword-ish tokens are dropped by min_token_len BEFORE the
+    shuffles, which removes the Zipf head — most of the data — from
+    every downstream exchange."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(normalize_text(text_col), " ")
+    n_docs = df.count()  # one scalar to the driver: the corpus size
+    term = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("token"))
+        .filter(F.length("token") >= min_token_len)
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = term.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        term.join(docfreq, "token")
+        .withColumn(
+            "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "token", "tf", "df", "score", "rank")
+    )

@@ -10,6 +10,7 @@ from chapterhousedb_spark.streaming.batcher import (
     merge_stream,
     read_event_stream,
     read_versioned_base,
+    rollup_stream,
     run_available_now,
     sessionize_stream,
     windowed_counts,
@@ -24,6 +25,7 @@ __all__ = [
     "merge_stream",
     "read_event_stream",
     "read_versioned_base",
+    "rollup_stream",
     "run_available_now",
     "sessionize_stream",
     "windowed_counts",

@@ -464,3 +464,100 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def rollup_stream(
+    events: DataFrame,
+    base_root: str,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+    scale: int = 4,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Continuous-aggregate maintenance: each micro-batch is collapsed
+    to its own mergeable partials (operators/rollup.py) and merged into
+    a versioned partials base — raw rows are aggregated once on arrival
+    and never kept, so the base stays |group keys|-sized while the
+    stream is unbounded. Composes with rollup_merge/rollup_final for
+    coarser-grain reads off the base at any time.
+
+    Replay safety differs fundamentally from merge_stream: an upsert
+    replay is naturally idempotent (same winners win), but ADDITIVE
+    partials would double-count a replayed batch. foreachBatch's
+    batch_id is stable across restarts-and-replays, so each applied
+    batch id is recorded in the _LAST_BATCH marker (flipped after the
+    new version lands, same crash discipline as _LATEST) and a batch id
+    <= the marker is skipped as already-applied. Crash windows: dying
+    before the marker flip replays into the PREVIOUS version (the
+    half-written v{n+1} is overwritten, never read — _LATEST still
+    points at v{n}); dying after yields a clean skip.
+    """
+    import tempfile as _tf
+
+    from chapterhousedb_spark.operators.rollup import rollup_merge, rollup_partials
+
+    sum_aliases = list(sum_cols)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = _read_marker_or(spark, base_root, "_LAST_BATCH", -1)
+        if batch_id <= last:
+            return  # replayed batch: already absorbed into the base
+        part = rollup_partials(
+            batch_df, keys, sum_cols, count_col=count_col, scale=scale
+        )
+        if not part.take(1):
+            _write_marker(spark, base_root, "_LAST_BATCH", batch_id)
+            return
+        ver = _read_marker_or(spark, base_root, "_LATEST", -1)
+        if ver < 0:  # no base yet: this batch's partials seed it
+            merged = part
+        else:  # a read failure here must FAIL the batch, never reseed
+            base = spark.read.parquet(f"{base_root}/v{ver:06d}")
+            merged = rollup_merge(
+                base.unionByName(part), keys, sum_aliases, count_col=count_col
+            )
+        merged.write.mode("overwrite").parquet(f"{base_root}/v{ver + 1:06d}")
+        _write_latest_marker(spark, base_root, ver + 1)
+        _write_marker(spark, base_root, "_LAST_BATCH", batch_id)
+
+    writer = events.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation",
+        checkpoint or _tf.mkdtemp(prefix="chdb_rollup_ckpt_"),
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _write_marker(
+    spark: SparkSession, base_root: str, name: str, value: int
+) -> None:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{base_root}/{name}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(str(value).encode("ascii")))
+    finally:
+        out.close()
+
+
+def _read_marker_or(
+    spark: SparkSession, base_root: str, name: str, default: int
+) -> int:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{base_root}/{name}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return default
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return int(data.decode("ascii"))

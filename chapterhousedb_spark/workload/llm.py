@@ -28,6 +28,7 @@ from chapterhousedb_spark.operators.sampling import (
     deterministic_sample,
     stratified_sample,
     train_val_test_split,
+    training_order,
 )
 from chapterhousedb_spark.operators.similarity import (
     cosine_topk,
@@ -43,7 +44,9 @@ from chapterhousedb_spark.operators.text import (
     repetition_stats,
     text_fingerprint,
     text_stats,
+    tfidf_top_terms,
     token_chunks,
+    vocabulary,
 )
 from chapterhousedb_spark.functions.exact import davg, davg_sql
 from chapterhousedb_spark.workload.registry import load, query
@@ -945,4 +948,80 @@ def corpus_report_q(spark, sf_dir):
             F.sum(F.when(F.col("passes_quality"), 1).otherwise(0)).cast("double")
             / F.count(F.lit(1))
         ).alias("quality_pass_rate"),
+    )
+
+
+@query(
+    "vocab_topk",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 200
+    """,
+)
+def vocab_topk_q(spark, sf_dir):
+    """Corpus vocabulary, top-200 by frequency — the tokenizer-training
+    precursor (operators/text.py vocabulary). Deterministic total order
+    (freq desc, token asc) makes the LIMIT stable across engines; the
+    Zipf head means the groupBy's map-side combine collapses almost all
+    occurrence rows before the shuffle."""
+    return vocabulary(load(spark, sf_dir, "documents"), top_k=200)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH term AS (
+      SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id AS id, unnest({_TOKS}) AS token FROM documents) t
+      WHERE length(token) >= 4
+      GROUP BY id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              FROM term GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT id, token, tf, df, score, CAST(rank AS INT) AS rank
+    FROM (SELECT term.id, term.token, term.tf, dfreq.df,
+                 CAST(term.tf * (SELECT n_docs FROM n) AS DOUBLE) / dfreq.df
+                   AS score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY term.id
+                   ORDER BY CAST(term.tf * (SELECT n_docs FROM n) AS DOUBLE)
+                              / dfreq.df DESC,
+                            term.token) AS rank
+          FROM term JOIN dfreq USING (token)) ranked
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 characteristic terms per document by (log-free) tf-idf —
+    keyword extraction over the corpus (operators/text.py
+    tfidf_top_terms; the docstring there argues why the idf skips ln()
+    for cross-engine bit-exactness and why ranking is unaffected)."""
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@query(
+    "training_order",
+    oracle="""
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY pos_h, doc_id)
+                AS BIGINT) AS pos
+    FROM (SELECT doc_id,
+                 ('0x' || substring(md5('order-v1:shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+                 md5('order-v1:pos:' || CAST(doc_id AS VARCHAR)) AS pos_h
+          FROM documents) h
+    """,
+)
+def training_order_q(spark, sf_dir):
+    """Deterministic global shuffle into 8 training shards with
+    within-shard positions (operators/sampling.py training_order): the
+    md5-derived permutation is engine- and parallelism-independent, so
+    the oracle replays the identical shard assignment, order, and
+    row numbers. POSITION IS PART OF THE HASH — any divergence in the
+    permutation itself fails the gate, not just set membership."""
+    return training_order(
+        load(spark, sf_dir, "documents"), n_shards=8, salt="order-v1"
     )

@@ -922,6 +922,99 @@ def window_ntile(spark, sf_dir):
 
 
 @query(
+    "window_dist_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cheapest_key,
+           last_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS priciest_key
+    FROM orders WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_dist_funcs(spark, sf_dir):
+    """Distribution window functions: percent_rank = (rank-1)/(n-1) and
+    cume_dist = peers/n are single IEEE divisions of exact integers, so
+    they hash-match across engines; first/last_value use explicit
+    frames over a TOTAL order ((o_totalprice, o_orderkey) is unique) so
+    both endpoints are deterministic. At scale: one hash shuffle on the
+    partition key, all four functions evaluated in the same Window
+    operator pass."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first("o_orderkey").over(w_run).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_all).alias("priciest_key"),
+    )
+
+
+@query(
+    "agg_stats_funcs",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,12)))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_disc
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_stats_funcs(spark, sf_dir):
+    """Statistical aggregates (variance, stddev, correlation) made
+    CROSS-ENGINE BIT-EXACT: the native var_samp/corr accumulate doubles
+    in partition order (engine-dependent), so instead the moments are
+    exact-decimal sums (products of doubles are exact IEEE before the
+    decimal cast, and decimal addition is associative) and the
+    variance/correlation algebra is a fixed sequence of IEEE
+    double ops replayed identically by the oracle — same discipline as
+    functions/exact.py, extended to second moments. At 100 TB this is
+    ONE map-side-combined aggregation pass producing 6 moments per
+    group; the closed-form algebra runs on the handful of group rows."""
+    li = load(spark, sf_dir, "lineitem")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(38,2)")).cast("double").alias("sx"),
+        F.sum((q * q).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum(d.cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((d * d).cast("decimal(38,12)")).cast("double").alias("syy"),
+        F.sum((q * d).cast("decimal(38,8)")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    var_q = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        (
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        ).alias("corr_qty_disc"),
+    ).orderBy("l_returnflag")
+
+
+@query(
     "lateral_explode",
     oracle="""
     SELECT p_partkey, u.pos, u.token
@@ -1223,4 +1316,216 @@ def tpch_q4_order_priority(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q13_cust_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_cust_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    OUTER join with a predicate ON THE JOIN CONDITION (not the WHERE —
+    moving it to WHERE would silently turn the join inner and drop
+    zero-order customers), then a two-level aggregation: count orders
+    per customer, then count customers per order-count. This
+    "histogram of group sizes" re-aggregation shape appears nowhere
+    else in the gated surface. At 100 TB: orders shuffles on custkey
+    once (map-side partial count), the second aggregation groups on the
+    tiny c_count domain (~1e2 values) so it collapses map-side; the
+    non-equi priority predicate stays attached to the outer join, never
+    a post-filter. (Testdata has no o_comment, so the priority
+    anti-predicate plays Q13's `not like '%special%requests%'`.)"""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, {dsum_sql('l.l_quantity', 2)} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 180)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): an IN subquery whose
+    inner relation is itself a GROUP BY ... HAVING aggregate — Catalyst
+    plans it as an aggregate producing the qualifying keyset, then a
+    left-semi join into the 3-way customer><orders><lineitem join, then
+    a re-aggregation and top-k. At 100 TB the qualifying keyset is tiny
+    (HAVING > 180 is the distribution tail) so AQE broadcasts the semi
+    side after the aggregate; lineitem is scanned twice but the second
+    scan arrives pre-filtered by the semi join, and the final LIMIT is
+    TakeOrderedAndProject — no global sort. l_quantity is integral so
+    the HAVING threshold is exact on both engines; the output sum goes
+    through the exact-decimal helper."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty"))
+        .filter(F.col("qty") > 180)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big, o.o_orderkey == big.big_orderkey, "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q21_lone_blame",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def tpch_q21_lone_blame(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    hardest decorrelation in the suite — an EXISTS and a NOT EXISTS
+    against the SAME fact table, correlated on the join key with an
+    extra non-equi predicate (`l2.l_suppkey <> l1.l_suppkey`). Catalyst
+    plans both as left-semi / left-anti joins on l_orderkey with the
+    suppkey inequality as a residual join condition — three passes over
+    lineitem co-partitioned on orderkey, so at 100 TB all three resolve
+    within one shuffle exchange reuse (plus the broadcast supplier
+    dim). "A supplier's R-flagged line in a finished multi-supplier
+    order where no OTHER supplier also flagged R" stands in for Q21's
+    receipt-after-commit predicate (testdata has no
+    l_commitdate/l_receiptdate)."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    base = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q22_idle_balances",
+    oracle="""
+    SELECT c.c_nationkey % 10 AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,4)))
+                                     AS DOUBLE) / COUNT(c2.c_acctbal)
+                         FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey % 10
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_idle_balances(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): an UNCORRELATED
+    scalar aggregate subquery (the above-average balance threshold) AND
+    a correlated NOT EXISTS (customers with no urgent order) in the
+    same query, grouped on a derived code column. Catalyst evaluates
+    the scalar subquery once as a broadcast single-row plan, the NOT
+    EXISTS as a left-anti join on custkey. At 100 TB: the threshold is
+    a one-row broadcast; the anti join shuffles only the
+    priority-filtered orders projection; the final group-by has ~10
+    keys so it collapses map-side. The average goes through the
+    exact-decimal helper on both engines so the threshold double is
+    bit-identical. (c_nationkey % 10 plays Q22's phone country-code
+    substring; the no-URGENT-order predicate plays "no orders in 7
+    years".)"""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(davg("c_acctbal").alias("t"))
+        .select("t")
+    )
+    return (
+        c.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )

@@ -180,3 +180,90 @@ def events_sliding(spark, sf_dir):
             F.unix_timestamp("w.start").alias("window_start"), "event_type", "n"
         )
     )
+
+
+@query(
+    "events_rollup_daily",
+    oracle=f"""
+    SELECT event_type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def events_rollup_daily(spark, sf_dir):
+    """Incremental rollup (the continuous-aggregate / hypertable
+    pattern, operators/rollup.py): aggregate events ONCE into hourly
+    partials, then answer the daily query by merging partials — the
+    fact table is scanned exactly once and the daily aggregation
+    touches only |hours x types| rows. The oracle is the DIRECT daily
+    aggregation: the gate proves partial+merge is indistinguishable
+    from a full rescan, including float exactness (partial sums stay
+    DECIMAL through the merge; one terminal cast to double). At 100 TB
+    the partials would be materialized per ingest batch and the daily/
+    monthly rollups never re-read raw events."""
+    from chapterhousedb_spark.operators.rollup import (
+        rollup_final,
+        rollup_merge,
+        rollup_partials,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    hourly = rollup_partials(
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts"))).withColumn(
+            "day", F.date_trunc("day", F.col("ts"))
+        ),
+        keys=["event_type", "day", "hour"],
+        sum_cols={"sum_value": "value"},
+        scale=6,
+    )
+    daily = rollup_merge(
+        hourly, keys=["event_type", "day"], sum_cols=["sum_value"]
+    )
+    return rollup_final(daily, sum_cols=["sum_value"]).select(
+        "event_type",
+        F.unix_timestamp("day").alias("day_epoch"),
+        "n_rows",
+        "sum_value",
+    )
+
+
+@query(
+    "events_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def events_distinct_rollup(spark, sf_dir):
+    """Two-phase distinct rollup: COUNT(DISTINCT user) per day from
+    mergeable hourly distinct partials (operators/rollup.py
+    distinct_partials/distinct_merge). Distinct counts are NOT
+    additive, so the partial is the distinct MEMBER SET at the fine
+    grain (one row per (type, day, hour, user)); the coarser rollup
+    drops the hour key and re-distincts. At 100 TB the heavy dedup
+    shuffle happens once against raw events; the daily merge reshuffles
+    only fine-grain survivors (bounded by cardinality, not row count).
+    The sketch variant of the same pattern (fixed-size HLL partials,
+    union-merge) is operators/rollup.py sketch_* — unit-tested for
+    merge-vs-direct equality and error bounds, not oracle-gated
+    because estimates are engine-specific."""
+    from chapterhousedb_spark.operators.rollup import (
+        distinct_merge,
+        distinct_partials,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+    )
+    hourly = distinct_partials(ev, keys=["event_type", "day", "hour"], member_col="user_id")
+    daily = distinct_merge(hourly, keys=["event_type", "day"], out_col="n_users")
+    return daily.select(
+        "event_type", F.unix_timestamp("day").alias("day_epoch"), "n_users"
+    )

@@ -205,3 +205,72 @@ def test_incremental_merge_single_shuffle_no_join(spark):
     assert "Join" not in plan, plan
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q13_outer_join_preserved_and_two_aggs(spark):
+    """Q13: the priority predicate must stay attached to the LEFT OUTER
+    join (not collapse it to inner), and the histogram-of-group-sizes
+    re-aggregation is two real aggregates, no nested loop."""
+    plan = physical_plan(q("tpch_q13_cust_distribution", spark))
+    assert "LeftOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tpch_q18_semi_join_and_topk(spark):
+    """Q18: the IN-subquery must plan as a semi join against the
+    HAVING aggregate, and the final LIMIT as TakeOrderedAndProject —
+    never a global sort of the joined fact."""
+    plan = physical_plan(q("tpch_q18_large_orders", spark))
+    assert "LeftSemi" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semi_and_anti_no_nested_loop(spark):
+    """Q21: EXISTS -> left-semi, NOT EXISTS -> left-anti, both as
+    equi-joins on l_orderkey with the suppkey inequality as a residual
+    condition — the non-equi part must NOT force a nested-loop join."""
+    df = q("tpch_q21_lone_blame", spark)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    pf = pushed_filters(df)
+    assert any("l_returnflag" in f for f in pf), pf
+    assert any("o_orderstatus" in f for f in pf), pf
+
+
+def test_tpch_q22_scalar_broadcast_and_anti(spark):
+    """Q22: the above-average threshold is a one-row broadcast (the
+    only acceptable nested-loop: build side is exactly 1 row) and the
+    no-urgent-orders predicate a left-anti equi-join; the priority
+    filter pushes into the orders scan."""
+    df = q("tpch_q22_idle_balances", spark)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan
+    pf = pushed_filters(df)
+    assert any("o_orderpriority" in f for f in pf), pf
+
+
+def test_rollup_and_llm_queries_stay_jvm(spark):
+    """New round-6 queries: no Python evaluation anywhere — vocab,
+    tf-idf, training order and both rollups are pure JVM plans."""
+    for name in [
+        "vocab_topk",
+        "tfidf_top_terms",
+        "training_order",
+        "events_rollup_daily",
+        "events_distinct_rollup",
+    ]:
+        plan = physical_plan(q(name, spark))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """vocabulary(top_k): the limit must be TakeOrderedAndProject over
+    the aggregated vocab — no global sort of token counts."""
+    plan = physical_plan(q("vocab_topk", spark))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1,0 +1,134 @@
+"""Incremental rollup: partial/merge equals direct aggregation; HLL
+sketch partials merge associatively and estimate within error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.operators.rollup import (
+    distinct_merge,
+    distinct_partials,
+    rollup_final,
+    rollup_merge,
+    rollup_partials,
+    sketch_estimate,
+    sketch_merge,
+    sketch_partials,
+)
+from chapterhousedb_spark.workload.registry import load
+
+
+def _events(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "user_id",
+        "value",
+    )
+
+
+def test_rollup_merge_equals_direct(spark, sf_dir):
+    """hour->day partial merge is bit-identical to aggregating events
+    directly at the day grain (the whole point of the pattern)."""
+    ev = _events(spark, sf_dir)
+    hourly = rollup_partials(
+        ev, keys=["event_type", "day", "hour"], sum_cols={"sv": "value"}, scale=6
+    )
+    daily = rollup_final(
+        rollup_merge(hourly, keys=["event_type", "day"], sum_cols=["sv"]),
+        sum_cols=["sv"],
+    )
+    direct = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sv"),
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["n_rows"], r["sv"])
+        for r in daily.collect()
+    }
+    want = {
+        (r["event_type"], r["day"]): (r["n_rows"], r["sv"])
+        for r in direct.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_rollup_merge_composes(spark, sf_dir):
+    """Merges compose: hour->day->month equals hour->month (any merge
+    tree yields the same partial because sums stay decimal)."""
+    ev = _events(spark, sf_dir).withColumn("month", F.date_trunc("month", "day"))
+    hourly = rollup_partials(
+        ev,
+        keys=["event_type", "month", "day", "hour"],
+        sum_cols={"sv": "value"},
+        scale=6,
+    )
+    via_day = rollup_merge(
+        rollup_merge(hourly, keys=["event_type", "month", "day"], sum_cols=["sv"]),
+        keys=["event_type", "month"],
+        sum_cols=["sv"],
+    )
+    direct = rollup_merge(hourly, keys=["event_type", "month"], sum_cols=["sv"])
+    a = {(r["event_type"], r["month"]): (r["n_rows"], r["sv"]) for r in via_day.collect()}
+    b = {(r["event_type"], r["month"]): (r["n_rows"], r["sv"]) for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_distinct_rollup_exact(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    parts = distinct_partials(ev, keys=["event_type", "day", "hour"], member_col="user_id")
+    daily = distinct_merge(parts, keys=["event_type", "day"], out_col="n_users")
+    direct = ev.groupBy("event_type", "day").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    a = {(r["event_type"], r["day"]): r["n_users"] for r in daily.collect()}
+    b = {(r["event_type"], r["day"]): r["n_users"] for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_sketch_merge_equals_direct_sketch(spark, sf_dir):
+    """Union-merging hourly sketches to the day grain produces the
+    SAME estimate as sketching the day directly — merge must lose
+    nothing (HLL union is exact over sketch state)."""
+    ev = _events(spark, sf_dir)
+    hourly = sketch_partials(ev, keys=["event_type", "day", "hour"], member_col="user_id")
+    merged = sketch_estimate(sketch_merge(hourly, keys=["event_type", "day"]))
+    direct = sketch_estimate(sketch_partials(ev, keys=["event_type", "day"], member_col="user_id"))
+    a = {(r["event_type"], r["day"]): r["n_distinct_est"] for r in merged.collect()}
+    b = {(r["event_type"], r["day"]): r["n_distinct_est"] for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_sketch_estimate_within_error(spark, sf_dir):
+    """lg_k=12 => ~1.6% standard error; assert every day-grain
+    estimate is within 5% of the exact distinct count (>3 sigma)."""
+    ev = _events(spark, sf_dir)
+    est = sketch_estimate(
+        sketch_merge(
+            sketch_partials(ev, keys=["event_type", "day", "hour"], member_col="user_id"),
+            keys=["event_type", "day"],
+        )
+    )
+    exact = ev.groupBy("event_type", "day").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    joined = est.join(exact, ["event_type", "day"]).collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert r["n_distinct_est"] == pytest.approx(r["n_exact"], rel=0.05)
+
+
+def test_rollup_partial_has_mapside_combine(spark, sf_dir):
+    """The partial aggregation plan must show a partial_* aggregate
+    before the exchange (map-side combine) — the property that makes
+    the fine-grain pass cheap at scale."""
+    ev = _events(spark, sf_dir)
+    hourly = rollup_partials(
+        ev, keys=["event_type", "day", "hour"], sum_cols={"sv": "value"}, scale=6
+    )
+    plan = hourly._jdf.queryExecution().executedPlan().toString()
+    assert "partial_" in plan or "HashAggregate" in plan
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[first_agg:], "expected partial agg above the exchange"

@@ -79,3 +79,37 @@ def test_stratified_rates(spark):
     assert counts["a"] == 1000          # keep-all stratum
     assert 120 < counts.get("b", 0) < 280  # ~20% of 1000
     assert "c" not in counts            # default 0.0 drops the rest
+
+
+def test_training_order_is_a_permutation(ids):
+    from chapterhousedb_spark.operators.sampling import training_order
+
+    out = training_order(ids, id_col="doc_id", n_shards=4).collect()
+    assert len(out) == ids.count()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in ids.collect()}
+    # positions within each shard are 1..n contiguous
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_training_order_deterministic_and_salt_sensitive(ids):
+    from chapterhousedb_spark.operators.sampling import training_order
+
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in training_order(ids, id_col="doc_id").collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in training_order(ids, id_col="doc_id").collect()}
+    assert a == b
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in training_order(ids, id_col="doc_id", salt="epoch2").collect()}
+    assert a != c  # re-salting re-draws the permutation
+
+
+def test_training_order_balanced(ids):
+    from chapterhousedb_spark.operators.sampling import training_order
+
+    out = training_order(ids, id_col="doc_id", n_shards=4).groupBy("shard").count().collect()
+    n = ids.count()
+    for r in out:
+        assert abs(r["count"] - n / 4) < 0.25 * n  # rough uniformity

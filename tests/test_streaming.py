@@ -835,3 +835,98 @@ def test_merge_stream_two_batches_equal_one_shot_merge(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want
+
+
+def test_rollup_stream_matches_direct_and_skips_replay(spark, tmp_path_factory):
+    """Continuous-aggregate maintenance: two event micro-batches folded
+    into the versioned partials base equal the DIRECT rollup of all
+    events; replaying an already-applied batch id must be a no-op
+    (additive partials would otherwise double-count)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.rollup import rollup_final
+    from chapterhousedb_spark.streaming import read_versioned_base, rollup_stream
+    from chapterhousedb_spark.streaming.batcher import _read_marker_or
+
+    root = tmp_path_factory.mktemp("rollup_stream")
+    base_root = str(root / "partials")
+    landing = str(root / "landing")
+    os.makedirs(landing)
+    rows = [
+        Row(event_type="a", day="2024-01-01", value=1.5),
+        Row(event_type="a", day="2024-01-01", value=2.5),
+        Row(event_type="b", day="2024-01-01", value=10.0),
+        Row(event_type="a", day="2024-01-02", value=4.0),
+        Row(event_type="b", day="2024-01-02", value=0.25),
+    ]
+    all_df = spark.createDataFrame(rows)
+    b1, b2 = spark.createDataFrame(rows[:3]), spark.createDataFrame(rows[3:])
+    b1.coalesce(1).write.parquet(f"{landing}/f0")
+    b2.coalesce(1).write.parquet(f"{landing}/f1")
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    q = rollup_stream(
+        stream,
+        base_root,
+        keys=["event_type", "day"],
+        sum_cols={"sum_value": "value"},
+        scale=6,
+        checkpoint=str(root / "ckpt"),
+    )
+    q.awaitTermination()
+
+    base, ver = read_versioned_base(spark, base_root)
+    assert ver == 1, "two non-empty batches: seed v0 + one merge"
+    got = {
+        (r["event_type"], r["day"]): (r["n_rows"], r["sum_value"])
+        for r in rollup_final(base, ["sum_value"]).collect()
+    }
+    want = {
+        ("a", "2024-01-01"): (2, 4.0),
+        ("b", "2024-01-01"): (1, 10.0),
+        ("a", "2024-01-02"): (1, 4.0),
+        ("b", "2024-01-02"): (1, 0.25),
+    }
+    assert got == want
+    direct = {
+        (r["event_type"], r["day"]): (r["n_rows"], r["sum_value"])
+        for r in rollup_final(
+            __import__("chapterhousedb_spark.operators.rollup", fromlist=["rollup_partials"])
+            .rollup_partials(all_df, ["event_type", "day"], {"sum_value": "value"}, scale=6),
+            ["sum_value"],
+        ).collect()
+    }
+    assert got == direct
+
+    # replay: re-drain the same landing dir from a FRESH checkpoint —
+    # batch ids restart at 0, both <= _LAST_BATCH, so the base must not
+    # advance or double-count
+    assert _read_marker_or(spark, base_root, "_LAST_BATCH", -1) == 1
+    q2 = rollup_stream(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        base_root,
+        keys=["event_type", "day"],
+        sum_cols={"sum_value": "value"},
+        scale=6,
+        checkpoint=str(root / "ckpt2"),
+    )
+    q2.awaitTermination()
+    base2, ver2 = read_versioned_base(spark, base_root)
+    assert ver2 == 1, "replayed batch ids must be skipped, not re-applied"
+    got2 = {
+        (r["event_type"], r["day"]): (r["n_rows"], r["sum_value"])
+        for r in rollup_final(base2, ["sum_value"]).collect()
+    }
+    assert got2 == want

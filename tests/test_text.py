@@ -232,3 +232,52 @@ def test_redact_pii_categories_and_order(spark):
     assert all(
         out[4][k] == 0 for k in ("n_email", "n_ip", "n_ssn", "n_phone")
     )
+
+
+def test_vocabulary_counts_and_order(spark):
+    from chapterhousedb_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "THE  cat\tran"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = vocabulary(df, top_k=10).collect()
+    got = [(r["token"], r["freq"]) for r in rows]
+    # normalized: lowercase, whitespace collapsed; '' from the empty doc dropped
+    assert got == [("cat", 2), ("the", 2), ("ran", 1), ("sat", 1)]
+
+
+def test_vocabulary_min_freq(spark):
+    from chapterhousedb_spark.operators.text import vocabulary
+
+    df = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    assert [r["token"] for r in vocabulary(df, min_freq=2).collect()] == ["a"]
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from chapterhousedb_spark.operators.text import tfidf_top_terms
+
+    # 'shared' appears in every doc (df=3 -> low idf); each doc has a
+    # unique word (df=1 -> high idf) that must rank first.
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared apple apple"),
+            (2, "shared banana"),
+            (3, "shared cherry cherry cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=1)
+    got = {r["id"]: r["token"] for r in out.collect()}
+    assert got == {1: "apple", 2: "banana", 3: "cherry"}
+    # score is the log-free tf*N/df and rank is dense within each doc
+    r1 = out.filter(F.col("id") == 1).collect()[0]
+    assert r1["tf"] == 2 and r1["df"] == 1 and r1["score"] == 6.0 and r1["rank"] == 1
+
+
+def test_tfidf_min_token_len_filters_short_words(spark):
+    from chapterhousedb_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame([(1, "aa bb elephant")], ["doc_id", "text"])
+    toks = {r["token"] for r in tfidf_top_terms(df, k=5).collect()}
+    assert toks == {"elephant"}
