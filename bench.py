@@ -53,6 +53,12 @@ HEADLINE = [
     # round 6 additions
     "tpch_q17_small_qty",
     "tpch_q4_order_priority",
+    "tpch_q18_large_orders",
+    "tpch_q21_lone_blame",
+    "events_rollup_daily",
+    "vocab_topk",
+    "tfidf_top_terms",
+    "training_order",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their
