@@ -219,6 +219,7 @@ class Engine:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
+        cluster_mode: str = "range",
     ) -> str:
         """CTAS-style materialization: run one statement and write the
         result to a user destination resolved through the connection
@@ -234,9 +235,21 @@ class Engine:
         standard layout for timestamp-filtered scans at 100 TB).
         cluster_files pins the output file count (default: let
         AQE/shuffle-partitions decide — size it so files land near the
-        row-group sweet spot, ~128 MB-1 GB). Returns the resolved path."""
+        row-group sweet spot, ~128 MB-1 GB).
+        cluster_mode='zorder' lays files out along the Morton curve of
+        cluster_by instead (operators/zorder.py): every z-column's
+        per-file min/max is narrow, so filters on ANY of them prune
+        files — range mode prunes only on the leading column. Requires
+        cluster_files (the z-curve needs an explicit file budget).
+        Returns the resolved path."""
         df = self.dataframe(statement)
-        if cluster_by:
+        if cluster_by and cluster_mode == "zorder":
+            from chapterhousedb_spark.operators.zorder import zorder_cluster
+
+            if not cluster_files:
+                raise ValueError("cluster_mode='zorder' requires cluster_files")
+            df = zorder_cluster(df, cluster_by, n_files=cluster_files)
+        elif cluster_by:
             if cluster_files:
                 df = df.repartitionByRange(cluster_files, *cluster_by)
             else:

@@ -124,3 +124,44 @@ def profile(
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram over [lo, hi): one map-side binning
+    expression + one tiny aggregation (nbins rows). Returns
+    (bin, bin_lo, bin_hi, n) for every non-empty bin; values below lo
+    clamp into bin 0, values >= hi into the last bin (so the histogram
+    always accounts for every non-null row). Bin edges are derived from
+    the same IEEE double arithmetic on both engines (floor((x-lo)/w) is
+    a fixed op sequence), so the operator is oracle-replayable — unlike
+    approx_percentile-style sketches whose internals are
+    engine-specific.
+
+    At 100 TB: zero shuffles of data — the groupBy key domain is
+    `nbins`, so map-side combine collapses everything before one
+    nbins-row exchange. The [lo, hi) range comes from the caller (a
+    prior profile() pass or domain knowledge), keeping this single-pass."""
+    w = (hi - lo) / nbins
+    c = F.col(col).cast("double")
+    bin_ = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((c - lo) / w).cast("int")),
+    )
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * w).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * w).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("bin")
+    )

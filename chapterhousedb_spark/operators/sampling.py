@@ -156,3 +156,32 @@ def training_order(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("pos_h")
     )
+
+
+def grouped_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "grouped-v1",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most `k` rows per group,
+    chosen by md5(salt || id) order — the corpus-mixing primitive
+    ("at most N documents per domain/source") that replaces
+    reservoir sampling when the draw must be reproducible across runs
+    and engines. Adding rows to a group only displaces the hash-largest
+    survivors; existing picks below the cut stay picked (stability
+    under corpus growth, same property as the samplers above).
+
+    At 100 TB: one hash shuffle on the group key, then a partition-local
+    top-k window; no global sort, no driver state. For heavily skewed
+    group sizes the rank-filter prunes inside the window pass."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

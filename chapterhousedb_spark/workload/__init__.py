@@ -73,6 +73,17 @@ _DRIVER_FIRST = [
     # training_order)
     "window_dist_funcs",
     "agg_stats_funcs",
+    # round-6 fourth batch: corpus version diff (digest full-outer
+    # join), per-group deterministic cap, equi-width histogram — paid
+    # for by demoting pack_sequences (pack_materialize's oracle
+    # subsumes it: token identity AND order), sample_stratified
+    # (sampling keeps grouped/fraction/split family rows + the md5
+    # machinery under training_order), and scalar_subquery (the
+    # uncorrelated-scalar decorrelation is now gated through
+    # tpch_q22's threshold subquery; correlated through tpch_q17)
+    "corpus_diff",
+    "sample_grouped",
+    "histogram_totalprice",
     "events_sliding",
     "corpus_report",
     "incremental_merge",
@@ -85,11 +96,8 @@ _DRIVER_FIRST = [
     "pii_redaction",
     "join_skew_salted",
     "agg_grouping_sets",
-    "scalar_subquery",
     "pipeline_pretrain",
     "multimodal_meta",
-    "pack_sequences",
-    "sample_stratified",
 ]
 _DRIVER_LAST = [
     # family-redundant oracle entries, all long-stable (driver-green
@@ -155,6 +163,9 @@ _DRIVER_LAST = [
     "window_range_frame",
     "window_topk_per_group",
     "sample_split",
+    "pack_sequences",
+    "sample_stratified",
+    "scalar_subquery",
     "window_running_sum",
     "window_ntile",
     "string_funcs",
@@ -191,7 +202,6 @@ _SWAP_POOL = [
     # pack_materialize, windows keep every gated ORDER BY window query,
     # set ops are plan-asserted, profiling/cluster/similarity rows are
     # long-stable and judge-re-checkable via scripts/check_fixes.py.
-    "pack_sequences",
     "set_ops",
     "table_profile",
     "dedup_survivors",

@@ -26,6 +26,7 @@ from chapterhousedb_spark.operators.dedup import (
 from chapterhousedb_spark.operators.sampling import (
     _threshold_hex,
     deterministic_sample,
+    grouped_sample,
     stratified_sample,
     train_val_test_split,
     training_order,
@@ -1025,3 +1026,65 @@ def training_order_q(spark, sf_dir):
     return training_order(
         load(spark, sf_dir, "documents"), n_shards=8, salt="order-v1"
     )
+
+
+@query(
+    "corpus_diff",
+    oracle="""
+    SELECT doc_id, 'removed' AS change_type FROM documents
+    WHERE doc_id % 97 = 0
+    UNION ALL
+    SELECT doc_id, 'changed' FROM documents
+    WHERE doc_id % 31 = 0 AND doc_id % 97 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, 'added' FROM documents
+    WHERE doc_id % 53 = 0
+    """,
+)
+def corpus_diff_q(spark, sf_dir):
+    """Key-level diff of two corpus versions (operators/diff.py
+    table_diff): v2 is derived from the documents table by dropping
+    doc_id%97 rows, rewriting text for doc_id%31, and appending new
+    doc_id%53 keys — the operator must recover exactly that change set
+    from the md5 row digests + full-outer join. The oracle derives the
+    SAME change set independently from the modular rules (it never
+    touches the digest machinery), so digest collisions, null-sentinel
+    bugs, or join-type mistakes all surface as mismatches."""
+    from chapterhousedb_spark.operators.diff import table_diff
+
+    v1 = load(spark, sf_dir, "documents")
+    v2_kept = v1.filter(F.col("doc_id") % 97 != 0)
+    v2_edited = v2_kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 31 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    v2_new = v1.filter(F.col("doc_id") % 53 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    v2 = v2_edited.unionByName(v2_new)
+    return table_diff(v1, v2, keys=["doc_id"])
+
+
+@query(
+    "sample_grouped",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('grouped-v1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents) t
+    WHERE rk <= 5
+    """,
+)
+def sample_grouped_q(spark, sf_dir):
+    """At most 5 documents per source, chosen by deterministic md5
+    order (operators/sampling.py grouped_sample) — the reproducible
+    replacement for per-group reservoir sampling; the oracle replays
+    the identical hash ranking."""
+    return grouped_sample(
+        load(spark, sf_dir, "documents"), group_col="source", k=5
+    ).select("doc_id", "source")

@@ -1015,6 +1015,33 @@ def agg_stats_funcs(spark, sf_dir):
 
 
 @query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT bin,
+           0.0 + bin * 25000.0       AS bin_lo,
+           0.0 + (bin + 1) * 25000.0 AS bin_hi,
+           CAST(COUNT(*) AS BIGINT)  AS n
+    FROM (SELECT least(19, greatest(0,
+                 CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 25000.0)
+                      AS INT))) AS bin
+          FROM orders WHERE o_totalprice IS NOT NULL) t
+    GROUP BY bin ORDER BY bin
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Equi-width histogram of order totals (operators/profile.py
+    histogram): 20 bins over [0, 500000), clamped at both ends. The
+    binning is a fixed IEEE double op sequence so the oracle replays it
+    bit-exactly — unlike engine-specific sketch histograms. One
+    map-side binning pass + a 20-row aggregation."""
+    from chapterhousedb_spark.operators.profile import histogram
+
+    return histogram(
+        load(spark, sf_dir, "orders"), "o_totalprice", lo=0.0, hi=500000.0, nbins=20
+    )
+
+
+@query(
     "lateral_explode",
     oracle="""
     SELECT p_partkey, u.pos, u.token

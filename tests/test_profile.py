@@ -58,3 +58,30 @@ def test_profile_empty(spark):
     got = {r["column"]: r.asDict() for r in profile(df).collect()}
     assert got["k"]["n_non_null"] == 0 and got["k"]["n_distinct"] == 0
     assert got["k"]["min_num"] is None and got["s"]["min_str"] is None
+
+
+def test_histogram_bins_and_clamping(spark):
+    from chapterhousedb_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 1, 9.99, 10, 55, 99.9, 100, 250]], ["x"]
+    )
+    rows = histogram(df, "x", lo=0.0, hi=100.0, nbins=10).collect()
+    got = {r["bin"]: r["n"] for r in rows}
+    # -5 clamps into bin 0; 100 and 250 clamp into bin 9
+    assert got[0] == 4  # -5, 0, 1, 9.99
+    assert got[1] == 1  # 10
+    assert got[5] == 1  # 55
+    assert got[9] == 3  # 99.9, 100, 250
+    assert sum(got.values()) == 9
+    r0 = next(r for r in rows if r["bin"] == 0)
+    assert (r0["bin_lo"], r0["bin_hi"]) == (0.0, 10.0)
+
+
+def test_histogram_ignores_nulls(spark):
+    from chapterhousedb_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], ["x"])
+    assert sum(
+        r["n"] for r in histogram(df, "x", 0.0, 10.0, nbins=5).collect()
+    ) == 2

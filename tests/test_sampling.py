@@ -113,3 +113,38 @@ def test_training_order_balanced(ids):
     n = ids.count()
     for r in out:
         assert abs(r["count"] - n / 4) < 0.25 * n  # rough uniformity
+
+
+def test_grouped_sample_caps_and_stability(spark):
+    from chapterhousedb_spark.operators.sampling import grouped_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+    )
+    out = grouped_sample(df, group_col="src", k=7, id_col="doc_id")
+    per = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    assert per == {"0": 7, "1": 7, "2": 7}
+    # stable: same picks on a re-run
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in grouped_sample(df, "src", 7, "doc_id").collect()}
+    assert a == b
+    # growth stability: adding rows to a group keeps existing picks
+    # unless displaced by a hash-smaller newcomer — picks of the
+    # ORIGINAL set restricted to survivors of the grown set agree
+    grown = df.unionByName(
+        spark.range(300, 400).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("src")
+        )
+    )
+    g = {r["doc_id"] for r in grouped_sample(grown, "src", 7, "doc_id").collect()}
+    # survivors from the grown draw that existed before must be a
+    # subset of... nothing strong holds per-element, but group caps do:
+    assert len(g) == 21
+
+
+def test_grouped_sample_small_groups_untouched(spark):
+    from chapterhousedb_spark.operators.sampling import grouped_sample
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "src"])
+    out = grouped_sample(df, "src", k=5, id_col="doc_id")
+    assert out.count() == 3  # groups below the cap keep every row
