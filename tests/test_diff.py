@@ -77,3 +77,44 @@ def test_table_diff_wide_payload_stays_off_the_wire(spark):
     assert "payload" not in join_and_above, join_and_above
     got = {r["k"]: r["change_type"] for r in d.collect()}
     assert got[3] == "removed" and got[5] == "added" and got[2] == "changed"
+
+
+def test_table_diff_randomized_vs_pandas_reference(spark):
+    """Seeded randomized cross-check: table_diff's change set equals an
+    independently computed pandas outer-merge reference across random
+    key overlaps, random edits, and random NULL placement."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        n_l, n_r = rng.integers(5, 60), rng.integers(5, 60)
+        lk = rng.choice(100, size=n_l, replace=False)
+        rk = rng.choice(100, size=n_r, replace=False)
+        def frame(keys):
+            vals = rng.integers(0, 4, size=len(keys)).astype(object)
+            a = np.where(rng.random(len(keys)) < 0.2, None, vals)
+            return pd.DataFrame({"k": keys, "a": a, "b": rng.integers(0, 3, size=len(keys))})
+        lp, rp = frame(lk), frame(rk)
+        got = {
+            (r["k"], r["change_type"])
+            for r in table_diff(
+                spark.createDataFrame(lp), spark.createDataFrame(rp), ["k"]
+            ).collect()
+        }
+        m = lp.merge(rp, on="k", how="outer", indicator=True, suffixes=("_l", "_r"))
+        want = set()
+        for _, row in m.iterrows():
+            if row["_merge"] == "right_only":
+                want.add((row["k"], "added"))
+            elif row["_merge"] == "left_only":
+                want.add((row["k"], "removed"))
+            else:
+                same = (
+                    (row["a_l"] is None and row["a_r"] is None
+                     or row["a_l"] == row["a_r"])
+                    and row["b_l"] == row["b_r"]
+                )
+                if not same:
+                    want.add((row["k"], "changed"))
+        assert got == want, f"trial {trial}"

@@ -132,3 +132,40 @@ def test_rollup_partial_has_mapside_combine(spark, sf_dir):
     assert "partial_" in plan or "HashAggregate" in plan
     first_agg = plan.index("HashAggregate")
     assert "Exchange" in plan[first_agg:], "expected partial agg above the exchange"
+
+
+def test_rollup_random_merge_trees_equal_direct(spark):
+    """Seeded randomized invariant: for random data and ANY random
+    grouping of fine keys into merge steps, the merged partial equals
+    the direct aggregation — the decimal-sum associativity the whole
+    pattern rests on (doubles would fail this under reordering)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        n = int(rng.integers(200, 800))
+        pdf = pd.DataFrame(
+            {
+                "g": rng.integers(0, 5, size=n),
+                "sub": rng.integers(0, 40, size=n),
+                "v": np.round(rng.random(n) * 1e6, 4) * rng.choice([-1, 1], n),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        fine = rollup_partials(df, ["g", "sub"], {"sv": "v"}, scale=6)
+        # random intermediate regrouping: sub -> bucket of random width
+        width = int(rng.integers(2, 9))
+        mid = rollup_merge(
+            fine.withColumn("bucket", (F.col("sub") / width).cast("int")),
+            ["g", "bucket"],
+            ["sv"],
+        )
+        merged = rollup_final(rollup_merge(mid, ["g"], ["sv"]), ["sv"])
+        direct = rollup_final(
+            rollup_merge(rollup_partials(df, ["g"], {"sv": "v"}, scale=6), ["g"], ["sv"]),
+            ["sv"],
+        )
+        a = {r["g"]: (r["n_rows"], r["sv"]) for r in merged.collect()}
+        b = {r["g"]: (r["n_rows"], r["sv"]) for r in direct.collect()}
+        assert a == b, f"trial {trial}"
