@@ -119,6 +119,24 @@ def probe(spark, docs, embs) -> dict:
     )
     release_self_join_caches()
     out["span_rows"], out["span_rows_sec"] = n, t
+    # round-6 operators: tfidf is 3 shuffles (term tf, token df, per-doc
+    # top-k window) — output is k rows/doc so rows AND time must stay
+    # ~linear; table_diff is one digest full-outer join — diff the
+    # corpus against itself with planted edits (every 7th doc changed,
+    # every 13th dropped), change rows scale with docs.
+    from chapterhousedb_spark.operators.diff import table_diff
+    from chapterhousedb_spark.operators.text import tfidf_top_terms
+
+    n, t = timed_count(tfidf_top_terms(docs, k=3))
+    out["tfidf_rows"], out["tfidf_rows_sec"] = n, t
+    edited = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" x"))
+        ).otherwise(F.col("text")),
+    )
+    n, t = timed_count(table_diff(docs, edited, keys=["doc_id"]))
+    out["diff_rows"], out["diff_rows_sec"] = n, t
     return out
 
 
