@@ -172,3 +172,63 @@ def test_round5_operators_empty(spark, empty_docs):
     out = contamination_short_probes(empty_docs, ngram_k=8)
     assert out.columns == ["probe_id", "n_tokens"]
     assert out.count() == 0
+
+
+def test_round6_operators_on_empty(spark):
+    """vocabulary/tfidf/training_order/grouped_sample/histogram/diff/
+    rollup/zorder all return empty-with-schema on zero-row inputs."""
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.diff import diff_summary, table_diff
+    from chapterhousedb_spark.operators.profile import histogram
+    from chapterhousedb_spark.operators.rollup import (
+        distinct_merge,
+        distinct_partials,
+        rollup_final,
+        rollup_merge,
+        rollup_partials,
+    )
+    from chapterhousedb_spark.operators.sampling import grouped_sample, training_order
+    from chapterhousedb_spark.operators.text import tfidf_top_terms, vocabulary
+    from chapterhousedb_spark.operators.zorder import zorder_cluster
+
+    empty_docs = spark.createDataFrame([], DOC_SCHEMA)
+    assert vocabulary(empty_docs).count() == 0
+    assert vocabulary(empty_docs, top_k=5).columns == ["token", "freq"]
+    t = tfidf_top_terms(empty_docs)
+    assert t.count() == 0
+    assert t.columns == ["id", "token", "tf", "df", "score", "rank"]
+    assert training_order(empty_docs).count() == 0
+    src = empty_docs.withColumn("src", F.lit("a"))
+    assert grouped_sample(src, "src", k=3).count() == 0
+
+    nums = spark.createDataFrame([], T.StructType([T.StructField("x", T.DoubleType())]))
+    assert histogram(nums, "x", 0.0, 10.0, nbins=4).count() == 0
+
+    d = table_diff(empty_docs, empty_docs, ["doc_id"])
+    assert d.count() == 0 and d.columns == ["doc_id", "change_type"]
+    assert diff_summary(d).count() == 0
+    # diff against a non-empty side: everything is added / removed
+    one = spark.createDataFrame([(1, "t")], DOC_SCHEMA)
+    assert [r["change_type"] for r in table_diff(empty_docs, one, ["doc_id"]).collect()] == ["added"]
+    assert [r["change_type"] for r in table_diff(one, empty_docs, ["doc_id"]).collect()] == ["removed"]
+
+    ev = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("g", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    p = rollup_partials(ev, ["g"], {"sv": "v"})
+    assert p.count() == 0
+    assert rollup_final(rollup_merge(p, ["g"], ["sv"]), ["sv"]).count() == 0
+    assert distinct_merge(distinct_partials(ev, ["g"], "v"), ["g"]).count() == 0
+
+    two = spark.createDataFrame(
+        [], T.StructType([T.StructField("u", T.LongType()), T.StructField("w", T.LongType())])
+    )
+    # approxQuantile on empty input yields no boundaries -> bucket 0s
+    assert zorder_cluster(two, ["u", "w"], n_files=2).count() == 0
