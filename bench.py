@@ -59,6 +59,8 @@ HEADLINE = [
     "vocab_topk",
     "tfidf_top_terms",
     "training_order",
+    "corpus_diff",
+    "pipeline_curation",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

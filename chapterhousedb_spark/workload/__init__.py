@@ -84,12 +84,18 @@ _DRIVER_FIRST = [
     "corpus_diff",
     "sample_grouped",
     "histogram_totalprice",
+    # round-6 fifth batch: the composed curation pipeline (filter ->
+    # per-source cap -> split -> training order under one oracle) —
+    # paid for by demoting compaction_roundtrip (the engine-lifecycle
+    # family keeps engine_materialize_roundtrip gated; compaction
+    # stays unit-tested in test_engine.py: sized rewrite + disjoint
+    # clustered ranges)
+    "pipeline_curation",
     "events_sliding",
     "corpus_report",
     "incremental_merge",
     "tpch_q3_shipping",
     "tpch_q5_region_revenue",
-    "compaction_roundtrip",
     "pack_materialize",
     "contamination_check",
     "duplicate_spans",
@@ -163,6 +169,7 @@ _DRIVER_LAST = [
     "window_range_frame",
     "window_topk_per_group",
     "sample_split",
+    "compaction_roundtrip",
     "pack_sequences",
     "sample_stratified",
     "scalar_subquery",

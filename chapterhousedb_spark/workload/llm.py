@@ -1088,3 +1088,71 @@ def sample_grouped_q(spark, sf_dir):
     return grouped_sample(
         load(spark, sf_dir, "documents"), group_col="source", k=5
     ).select("doc_id", "source")
+
+
+@query(
+    "pipeline_curation",
+    oracle=f"""
+    WITH clean AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS INT) AS n_tokens
+      FROM documents
+      WHERE len({_TOKS}) >= 20
+        AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) > 0.6
+        AND CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) < 0.2),
+    capped AS (
+      SELECT doc_id, source, n_tokens FROM (
+        SELECT doc_id, source, n_tokens,
+               ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY md5('grouped-v1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM clean) t
+      WHERE rk <= 8),
+    sp AS (
+      SELECT doc_id, source, n_tokens,
+             CASE WHEN {_H} < '{_threshold_hex(0.9)}' THEN 'train'
+                  WHEN {_H} < '{_threshold_hex(0.95)}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM capped),
+    ord AS (
+      SELECT doc_id, shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY pos_h, doc_id) AS BIGINT) AS pos
+      FROM (SELECT doc_id,
+                   ('0x' || substring(md5('order-v1:shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS shard,
+                   md5('order-v1:pos:' || CAST(doc_id AS VARCHAR)) AS pos_h
+            FROM sp WHERE split = 'train') h)
+    SELECT sp.doc_id, sp.source, sp.n_tokens, sp.split, ord.shard, ord.pos
+    FROM sp LEFT JOIN ord ON sp.doc_id = ord.doc_id
+    """,
+)
+def pipeline_curation_q(spark, sf_dir):
+    """The round-6 composed curation pipeline, end-to-end under ONE
+    oracle: quality filter (same C4-style rules as pipeline_pretrain)
+    -> per-source cap (grouped_sample k=8 — dataset-mixing budget)
+    -> deterministic 90/5/5 split -> epoch training order (shards +
+    positions) over the train split only, left-joined back so val/test
+    rows carry NULL shard/pos. Every stage is the declared operator
+    used elsewhere; this entry pins that THEY COMPOSE, including the
+    md5 machinery stacking three independent salted draws (cap, split,
+    order) without interference. At 100 TB: stats filter is map-side,
+    the cap is one shuffle on source, split is map-side, the order is
+    one shuffle on shard over the train subset only."""
+    docs = load(spark, sf_dir, "documents")
+    clean = docs.join(
+        text_stats(docs)
+        .filter("passes_quality AND n_tokens >= 20")
+        .select("doc_id", "n_tokens"),
+        "doc_id",
+    ).select("doc_id", "source", F.col("n_tokens").cast("int").alias("n_tokens"))
+    capped = grouped_sample(clean, group_col="source", k=8)
+    sp = train_val_test_split(capped, weights=(0.9, 0.05, 0.05), salt="s1")
+    order = training_order(
+        sp.filter(F.col("split") == "train"), n_shards=4, salt="order-v1"
+    )
+    return sp.select("doc_id", "source", "n_tokens", "split").join(
+        order.select("doc_id", "shard", "pos"), "doc_id", "left"
+    )

@@ -930,3 +930,50 @@ def test_rollup_stream_matches_direct_and_skips_replay(spark, tmp_path_factory):
         for r in rollup_final(base2, ["sum_value"]).collect()
     }
     assert got2 == want
+
+
+def test_rollup_stream_restart_resumes_from_checkpoint(spark, tmp_path_factory):
+    """Mid-stream restart with the SAME checkpoint: the second drain
+    must apply only the file that arrived while stopped — versions
+    advance once per new batch and counts never double."""
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.rollup import rollup_final
+    from chapterhousedb_spark.streaming import read_versioned_base, rollup_stream
+
+    root = tmp_path_factory.mktemp("rollup_restart")
+    base_root = str(root / "partials")
+    landing = str(root / "landing")
+    ckpt = str(root / "ckpt")
+    os.makedirs(landing)
+    b1 = spark.createDataFrame([Row(g="a", v=1.0), Row(g="b", v=2.0)])
+    b2 = spark.createDataFrame([Row(g="a", v=4.0)])
+    b1.coalesce(1).write.parquet(f"{landing}/f0")
+
+    def drain():
+        q = rollup_stream(
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{landing}/*"),
+            base_root,
+            keys=["g"],
+            sum_cols={"sv": "v"},
+            scale=6,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    drain()  # applies f0 only
+    base, ver = read_versioned_base(spark, base_root)
+    assert ver == 0
+    got = {r["g"]: (r["n_rows"], r["sv"]) for r in rollup_final(base, ["sv"]).collect()}
+    assert got == {"a": (1, 1.0), "b": (1, 2.0)}
+
+    b2.coalesce(1).write.parquet(f"{landing}/f1")
+    drain()  # restart: checkpoint ensures only f1 is read
+    base, ver = read_versioned_base(spark, base_root)
+    assert ver == 1
+    got = {r["g"]: (r["n_rows"], r["sv"]) for r in rollup_final(base, ["sv"]).collect()}
+    assert got == {"a": (2, 5.0), "b": (1, 2.0)}
