@@ -159,3 +159,86 @@ def sketch_estimate(
     return partials.withColumn(
         out_col, F.hll_sketch_estimate(F.col(sketch_col))
     ).drop(sketch_col)
+
+
+# ------------------------------------------------------- quantile partials
+
+
+def histogram_partials(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+) -> DataFrame:
+    """Mergeable quantile state: per-group equi-width bin counts over
+    [lo, hi) (clamped at both ends, NULLs dropped) — the deterministic
+    alternative to t-digest/percentile_approx sketches. Counts are
+    additive, so partials merge with rollup_merge-style summation
+    (`histogram_merge`), and any quantile is answered from the merged
+    counts with resolution (hi-lo)/nbins. Unlike engine-internal
+    sketches, every step is fixed IEEE arithmetic: the same partials
+    and the same quantile answers are reproducible on any engine.
+
+    At 100 TB: the partial is |keys| x nbins rows max; the fine-grain
+    pass has map-side combine and coarser rollups never re-read facts
+    (same economics as rollup_partials)."""
+    w = (hi - lo) / nbins
+    c = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((c - lo) / w).cast("int")),
+    )
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(*_key_cols(keys), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("bin_n"))
+    )
+
+
+def histogram_merge(
+    partials: DataFrame, keys: Sequence[str | Column]
+) -> DataFrame:
+    """Merge histogram partials to a coarser grain: bin counts add."""
+    return partials.groupBy(*_key_cols(keys), "bin").agg(
+        F.sum("bin_n").alias("bin_n")
+    )
+
+
+def quantile_from_histogram(
+    partials: DataFrame,
+    keys: Sequence[str | Column],
+    q: float,
+    lo: float,
+    hi: float,
+    nbins: int = 256,
+    out_col: str = "quantile",
+) -> DataFrame:
+    """Answer the q-quantile per group from (merged) histogram
+    partials: the upper edge of the first bin whose cumulative count
+    reaches ceil(q * n) — a conservative estimate within one bin width
+    of the true order statistic. Pure window + filter over the
+    |keys| x nbins partial relation; never touches fact data."""
+    from pyspark.sql.window import Window
+
+    kc = _key_cols(keys)
+    w_cum = (
+        Window.partitionBy(*kc)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*kc)
+    width = (hi - lo) / nbins
+    cum = partials.withColumn("cum", F.sum("bin_n").over(w_cum)).withColumn(
+        "total", F.sum("bin_n").over(w_all)
+    )
+    hit = cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("total")))
+    w_first = Window.partitionBy(*kc).orderBy("bin")
+    return (
+        hit.withColumn("__rk", F.row_number().over(w_first))
+        .filter(F.col("__rk") == 1)
+        .select(
+            *kc, (F.lit(lo) + (F.col("bin") + 1) * width).alias(out_col)
+        )
+    )

@@ -7,6 +7,7 @@ from chapterhousedb_spark.streaming.batcher import (
     enrich_stream,
     init_versioned_base,
     interval_join_streams,
+    list_versions,
     merge_stream,
     read_event_stream,
     read_versioned_base,
@@ -22,6 +23,7 @@ __all__ = [
     "enrich_stream",
     "init_versioned_base",
     "interval_join_streams",
+    "list_versions",
     "merge_stream",
     "read_event_stream",
     "read_versioned_base",

@@ -365,10 +365,41 @@ def init_versioned_base(df: DataFrame, base_root: str) -> str:
     return path
 
 
-def read_versioned_base(spark: SparkSession, base_root: str) -> tuple[DataFrame, int]:
-    """Current version of a versioned base: (DataFrame, version number)."""
-    ver = _read_latest_marker(spark, base_root)
-    return spark.read.parquet(f"{base_root}/v{ver:06d}"), ver
+def read_versioned_base(
+    spark: SparkSession, base_root: str, version: int | None = None
+) -> tuple[DataFrame, int]:
+    """Read a versioned base: (DataFrame, version number). By default
+    the current version (the _LATEST marker); pass `version` for TIME
+    TRAVEL — any retained version directory reads back exactly as it
+    was, because merges always write NEW v{n} directories and never
+    touch old files (the property the crash-safety argument already
+    relies on). Raises ValueError for a version that does not exist or
+    was vacuumed."""
+    latest = _read_latest_marker(spark, base_root)
+    ver = latest if version is None else version
+    path = f"{base_root}/v{ver:06d}"
+    if version is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            raise ValueError(
+                f"version {ver} not found under {base_root} (latest: {latest})"
+            )
+    return spark.read.parquet(path), ver
+
+
+def list_versions(spark: SparkSession, base_root: str) -> list[int]:
+    """Version numbers retained under the base root, ascending."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base_root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
 
 
 def merge_stream(

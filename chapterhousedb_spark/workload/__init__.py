@@ -89,8 +89,12 @@ _DRIVER_FIRST = [
     # paid for by demoting compaction_roundtrip (the engine-lifecycle
     # family keeps engine_materialize_roundtrip gated; compaction
     # stays unit-tested in test_engine.py: sized rewrite + disjoint
-    # clustered ranges)
+    # clustered ranges) — and the mergeable-quantile rollup, paid for
+    # by demoting agg_grouping_sets (aggs keep pricing_summary +
+    # stats_funcs + both rollups gated; the GROUPING SETS Expand plan
+    # is test-asserted in test_plans.py)
     "pipeline_curation",
+    "quantile_rollup",
     "events_sliding",
     "corpus_report",
     "incremental_merge",
@@ -101,7 +105,6 @@ _DRIVER_FIRST = [
     "duplicate_spans",
     "pii_redaction",
     "join_skew_salted",
-    "agg_grouping_sets",
     "pipeline_pretrain",
     "multimodal_meta",
 ]
@@ -170,6 +173,7 @@ _DRIVER_LAST = [
     "window_topk_per_group",
     "sample_split",
     "compaction_roundtrip",
+    "agg_grouping_sets",
     "pack_sequences",
     "sample_stratified",
     "scalar_subquery",

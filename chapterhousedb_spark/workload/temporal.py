@@ -267,3 +267,65 @@ def events_distinct_rollup(spark, sf_dir):
     return daily.select(
         "event_type", F.unix_timestamp("day").alias("day_epoch"), "n_users"
     )
+
+
+@query(
+    "quantile_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             least(255, greatest(0,
+               CAST(floor((CAST(value AS DOUBLE) - 0.0) / (500.0 / 256)) AS INT)
+             )) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS bin_n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, bin),
+    c AS (
+      SELECT event_type, bin, bin_n,
+             SUM(bin_n) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(bin_n) OVER (PARTITION BY event_type) AS total
+      FROM b)
+    SELECT p50.event_type, p50.q AS p50_value, p95.q AS p95_value
+    FROM (SELECT event_type, MIN(0.0 + (bin + 1) * (500.0 / 256)) AS q
+          FROM c WHERE cum >= ceil(0.5 * total) GROUP BY event_type) p50
+    JOIN (SELECT event_type, MIN(0.0 + (bin + 1) * (500.0 / 256)) AS q
+          FROM c WHERE cum >= ceil(0.95 * total) GROUP BY event_type) p95
+      ON p50.event_type = p95.event_type
+    """,
+)
+def quantile_rollup(spark, sf_dir):
+    """Mergeable approximate quantiles (operators/rollup.py
+    histogram_partials / histogram_merge / quantile_from_histogram):
+    p50 and p95 of event value per type, answered from HOURLY histogram
+    partials merged to the type grain — the deterministic alternative
+    to t-digest sketches, reproducible bit-for-bit on any engine (the
+    oracle replays the identical cumulative-bin arithmetic). The
+    fine-grain pass includes the hour key to prove the merge path: the
+    per-type answer must be identical whether binned directly or rolled
+    up from hourly partials (bin counts are additive). At 100 TB the
+    hourly partials are |hours x types x 256| rows and the daily/
+    all-time quantile queries never rescan events."""
+    from chapterhousedb_spark.operators.rollup import (
+        histogram_merge,
+        histogram_partials,
+        quantile_from_histogram,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    hourly = histogram_partials(
+        ev, keys=["event_type", "hour"], value_col="value", lo=0.0, hi=500.0
+    )
+    merged = histogram_merge(hourly, keys=["event_type"])
+    p50 = quantile_from_histogram(
+        merged, ["event_type"], q=0.5, lo=0.0, hi=500.0, out_col="p50_value"
+    )
+    p95 = quantile_from_histogram(
+        merged, ["event_type"], q=0.95, lo=0.0, hi=500.0, out_col="p95_value"
+    )
+    return p50.join(p95, "event_type").select(
+        "event_type", "p50_value", "p95_value"
+    )

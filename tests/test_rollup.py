@@ -169,3 +169,79 @@ def test_rollup_random_merge_trees_equal_direct(spark):
         a = {r["g"]: (r["n_rows"], r["sv"]) for r in merged.collect()}
         b = {r["g"]: (r["n_rows"], r["sv"]) for r in direct.collect()}
         assert a == b, f"trial {trial}"
+
+
+def test_histogram_partials_merge_and_quantiles(spark, sf_dir):
+    """Quantiles answered from hour-grain histogram partials merged to
+    the type grain equal direct binning AND land within one bin width
+    of the true order statistic."""
+    from chapterhousedb_spark.operators.rollup import (
+        histogram_merge,
+        histogram_partials,
+        quantile_from_histogram,
+    )
+
+    ev = _events(spark, sf_dir)
+    lo, hi, nbins = 0.0, 500.0, 256
+    hourly = histogram_partials(
+        ev, ["event_type", "hour"], "value", lo, hi, nbins
+    )
+    merged = histogram_merge(hourly, ["event_type"])
+    direct = histogram_partials(ev, ["event_type"], "value", lo, hi, nbins)
+    a = {(r["event_type"], r["bin"]): r["bin_n"] for r in merged.collect()}
+    b = {(r["event_type"], r["bin"]): r["bin_n"] for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+    got = {
+        r["event_type"]: r["q"]
+        for r in quantile_from_histogram(
+            merged, ["event_type"], 0.5, lo, hi, nbins, out_col="q"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    width = (hi - lo) / nbins
+    for et, q in got.items():
+        assert abs(q - exact[et]) <= width + 1e-9, (et, q, exact[et])
+
+
+def test_versioned_base_time_travel(spark, tmp_path_factory):
+    """Old versions read back exactly as written; list_versions
+    enumerates them; a missing version raises."""
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.merge import merge_upsert
+    from chapterhousedb_spark.streaming import (
+        init_versioned_base,
+        list_versions,
+        read_versioned_base,
+    )
+
+    root = str(tmp_path_factory.mktemp("timetravel") / "base")
+    v0 = spark.createDataFrame(
+        [Row(k=1, v="a", version=0), Row(k=2, v="b", version=0)]
+    )
+    init_versioned_base(v0, root)
+    merged = merge_upsert(
+        v0,
+        spark.createDataFrame([Row(k=2, v="b2", version=1)]),
+        ["k"],
+        "version",
+    )
+    merged.write.mode("overwrite").parquet(f"{root}/v000001")
+    from chapterhousedb_spark.streaming.batcher import _write_latest_marker
+
+    _write_latest_marker(spark, root, 1)
+
+    assert list_versions(spark, root) == [0, 1]
+    cur, ver = read_versioned_base(spark, root)
+    assert ver == 1 and {(r.k, r.v) for r in cur.collect()} == {(1, "a"), (2, "b2")}
+    old, ver0 = read_versioned_base(spark, root, version=0)
+    assert ver0 == 0 and {(r.k, r.v) for r in old.collect()} == {(1, "a"), (2, "b")}
+    with _pt.raises(ValueError, match="not found"):
+        read_versioned_base(spark, root, version=7)
