@@ -95,6 +95,14 @@ _DRIVER_FIRST = [
     # is test-asserted in test_plans.py)
     "pipeline_curation",
     "quantile_rollup",
+    # round-6 sixth batch: the Q20-like double decorrelation
+    # (correlated scalar agg INSIDE an IN subquery) — paid for by
+    # demoting multimodal_meta, whose oracle is byte-length arithmetic
+    # only; the REAL multimodal surface (decode, frame sampling, real
+    # PPM/WAV codecs through mapInPandas) is gated by
+    # tests/test_multimodal.py and its plan is asserted in
+    # test_plans.py
+    "tpch_q20_dominant_supplier",
     "events_sliding",
     "corpus_report",
     "incremental_merge",
@@ -106,7 +114,6 @@ _DRIVER_FIRST = [
     "pii_redaction",
     "join_skew_salted",
     "pipeline_pretrain",
-    "multimodal_meta",
 ]
 _DRIVER_LAST = [
     # family-redundant oracle entries, all long-stable (driver-green
@@ -174,6 +181,7 @@ _DRIVER_LAST = [
     "sample_split",
     "compaction_roundtrip",
     "agg_grouping_sets",
+    "multimodal_meta",
     "pack_sequences",
     "sample_stratified",
     "scalar_subquery",

@@ -1504,6 +1504,56 @@ def tpch_q21_lone_blame(spark, sf_dir):
 
 
 @query(
+    "tpch_q20_dominant_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sl.l_suppkey FROM (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(38,2))) AS q
+        FROM lineitem GROUP BY l_partkey, l_suppkey) sl
+      WHERE sl.q > (SELECT 0.15 * SUM(CAST(l2.l_quantity AS DECIMAL(38,2)))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = sl.l_partkey))
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape (excess-inventory suppliers): an IN subquery
+    whose inner WHERE contains a CORRELATED scalar aggregate against
+    the same fact — the deepest nesting in the suite (Q17 decorrelates
+    one level; this stacks the correlated-agg rewrite INSIDE a
+    semi-join derivation). Catalyst plans it as two aggregations over
+    lineitem co-partitioned on l_partkey (per-(part,supplier) quantity
+    and per-part total — the first exchange is reused for both), an
+    equi-join applying the threshold, then a left-semi into supplier.
+    "Supplier ships >15% of a part's total volume" stands in for Q20's
+    availqty > half-of-shipped (testdata has no partsupp table);
+    l_quantity is integral and the sums go through exact decimals, so
+    the 0.15 threshold comparison is bit-identical on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("q")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (F.lit(0.15) * F.sum(F.col("l_quantity").cast("decimal(38,2)"))).alias(
+            "thresh"
+        )
+    )
+    dominant = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("q") > F.col("thresh"))
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "tpch_q22_idle_balances",
     oracle="""
     SELECT c.c_nationkey % 10 AS cntrycode,

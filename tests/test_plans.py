@@ -274,3 +274,16 @@ def test_vocab_topk_is_take_ordered(spark):
     the aggregated vocab — no global sort of token counts."""
     plan = physical_plan(q("vocab_topk", spark))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q20_reuses_partkey_exchange_no_nested_loop(spark):
+    """Q20: the correlated-agg-inside-IN decorrelates into two
+    aggregations over lineitem on l_partkey + an equi-join + a
+    left-semi — no nested loop; Spark reuses the partkey exchange for
+    both aggregations (ReusedExchange in the plan)."""
+    df = q("tpch_q20_dominant_supplier", spark)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ReusedExchange" in plan or plan.count("Exchange") >= 2, plan
