@@ -27,7 +27,6 @@ from chapterhousedb_spark.workload import lifecycle as _lifecycle  # noqa: E402,
 # re-earns driver-green every handful of rounds without judge
 # intervention (ADVICE/VERDICT r5 #4).
 _DRIVER_FIRST = [
-    "events_hourly",
     "events_sessionize",
     "events_json",
     "asof_join_events",
@@ -103,6 +102,11 @@ _DRIVER_FIRST = [
     # tests/test_multimodal.py and its plan is asserted in
     # test_plans.py
     "tpch_q20_dominant_supplier",
+    # ...and the Q9-like derived-time-key aggregation, paid for by
+    # demoting events_hourly: the hourly tumbling-agg semantic stays
+    # gated through streaming_events_hourly (drained against the SAME
+    # batch SQL oracle), plus events_sliding and events_rollup_daily
+    "tpch_q9_nation_profit",
     "events_sliding",
     "corpus_report",
     "incremental_merge",
@@ -182,6 +186,7 @@ _DRIVER_LAST = [
     "compaction_roundtrip",
     "agg_grouping_sets",
     "multimodal_meta",
+    "events_hourly",
     "pack_sequences",
     "sample_stratified",
     "scalar_subquery",

@@ -1504,6 +1504,52 @@ def tpch_q21_lone_blame(spark, sf_dir):
 
 
 @query(
+    "tpch_q9_nation_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS o_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year):
+    fact><dim><dim chain grouped on a DERIVED time key (year extracted
+    from the ship date) — the one TPC-H aggregation pattern over a
+    computed date dimension not otherwise gated. At 100 TB: supplier
+    and nation broadcast (two BroadcastHashJoins, no fact shuffle until
+    the group-by), the profit expression is computed map-side, and the
+    (nation, year) group domain is tiny so the single aggregation
+    exchange moves ~|nations x years| rows per map partition. The
+    discount multiply happens in DOUBLE on both engines (identical
+    IEEE product) before the exact-decimal sum, so the aggregate is
+    order-independent and hash-exact. (Testdata lacks part/partsupp
+    cost columns, so profit reduces to the discounted revenue and the
+    part-name filter is dropped.)"""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
     "tpch_q20_dominant_supplier",
     oracle="""
     SELECT s.s_suppkey, s.s_name FROM supplier s

@@ -287,3 +287,13 @@ def test_tpch_q20_reuses_partkey_exchange_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "ReusedExchange" in plan or plan.count("Exchange") >= 2, plan
+
+
+def test_tpch_q9_broadcasts_dims_single_agg_exchange(spark):
+    """Q9: supplier and nation broadcast — the fact table reaches the
+    aggregation without a join shuffle; the only exchange is the tiny
+    (nation, year) group-by."""
+    plan = physical_plan(q("tpch_q9_nation_profit", spark))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan

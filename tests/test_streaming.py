@@ -977,3 +977,66 @@ def test_rollup_stream_restart_resumes_from_checkpoint(spark, tmp_path_factory):
     assert ver == 1
     got = {r["g"]: (r["n_rows"], r["sv"]) for r in rollup_final(base, ["sv"]).collect()}
     assert got == {"a": (2, 5.0), "b": (1, 2.0)}
+
+
+def test_rollup_stream_maintains_histogram_partials(spark, tmp_path_factory):
+    """Composition: rollup_stream with a DERIVED bin key maintains
+    streaming histogram partials (bin counts are additive), and
+    quantile_from_histogram answers off the maintained base — streaming
+    approximate quantiles with no Spark state store."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.rollup import quantile_from_histogram
+    from chapterhousedb_spark.streaming import read_versioned_base, rollup_stream
+
+    root = tmp_path_factory.mktemp("hist_stream")
+    base_root = str(root / "partials")
+    landing = str(root / "landing")
+    os.makedirs(landing)
+    lo, hi, nbins = 0.0, 100.0, 10
+    rows = [Row(g="a", v=float(v)) for v in [5, 15, 15, 35, 95, 55, 45, 5]]
+    b1, b2 = spark.createDataFrame(rows[:4]), spark.createDataFrame(rows[4:])
+    b1.coalesce(1).write.parquet(f"{landing}/f0")
+    b2.coalesce(1).write.parquet(f"{landing}/f1")
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+
+    width = (hi - lo) / nbins
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+        .withColumn(
+            "bin",
+            F.least(
+                F.lit(nbins - 1),
+                F.greatest(F.lit(0), F.floor((F.col("v") - lo) / width).cast("int")),
+            ),
+        )
+    )
+    q = rollup_stream(
+        stream,
+        base_root,
+        keys=["g", "bin"],
+        sum_cols={},
+        checkpoint=str(root / "ckpt"),
+    )
+    q.awaitTermination()
+
+    base, _ = read_versioned_base(spark, base_root)
+    partials = base.withColumnRenamed("n_rows", "bin_n")
+    got = {(r["g"], r["bin"]): r["bin_n"] for r in partials.collect()}
+    # values 5,5 -> bin 0; 15,15 -> bin 1; 35 -> 3; 45 -> 4; 55 -> 5; 95 -> 9
+    assert got == {
+        ("a", 0): 2, ("a", 1): 2, ("a", 3): 1, ("a", 4): 1, ("a", 5): 1, ("a", 9): 1,
+    }
+    med = quantile_from_histogram(
+        partials, ["g"], q=0.5, lo=lo, hi=hi, nbins=nbins, out_col="p50"
+    ).collect()
+    # 8 values, ceil(0.5*8)=4th ordered value is 15 -> bin 1 -> upper edge 20
+    assert med[0]["p50"] == 20.0
