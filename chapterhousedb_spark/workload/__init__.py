@@ -120,6 +120,18 @@ _DRIVER_FIRST = [
     "pipeline_pretrain",
 ]
 _DRIVER_LAST = [
+    # round-6 minor-family additions at the HEAD of the tail: the
+    # static 50-slot budget is spent on the round's higher-risk surface
+    # (TPC-H decorrelation shapes, rollups, composed pipelines,
+    # streaming gates), and as pool head these three are promoted INTO
+    # the driver window by this round's rotation anyway (so they still
+    # arrive driver-gated, displacing three long-stable pool rows for
+    # one round). Every declared oracle row — tail included — is also
+    # hash-checked against DuckDB at sf0.001 by
+    # tests/test_oracle_parity.py on every pytest run.
+    "set_ops_all",
+    "null_semantics",
+    "agg_collect_sorted",
     # family-redundant oracle entries, all long-stable (driver-green
     # since r2-r4) and each covered by gated rows of the same operator
     # family above: sampling keeps split+stratified; aggs keep

@@ -1652,3 +1652,86 @@ def tpch_q22_idle_balances(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_ops_all(spark, sf_dir):
+    """Multiset set operations (INTERSECT ALL): duplicate-preserving
+    semantics — each customer appears min(count_left, count_right)
+    times, which plain INTERSECT (covered by set_ops) collapses. Spark
+    plans this as a left-semi-style hash join over counted duplicates;
+    at scale it is one shuffle on the compared column."""
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    right = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return left.intersectAll(right)
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderstatus IS DISTINCT FROM o_orderpriority) AS st_ne_pri,
+           COALESCE(NULLIF(o_orderstatus, 'F'), 'final') AS status_or_final,
+           (CASE WHEN o_totalprice > 300000 THEN NULL
+                 ELSE o_totalprice END IS NULL) AS price_redacted
+    FROM orders WHERE o_orderkey % 20 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def null_semantics(spark, sf_dir):
+    """Three-valued-logic surface: IS DISTINCT FROM (null-safe
+    inequality, Spark's negated <=>), NULLIF/COALESCE chaining, and IS
+    NULL over a CASE-produced NULL. Pure map-side projections; pinned
+    because null semantics are where engines classically diverge."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        (~F.col("o_orderstatus").eqNullSafe(F.col("o_orderpriority"))).alias(
+            "st_ne_pri"
+        ),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("final")
+        ).alias("status_or_final"),
+        F.when(F.col("o_totalprice") > 300000, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .isNull()
+        .alias("price_redacted"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Array aggregation with DETERMINISTIC order: collect_list's
+    arrival order is partition-dependent, so the contract is
+    array_sort AFTER collection — the only way a collected array is
+    reproducible at any parallelism (and thus hash-comparable across
+    engines). Serialized to a joined string so the oracle compares a
+    scalar. One shuffle on the group key; arrays stay bounded by group
+    size."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderpriority")), ","
+            ).alias("priorities")
+        )
+        .orderBy("o_custkey")
+    )
