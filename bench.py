@@ -132,6 +132,26 @@ def _previous_round_times() -> (
             # object itself, never to None
             parsed = obj.get("parsed") or obj
             times = parsed.get("queries") or {}
+            if not times:
+                # some driver wrappers keep only the LAST 2000 chars of
+                # stdout in a "tail" string (front-truncated mid-JSON):
+                # recover the flat "queries"/"calibration" dicts by
+                # regex — both are single-level, so non-greedy brace
+                # matching is exact
+                t = obj.get("tail")
+                if isinstance(t, str):
+                    mq = re.search(r'"queries":\s*(\{[^{}]*\})', t)
+                    if mq:
+                        try:
+                            times = json.loads(mq.group(1))
+                        except json.JSONDecodeError:
+                            times = {}
+                    mc = re.search(r'"calibration":\s*(\{[^{}]*\})', t)
+                    if mc:
+                        try:
+                            parsed = {"calibration": json.loads(mc.group(1))}
+                        except json.JSONDecodeError:
+                            pass
             if times:
                 cal = parsed.get("calibration") or {}
                 sp = cal.get("spark_range_sum_sec")
