@@ -105,6 +105,29 @@ def run_query(spark, name: str, sf_dir: str, sink_root: str) -> float:
     return elapsed
 
 
+def _recover_from_tail(tail: str) -> tuple[dict, dict]:
+    """Recover the flat "queries"/"calibration" dicts from a driver
+    wrapper's front-truncated stdout tail. Both dicts are single-level,
+    so non-greedy brace matching is exact. Returns ({}, {}) when the
+    truncation cut into either dict."""
+    import re
+
+    times, cal = {}, {}
+    mq = re.search(r'"queries":\s*(\{[^{}]*\})', tail)
+    if mq:
+        try:
+            times = json.loads(mq.group(1))
+        except json.JSONDecodeError:
+            times = {}
+    mc = re.search(r'"calibration":\s*(\{[^{}]*\})', tail)
+    if mc:
+        try:
+            cal = json.loads(mc.group(1))
+        except json.JSONDecodeError:
+            cal = {}
+    return times, cal
+
+
 def _previous_round_times() -> (
     tuple[int | None, dict[str, float], float | None, float | None]
 ):
@@ -134,24 +157,12 @@ def _previous_round_times() -> (
             times = parsed.get("queries") or {}
             if not times:
                 # some driver wrappers keep only the LAST 2000 chars of
-                # stdout in a "tail" string (front-truncated mid-JSON):
-                # recover the flat "queries"/"calibration" dicts by
-                # regex — both are single-level, so non-greedy brace
-                # matching is exact
+                # stdout in a "tail" string (front-truncated mid-JSON)
                 t = obj.get("tail")
                 if isinstance(t, str):
-                    mq = re.search(r'"queries":\s*(\{[^{}]*\})', t)
-                    if mq:
-                        try:
-                            times = json.loads(mq.group(1))
-                        except json.JSONDecodeError:
-                            times = {}
-                    mc = re.search(r'"calibration":\s*(\{[^{}]*\})', t)
-                    if mc:
-                        try:
-                            parsed = {"calibration": json.loads(mc.group(1))}
-                        except json.JSONDecodeError:
-                            pass
+                    times, cal = _recover_from_tail(t)
+                    if cal:
+                        parsed = {"calibration": cal}
             if times:
                 cal = parsed.get("calibration") or {}
                 sp = cal.get("spark_range_sum_sec")
