@@ -37,6 +37,7 @@ def merge_upsert(
     version_col: str,
     delete_col: str | None = None,
     validate: bool = False,
+    schema_evolution: bool = False,
 ) -> DataFrame:
     """Merge `updates` into `base`, keyed by `keys`.
 
@@ -61,7 +62,13 @@ def merge_upsert(
 
     Requires: `updates` has the same columns as `base` (delete_col may
     exist on either side or both; it is coalesced to false and removed
-    from the output). Each (key, version) must be unique per side —
+    from the output) — UNLESS schema_evolution=True, which implements
+    Delta-style additive evolution: columns present on only one side
+    are kept in the output and read as NULL on the side that lacks
+    them (so a new crawl field appears on old rows as NULL, and a
+    column dropped from new batches survives on old rows). Key and
+    version columns must exist on both sides regardless.
+    Each (key, version) must be unique per side —
     duplicate versions on the SAME side would make the winner
     arbitrary, so callers dedup their batch first (exact_dedup).
     Pass validate=True to enforce that precondition with an extra
@@ -90,10 +97,20 @@ def merge_upsert(
         if d not in updates.columns:
             updates = updates.withColumn(d, F.lit(False))
     missing = set(base.columns) ^ set(updates.columns)
-    if missing:
-        raise ValueError(f"base/updates column mismatch: {sorted(missing)}")
+    if missing and not schema_evolution:
+        raise ValueError(
+            f"base/updates column mismatch: {sorted(missing)} "
+            "(pass schema_evolution=True for additive evolution)"
+        )
+    bad = [c for c in keys + [version_col] if c in missing]
+    if bad:
+        raise ValueError(
+            f"key/version column(s) {bad} must exist on both sides "
+            "even under schema_evolution"
+        )
     tagged = base.withColumn(_SRC, F.lit(0)).unionByName(
-        updates.withColumn(_SRC, F.lit(1))
+        updates.withColumn(_SRC, F.lit(1)),
+        allowMissingColumns=schema_evolution,
     )
     w = Window.partitionBy(*keys).orderBy(
         F.col(version_col).desc(), F.col(_SRC).desc()

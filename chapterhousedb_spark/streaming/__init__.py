@@ -14,6 +14,7 @@ from chapterhousedb_spark.streaming.batcher import (
     rollup_stream,
     run_available_now,
     sessionize_stream,
+    vacuum_versions,
     windowed_counts,
 )
 
@@ -30,5 +31,6 @@ __all__ = [
     "rollup_stream",
     "run_available_now",
     "sessionize_stream",
+    "vacuum_versions",
     "windowed_counts",
 ]

@@ -592,3 +592,29 @@ def _read_marker_or(
     finally:
         stream.close()
     return int(data.decode("ascii"))
+
+
+def vacuum_versions(
+    spark: SparkSession, base_root: str, keep_last: int = 2
+) -> list[int]:
+    """Retention sweep for a versioned base: delete all but the newest
+    `keep_last` version directories (the _LATEST version is always
+    kept, so keep_last >= 1). Returns the removed version numbers.
+    Time travel (read_versioned_base(version=N)) only reaches retained
+    versions — vacuumed ones raise. Never touches the markers, so a
+    concurrent reader of the current version is unaffected."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current version)")
+    latest = _read_latest_marker(spark, base_root)
+    versions = list_versions(spark, base_root)
+    keep = set(sorted(versions)[-keep_last:]) | {latest}
+    jvm = spark._jvm
+    removed = []
+    for v in versions:
+        if v in keep:
+            continue
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{base_root}/v{v:06d}")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+        removed.append(v)
+    return removed

@@ -386,3 +386,45 @@ def test_merge_apply_partitioned_requires_partition_in_key(spark, tmp_path):
             spark.createDataFrame([Row(src="a", doc_id=1, version=2)]),
             base_path, ["doc_id"], "version", partition_cols=["src"],
         )
+
+
+def test_merge_schema_evolution_additive(spark):
+    """schema_evolution=True: a new update column appears NULL on
+    untouched base rows; a base column absent from updates survives on
+    base rows; the strict default still raises."""
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one", legacy="x", version=0),
+            Row(doc_id=2, text="two", legacy="y", version=0),
+        ]
+    )
+    ups = spark.createDataFrame(
+        [
+            Row(doc_id=2, text="two-v1", lang="en", version=1),
+            Row(doc_id=3, text="three", lang="de", version=1),
+        ]
+    )
+    with _pt.raises(ValueError, match="column mismatch"):
+        merge_upsert(base, ups, ["doc_id"], "version")
+    out = merge_upsert(
+        base, ups, ["doc_id"], "version", schema_evolution=True
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "text", "legacy", "version", "lang"}
+    assert rows[1]["legacy"] == "x" and rows[1]["lang"] is None
+    assert rows[2]["text"] == "two-v1" and rows[2]["lang"] == "en"
+    assert rows[2]["legacy"] is None  # updates won; their legacy is NULL
+    assert rows[3]["lang"] == "de" and rows[3]["legacy"] is None
+
+
+def test_merge_schema_evolution_requires_keys_both_sides(spark):
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    base = spark.createDataFrame([Row(doc_id=1, text="a", version=0)])
+    ups = spark.createDataFrame([Row(text="b", version=1)])
+    with _pt.raises(ValueError, match="must exist on both sides"):
+        merge_upsert(base, ups, ["doc_id"], "version", schema_evolution=True)

@@ -245,3 +245,39 @@ def test_versioned_base_time_travel(spark, tmp_path_factory):
     assert ver0 == 0 and {(r.k, r.v) for r in old.collect()} == {(1, "a"), (2, "b")}
     with _pt.raises(ValueError, match="not found"):
         read_versioned_base(spark, root, version=7)
+
+
+def test_vacuum_versions_retention(spark, tmp_path_factory):
+    """vacuum keeps the newest keep_last versions (always incl. the
+    _LATEST), removes the rest, and time travel to a vacuumed version
+    raises while retained ones still read."""
+    import pytest as _pt
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.streaming import (
+        init_versioned_base,
+        list_versions,
+        read_versioned_base,
+        vacuum_versions,
+    )
+    from chapterhousedb_spark.streaming.batcher import _write_latest_marker
+
+    root = str(tmp_path_factory.mktemp("vacuum") / "base")
+    for v in range(4):
+        df = spark.createDataFrame([Row(k=1, v=v)])
+        if v == 0:
+            init_versioned_base(df, root)
+        else:
+            df.write.mode("overwrite").parquet(f"{root}/v{v:06d}")
+            _write_latest_marker(spark, root, v)
+    assert list_versions(spark, root) == [0, 1, 2, 3]
+    removed = vacuum_versions(spark, root, keep_last=2)
+    assert removed == [0, 1]
+    assert list_versions(spark, root) == [2, 3]
+    cur, ver = read_versioned_base(spark, root)
+    assert ver == 3 and cur.collect()[0]["v"] == 3
+    assert read_versioned_base(spark, root, version=2)[1] == 2
+    with _pt.raises(ValueError, match="not found"):
+        read_versioned_base(spark, root, version=0)
+    with _pt.raises(ValueError, match="keep_last"):
+        vacuum_versions(spark, root, keep_last=0)
