@@ -7,6 +7,7 @@ from chapterhousedb_spark.streaming.batcher import (
     enrich_stream,
     init_versioned_base,
     interval_join_streams,
+    interval_join_streams_outer,
     list_versions,
     merge_stream,
     read_event_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "enrich_stream",
     "init_versioned_base",
     "interval_join_streams",
+    "interval_join_streams_outer",
     "list_versions",
     "merge_stream",
     "read_event_stream",

@@ -313,6 +313,49 @@ def interval_join_streams(
     left_ts/right_ts must be distinct column names (rename before the
     call); output carries all columns of both sides.
     """
+    return _interval_join(
+        left, right, on, left_ts, right_ts, max_delay_seconds, watermark, "inner"
+    )
+
+
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    max_delay_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    interval_join_streams, but left rows with NO right match inside the
+    window are still emitted (right columns NULL) — the funnel-analysis
+    shape ("clicks that did NOT convert within an hour"), which the
+    inner join silently drops.
+
+    The outer semantics are only decidable at the watermark: a left row
+    cannot be declared unmatched until the watermark passes the END of
+    its match window (left_ts + max_delay), so unmatched rows emit with
+    that delay — Spark holds them in the join state exactly that long
+    and the same eviction horizon bounds state as in the inner case.
+    On a bounded drain (availableNow), rows whose window the final
+    watermark never passes remain unmatched-UNEMITTED; tests cover the
+    cutoff."""
+    return _interval_join(
+        left, right, on, left_ts, right_ts, max_delay_seconds, watermark, "left_outer"
+    )
+
+
+def _interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay_seconds: int,
+    watermark: str,
+    how: str,
+) -> DataFrame:
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -323,7 +366,7 @@ def interval_join_streams(
             <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
         )
     )
-    return lw.join(rw, cond, "inner").drop(rw[on])
+    return lw.join(rw, cond, how).drop(rw[on])
 
 
 def dedup_stream(

@@ -31,7 +31,6 @@ _DRIVER_FIRST = [
     "events_json",
     "asof_join_events",
     "engine_materialize_roundtrip",
-    "streaming_events_hourly",
     # round-5 additions and the round-4 tail rows the judge had to
     # verify by hand — new/changed oracle surface belongs INSIDE the
     # driver's 50-row window (ADVICE r4), paid for by demoting
@@ -39,6 +38,12 @@ _DRIVER_FIRST = [
     "streaming_events_hourly_files",
     "streaming_asof_enrich",
     "streaming_interval_join",
+    # round-6 seventh batch: LEFT OUTER stream-stream interval join
+    # (the funnel "did NOT convert" shape) — paid for by demoting
+    # streaming_events_hourly, which streaming_events_hourly_files
+    # SUBSUMES (same windowed agg drained through the stronger
+    # parquet-sink path with the watermark cutoff under the same gate)
+    "streaming_interval_join_outer",
     "streaming_dedup",
     "streaming_enrich",
     # round-6 additions: the last streaming operator under the gate,
@@ -104,8 +109,9 @@ _DRIVER_FIRST = [
     "tpch_q20_dominant_supplier",
     # ...and the Q9-like derived-time-key aggregation, paid for by
     # demoting events_hourly: the hourly tumbling-agg semantic stays
-    # gated through streaming_events_hourly (drained against the SAME
-    # batch SQL oracle), plus events_sliding and events_rollup_daily
+    # gated through streaming_events_hourly_files (the same windowed
+    # agg drained through the parquet sink + watermark cutoff), plus
+    # events_sliding and events_rollup_daily
     "tpch_q9_nation_profit",
     "events_sliding",
     "corpus_report",
@@ -199,6 +205,7 @@ _DRIVER_LAST = [
     "agg_grouping_sets",
     "multimodal_meta",
     "events_hourly",
+    "streaming_events_hourly",
     "pack_sequences",
     "sample_stratified",
     "scalar_subquery",

@@ -1040,3 +1040,64 @@ def test_rollup_stream_maintains_histogram_partials(spark, tmp_path_factory):
     ).collect()
     # 8 values, ceil(0.5*8)=4th ordered value is 15 -> bin 1 -> upper edge 20
     assert med[0]["p50"] == 20.0
+
+
+def test_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path_factory):
+    """LEFT OUTER stream-stream interval join: matched pairs emit like
+    the inner join; clicks with no purchase in their window emit with
+    NULLs once the watermark passes the window end; clicks whose window
+    the final watermark never passes are withheld (the append-mode
+    cutoff, same rule as the windowed parquet sink)."""
+    import datetime
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.streaming import interval_join_streams_outer
+
+    root = tmp_path_factory.mktemp("ij_outer")
+    cdir, pdir = str(root / "clicks"), str(root / "purchases")
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    clicks = spark.createDataFrame(
+        [
+            Row(user_id=1, click_id=10, ts=ts(0)),    # converts (10:15 window? no - 0:xx)
+            Row(user_id=2, click_id=20, ts=ts(0)),    # no purchase -> unmatched, window end 1:00 << final wm
+            Row(user_id=3, click_id=30, ts=ts(11)),   # no purchase, window end 12:00, final wm = 12:00 - 2h = 10:00 -> WITHHELD
+            Row(user_id=1, click_id=11, ts=ts(12)),   # advances watermark; window open -> withheld (no match after)
+        ]
+    )
+    purchases = spark.createDataFrame(
+        [
+            Row(user_id=1, purchase_id=100, rts=ts(0, 30), purchase_value=5.0),
+            Row(user_id=9, purchase_id=900, rts=ts(12), purchase_value=1.0),
+        ]
+    )
+    clicks.coalesce(1).write.parquet(cdir)
+    purchases.coalesce(1).write.parquet(pdir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    joined = interval_join_streams_outer(
+        cs, ps, on="user_id", left_ts="ts", right_ts="rts",
+        max_delay_seconds=3600, watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from ij_outer").collect()
+    got = {(r["click_id"], r["purchase_id"]) for r in rows}
+    # click 10 matched; click 20 unmatched-emitted (window end 01:00,
+    # final watermark 10:00); clicks 30/11 withheld (window ends 12:00/
+    # 13:00 >= final watermark 10:00)
+    assert (10, 100) in got
+    assert (20, None) in got
+    assert not any(c in (30, 11) for c, _ in got), got
