@@ -53,11 +53,14 @@ Builder = Callable[[SparkSession, "ConnectionRegistry", TableFuncCall], DataFram
 
 @dataclass(frozen=True)
 class TableFunction:
-    """A registered table function: name + arg whitelist + builder."""
+    """A registered table function: name + arg whitelist (+ required
+    args — both checked in the rewrite's validate pass, surfacing
+    through the engine's normal statement-error contract) + builder."""
 
     name: str
     build: Builder
     allowed_args: frozenset[str] = frozenset({"connection"})
+    required_args: frozenset[str] = frozenset()
 
     def validate(self, call: TableFuncCall) -> None:
         unknown = set(call.named_args) - self.allowed_args
@@ -65,6 +68,11 @@ class TableFunction:
             raise TableFuncSyntaxError(
                 f"{self.name}: unknown named argument(s) {sorted(unknown)}; "
                 f"allowed: {sorted(self.allowed_args)}"
+            )
+        absent = self.required_args - set(call.named_args)
+        if absent:
+            raise TableFuncSyntaxError(
+                f"{self.name} requires named argument(s) {sorted(absent)}"
             )
 
 
@@ -279,11 +287,75 @@ READ_JSON = TableFunction(
 )
 
 
+def _build_diff_tables(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """diff_tables('<left-glob>', right=>'<right-glob>', keys=>'k1[,k2]'
+    [, compare=>'c1,c2'] [, connection=>..., right_connection=>...]):
+    key-level change set
+    between two parquet table versions (operators/diff.py table_diff
+    exposed at the SQL front door — `select change_type, count(*) from
+    diff_tables(...) group by 1` is the post-merge audit one-liner)."""
+    from chapterhousedb_spark.operators.diff import table_diff
+
+    right_glob = call.named_args["right"]
+    keys_arg = call.named_args["keys"]
+    left = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    right = spark.read.parquet(
+        connections.resolve(
+            right_glob,
+            call.named_args.get("right_connection", call.connection),
+        )
+    )
+    keys = [k.strip() for k in keys_arg.split(",") if k.strip()]
+    compare = call.named_args.get("compare")
+    compare_cols = (
+        [c.strip() for c in compare.split(",") if c.strip()] if compare else None
+    )
+    return table_diff(left, right, keys=keys, compare_cols=compare_cols)
+
+
+DIFF_TABLES = TableFunction(
+    name="diff_tables",
+    build=_build_diff_tables,
+    allowed_args=frozenset(
+        {"connection", "right", "right_connection", "keys", "compare"}
+    ),
+    required_args=frozenset({"right", "keys"}),
+)
+
+
+def _build_profile(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """profile('<glob>' [, exact=>'true'] [, connection=>...]):
+    per-column count/nulls/distinct/min/max of a parquet table
+    (operators/profile.py — HLL approx distinct by default, one scan)."""
+    from chapterhousedb_spark.operators.profile import profile
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    exact = call.named_args.get("exact", "false") == "true"
+    return profile(df, exact_distinct=exact)
+
+
+PROFILE = TableFunction(
+    name="profile",
+    build=_build_profile,
+    allowed_args=frozenset({"connection", "exact"}),
+)
+
+
 def default_table_function_registry() -> TableFunctionRegistry:
     """read_files (the reference's sole function) + the reference's
-    unchecked roadmap formats (README.md:63-66: CSV, JSON)."""
+    unchecked roadmap formats (README.md:63-66: CSV, JSON) + the
+    operator-library functions the registry design exists for
+    (diff_tables, profile — the same add_table_func_task_builder
+    extension point a reference user would register theirs through,
+    operator_task_registry.rs:106-126)."""
     reg = TableFunctionRegistry()
     reg.register(READ_FILES)
     reg.register(READ_CSV)
     reg.register(READ_JSON)
+    reg.register(DIFF_TABLES)
+    reg.register(PROFILE)
     return reg

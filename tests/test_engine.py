@@ -469,3 +469,71 @@ def test_engine_vacuum_drops_old_terminal_results(spark, tmp_path):
     assert eng.vacuum(older_than_seconds=600) == []
     assert eng.vacuum() == [h2.query_id]
     eng.close()
+
+
+def test_diff_tables_table_function(spark, sf_dir, tmp_path_factory):
+    """operators exposed at the SQL front door: diff_tables() runs the
+    key-level version diff from plain SQL through the registry — the
+    post-merge audit one-liner. right_connection routes the new version
+    through a different named source than the old one."""
+    root = tmp_path_factory.mktemp("diff_tf")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text")),
+        )
+        .write.parquet(str(root / "docs_v2"))
+    )
+    eng = Engine(
+        spark=spark,
+        results_dir=str(root / "results"),
+        connections=ConnectionRegistry(
+            {
+                "testdata": FsConnection(name="testdata", base_path=sf_dir),
+                "staging": FsConnection(name="staging", base_path=str(root)),
+            }
+        ),
+    )
+    try:
+        [h] = eng.sql_wait(
+            """
+            select change_type, count(*) as n
+            from diff_tables('documents.parquet', connection=>'testdata',
+                             right=>'docs_v2', right_connection=>'staging',
+                             keys=>'doc_id')
+            group by change_type order by change_type
+            """
+        )
+        got = {r["change_type"]: r["n"] for r in eng.fetch(h.query_id).to_pylist()}
+    finally:
+        eng.close()
+    want_removed = docs.filter(F.col("doc_id") % 7 == 0).count()
+    want_changed = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
+    ).count()
+    assert got == {"changed": want_changed, "removed": want_removed}
+
+
+def test_profile_table_function(engine, sf_dir):
+    [h] = engine.sql_wait(
+        "select * from profile('region.parquet', connection=>'testdata', exact=>'true')"
+    )
+    rows = {r["column"]: r for r in engine.fetch(h.query_id).to_pylist()}
+    assert set(rows) >= {"r_regionkey", "r_name"}
+    assert rows["r_regionkey"]["n_distinct"] == rows["r_regionkey"]["n_non_null"]
+
+
+def test_diff_tables_missing_args_fails_cleanly(engine):
+    """Required-arg validation surfaces through the engine's async
+    error contract: the handle lands in ERROR naming the missing
+    argument (same as every statement failure), never a hung query."""
+    [h] = engine.sql_wait(
+        "select * from diff_tables('a.parquet', connection=>'testdata')"
+    )
+    assert h.status is QueryStatus.ERROR
+    assert "requires named argument" in (h.error or "")
