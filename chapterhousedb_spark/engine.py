@@ -101,6 +101,11 @@ class Engine:
         self.table_functions = table_functions or default_table_function_registry()
         self._queries: dict[str, QueryHandle] = {}
         self._streams: dict[str, object] = {}
+        # sid -> time the engine OBSERVED the stream stopped (explicit
+        # stop_stream, or first vacuum pass that saw it inactive);
+        # vacuum ages checkpoints from this, never from dir mtime,
+        # which reflects creation (progress lands in subdirs)
+        self._stream_stopped: dict[str, float] = {}
         self._pool = ThreadPoolExecutor(max_workers=max_concurrent_queries)
         self._lock = threading.Lock()
 
@@ -243,6 +248,10 @@ class Engine:
         cluster_files (the z-curve needs an explicit file budget).
         Returns the resolved path."""
         df = self.dataframe(statement)
+        if cluster_mode not in ("range", "zorder"):
+            raise ValueError(
+                f"unknown cluster_mode {cluster_mode!r}; use 'range' or 'zorder'"
+            )
         if cluster_by and cluster_mode == "zorder":
             from chapterhousedb_spark.operators.zorder import zorder_cluster
 
@@ -423,6 +432,8 @@ class Engine:
 
     def stop_stream(self, stream_id: str) -> None:
         self._streams.pop(stream_id).stop()
+        with self._lock:
+            self._stream_stopped[stream_id] = time.time()
 
     # ------------------------------------------------------------------- fetch
 
@@ -464,6 +475,7 @@ class Engine:
         without bound. Running/queued queries and ACTIVE streams are
         never touched."""
         now = time.time()
+        ckpt_root = os.path.join(self.results_dir, "_checkpoints")
         with self._lock:
             victims = [
                 qid
@@ -472,22 +484,47 @@ class Engine:
                 and h.finished_at is not None
                 and now - h.finished_at >= older_than_seconds
             ]
+            # snapshot the dir listing UNDER the lock: start_stream
+            # creates the checkpoint while holding the lock, so any
+            # listed dir belonging to a just-started stream already has
+            # its _streams entry — no window where a live checkpoint
+            # looks untracked
+            listed = (
+                [d for d in os.listdir(ckpt_root)]
+                if os.path.isdir(ckpt_root)
+                else []
+            )
             active_streams = {
                 sid for sid, q in self._streams.items() if q.isActive
             }
+            # a tracked stream observed inactive for the FIRST time gets
+            # its stop time recorded NOW — it ages from observation, not
+            # from the checkpoint dir's (creation-time) mtime, so a
+            # 2-day-old stream stopped seconds ago is not swept early
+            for sid, q in self._streams.items():
+                if not q.isActive and sid not in self._stream_stopped:
+                    self._stream_stopped[sid] = now
+            stopped = dict(self._stream_stopped)
+            tracked = set(self._streams)
         for qid in victims:
             self.drop_results(qid)
-        # a stopped stream's checkpoint outlives its tracking entry
-        # (stop_stream pops it); sweep inactive/untracked checkpoint dirs
-        ckpt_root = os.path.join(self.results_dir, "_checkpoints")
-        if os.path.isdir(ckpt_root):
-            for sid in os.listdir(ckpt_root):
-                full = os.path.join(ckpt_root, sid)
-                if sid in active_streams or not os.path.isdir(full):
-                    continue
-                if now - os.path.getmtime(full) >= older_than_seconds:
-                    shutil.rmtree(full, ignore_errors=True)
-                    victims.append(sid)
+        for sid in listed:
+            full = os.path.join(ckpt_root, sid)
+            if sid in active_streams or not os.path.isdir(full):
+                continue
+            if sid in stopped:
+                aged = now - stopped[sid] >= older_than_seconds
+            elif sid in tracked:
+                continue  # tracked but not yet observed stopped: keep
+            else:
+                # orphan from a previous process: mtime is the only
+                # signal available
+                aged = now - os.path.getmtime(full) >= older_than_seconds
+            if aged:
+                shutil.rmtree(full, ignore_errors=True)
+                victims.append(sid)
+                with self._lock:
+                    self._stream_stopped.pop(sid, None)
         return victims
 
     def close(self, release_caches: bool | None = None) -> None:

@@ -58,7 +58,10 @@ def table_diff(
     """Diff `right` (new) against `left` (old) by `keys`: returns
     (keys..., change_type) where change_type is 'added' (key only in
     right), 'removed' (key only in left), or 'changed' (key in both,
-    digest differs). Equal rows are filtered out. compare_cols defaults
+    digest differs). Equal rows are filtered out. Keys compare
+    NULL-SAFELY (NULL is a key value like any other, matching
+    merge_upsert's contract — a plain equi-join would double-report an
+    unchanged null-key row as added AND removed). compare_cols defaults
     to all non-key columns common to both sides (schema drift: a
     column present on one side only should be diffed explicitly)."""
     if compare_cols is None:
@@ -68,9 +71,22 @@ def table_diff(
         *keys, row_digest(left, compare_cols).alias("__lh")
     )
     rk = right.select(
-        *keys, row_digest(right, compare_cols).alias("__rh")
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
+        row_digest(right, compare_cols).alias("__rh"),
     )
-    joined = lk.join(rk, on=list(keys), how="full_outer")
+    # NULL-SAFE key equality: a plain equi-join never matches NULL
+    # keys, which would report an unchanged null-key row as BOTH
+    # 'added' and 'removed'. eqNullSafe treats NULL as a key value like
+    # any other — the same contract as merge_upsert.
+    cond = None
+    for k in keys:
+        c = lk[k].eqNullSafe(F.col(f"__r_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = lk.join(rk, cond, "full_outer").select(
+        *[F.coalesce(lk[k], F.col(f"__r_{k}")).alias(k) for k in keys],
+        "__lh",
+        "__rh",
+    )
     return (
         joined.withColumn(
             "change_type",

@@ -265,13 +265,34 @@ def merge_apply_partitioned(
         hconf = spark._jsc.hadoopConfiguration()
         for pv in emptied:
             sub = "/".join(
-                f"{c}={v}" for c, v in zip(partition_cols, pv)
+                f"{c}={_hive_partition_value(v)}"
+                for c, v in zip(partition_cols, pv)
             )
             jpath = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{sub}")
             fs = jpath.getFileSystem(hconf)
             if fs.exists(jpath):
                 fs.delete(jpath, True)
     return pvals
+
+
+def _hive_partition_value(v) -> str:
+    """Encode one partition value the way Spark writes hive directory
+    names (ExternalCatalogUtils.escapePathName): NULL becomes
+    __HIVE_DEFAULT_PARTITION__, and the chars hive treats as special
+    are %XX-escaped. Without this, deleting an emptied partition by a
+    naive f"{col}={value}" path misses any null/escaped partition and
+    tombstoned rows silently resurrect on the next read."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    special = set('"#%\'*/:=?\\\x7f{[]^')
+    out = []
+    for ch in s:
+        if ch in special or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def merge_stats(

@@ -229,7 +229,9 @@ def extract_features(
             for p in pdf["payload"]:
                 try:
                     feats.append(dec(p))
-                except NotImplementedError:
+                except Exception:
+                    # corrupt blob / unsupported format: one bad payload
+                    # must mark its OWN row ok=False, never kill the task
                     feats.append(dict(bad))
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)

@@ -153,8 +153,11 @@ def histogram(
         F.lit(nbins - 1),
         F.greatest(F.lit(0), F.floor((c - lo) / w).cast("int")),
     )
+    # NaN is not NULL: without the isnan filter, floor(NaN) -> NULL and
+    # greatest(0, NULL) -> 0 would silently pile NaNs into bin 0,
+    # skewing every derived quantile
     return (
-        df.filter(c.isNotNull())
+        df.filter(c.isNotNull() & ~F.isnan(c))
         .groupBy(bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

@@ -177,7 +177,9 @@ def histogram_partials(
     alternative to t-digest/percentile_approx sketches. Counts are
     additive, so partials merge with rollup_merge-style summation
     (`histogram_merge`), and any quantile is answered from the merged
-    counts with resolution (hi-lo)/nbins. Unlike engine-internal
+    counts with resolution (hi-lo)/nbins. NaN values are dropped along
+    with NULLs (a NaN would otherwise floor to NULL and clamp into bin
+    0, skewing every derived quantile). Unlike engine-internal
     sketches, every step is fixed IEEE arithmetic: the same partials
     and the same quantile answers are reproducible on any engine.
 
@@ -191,7 +193,7 @@ def histogram_partials(
         F.greatest(F.lit(0), F.floor((c - lo) / w).cast("int")),
     )
     return (
-        df.filter(c.isNotNull())
+        df.filter(c.isNotNull() & ~F.isnan(c))
         .groupBy(*_key_cols(keys), bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("bin_n"))
     )

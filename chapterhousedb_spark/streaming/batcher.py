@@ -499,28 +499,14 @@ def merge_stream(
 
 
 def _write_latest_marker(spark: SparkSession, base_root: str, ver: int) -> None:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{base_root}/_LATEST")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(str(ver).encode("ascii")))
-    finally:
-        out.close()
+    _write_marker(spark, base_root, "_LATEST", ver)
 
 
 def _read_latest_marker(spark: SparkSession, base_root: str) -> int:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{base_root}/_LATEST")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(jpath)
-    try:
-        data = bytes(
-            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
-        )
-    finally:
-        stream.close()
-    return int(data.decode("ascii"))
+    ver = _read_marker_or(spark, base_root, "_LATEST", -1)
+    if ver < 0:
+        raise FileNotFoundError(f"no _LATEST marker under {base_root}")
+    return ver
 
 
 def run_available_now(
@@ -559,33 +545,66 @@ def rollup_stream(
 
     Replay safety differs fundamentally from merge_stream: an upsert
     replay is naturally idempotent (same winners win), but ADDITIVE
-    partials would double-count a replayed batch. foreachBatch's
-    batch_id is stable across restarts-and-replays, so each applied
-    batch id is recorded in the _LAST_BATCH marker (flipped after the
-    new version lands, same crash discipline as _LATEST) and a batch id
-    <= the marker is skipped as already-applied. Crash windows: dying
-    before the marker flip replays into the PREVIOUS version (the
-    half-written v{n+1} is overwritten, never read — _LATEST still
-    points at v{n}); dying after yields a clean skip.
-    """
-    import tempfile as _tf
+    partials would double-count a replayed batch. Two mechanisms:
 
+    - The checkpoint is PINNED TO THE BASE (default
+      {base_root}/_checkpoint), because foreachBatch batch ids are only
+      monotonic within one checkpoint — a fresh checkpoint restarts
+      them at 0, making "replayed batch" and "new data" structurally
+      indistinguishable by id. The bound checkpoint path is recorded in
+      the state marker, and a later run against the same base with a
+      DIFFERENT checkpoint raises instead of silently dropping new
+      batches (or double-counting replays).
+    - Applied progress lives in ONE atomic _ROLLUP_STATE marker
+      (version + last applied batch id + checkpoint path; written to a
+      temp name, then FS-renamed). A batch id <= the recorded one is
+      skipped as already-applied. Crash windows: dying after the
+      v{n+1} write but before the state rename replays the batch
+      against the state's OLD version, overwriting the orphan v{n+1} —
+      no double count; dying after the rename yields a clean skip. The
+      _LATEST reader pointer is refreshed after the state (and repaired
+      on the next batch if a crash left it behind), so external readers
+      always see a complete version, at most one behind.
+    """
     from chapterhousedb_spark.operators.rollup import rollup_merge, rollup_partials
 
     sum_aliases = list(sum_cols)
+    ckpt = checkpoint or f"{base_root}/_checkpoint"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = _read_marker_or(spark, base_root, "_LAST_BATCH", -1)
+        state = _read_rollup_state(spark, base_root)
+        if state is None and _read_marker_or(spark, base_root, "_LATEST", -1) >= 0:
+            # versions exist but the state marker is gone (crashed
+            # delete/rename window, or a hand-built base): reseeding
+            # would silently discard every absorbed batch — refuse.
+            raise ValueError(
+                f"rollup base {base_root} has versions but no "
+                "_ROLLUP_STATE marker; refusing to reseed. Restore the "
+                "marker or rebuild the base."
+            )
+        if state is not None and state["ckpt"] != ckpt:
+            raise ValueError(
+                f"rollup base {base_root} is bound to checkpoint "
+                f"{state['ckpt']!r} but this stream uses {ckpt!r}: batch "
+                "ids are only monotonic per checkpoint, so continuing "
+                "would silently drop or double-count batches. Reuse the "
+                "original checkpoint, or rebuild the base."
+            )
+        ver = -1 if state is None else state["ver"]
+        last = -1 if state is None else state["batch"]
         if batch_id <= last:
-            return  # replayed batch: already absorbed into the base
+            # replayed batch: already absorbed; repair the reader
+            # pointer if a crash interleaved between state and _LATEST
+            if ver >= 0 and _read_marker_or(spark, base_root, "_LATEST", -1) != ver:
+                _write_latest_marker(spark, base_root, ver)
+            return
         part = rollup_partials(
             batch_df, keys, sum_cols, count_col=count_col, scale=scale
         )
         if not part.take(1):
-            _write_marker(spark, base_root, "_LAST_BATCH", batch_id)
+            _write_rollup_state(spark, base_root, ver, batch_id, ckpt)
             return
-        ver = _read_marker_or(spark, base_root, "_LATEST", -1)
         if ver < 0:  # no base yet: this batch's partials seed it
             merged = part
         else:  # a read failure here must FAIL the batch, never reseed
@@ -594,16 +613,61 @@ def rollup_stream(
                 base.unionByName(part), keys, sum_aliases, count_col=count_col
             )
         merged.write.mode("overwrite").parquet(f"{base_root}/v{ver + 1:06d}")
+        _write_rollup_state(spark, base_root, ver + 1, batch_id, ckpt)
         _write_latest_marker(spark, base_root, ver + 1)
-        _write_marker(spark, base_root, "_LAST_BATCH", batch_id)
 
     writer = events.writeStream.foreachBatch(_apply).option(
-        "checkpointLocation",
-        checkpoint or _tf.mkdtemp(prefix="chdb_rollup_ckpt_"),
+        "checkpointLocation", ckpt
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _write_rollup_state(
+    spark: SparkSession, base_root: str, ver: int, batch: int, ckpt: str
+) -> None:
+    """Atomically persist (version, last batch id, bound checkpoint):
+    write to a temp name, then rename — rename is atomic on local FS
+    and HDFS, so a reader/replayer sees either the old or the new
+    state, never a torn one."""
+    import json as _json
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base_root}/._ROLLUP_STATE.tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{base_root}/_ROLLUP_STATE")
+    fs = dst.getFileSystem(conf)
+    out = fs.create(tmp, True)
+    try:
+        out.write(
+            bytearray(
+                _json.dumps({"ver": ver, "batch": batch, "ckpt": ckpt}).encode()
+            )
+        )
+    finally:
+        out.close()
+    fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"failed to commit rollup state at {dst}")
+
+
+def _read_rollup_state(spark: SparkSession, base_root: str) -> dict | None:
+    import json as _json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{base_root}/_ROLLUP_STATE")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            jvm.org.apache.hadoop.io.IOUtils.readFullyToByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return _json.loads(data.decode())
 
 
 def _write_marker(

@@ -63,16 +63,30 @@ def engine_materialize_roundtrip_q(spark, sf_dir):
     return spark.read.parquet(handles[1].result_dir)
 
 
+# sf_dir -> normalized temp dir, one normalization per source per
+# process: the streaming queries each call _raw_events_source (the
+# interval joins twice), and re-running the full rewrite per call would
+# multiply work and leak a temp dir each time
+_NANOS_NORM_CACHE: dict[str, str] = {}
+
+
 def _normalize_nanos_events(spark, sf_dir):
     """One-time nanos->micros normalization of events.parquet into a
-    temp dir (returned) holding a single file named events.parquet —
-    the same layout the streaming source expects. The nanosAsLong conf
-    is saved/set/restored around a fully-materializing batch write, so
-    nothing leaks into later queries on the session (the write is an
-    action: by the time this returns, no plan still needs the conf)."""
+    temp dir (returned, memoized per sf_dir) holding a single file
+    named events.parquet — the same layout the streaming source
+    expects. The nanosAsLong conf is saved/set/restored around a fully-
+    materializing batch write, so nothing leaks into later queries on
+    the session (the write is an action: by the time this returns, no
+    plan still needs the conf)."""
     import glob as _glob
     import os
     import shutil
+
+    cached = _NANOS_NORM_CACHE.get(sf_dir)
+    if cached is not None and os.path.isfile(
+        os.path.join(cached, "events.parquet")
+    ):
+        return cached
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)  # None = not explicitly set
@@ -106,6 +120,7 @@ def _normalize_nanos_events(spark, sf_dir):
     part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
     shutil.move(part, os.path.join(out_dir, "events.parquet"))
     shutil.rmtree(tmp)
+    _NANOS_NORM_CACHE[sf_dir] = out_dir
     return out_dir
 
 

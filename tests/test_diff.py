@@ -118,3 +118,16 @@ def test_table_diff_randomized_vs_pandas_reference(spark):
                 if not same:
                     want.add((row["k"], "changed"))
         assert got == want, f"trial {trial}"
+
+
+def test_table_diff_null_keys_match_null_safely(spark):
+    """An identical null-key row on both sides is UNCHANGED (never
+    added+removed); a modified null-key row reports 'changed' once."""
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame([Row(k=None, a="x"), Row(k=1, a="y")])
+    same = spark.createDataFrame([Row(k=None, a="x"), Row(k=1, a="y")])
+    assert table_diff(left, same, ["k"]).count() == 0
+    edited = spark.createDataFrame([Row(k=None, a="x2"), Row(k=1, a="y")])
+    got = [(r["k"], r["change_type"]) for r in table_diff(left, edited, ["k"]).collect()]
+    assert got == [(None, "changed")]

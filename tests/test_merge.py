@@ -428,3 +428,38 @@ def test_merge_schema_evolution_requires_keys_both_sides(spark):
     ups = spark.createDataFrame([Row(text="b", version=1)])
     with _pt.raises(ValueError, match="must exist on both sides"):
         merge_upsert(base, ups, ["doc_id"], "version", schema_evolution=True)
+
+
+def test_merge_apply_partitioned_empties_null_and_escaped_partitions(spark, tmp_path):
+    """Emptied-partition deletion must target the HIVE-ENCODED
+    directory names: NULL -> __HIVE_DEFAULT_PARTITION__ and special
+    chars %XX-escaped — a naive f"{col}={value}" path misses both and
+    tombstoned rows would resurrect."""
+    import os
+
+    from chapterhousedb_spark.operators.merge import merge_apply_partitioned
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [
+            Row(src=None, doc_id=1, text="n1", version=1),
+            Row(src="a:b", doc_id=2, text="e2", version=1),
+            Row(src="keep", doc_id=3, text="k3", version=1),
+        ]
+    ).repartition(1).write.partitionBy("src").parquet(base_path)
+    assert os.path.isdir(os.path.join(base_path, "src=__HIVE_DEFAULT_PARTITION__"))
+    assert os.path.isdir(os.path.join(base_path, "src=a%3Ab"))
+    updates = spark.createDataFrame(
+        [
+            Row(src=None, doc_id=1, text="", version=2, deleted=True),
+            Row(src="a:b", doc_id=2, text="", version=2, deleted=True),
+        ]
+    )
+    merge_apply_partitioned(
+        updates, base_path, ["src", "doc_id"], "version",
+        partition_cols=["src"], delete_col="deleted",
+    )
+    assert not os.path.isdir(os.path.join(base_path, "src=__HIVE_DEFAULT_PARTITION__"))
+    assert not os.path.isdir(os.path.join(base_path, "src=a%3Ab"))
+    rows = spark.read.parquet(base_path).collect()
+    assert [(r.src, r.doc_id) for r in rows] == [("keep", 3)]

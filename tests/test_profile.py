@@ -85,3 +85,15 @@ def test_histogram_ignores_nulls(spark):
     assert sum(
         r["n"] for r in histogram(df, "x", 0.0, 10.0, nbins=5).collect()
     ) == 2
+
+
+def test_histogram_drops_nan(spark):
+    """NaN must not pile into bin 0 (floor(NaN)->NULL->greatest(0,..)
+    would otherwise bin it lowest, skewing derived quantiles)."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (float("nan"),), (9.0,)], ["x"]
+    )
+    from chapterhousedb_spark.operators.profile import histogram
+
+    got = {r["bin"]: r["n"] for r in histogram(df, "x", 0.0, 10.0, nbins=2).collect()}
+    assert got == {0: 1, 1: 1}

@@ -848,7 +848,7 @@ def test_rollup_stream_matches_direct_and_skips_replay(spark, tmp_path_factory):
 
     from chapterhousedb_spark.operators.rollup import rollup_final
     from chapterhousedb_spark.streaming import read_versioned_base, rollup_stream
-    from chapterhousedb_spark.streaming.batcher import _read_marker_or
+    from chapterhousedb_spark.streaming.batcher import _read_rollup_state
 
     root = tmp_path_factory.mktemp("rollup_stream")
     base_root = str(root / "partials")
@@ -908,10 +908,14 @@ def test_rollup_stream_matches_direct_and_skips_replay(spark, tmp_path_factory):
     }
     assert got == direct
 
-    # replay: re-drain the same landing dir from a FRESH checkpoint —
-    # batch ids restart at 0, both <= _LAST_BATCH, so the base must not
-    # advance or double-count
-    assert _read_marker_or(spark, base_root, "_LAST_BATCH", -1) == 1
+    # a DIFFERENT checkpoint against the same base must be refused:
+    # fresh-checkpoint batch ids restart at 0, making replays and new
+    # data indistinguishable — silently skipping would lose data,
+    # silently applying would double-count
+    state = _read_rollup_state(spark, base_root)
+    assert state == {"ver": 1, "batch": 1, "ckpt": str(root / "ckpt")}
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
     q2 = rollup_stream(
         spark.readStream.schema(b1.schema)
         .option("maxFilesPerTrigger", 1)
@@ -922,9 +926,10 @@ def test_rollup_stream_matches_direct_and_skips_replay(spark, tmp_path_factory):
         scale=6,
         checkpoint=str(root / "ckpt2"),
     )
-    q2.awaitTermination()
+    with pytest.raises(StreamingQueryException, match="bound to checkpoint"):
+        q2.awaitTermination()
     base2, ver2 = read_versioned_base(spark, base_root)
-    assert ver2 == 1, "replayed batch ids must be skipped, not re-applied"
+    assert ver2 == 1, "the refused stream must not touch the base"
     got2 = {
         (r["event_type"], r["day"]): (r["n_rows"], r["sum_value"])
         for r in rollup_final(base2, ["sum_value"]).collect()
@@ -1101,3 +1106,47 @@ def test_interval_join_outer_emits_unmatched_after_watermark(spark, tmp_path_fac
     assert (10, 100) in got
     assert (20, None) in got
     assert not any(c in (30, 11) for c, _ in got), got
+
+
+def test_rollup_stream_default_checkpoint_continues_across_runs(
+    spark, tmp_path_factory
+):
+    """With no checkpoint argument the checkpoint is PINNED TO THE BASE
+    ({base_root}/_checkpoint), so successive rollup_stream calls over a
+    growing landing dir continue exactly — new files are the only
+    batches applied, nothing is dropped or double-counted (the failure
+    mode of the old fresh-mkdtemp default)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.rollup import rollup_final
+    from chapterhousedb_spark.streaming import read_versioned_base, rollup_stream
+
+    root = tmp_path_factory.mktemp("rollup_defckpt")
+    base_root = str(root / "partials")
+    landing = str(root / "landing")
+    os.makedirs(landing)
+    b1 = spark.createDataFrame([Row(g="a", v=1.0)])
+    b2 = spark.createDataFrame([Row(g="a", v=2.0), Row(g="b", v=3.0)])
+    b1.coalesce(1).write.parquet(f"{landing}/f0")
+
+    def drain():
+        q = rollup_stream(
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{landing}/*"),
+            base_root,
+            keys=["g"],
+            sum_cols={"sv": "v"},
+            scale=6,
+        )
+        q.awaitTermination()
+
+    drain()
+    b2.coalesce(1).write.parquet(f"{landing}/f1")
+    drain()  # second invocation, NO checkpoint passed: must continue
+    base, ver = read_versioned_base(spark, base_root)
+    assert ver == 1
+    got = {r["g"]: (r["n_rows"], r["sv"]) for r in rollup_final(base, ["sv"]).collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 3.0)}
