@@ -17,6 +17,7 @@ from chapterhousedb_spark.operators.dedup import (
     duplicate_spans,
     exact_dedup,
     minhash_near_dup_pairs,
+    minhash_near_dup_pairs_cross,
     minhash_signature,
     ngram_jaccard_pairs,
     normalize_text,
@@ -75,6 +76,7 @@ __all__ = [
     "merge_upsert",
     "merge_upsert_small_updates",
     "minhash_near_dup_pairs",
+    "minhash_near_dup_pairs_cross",
     "minhash_signature",
     "ngram_jaccard_pairs",
     "normalize_text",

@@ -214,6 +214,21 @@ def minhash_signature(
     ).withColumnRenamed("id", id_col)
 
 
+def _band_signatures(sigs: DataFrame, id_col: str, payload: list, bands: int, rows: int) -> DataFrame:
+    """Explode a signature relation into LSH band keys: one row per
+    (doc, band) carrying xxhash64 of that band's signature slice."""
+    return sigs.select(
+        F.col(id_col),
+        *payload,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'h', xxhash64(slice(sig, b * {rows} + 1, {rows}))))"
+            )
+        ).alias("bh"),
+    ).select(id_col, *payload, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -250,16 +265,7 @@ def minhash_near_dup_pairs(
     # cheap to recompute per join side from the cached sigs
     sigs = _persist_for_self_join(sigs, persist)
     payload = ["shingles"] if exact_verify else ["sig"]
-    banded = sigs.select(
-        F.col(id_col),
-        *payload,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> named_struct('band', b, 'h', xxhash64(slice(sig, b * {rows} + 1, {rows}))))"
-            )
-        ).alias("bh"),
-    ).select(id_col, *payload, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    banded = _band_signatures(sigs, id_col, payload, bands, rows)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -357,6 +363,62 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_dup_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """CROSS-corpus near-dup: which `batch` documents near-duplicate
+    something already in `corpus` — the incremental-ingest shape (a
+    crawl batch against a 1e9-doc corpus) where the self-join form
+    would wastefully re-pair the corpus against itself on every batch.
+    Returns (batch_id, corpus_id, jaccard) with jaccard >= threshold;
+    ids live in separate namespaces, so no id_a < id_b ordering is
+    imposed (a batch doc CAN legally pair with any corpus doc).
+
+    Same LSH construction as minhash_near_dup_pairs (identical hash
+    family, so a doc's signature is byte-identical whichever side it
+    sits on), but the band join is bipartite: candidates are
+    batch x corpus band collisions only — never corpus x corpus. At
+    100 TB the batch side is orders of magnitude smaller, so its banded
+    rows broadcast (AQE) and the corpus pays ONE scan + map-side band
+    hashing with no shuffle at all; at worst the exchange is bounded by
+    the batch. Production composition: run this per micro-batch before
+    merge_stream admits survivors into the corpus."""
+    rows = num_hashes // bands
+    b_sigs = minhash_signature(batch, text_col, id_col, num_hashes, shingle_k)
+    c_sigs = minhash_signature(corpus, text_col, id_col, num_hashes, shingle_k)
+    b_band = _band_signatures(b_sigs, id_col, ["sig"], bands, rows).alias("b")
+    c_band = _band_signatures(c_sigs, id_col, ["sig"], bands, rows).alias("c")
+    cands = (
+        b_band.join(
+            c_band,
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.h") == F.col("c.h")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.col("b.sig").alias("pa"),
+            F.col("c.sig").alias("pb"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    jaccard = (
+        F.expr("size(filter(zip_with(pa, pb, (x, y) -> x = y), m -> m))")
+        / F.lit(num_hashes)
+    )
+    return (
+        cands.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
     )
 
 

@@ -441,3 +441,67 @@ def test_duplicate_spans_matches_bruteforce_on_random_corpus(spark):
                 island.append(s)
     assert got == expected
     assert expected  # non-vacuous: the vocab guarantees repeats
+
+
+def test_minhash_cross_equals_self_join_cross_pairs(spark):
+    """The bipartite form must find exactly the batch><corpus pairs the
+    union self-join finds (restricted to cross pairs) — same hash
+    family, same banding, no corpus-internal pairs."""
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_cross,
+        release_self_join_caches,
+    )
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about spark and parquet tables",
+        "a third document with its own unique words entirely",
+    ]
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t * 3) for i, t in enumerate(base_texts)]
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 0 (tail perturbation)
+            Row(doc_id=100, text=base_texts[0] * 3 + " extra"),
+            # novel doc
+            Row(doc_id=101, text="nothing like anything in the corpus here"),
+            # exact dup of corpus doc 1
+            Row(doc_id=102, text=base_texts[1] * 3),
+        ]
+    )
+    cross = {
+        (r["batch_id"], r["corpus_id"])
+        for r in minhash_near_dup_pairs_cross(
+            batch, corpus, threshold=0.7
+        ).collect()
+    }
+    assert (100, 0) in cross and (102, 1) in cross
+    assert not any(b == 101 for b, _ in cross)
+    # reference: union self-join restricted to cross pairs
+    union = corpus.unionByName(batch)
+    self_pairs = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in minhash_near_dup_pairs(union, threshold=0.7).collect()
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)
+    }
+    release_self_join_caches()
+    assert cross == self_pairs
+
+
+def test_minhash_cross_never_pairs_corpus_internally(spark):
+    """Two identical corpus docs must NOT appear in the cross output
+    (the whole point: corpus x corpus work is skipped)."""
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.dedup import minhash_near_dup_pairs_cross
+
+    dup = "identical corpus text repeated enough to shingle " * 3
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, text=dup), Row(doc_id=1, text=dup)]
+    )
+    batch = spark.createDataFrame([Row(doc_id=100, text="unrelated words only")])
+    assert minhash_near_dup_pairs_cross(batch, corpus).count() == 0
