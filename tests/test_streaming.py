@@ -1150,3 +1150,83 @@ def test_rollup_stream_default_checkpoint_continues_across_runs(
     assert ver == 1
     got = {r["g"]: (r["n_rows"], r["sv"]) for r in rollup_final(base, ["sv"]).collect()}
     assert got == {"a": (2, 3.0), "b": (1, 3.0)}
+
+
+def test_ingest_loop_cross_dedup_gate_then_merge(spark, tmp_path_factory):
+    """The production ingest composition the operators are built for:
+    per micro-batch, near-dups of the EXISTING corpus are rejected by
+    the bipartite MinHash gate (minhash_near_dup_pairs_cross) and only
+    novel documents merge into the versioned base. Two batches drain;
+    the final corpus holds the originals plus the genuinely new docs,
+    and a batch-2 near-dup of a batch-1 ADMITTED doc is also rejected
+    (the gate always compares against the CURRENT corpus version)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.dedup import minhash_near_dup_pairs_cross
+    from chapterhousedb_spark.operators.merge import merge_upsert
+    from chapterhousedb_spark.streaming import (
+        init_versioned_base,
+        read_versioned_base,
+    )
+
+    root = tmp_path_factory.mktemp("ingest_gate")
+    base_root = str(root / "corpus")
+    landing = str(root / "landing")
+    os.makedirs(landing)
+    t0 = "the quick brown fox jumps over the lazy dog again and again " * 3
+    t1 = "completely different content about spark and parquet tables " * 3
+    novel1 = "a genuinely new document with its own unique words " * 3
+    novel2 = "another new arrival entirely unlike anything before it " * 3
+    init_versioned_base(
+        spark.createDataFrame(
+            [Row(doc_id=0, text=t0, version=0), Row(doc_id=1, text=t1, version=0)]
+        ),
+        base_root,
+    )
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=t0 + " tail", version=1),   # near-dup of corpus 0 -> reject
+            Row(doc_id=101, text=novel1, version=1),          # admit
+        ]
+    )
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=200, text=novel1 + " tweak", version=2),  # near-dup of ADMITTED 101 -> reject
+            Row(doc_id=201, text=novel2, version=2),             # admit
+        ]
+    )
+    b1.coalesce(1).write.parquet(f"{landing}/f0")
+    b2.coalesce(1).write.parquet(f"{landing}/f1")
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+
+    def _apply(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        corpus, ver = read_versioned_base(sess, base_root)
+        dup_ids = minhash_near_dup_pairs_cross(
+            batch_df, corpus, threshold=0.7
+        ).select(F.col("batch_id").alias("doc_id")).distinct()
+        survivors = batch_df.join(dup_ids, "doc_id", "left_anti")
+        merged = merge_upsert(corpus, survivors, ["doc_id"], "version")
+        merged.write.mode("overwrite").parquet(f"{base_root}/v{ver + 1:06d}")
+        from chapterhousedb_spark.streaming.batcher import _write_latest_marker
+
+        _write_latest_marker(sess, base_root, ver + 1)
+
+    q = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final, ver = read_versioned_base(spark, base_root)
+    assert ver == 2
+    assert {r["doc_id"] for r in final.collect()} == {0, 1, 101, 201}
