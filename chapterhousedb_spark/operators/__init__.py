@@ -24,6 +24,7 @@ from chapterhousedb_spark.operators.dedup import (
     release_self_join_caches,
     simhash,
     simhash_near_dup_pairs,
+    simhash_near_dup_pairs_cross,
     word_shingle_posts,
 )
 from chapterhousedb_spark.operators.merge import (
@@ -85,6 +86,7 @@ __all__ = [
     "release_self_join_caches",
     "simhash",
     "simhash_near_dup_pairs",
+    "simhash_near_dup_pairs_cross",
     "srp_ann_topk",
     "srp_signature",
     "text_fingerprint",

@@ -556,6 +556,48 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_near_dup_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Bipartite SimHash near-dup: which `batch` documents sit within
+    `max_hamming` bits of something in `corpus` — the SimHash twin of
+    minhash_near_dup_pairs_cross for the incremental-ingest gate.
+    Returns (batch_id, corpus_id, hamming). Same fingerprints and Manku
+    pigeonhole blocking as the self-join form (a doc's simhash is
+    byte-identical on either side); the block join is batch >< corpus
+    only, so each crawl batch costs one corpus scan + map-side
+    fingerprint/key computation, with the small batch side broadcast —
+    the corpus is never re-paired against itself."""
+    b_sh = simhash(batch, text_col, id_col)
+    c_sh = simhash(corpus, text_col, id_col)
+    keys = _simhash_block_keys(chunks, max_hamming)
+
+    def _blocked(sh):
+        return sh.select(
+            F.col(id_col), "simhash", F.explode(F.array(*keys)).alias("bk")
+        )
+
+    a = _blocked(b_sh).alias("a")
+    b = _blocked(c_sh).alias("b")
+    return (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def contamination_pairs(
     corpus: DataFrame,
     probe: DataFrame,

@@ -505,3 +505,47 @@ def test_minhash_cross_never_pairs_corpus_internally(spark):
     )
     batch = spark.createDataFrame([Row(doc_id=100, text="unrelated words only")])
     assert minhash_near_dup_pairs_cross(batch, corpus).count() == 0
+
+
+def test_simhash_cross_equals_self_join_cross_pairs(spark):
+    """Bipartite SimHash gate == union self-join restricted to
+    batch><corpus pairs; corpus-internal dups are never emitted."""
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.dedup import (
+        release_self_join_caches,
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_cross,
+    )
+
+    t0 = "the quick brown fox jumps over the lazy dog again and again " * 3
+    t1 = "completely different content about spark and parquet tables " * 3
+    corpus = spark.createDataFrame(
+        [Row(doc_id=0, text=t0), Row(doc_id=1, text=t1), Row(doc_id=2, text=t1)]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=t0 + " tail"),            # near corpus 0
+            Row(doc_id=101, text="entirely novel words about nothing"),
+        ]
+    )
+    # the tail perturbation lands at hamming 4 on this text, so run the
+    # gate at max_hamming=4 (chunks=6 keeps the pigeonhole valid)
+    cross = {
+        (r["batch_id"], r["corpus_id"])
+        for r in simhash_near_dup_pairs_cross(
+            batch, corpus, max_hamming=4, chunks=6
+        ).collect()
+    }
+    assert (100, 0) in cross
+    assert not any(b == 101 for b, _ in cross)
+    # corpus docs 1 and 2 are identical but must not appear
+    assert all(b >= 100 for b, _ in cross)
+    union = corpus.unionByName(batch)
+    want = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in simhash_near_dup_pairs(union, max_hamming=4, chunks=6).collect()
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)
+    }
+    release_self_join_caches()
+    assert cross == want
