@@ -27,9 +27,7 @@ from chapterhousedb_spark.workload import lifecycle as _lifecycle  # noqa: E402,
 # re-earns driver-green every handful of rounds without judge
 # intervention (ADVICE/VERDICT r5 #4).
 _DRIVER_FIRST = [
-    "events_sessionize",
     "events_json",
-    "asof_join_events",
     "engine_materialize_roundtrip",
     # round-5 additions and the round-4 tail rows the judge had to
     # verify by hand — new/changed oracle surface belongs INSIDE the
@@ -113,6 +111,15 @@ _DRIVER_FIRST = [
     # agg drained through the parquet sink + watermark cutoff), plus
     # events_sliding and events_rollup_daily
     "tpch_q9_nation_profit",
+    # round-6 eighth batch: the global-scalar HAVING (Q11) and argmax
+    # (Q15) shapes — paid for by demoting events_sessionize and
+    # asof_join_events, whose semantics stay gated through their
+    # STREAMING twins under the SAME oracles: streaming_sessionize
+    # hash-matches the identical batch gaps-and-islands SQL, and
+    # streaming_asof_enrich drains against the same DuckDB ASOF JOIN
+    # oracle (the three-way batch = streaming = DuckDB agreement)
+    "tpch_q11_important_parts",
+    "tpch_q15_top_supplier",
     "events_sliding",
     "corpus_report",
     "incremental_merge",
@@ -206,6 +213,8 @@ _DRIVER_LAST = [
     "multimodal_meta",
     "events_hourly",
     "streaming_events_hourly",
+    "events_sessionize",
+    "asof_join_events",
     "pack_sequences",
     "sample_stratified",
     "scalar_subquery",

@@ -1550,6 +1550,97 @@ def tpch_q9_nation_profit(spark, sf_dir):
 
 
 @query(
+    "tpch_q11_important_parts",
+    oracle="""
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice AS DECIMAL(38,2))) >
+           (SELECT 0.0006 * SUM(CAST(l_extendedprice AS DECIMAL(38,2)))
+            FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): a grouped
+    aggregate whose HAVING compares against an UNCORRELATED GLOBAL
+    aggregate over the same fact — parts whose value exceeds a fixed
+    fraction of total value. Catalyst evaluates the global sum as a
+    one-row scalar-subquery plan and broadcasts it into the HAVING
+    filter; the fact is scanned twice (group pass + global pass) with
+    both aggregations map-side combined, and no per-group re-evaluation
+    of the global side ever happens (the Q17/Q20 shapes cover the
+    CORRELATED versions of this pattern). Exact decimals make the
+    0.0006 threshold comparison engine-identical. (Testdata has no
+    partsupp, so line value plays ps_supplycost * ps_availqty.)"""
+    li = load(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(38,2)")
+    total = li.agg((F.lit(0.0006) * F.sum(dec)).alias("t"))
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.sum(dec).alias("pv"))
+        .join(F.broadcast(total))
+        .filter(F.col("pv") > F.col("t"))
+        .select(
+            "l_partkey", F.col("pv").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+               AS total_rev
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the ARGMAX pattern — keep the
+    group(s) whose aggregate equals the maximum over all groups,
+    expressed as a scalar subquery over a shared aggregate (Q15's
+    revenue view used twice). Spark evaluates the revenue aggregate
+    once per reference; the MAX side collapses to one row and
+    broadcasts into the filter, so the plan is two aggregations + a
+    broadcast filter + a broadcast dim join, never a self-join on the
+    aggregate. The equality predicate is on the exact DECIMAL (not the
+    double cast), so ties and the max comparison are engine-identical.
+    The double product inside the sum is a single IEEE multiply on
+    identical inputs — bit-identical on both engines before the
+    decimal accumulation."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("m"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "tpch_q20_dominant_supplier",
     oracle="""
     SELECT s.s_suppkey, s.s_name FROM supplier s

@@ -297,3 +297,13 @@ def test_tpch_q9_broadcasts_dims_single_agg_exchange(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_q15_scalar_broadcast_no_selfjoin_explosion(spark):
+    """Q11/Q15: the global-aggregate side collapses to one broadcast
+    row — never a shuffled join of the fact against itself on the
+    aggregate; no nested loop beyond the single-row broadcast."""
+    for name in ("tpch_q11_important_parts", "tpch_q15_top_supplier"):
+        plan = physical_plan(q(name, spark))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
