@@ -1550,6 +1550,67 @@ def tpch_q9_nation_profit(spark, sf_dir):
 
 
 @query(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS volume
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+      AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between nation pairs): the SAME
+    dimension table joined to BOTH ENDS of the fact chain under
+    different roles — supplier's nation through lineitem.l_suppkey,
+    customer's nation through orders->customer — with a cross-role
+    inequality (shipper != consumer). No other gated query joins one
+    dim twice in distinct roles. At 100 TB: supplier, customer's
+    nation, and both nation aliases broadcast; the only heavy shuffle
+    is lineitem><orders on orderkey (orders' customer/nation columns
+    ride along pre-joined); the nation IN filters push into both
+    broadcast sides and prune most of the fact early via the
+    supplier-side broadcast join. Output aggregates through the
+    exact-decimal sum."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    nations = ["NATION_0", "NATION_1", "NATION_2", "NATION_3"]
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
     "tpch_q11_important_parts",
     oracle="""
     SELECT l_partkey,
