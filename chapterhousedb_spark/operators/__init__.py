@@ -36,6 +36,7 @@ from chapterhousedb_spark.operators.merge import (
 from chapterhousedb_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_cross,
     ivf_ann_topk,
     ivf_assign,
     ivf_fit,
@@ -63,6 +64,7 @@ __all__ = [
     "duplicate_spans",
     "cosine_topk",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_cross",
     "exact_dedup",
     "ivf_ann_topk",
     "ivf_assign",

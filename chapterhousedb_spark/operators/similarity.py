@@ -335,6 +335,75 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+    seed: int = 7,
+    seeds: list[int] | None = None,
+) -> DataFrame:
+    """Bipartite embedding near-dup: which `batch` vectors sit above
+    `threshold` cosine of something already in `corpus` — the SRP twin
+    of the MinHash/SimHash ingest gates (semantic dedup of a crawl
+    batch against the existing corpus without re-pairing the corpus
+    with itself). Returns (batch_id, corpus_id, cosine).
+
+    The hyperplanes are derived purely from (planes, dims, seed), so a
+    vector's bucket is identical whichever side it sits on; the bucket
+    join is batch >< corpus only, per pass, with cross-seed collisions
+    excluded by the pass_id key exactly as in the self-join form. At
+    100 TB the small batch side's bucketed rows broadcast and the
+    corpus pays one scan + map-side bucketing per crawl batch."""
+    seed_list = list(seeds) if seeds is not None else [seed]
+    first = corpus.select(F.col(vec_col)).limit(1).collect()
+    dims = len(first[0][vec_col]) if first else 0
+
+    def _bucketed(df):
+        passes = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("pass_id"),
+                    srp_signature(vec_col, planes, dims, sd).alias("bucket"),
+                )
+                for i, sd in enumerate(seed_list)
+            ]
+        )
+        return df.select(
+            F.col(id_col), F.col(vec_col), F.explode(passes).alias("__bk")
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__bk.pass_id").alias("pass_id"),
+            F.col("__bk.bucket").alias("bucket"),
+        )
+
+    a = _bucketed(batch).alias("a")
+    b = _bucketed(corpus).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pass_id") == F.col("b.pass_id"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("batch_id", "corpus_id", "cosine")
+    )
+
+
 def ivf_write_index(
     df: DataFrame,
     centroids: list[list[float]],

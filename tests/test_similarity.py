@@ -304,3 +304,43 @@ def test_ivf_index_roundtrip_across_sessions(spark, tmp_path):
     assert "ivf_cell" in pf
     for cell in ivf_probe_cells(cents2, q, 2):
         assert str(cell) in pf
+
+
+def test_embedding_cross_equals_self_join_cross_pairs(spark, sf_dir):
+    """Bipartite SRP gate == union self-join restricted to
+    batch><corpus pairs, on a real embeddings split (ids renumbered so
+    the sides are disjoint namespaces)."""
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.dedup import release_self_join_caches
+    from chapterhousedb_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_cross,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = embs.filter(F.col("vec_id") % 5 != 0)
+    batch = embs.filter(F.col("vec_id") % 5 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    # 0.2 / 3 seeds is the non-vacuous setting on the sf0.001 vectors
+    # (16 cross-split pairs measured); 0.45 single-seed finds none here
+    cross = {
+        (r["batch_id"], r["corpus_id"], round(r["cosine"], 9))
+        for r in embedding_near_dup_pairs_cross(
+            batch, corpus, threshold=0.2, seeds=[7, 11, 13]
+        ).collect()
+    }
+    union = corpus.unionByName(batch)
+    want = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), round(r["cosine"], 9))
+        for r in embedding_near_dup_pairs(
+            union, threshold=0.2, seeds=[7, 11, 13]
+        ).collect()
+        if (r["id_a"] >= 1_000_000) != (r["id_b"] >= 1_000_000)
+    }
+    release_self_join_caches()
+    assert len(cross) > 0, "threshold must be non-vacuous on this data"
+    assert cross == want
