@@ -252,6 +252,10 @@ class Engine:
             raise ValueError(
                 f"unknown cluster_mode {cluster_mode!r}; use 'range' or 'zorder'"
             )
+        if cluster_mode == "zorder" and not cluster_by:
+            # without this, asking for z-ordering with no columns would
+            # silently fall through to an unclustered write
+            raise ValueError("cluster_mode='zorder' requires cluster_by")
         if cluster_by and cluster_mode == "zorder":
             from chapterhousedb_spark.operators.zorder import zorder_cluster
 
@@ -431,9 +435,15 @@ class Engine:
         self._streams[stream_id].awaitTermination(timeout)
 
     def stop_stream(self, stream_id: str) -> None:
-        self._streams.pop(stream_id).stop()
+        # pop AND record the stop under one critical section: vacuum
+        # iterates _streams under the lock, so an unlocked pop here
+        # could change the dict mid-iteration (RuntimeError) or hand
+        # vacuum an active/tracked snapshot that disagrees with the
+        # stop-time map
         with self._lock:
+            q = self._streams.pop(stream_id)
             self._stream_stopped[stream_id] = time.time()
+        q.stop()
 
     # ------------------------------------------------------------------- fetch
 
@@ -525,6 +535,11 @@ class Engine:
                 victims.append(sid)
                 with self._lock:
                     self._stream_stopped.pop(sid, None)
+                    # drop the dead StreamingQuery handle too —
+                    # otherwise it leaks for the engine's lifetime and
+                    # every later vacuum pass re-records a fresh stop
+                    # time for a stream whose checkpoint is long gone
+                    self._streams.pop(sid, None)
         return victims
 
     def close(self, release_caches: bool | None = None) -> None:

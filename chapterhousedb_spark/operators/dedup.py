@@ -182,6 +182,17 @@ def word_shingle_posts(
 # ----------------------------------------------------------------- minhash
 
 
+def _check_bands(num_hashes: int, bands: int) -> None:
+    """Banding requires bands | num_hashes: a ragged split would
+    silently drop the trailing signature components from every band
+    (hurting recall) while the jaccard estimate still divides by
+    num_hashes — biasing the estimate low with no visible symptom."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -257,6 +268,7 @@ def minhash_near_dup_pairs(
     balanced; a hot band (a huge cluster of near-identical docs) should
     be bounded by running exact_dedup upstream first.
     """
+    _check_bands(num_hashes, bands)
     rows = num_hashes // bands
     sigs = minhash_signature(
         df, text_col, id_col, num_hashes, shingle_k, with_shingle_set=exact_verify
@@ -393,6 +405,7 @@ def minhash_near_dup_pairs_cross(
     hashing with no shuffle at all; at worst the exchange is bounded by
     the batch. Production composition: run this per micro-batch before
     merge_stream admits survivors into the corpus."""
+    _check_bands(num_hashes, bands)
     rows = num_hashes // bands
     b_sigs = minhash_signature(batch, text_col, id_col, num_hashes, shingle_k)
     c_sigs = minhash_signature(corpus, text_col, id_col, num_hashes, shingle_k)

@@ -149,10 +149,13 @@ def histogram(
     prior profile() pass or domain knowledge), keeping this single-pass."""
     w = (hi - lo) / nbins
     c = F.col(col).cast("double")
+    # clamp on the BIGINT floor result, then narrow: casting a huge
+    # long to int first would wrap (a value far above hi, or +Inf,
+    # would land in bin 0 or an arbitrary bin instead of the last one)
     bin_ = F.least(
         F.lit(nbins - 1),
-        F.greatest(F.lit(0), F.floor((c - lo) / w).cast("int")),
-    )
+        F.greatest(F.lit(0), F.floor((c - lo) / w)),
+    ).cast("int")
     # NaN is not NULL: without the isnan filter, floor(NaN) -> NULL and
     # greatest(0, NULL) -> 0 would silently pile NaNs into bin 0,
     # skewing every derived quantile

@@ -188,10 +188,12 @@ def histogram_partials(
     (same economics as rollup_partials)."""
     w = (hi - lo) / nbins
     c = F.col(value_col).cast("double")
+    # clamp on the BIGINT floor, then narrow to int — casting first
+    # would wrap for values far above hi (see profile.histogram)
     bin_ = F.least(
         F.lit(nbins - 1),
-        F.greatest(F.lit(0), F.floor((c - lo) / w).cast("int")),
-    )
+        F.greatest(F.lit(0), F.floor((c - lo) / w)),
+    ).cast("int")
     return (
         df.filter(c.isNotNull() & ~F.isnan(c))
         .groupBy(*_key_cols(keys), bin_.alias("bin"))

@@ -549,3 +549,17 @@ def test_simhash_cross_equals_self_join_cross_pairs(spark):
     }
     release_self_join_caches()
     assert cross == want
+
+
+def test_minhash_bands_must_divide_num_hashes(corpus):
+    """A ragged band split would silently drop trailing signature
+    components (recall loss + low-biased jaccard estimate) — both the
+    self-join and cross entry points reject it up front (ADVICE r6)."""
+    from chapterhousedb_spark.operators.dedup import (
+        minhash_near_dup_pairs_cross,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        minhash_near_dup_pairs(corpus, num_hashes=64, bands=10)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_near_dup_pairs_cross(corpus, corpus, num_hashes=64, bands=10)

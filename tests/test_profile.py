@@ -97,3 +97,17 @@ def test_histogram_drops_nan(spark):
 
     got = {r["bin"]: r["n"] for r in histogram(df, "x", 0.0, 10.0, nbins=2).collect()}
     assert got == {0: 1, 1: 1}
+
+
+def test_histogram_extreme_values_no_int_wrap(spark):
+    """Values astronomically above hi (and +/-Inf) must clamp into the
+    edge bins: the bigint floor result is clamped BEFORE the int cast
+    (casting first wraps a huge long to an arbitrary int, silently
+    rebinning the row — ADVICE r6)."""
+    from chapterhousedb_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(1e18,), (float("inf"),), (float("-inf"),), (-1e18,), (5.0,)], ["x"]
+    )
+    got = {r["bin"]: r["n"] for r in histogram(df, "x", 0.0, 10.0, nbins=4).collect()}
+    assert got == {0: 2, 2: 1, 3: 2}  # -inf,-1e18 | 5.0 | 1e18,+inf

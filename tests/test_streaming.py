@@ -188,9 +188,14 @@ def test_vacuum_sweeps_stopped_stream_checkpoints(spark, event_dir, tmp_path_fac
     assert done in swept and live not in swept
     assert not os.path.isdir(f"{ckpt_root}/{done}")
     assert os.path.isdir(f"{ckpt_root}/{live}")
+    # the swept stream's dead handle is dropped too — otherwise it
+    # leaks for the engine's lifetime and later vacuums re-record
+    # fresh stop times for a checkpoint that no longer exists
+    assert done not in eng._streams and done not in eng._stream_stopped
     eng.stop_stream(live)
     assert live in eng.vacuum()
     assert not os.path.isdir(f"{ckpt_root}/{live}")
+    assert live not in eng._streams
     eng.close()
 
 

@@ -131,3 +131,28 @@ def test_engine_write_zorder_requires_file_budget(spark, tmp_path_factory):
         cluster_by=["u", "v"], cluster_mode="zorder", cluster_files=4,
     )
     assert spark.read.parquet(path).count() == 100
+
+
+def test_engine_write_zorder_requires_cluster_by(spark, tmp_path_factory):
+    """cluster_mode='zorder' with no cluster_by must raise, not fall
+    through to a silent unclustered write (ADVICE r6)."""
+    from chapterhousedb_spark.config import ConnectionRegistry, FsConnection
+    from chapterhousedb_spark.engine import Engine
+    from chapterhousedb_spark.sqlfront import default_table_function_registry
+
+    root = tmp_path_factory.mktemp("zorder_nocols")
+    eng = Engine.__new__(Engine)
+    eng.spark = spark
+    eng.connections = ConnectionRegistry(
+        {"out": FsConnection(name="out", base_path=str(root))}
+    )
+    eng.table_functions = default_table_function_registry()
+    spark.range(0, 10).createOrReplaceTempView("zsrc_nocols")
+    with pytest.raises(ValueError, match="cluster_by"):
+        eng.write(
+            "SELECT * FROM zsrc_nocols",
+            "out.parquet",
+            connection="out",
+            cluster_mode="zorder",
+            cluster_files=2,
+        )
