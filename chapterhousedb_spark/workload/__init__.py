@@ -264,9 +264,22 @@ _SWAP_POOL = [
     "dedup_survivors",
     "similarity_topk",
     "agg_pricing_summary",
+    # round 7: pool grown past the new _ROTATION_K=6 so the swap can
+    # actually fire (a demotable set smaller than K silently no-ops —
+    # pool members must be rows that sit IN the window). Both
+    # additions are long driver-green and family-redundant: joins keep
+    # broadcast/fact-fact/q3/q4/q5/q7/q13/q18/q21/q22 gated while the
+    # salted-skew row sits out (its salt plan is test-asserted in
+    # test_skew.py); text keeps corpus_report/vocab/tfidf gated while
+    # pii_redaction sits out (its stream parity is test-pinned).
+    "join_skew_salted",
+    "pii_redaction",
 ]
 _WINDOW = 50
-_ROTATION_K = 4
+# 6 swaps/round over a ~46-row oracle-able tail: the full tail
+# re-earns driver-green every ~8 rounds (VERDICT r6 #7 tightened this
+# from 4, where the cycle was ~11 rounds)
+_ROTATION_K = 6
 
 
 def _current_round() -> int:

@@ -20,6 +20,28 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+if "--audit-empty" in sys.argv[1:]:
+    # emptiness audit (VERDICT r6 #3): a 0-row oracle is a vacuous
+    # gate. DuckDB-only — no Spark session needed, runs in seconds.
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    bad = []
+    for name, osql in ORACLES.items():
+        try:
+            n = len(con.execute(osql).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"ERR {type(e).__name__}: {e}"))
+            continue
+        if n == 0:
+            bad.append((name, "0 rows"))
+    for name, why in bad:
+        print(f"{name}: VACUOUS ({why})")
+    print(f"audit-empty: {len(ORACLES) - len(bad)}/{len(ORACLES)} non-empty")
+    sys.exit(1 if bad else 0)
+
 names = sys.argv[1:] or [
     "window_lag_delta", "events_hourly", "events_sessionize",
     "events_json", "asof_join_events", "scalar_funcs",

@@ -45,3 +45,52 @@ def test_previous_round_times_reads_real_artifacts():
     n, times, factor, median = b._previous_round_times()
     assert n is not None and n >= 5
     assert len(times) > 10
+
+
+def test_persist_local_writes_roundtrippable_json(tmp_path, monkeypatch):
+    """_persist_local writes BENCH_LOCAL_r{N}.json (N = max on-disk
+    CORRECTNESS round + 1) whose contents round-trip exactly — the
+    durable artifact that makes driver stdout truncation harmless."""
+    b = _bench()
+    # stage a fake repo root with round artifacts 1..6
+    for n in (1, 6):
+        (tmp_path / f"CORRECTNESS_r{n}.json").write_text("{}")
+    monkeypatch.setattr(
+        b.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": 1.23,
+        "queries": {"q1": 0.5, "q2": 0.73},
+        "calibration": {"spark_range_sum_sec": 1.1},
+    }
+    path = b._persist_local(payload)
+    assert path == str(tmp_path / "BENCH_LOCAL_r7.json")
+    assert json.load(open(path)) == payload
+
+
+def test_persist_local_survives_unwritable_dir(tmp_path, monkeypatch):
+    b = _bench()
+    target = tmp_path / "nodir" / "bench.py"  # parent doesn't exist
+    monkeypatch.setattr(b.os.path, "abspath", lambda p: str(target))
+    assert b._persist_local({"queries": {}}) is None
+
+
+def test_headline_covers_all_gated_tpch_and_rollup_rows():
+    """Every gated TPC-H shape and mergeable-rollup row is benched from
+    birth (VERDICT r6 #8) — a gated query missing from HEADLINE has no
+    perf trend."""
+    b = _bench()
+    for name in [
+        "tpch_q7_nation_volume",
+        "tpch_q9_nation_profit",
+        "tpch_q11_important_parts",
+        "tpch_q13_cust_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q20_dominant_supplier",
+        "tpch_q22_idle_balances",
+        "histogram_totalprice",
+        "quantile_rollup",
+        "corpus_diff",
+    ]:
+        assert name in b.HEADLINE, name
