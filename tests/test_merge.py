@@ -463,3 +463,41 @@ def test_merge_apply_partitioned_empties_null_and_escaped_partitions(spark, tmp_
     assert not os.path.isdir(os.path.join(base_path, "src=a%3Ab"))
     rows = spark.read.parquet(base_path).collect()
     assert [(r.src, r.doc_id) for r in rows] == [("keep", 3)]
+
+
+def test_merge_apply_partitioned_guards_partition_breadth(spark, tmp_path):
+    """Past max_partitions touched partitions the incremental apply
+    refuses (the driver key list + pruning predicate grow per
+    partition); under the threshold it proceeds. The count check runs
+    BEFORE any collect (VERDICT r6 #4).
+
+    The src values are deliberately NUMERIC-LOOKING strings: partition
+    type inference reads the written dirs back as ints, so the
+    emptied-partition compare must happen in hive-encoded form — a raw
+    tuple compare would see zero matches and mass-delete every
+    still-populated partition (found by this test)."""
+    from chapterhousedb_spark.operators.merge import merge_apply_partitioned
+
+    base_path = str(tmp_path / "base")
+    base = spark.createDataFrame(
+        [Row(src=str(i), doc_id=i, text=f"t{i}", version=1) for i in range(6)]
+    )
+    base.repartition(1).write.partitionBy("src").parquet(base_path)
+    updates = spark.createDataFrame(
+        [
+            Row(src=str(i), doc_id=i, text=f"u{i}", version=2, deleted=False)
+            for i in range(6)
+        ]
+    )
+    with pytest.raises(ValueError, match="max_partitions"):
+        merge_apply_partitioned(
+            updates, base_path, ["src", "doc_id"], "version",
+            partition_cols=["src"], delete_col="deleted", max_partitions=3,
+        )
+    touched = merge_apply_partitioned(
+        updates, base_path, ["src", "doc_id"], "version",
+        partition_cols=["src"], delete_col="deleted", max_partitions=6,
+    )
+    assert len(touched) == 6
+    got = {r.text for r in spark.read.parquet(base_path).collect()}
+    assert got == {f"u{i}" for i in range(6)}
