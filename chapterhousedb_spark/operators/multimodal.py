@@ -7,9 +7,11 @@ through workers, nothing collects to the driver, and partition sizing
 controls memory per task.
 
 Codec story: `decode_real` REALLY decodes the formats a pure-python
-parser can handle with no external library — binary PPM (P6) images
-and PCM WAV audio — and raises NotImplementedError for compressed
-formats (JPEG/PNG/MP4 need PIL/ffmpeg, absent in this environment).
+parser can handle with no external library — binary PPM (P6) images,
+PCM WAV audio, and non-interlaced 8-bit PNG (stdlib-zlib inflate +
+the five per-row filters) — and raises NotImplementedError for the
+formats that genuinely need PIL/ffmpeg (JPEG/MP4, interlaced or
+palette/16-bit PNG), absent in this environment.
 `decode_stub` parses a deterministic fake header for plumbing tests
 that want full control of the bytes. Everything Spark-side — schema,
 batching, UDF signatures, partitioning — is identical for both and
@@ -73,11 +75,12 @@ def make_fake_blob(width: int, height: int, n_frames: int = 1, fill: int = 0) ->
 
 def decode_real(payload: bytes) -> dict:
     """Decode REAL media bytes for the formats a pure-python parser can
-    handle with no external codec: binary PPM (P6) images and PCM WAV
-    audio. Compressed formats (JPEG/PNG/MP4/...) still raise
-    NotImplementedError — those genuinely need PIL/ffmpeg, which this
-    sandbox lacks. Returns the same dict shape as decode_stub, with the
-    audio mapping documented on _decode_wav.
+    handle with no external codec: binary PPM (P6) images, PCM WAV
+    audio, and non-interlaced 8-bit PNG (the first compressed format —
+    stdlib zlib covers the inflate). JPEG/MP4 and the exotic PNG
+    variants still raise NotImplementedError — those genuinely need
+    PIL/ffmpeg, which this sandbox lacks. Returns the same dict shape
+    as decode_stub, with the audio mapping documented on _decode_wav.
     """
     if payload is not None and payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
@@ -87,9 +90,12 @@ def decode_real(payload: bytes) -> dict:
         and payload[8:12] == b"WAVE"
     ):
         return _decode_wav(payload)
+    if payload is not None and payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only PPM (P6) and PCM WAV decode without external codecs; "
-        "JPEG/PNG/MP4 etc. require PIL/ffmpeg, not available here"
+        "only PPM (P6), PCM WAV, and non-interlaced 8-bit PNG decode "
+        "without external codecs; JPEG/MP4 etc. require PIL/ffmpeg, "
+        "not available here"
     )
 
 
@@ -170,6 +176,174 @@ def _decode_wav(payload: bytes) -> dict:
         "mean_pixel": mean_abs,
         "ok": True,
     }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (palette type 3 excluded: real
+# pixel values need the PLTE lookup, which would make mean_pixel mean
+# "mean palette index" — dishonest; it raises as unsupported instead)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) with
+    no external codec: the IDAT stream is stdlib-zlib inflate and the
+    five per-row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are
+    plain byte arithmetic. mean_pixel = mean over every decoded sample
+    byte (all channels), matching the PPM convention.
+
+    Unsupported-but-valid variants (Adam7 interlace, 1/2/4/16-bit
+    depths, palette) raise NotImplementedError — the honest boundary;
+    MALFORMED bytes (bad chunk framing, truncated inflate, wrong
+    stream length) return ok=False like every other codec here. The
+    per-byte unfilter loop is pure python — fine for feature
+    extraction over thumbnails/test vectors; production-scale raster
+    decode belongs in a vectorized codec, which is exactly the
+    PIL/ffmpeg boundary this module documents."""
+    import zlib
+
+    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            return bad
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # 4 length + 4 type + data + 4 crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return bad
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if comp != 0 or filt != 0:
+        return bad
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None or depth != 8:
+        raise NotImplementedError(
+            f"PNG color type {color} / bit depth {depth} not supported "
+            "(non-interlaced 8-bit gray/RGB/gray+alpha/RGBA only)"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return bad
+    stride = w * channels
+    if len(raw) != (stride + 1) * h or w == 0 or h == 0:
+        return bad
+    bpp = channels  # bytes per pixel at depth 8
+    prev = bytearray(stride)
+    total = 0
+    for y in range(h):
+        rs = y * (stride + 1)
+        ftype = raw[rs]
+        cur = bytearray(raw[rs + 1 : rs + 1 + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub: predictor = left
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up: predictor = above
+            for i in range(stride):
+                cur[i] = (cur[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average of left and above
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            return bad
+        total += sum(cur)
+        prev = cur
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "mean_pixel": total / (stride * h),
+        "ok": True,
+    }
+
+
+def make_png_blob(
+    width: int,
+    height: int,
+    fill: int = 0,
+    color_type: int = 2,
+    filter_cycle: bool = True,
+) -> bytes:
+    """A real PNG payload (deterministic pixel ramp, same body
+    convention as make_ppm_blob) built with stdlib zlib only. With
+    filter_cycle the rows apply forward filters cycling through all
+    five types, so a decode round-trip exercises every unfilter path;
+    filter_cycle=False writes plain type-0 rows."""
+    import zlib
+
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    body = bytes((fill + i) % 256 for i in range(stride * height))
+    prev = bytes(stride)
+    out = bytearray()
+    bpp = channels
+    for y in range(height):
+        row = body[y * stride : (y + 1) * stride]
+        ftype = (y % 5) if filter_cycle else 0
+        enc = bytearray(row)
+        if ftype == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (row[i] - row[i - bpp]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                enc[i] = (row[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+        out.append(ftype)
+        out += enc
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_ppm_blob(width: int, height: int, fill: int = 0) -> bytes:

