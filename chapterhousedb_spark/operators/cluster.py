@@ -114,6 +114,88 @@ def connected_components(
     )
 
 
+def components_update(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    id_col: str = "id",
+    component_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Incrementally fold a batch of new edges (and optional new nodes)
+    into existing component labels WITHOUT recomputing components from
+    scratch — the maintenance step the cross-corpus ingest gates
+    (dedup.minhash/simhash `_cross`, similarity cross embedding
+    near-dup) feed: each admitted crawl batch yields batch><corpus +
+    batch self pairs, and the corpus' cluster labels must absorb them.
+
+    Invariant: the result equals `connected_components` run on the
+    full union graph (old membership + new edges + new nodes) — the
+    unit tests assert exact equality.
+
+    Why it's cheap: a component whose members touch NO new-edge
+    endpoint cannot change (new edges are the only new connectivity),
+    so only the TOUCHED components re-solve. Existing membership of a
+    touched component is encoded as star edges (member -> label); the
+    label is itself the component's min member id, so the star is a
+    faithful, diameter-2 stand-in for the original edge set. The
+    subgraph solve then runs over |touched members| + |batch| rows —
+    independent of corpus size.
+
+    At 100 TB: one semi-join finds touched components (shuffle keyed
+    on id), one join keyed on component pulls their members, and the
+    propagation loop runs on the small slice; the untouched label mass
+    is a single anti-join pass-through with no propagation rounds.
+    Labels only ever DECREASE (new mins can only merge components), so
+    repeated batch folds converge exactly like the batch solver.
+    """
+    lab = labels.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(component_col).cast("long").alias("comp"),
+    )
+    e = new_edges.select(
+        F.col(src).cast("long").alias("id_a"),
+        F.col(dst).cast("long").alias("id_b"),
+    )
+    endpoints = (
+        e.select(F.col("id_a").alias("id"))
+        .union(e.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    touched_comps = (
+        lab.join(endpoints, "id", "left_semi").select("comp").distinct()
+    )
+    touched = lab.join(touched_comps, "comp")
+    # star edges reconstruct touched-component membership; the label
+    # node (min id) is itself a member, so connectivity is preserved
+    star = touched.select(
+        F.col("id").alias("id_a"), F.col("comp").alias("id_b")
+    )
+    sub_nodes = endpoints.union(touched.select("id"))
+    if new_nodes is not None:
+        sub_nodes = sub_nodes.union(
+            new_nodes.select(
+                F.col(new_nodes.columns[0]).cast("long").alias("id")
+            )
+        )
+    sub_labels = connected_components(
+        star.union(e),
+        src="id_a",
+        dst="id_b",
+        nodes=sub_nodes.distinct(),
+        id_col="id",
+        component_col="comp",
+    )
+    # a pre-labeled node re-solved in the subgraph must NOT also keep
+    # its old row: untouched = everything whose component was not
+    # touched. New-node singletons exist only in sub_labels.
+    untouched = lab.join(touched_comps, "comp", "left_anti")
+    return untouched.unionByName(sub_labels).select(
+        F.col("id").alias(id_col), F.col("comp").alias(component_col)
+    )
+
+
 def dedup_survivors(
     docs: DataFrame,
     pairs: DataFrame,

@@ -55,3 +55,91 @@ def test_survivors_sizes(spark):
     }
     # clusters: {1,2,3} -> 1, {5,6} -> 5, singletons 4 and 7
     assert got == {1: 3, 5: 2, 4: 1, 7: 1}
+
+
+def _update(spark, labels, new_edges, new_nodes=None):
+    from chapterhousedb_spark.operators.cluster import components_update
+
+    lab = spark.createDataFrame(
+        [(i, c) for i, c in labels.items()], "id long, component long"
+    )
+    e = spark.createDataFrame(new_edges or [], "id_a long, id_b long")
+    n = (
+        spark.createDataFrame([(x,) for x in new_nodes], "doc_id long")
+        if new_nodes
+        else None
+    )
+    df = components_update(lab, e, new_nodes=n)
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_components_update_equals_full_recompute(spark):
+    """The incremental invariant: folding a batch into existing labels
+    == recomputing components on the union graph."""
+    base_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    base_nodes = [1, 2, 3, 10, 11, 20, 21, 30, 31, 40]  # 40 = singleton
+    labels = _comps(spark, base_edges, nodes=base_nodes)
+
+    # batch: bridges two old components (3-10), attaches a new node to
+    # an old one (21-50), pairs two brand-new nodes (60-61), and admits
+    # an isolated new node (70)
+    batch_edges = [(3, 10), (21, 50), (60, 61)]
+    batch_nodes = [50, 60, 61, 70]
+    got = _update(spark, labels, batch_edges, new_nodes=batch_nodes)
+    want = _comps(
+        spark, base_edges + batch_edges, nodes=base_nodes + batch_nodes
+    )
+    assert got == want
+    # spot meaning: 1-2-3-10-11 merged under min id 1; 70 singleton
+    assert got[10] == 1 and got[11] == 1 and got[70] == 70
+    # untouched components keep their labels verbatim
+    assert got[30] == 30 and got[31] == 30 and got[40] == 40
+
+
+def test_components_update_chained_batches(spark):
+    """Several successive batch folds stay equal to the one-shot
+    recompute — the actual ingest-loop usage pattern."""
+    base_edges = [(1, 2)]
+    nodes = [1, 2]
+    labels = _comps(spark, base_edges, nodes=nodes)
+    all_edges = list(base_edges)
+    batches = [
+        ([(2, 5)], [5]),
+        ([(7, 8), (8, 9)], [7, 8, 9]),
+        ([(5, 9)], []),  # merges the two growing clusters
+    ]
+    for edges, new in batches:
+        labels = _update(spark, labels, edges, new_nodes=new or None)
+        all_edges += edges
+        nodes += new
+        want = _comps(spark, all_edges, nodes=nodes)
+        assert labels == want, (edges, labels, want)
+    assert set(labels.values()) == {1}
+
+
+def test_components_update_empty_batch_is_identity_plus_singletons(spark):
+    labels = _comps(spark, [(1, 2)], nodes=[1, 2, 3])
+    got = _update(spark, labels, [], new_nodes=[50])
+    assert got == {1: 1, 2: 1, 3: 3, 50: 50}
+
+
+def test_components_update_randomized_vs_recompute(spark):
+    """Randomized cross-check with fixed seeds: random base graph,
+    random batch, incremental == full recompute."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base_nodes = list(range(1, 40))
+        base_edges = [
+            (rng.choice(base_nodes), rng.choice(base_nodes)) for _ in range(25)
+        ]
+        labels = _comps(spark, base_edges, nodes=base_nodes)
+        new_nodes = list(range(100, 110))
+        pool = base_nodes + new_nodes
+        batch = [(rng.choice(pool), rng.choice(new_nodes)) for _ in range(12)]
+        got = _update(spark, labels, batch, new_nodes=new_nodes)
+        want = _comps(
+            spark, base_edges + batch, nodes=base_nodes + new_nodes
+        )
+        assert got == want, seed

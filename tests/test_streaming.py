@@ -1235,3 +1235,121 @@ def test_ingest_loop_cross_dedup_gate_then_merge(spark, tmp_path_factory):
     final, ver = read_versioned_base(spark, base_root)
     assert ver == 2
     assert {r["doc_id"] for r in final.collect()} == {0, 1, 101, 201}
+
+
+def test_ingest_loop_maintains_cluster_labels(spark, tmp_path_factory):
+    """Completes the ingest story the cross-corpus gates start
+    (VERDICT r6 next-round #5): every micro-batch is ADMITTED into the
+    versioned base, and the corpus' dedup-cluster labels are folded
+    forward with components_update (batch><corpus cross pairs + batch
+    self pairs) instead of recomputing components from scratch. After
+    two batches the maintained labels must equal a one-shot
+    connected_components recompute over ALL pairs on the final corpus."""
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.cluster import (
+        components_update,
+        connected_components,
+    )
+    from chapterhousedb_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_cross,
+    )
+    from chapterhousedb_spark.operators.merge import merge_upsert
+    from chapterhousedb_spark.streaming import (
+        init_versioned_base,
+        read_versioned_base,
+    )
+    from chapterhousedb_spark.streaming.batcher import _write_latest_marker
+
+    root = tmp_path_factory.mktemp("ingest_labels")
+    base_root = str(root / "corpus")
+    labels_root = str(root / "labels")
+    landing = str(root / "landing")
+    os.makedirs(landing)
+    os.makedirs(labels_root)
+    t0 = "the quick brown fox jumps over the lazy dog again and again " * 3
+    t1 = "completely different content about spark and parquet tables " * 3
+    novel1 = "a genuinely new document with its own unique words " * 3
+    base = spark.createDataFrame(
+        [Row(doc_id=0, text=t0, version=0), Row(doc_id=1, text=t1, version=0)]
+    )
+    init_versioned_base(base, base_root)
+    # initial labels: corpus singletons
+    base.selectExpr(
+        "doc_id AS id", "doc_id AS component"
+    ).write.parquet(f"{labels_root}/v0")
+    # batch 1: 100 dups corpus-0; 101 novel; 102 dups 101 (in-batch pair)
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=t0 + " tail", version=1),
+            Row(doc_id=101, text=novel1, version=1),
+            Row(doc_id=102, text=novel1 + " tweak", version=1),
+        ]
+    )
+    # batch 2: 200 dups the ADMITTED 101 cluster; 201 novel singleton
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=200, text=novel1 + " twist", version=2),
+            Row(doc_id=201, text="another arrival unlike anything " * 5, version=2),
+        ]
+    )
+    b1.coalesce(1).write.parquet(f"{landing}/f0")
+    b2.coalesce(1).write.parquet(f"{landing}/f1")
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+
+    def _apply(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        corpus, ver = read_versioned_base(sess, base_root)
+        labels = sess.read.parquet(f"{labels_root}/v{ver}")
+        cross = minhash_near_dup_pairs_cross(
+            batch_df, corpus, threshold=0.6
+        ).select(
+            F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+        )
+        selfp = minhash_near_dup_pairs(
+            batch_df, threshold=0.6, persist=False
+        ).select("id_a", "id_b")
+        new_labels = components_update(
+            labels, cross.unionByName(selfp),
+            new_nodes=batch_df.select("doc_id"),
+        )
+        new_labels.write.parquet(f"{labels_root}/v{ver + 1}")
+        merged = merge_upsert(corpus, batch_df, ["doc_id"], "version")
+        merged.write.mode("overwrite").parquet(f"{base_root}/v{ver + 1:06d}")
+        _write_latest_marker(sess, base_root, ver + 1)
+
+    q = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(root / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final, ver = read_versioned_base(spark, base_root)
+    assert ver == 2
+    got = {
+        r["id"]: r["component"]
+        for r in spark.read.parquet(f"{labels_root}/v2").collect()
+    }
+    # oracle: one-shot recompute — all near-dup pairs over the FINAL
+    # corpus (same hash family/threshold), all docs as nodes
+    all_pairs = minhash_near_dup_pairs(final, threshold=0.6, persist=False)
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            all_pairs.select("id_a", "id_b"), nodes=final.select("doc_id")
+        ).collect()
+    }
+    assert got == want
+    # meaning: 0~100 one cluster; 101/102/200 one cluster; 1, 201 singletons
+    assert got[100] == 0 and got[102] == got[101] == got[200]
+    assert got[1] == 1 and got[201] == 201
