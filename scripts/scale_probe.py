@@ -140,6 +140,83 @@ def probe(spark, docs, embs) -> dict:
     return out
 
 
+def probe_cross(spark, docs, embs) -> dict:
+    """Cross-corpus ingest-gate probe (VERDICT r6 next #6): a FIXED
+    200-doc batch gated against the growing corpus, measured two ways —
+    the bipartite cross gate vs the equivalent union self-join
+    restricted to cross pairs (what a naive per-batch recheck costs).
+    The bipartite claim: the corpus pays one scan + map-side band
+    hashing per batch, so cross-gate wall grows ~linearly with corpus
+    size while the union self-join additionally re-pairs corpus x
+    corpus every batch."""
+    from chapterhousedb_spark.operators.dedup import (
+        minhash_near_dup_pairs_cross,
+        simhash_near_dup_pairs,
+        simhash_near_dup_pairs_cross,
+    )
+    from chapterhousedb_spark.operators.similarity import (
+        embedding_near_dup_pairs_cross,
+    )
+
+    out: dict = {}
+    # batch = 200 perturbed copies of corpus docs -> guaranteed hits
+    batch = (
+        docs.orderBy("doc_id")
+        .limit(200)
+        .select(
+            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" ingest probe tail")).alias("text"),
+        )
+    )
+    vbatch = (
+        embs.orderBy("vec_id")
+        .limit(200)
+        .select(
+            (F.col("vec_id") + F.lit(50_000_000)).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x + CASE WHEN i = 0 "
+                "THEN CAST(0.002 AS FLOAT) ELSE CAST(0 AS FLOAT) END)"
+            ).alias("embedding"),
+        )
+    )
+    union_docs = docs.unionByName(batch)
+
+    n, t = timed_count(minhash_near_dup_pairs_cross(batch, docs, threshold=0.7))
+    out["minhash_cross_pairs"], out["minhash_cross_sec"] = n, t
+    n, t = timed_count(
+        minhash_near_dup_pairs(union_docs, threshold=0.7, persist=False)
+        .filter(
+            (F.col("id_a") >= 50_000_000) != (F.col("id_b") >= 50_000_000)
+        )
+    )
+    out["minhash_union_pairs"], out["minhash_union_sec"] = n, t
+
+    n, t = timed_count(simhash_near_dup_pairs_cross(batch, docs, max_hamming=3))
+    out["simhash_cross_pairs"], out["simhash_cross_sec"] = n, t
+    n, t = timed_count(
+        simhash_near_dup_pairs(union_docs, max_hamming=3, persist=False).filter(
+            (F.col("id_a") >= 50_000_000) != (F.col("id_b") >= 50_000_000)
+        )
+    )
+    release_self_join_caches()
+    out["simhash_union_pairs"], out["simhash_union_sec"] = n, t
+
+    n, t = timed_count(
+        embedding_near_dup_pairs_cross(vbatch, embs, threshold=0.95)
+    )
+    out["embedding_cross_pairs"], out["embedding_cross_sec"] = n, t
+    n, t = timed_count(
+        embedding_near_dup_pairs(
+            embs.unionByName(vbatch), threshold=0.95, persist=False
+        ).filter(
+            (F.col("id_a") >= 50_000_000) != (F.col("id_b") >= 50_000_000)
+        )
+    )
+    release_self_join_caches()
+    out["embedding_union_pairs"], out["embedding_union_sec"] = n, t
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = build_session(app_name="scale-probe")
@@ -151,12 +228,13 @@ def main() -> None:
     )
     n_docs = docs.count()
     n_vecs = embs.count()
-    small = probe(
-        spark,
-        blow_up_docs(docs.filter(F.col("doc_id") < n_docs // 10)),
-        blow_up_embs(embs.filter(F.col("vec_id") < n_vecs // 10)),
-    )
-    large = probe(spark, blow_up_docs(docs), blow_up_embs(embs))
+    docs_s = blow_up_docs(docs.filter(F.col("doc_id") < n_docs // 10))
+    embs_s = blow_up_embs(embs.filter(F.col("vec_id") < n_vecs // 10))
+    docs_l, embs_l = blow_up_docs(docs), blow_up_embs(embs)
+    small = probe(spark, docs_s, embs_s)
+    large = probe(spark, docs_l, embs_l)
+    small.update(probe_cross(spark, docs_s, embs_s))
+    large.update(probe_cross(spark, docs_l, embs_l))
     ratios = {
         k: (round(large[k] / small[k], 2) if small[k] else None)
         for k in small
