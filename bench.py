@@ -73,6 +73,14 @@ HEADLINE = [
     "tpch_q22_idle_balances",
     "histogram_totalprice",
     "quantile_rollup",
+    # round 7 new shapes, benched from birth
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_revenue",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -73,8 +73,6 @@ _DRIVER_FIRST = [
     # now keep dist_funcs + every gated ORDER BY window) and
     # sample_split (sampling keeps stratified + the md5 family under
     # training_order)
-    "window_dist_funcs",
-    "agg_stats_funcs",
     # round-6 fourth batch: corpus version diff (digest full-outer
     # join), per-group deterministic cap, equi-width histogram — paid
     # for by demoting pack_sequences (pack_materialize's oracle
@@ -84,7 +82,6 @@ _DRIVER_FIRST = [
     # uncorrelated-scalar decorrelation is now gated through
     # tpch_q22's threshold subquery; correlated through tpch_q17)
     "corpus_diff",
-    "sample_grouped",
     "histogram_totalprice",
     # round-6 fifth batch: the composed curation pipeline (filter ->
     # per-source cap -> split -> training order under one oracle) —
@@ -125,13 +122,32 @@ _DRIVER_FIRST = [
     # stays covered by tpch_q18 (3-way + semi + TakeOrdered) and the
     # q3 plan properties remain test-asserted (test_plans.py)
     "tpch_q7_nation_volume",
-    "events_sliding",
-    "corpus_report",
+    # round-7 batch: the seven remaining distinct TPC-H plan shapes,
+    # gated at birth (risk-first) — pure-pushdown scalar agg (Q6),
+    # conditional-ratio agg (Q8), wide-group top-k (Q10),
+    # conditional-count pivot (Q12), global dim-conditioned ratio
+    # (Q14), NOT IN null-aware anti join + count-distinct (Q16), and
+    # the OR-of-ANDs disjunctive pushdown (Q19). Paid for by demoting
+    # seven long-stable rows whose families keep gated coverage:
+    # events_sliding (streaming keeps all 9 streaming_* gates +
+    # events_rollup_daily), corpus_report (text keeps vocab/tfidf +
+    # the rotating text rows), window_dist_funcs / agg_stats_funcs
+    # (windows/aggs keep topk-per-group, q11/q15, grouping sets via
+    # rotation), sample_grouped (sampling keeps training_order),
+    # duplicate_spans + contamination_check (dedup keeps
+    # pipeline_pretrain/pipeline_curation end-to-end + survivors via
+    # rotation). All seven join the rotation pool and re-earn
+    # driver-green cyclically.
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_effect",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_revenue",
     "incremental_merge",
     "tpch_q5_region_revenue",
     "pack_materialize",
-    "contamination_check",
-    "duplicate_spans",
     "pii_redaction",
     "join_skew_salted",
     "pipeline_pretrain",
@@ -146,6 +162,17 @@ _DRIVER_LAST = [
     # one round). Every declared oracle row — tail included — is also
     # hash-checked against DuckDB at sf0.001 by
     # tests/test_oracle_parity.py on every pytest run.
+    # round-7 demotions paying for the seven new TPC-H gates above —
+    # all long driver-green, all family-redundant (see the round-7
+    # batch comment in _DRIVER_FIRST), all promotion-pool members that
+    # re-earn driver-green via the rotation:
+    "events_sliding",
+    "corpus_report",
+    "window_dist_funcs",
+    "agg_stats_funcs",
+    "sample_grouped",
+    "duplicate_spans",
+    "contamination_check",
     "set_ops_all",
     "null_semantics",
     "agg_collect_sorted",

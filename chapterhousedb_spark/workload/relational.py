@@ -1903,3 +1903,362 @@ def agg_collect_sorted(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 TPC-H shapes: the remaining distinct plan patterns
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 6)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    PUSHDOWN benchmark — a single-table conjunctive filter + scalar
+    aggregate with no join and no group key. The entire query is one
+    scan whose date/discount/quantity predicates all reach the parquet
+    reader (row-group min/max skip most of the file) and one partial
+    sum that collapses map-side to a single row per task. At 100 TB
+    this query's cost is pure I/O after pruning — the operator
+    pipeline adds nothing — which is exactly what it exists to prove
+    (test_plans asserts all three PushedFilters)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"))
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {dsum_sql("CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END", 6)}
+           / {dsum_sql('volume', 6)} AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    ) nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): a CONDITIONAL-RATIO
+    aggregate — one nation's share of regional volume per year, i.e.
+    sum(CASE)/sum over the same grouped rows. No other gated query
+    divides two aggregates of the same group. At 100 TB: part is
+    filtered on p_type before its join (and, like customer, is NOT
+    force-broadcast — it scales with SF; AQE promotes it only while it
+    fits); supplier/nation/region broadcast; the heavy shuffles are
+    lineitem><part on partkey and lineitem><orders on orderkey, each
+    pruned by the pushed date/type filters first. Both ratio legs run
+    through exact decimals and divide once in double, so the share is
+    bit-identical cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey", "c_nationkey"), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0), 6)
+                / dsum(vol, 6)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue — a WIDE-GROUP top-k (group key carries name/nation
+    payload columns, unlike q3/q18's narrow keys) feeding
+    TakeOrderedAndProject. At 100 TB: the quarter-wide date filter
+    pushes into orders, the returnflag filter into lineitem; the
+    o><l shuffle on orderkey and o><c on custkey dominate; nation
+    broadcasts. The payload columns ride through the aggregation
+    rather than re-joining after the top-k — at group cardinality
+    ~|customers| that's cheaper than a second customer lookup; the
+    LIMIT never materializes the full ranking (tie-broken on custkey
+    for determinism)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q12_priority_shipping",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'N'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+)
+def tpch_q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (shipping priority split): a CONDITIONAL-COUNT
+    PIVOT inside a fact-fact join — both output measures come from one
+    pass over the joined rows via complementary CASE counts (testdata
+    has no l_shipmode, so l_linestatus/l_returnflag play the
+    mode-filter roles; the plan shape is identical). At 100 TB: the
+    date+flag filters push into the lineitem scan before the orderkey
+    shuffle; orders carries only (orderkey, priority); the 2-key
+    group-by collapses map-side. The CASE counts are exact integers -
+    no decimal machinery needed."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "N")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.select("o_orderkey", "o_orderpriority")
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=f"""
+    SELECT 100.00 *
+           {dsum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 6)}
+           / {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): a GLOBAL (ungrouped)
+    conditional ratio over a single fact><dim join — the month's promo
+    share of revenue as one scalar row. Unlike q8 the CASE condition
+    comes from the JOINED dim, not a second join branch, so the part
+    join must deliver p_type to the aggregate. At 100 TB: the 1-month
+    filter pushes into lineitem and prunes ~99% before the partkey
+    shuffle; part (like customer) is NOT force-broadcast - it scales
+    with SF; the scalar aggregate collapses map-side to one row per
+    task. 100.00 * num / den evaluates left-to-right in both engines
+    on bit-identical decimal-sum doubles."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.00)
+                * dsum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0), 6)
+                / dsum(vol, 6)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    grouped on dim attributes with a NOT IN exclusion subquery — the
+    only gated query exercising Spark's NULL-AWARE anti join (NOT IN
+    must yield empty if the subquery produces any NULL; the DF-API
+    encoding `cond | isnull(cond)` + left_anti is exactly what
+    RewritePredicateSubquery emits, and the optimizer compiles it to a
+    broadcast null-aware anti join, plan-asserted). At 100 TB: the
+    blacklist (complaint suppliers) is tiny and broadcasts; the
+    brand/size filters prune part before the partkey shuffle;
+    count(distinct) expands to a two-phase aggregate on
+    (brand, type, suppkey) then (brand, type) — both map-side
+    combined. (s_acctbal < 0 plays Q16's complaint-comment filter;
+    testdata has no partsupp, so lineitem provides the part-supplier
+    relation.)"""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    eq = li.l_suppkey == bad.s_suppkey
+    filtered = li.join(bad, eq | F.isnull(eq), "left_anti")
+    return (
+        filtered.join(
+            p.select("p_partkey", "p_brand", "p_type"),
+            filtered.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 6)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): an OR-OF-ANDS predicate
+    spanning BOTH join sides — the classic disjunctive-pushdown test.
+    Catalyst must (a) keep the equi-join on partkey as a hash join
+    with the disjunction as a post-join residual, never a nested loop,
+    and (b) push the derivable per-side bounds into each scan: every
+    branch constrains p_brand/p_size and l_quantity, so the scans get
+    `p_brand IN (...)`-style disjunct unions while the full
+    cross-side OR evaluates after the join (In/Or shows in
+    PushedFilters, plan-asserted). At 100 TB this is the difference
+    between scanning 3 brands' row groups and scanning the whole
+    fact."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 35)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+                "revenue"
+            )
+        )
+    )

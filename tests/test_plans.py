@@ -323,3 +323,51 @@ def test_tpch_q7_no_forced_customer_broadcast(spark):
     # the three hinted dims at minimum resolve to broadcast joins
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_full_predicate_pushdown(spark):
+    """Q6: the canonical pushdown shape — all three filter families
+    (date range, discount band, quantity cap) must reach the parquet
+    scan."""
+    pf = " ".join(pushed_filters(q("tpch_q6_forecast_revenue", spark)))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf, pf
+
+
+def test_tpch_q16_null_aware_anti_join(spark):
+    """Q16: NOT IN compiles to a broadcast NULL-AWARE anti join — the
+    BroadcastHashJoinExec line ends with the isNullAwareAntiJoin=true
+    flag; never a nested loop."""
+    plan = physical_plan(q("tpch_q16_supplier_cnt", spark))
+    assert "LeftAnti, BuildRight, true" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_disjunction_pushes_and_joins_hash(spark):
+    """Q19: the OR-of-ANDs spanning both join sides must (a) keep the
+    partkey equi-join a hash join (no nested loop), and (b) push the
+    derivable per-side disjunct unions into EACH scan — the lineitem
+    scan gets the quantity-band Or, the part scan the brand/size Or."""
+    df = q("tpch_q19_disjunctive_revenue", spark)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    pf = pushed_filters(df)
+    joined = " ".join(pf)
+    assert "Or(" in joined and "l_quantity" in joined, pf
+    assert "p_brand" in joined and "p_size" in joined, pf
+
+
+def test_tpch_q8_q14_no_forced_part_broadcast(spark):
+    """Q8/Q14: part scales with SF (like customer in q7) — no forced
+    broadcast hint on it; q8's four hints are supplier + both nations
+    + region, q14 has none at all."""
+    an8 = q("tpch_q8_market_share", spark)._jdf.queryExecution().analyzed().toString()
+    assert an8.count("ResolvedHint") == 4, an8
+    an14 = q("tpch_q14_promo_effect", spark)._jdf.queryExecution().analyzed().toString()
+    assert an14.count("ResolvedHint") == 0, an14
+
+
+def test_tpch_q10_take_ordered_wide_group(spark):
+    plan = physical_plan(q("tpch_q10_returned_items", spark))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
