@@ -442,9 +442,8 @@ def ivf_write_index(
         out.close()
 
 
-def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
-    """Reload an ivf_write_index layout in any session: returns the
-    cell-partitioned corpus DataFrame and the centroid lists."""
+def _read_index_meta(spark, path: str) -> dict:
+    """The centroids.json artifact of an ivf_write_index layout."""
     import json
     import posixpath
 
@@ -458,9 +457,48 @@ def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
         )
     finally:
         stream.close()
-    meta = json.loads(data.decode("utf-8"))
+    return json.loads(data.decode("utf-8"))
+
+
+def ivf_read_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    """Reload an ivf_write_index layout in any session: returns the
+    cell-partitioned corpus DataFrame and the centroid lists."""
+    import posixpath
+
+    meta = _read_index_meta(spark, path)
     corpus = spark.read.parquet(posixpath.join(path, "corpus"))
     return corpus, meta["centroids"]
+
+
+def ivf_append(
+    batch: DataFrame, path: str
+) -> list[list[float]]:
+    """Incrementally admit a batch of new vectors into a persisted
+    ivf_write_index layout: assign against the EXISTING centroids and
+    APPEND only the touched cell partitions — the corpus is never
+    rescanned or rewritten. This is the vector-side twin of the
+    cross-corpus dedup gates + components_update: per ingest batch the
+    index absorbs new rows at O(batch) cost, and probes keep their
+    partition-pruned economics over the union.
+
+    The cells stay FROZEN until the next full ivf_fit — correct by
+    construction (a probe of the nearest nprobe cells sees every
+    appended vector exactly where a rebuild with the same centroids
+    would put it; the equality is test-pinned), but recall can drift
+    if the embedding distribution shifts away from the fit-time
+    centroids. Operational contract: monitor per-cell row-count skew
+    vs fit time and re-fit when it degrades; vec/cell column names
+    come from the index metadata so callers can't desync them."""
+    import posixpath
+
+    spark = batch.sparkSession
+    meta = _read_index_meta(spark, path)
+    centroids = meta["centroids"]
+    assigned = ivf_assign(batch, centroids, meta["vec_col"], meta["cell_col"])
+    assigned.write.mode("append").partitionBy(meta["cell_col"]).parquet(
+        posixpath.join(path, "corpus")
+    )
+    return centroids
 
 
 def ivf_probe_topk(

@@ -344,3 +344,59 @@ def test_embedding_cross_equals_self_join_cross_pairs(spark, sf_dir):
     release_self_join_caches()
     assert len(cross) > 0, "threshold must be non-vacuous on this data"
     assert cross == want
+
+
+def test_ivf_append_incremental_index_maintenance(spark, tmp_path):
+    """The vector-side ingest twin of the cross-dedup gates: ivf_append
+    assigns a batch against the FROZEN centroids and appends only the
+    touched cell partitions. Invariants: (a) the appended index equals
+    a full rebuild with the same centroids over the union — probe
+    results identical at any nprobe; (b) a full probe (nprobe=n_cells)
+    equals brute-force cosine over the union; (c) probes stay
+    partition-pruned after the append."""
+    from chapterhousedb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_fit,
+        ivf_probe_topk,
+        ivf_read_index,
+        ivf_append,
+        ivf_write_index,
+    )
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    base = emb.filter(F.col("vec_id") < n // 2)
+    batch = emb.filter(F.col("vec_id") >= n // 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    cents = ivf_fit(base, n_cells=4, seed=7)
+    path = str(tmp_path / "ivf_inc")
+    ivf_write_index(base, cents, path)
+    got_cents = ivf_append(batch, path)
+    assert got_cents == cents  # centroids frozen, read from metadata
+
+    corpus, cents2 = ivf_read_index(spark, path)
+    union = base.unionByName(batch)
+    assert corpus.count() == union.count()
+
+    q = emb.orderBy("vec_id").first()["embedding"]
+    # (a) == rebuild with same centroids
+    rebuilt_path = str(tmp_path / "ivf_rebuilt")
+    ivf_write_index(union, cents, rebuilt_path)
+    rebuilt, _ = ivf_read_index(spark, rebuilt_path)
+    for nprobe in (2, 4):
+        got = [tuple(r) for r in ivf_probe_topk(corpus, cents2, q, k=5, nprobe=nprobe).collect()]
+        want = [tuple(r) for r in ivf_probe_topk(rebuilt, cents, q, k=5, nprobe=nprobe).collect()]
+        assert got == want, nprobe
+    # (b) full probe == brute force over the union
+    full = [tuple(r) for r in ivf_probe_topk(corpus, cents2, q, k=5, nprobe=4).collect()]
+    brute = [tuple(r) for r in cosine_topk(union, q, k=5).collect()]
+    assert full == brute
+    # (c) pruning survives the append
+    pruned = ivf_probe_topk(corpus, cents2, q, k=5, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
