@@ -185,3 +185,86 @@ def grouped_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: Column | str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic TOKEN-BUDGET mixture: fill each source's token
+    budget by admitting its documents in md5(salt || id) order until
+    the budget is exhausted — the "mix 300B tokens of web + 50B of
+    code + 20B of books" primitive where mixture weights are specified
+    in TOKENS, not row fractions (stratified_sample's unit). Contract:
+    a doc is kept iff the token sum of its hash-order predecessors
+    within its source is < budget (so the budget-crossing doc is
+    admitted and each positive budget keeps >= 1 doc); sources absent
+    from `budgets` are dropped. Same md5 determinism as the samplers
+    above: re-runs, engines, and parallelism all pick identical docs,
+    and growing a source only ever displaces hash-largest survivors.
+
+    Scale design — the naive form is a per-source ORDER BY + running
+    sum: one sort partition PER SOURCE, unusable when one source holds
+    10^10 docs. Instead the hash order is decomposed by its own
+    2-hex-char prefix into 256 buckets/source: (1) per-(source,
+    bucket) token sums — a map-side-combined aggregate of at most
+    |sources| x 256 rows; (2) a window over THAT tiny relation yields
+    each bucket's prior total; (3) buckets entirely under budget keep
+    all rows, buckets starting past budget drop all rows, and ONLY the
+    single boundary bucket per source (~1/256 of its docs) pays a
+    within-bucket sort for the exact cutoff. Results are exactly the
+    rows the naive per-source running sum selects (the DuckDB oracle
+    replays that naive form; hash order == (bucket, within-bucket)
+    order because the bucket is a prefix of the hash)."""
+    from pyspark.sql.window import Window
+
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    tok = (F.col(token_col) if isinstance(token_col, str) else token_col).cast(
+        "long"
+    )
+    budget: Column = F.lit(None).cast("long")
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(int(b))).otherwise(budget)
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    rows = (
+        df.filter(F.col(source_col).isin(list(budgets)))
+        .withColumn("__h", h)
+        .withColumn("__tok", tok)
+        .withColumn("__bkt", F.substring("__h", 1, 2))
+    )
+    per_bucket = rows.groupBy(source_col, "__bkt").agg(
+        F.sum("__tok").alias("__bsum")
+    )
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_prior = per_bucket.withColumn(
+        "__bprior", F.coalesce(F.sum("__bsum").over(wb), F.lit(0))
+    )
+    joined = rows.join(bucket_prior, [source_col, "__bkt"])
+    keep_all = (F.col("__bprior") + F.col("__bsum")) < budget
+    drop_all = F.col("__bprior") >= budget
+    aux = ["__h", "__tok", "__bkt", "__bsum", "__bprior"]
+    kept_wholesale = joined.filter(keep_all).drop(*aux)
+    wwin = (
+        Window.partitionBy(source_col, "__bkt")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        joined.filter(~keep_all & ~drop_all)
+        .withColumn(
+            "__prior",
+            F.col("__bprior") + F.coalesce(F.sum("__tok").over(wwin), F.lit(0)),
+        )
+        .filter(F.col("__prior") < budget)
+        .drop(*aux, "__prior")
+    )
+    return kept_wholesale.unionByName(boundary)

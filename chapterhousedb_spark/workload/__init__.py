@@ -64,7 +64,6 @@ _DRIVER_FIRST = [
     "tpch_q22_idle_balances",
     "events_rollup_daily",
     "events_distinct_rollup",
-    "vocab_topk",
     "tfidf_top_terms",
     "training_order",
     # round-6 third batch: distribution window functions and the
@@ -138,6 +137,14 @@ _DRIVER_FIRST = [
     # pipeline_pretrain/pipeline_curation end-to-end + survivors via
     # rotation). All seven join the rotation pool and re-earn
     # driver-green cyclically.
+    # ...plus the token-budget mixture (weights in TOKENS, the
+    # bucket-decomposed prefix-sum whose oracle replays the naive
+    # running-sum form), paid for by demoting vocab_topk: the
+    # explode -> map-side-combined groupBy -> top-k text family stays
+    # gated through tfidf_top_terms (which subsumes the vocabulary
+    # construction as its df stage) and vocab's TakeOrdered plan is
+    # test-asserted
+    "token_budget_mix",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
@@ -167,6 +174,7 @@ _DRIVER_LAST = [
     # batch comment in _DRIVER_FIRST), all promotion-pool members that
     # re-earn driver-green via the rotation:
     "events_sliding",
+    "vocab_topk",
     "corpus_report",
     "window_dist_funcs",
     "agg_stats_funcs",

@@ -1156,3 +1156,52 @@ def pipeline_curation_q(spark, sf_dir):
     return sp.select("doc_id", "source", "n_tokens", "split").join(
         order.select("doc_id", "shard", "pos"), "doc_id", "left"
     )
+
+
+@query(
+    "token_budget_mix",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+             md5('mix-v1:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prior
+      FROM t)
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
+    FROM c
+    WHERE prior < CASE source WHEN 'src0' THEN 800
+                              WHEN 'src1' THEN 400
+                              ELSE 150 END
+    ORDER BY doc_id
+    """,
+)
+def token_budget_mix_q(spark, sf_dir):
+    """Token-budget mixture (sampling.token_budget_mix): fill each
+    source's TOKEN budget in deterministic md5 order — mixture weights
+    in tokens, not row fractions. The oracle replays the NAIVE
+    per-source running-sum form; the operator's bucket-decomposed
+    prefix sum (only the boundary bucket sorts) must select exactly
+    the same documents — this gate IS the equivalence proof at data
+    scale."""
+    from chapterhousedb_spark.operators.sampling import token_budget_mix
+    from chapterhousedb_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tok")
+    )
+    return (
+        token_budget_mix(
+            docs,
+            budgets={"src0": 800, "src1": 400, "src2": 150},
+            token_col="n_tok",
+        )
+        .select("doc_id", "source", "n_tok")
+        .orderBy("doc_id")
+    )

@@ -148,3 +148,80 @@ def test_grouped_sample_small_groups_untouched(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["doc_id", "src"])
     out = grouped_sample(df, "src", k=5, id_col="doc_id")
     assert out.count() == 3  # groups below the cap keep every row
+
+
+def _naive_budget_mix(rows, budgets, salt="mix-v1"):
+    """Python reference: per-source md5-order running sum, keep while
+    prior < budget. rows = [(doc_id, source, n_tok)]."""
+    import hashlib
+
+    keep = set()
+    by_src: dict[str, list] = {}
+    for did, src, tok in rows:
+        if src in budgets:
+            h = hashlib.md5(f"{salt}:{did}".encode()).hexdigest()
+            by_src.setdefault(src, []).append((h, did, tok))
+    for src, items in by_src.items():
+        prior = 0
+        for h, did, tok in sorted(items):
+            if prior < budgets[src]:
+                keep.add(did)
+            prior += tok
+    return keep
+
+
+def test_token_budget_mix_equals_naive_reference(spark):
+    """The bucket-decomposed prefix sum selects EXACTLY the docs the
+    naive per-source running sum selects — 2000 docs over 3 sources so
+    buckets genuinely collide and the boundary bucket does a partial
+    within-bucket cut."""
+    from chapterhousedb_spark.operators.sampling import token_budget_mix
+
+    rows = [
+        (i, f"s{i % 3}", (i * 7) % 40) for i in range(2000)
+    ]  # includes zero-token docs
+    budgets = {"s0": 4000, "s1": 900, "s2": 13000}
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = {
+        r["doc_id"]
+        for r in token_budget_mix(df, budgets, token_col="n_tok").collect()
+    }
+    want = _naive_budget_mix(rows, budgets)
+    assert got == want
+    # every positive budget keeps at least one doc, and the smallest
+    # budget (s1: 900 of ~13k tokens) provably truncates its source
+    for s in budgets:
+        assert any(d % 3 == int(s[1]) for d in got), s
+    s1_all = {d for d, src, _ in rows if src == "s1"}
+    assert {d for d in got if d % 3 == 1} < s1_all
+
+
+def test_token_budget_mix_drops_unbudgeted_sources_and_validates(spark):
+    from chapterhousedb_spark.operators.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "doc_id long, source string, n_tok long"
+    )
+    got = token_budget_mix(df, {"a": 100}, token_col="n_tok").collect()
+    assert [r["doc_id"] for r in got] == [1]
+    with pytest.raises(ValueError, match="at least one source"):
+        token_budget_mix(df, {}, token_col="n_tok")
+
+
+def test_token_budget_mix_stable_under_growth(spark):
+    """Growing a source never changes the relative hash order of old
+    docs: a previously-kept doc stays kept unless enough hash-smaller
+    NEW docs consumed the budget first — equivalently, the selection
+    is always the naive reference on the current corpus."""
+    from chapterhousedb_spark.operators.sampling import token_budget_mix
+
+    rows1 = [(i, "a", 10) for i in range(100)]
+    rows2 = rows1 + [(i, "a", 10) for i in range(1000, 1100)]
+    budgets = {"a": 300}
+    for rows in (rows1, rows2):
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+        got = {
+            r["doc_id"]
+            for r in token_budget_mix(df, budgets, token_col="n_tok").collect()
+        }
+        assert got == _naive_budget_mix(rows, budgets)
