@@ -491,3 +491,71 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "token", "tf", "df", "score", "rank")
     )
+
+
+def rarity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    common_k: int = 1000,
+) -> DataFrame:
+    """Per-document token-rarity features against the corpus' own
+    frequency distribution — the quality signal that catches what
+    ratio heuristics (text_stats) miss: OCR noise, mojibake, and
+    generated gibberish produce tokens nobody else uses, while
+    boilerplate produces only head tokens. Returns per doc:
+
+      n_distinct   distinct normalized tokens
+      hapax_frac   fraction of its distinct tokens whose corpus
+                   document frequency is 1 (this doc is their ONLY
+                   user) — high = likely noise/garbage
+      common_frac  fraction of its distinct tokens inside the corpus'
+                   top `common_k` vocabulary (by df, ties broken on
+                   token) — high = likely boilerplate
+      mean_df      mean corpus document frequency of its distinct
+                   tokens (double division of exact ints)
+
+    All measures are integer counts and one double division, so a
+    DuckDB oracle replays them bit-exactly — unlike perplexity-style
+    scores that need a trained model and float log-sums.
+
+    At 100 TB: postings = explode + distinct (map-side combined);
+    token df = one hash aggregate (vocab-sized, Zipf head collapses in
+    combine); the postings><df join is keyed on token — AQE's skew
+    handling covers the head tokens — and the common-vocab membership
+    is a broadcast of `common_k` rows. No driver collects."""
+    posts = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    docfreq = posts.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps), never a single-partition global window sort
+    common = (
+        docfreq.orderBy(F.desc("df"), "token")
+        .limit(common_k)
+        .select("token", F.lit(True).alias("is_common"))
+    )
+    joined = posts.join(docfreq, "token").join(
+        F.broadcast(common), "token", "left"
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("hapax_frac"),
+            (
+                F.sum(F.when(F.col("is_common"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("common_frac"),
+            (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

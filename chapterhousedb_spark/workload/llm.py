@@ -1205,3 +1205,42 @@ def token_budget_mix_q(spark, sf_dir):
         .select("doc_id", "source", "n_tok")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "rarity_stats",
+    oracle=rf"""
+    WITH posts AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents, UNNEST({_TOKS}) AS t(token)
+      WHERE t.token <> ''),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM posts GROUP BY token),
+    common AS (SELECT token FROM dfreq ORDER BY df DESC, token LIMIT 200),
+    j AS (SELECT p.doc_id, d.df, (c.token IS NOT NULL) AS is_common
+          FROM posts p
+          JOIN dfreq d USING (token)
+          LEFT JOIN common c USING (token))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_frac,
+           CAST(SUM(CASE WHEN is_common THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS common_frac,
+           CAST(SUM(df) AS DOUBLE) / COUNT(*) AS mean_df
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def rarity_stats_q(spark, sf_dir):
+    """Token-rarity quality features (text.rarity_stats): hapax
+    fraction / top-k-vocabulary fraction / mean document frequency of
+    each doc's distinct tokens against the corpus' own distribution —
+    the noise-vs-boilerplate signal ratio heuristics can't see. All
+    integer counts + one double division, replayed exactly by the
+    oracle."""
+    from chapterhousedb_spark.operators.text import rarity_stats
+
+    return (
+        rarity_stats(load(spark, sf_dir, "documents"), common_k=200)
+        .select("doc_id", "n_distinct", "hapax_frac", "common_frac", "mean_df")
+        .orderBy("doc_id")
+    )

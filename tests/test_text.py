@@ -281,3 +281,48 @@ def test_tfidf_min_token_len_filters_short_words(spark):
     df = spark.createDataFrame([(1, "aa bb elephant")], ["doc_id", "text"])
     toks = {r["token"] for r in tfidf_top_terms(df, k=5).collect()}
     assert toks == {"elephant"}
+
+
+def test_rarity_stats_hand_computed(spark):
+    """Hand-checkable corpus: doc 1's 'zzz' is a hapax; 'the' is
+    corpus-common; mean_df exact."""
+    from chapterhousedb_spark.operators.text import rarity_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat zzz"),
+            (2, "the cat sat"),
+            (3, "the dog sat"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in rarity_stats(docs, common_k=2).collect()}
+    # dfs: the=3, cat=2, sat=2, dog=1, zzz=1; top-2 common = {the, cat}
+    d1 = got[1]
+    assert d1["n_distinct"] == 3
+    assert d1["hapax_frac"] == pytest.approx(1 / 3)  # zzz
+    assert d1["common_frac"] == pytest.approx(2 / 3)  # the, cat
+    assert d1["mean_df"] == pytest.approx((3 + 2 + 1) / 3)
+    d3 = got[3]
+    assert d3["hapax_frac"] == pytest.approx(1 / 3)  # dog
+    assert d3["common_frac"] == pytest.approx(1 / 3)  # the
+    # duplicate tokens in a doc count once (distinct postings)
+    dup = spark.createDataFrame([(9, "a a a b")], "doc_id long, text string")
+    both = docs.unionByName(dup)
+    g9 = {r["doc_id"]: r for r in rarity_stats(both, common_k=1).collect()}[9]
+    assert g9["n_distinct"] == 2
+
+
+def test_rarity_stats_topk_is_take_ordered(spark):
+    from chapterhousedb_spark.operators.text import rarity_stats
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    plan = (
+        rarity_stats(load(spark, SF_SMOKE, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
