@@ -27,6 +27,16 @@ from chapterhousedb_spark.operators.dedup import (
     simhash_near_dup_pairs_cross,
     word_shingle_posts,
 )
+from chapterhousedb_spark.operators.cluster import (
+    components_update,
+    connected_components,
+    dedup_survivors,
+)
+from chapterhousedb_spark.operators.ingest import (
+    admit_batch,
+    ingest_stream,
+    init_ingest,
+)
 from chapterhousedb_spark.operators.merge import (
     merge_apply_partitioned,
     merge_stats,
@@ -41,14 +51,19 @@ from chapterhousedb_spark.operators.similarity import (
     ivf_assign,
     ivf_fit,
     ivf_probe_cells,
+    ivf_append,
     ivf_probe_topk,
     ivf_read_index,
     ivf_write_index,
     srp_signature,
     srp_ann_topk,
 )
+from chapterhousedb_spark.operators.sampling import (
+    token_budget_mix,
+)
 from chapterhousedb_spark.operators.text import (
     lang_id,
+    rarity_stats,
     redact_pii,
     pack_sequences,
     text_fingerprint,
@@ -57,7 +72,16 @@ from chapterhousedb_spark.operators.text import (
 )
 
 __all__ = [
+    "admit_batch",
     "asof_join",
+    "components_update",
+    "connected_components",
+    "dedup_survivors",
+    "ingest_stream",
+    "init_ingest",
+    "ivf_append",
+    "rarity_stats",
+    "token_budget_mix",
     "char_shingle_posts",
     "contamination_pairs",
     "contamination_short_probes",

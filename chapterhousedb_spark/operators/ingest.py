@@ -1,0 +1,181 @@
+"""Corpus ingest composition: one call per admitted micro-batch.
+
+The round-6/7 operators form a complete incremental-ingest story —
+bipartite near-dup gates (dedup.minhash/simhash `_cross`,
+similarity cross embedding near-dup), versioned-base merge
+(streaming.batcher), incremental cluster-label maintenance
+(cluster.components_update), and incremental ANN index maintenance
+(similarity.ivf_append). This module is the PRODUCT surface that
+composes them: `admit_batch` runs the whole admission for one batch,
+and `ingest_stream` mounts it on a Structured Streaming source via
+foreachBatch, so a landing directory drains straight into a
+dedup-gated, label-maintained, versioned corpus.
+
+Crash safety inherits the versioned-base contract: each admission
+writes NEW v{n+1} directories (corpus, and labels when maintained)
+and flips the corpus `_LATEST` marker LAST, so a crash mid-admission
+leaves the previous version fully intact and the streaming
+checkpoint replays the batch against it. Labels are written before
+the marker flip and keyed to the same version number, so a reader
+never observes a corpus version whose labels are missing.
+
+At 100 TB: every stage is the already-audited incremental shape —
+the corpus pays one scan for the gate (batch side broadcasts), the
+merge shuffles on the key once, label maintenance re-solves only
+touched components, and the index append writes only touched cells.
+Per-batch cost is O(batch + touched state), never O(corpus).
+
+Reference parity note: the reference engine (ChapterhouseDB) ships
+an ingest/merge loop for arrow records (SURVEY.md §2.1 inserters/);
+this is its corpus-scale, dedup-gated generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def admit_batch(
+    batch: DataFrame,
+    corpus_root: str,
+    labels_root: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    version_col: str = "version",
+    threshold: float = 0.7,
+    reject_near_dups: bool = True,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> dict:
+    """Admit one batch into a versioned corpus. Steps:
+
+    1. cross MinHash gate: batch docs near-duplicating the CURRENT
+       corpus version (one corpus scan; batch side broadcasts).
+    2. `reject_near_dups=True`: gated docs are dropped before the
+       merge (crawl-dedup mode). False: everything is admitted and
+       the duplicate structure is recorded in the labels instead
+       (provenance mode — requires labels_root).
+    3. survivors merge_upsert into corpus v+1 (new directory; old
+       version untouched).
+    4. if labels_root: fold the admitted docs' cross+self pairs into
+       the corpus cluster labels with components_update and write
+       labels v+1 (rejected docs never enter the label space).
+    5. flip the corpus _LATEST marker to v+1 (the commit point).
+
+    Returns {"version", "n_batch", "n_admitted", "n_rejected"}.
+    """
+    from chapterhousedb_spark.operators.cluster import components_update
+    from chapterhousedb_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_near_dup_pairs_cross,
+    )
+    from chapterhousedb_spark.operators.merge import merge_upsert
+    from chapterhousedb_spark.streaming.batcher import (
+        _write_latest_marker,
+        read_versioned_base,
+    )
+
+    if not reject_near_dups and labels_root is None:
+        raise ValueError(
+            "reject_near_dups=False records duplicates in the labels — "
+            "pass labels_root"
+        )
+    spark = batch.sparkSession
+    corpus, ver = read_versioned_base(spark, corpus_root)
+    n_batch = batch.count()
+    cross = minhash_near_dup_pairs_cross(
+        batch,
+        corpus,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    if reject_near_dups:
+        dup_ids = cross.select(F.col("batch_id").alias(id_col)).distinct()
+        admitted = batch.join(dup_ids, id_col, "left_anti")
+        # pairs folded into labels: only among ADMITTED docs (the
+        # rejected ones never exist in the corpus or label space)
+        cross_pairs = None
+    else:
+        admitted = batch
+        cross_pairs = cross.select(
+            F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+        )
+    merged = merge_upsert(corpus, admitted, [id_col], version_col)
+    merged.write.mode("overwrite").parquet(f"{corpus_root}/v{ver + 1:06d}")
+    n_admitted = admitted.count()
+    if labels_root is not None:
+        labels = spark.read.parquet(f"{labels_root}/v{ver}")
+        selfp = minhash_near_dup_pairs(
+            admitted,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            persist=False,
+        ).select("id_a", "id_b")
+        pairs = selfp if cross_pairs is None else cross_pairs.unionByName(selfp)
+        new_labels = components_update(
+            labels, pairs, new_nodes=admitted.select(id_col)
+        )
+        new_labels.write.parquet(f"{labels_root}/v{ver + 1}")
+    # the marker flip is the commit point: readers only ever see a
+    # version whose corpus AND labels directories are complete
+    _write_latest_marker(spark, corpus_root, ver + 1)
+    return {
+        "version": ver + 1,
+        "n_batch": n_batch,
+        "n_admitted": n_admitted,
+        "n_rejected": n_batch - n_admitted,
+    }
+
+
+def init_ingest(
+    seed: DataFrame,
+    corpus_root: str,
+    labels_root: str | None = None,
+    id_col: str = "doc_id",
+):
+    """Seed the versioned corpus (and singleton labels when
+    maintained) for an ingest loop."""
+    from chapterhousedb_spark.streaming.batcher import init_versioned_base
+
+    init_versioned_base(seed, corpus_root)
+    if labels_root is not None:
+        seed.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("component")
+        ).write.parquet(f"{labels_root}/v0")
+
+
+def ingest_stream(
+    stream: DataFrame,
+    corpus_root: str,
+    checkpoint: str,
+    labels_root: str | None = None,
+    available_now: bool = True,
+    **admit_kwargs,
+):
+    """Mount admit_batch on a streaming source via foreachBatch and
+    start the query. Each micro-batch runs one full admission; the
+    checkpoint + the versioned-marker commit point together give
+    effectively-once admission (a replayed batch merges idempotently:
+    merge_upsert on the same keys/versions reproduces the same v+1
+    content). Returns the StreamingQuery."""
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        admit_batch(
+            batch_df, corpus_root, labels_root=labels_root, **admit_kwargs
+        )
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1353,3 +1353,111 @@ def test_ingest_loop_maintains_cluster_labels(spark, tmp_path_factory):
     # meaning: 0~100 one cluster; 101/102/200 one cluster; 1, 201 singletons
     assert got[100] == 0 and got[102] == got[101] == got[200]
     assert got[1] == 1 and got[201] == 201
+
+
+def test_ingest_stream_operator_both_modes(spark, tmp_path_factory):
+    """The composed ingest surface (operators/ingest.py): a landing dir
+    drains through ingest_stream in BOTH modes. Reject mode must
+    reproduce the manual gate->merge composition (near-dups of the
+    current corpus version rejected, chained across batches);
+    provenance mode admits everything and the maintained labels equal
+    a one-shot recompute on the final corpus."""
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.cluster import connected_components
+    from chapterhousedb_spark.operators.dedup import minhash_near_dup_pairs
+    from chapterhousedb_spark.operators.ingest import (
+        ingest_stream,
+        init_ingest,
+    )
+    from chapterhousedb_spark.streaming import read_versioned_base
+
+    t0 = "the quick brown fox jumps over the lazy dog again and again " * 3
+    t1 = "completely different content about spark and parquet tables " * 3
+    novel1 = "a genuinely new document with its own unique words " * 3
+    novel2 = "another new arrival entirely unlike anything before it " * 3
+    seed = spark.createDataFrame(
+        [Row(doc_id=0, text=t0, version=0), Row(doc_id=1, text=t1, version=0)]
+    )
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=t0 + " tail", version=1),   # dup of 0
+            Row(doc_id=101, text=novel1, version=1),
+        ]
+    )
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=200, text=novel1 + " tweak", version=2),  # dup of 101
+            Row(doc_id=201, text=novel2, version=2),
+        ]
+    )
+
+    def stage_landing(root):
+        landing = str(root / "landing")
+        os.makedirs(landing)
+        b1.coalesce(1).write.parquet(f"{landing}/f0")
+        b2.coalesce(1).write.parquet(f"{landing}/f1")
+        for i, d in enumerate(("f0", "f1")):
+            full = os.path.join(landing, d)
+            for f in os.listdir(full):
+                os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+        return landing
+
+    # ---- reject mode (crawl dedup): no labels needed
+    root = tmp_path_factory.mktemp("ingest_op_reject")
+    landing = stage_landing(root)
+    init_ingest(seed, str(root / "corpus"))
+    q = ingest_stream(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        str(root / "corpus"),
+        str(root / "ckpt"),
+        threshold=0.7,
+    )
+    q.awaitTermination()
+    final, ver = read_versioned_base(spark, str(root / "corpus"))
+    assert ver == 2
+    assert {r["doc_id"] for r in final.collect()} == {0, 1, 101, 201}
+
+    # ---- provenance mode: admit all, maintain labels
+    root = tmp_path_factory.mktemp("ingest_op_prov")
+    landing = stage_landing(root)
+    init_ingest(seed, str(root / "corpus"), labels_root=str(root / "labels"))
+    q = ingest_stream(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        str(root / "corpus"),
+        str(root / "ckpt"),
+        labels_root=str(root / "labels"),
+        reject_near_dups=False,
+        threshold=0.6,
+    )
+    q.awaitTermination()
+    final, ver = read_versioned_base(spark, str(root / "corpus"))
+    assert ver == 2
+    assert final.count() == 6  # everything admitted
+    got = {
+        r["id"]: r["component"]
+        for r in spark.read.parquet(f"{root}/labels/v2").collect()
+    }
+    pairs = minhash_near_dup_pairs(final, threshold=0.6, persist=False)
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs.select("id_a", "id_b"), nodes=final.select("doc_id")
+        ).collect()
+    }
+    assert got == want
+    assert got[100] == 0 and got[200] == got[101]
+
+    # reject-without-labels contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="labels_root"):
+        from chapterhousedb_spark.operators.ingest import admit_batch
+
+        admit_batch(b1, str(root / "corpus"), reject_near_dups=False)
