@@ -11,6 +11,11 @@ configure here are the knobs that matter at scale:
   (physical_planner.rs:359-429 sampling-config injection).
 - shuffle.partitions sized to the local core count for tests; on a real
   cluster this is left to AQE's coalescing from a high initial value.
+- runtime bloom-filter join pruning stays at Spark defaults (enabled;
+  10 GB application-side threshold): at 100 TB a selective dim filter
+  propagates into the fact scan as a bloom filter before the shuffle.
+  It never fires at test SF sizes — tests/test_plans.py pins the
+  behavior by simulating the at-scale thresholds.
 - Arrow transfer on, since every custom (pandas-UDF) operator crosses the
   JVM<->Python boundary in Arrow batches, mirroring the reference's
   Arrow-IPC wire format (message_handler/messages/exchange.rs:98).

@@ -371,3 +371,48 @@ def test_tpch_q10_take_ordered_wide_group(spark):
     plan = physical_plan(q("tpch_q10_returned_items", spark))
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_fires_at_scale_conditions(spark):
+    """Spark's runtime bloom-filter join pruning (enabled by default in
+    our sessions) injects a bloom filter from a SELECTIVE join side
+    into the big fact scan — at 100 TB this skips most row groups of a
+    shuffle join's probe side before the exchange. It only activates
+    when the application side is large (10 GB default threshold), so
+    this test simulates at-scale conditions: threshold lowered to 1
+    byte and broadcast disabled (a broadcast join needs no bloom —
+    the hash set itself prunes)."""
+    from chapterhousedb_spark.workload.registry import load
+
+    import pyspark.sql.functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = (
+            load(spark, SF_SMOKE, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = load(spark, SF_SMOKE, "lineitem")
+        df = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        # and the result is still correct with the filter injected
+        assert df.count() > 0
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
