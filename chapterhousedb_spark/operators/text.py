@@ -559,3 +559,34 @@ def rarity_stats(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def vocabulary_partials(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Mergeable vocabulary state: per-token counts of ONE corpus slice
+    (an ingest batch, a partition, a day). Counts are additive, so
+    partials from any number of slices merge with vocabulary_merge —
+    the incremental-vocabulary pattern: a growing corpus maintains its
+    tokenizer-training counts at O(batch) per admission instead of
+    rescanning the corpus (same economics as rollup.rollup_partials,
+    which this is the text instantiation of)."""
+    toks = F.split(normalize_text(text_col), " ")
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def vocabulary_merge(*partials: DataFrame) -> DataFrame:
+    """Merge vocabulary partials (token counts add). Associative and
+    commutative, so any merge tree gives identical counts — merge
+    daily partials into months, months into the corpus total."""
+    if not partials:
+        raise ValueError("need at least one partial")
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("token").agg(F.sum("freq").alias("freq"))

@@ -225,3 +225,35 @@ def test_token_budget_mix_stable_under_growth(spark):
             for r in token_budget_mix(df, budgets, token_col="n_tok").collect()
         }
         assert got == _naive_budget_mix(rows, budgets)
+
+
+def test_token_budget_mix_hypothesis_random_graphs(spark):
+    """Hypothesis-driven randomized budgets/token distributions vs the
+    python naive reference (fixed seed derivation via the library's
+    own example machinery is overkill here — the strategy draws keep
+    Spark invocations bounded)."""
+    from hypothesis import given, settings, strategies as st
+
+    from chapterhousedb_spark.operators.sampling import token_budget_mix
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=50), min_size=30, max_size=60),
+        budgets=st.fixed_dictionaries(
+            {"a": st.integers(1, 500), "b": st.integers(1, 500)}
+        ),
+    )
+    def inner(toks, budgets):
+        rows = [
+            (i, "a" if i % 2 == 0 else "b", t) for i, t in enumerate(toks)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok long"
+        )
+        got = {
+            r["doc_id"]
+            for r in token_budget_mix(df, budgets, token_col="n_tok").collect()
+        }
+        assert got == _naive_budget_mix(rows, budgets)
+
+    inner()

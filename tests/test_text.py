@@ -326,3 +326,33 @@ def test_rarity_stats_topk_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocabulary_partials_merge_equals_direct(spark):
+    """Incremental vocabulary: merging per-batch partials == the direct
+    vocabulary over the union, for any merge tree."""
+    from chapterhousedb_spark.operators.text import (
+        vocabulary,
+        vocabulary_merge,
+        vocabulary_partials,
+    )
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    b1 = docs.filter("doc_id % 3 = 0")
+    b2 = docs.filter("doc_id % 3 = 1")
+    b3 = docs.filter("doc_id % 3 = 2")
+    direct = {
+        r["token"]: r["freq"] for r in vocabulary(docs).collect()
+    }
+    flat = vocabulary_merge(
+        vocabulary_partials(b1), vocabulary_partials(b2), vocabulary_partials(b3)
+    )
+    assert {r["token"]: r["freq"] for r in flat.collect()} == direct
+    # a different merge tree gives identical counts (associativity)
+    staged = vocabulary_merge(
+        vocabulary_merge(vocabulary_partials(b1), vocabulary_partials(b2)),
+        vocabulary_partials(b3),
+    )
+    assert {r["token"]: r["freq"] for r in staged.collect()} == direct
