@@ -47,6 +47,7 @@ def admit_batch(
     reject_near_dups: bool = True,
     num_hashes: int = 64,
     bands: int = 16,
+    gate_fn=None,
 ) -> dict:
     """Admit one batch into a versioned corpus. Steps:
 
@@ -62,6 +63,13 @@ def admit_batch(
        the corpus cluster labels with components_update and write
        labels v+1 (rejected docs never enter the label space).
     5. flip the corpus _LATEST marker to v+1 (the commit point).
+
+    `gate_fn` swaps the duplicate detector: any callable
+    (batch, corpus) -> DataFrame with (batch_id, corpus_id) columns —
+    e.g. a partial of simhash_near_dup_pairs_cross, or an
+    embedding-side embedding_near_dup_pairs_cross for vector corpora.
+    Default: the MinHash bipartite gate with this function's
+    threshold/num_hashes/bands.
 
     Returns {"version", "n_batch", "n_admitted", "n_rejected"}.
     """
@@ -84,15 +92,18 @@ def admit_batch(
     spark = batch.sparkSession
     corpus, ver = read_versioned_base(spark, corpus_root)
     n_batch = batch.count()
-    cross = minhash_near_dup_pairs_cross(
-        batch,
-        corpus,
-        text_col=text_col,
-        id_col=id_col,
-        threshold=threshold,
-        num_hashes=num_hashes,
-        bands=bands,
-    )
+    if gate_fn is not None:
+        cross = gate_fn(batch, corpus)
+    else:
+        cross = minhash_near_dup_pairs_cross(
+            batch,
+            corpus,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
     if reject_near_dups:
         dup_ids = cross.select(F.col("batch_id").alias(id_col)).distinct()
         admitted = batch.join(dup_ids, id_col, "left_anti")

@@ -232,3 +232,43 @@ def test_round6_operators_on_empty(spark):
     )
     # approxQuantile on empty input yields no boundaries -> bucket 0s
     assert zorder_cluster(two, ["u", "w"], n_files=2).count() == 0
+
+
+def test_round7_operators_on_empty(spark, empty_docs):
+    """Round-7 operators on zero-row inputs: empty results with correct
+    schemas, no crashes."""
+    from chapterhousedb_spark.operators.cluster import components_update
+    from chapterhousedb_spark.operators.sampling import token_budget_mix
+    from chapterhousedb_spark.operators.text import (
+        rarity_stats,
+        vocabulary_merge,
+        vocabulary_partials,
+    )
+
+    # rarity over an empty corpus: zero rows, full schema
+    r = rarity_stats(empty_docs)
+    assert r.count() == 0
+    assert set(r.columns) == {
+        "doc_id", "n_distinct", "hapax_frac", "common_frac", "mean_df",
+    }
+    # vocabulary partials of nothing merge to nothing
+    vp = vocabulary_partials(empty_docs)
+    assert vocabulary_merge(vp, vp).count() == 0
+    # budget mix with an empty corpus keeps nothing
+    mix_in = empty_docs.selectExpr(
+        "doc_id", "'a' AS source", "CAST(0 AS LONG) AS n_tok"
+    )
+    assert token_budget_mix(mix_in, {"a": 100}, token_col="n_tok").count() == 0
+    # components_update: empty labels + empty edges + some new nodes ->
+    # singleton labels; fully empty -> empty
+    empty_lab = spark.createDataFrame([], "id long, component long")
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(5,), (9,)], "doc_id long")
+    got = {
+        r["id"]: r["component"]
+        for r in components_update(
+            empty_lab, empty_edges, new_nodes=nodes
+        ).collect()
+    }
+    assert got == {5: 5, 9: 9}
+    assert components_update(empty_lab, empty_edges).count() == 0

@@ -1461,3 +1461,42 @@ def test_ingest_stream_operator_both_modes(spark, tmp_path_factory):
         from chapterhousedb_spark.operators.ingest import admit_batch
 
         admit_batch(b1, str(root / "corpus"), reject_near_dups=False)
+
+
+def test_admit_batch_custom_gate_fn(spark, tmp_path_factory):
+    """admit_batch with a swapped duplicate detector: the SimHash
+    bipartite gate via gate_fn rejects the same planted near-dup the
+    default MinHash gate would."""
+    from functools import partial
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.dedup import (
+        simhash_near_dup_pairs_cross,
+    )
+    from chapterhousedb_spark.operators.ingest import admit_batch, init_ingest
+    from chapterhousedb_spark.streaming import read_versioned_base
+
+    root = tmp_path_factory.mktemp("ingest_gatefn")
+    t0 = "the quick brown fox jumps over the lazy dog again and again " * 3
+    novel = "a genuinely new document with its own unique words " * 3
+    init_ingest(
+        spark.createDataFrame([Row(doc_id=0, text=t0, version=0)]),
+        str(root / "corpus"),
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=t0 + " tail", version=1),
+            Row(doc_id=101, text=novel, version=1),
+        ]
+    )
+    res = admit_batch(
+        batch,
+        str(root / "corpus"),
+        gate_fn=partial(simhash_near_dup_pairs_cross, max_hamming=6, chunks=7),
+    )
+    assert res == {
+        "version": 1, "n_batch": 2, "n_admitted": 1, "n_rejected": 1,
+    }
+    final, ver = read_versioned_base(spark, str(root / "corpus"))
+    assert {r["doc_id"] for r in final.collect()} == {0, 101}
