@@ -133,7 +133,10 @@ def admit_batch(
         new_labels = components_update(
             labels, pairs, new_nodes=admitted.select(id_col)
         )
-        new_labels.write.parquet(f"{labels_root}/v{ver + 1}")
+        # overwrite, not errorifexists: a crash AFTER this write but
+        # BEFORE the marker flip leaves an orphan v+1 dir; the
+        # checkpoint replays the batch and must be able to rewrite it
+        new_labels.write.mode("overwrite").parquet(f"{labels_root}/v{ver + 1}")
     # the marker flip is the commit point: readers only ever see a
     # version whose corpus AND labels directories are complete
     _write_latest_marker(spark, corpus_root, ver + 1)
@@ -159,7 +162,7 @@ def init_ingest(
     if labels_root is not None:
         seed.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
-        ).write.parquet(f"{labels_root}/v0")
+        ).write.mode("overwrite").parquet(f"{labels_root}/v0")
 
 
 def ingest_stream(

@@ -1500,3 +1500,49 @@ def test_admit_batch_custom_gate_fn(spark, tmp_path_factory):
     }
     final, ver = read_versioned_base(spark, str(root / "corpus"))
     assert {r["doc_id"] for r in final.collect()} == {0, 101}
+
+
+def test_admit_batch_crash_replay_is_idempotent(spark, tmp_path_factory):
+    """Crash-safety of the admission commit point: a batch that wrote
+    its corpus+labels v+1 directories but crashed BEFORE the _LATEST
+    flip must replay cleanly (the orphan v+1 dirs are overwritten) and
+    produce the same committed state."""
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.ingest import admit_batch, init_ingest
+    from chapterhousedb_spark.streaming import read_versioned_base
+
+    root = tmp_path_factory.mktemp("ingest_replay")
+    corpus_root, labels_root = str(root / "corpus"), str(root / "labels")
+    t0 = "the quick brown fox jumps over the lazy dog again and again " * 3
+    novel = "a genuinely new document with its own unique words " * 3
+    init_ingest(
+        spark.createDataFrame([Row(doc_id=0, text=t0, version=0)]),
+        corpus_root,
+        labels_root=labels_root,
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=t0 + " tail", version=1),
+            Row(doc_id=101, text=novel, version=1),
+        ]
+    )
+    # simulate the crash: run a full admission, then rewind the marker
+    # to v0 (as if the flip never happened) — the v1 dirs stay orphaned
+    from chapterhousedb_spark.streaming.batcher import _write_latest_marker
+
+    admit_batch(batch, corpus_root, labels_root=labels_root,
+                reject_near_dups=False)
+    _write_latest_marker(spark, corpus_root, 0)
+    # replay: must overwrite the orphan v1 dirs, not die on errorifexists
+    res = admit_batch(batch, corpus_root, labels_root=labels_root,
+                      reject_near_dups=False)
+    assert res["version"] == 1 and res["n_admitted"] == 2
+    final, ver = read_versioned_base(spark, corpus_root)
+    assert ver == 1
+    assert {r["doc_id"] for r in final.collect()} == {0, 100, 101}
+    labels = {
+        r["id"]: r["component"]
+        for r in spark.read.parquet(f"{labels_root}/v1").collect()
+    }
+    assert labels[100] == 0 and 101 in labels
