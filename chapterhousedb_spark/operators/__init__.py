@@ -62,6 +62,8 @@ from chapterhousedb_spark.operators.sampling import (
     token_budget_mix,
 )
 from chapterhousedb_spark.operators.text import (
+    bpe_segment,
+    bpe_train,
     lang_id,
     rarity_stats,
     redact_pii,
@@ -73,6 +75,8 @@ from chapterhousedb_spark.operators.text import (
 
 __all__ = [
     "admit_batch",
+    "bpe_segment",
+    "bpe_train",
     "asof_join",
     "components_update",
     "connected_components",

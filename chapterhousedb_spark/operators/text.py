@@ -590,3 +590,196 @@ def vocabulary_merge(*partials: DataFrame) -> DataFrame:
     for p in partials[1:]:
         out = out.unionByName(p)
     return out.groupBy("token").agg(F.sum("freq").alias("freq"))
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _merge_pair_expr(col: str, left_col: str, right_col: str) -> Column:
+    """JVM fold that merges every non-overlapping adjacent occurrence
+    of (left, right) in a symbol array, left-to-right — the BPE merge
+    step as a single aggregate() lambda (no Python, no explode). The
+    accumulator carries (out array, pending symbol); each step either
+    fuses pending+current or flushes pending."""
+    return F.expr(
+        f"""
+        aggregate(
+          {col},
+          named_struct('out', cast(array() as array<string>),
+                       'prev', cast(null as string)),
+          (acc, x) -> if(acc.prev is null,
+                         named_struct('out', acc.out, 'prev', x),
+                         if(acc.prev = {left_col} AND x = {right_col},
+                            named_struct('out',
+                                         concat(acc.out,
+                                                array(concat(acc.prev, x))),
+                                         'prev', cast(null as string)),
+                            named_struct('out', concat(acc.out, array(acc.prev)),
+                                         'prev', x))),
+          acc -> if(acc.prev is null, acc.out, concat(acc.out, array(acc.prev))))
+        """
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    sample_fraction: float | None = None,
+    salt: str = "bpe-v1",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges from a corpus — tokenizer
+    training as iterative Spark jobs. Returns the ordered merge list
+    (the MODEL: n_merges pairs, legitimate driver state exactly like
+    IVF centroids).
+
+    Construction (Sennrich et al. 2016): training operates on the
+    WORD-FREQUENCY table, not the corpus — unique normalized words
+    with counts, each word a character-symbol array with an
+    end-of-word marker. Per iteration: adjacent symbol pairs explode
+    weighted by word freq, one map-side-combined groupBy finds the
+    global best pair (ties broken (count desc, left asc, right asc) —
+    fully deterministic), a 1-row collect takes it to the driver, and
+    the merge applies to every word as a JVM fold (_merge_pair_expr).
+
+    At 100 TB: the word table is the Zipf-compressed corpus (~1e7-1e8
+    unique words for 1e12 tokens), built with ONE pass over the text +
+    one groupBy; all n_merges iterations run over the word table only.
+    `sample_fraction` additionally md5-samples the corpus before the
+    word count (standard practice — merge ranks stabilize long before
+    full-corpus counts). localCheckpoint every `checkpoint_every`
+    rounds truncates the iterative lineage, same as
+    connected_components."""
+    from chapterhousedb_spark.operators.sampling import deterministic_sample
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    src = df
+    if sample_fraction is not None:
+        src = deterministic_sample(
+            df.withColumn("__rid", F.monotonically_increasing_id()),
+            sample_fraction,
+            id_col="__rid",
+            salt=salt,
+        ).drop("__rid")
+    words = (
+        src.select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # chars + </w> end-of-word marker (classic BPE: merges never
+        # cross word boundaries; the marker lets suffixes merge)
+        .select(
+            F.concat(
+                F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), "
+                        "(s, i) -> named_struct('l', s, 'r', syms[i + 1]))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not top or top[0]["n"] < 2:
+            break  # nothing left worth merging
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        lq, rq = left.replace("'", "\\'"), right.replace("'", "\\'")
+        words = words.select(
+            _merge_pair_expr("syms", f"'{lq}'", f"'{rq}'").alias("syms"),
+            "freq",
+        )
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: (id, tokens array,
+    n_tokens) with each word segmented by replaying the merges in
+    learned order — the whole chain is one composed JVM expression per
+    row (no Python, no shuffle; tokenization is embarrassingly
+    parallel). Apply-cost grows with len(merges); for production-sized
+    merge lists a broadcast trie in a pandas UDF is the faster shape —
+    this JVM form is exact and dependency-free."""
+    return df.select(
+        F.col(id_col),
+        F.flatten(
+            F.transform(
+                F.split(normalize_text(text_col), " "),
+                lambda w: _apply_merges_lambda(w, merges),
+            )
+        ).alias("tokens"),
+    ).select(
+        id_col,
+        "tokens",
+        F.size("tokens").cast("int").alias("n_tokens"),
+    )
+
+
+def _apply_merges_lambda(word_col: Column, merges: list[tuple[str, str]]):
+    """Compose the merge folds over one word column (lambda-friendly)."""
+    syms = F.concat(F.split(word_col, ""), F.array(F.lit("</w>")))
+    out = syms
+    for left, right in merges:
+        out = _fold_merge(out, left, right)
+    return out
+
+
+def _fold_merge(arr: Column, left: str, right: str) -> Column:
+    """One merge step over an array column (Column-level twin of
+    _merge_pair_expr)."""
+    empty = F.array().cast("array<string>")
+    acc0 = F.struct(
+        empty.alias("out"), F.lit(None).cast("string").alias("prev")
+    )
+
+    def step(acc, x):
+        fuse = (acc["prev"] == left) & (x == right)
+        return F.when(
+            acc["prev"].isNull(),
+            F.struct(acc["out"].alias("out"), x.alias("prev")),
+        ).otherwise(
+            F.when(
+                fuse,
+                F.struct(
+                    F.concat(
+                        acc["out"], F.array(F.concat(acc["prev"], x))
+                    ).alias("out"),
+                    F.lit(None).cast("string").alias("prev"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["prev"])).alias("out"),
+                    x.alias("prev"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(arr, acc0, step, finish)

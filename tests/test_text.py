@@ -356,3 +356,118 @@ def test_vocabulary_partials_merge_equals_direct(spark):
         vocabulary_partials(b3),
     )
     assert {r["token"]: r["freq"] for r in staged.collect()} == direct
+
+
+def _py_bpe_train(texts, n_merges):
+    """Independent python reference (Sennrich et al. 2016): word-freq
+    table, best adjacent pair by (count desc, left asc, right asc)."""
+    import collections
+    import re
+
+    words = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (l, r), _ = best
+        merges.append((l, r))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _py_bpe_segment(text, merges):
+    import re
+
+    out = []
+    for w in re.sub(r"\s+", " ", text.lower()).strip().split(" "):
+        if not w:
+            continue
+        syms = list(w) + ["</w>"]
+        for l, r in merges:
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        out.extend(syms)
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Spark-iterative BPE training == the classic sequential
+    algorithm: identical merge list AND identical segmentations on the
+    textbook corpus and on real testdata."""
+    from chapterhousedb_spark.operators.text import bpe_segment, bpe_train
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest widest",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=8)
+    assert merges == _py_bpe_train(texts, 8)
+    seg = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        assert seg[i] == _py_bpe_segment(t, merges), i
+
+
+def test_bpe_train_on_testdata_deterministic(spark):
+    from chapterhousedb_spark.operators.text import bpe_train
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").limit(50)
+    texts = [r["text"] for r in docs.collect()]
+    m1 = bpe_train(docs, n_merges=6)
+    assert m1 == _py_bpe_train(texts, 6)
+    # deterministic across runs
+    assert m1 == bpe_train(docs, n_merges=6)
+
+
+def test_bpe_segment_roundtrip_property(spark):
+    """Segmentation conserves characters: concatenating a word's
+    tokens (minus the marker) reproduces the word."""
+    from chapterhousedb_spark.operators.text import bpe_segment, bpe_train
+
+    texts = ["banana bandana cabana", "banana banana bandana"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=5)
+    seg = {r["doc_id"]: r["tokens"] for r in bpe_segment(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        flat = "".join(tok for tok in seg[i]).replace("</w>", " ").strip()
+        assert flat == t, (flat, t)
