@@ -272,6 +272,7 @@ _DRIVER_LAST = [
     "join_outer",
     "window_lag_delta",
     # rows-only by design: hash-function/iteration-dependent results
+    "bpe_tokenize",
     "agg_pricing_summary_double",
     "dedup_minhash",
     "dedup_simhash",

@@ -1244,3 +1244,28 @@ def rarity_stats_q(spark, sf_dir):
         .select("doc_id", "n_distinct", "hapax_frac", "common_frac", "mean_df")
         .orderBy("doc_id")
     )
+
+
+@query("bpe_tokenize")  # rows-only: iterative merge learning is not ANSI-SQL
+def bpe_tokenize_q(spark, sf_dir):
+    """BPE tokenizer training + application (text.bpe_train/segment):
+    learn 6 merges over the corpus word-frequency table, segment every
+    document with them. No DuckDB oracle — the training loop is
+    iterative (each merge depends on the previous state), which SQL
+    cannot replay; correctness is pinned instead by exact merge-list
+    and segmentation equality against a sequential python reference
+    implementation in tests/test_text.py (incl. on this same
+    documents table)."""
+    from chapterhousedb_spark.operators.text import bpe_segment, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=6)
+    return (
+        bpe_segment(docs, merges)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.array_join("tokens", " ").alias("segmented"),
+        )
+        .orderBy("doc_id")
+    )
