@@ -81,6 +81,8 @@ HEADLINE = [
     "tpch_q14_promo_effect",
     "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive_revenue",
+    "token_budget_mix",
+    "rarity_stats",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

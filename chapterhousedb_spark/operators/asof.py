@@ -1,7 +1,10 @@
-"""As-of (most-recent-match) join — an operator Spark lacks natively.
+"""As-of (nearest-match) join — an operator Spark lacks natively.
 
-asof_join(left, right): for each left row, attach the right row with
-the greatest right_time <= left_time within the same key group.
+asof_join(left, right): for each left row, attach the matching right
+row within the same key group — backward (greatest right_time <=
+left_time, the default), forward (smallest right_time >= left_time),
+or nearest (pandas merge_asof's third direction; exact ties resolve
+backward).
 
 Implemented as the union-sort-window construction rather than the
 naive range join: tag both sides, union them, and take last(right
@@ -31,18 +34,32 @@ def asof_join(
     right_by: str,
     right_cols: list[str] | None = None,
     tolerance: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: all left columns + the latest right_cols values.
+    """Left as-of join: all left columns + the matched right_cols values.
 
     right_cols defaults to every right column except its key/time.
-    Right-side ties on (key, time) resolve to the row whose packed
-    value-struct sorts last (lexicographic by field) — deterministic.
+    Right-side ties on (key, time) resolve deterministically (backward:
+    the row whose packed value-struct sorts last; forward: first).
+
+    direction (pandas merge_asof parity):
+      "backward" (default) — greatest right_time <= left_time;
+      "forward"            — smallest right_time >= left_time;
+      "nearest"            — whichever of the two is closer in time
+                             (exact ties resolve backward, like pandas).
+    All three run in the SAME single key-shuffle: nearest adds a second
+    window ordering over the already-partitioned union, not a second
+    shuffle.
 
     tolerance (pandas merge_asof parity): maximum allowed gap between
     left time and the matched right time — SECONDS for timestamp
-    columns, native units for numeric ones. A match older than the
+    columns, native units for numeric ones. A match outside the
     tolerance is nulled out (the left row still survives, unmatched).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (right_on, right_by)]
     if not right_cols:
@@ -79,37 +96,66 @@ def asof_join(
         ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
-    w = (
+    # backward: right rows sort BEFORE left at equal time (inclusive <=),
+    # take last-known over the preceding frame. forward: right rows sort
+    # AFTER left at equal time (inclusive >=), take first over the
+    # following frame. Both orderings share one hash partition on key.
+    w_back = (
         Window.partitionBy("__key")
         .orderBy(F.col("__t"), F.col("__tag"), F.col("__r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *lt,
-        "__tag",
-        "__t",
-        F.last("__r", ignorenulls=True).over(w).alias("__f"),
+    w_fwd = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t"), F.col("__tag").desc(), F.col("__r"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    if tolerance is not None:
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last("__r", ignorenulls=True).over(w_back).alias("__fb"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.first("__r", ignorenulls=True).over(w_fwd).alias("__ff"))
+    filled = unioned.select(*lt, "__tag", "__t", *fills)
+
+    from pyspark.sql import types as T2
+
+    def _gap(right_time):
+        """Non-negative time gap |__t - right_time| in tolerance units."""
         t_type = left.schema[left_on].dataType
-        if isinstance(t_type, T.TimestampNTZType):
-            # NTZ carries no zone: the gap is the WALL-CLOCK difference,
-            # computed with timestampdiff directly on the NTZ values so
-            # it is independent of spark.sql.session.timeZone. (Casting
-            # to session-zone timestamp and differencing unix_micros is
-            # wrong for pairs straddling a DST transition in a non-UTC
-            # session — off by the offset change; verified.)
-            gap = F.expr("timestampdiff(MICROSECOND, __f.__rt, __t)")
-            max_gap = F.lit(int(tolerance * 1_000_000))
-        elif isinstance(t_type, T.TimestampType):
-            gap = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__f.__rt"))
-            max_gap = F.lit(int(tolerance * 1_000_000))
-        elif isinstance(t_type, T.DateType):
-            gap = F.datediff(F.col("__t"), F.col("__f.__rt"))
-            max_gap = F.lit(tolerance)
-        else:
-            gap = F.col("__t") - F.col("__f.__rt")
-            max_gap = F.lit(tolerance)
+        if isinstance(t_type, T2.TimestampNTZType):
+            g = F.abs(F.expr(f"timestampdiff(MICROSECOND, {right_time}, __t)"))
+            return g, lambda tol: F.lit(int(tol * 1_000_000))
+        if isinstance(t_type, T2.TimestampType):
+            g = F.abs(F.unix_micros(F.col("__t")) - F.unix_micros(F.col(right_time)))
+            return g, lambda tol: F.lit(int(tol * 1_000_000))
+        if isinstance(t_type, T2.DateType):
+            return F.abs(F.datediff(F.col("__t"), F.col(right_time))), F.lit
+        return F.abs(F.col("__t") - F.col(right_time)), F.lit
+
+    if direction == "backward":
+        filled = filled.withColumn("__f", F.col("__fb"))
+    elif direction == "forward":
+        filled = filled.withColumn("__f", F.col("__ff"))
+    else:
+        gb, _ = _gap("__fb.__rt")
+        gf, _ = _gap("__ff.__rt")
+        filled = filled.withColumn(
+            "__f",
+            F.when(F.col("__fb").isNull(), F.col("__ff"))
+            .when(F.col("__ff").isNull(), F.col("__fb"))
+            # exact tie -> backward, matching pandas merge_asof
+            .when(gb <= gf, F.col("__fb"))
+            .otherwise(F.col("__ff")),
+        )
+    if tolerance is not None:
+        # NTZ note: the gap is the WALL-CLOCK difference computed with
+        # timestampdiff directly on the NTZ values so it is independent
+        # of spark.sql.session.timeZone (casting to session-zone
+        # timestamps and differencing unix_micros is wrong for pairs
+        # straddling a DST transition in a non-UTC session; verified).
+        # abs() makes the same expression serve all three directions.
+        gap, mk = _gap("__f.__rt")
+        max_gap = mk(tolerance)
         filled = filled.withColumn(
             "__f", F.when(gap <= max_gap, F.col("__f"))
         )

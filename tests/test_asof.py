@@ -293,3 +293,56 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert got == expected
 
     run()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 120.0])
+def test_asof_directions_match_pandas_merge_asof(spark, direction, tolerance):
+    """All three directions (and tolerance) against pandas.merge_asof
+    itself — the API this parameter mirrors — on a randomized
+    multi-key dataset with exact-tie timestamps."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    left_rows = [
+        (i, rng.choice([100, 200, 300]), ts(rng.randrange(0, 60)))
+        for i in range(60)
+    ]
+    right_rows = [
+        (rng.choice([100, 200]), ts(rng.randrange(0, 60)), float(i))
+        for i in range(40)
+    ]
+    # dedupe right on (key, time): pandas merge_asof tie-resolution
+    # among equal right timestamps is positional, ours is value-struct
+    # ordered — identical only when (key, time) is unique
+    seen = set()
+    right_rows = [
+        r for r in right_rows if not (r[:2] in seen or seen.add(r[:2]))
+    ]
+    left = spark.createDataFrame(
+        left_rows, "lid long, key long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, "rkey long, rt timestamp, val double"
+    )
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            left, right, "t", "rt", "key", "rkey",
+            tolerance=tolerance, direction=direction,
+        ).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["lid", "key", "t"]).sort_values("t")
+    rp = pd.DataFrame(right_rows, columns=["rkey", "rt", "val"]).sort_values("rt")
+    kw = {"tolerance": pd.Timedelta(seconds=tolerance)} if tolerance else {}
+    want_df = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", left_by="key", right_by="rkey",
+        direction=direction, **kw,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.val) else float(r.val))
+        for r in want_df.itertuples()
+    }
+    assert got == want, direction
