@@ -151,6 +151,61 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "asof_forward_events",
+    oracle="""
+    SELECT e.event_id,
+           p.next_purchase_id,
+           p.next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts,
+               event_id AS next_purchase_id,
+               value    AS next_purchase_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                           ORDER BY event_id) AS rn
+              FROM events WHERE event_type = 'purchase') d
+        WHERE rn = 1
+      ) p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def asof_forward_events(spark, sf_dir):
+    """FORWARD as-of join (round 7): each click matched to the user's
+    NEXT purchase at-or-after it — the conversion-attribution shape
+    ("which purchase did this click lead to"). DuckDB's ASOF JOIN with
+    the inequality flipped (e.ts <= p.ts) is the oracle; the operator
+    runs direction="forward" in the same single key shuffle as
+    backward. Right side deduped to one row per (user, ts) keeping the
+    MIN event_id — forward tie order — so tie semantics are pinned on
+    both engines."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("next_purchase_id"),
+            F.col("value").alias("next_purchase_value"),
+        )
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        left_on="ts",
+        right_on="ts",
+        left_by="user_id",
+        right_by="user_id",
+        right_cols=["next_purchase_id", "next_purchase_value"],
+        direction="forward",
+    )
+    return joined.select("event_id", "next_purchase_id", "next_purchase_value")
+
+
+@query(
     "events_sliding",
     oracle="""
     SELECT CAST(epoch(date_trunc('hour', ts)) - 3600 * k.k AS BIGINT)
