@@ -246,3 +246,49 @@ def quantile_from_histogram(
             *kc, (F.lit(lo) + (F.col("bin") + 1) * width).alias(out_col)
         )
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    ts_col: str,
+    ref_date: str,
+    half_life_days: int = 1,
+    out_col: str = "decayed_count",
+) -> DataFrame:
+    """Exponentially time-decayed counts per key — the trending-score
+    aggregate (recent activity outweighs old) with EXACT arithmetic:
+    each row weighs 2^-floor(age_days / half_life_days), built as
+    1.0 / (1 << age) — a power of two, exactly representable in a
+    double. Every partial sum of such weights is itself exact (the
+    common-denominator numerator stays far below 2^53 for any
+    realistic count x 62-step age range), so the result is
+    ORDER-INDEPENDENT: the same score on any engine at any
+    parallelism, hash-gated against a DuckDB oracle — unlike exp()
+    decay, whose libm rounding differs across platforms.
+
+    Ages clamp to [0, 62]: future rows count at full weight 1, and
+    anything older than 62 half-lives contributes 2^-62 (~2e-19 -
+    numerically nothing, but still exact). At 100 TB: one map-side
+    weight expression + one map-side-combined groupBy; the decayed
+    state is also MERGEABLE at fixed ref_date — per-(key, day) integer
+    counts are the partial (rollup_partials shape), and any merge tree
+    reweighs exactly."""
+    age_days = F.datediff(F.lit(ref_date).cast("date"), F.col(ts_col).cast("date"))
+    age = F.least(
+        F.lit(62),
+        F.greatest(F.lit(0), (age_days / half_life_days).cast("int")),
+    )
+    # shiftleft with a COLUMN bit count needs the SQL form (the python
+    # wrapper only takes a literal); 1 << age is the exact 2^age long
+    staged = df.withColumn("__age", age)
+    weight = F.expr(
+        "1.0 / CAST(shiftleft(CAST(1 AS BIGINT), __age) AS DOUBLE)"
+    )
+    return (
+        staged.groupBy(*_key_cols(keys))
+        .agg(
+            F.sum(weight).alias(out_col),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -384,3 +384,34 @@ def quantile_rollup(spark, sf_dir):
     return p50.join(p95, "event_type").select(
         "event_type", "p50_value", "p95_value"
     )
+
+
+@query(
+    "events_trending",
+    oracle="""
+    SELECT event_type,
+           SUM(1.0 / CAST((CAST(1 AS BIGINT) <<
+                 LEAST(62, GREATEST(0, datediff('day', CAST(ts AS DATE),
+                                                DATE '2024-01-31'))))
+               AS DOUBLE)) AS decayed_count,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_trending(spark, sf_dir):
+    """Time-decayed trending score per event type (round 7,
+    rollup.decayed_counts): each event weighs 2^-age_days against the
+    corpus-end reference date — EXACT power-of-two decay, so the
+    double sum is order-independent and hash-matches the oracle
+    bit-for-bit (exp()-based decay would differ in libm rounding
+    across engines). One map-side weight expression + one map-side
+    combined groupBy."""
+    from chapterhousedb_spark.operators.rollup import decayed_counts
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        decayed_counts(ev, ["event_type"], "ts", "2024-01-31")
+        .orderBy("event_type")
+    )

@@ -281,3 +281,41 @@ def test_vacuum_versions_retention(spark, tmp_path_factory):
         read_versioned_base(spark, root, version=0)
     with _pt.raises(ValueError, match="keep_last"):
         vacuum_versions(spark, root, keep_last=0)
+
+
+def test_decayed_counts_exact_and_order_independent(spark):
+    """Power-of-two decay: hand-computable weights, exact at any
+    parallelism (repartition shouldn't change a single bit)."""
+    import datetime as dt
+
+    from chapterhousedb_spark.operators.rollup import decayed_counts
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 31)),   # age 0 -> 1.0
+        ("a", dt.datetime(2024, 1, 30)),   # age 1 -> 0.5
+        ("a", dt.datetime(2024, 1, 28)),   # age 3 -> 0.125
+        ("b", dt.datetime(2024, 2, 5)),    # future -> clamps to 1.0
+        ("b", dt.datetime(1900, 1, 1)),    # ancient -> 2^-62
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {
+        r["k"]: (r["decayed_count"], r["n_rows"])
+        for r in decayed_counts(df, ["k"], "ts", "2024-01-31").collect()
+    }
+    assert got["a"] == (1.0 + 0.5 + 0.125, 3)
+    assert got["b"] == (1.0 + 2.0**-62, 2)
+    got32 = {
+        r["k"]: r["decayed_count"]
+        for r in decayed_counts(
+            df.repartition(32), ["k"], "ts", "2024-01-31"
+        ).collect()
+    }
+    assert got32 == {k: v[0] for k, v in got.items()}  # bit-identical
+    # half_life scaling: 2-day half life halves the age exponent
+    got_hl = {
+        r["k"]: r["decayed_count"]
+        for r in decayed_counts(
+            df, ["k"], "ts", "2024-01-31", half_life_days=2
+        ).collect()
+    }
+    assert got_hl["a"] == 1.0 + 1.0 + 0.5  # ages 0,1,3 -> units 0,0,1
