@@ -345,6 +345,86 @@ PROFILE = TableFunction(
 )
 
 
+
+
+def _build_text_quality(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """text_quality('<glob>' [, text=>'text'] [, id=>'doc_id']
+    [, connection=>...]): per-document quality statistics + composite
+    pass flag (operators/text.py text_stats at the SQL front door —
+    `select * from text_quality('docs/*.parquet') where not
+    passes_quality` is the corpus-triage one-liner)."""
+    from chapterhousedb_spark.operators.text import text_stats
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return text_stats(
+        df,
+        text_col=call.named_args.get("text", "text"),
+        id_col=call.named_args.get("id", "doc_id"),
+    )
+
+
+TEXT_QUALITY = TableFunction(
+    name="text_quality",
+    build=_build_text_quality,
+    allowed_args=frozenset({"connection", "text", "id"}),
+)
+
+
+def _build_rarity(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """rarity('<glob>' [, common_k=>'1000'] [, text=>...] [, id=>...]
+    [, connection=>...]): per-document token-rarity features against
+    the corpus' own frequency distribution (operators/text.py
+    rarity_stats — high hapax_frac flags OCR noise/gibberish)."""
+    from chapterhousedb_spark.operators.text import rarity_stats
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return rarity_stats(
+        df,
+        text_col=call.named_args.get("text", "text"),
+        id_col=call.named_args.get("id", "doc_id"),
+        common_k=int(call.named_args.get("common_k", "1000")),
+    )
+
+
+RARITY = TableFunction(
+    name="rarity",
+    build=_build_rarity,
+    allowed_args=frozenset({"connection", "common_k", "text", "id"}),
+)
+
+
+def _build_trending(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """trending('<glob>', keys=>'k1[,k2]', ts=>'<ts col>',
+    ref=>'YYYY-MM-DD' [, half_life_days=>'1'] [, connection=>...]):
+    exact power-of-two time-decayed counts per key
+    (operators/rollup.py decayed_counts)."""
+    from chapterhousedb_spark.operators.rollup import decayed_counts
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    keys = [k.strip() for k in call.named_args["keys"].split(",") if k.strip()]
+    return decayed_counts(
+        df,
+        keys,
+        ts_col=call.named_args["ts"],
+        ref_date=call.named_args["ref"],
+        half_life_days=int(call.named_args.get("half_life_days", "1")),
+    )
+
+
+TRENDING = TableFunction(
+    name="trending",
+    build=_build_trending,
+    allowed_args=frozenset({"connection", "keys", "ts", "ref", "half_life_days"}),
+    required_args=frozenset({"keys", "ts", "ref"}),
+)
+
+
 def default_table_function_registry() -> TableFunctionRegistry:
     """read_files (the reference's sole function) + the reference's
     unchecked roadmap formats (README.md:63-66: CSV, JSON) + the
@@ -358,4 +438,7 @@ def default_table_function_registry() -> TableFunctionRegistry:
     reg.register(READ_JSON)
     reg.register(DIFF_TABLES)
     reg.register(PROFILE)
+    reg.register(TEXT_QUALITY)
+    reg.register(RARITY)
+    reg.register(TRENDING)
     return reg

@@ -537,3 +537,52 @@ def test_diff_tables_missing_args_fails_cleanly(engine):
     )
     assert h.status is QueryStatus.ERROR
     assert "requires named argument" in (h.error or "")
+
+
+def test_round7_operator_table_functions(engine, sf_dir):
+    """The round-7 operator-library TVFs through the full engine.sql
+    path: text_quality (corpus triage), rarity (hapax features),
+    trending (exact decayed counts) — each cross-checked against the
+    operator called directly."""
+    from chapterhousedb_spark.operators.rollup import decayed_counts
+    from chapterhousedb_spark.operators.text import rarity_stats, text_stats
+
+    spark = engine.spark
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    [h] = engine.sql_wait(
+        "select doc_id, n_tokens, passes_quality "
+        "from text_quality('documents.parquet', connection=>'testdata')"
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in engine.fetch(h.query_id, limit=10_000).to_pylist()}
+    want = {
+        r["doc_id"]: r["n_tokens"]
+        for r in text_stats(docs).select("doc_id", "n_tokens").collect()
+    }
+    assert got == want
+
+    [h] = engine.sql_wait(
+        "select doc_id, hapax_frac from rarity('documents.parquet', "
+        "connection=>'testdata', common_k=>'50')"
+    )
+    got = {r["doc_id"]: r["hapax_frac"] for r in engine.fetch(h.query_id, limit=10_000).to_pylist()}
+    want = {
+        r["doc_id"]: r["hapax_frac"]
+        for r in rarity_stats(docs, common_k=50).collect()
+    }
+    assert got == want
+
+    [h] = engine.sql_wait(
+        "select * from trending('events.parquet', connection=>'testdata', "
+        "keys=>'event_type', ts=>'ts', ref=>'2024-01-31') order by event_type"
+    )
+    got = {
+        r["event_type"]: r["decayed_count"]
+        for r in engine.fetch(h.query_id).to_pylist()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["event_type"]: r["decayed_count"]
+        for r in decayed_counts(ev, ["event_type"], "ts", "2024-01-31").collect()
+    }
+    assert got == want  # exact power-of-two sums: equality, no approx
