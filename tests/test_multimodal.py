@@ -270,3 +270,72 @@ def test_decode_real_png_through_mapinpandas(spark):
     assert got[1]["mean_pixel"] == sum(body) / len(body)
     assert got[2]["ok"] and got[3]["ok"]
     assert got[4]["ok"] is False
+
+
+def test_resize_media_ppm_and_png(spark):
+    """Real resize through mapInPandas: PPM and PNG payloads decode,
+    nearest-neighbor resample, re-encode in their original format —
+    verified against a numpy reference; undecodable rows ok=False."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        make_png_blob,
+        make_ppm_blob,
+        resize_media,
+    )
+
+    w, h, tw, th = 8, 6, 4, 3
+    ppm = make_ppm_blob(w, h, fill=5)
+    png = make_png_blob(w, h, fill=5, color_type=2)
+    rows = [
+        (1, "image", ppm, ("t", 0)),
+        (2, "image", png, ("t", 0)),
+        (3, "image", b"not an image", ("t", 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in resize_media(media, tw, th).collect()
+    }
+    # numpy nearest-neighbor reference on the shared pixel ramp
+    body = np.frombuffer(
+        bytes((5 + i) % 256 for i in range(w * h * 3)), dtype=np.uint8
+    ).reshape(h, w, 3)
+    ys, xs = (np.arange(th) * h) // th, (np.arange(tw) * w) // tw
+    ref = body[ys][:, xs].tobytes()
+
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (tw, th)
+    out_ppm = bytes(got[1]["payload"])
+    assert out_ppm.startswith(b"P6") and out_ppm.endswith(ref)
+    # the resized PPM round-trips through decode_real
+    d = decode_real(out_ppm)
+    assert d["ok"] and (d["width"], d["height"]) == (tw, th)
+
+    assert got[2]["ok"] and (got[2]["width"], got[2]["height"]) == (tw, th)
+    d2 = decode_real(bytes(got[2]["payload"]))
+    assert d2["ok"] and (d2["width"], d2["height"]) == (tw, th)
+    # PNG mean equals the reference pixels' mean exactly
+    assert d2["mean_pixel"] == sum(ref) / len(ref)
+
+    assert got[3]["ok"] is False and got[3]["payload"] is None
+
+
+def test_resize_media_preserves_rgba_and_gray(spark):
+    from chapterhousedb_spark.operators.multimodal import (
+        make_png_blob,
+        resize_media,
+    )
+
+    rows = [
+        (1, "image", make_png_blob(6, 6, color_type=6), ("t", 0)),  # RGBA
+        (2, "image", make_png_blob(6, 6, color_type=0), ("t", 0)),  # gray
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in resize_media(media, 3, 3).collect()
+    }
+    for mid in (1, 2):
+        assert got[mid]["ok"], mid
+        d = decode_real(bytes(got[mid]["payload"]))
+        assert d["ok"] and (d["width"], d["height"]) == (3, 3)
