@@ -778,3 +778,80 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_len", "n_windows")
     )
+
+
+def pair_features(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Verification features for candidate pairs — the reranker input
+    a two-stage dedup pipeline wants between cheap LSH candidate
+    generation and an expensive final judgment: exact token-set
+    overlap statistics per pair, all integer counts + double divisions
+    (deterministic, oracle-replayable). Returns per (id_a, id_b):
+
+      n_tok_a / n_tok_b   distinct normalized-token counts
+      n_common            |tokens_a intersect tokens_b|
+      jaccard_tokens      n_common / |union|
+      containment         n_common / min(n_tok_a, n_tok_b)
+      len_ratio           shorter/longer text length in chars
+
+    Scale shape: the docs side reduces to (id, sorted distinct token
+    array) ONCE (map-side), then the pair relation joins it twice on
+    id — candidate pairs are bounded by the upstream generator's
+    banding, so the array payload amplification is |pairs| x avg doc
+    vocab, not corpus-squared. array_intersect is JVM-side; no Python
+    anywhere."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.split(normalize_text(text_col), " "),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("__toks"),
+            F.length(text_col).alias("__len"),
+        )
+    )
+    a = toks.select(
+        F.col("__id").alias("__ida"),
+        F.col("__toks").alias("__ta"),
+        F.col("__len").alias("__la"),
+    )
+    b = toks.select(
+        F.col("__id").alias("__idb"),
+        F.col("__toks").alias("__tb"),
+        F.col("__len").alias("__lb"),
+    )
+    j = (
+        pairs.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+        .join(a, F.col("id_a") == F.col("__ida"))
+        .join(b, F.col("id_b") == F.col("__idb"))
+    )
+    na, nb = F.size("__ta"), F.size("__tb")
+    nc = F.size(F.array_intersect("__ta", "__tb"))
+    union = na + nb - nc
+    return j.select(
+        "id_a",
+        "id_b",
+        na.cast("int").alias("n_tok_a"),
+        nb.cast("int").alias("n_tok_b"),
+        nc.cast("int").alias("n_common"),
+        (nc.cast("double") / F.greatest(union, F.lit(1))).alias(
+            "jaccard_tokens"
+        ),
+        (nc.cast("double") / F.greatest(F.least(na, nb), F.lit(1))).alias(
+            "containment"
+        ),
+        (
+            F.least(F.col("__la"), F.col("__lb")).cast("double")
+            / F.greatest(F.greatest(F.col("__la"), F.col("__lb")), F.lit(1))
+        ).alias("len_ratio"),
+    )

@@ -1269,3 +1269,49 @@ def bpe_tokenize_q(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pair_features",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+                 regexp_split_to_array({_NORM}, ' '), t -> t <> ''))) AS ta,
+             length(text) AS la
+      FROM documents),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+    j AS (SELECT p.id_a, p.id_b, x.ta AS ta, x.la AS la,
+                 y.ta AS tb, y.la AS lb
+          FROM p
+          JOIN toks x ON x.doc_id = p.id_a
+          JOIN toks y ON y.doc_id = p.id_b)
+    SELECT id_a, id_b,
+           CAST(len(ta) AS INT) AS n_tok_a,
+           CAST(len(tb) AS INT) AS n_tok_b,
+           CAST(len(list_intersect(ta, tb)) AS INT) AS n_common,
+           CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+             / GREATEST(len(ta) + len(tb) - len(list_intersect(ta, tb)), 1)
+             AS jaccard_tokens,
+           CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+             / GREATEST(LEAST(len(ta), len(tb)), 1) AS containment,
+           CAST(LEAST(la, lb) AS DOUBLE) / GREATEST(GREATEST(la, lb), 1)
+             AS len_ratio
+    FROM j ORDER BY id_a
+    """,
+)
+def pair_features_q(spark, sf_dir):
+    """Candidate-pair verification features (dedup.pair_features): the
+    reranker stage between LSH candidate generation and a final
+    judgment. The oracle needs a SQL-expressible pair set, so the gate
+    runs it over consecutive-id pairs; in production the pairs come
+    from any of the LSH generators. Exact integer counts + double
+    divisions hash-match bit-for-bit."""
+    from chapterhousedb_spark.operators.dedup import pair_features
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return pair_features(pairs, docs).orderBy("id_a")

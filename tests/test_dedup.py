@@ -563,3 +563,24 @@ def test_minhash_bands_must_divide_num_hashes(corpus):
         minhash_near_dup_pairs(corpus, num_hashes=64, bands=10)
     with pytest.raises(ValueError, match="divide"):
         minhash_near_dup_pairs_cross(corpus, corpus, num_hashes=64, bands=10)
+
+
+def test_pair_features_composes_with_lsh_pairs(corpus):
+    """pair_features over actual minhash candidates: features are
+    sane (planted near-dups score high, jaccard<=containment<=1) and
+    the n_common arithmetic is internally consistent."""
+    from chapterhousedb_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        pair_features,
+    )
+
+    pairs = minhash_near_dup_pairs(corpus, threshold=0.5, persist=False)
+    feats = pair_features(pairs, corpus).collect()
+    assert feats
+    for r in feats:
+        assert 0 <= r["jaccard_tokens"] <= r["containment"] <= 1
+        assert r["n_common"] <= min(r["n_tok_a"], r["n_tok_b"])
+        union = r["n_tok_a"] + r["n_tok_b"] - r["n_common"]
+        assert r["jaccard_tokens"] == r["n_common"] / max(union, 1)
+    # near-dup candidates share most tokens
+    assert sum(r["containment"] > 0.5 for r in feats) > len(feats) * 0.8
