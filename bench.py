@@ -83,6 +83,7 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "token_budget_mix",
     "rarity_stats",
+    "tpch_q2_min_cost_supplier",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -2262,3 +2262,83 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           l.l_extendedprice AS supply_cost
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND l.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey,
+             supply_cost
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier) — the last of the 22
+    TPC-H query patterns (Q1 is agg_pricing_summary): a CORRELATED
+    scalar MIN whose inner query repeats the outer's multi-dimension
+    join chain (region-restricted supplier costs per part). The
+    decorrelation hand-mirrors what Catalyst derives: build the
+    region-restricted (part, supplier, cost) relation ONCE, aggregate
+    it per part for the min, and join the SAME relation back on
+    (partkey, cost == min) — the inner dim chain is literally shared,
+    not recomputed, which is exactly the reuse the correlated form
+    implies. At 100 TB: nation/region always broadcast, supplier
+    broadcasts with q5's documented threshold caveat; the two heavy
+    shuffles are lineitem on partkey (agg) and the join-back on
+    (partkey, cost); p_size pushes into the part scan. Ties (several
+    suppliers at the min cost) are legitimate Q2 output on both
+    engines — the multiset matches. (lineitem.l_extendedprice plays
+    partsupp.ps_supplycost; testdata has no partsupp.)"""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_costs = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_partkey", "l_extendedprice", "s_acctbal", "s_name", "n_name"
+        )
+    )
+    min_cost = eu_costs.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("__min_cost")
+    )
+    return (
+        eu_costs.join(
+            min_cost,
+            (eu_costs.l_partkey == min_cost.l_partkey)
+            & (eu_costs.l_extendedprice == min_cost.__min_cost),
+        )
+        .drop(min_cost.l_partkey)
+        .join(
+            p.select("p_partkey", "p_type"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("l_extendedprice").alias("supply_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "supply_cost"
+        )
+    )

@@ -416,3 +416,13 @@ def test_runtime_bloom_filter_fires_at_scale_conditions(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_tpch_q2_decorrelated_min_no_nested_loop(spark):
+    """Q2: the correlated region-restricted MIN decorrelates into one
+    shared relation + aggregate + equi-join-back — no nested loop, no
+    cartesian; dims broadcast."""
+    plan = physical_plan(q("tpch_q2_min_cost_supplier", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
