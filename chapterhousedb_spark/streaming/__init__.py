@@ -10,6 +10,7 @@ from chapterhousedb_spark.streaming.batcher import (
     interval_join_streams_outer,
     list_versions,
     merge_stream,
+    quota_stream,
     read_event_stream,
     read_versioned_base,
     rollup_stream,
@@ -28,6 +29,7 @@ __all__ = [
     "interval_join_streams_outer",
     "list_versions",
     "merge_stream",
+    "quota_stream",
     "read_event_stream",
     "read_versioned_base",
     "rollup_stream",

@@ -725,3 +725,66 @@ def vacuum_versions(
         fs.delete(jpath, True)
         removed.append(v)
     return removed
+
+
+_QUOTA_OUT_FIELDS = ["event_id", "ts", "user_id", "event_type", "value"]
+_QUOTA_STATE_SCHEMA = "n_admitted bigint"
+
+
+def quota_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    quota: int = 100,
+) -> DataFrame:
+    """Stateful per-key admission quota: admit at most `quota` rows per
+    key over the stream's LIFETIME, drop the rest — the crawl-ingest
+    politeness / per-source cap as a streaming operator (the batch
+    twin is sampling.grouped_sample; this is what you run when the
+    corpus arrives as a stream and the cap must hold across
+    micro-batches). State per key is ONE counter (bigint), sharded by
+    key across executors; admission order inside a micro-batch is
+    pinned to event-time then event_id so replays of the same batch
+    admit the same rows (cross-batch arrival order is the stream's
+    own ordering, as with any first-N cap).
+
+    At 100 TB-scale streams: state size is |keys| x 8 bytes — nothing;
+    the groupBy shuffles each micro-batch once on the key. No timeout:
+    a lifetime cap never expires (wrap with a windowed key like
+    (source, date) for per-day quotas)."""
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
+        room = max(0, quota - n)
+        take = batch.iloc[:room]
+        state.update((n + len(take),))
+        if len(take):
+            yield take[_QUOTA_OUT_FIELDS]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    return (
+        events.select(*_QUOTA_OUT_FIELDS)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=_QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1546,3 +1546,45 @@ def test_admit_batch_crash_replay_is_idempotent(spark, tmp_path_factory):
         for r in spark.read.parquet(f"{labels_root}/v1").collect()
     }
     assert labels[100] == 0 and 101 in labels
+
+
+def test_quota_stream_caps_per_key_across_batches(spark, event_dir, tmp_path_factory):
+    """Lifetime per-key quota: draining the landing dir one file per
+    trigger admits at most `quota` rows per event_type TOTAL (state
+    carries across micro-batches), never duplicates a row, and admits
+    exactly min(quota, available) per key."""
+    from chapterhousedb_spark.streaming import quota_stream, read_event_stream
+
+    out = str(tmp_path_factory.mktemp("quota_out"))
+    ckpt = str(tmp_path_factory.mktemp("quota_ckpt"))
+    stream = read_event_stream(spark, event_dir, max_files_per_trigger=1)
+    q = (
+        quota_stream(stream, key_col="event_type", quota=40)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    per_key = {
+        r["event_type"]: r["n"]
+        for r in got.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    avail = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(event_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_key, per_key
+    for k, n in per_key.items():
+        assert n == min(40, avail[k]), (k, n, avail[k])
+    # no duplicates, and every admitted row exists in the source
+    assert got.count() == got.select("event_id").distinct().count()
+    assert got.join(
+        spark.read.parquet(event_dir).select("event_id"), "event_id", "left_anti"
+    ).count() == 0
