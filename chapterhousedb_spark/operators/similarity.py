@@ -519,3 +519,35 @@ def ivf_probe_topk(
     probes = ivf_probe_cells(centroids, query_vec, nprobe)
     cand = assigned.filter(F.col(cell_col).isin(probes)).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def l2_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    norm_col: str = "norm",
+) -> DataFrame:
+    """Unit-normalize embeddings (the standard preprocessing before
+    cosine ANN: post-normalization, cosine == dot product, so every
+    downstream scorer drops its per-row norm). The squared-norm sum is
+    a SEQUENTIAL left fold over the array (F.aggregate) — the same
+    evaluation order DuckDB's list_sum uses, which is what makes the
+    derived scalars oracle-comparable (the construction every gated
+    similarity query already relies on). Zero-norm vectors pass
+    through unchanged with norm 0 rather than dividing by zero.
+
+    At 100 TB: one map-side higher-order expression per row, no
+    shuffle, no Python."""
+    out_col = out_col or vec_col
+    v = F.col(vec_col)
+    sumsq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sumsq)
+    unit = F.when(
+        norm > 0,
+        F.transform(v, lambda x: (x.cast("double") / norm)),
+    ).otherwise(F.transform(v, lambda x: x.cast("double")))
+    return df.withColumn(norm_col, norm).withColumn(out_col, unit)

@@ -1315,3 +1315,37 @@ def pair_features_q(spark, sf_dir):
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
     return pair_features(pairs, docs).orderBy("id_a")
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[i] AS DOUBLE)))) AS norm,
+           CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(embedding[i] AS DOUBLE)
+                       * CAST(embedding[i] AS DOUBLE)))) AS u0
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def embedding_normalize_q(spark, sf_dir):
+    """L2 normalization (similarity.l2_normalize): per-vector norm and
+    the first unit component — the cosine-ANN preprocessing step. Both
+    engines fold the squared sum sequentially in array order, the same
+    determinism contract the other similarity oracles use."""
+    from chapterhousedb_spark.operators.similarity import l2_normalize
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        l2_normalize(emb, "embedding", out_col="unit")
+        .select(
+            "vec_id",
+            "norm",
+            F.col("unit")[0].alias("u0"),
+        )
+        .orderBy("vec_id")
+    )

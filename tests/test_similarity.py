@@ -400,3 +400,39 @@ def test_ivf_append_incremental_index_maintenance(spark, tmp_path):
     pruned = ivf_probe_topk(corpus, cents2, q, k=5, nprobe=1)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+
+def test_l2_normalize_unit_norm_and_zero_safe(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.similarity import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    got = {r["vec_id"]: r.asDict() for r in l2_normalize(df).collect()}
+    assert got[1]["norm"] == 5.0
+    assert got[1]["embedding"] == [0.6, 0.8]
+    assert got[2]["norm"] == 0.0 and got[2]["embedding"] == [0.0, 0.0]
+    # normalized vectors have unit norm (within fp)
+    n3 = math.sqrt(sum(x * x for x in got[3]["embedding"]))
+    assert abs(n3 - 1.0) < 1e-12
+    # post-normalization, cosine == dot: check on real data
+    from chapterhousedb_spark.operators.similarity import cosine_topk
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings").limit(50)
+    unit = l2_normalize(emb)
+    q = [1.0] * 64
+    top = cosine_topk(emb, q, k=5)
+    top_unit = cosine_topk(unit, q, k=5)
+    assert [r["vec_id"] for r in top.collect()] == [
+        r["vec_id"] for r in top_unit.collect()
+    ]
