@@ -84,6 +84,8 @@ HEADLINE = [
     "token_budget_mix",
     "rarity_stats",
     "tpch_q2_min_cost_supplier",
+    "pair_features",
+    "embedding_normalize",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their
