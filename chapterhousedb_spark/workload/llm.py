@@ -1349,3 +1349,50 @@ def embedding_normalize_q(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "minhash_md5_signatures",
+    oracle=f"""
+    WITH posts AS (
+      SELECT DISTINCT doc_id,
+             t.g
+      FROM (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len({_TOKS}) - 2),
+                i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+             )) AS g
+            FROM documents WHERE len({_TOKS}) >= 3) t(doc_id, g)),
+    sigs AS (
+      SELECT doc_id,
+             MIN(md5('0:' || g)) AS m0,
+             MIN(md5('1:' || g)) AS m1,
+             MIN(md5('2:' || g)) AS m2,
+             MIN(md5('3:' || g)) AS m3
+      FROM posts GROUP BY doc_id)
+    SELECT * FROM sigs ORDER BY doc_id
+    """,
+)
+def minhash_md5_signatures_q(spark, sf_dir):
+    """MinHash signature construction under the hash gate: the
+    production operators use xxhash64 (JVM-fast but not in DuckDB), so
+    their pair outputs are rows-only by design — this query gates the
+    minhash MATH itself with an engine-portable md5 family instead:
+    per doc, the MIN of each seeded hash over the distinct word-3-gram
+    set (min-of-hex == min-of-value for equal-length hex strings).
+    Any regression in the shingle construction, the distinct
+    semantics, or the min-aggregation shape breaks this gate even
+    though the xxhash64 family can't be cross-checked directly."""
+    from chapterhousedb_spark.operators.dedup import word_shingle_posts
+
+    docs = load(spark, sf_dir, "documents")
+    posts = word_shingle_posts(docs, k=3).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(4)
+    ]
+    return (
+        posts.groupBy("id")
+        .agg(*aggs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
