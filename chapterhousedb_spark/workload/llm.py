@@ -1396,3 +1396,62 @@ def minhash_md5_signatures_q(spark, sf_dir):
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "simhash_md5_fingerprints",
+    oracle=f"""
+    WITH posts AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+            FROM documents) t(doc_id, tok)
+      WHERE t.tok <> ''),
+    bits AS (
+      SELECT doc_id, i.i AS bit,
+             SUM(CASE WHEN ascii(substring(md5(tok), i.i + 1, 1)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM posts CROSS JOIN generate_series(0, 15) i(i)
+      GROUP BY doc_id, i.i)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0
+                    THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT)
+             AS simhash16
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def simhash_md5_fingerprints_q(spark, sf_dir):
+    """SimHash fingerprint construction under the hash gate (same
+    rationale as minhash_md5_signatures): a 16-bit Charikar simhash
+    over the distinct-token set with an md5-derived bit family both
+    engines share — bit_i(token) = parity of the i-th hex digit of
+    md5(token); fingerprint bit set iff the signed vote sum is
+    strictly positive (ties -> 0 on both engines). Gates the
+    sign-vote-and-pack shape the production xxhash64 simhash uses."""
+    docs = load(spark, sf_dir, "documents")
+    from chapterhousedb_spark.operators.dedup import normalize_text
+
+    posts = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    h = F.md5("tok")
+    votes = [
+        F.sum(
+            F.when(
+                F.ascii(F.substring(h, i + 1, 1)) % 2 == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"__s{i}")
+        for i in range(16)
+    ]
+    agged = posts.groupBy("doc_id").agg(*votes)
+    fp = None
+    for i in range(16):
+        term = F.when(
+            F.col(f"__s{i}") > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return agged.select("doc_id", fp.alias("simhash16")).orderBy("doc_id")
