@@ -735,17 +735,23 @@ def quota_stream(
     events: DataFrame,
     key_col: str = "event_type",
     quota: int = 100,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Stateful per-key admission quota: admit at most `quota` rows per
-    key over the stream's LIFETIME, drop the rest — the crawl-ingest
+    """Stateful per-key admission quota: admit rows per key until the
+    LIFETIME budget is exhausted, drop the rest — the crawl-ingest
     politeness / per-source cap as a streaming operator (the batch
-    twin is sampling.grouped_sample; this is what you run when the
-    corpus arrives as a stream and the cap must hold across
-    micro-batches). State per key is ONE counter (bigint), sharded by
-    key across executors; admission order inside a micro-batch is
-    pinned to event-time then event_id so replays of the same batch
-    admit the same rows (cross-batch arrival order is the stream's
-    own ordering, as with any first-N cap).
+    twins are sampling.grouped_sample for row caps and
+    sampling.token_budget_mix for token budgets; this is what you run
+    when the corpus arrives as a stream and the cap must hold across
+    micro-batches). With weight_col=None the budget counts ROWS; with
+    a weight column (e.g. a precomputed token count in `value`) it
+    counts WEIGHT, and matches token_budget_mix's contract: a row is
+    admitted iff the weight already consumed is < quota (so the
+    budget-crossing row is admitted). State per key is ONE counter
+    (bigint), sharded by key across executors; admission order inside
+    a micro-batch is pinned to event-time then event_id so replays of
+    the same batch admit the same rows (cross-batch arrival order is
+    the stream's own ordering, as with any first-N cap).
 
     At 100 TB-scale streams: state size is |keys| x 8 bytes — nothing;
     the groupBy shuffles each micro-batch once on the key. No timeout:
@@ -762,9 +768,16 @@ def quota_stream(
         if len(batch) == 0:
             return
         batch = batch.sort_values(["ts", "event_id"], ignore_index=True)
-        room = max(0, quota - n)
-        take = batch.iloc[:room]
-        state.update((n + len(take),))
+        if weight_col is None:
+            room = max(0, quota - n)
+            take = batch.iloc[:room]
+            consumed = len(take)
+        else:
+            w = batch[weight_col].fillna(0).astype("int64")
+            prior = n + w.cumsum().shift(fill_value=0)
+            take = batch[prior < quota]
+            consumed = int(w[prior < quota].sum())
+        state.update((n + consumed,))
         if len(take):
             yield take[_QUOTA_OUT_FIELDS]
 

@@ -1588,3 +1588,59 @@ def test_quota_stream_caps_per_key_across_batches(spark, event_dir, tmp_path_fac
     assert got.join(
         spark.read.parquet(event_dir).select("event_id"), "event_id", "left_anti"
     ).count() == 0
+
+
+def test_quota_stream_weighted_budget(spark, tmp_path_factory):
+    """Token-weighted streaming quota (the stream twin of
+    token_budget_mix): per key, rows admit until the consumed WEIGHT
+    reaches the budget — the budget-crossing row is admitted, the
+    rest drop, state carries across micro-batches."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.streaming import quota_stream
+
+    landing = str(tmp_path_factory.mktemp("wq_landing"))
+    # two batches of the same key; weights 40+40 then 40+40, budget 100:
+    # batch1 admits both (0<100, 40<100); batch2 admits e3 (80<100)
+    # but not e4 (120 >= 100)
+    b1 = [
+        Row(event_id=1, ts=dt.datetime(2024, 1, 1, 0, 0), user_id=1,
+            event_type="a", value=40.0, props="x"),
+        Row(event_id=2, ts=dt.datetime(2024, 1, 1, 0, 1), user_id=1,
+            event_type="a", value=40.0, props="x"),
+    ]
+    b2 = [
+        Row(event_id=3, ts=dt.datetime(2024, 1, 1, 0, 2), user_id=1,
+            event_type="a", value=40.0, props="x"),
+        Row(event_id=4, ts=dt.datetime(2024, 1, 1, 0, 3), user_id=1,
+            event_type="a", value=40.0, props="x"),
+    ]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(f"{landing}/f0")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(f"{landing}/f1")
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+    schema = spark.createDataFrame(b1).schema
+    out = str(tmp_path_factory.mktemp("wq_out"))
+    ckpt = str(tmp_path_factory.mktemp("wq_ckpt"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*")
+    )
+    q = (
+        quota_stream(stream, key_col="event_type", quota=100, weight_col="value")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
