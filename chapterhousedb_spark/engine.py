@@ -61,6 +61,7 @@ class QueryHandle:
     query_id: str
     sql: str
     status: QueryStatus = QueryStatus.QUEUED
+    cancelled: bool = False
     error: str | None = None
     result_dir: str | None = None
     num_rows: int | None = None
@@ -287,6 +288,15 @@ class Engine:
             # pool thread that triggers the write action (not in submit)
             sc.setLocalProperty("spark.scheduler.pool", handle.pool)
             handle.pool_applied = sc.getLocalProperty("spark.scheduler.pool")
+            # every job this query triggers lands in its own job group
+            # so cancel() can target exactly this query's work
+            sc.setJobGroup(
+                f"chdb-{handle.query_id}",
+                f"engine query {handle.query_id}",
+                interruptOnCancel=True,
+            )
+            if handle.cancelled:
+                raise RuntimeError("cancelled before execution started")
             df = self.dataframe(handle.sql)
             df.write.mode("overwrite").parquet(out_dir)
             manifest = ResultManifest.build(out_dir)
@@ -296,10 +306,14 @@ class Engine:
             handle.status = QueryStatus.COMPLETE
         except Exception as exc:  # surfaced via status/error like the reference
             handle.status = QueryStatus.ERROR
-            handle.error = f"{type(exc).__name__}: {exc}"
+            handle.error = (
+                "cancelled" if handle.cancelled
+                else f"{type(exc).__name__}: {exc}"
+            )
         finally:
             # clear so a reused pool thread doesn't inherit this pool
             sc.setLocalProperty("spark.scheduler.pool", None)
+            sc.setLocalProperty("spark.jobGroup.id", None)
             handle.finished_at = time.time()
             handle._done.set()
 
@@ -449,6 +463,23 @@ class Engine:
 
     def status(self, query_id: str) -> QueryStatus:
         return self._queries[query_id].status
+
+    def cancel(self, query_id: str) -> bool:
+        """Cancel a QUEUED or RUNNING query: its Spark job group is
+        cancelled (running tasks interrupted) and the handle lands in
+        ERROR('cancelled') — the kill switch every multi-tenant engine
+        needs against runaway queries (the reference's async client can
+        only await or drop; its handler has no kill path). Terminal
+        queries return False (nothing to do). Cancellation is
+        cooperative on the Spark side: the executor pool thread
+        observes the cancelled job and finishes through the normal
+        error path, so wait()/status see a terminal state promptly."""
+        h = self._queries[query_id]
+        if h.status.terminal():
+            return False
+        h.cancelled = True
+        self.spark.sparkContext.cancelJobGroup(f"chdb-{query_id}")
+        return True
 
     def handle(self, query_id: str) -> QueryHandle:
         return self._queries[query_id]

@@ -586,3 +586,47 @@ def test_round7_operator_table_functions(engine, sf_dir):
         for r in decayed_counts(ev, ["event_type"], "ts", "2024-01-31").collect()
     }
     assert got == want  # exact power-of-two sums: equality, no approx
+
+
+def test_cancel_running_query(engine):
+    """Engine.cancel interrupts a RUNNING query's Spark job group: the
+    handle lands in ERROR('cancelled') promptly instead of burning the
+    cluster — the kill path the reference's async client lacks."""
+    import time as _time
+
+    # ~1e10-row cartesian: cannot finish quickly, cancels mid-flight
+    [h] = engine.sql(
+        "select sum(a.id * b.id) as s from range(100000) a, range(100000) b"
+    )
+    deadline = _time.time() + 30
+    while engine.status(h.query_id) is QueryStatus.QUEUED:
+        assert _time.time() < deadline, "never started"
+        _time.sleep(0.05)
+    assert engine.cancel(h.query_id) is True
+    h.wait(timeout=60)
+    assert h.status is QueryStatus.ERROR
+    assert h.error == "cancelled"
+    # cancelling a terminal query is a no-op
+    assert engine.cancel(h.query_id) is False
+
+
+def test_cancel_does_not_affect_other_queries(engine):
+    """Job-group isolation: cancelling one query must not disturb a
+    concurrently running one."""
+    import time as _time
+
+    [slow] = engine.sql(
+        "select sum(a.id * b.id) as s from range(100000) a, range(100000) b"
+    )
+    [ok] = engine.sql(
+        "select count(*) as n from read_files('region.parquet', connection=>'testdata')"
+    )
+    deadline = _time.time() + 30
+    while engine.status(slow.query_id) is QueryStatus.QUEUED:
+        assert _time.time() < deadline
+        _time.sleep(0.05)
+    engine.cancel(slow.query_id)
+    ok.wait(timeout=120)
+    slow.wait(timeout=60)
+    assert ok.status is QueryStatus.COMPLETE
+    assert slow.status is QueryStatus.ERROR and slow.error == "cancelled"
