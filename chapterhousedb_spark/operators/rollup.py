@@ -292,3 +292,39 @@ def decayed_counts(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def decayed_from_partials(
+    partials: DataFrame,
+    keys: Sequence[str | Column],
+    day_col: str,
+    ref_date: str,
+    count_col: str = "n_rows",
+    half_life_days: int = 1,
+    out_col: str = "decayed_count",
+) -> DataFrame:
+    """Answer the trending score from MERGEABLE day-grain partials
+    instead of rescanning facts: rollup_partials keyed on (keys, day)
+    — exactly what rollup_stream maintains incrementally — reweighs to
+    any reference date with the same exact power-of-two arithmetic as
+    decayed_counts. Because per-day counts are integers and the decay
+    weights are powers of two, the answer is BIT-IDENTICAL to
+    decayed_counts run directly on the facts (test-pinned), and the
+    ref_date can move forward daily without touching fact data — the
+    continuous-trending pattern: partials update at O(new rows),
+    scores re-derive at O(|keys| x days)."""
+    age_days = F.datediff(
+        F.lit(ref_date).cast("date"), F.col(day_col).cast("date")
+    )
+    age = F.least(
+        F.lit(62),
+        F.greatest(F.lit(0), (age_days / half_life_days).cast("int")),
+    )
+    staged = partials.withColumn("__age", age)
+    weight = F.expr(
+        "1.0 / CAST(shiftleft(CAST(1 AS BIGINT), __age) AS DOUBLE)"
+    )
+    return staged.groupBy(*_key_cols(keys)).agg(
+        F.sum(weight * F.col(count_col)).alias(out_col),
+        F.sum(count_col).alias(count_col),
+    )

@@ -319,3 +319,50 @@ def test_decayed_counts_exact_and_order_independent(spark):
         ).collect()
     }
     assert got_hl["a"] == 1.0 + 1.0 + 0.5  # ages 0,1,3 -> units 0,0,1
+
+
+def test_decayed_from_partials_equals_direct(spark, sf_dir):
+    """Continuous trending: the score derived from day-grain mergeable
+    partials is BIT-IDENTICAL to decayed_counts on the facts, and
+    stays identical when the partials arrive as two merged halves —
+    so a streaming-maintained partial base answers trending for any
+    ref_date without rescanning facts."""
+    from chapterhousedb_spark.operators.rollup import (
+        decayed_counts,
+        decayed_from_partials,
+        rollup_merge,
+        rollup_partials,
+    )
+    from chapterhousedb_spark.workload.registry import load
+
+    ev = load(spark, sf_dir, "events")
+    direct = {
+        (r["event_type"],): (r["decayed_count"], r["n_rows"])
+        for r in decayed_counts(ev, ["event_type"], "ts", "2024-01-31").collect()
+    }
+    day = F.date_trunc("day", "ts").alias("day")
+    partials = rollup_partials(ev, ["event_type", day])
+    got = {
+        (r["event_type"],): (r["decayed_count"], r["n_rows"])
+        for r in decayed_from_partials(
+            partials, ["event_type"], "day", "2024-01-31"
+        ).collect()
+    }
+    assert got == direct  # bit-exact
+    # merged halves give the same partial base
+    h1 = rollup_partials(ev.filter("event_id % 2 = 0"), ["event_type", day])
+    h2 = rollup_partials(ev.filter("event_id % 2 = 1"), ["event_type", day])
+    merged = rollup_merge(h1.unionByName(h2), ["event_type", F.col("day")])
+    got2 = {
+        (r["event_type"],): (r["decayed_count"], r["n_rows"])
+        for r in decayed_from_partials(
+            merged, ["event_type"], "day", "2024-01-31"
+        ).collect()
+    }
+    assert got2 == direct
+    # moving the ref_date forward reweighs without touching facts
+    fwd = decayed_from_partials(partials, ["event_type"], "day", "2024-02-05")
+    fwd_direct = decayed_counts(ev, ["event_type"], "ts", "2024-02-05")
+    assert {tuple(r) for r in fwd.collect()} == {
+        tuple(r) for r in fwd_direct.collect()
+    }
