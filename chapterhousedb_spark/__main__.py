@@ -121,6 +121,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--shuffle-partitions", type=int, default=None, help="session override"
     )
+    ap.add_argument(
+        "--statement-timeout",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="cancel any statement still running after this many "
+        "seconds (Engine.cancel kills its Spark job group); the "
+        "statement reports as an error, later statements still run",
+    )
     args = ap.parse_args(argv)
 
     if (args.sql is None) == (args.sql_file is None):
@@ -220,7 +229,10 @@ def main(argv: list[str] | None = None) -> int:
         # submission order as it completes
         handles = eng.sql(text, pool=args.pool)
         for i, h in enumerate(handles):
-            h.wait()
+            h.wait(args.statement_timeout)
+            if args.statement_timeout is not None and not h.status.terminal():
+                eng.cancel(h.query_id)
+                h.wait()
             note(f"-- [{i + 1}/{len(handles)}] {h.status.value}: {h.sql.strip()}")
             if h.status is QueryStatus.ERROR:
                 print(f"-- error: {h.error}", file=sys.stderr)

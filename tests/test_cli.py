@@ -184,3 +184,33 @@ def test_cli_browse_typo_fails_fast(tmp_path):
     assert proc.returncode == 2
     assert "bad --browse step" in proc.stderr
     assert "complete:" not in proc.stdout  # nothing executed
+
+
+def test_cli_statement_timeout_cancels(tmp_path):
+    """--statement-timeout cancels a runaway statement (its Spark job
+    group is killed) while later statements still run; rc=1 because a
+    statement errored."""
+    import subprocess
+    import sys
+
+    sql = (
+        "select count(*) as s from range(3000000) a, range(3000000) b;\n"
+        "select count(*) as n from read_files('region.parquet', connection=>'d');"
+    )
+    f = tmp_path / "q.sql"
+    f.write_text(sql)
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "chapterhousedb_spark",
+            "--sql-file", str(f),
+            "--connection", "d=/root/testdata/sf0.001",
+            "--shuffle-partitions", "4",
+            "--statement-timeout", "10",
+        ],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 1
+    assert "cancelled" in r.stderr
+    assert "[2/2] complete" in r.stderr or "[2/2] complete" in r.stdout
+    assert "1 row(s)" in r.stdout or "5" in r.stdout
