@@ -64,6 +64,7 @@ from chapterhousedb_spark.operators.sampling import (
 from chapterhousedb_spark.operators.text import (
     bpe_segment,
     bpe_train,
+    bpe_train_from_words,
     lang_id,
     rarity_stats,
     redact_pii,
@@ -77,6 +78,7 @@ __all__ = [
     "admit_batch",
     "bpe_segment",
     "bpe_train",
+    "bpe_train_from_words",
     "asof_join",
     "components_update",
     "connected_components",

@@ -670,16 +670,37 @@ def bpe_train(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return bpe_train_from_words(
+        words, n_merges, checkpoint_every=checkpoint_every
+    )
+
+
+def bpe_train_from_words(
+    word_freqs: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges directly from a (word, freq) table — the
+    INCREMENTAL tokenizer-training composition: maintain the word
+    counts with vocabulary-style mergeable partials (token counts add;
+    vocabulary_partials/vocabulary_merge are the same machinery over
+    tokens), then retrain merges from the maintained table whenever
+    needed — the corpus text is never rescanned. bpe_train is now a
+    thin wrapper: word count + this. Same deterministic tie-break and
+    identical results to training from the raw text (test-pinned)."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    words = word_freqs.select(
         # chars + </w> end-of-word marker (classic BPE: merges never
         # cross word boundaries; the marker lets suffixes merge)
-        .select(
-            F.concat(
-                F.split(F.col("word"), ""), F.array(F.lit("</w>"))
-            ).alias("syms"),
-            "freq",
-        )
-        .localCheckpoint(eager=True)
-    )
+        F.concat(
+            F.split(F.col(word_col), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+        F.col(freq_col).alias("freq"),
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         pairs = (

@@ -471,3 +471,40 @@ def test_bpe_segment_roundtrip_property(spark):
     for i, t in enumerate(texts):
         flat = "".join(tok for tok in seg[i]).replace("</w>", " ").strip()
         assert flat == t, (flat, t)
+
+
+def test_bpe_train_from_maintained_word_table(spark):
+    """Incremental tokenizer training: word counts maintained as
+    mergeable partials (counts add), merges retrained from the table —
+    identical to training from the raw text."""
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.text import (
+        bpe_train,
+        bpe_train_from_words,
+        normalize_text,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest widest",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def word_partial(df):
+        return (
+            df.select(F.explode(F.split(normalize_text("text"), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    # two batches' partials merged == whole-corpus counts
+    merged = (
+        word_partial(docs.filter("doc_id < 2"))
+        .unionByName(word_partial(docs.filter("doc_id >= 2")))
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    assert bpe_train_from_words(merged, 8) == bpe_train(docs, 8)
