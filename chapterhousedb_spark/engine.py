@@ -298,6 +298,11 @@ class Engine:
             if handle.cancelled:
                 raise RuntimeError("cancelled before execution started")
             df = self.dataframe(handle.sql)
+            # last pre-job check: a cancel that landed during analysis
+            # must not let the write submit jobs the (already-fired)
+            # one-shot part of cancelJobGroup never saw
+            if handle.cancelled:
+                raise RuntimeError("cancelled before execution started")
             df.write.mode("overwrite").parquet(out_dir)
             manifest = ResultManifest.build(out_dir)
             manifest.save(out_dir)
@@ -470,15 +475,33 @@ class Engine:
         ERROR('cancelled') — the kill switch every multi-tenant engine
         needs against runaway queries (the reference's async client can
         only await or drop; its handler has no kill path). Terminal
-        queries return False (nothing to do). Cancellation is
-        cooperative on the Spark side: the executor pool thread
-        observes the cancelled job and finishes through the normal
-        error path, so wait()/status see a terminal state promptly."""
+        queries return False (nothing to do).
+
+        cancelJobGroup only covers jobs RUNNING at the moment of the
+        call — a job the query's write action submits a moment later
+        would escape a one-shot cancel (observed: the cancelled handle
+        erred while its cartesian kept burning every core until
+        Engine.close blocked on it). A small daemon reaper therefore
+        re-cancels the group every 200 ms until the run loop observes
+        a terminal state, closing the submit/cancel race completely;
+        _run also re-checks the cancelled flag right before the write
+        so a pre-execution cancel never starts jobs at all."""
         h = self._queries[query_id]
         if h.status.terminal():
             return False
         h.cancelled = True
-        self.spark.sparkContext.cancelJobGroup(f"chdb-{query_id}")
+        group = f"chdb-{query_id}"
+        sc = self.spark.sparkContext
+
+        def _reaper() -> None:
+            while not h.status.terminal():
+                try:
+                    sc.cancelJobGroup(group)
+                except Exception:
+                    return  # context shut down — nothing left to kill
+                h._done.wait(0.2)
+
+        threading.Thread(target=_reaper, daemon=True).start()
         return True
 
     def handle(self, query_id: str) -> QueryHandle:
