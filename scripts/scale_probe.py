@@ -137,6 +137,31 @@ def probe(spark, docs, embs) -> dict:
     )
     n, t = timed_count(table_diff(docs, edited, keys=["doc_id"]))
     out["diff_rows"], out["diff_rows_sec"] = n, t
+    # round-7 operators: rarity is postings + df join + per-doc agg
+    # (rows == docs by construction); token_budget_mix is the bucket-
+    # decomposed prefix sum (budget scaled with corpus so the admitted
+    # set stays proportional); pair_features joins a consecutive-id
+    # pair set to token arrays (pairs ~ docs).
+    from chapterhousedb_spark.operators.dedup import pair_features
+    from chapterhousedb_spark.operators.sampling import token_budget_mix
+    from chapterhousedb_spark.operators.text import rarity_stats, token_count
+
+    n, t = timed_count(rarity_stats(docs, common_k=200))
+    out["rarity_rows"], out["rarity_rows_sec"] = n, t
+    n_docs = out["n_docs"]
+    mix_in = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("string").alias("source"),
+        token_count("text").cast("long").alias("n_tok"),
+    )
+    budgets = {str(s): 15 * n_docs for s in range(4)}  # ~60 tokens/doc avg
+    n, t = timed_count(token_budget_mix(mix_in, budgets, token_col="n_tok"))
+    out["mix_rows"], out["mix_rows_sec"] = n, t
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    n, t = timed_count(pair_features(pairs, docs))
+    out["pairfeat_rows"], out["pairfeat_rows_sec"] = n, t
     return out
 
 
