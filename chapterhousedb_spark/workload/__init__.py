@@ -298,7 +298,11 @@ _SWAP_POOL = [
     "set_ops",
     "table_profile",
     "dedup_survivors",
-    "similarity_topk",
+    # similarity_topk left the pool round 7: the round's mid-group
+    # growth pushed it into the static tail, where it is promotion-
+    # eligible like any oracle row (a pool entry outside the window
+    # can never demote and only shrinks the demotable set toward the
+    # silent-no-op guard; tests/test_rotation.py now pins this)
     "agg_pricing_summary",
     # round 7: pool grown past the new _ROTATION_K=6 so the swap can
     # actually fire (a demotable set smaller than K silently no-ops —
@@ -340,6 +344,11 @@ def _current_round() -> int:
     return max(ns) + 1 if ns else 1
 
 
+# diagnostics of the LAST _rotate application (tests/test_rotation.py
+# asserts the swap actually fired; empty lists = no-op path taken)
+_ROTATION_INFO: dict = {"demoted": [], "promoted": [], "window_static": []}
+
+
 def _rotate(order: list[str]) -> list[str]:
     """Swap _ROTATION_K stable tail rows into the driver's window
     (and _ROTATION_K _SWAP_POOL rows out), round-robin keyed on the
@@ -347,6 +356,7 @@ def _rotate(order: list[str]) -> list[str]:
     every ~len(pool)/K rounds. Pure reordering: the set of declared
     queries and their definitions never change."""
     window, tail = order[:_WINDOW], order[_WINDOW:]
+    _ROTATION_INFO["window_static"] = list(window)
     pool = [n for n in tail if n in ORACLES]
     demotable = [n for n in _SWAP_POOL if n in window]
     if not pool or len(demotable) < _ROTATION_K:
@@ -355,6 +365,8 @@ def _rotate(order: list[str]) -> list[str]:
     promoted = [pool[(base + i) % len(pool)] for i in range(_ROTATION_K)]
     demoted = [demotable[(base + i) % len(demotable)] for i in range(_ROTATION_K)]
     promoted = list(dict.fromkeys(promoted))  # dedupe if pool < K (defensive)
+    _ROTATION_INFO["demoted"] = list(demoted)
+    _ROTATION_INFO["promoted"] = list(promoted)
     new_window = [n for n in window if n not in demoted] + promoted
     new_tail = demoted + [n for n in tail if n not in promoted]
     return new_window + new_tail

@@ -1,0 +1,46 @@
+"""Gate-rotation invariants (workload/__init__.py::_rotate): the swap
+must actually FIRE and preserve the 50-slot window — a _SWAP_POOL
+whose members drift out of the static window shrinks the demotable
+set toward the silent-no-op guard (nearly happened in round 7 when
+the mid group grew and pushed one pool member into the tail)."""
+
+from __future__ import annotations
+
+import chapterhousedb_spark.workload as w
+
+
+def test_rotation_fired_with_full_swap():
+    info = w._ROTATION_INFO
+    assert info["demoted"], "rotation silently no-op'd (demotable < K)"
+    assert len(set(info["demoted"])) == w._ROTATION_K, info["demoted"]
+    assert len(set(info["promoted"])) == w._ROTATION_K, info["promoted"]
+    order = list(w.QUERIES)
+    window = order[:50]
+    assert len(order) == len(set(order)) == len(w.QUERIES)
+    # every promoted row made it into the window; every demoted row out
+    for n in info["promoted"]:
+        assert n in window, n
+    for n in info["demoted"]:
+        assert n not in window, n
+    # promoted rows are oracle-able (driver-gateable)
+    assert all(n in w.ORACLES for n in info["promoted"])
+
+
+def test_swap_pool_members_sit_in_the_static_window():
+    """Every pool member must be an IN-WINDOW row of the UNROTATED
+    ordering, else it can never demote and the swap under-fires."""
+    static_window = set(w._ROTATION_INFO["window_static"])
+    assert static_window, "rotation never ran"
+    for n in w._SWAP_POOL:
+        assert n in static_window, (
+            f"_SWAP_POOL member {n!r} is not in the static window"
+        )
+    assert len(w._SWAP_POOL) >= w._ROTATION_K
+
+
+def test_rows_only_queries_stay_at_the_tail_end():
+    """The rows-only-by-design entries (weakest driver check) must
+    never occupy window slots."""
+    window = list(w.QUERIES)[:50]
+    rows_only = set(w.QUERIES) - set(w.ORACLES)
+    assert not (rows_only & set(window)), rows_only & set(window)
