@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 import pyarrow as pa
 
@@ -228,8 +229,19 @@ def main(argv: list[str] | None = None) -> int:
         # file's statements through one connection), then page each in
         # submission order as it completes
         handles = eng.sql(text, pool=args.pool)
+        # statements run CONCURRENTLY from submission, so each one's
+        # deadline counts from submit time — not from when this
+        # sequential paging loop reaches it (otherwise statement N
+        # could run ~N*timeout before being cancelled)
+        submitted_at = time.monotonic()
         for i, h in enumerate(handles):
-            h.wait(args.statement_timeout)
+            if args.statement_timeout is None:
+                h.wait()
+            else:
+                remaining = args.statement_timeout - (
+                    time.monotonic() - submitted_at
+                )
+                h.wait(max(remaining, 0.0))
             if args.statement_timeout is not None and not h.status.terminal():
                 eng.cancel(h.query_id)
                 h.wait()

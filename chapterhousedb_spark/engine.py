@@ -316,9 +316,13 @@ class Engine:
                 else f"{type(exc).__name__}: {exc}"
             )
         finally:
-            # clear so a reused pool thread doesn't inherit this pool
+            # clear EVERY property setJobGroup/pool set, so a reused
+            # pool thread doesn't leak this query's pool, group id,
+            # description, or interrupt-on-cancel into later work
             sc.setLocalProperty("spark.scheduler.pool", None)
             sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
             handle.finished_at = time.time()
             handle._done.set()
 

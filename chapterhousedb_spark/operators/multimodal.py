@@ -99,10 +99,12 @@ def decode_real(payload: bytes) -> dict:
     )
 
 
-def _decode_ppm_p6(payload: bytes) -> dict:
-    """Binary PPM: ASCII header `P6 <w> <h> <maxval>` (whitespace- and
-    #-comment-tolerant), then w*h*3 raw RGB bytes (maxval < 256).
-    mean_pixel = mean over all RGB bytes."""
+def _parse_ppm_header(payload: bytes):
+    """Parse the ASCII `P6 <w> <h> <maxval>` header (whitespace- and
+    #-comment-tolerant). Returns (w, h, body_offset) or None. The
+    offset is the authoritative raster start — callers must NOT
+    back-compute it from the payload END, since trailing bytes after
+    the raster are tolerated (ADVICE r7: that shifted the body)."""
     pos = 2
     fields: list[int] = []
     while len(fields) < 3 and pos < len(payload):
@@ -121,9 +123,19 @@ def _decode_ppm_p6(payload: bytes) -> dict:
         else:
             break
     if len(fields) < 3 or fields[2] > 255:
-        return {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+        return None
     w, h, _maxval = fields
     pos += 1  # single whitespace byte after maxval per spec
+    return w, h, pos
+
+
+def _decode_ppm_p6(payload: bytes) -> dict:
+    """Binary PPM: ASCII header `P6 <w> <h> <maxval>`, then w*h*3 raw
+    RGB bytes (maxval < 256). mean_pixel = mean over all RGB bytes."""
+    hdr = _parse_ppm_header(payload)
+    if hdr is None:
+        return {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    w, h, pos = hdr
     body = payload[pos : pos + w * h * 3]
     if len(body) != w * h * 3:
         return {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
@@ -548,13 +560,13 @@ def resize_media(
         if payload is None:
             return bad
         if payload[:2] == b"P6":
-            d = _decode_ppm_p6(payload)
-            if not d["ok"]:
+            hdr = _parse_ppm_header(payload)
+            if hdr is None:
                 return bad
-            w, h = d["width"], d["height"]
-            # re-locate the body the same way the decoder did
-            header_end = len(payload) - w * h * 3
-            body = payload[header_end:]
+            w, h, body_off = hdr
+            body = payload[body_off : body_off + w * h * 3]
+            if len(body) != w * h * 3:
+                return bad
             out = _resize_rgb(body, w, h, 3, target_w, target_h)
             blob = (
                 f"P6\n{target_w} {target_h}\n255\n".encode("ascii") + out

@@ -595,32 +595,6 @@ def vocabulary_merge(*partials: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- BPE
 
 
-def _merge_pair_expr(col: str, left_col: str, right_col: str) -> Column:
-    """JVM fold that merges every non-overlapping adjacent occurrence
-    of (left, right) in a symbol array, left-to-right — the BPE merge
-    step as a single aggregate() lambda (no Python, no explode). The
-    accumulator carries (out array, pending symbol); each step either
-    fuses pending+current or flushes pending."""
-    return F.expr(
-        f"""
-        aggregate(
-          {col},
-          named_struct('out', cast(array() as array<string>),
-                       'prev', cast(null as string)),
-          (acc, x) -> if(acc.prev is null,
-                         named_struct('out', acc.out, 'prev', x),
-                         if(acc.prev = {left_col} AND x = {right_col},
-                            named_struct('out',
-                                         concat(acc.out,
-                                                array(concat(acc.prev, x))),
-                                         'prev', cast(null as string)),
-                            named_struct('out', concat(acc.out, array(acc.prev)),
-                                         'prev', x))),
-          acc -> if(acc.prev is null, acc.out, concat(acc.out, array(acc.prev))))
-        """
-    )
-
-
 def bpe_train(
     df: DataFrame,
     n_merges: int,
@@ -641,7 +615,7 @@ def bpe_train(
     weighted by word freq, one map-side-combined groupBy finds the
     global best pair (ties broken (count desc, left asc, right asc) —
     fully deterministic), a 1-row collect takes it to the driver, and
-    the merge applies to every word as a JVM fold (_merge_pair_expr).
+    the merge applies to every word as a JVM fold (_fold_merge).
 
     At 100 TB: the word table is the Zipf-compressed corpus (~1e7-1e8
     unique words for 1e12 tokens), built with ONE pass over the text +
@@ -721,9 +695,11 @@ def bpe_train_from_words(
             break  # nothing left worth merging
         left, right = top[0]["l"], top[0]["r"]
         merges.append((left, right))
-        lq, rq = left.replace("'", "\\'"), right.replace("'", "\\'")
+        # Column-based fold: left/right become parameterized literals
+        # (implicit lit), never SQL string interpolation — symbols
+        # containing quotes OR backslashes train correctly (ADVICE r7).
         words = words.select(
-            _merge_pair_expr("syms", f"'{lq}'", f"'{rq}'").alias("syms"),
+            _fold_merge(F.col("syms"), left, right).alias("syms"),
             "freq",
         )
         if (i + 1) % checkpoint_every == 0:
@@ -769,8 +745,10 @@ def _apply_merges_lambda(word_col: Column, merges: list[tuple[str, str]]):
 
 
 def _fold_merge(arr: Column, left: str, right: str) -> Column:
-    """One merge step over an array column (Column-level twin of
-    _merge_pair_expr)."""
+    """One merge step over an array column: merges every
+    non-overlapping adjacent (left, right) occurrence left-to-right.
+    left/right are parameterized as implicit literals (no SQL string
+    interpolation — safe for symbols containing quotes/backslashes)."""
     empty = F.array().cast("array<string>")
     acc0 = F.struct(
         empty.alias("out"), F.lit(None).cast("string").alias("prev")

@@ -339,3 +339,27 @@ def test_resize_media_preserves_rgba_and_gray(spark):
         assert got[mid]["ok"], mid
         d = decode_real(bytes(got[mid]["payload"]))
         assert d["ok"] and (d["width"], d["height"]) == (3, 3)
+
+
+def test_resize_media_ppm_trailing_bytes(spark):
+    """A PPM payload with trailing bytes after the raster (e.g. a
+    trailing newline) resizes the TRUE raster, not a shifted window —
+    the body offset comes from the header parse, never back-computed
+    from the payload end (ADVICE r7)."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        make_ppm_blob,
+        resize_media,
+    )
+
+    w, h, tw, th = 8, 6, 4, 3
+    ppm = make_ppm_blob(w, h, fill=5) + b"\n\x00garbage"
+    media = spark.createDataFrame([(1, "image", ppm, ("t", 0))], MEDIA_SCHEMA)
+    (r,) = resize_media(media, tw, th).collect()
+    assert r["ok"] and (r["width"], r["height"]) == (tw, th)
+    body = np.frombuffer(
+        bytes((5 + i) % 256 for i in range(w * h * 3)), dtype=np.uint8
+    ).reshape(h, w, 3)
+    ys, xs = (np.arange(th) * h) // th, (np.arange(tw) * w) // tw
+    assert bytes(r["payload"]).endswith(body[ys][:, xs].tobytes())

@@ -508,3 +508,24 @@ def test_bpe_train_from_maintained_word_table(spark):
         .agg(F.sum("freq").alias("freq"))
     )
     assert bpe_train_from_words(merged, 8) == bpe_train(docs, 8)
+
+
+def test_bpe_train_handles_backslash_and_quote_symbols(spark):
+    """Merge application is parameterized (Column literals), never SQL
+    string interpolation — corpora whose words contain backslashes or
+    quotes train correctly (ADVICE r7: the interpolated form corrupted
+    or failed on a symbol ending in '\\')."""
+    from chapterhousedb_spark.operators.text import bpe_segment, bpe_train
+
+    texts = [
+        r"a\b a\b a\b a\b don't don't don't",
+        r"x\ x\ x\ x\ 'q' 'q' 'q'",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=6)
+    assert merges == _py_bpe_train(texts, 6)
+    seg = {r["doc_id"]: r["tokens"] for r in bpe_segment(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        assert seg[i] == _py_bpe_segment(t, merges), i
