@@ -35,7 +35,14 @@ def test_swap_pool_members_sit_in_the_static_window():
         assert n in static_window, (
             f"_SWAP_POOL member {n!r} is not in the static window"
         )
-    assert len(w._SWAP_POOL) >= w._ROTATION_K
+    # standing slack guard (VERDICT r7 #4): the CURRENT round's
+    # demotable set must exceed K, so one member drifting out of the
+    # window can never push the swap onto the silent-no-op path
+    demotable = [n for n in w._SWAP_POOL if n in static_window]
+    assert len(demotable) >= w._ROTATION_K + 1, (
+        f"demotable={demotable}: zero slack — grow _SWAP_POOL with "
+        "in-window rows before the next reshuffle"
+    )
 
 
 def test_rows_only_queries_stay_at_the_tail_end():
