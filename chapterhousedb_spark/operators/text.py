@@ -707,32 +707,151 @@ def bpe_train_from_words(
     return merges
 
 
+# above this many merges, bpe_segment switches from the composed JVM
+# fold (plan size AND eval cost grow linearly with len(merges)) to
+# the broadcast pandas path (plan size constant). Measured at sf0.01
+# (SCALE.md): the walls cross between 8 and 32 merges — JVM 1.9s @ 8
+# / 4.7s @ 32 / 7.3s @ 64 vs pandas flat ~0.24s warm — and a
+# production ~30k-merge vocabulary would explode the Catalyst plan
+# (codegen limits) long before the linear eval cost even matters.
+# 16 keeps the dependency-free JVM form for tiny/oracle-sized lists.
+_BPE_JVM_MAX_MERGES = 16
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    use_pandas: bool | None = None,
 ) -> DataFrame:
     """Apply a learned merge list to a corpus: (id, tokens array,
-    n_tokens) with each word segmented by replaying the merges in
-    learned order — the whole chain is one composed JVM expression per
-    row (no Python, no shuffle; tokenization is embarrassingly
-    parallel). Apply-cost grows with len(merges); for production-sized
-    merge lists a broadcast trie in a pandas UDF is the faster shape —
-    this JVM form is exact and dependency-free."""
-    return df.select(
-        F.col(id_col),
-        F.flatten(
-            F.transform(
-                F.split(normalize_text(text_col), " "),
-                lambda w: _apply_merges_lambda(w, merges),
-            )
-        ).alias("tokens"),
-    ).select(
-        id_col,
-        "tokens",
-        F.size("tokens").cast("int").alias("n_tokens"),
+    n_tokens), each word segmented by replaying the merges in learned
+    order. Two physical shapes with identical output (test-pinned):
+
+    - JVM fold (len(merges) <= _BPE_JVM_MAX_MERGES): the whole merge
+      chain is one composed expression per row — no Python, exact,
+      dependency-free, but the Catalyst plan grows with the merge
+      count (unusable at a production ~30k-merge vocabulary).
+    - Broadcast pandas (the production shape, VERDICT r7 #2): the
+      rank table ships once per executor via sc.broadcast; an
+      Arrow-batched mapInPandas segments each word by greedily
+      merging the lowest-RANK adjacent pair (the classic GPT-2 apply
+      loop) with a per-word memo — Zipf reuse makes the amortized
+      cost per token tiny. Plan size is constant in len(merges).
+
+    Rank-greedy == in-order replay for any TRAINED merge list: a
+    merge can only create adjacencies involving its new symbol, and
+    training can only learn pairs over symbols that already existed
+    at that step — so applying a later merge never re-enables an
+    earlier one, and both orders fix the same set of merges.
+    (For arbitrary hand-written lists violating that invariant the
+    two can differ; trained lists are the contract.)
+
+    Either path is shuffle-free and embarrassingly parallel — at
+    100 TB, segmentation cost is one corpus scan; the rank table for
+    a 50k vocab is ~2 MB broadcast."""
+    if use_pandas is None:
+        use_pandas = len(merges) > _BPE_JVM_MAX_MERGES
+    if not use_pandas:
+        return df.select(
+            F.col(id_col),
+            F.flatten(
+                F.transform(
+                    # drop empty words (blank/empty text) — the
+                    # sequential reference and the pandas path both
+                    # skip them rather than emit a bare '</w>'
+                    F.filter(
+                        F.split(normalize_text(text_col), " "),
+                        lambda w: w != "",
+                    ),
+                    lambda w: _apply_merges_lambda(w, merges),
+                )
+            ).alias("tokens"),
+        ).select(
+            id_col,
+            "tokens",
+            F.size("tokens").cast("int").alias("n_tokens"),
+        )
+    return _bpe_segment_pandas(df, merges, text_col, id_col)
+
+
+def _bpe_segment_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Broadcast-rank pandas segmentation (see bpe_segment). The text
+    is normalized and word-split JVM-SIDE (identical semantics to the
+    JVM path — Java regex \\s+, JVM lower()); only the per-word merge
+    replay crosses into Python, Arrow-batched."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    ranks_bc = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
     )
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__words"),
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields[:1]
+    ).replace("__id", id_col) + ", tokens array<string>, n_tokens int"
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = ranks_bc.value
+        inf = float("inf")
+        memo: dict[str, list[str]] = {}
+
+        def seg_word(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            syms = list(word) + ["</w>"]
+            while len(syms) > 1:
+                best, best_rank = None, inf
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]), inf)
+                    if r < best_rank:
+                        best, best_rank = (syms[i], syms[i + 1]), r
+                if best is None:
+                    break
+                left, right = best
+                out, i = [], 0
+                n = len(syms)
+                while i < n:
+                    if (
+                        i + 1 < n
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[word] = syms
+            return syms
+
+        for pdf in batches:
+            toks = [
+                [t for w in words if w for t in seg_word(w)]
+                for words in pdf["__words"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__id"].values,
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return src.mapInPandas(_segment, out_schema)
 
 
 def _apply_merges_lambda(word_col: Column, merges: list[tuple[str, str]]):

@@ -529,3 +529,70 @@ def test_bpe_train_handles_backslash_and_quote_symbols(spark):
     seg = {r["doc_id"]: r["tokens"] for r in bpe_segment(docs, merges).collect()}
     for i, t in enumerate(texts):
         assert seg[i] == _py_bpe_segment(t, merges), i
+
+
+def test_bpe_segment_pandas_equals_jvm_fold_on_testdata(spark):
+    """The production broadcast-rank pandas segmenter and the composed
+    JVM fold produce IDENTICAL segmentations (VERDICT r7 #2) — checked
+    on real testdata documents with a trained merge list, plus empty/
+    blank/backslash edge rows."""
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.text import bpe_segment, bpe_train
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").limit(60).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, r"x\ don't x\ don't")],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    merges = bpe_train(docs.filter(F.col("text") != ""), n_merges=24)
+    jvm = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_segment(docs, merges, use_pandas=False).collect()
+    }
+    pdc = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bpe_segment(docs, merges, use_pandas=True).collect()
+    }
+    assert jvm == pdc
+    # empty/blank text segments to zero tokens on both paths
+    assert jvm[100001] == ([], 0) and jvm[100002] == ([], 0)
+
+
+def test_bpe_segment_auto_selects_pandas_past_threshold(spark):
+    """Past _BPE_JVM_MAX_MERGES the segmenter switches to the
+    broadcast pandas shape automatically, and the Catalyst plan stays
+    FLAT in the merge count (a 30k-merge vocabulary must not explode
+    codegen — the production-scale contract)."""
+    from chapterhousedb_spark.operators.text import (
+        _BPE_JVM_MAX_MERGES,
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low low lower newest"), (1, "newest widest low")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=6)
+    # pad to a production-sized merge table with inert symbol pairs
+    big = merges + [(f"\x00L{i}", f"\x00R{i}") for i in range(30000)]
+    assert len(big) > _BPE_JVM_MAX_MERGES
+    df = bpe_segment(docs, big)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan
+    assert len(plan) < 2000, len(plan)  # flat: no per-merge expressions
+    # inert padding leaves the segmentation identical to the real list
+    small = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment(docs, merges, use_pandas=True).collect()
+    }
+    assert {r["doc_id"]: r["tokens"] for r in df.collect()} == small
+    # and the small list still uses the dependency-free JVM fold
+    jvm_plan = (
+        bpe_segment(docs, merges)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "MapInPandas" not in jvm_plan
