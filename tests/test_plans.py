@@ -289,6 +289,25 @@ def test_tpch_q20_reuses_partkey_exchange_no_nested_loop(spark):
     assert "ReusedExchange" in plan or plan.count("Exchange") >= 2, plan
 
 
+def test_tpch_q2_single_lineitem_scan_window_min(spark):
+    """Q2: the correlated multi-join scalar MIN decorrelates as a
+    window min over the region-restricted costs — ONE lineitem scan,
+    one partkey shuffle, no join-back of the relation against itself
+    (VERDICT r7 #5: the agg+join-back form scanned lineitem twice
+    with no ReusedExchange because the broadcast dims leave no
+    exchange to reuse)."""
+    plan = physical_plan(q("tpch_q2_min_cost_supplier", spark))
+    li_scans = sum(
+        1
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "l_partkey" in line
+    )
+    assert li_scans == 1, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_tpch_q9_broadcasts_dims_single_agg_exchange(spark):
     """Q9: supplier and nation broadcast — the fact table reaches the
     aggregation without a join shuffle; the only exchange is the tiny
