@@ -87,10 +87,12 @@ HEADLINE = [
     "pair_features",
     "embedding_normalize",
     # round 8 additions: the round-7 operators that missed HEADLINE at
-    # birth (VERDICT r7 #10)
+    # birth (VERDICT r7 #10), plus the round-8 shapes benched from birth
     "asof_forward_events",
     "events_trending",
     "bpe_tokenize",
+    "pipeline_two_stage_dedup",
+    "streaming_ingest_corpus",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

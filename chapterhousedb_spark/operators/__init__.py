@@ -24,7 +24,9 @@ from chapterhousedb_spark.operators.dedup import (
     release_self_join_caches,
     simhash,
     simhash_near_dup_pairs,
+    pair_features,
     simhash_near_dup_pairs_cross,
+    two_stage_dedup,
     word_shingle_posts,
 )
 from chapterhousedb_spark.operators.cluster import (
@@ -124,5 +126,7 @@ __all__ = [
     "text_fingerprint",
     "text_stats",
     "token_count",
+    "pair_features",
+    "two_stage_dedup",
     "word_shingle_posts",
 ]

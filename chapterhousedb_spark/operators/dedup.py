@@ -855,3 +855,52 @@ def pair_features(
             / F.greatest(F.greatest(F.col("__la"), F.col("__lb")), F.lit(1))
         ).alias("len_ratio"),
     )
+
+
+def two_stage_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Two-stage near-duplicate detection (the gated rerank pipeline,
+    VERDICT r7 #5): cheap recall-oriented LSH candidate generation,
+    then an EXACT token-set rerank via pair_features, then a final
+    threshold on exact jaccard_tokens. Returns confirmed pairs with
+    their verification features (id_a, id_b, n_tok_a, n_tok_b,
+    n_common, jaccard_tokens, containment, len_ratio).
+
+    Stage 1 defaults to minhash LSH banding with estimator threshold
+    0 (every banded collision survives to the rerank — banding itself
+    is the precision knob; b=16 r=4 puts the S-curve midpoint at
+    jaccard ~0.5, cheap to rerank). Pass `candidates` to plug any
+    pair generator (simhash blocks, an md5-portable twin for oracle
+    gating, an embedding blocker) — anything with (id_a, id_b).
+
+    Scale shape: stage 1 is the audited banded equi-join (never
+    all-pairs); stage 2 joins the candidate relation onto the
+    (id, sorted distinct token array) reduction of the corpus twice
+    by id, so the rerank cost is |candidates| x avg-vocab — output-
+    linear (SCALE.md 10x probe), independent of corpus^2. The exact
+    rerank de-noises the minhash estimator (stderr ~1/sqrt(num_hashes))
+    so the FINAL threshold is exact set arithmetic, not an estimate."""
+    if candidates is None:
+        candidates = minhash_near_dup_pairs(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=0.0,
+            persist=persist,
+        )
+    feats = pair_features(
+        candidates, docs, id_col=id_col, text_col=text_col
+    )
+    return feats.filter(F.col("jaccard_tokens") >= jaccard_threshold)

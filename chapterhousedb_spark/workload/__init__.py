@@ -50,7 +50,6 @@ _DRIVER_FIRST = [
     # join_semi / join_range_bands / pivot_mktsegment below)
     "streaming_sessionize",
     "tpch_q17_small_qty",
-    "tpch_q4_order_priority",
     # round-6 second batch: four more TPC-H plan shapes (outer-join
     # histogram, IN-subquery semi + top-k, the double EXISTS/NOT EXISTS
     # decorrelation, scalar-broadcast + anti), the incremental-rollup
@@ -61,7 +60,6 @@ _DRIVER_FIRST = [
     "tpch_q13_cust_distribution",
     "tpch_q18_large_orders",
     "events_rollup_daily",
-    "events_distinct_rollup",
     "tfidf_top_terms",
     "training_order",
     # round-6 third batch: distribution window functions and the
@@ -166,6 +164,20 @@ _DRIVER_FIRST = [
     "embedding_normalize",
     "minhash_md5_signatures",
     "simhash_md5_fingerprints",
+    # round-8 new surface, gated at birth: the composed two-stage
+    # rerank pipeline (md5-portable LSH candidates -> exact token-set
+    # rerank -> threshold, every stage oracle-replayed) and the
+    # streaming ingest composition under the oracle gate (chained
+    # two-batch admission drained through ingest_stream; DuckDB
+    # replays the whole gate->merge->commit chain). Paid for by
+    # demoting tpch_q4 (semi-join semantics stay gated through
+    # tpch_q18's LeftSemi + TakeOrdered; q4's SMJ-semi plan stays
+    # test-asserted in test_plans.py) and events_distinct_rollup
+    # (the rollup family keeps events_rollup_daily + quantile_rollup
+    # gated; distinct-agg semantics stay covered by agg_distinct via
+    # rotation and the sketch tests in test_rollup.py).
+    "pipeline_two_stage_dedup",
+    "streaming_ingest_corpus",
 ]
 _DRIVER_LAST = [
     # round-8 demotions paying for the five round-7 oracle rows gated
@@ -178,6 +190,8 @@ _DRIVER_LAST = [
     "tpch_q9_nation_profit",
     "tpch_q21_lone_blame",
     "tpch_q22_idle_balances",
+    "tpch_q4_order_priority",
+    "events_distinct_rollup",
     # round-6 minor-family additions at the HEAD of the tail: the
     # static 50-slot budget is spent on the round's higher-risk surface
     # (TPC-H decorrelation shapes, rollups, composed pipelines,

@@ -1351,6 +1351,237 @@ def embedding_normalize_q(spark, sf_dir):
     )
 
 
+def _md5_band_keys(df, id_col="doc_id"):
+    """Engine-portable LSH band keys (the md5 hash-gate family): 4
+    seeded md5 minhashes over the distinct word-3-gram set, banded
+    2 x 2 — (id, bk) with one row per band. Shared by the two-stage
+    rerank pipeline and the streaming ingest gate so one construction
+    is oracle-checked for both."""
+    from chapterhousedb_spark.operators.dedup import word_shingle_posts
+
+    posts = word_shingle_posts(df, k=3, id_col=id_col).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(4)
+    ]
+    sigs = posts.groupBy("id").agg(*aggs)
+    return sigs.select(
+        F.col("id"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("0:"), "m0", F.lit("|"), "m1"),
+                F.concat(F.lit("1:"), "m2", F.lit("|"), "m3"),
+            )
+        ).alias("bk"),
+    )
+
+
+@query(
+    "pipeline_two_stage_dedup",
+    oracle=f"""
+    WITH posts AS (
+      SELECT DISTINCT doc_id, t.g
+      FROM (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len({_TOKS}) - 2),
+                i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+             )) AS g
+            FROM documents WHERE len({_TOKS}) >= 3) t(doc_id, g)),
+    sigs AS (
+      SELECT doc_id,
+             MIN(md5('0:' || g)) AS m0, MIN(md5('1:' || g)) AS m1,
+             MIN(md5('2:' || g)) AS m2, MIN(md5('3:' || g)) AS m3
+      FROM posts GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, '0:' || m0 || '|' || m1 AS bk FROM sigs
+      UNION ALL
+      SELECT doc_id, '1:' || m2 || '|' || m3 AS bk FROM sigs),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    toks AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_filter({_TOKS}, t -> t <> ''))) AS ta,
+             length(text) AS la
+      FROM documents),
+    j AS (SELECT c.id_a, c.id_b, x.ta AS ta, x.la AS la,
+                 y.ta AS tb, y.la AS lb
+          FROM cands c
+          JOIN toks x ON x.doc_id = c.id_a
+          JOIN toks y ON y.doc_id = c.id_b)
+    SELECT id_a, id_b,
+           CAST(len(ta) AS INT) AS n_tok_a,
+           CAST(len(tb) AS INT) AS n_tok_b,
+           CAST(len(list_intersect(ta, tb)) AS INT) AS n_common,
+           CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+             / GREATEST(len(ta) + len(tb) - len(list_intersect(ta, tb)), 1)
+             AS jaccard_tokens,
+           CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+             / GREATEST(LEAST(len(ta), len(tb)), 1) AS containment,
+           CAST(LEAST(la, lb) AS DOUBLE) / GREATEST(GREATEST(la, lb), 1)
+             AS len_ratio
+    FROM j
+    WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+            / GREATEST(len(ta) + len(tb) - len(list_intersect(ta, tb)), 1)
+          >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def pipeline_two_stage_dedup_q(spark, sf_dir):
+    """The composed two-stage rerank pipeline (dedup.two_stage_dedup,
+    VERDICT r7 #5): md5-portable minhash LSH candidates (4 seeded
+    md5 minhashes over distinct word-3-grams, 2 bands x 2 rows — the
+    same engine-portable hash-gate family as minhash_md5_signatures)
+    feed the EXACT token-set rerank (dedup.pair_features), and the
+    final judgment thresholds exact jaccard_tokens >= 0.5. The oracle
+    replays every stage: signatures, banding, candidate join, feature
+    arithmetic, threshold — so a regression anywhere in the chain
+    (shingles, min-agg, band keys, pair join, set arithmetic) breaks
+    the gate. Production swaps the md5 family for xxhash64 banding
+    (minhash_near_dup_pairs) via two_stage_dedup's default stage 1 —
+    identical composition, gated here with the portable twin."""
+    from chapterhousedb_spark.operators.dedup import two_stage_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    bands = _md5_band_keys(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return two_stage_dedup(
+        docs, candidates=cands, jaccard_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "streaming_ingest_corpus",
+    oracle=f"""
+    WITH posts AS (
+      SELECT DISTINCT doc_id, t.g
+      FROM (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len({_TOKS}) - 2),
+                i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+             )) AS g
+            FROM documents WHERE len({_TOKS}) >= 3) t(doc_id, g)),
+    sigs AS (
+      SELECT doc_id,
+             MIN(md5('0:' || g)) AS m0, MIN(md5('1:' || g)) AS m1,
+             MIN(md5('2:' || g)) AS m2, MIN(md5('3:' || g)) AS m3
+      FROM posts GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, '0:' || m0 || '|' || m1 AS bk FROM sigs
+      UNION ALL
+      SELECT doc_id, '1:' || m2 || '|' || m3 AS bk FROM sigs),
+    grp AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS version
+            FROM documents),
+    seed AS (SELECT doc_id FROM grp WHERE version = 0),
+    b1 AS (SELECT doc_id FROM grp WHERE version = 1),
+    b2 AS (SELECT doc_id FROM grp WHERE version = 2),
+    rej1 AS (SELECT DISTINCT x.doc_id
+             FROM b1 x
+             JOIN bands bx ON bx.doc_id = x.doc_id
+             JOIN bands bc ON bc.bk = bx.bk
+             JOIN seed s ON s.doc_id = bc.doc_id),
+    c1 AS (SELECT doc_id FROM seed
+           UNION ALL
+           SELECT doc_id FROM b1
+           WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+    rej2 AS (SELECT DISTINCT x.doc_id
+             FROM b2 x
+             JOIN bands bx ON bx.doc_id = x.doc_id
+             JOIN bands bc ON bc.bk = bx.bk
+             JOIN c1 c ON c.doc_id = bc.doc_id),
+    fin AS (SELECT doc_id FROM c1
+            UNION ALL
+            SELECT doc_id FROM b2
+            WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+    SELECT g.doc_id, g.version,
+           CAST(length(d.text) AS INT) AS n_chars
+    FROM fin f
+    JOIN grp g ON g.doc_id = f.doc_id
+    JOIN documents d ON d.doc_id = f.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def streaming_ingest_corpus_q(spark, sf_dir):
+    """The ingest composition THROUGH the streaming engine under the
+    oracle gate (VERDICT r7 #9): documents split 3 ways by doc_id — a
+    seeded corpus version plus two landing files drained as ordered
+    micro-batches through ingest_stream (foreachBatch -> admit_batch:
+    cross dedup gate -> merge_upsert v+1 -> _LATEST marker flip). The
+    gate is the md5-portable band family (_md5_band_keys, bipartite),
+    so DuckDB replays the ENTIRE chained admission: batch 1 gated
+    against the seed, batch 2 gated against seed+admitted(batch 1) —
+    any regression in the gate, the versioned merge, the marker
+    commit point, or micro-batch ordering breaks the hash. Returned
+    rows are the FINAL corpus version read back through
+    read_versioned_base (the same read path production uses).
+    Production swaps the md5 family for the xxhash64 MinHash cross
+    gate (admit_batch's default) — identical composition, e2e-tested
+    with crash replay in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from chapterhousedb_spark.operators.ingest import (
+        ingest_stream,
+        init_ingest,
+    )
+    from chapterhousedb_spark.streaming.batcher import read_versioned_base
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("version")
+    )
+    root = tempfile.mkdtemp(prefix="chdb_ingest_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for i, grp in enumerate((1, 2)):
+        docs.filter(F.col("version") == grp).coalesce(1).write.parquet(
+            os.path.join(landing, f"f{i}")
+        )
+    # deterministic micro-batch ORDER: the file source processes
+    # oldest-first, so pin f0 strictly older than f1 (batch 2's gate
+    # must see batch 1's admissions — the chained semantics the
+    # oracle replays)
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+
+    def md5_gate(batch, corpus):
+        bb = _md5_band_keys(batch).alias("b")
+        cb = _md5_band_keys(corpus).alias("c")
+        return (
+            bb.join(cb, F.col("b.bk") == F.col("c.bk"))
+            .select(
+                F.col("b.id").alias("batch_id"),
+                F.col("c.id").alias("corpus_id"),
+            )
+            .distinct()
+        )
+
+    init_ingest(docs.filter("version = 0"), os.path.join(root, "corpus"))
+    q = ingest_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*")),
+        os.path.join(root, "corpus"),
+        os.path.join(root, "ckpt"),
+        gate_fn=md5_gate,
+    )
+    q.awaitTermination()
+    final, _ver = read_versioned_base(spark, os.path.join(root, "corpus"))
+    return final.select(
+        "doc_id",
+        F.col("version").cast("int").alias("version"),
+        F.length("text").cast("int").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 @query(
     "minhash_md5_signatures",
     oracle=f"""

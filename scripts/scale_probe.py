@@ -162,7 +162,66 @@ def probe(spark, docs, embs) -> dict:
     )
     n, t = timed_count(pair_features(pairs, docs))
     out["pairfeat_rows"], out["pairfeat_rows_sec"] = n, t
+    # round-8: the composed two-stage rerank pipeline (LSH candidates
+    # -> exact token-set features -> threshold). Confirmed pairs track
+    # the duplicate structure, which the blow-up repeats per copy, so
+    # rows AND wall must stay ~linear in the corpus.
+    from chapterhousedb_spark.operators.dedup import two_stage_dedup
+
+    n, t = timed_count(two_stage_dedup(docs, jaccard_threshold=0.5))
+    release_self_join_caches()
+    out["two_stage_rows"], out["two_stage_rows_sec"] = n, t
     return out
+
+
+def probe_recall(spark, embs, n_queries: int = 20) -> dict:
+    """ANN recall@10 at DEFAULT settings vs exact brute force (VERDICT
+    r7 #4): SRP (planes=16, multiprobe=1) and IVF (n_cells=16,
+    nprobe=4, centroids fit once and reused across queries — the
+    production shape). Queries are the first `n_queries` corpus
+    vectors by id, so the true top-1 (the vector itself) is always
+    reachable and recall isolates bucket/cell pruning loss. Users
+    tuning planes/multiprobe/nprobe read these numbers against the
+    equivalence guarantees (nprobe=n_cells == brute force,
+    multiprobe=planes == full scan)."""
+    from chapterhousedb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_fit,
+        srp_ann_topk,
+    )
+
+    qs = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in embs.orderBy("vec_id").limit(n_queries).collect()
+    ]
+    centroids = ivf_fit(embs, "embedding", n_cells=16, seed=7, max_iter=5)
+    srp_hits = ivf_hits = 0
+    t_srp = t_ivf = t_exact = 0.0
+    for _, qv in qs:
+        t0 = time.perf_counter()
+        exact = {r["vec_id"] for r in cosine_topk(embs, qv, k=10).collect()}
+        t_exact += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        srp = {r["vec_id"] for r in srp_ann_topk(embs, qv, k=10).collect()}
+        t_srp += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ivf = {
+            r["vec_id"]
+            for r in ivf_ann_topk(embs, qv, k=10, centroids=centroids).collect()
+        }
+        t_ivf += time.perf_counter() - t0
+        srp_hits += len(srp & exact)
+        ivf_hits += len(ivf & exact)
+    denom = 10 * len(qs)
+    return {
+        "ann_queries": len(qs),
+        "srp_recall_at_10": round(srp_hits / denom, 3),
+        "ivf_recall_at_10": round(ivf_hits / denom, 3),
+        "exact_topk_sec": round(t_exact, 3),
+        "srp_topk_sec": round(t_srp, 3),
+        "ivf_topk_sec": round(t_ivf, 3),
+    }
 
 
 def probe_cross(spark, docs, embs) -> dict:
@@ -260,6 +319,8 @@ def main() -> None:
     large = probe(spark, docs_l, embs_l)
     small.update(probe_cross(spark, docs_s, embs_s))
     large.update(probe_cross(spark, docs_l, embs_l))
+    small.update(probe_recall(spark, embs_s))
+    large.update(probe_recall(spark, embs_l))
     ratios = {
         k: (round(large[k] / small[k], 2) if small[k] else None)
         for k in small

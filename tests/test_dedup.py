@@ -584,3 +584,52 @@ def test_pair_features_composes_with_lsh_pairs(corpus):
         assert r["jaccard_tokens"] == r["n_common"] / max(union, 1)
     # near-dup candidates share most tokens
     assert sum(r["containment"] > 0.5 for r in feats) > len(feats) * 0.8
+
+
+def test_two_stage_dedup_default_pipeline(corpus):
+    """two_stage_dedup (LSH candidates -> exact rerank -> threshold):
+    planted near-dups survive the exact-jaccard threshold, unrelated
+    docs never do, and the output equals manually composing the
+    stages."""
+    from chapterhousedb_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        pair_features,
+        two_stage_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    out = two_stage_dedup(corpus, jaccard_threshold=0.8, persist=False)
+    got = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert (0, 1) in got  # identical mod case/space: jaccard 1.0
+    assert got[(0, 1)]["jaccard_tokens"] == 1.0
+    assert (0, 2) in got and got[(0, 2)]["jaccard_tokens"] >= 0.8
+    assert all(a not in (4, 5) and b not in (4, 5) for a, b in got)
+    # composition equality: the operator IS candidates -> features ->
+    # threshold, nothing more
+    cands = minhash_near_dup_pairs(corpus, threshold=0.0, persist=False)
+    manual = (
+        pair_features(cands, corpus)
+        .filter(F.col("jaccard_tokens") >= 0.8)
+        .collect()
+    )
+    assert {(r["id_a"], r["id_b"]) for r in manual} == set(got)
+
+
+def test_two_stage_dedup_pluggable_candidates(corpus):
+    """A plugged candidate generator (any (id_a, id_b) relation)
+    bounds the rerank: only supplied pairs can appear, with exact
+    features."""
+    from chapterhousedb_spark.operators.dedup import two_stage_dedup
+
+    spark = corpus.sparkSession
+    cands = spark.createDataFrame(
+        [(0, 2), (4, 5)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_tokens"]
+        for r in two_stage_dedup(
+            corpus, candidates=cands, jaccard_threshold=0.0
+        ).collect()
+    }
+    assert set(got) == {(0, 2), (4, 5)}
+    assert got[(0, 2)] > 0.8 > got[(4, 5)]
