@@ -8,10 +8,13 @@ controls memory per task.
 
 Codec story: `decode_real` REALLY decodes the formats a pure-python
 parser can handle with no external library — binary PPM (P6) images,
-PCM WAV audio, and non-interlaced 8-bit PNG (stdlib-zlib inflate +
-the five per-row filters) — and raises NotImplementedError for the
-formats that genuinely need PIL/ffmpeg (JPEG/MP4, interlaced or
-palette/16-bit PNG), absent in this environment.
+PCM WAV audio, non-interlaced 8-bit PNG (stdlib-zlib inflate + the
+five per-row filters), and baseline sequential JPEG (SOF0/1, 4:4:4
+or grayscale: markers -> canonical Huffman -> dequant -> IDCT in
+numpy) — and raises NotImplementedError for the formats that
+genuinely need PIL/ffmpeg (MP4/MP3, progressive JPEG, subsampled
+chroma, interlaced or palette/16-bit PNG), absent in this
+environment.
 `decode_stub` parses a deterministic fake header for plumbing tests
 that want full control of the bytes. Everything Spark-side — schema,
 batching, UDF signatures, partitioning — is identical for both and
@@ -77,7 +80,9 @@ def decode_real(payload: bytes) -> dict:
     """Decode REAL media bytes for the formats a pure-python parser can
     handle with no external codec: binary PPM (P6) images, PCM WAV
     audio, and non-interlaced 8-bit PNG (the first compressed format —
-    stdlib zlib covers the inflate). JPEG/MP4 and the exotic PNG
+    stdlib zlib covers the inflate), and baseline sequential JPEG
+    (SOF0/1, 4:4:4 or grayscale — Huffman + dequant + IDCT in numpy).
+    MP4/MP3, progressive JPEG, subsampled chroma and the exotic PNG
     variants still raise NotImplementedError — those genuinely need
     PIL/ffmpeg, which this sandbox lacks. Returns the same dict shape
     as decode_stub, with the audio mapping documented on _decode_wav.
@@ -92,10 +97,12 @@ def decode_real(payload: bytes) -> dict:
         return _decode_wav(payload)
     if payload is not None and payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), PCM WAV, and non-interlaced 8-bit PNG decode "
-        "without external codecs; JPEG/MP4 etc. require PIL/ffmpeg, "
-        "not available here"
+        "only PPM (P6), PCM WAV, non-interlaced 8-bit PNG, and baseline "
+        "sequential 4:4:4/grayscale JPEG decode without external codecs; "
+        "MP4/MP3 etc. require PIL/ffmpeg, not available here"
     )
 
 
@@ -356,6 +363,417 @@ def make_png_blob(
         + chunk(b"IDAT", zlib.compress(bytes(out)))
         + chunk(b"IEND", b"")
     )
+
+
+# ------------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (ITU-T T.81, public spec): pure numpy +
+# stdlib, no external codec. The DECODER reads every table from the
+# stream, so the encoder is free to embed simple deterministic tables
+# (flat quantization, canonical fixed-length Huffman) — round-trips
+# exercise the real marker/Huffman/DCT machinery without relying on
+# memorized Annex-K constants.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    a[0, :] = 1.0
+    a *= np.where(x[:, None] == 0, np.sqrt(1 / 8), np.sqrt(2 / 8))
+    return a
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]):
+    """Canonical JPEG Huffman codes: {(length, code) -> symbol} for
+    the decoder and {symbol -> (code, length)} for the encoder."""
+    dec, enc = {}, {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            dec[(length, code)] = vals[k]
+            enc[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return dec, enc
+
+
+# encoder-side tables: 12 DC categories as 4-bit codes; all 256 AC
+# symbols split 128 x 9-bit + 128 x 10-bit (a DHT BITS count is one
+# byte, so 256-at-one-length is unencodable; the canonical split
+# assigns codes 0..127 then 256..383 — no all-ones code)
+_JPEG_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_ENC_DC_VALS = list(range(12))
+_JPEG_ENC_AC_BITS = [0] * 8 + [128, 128] + [0] * 6
+_JPEG_ENC_AC_VALS = list(range(256))
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def make_jpeg_blob(
+    width: int, height: int, fill: int = 0, gray: bool = False, quant: int = 1
+) -> bytes:
+    """A real baseline sequential JPEG (SOF0, 4:4:4 / grayscale) with
+    the same deterministic pixel-ramp body convention as
+    make_ppm_blob. quant=1 embeds a flat all-ones quantization table
+    (near-lossless — error bounded by DCT rounding), larger values
+    trade fidelity for the lossy path."""
+    import numpy as np
+
+    ncomp = 1 if gray else 3
+    body = np.frombuffer(
+        bytes((fill + i) % 256 for i in range(width * height * ncomp)),
+        dtype=np.uint8,
+    ).reshape(height, width, ncomp).astype(np.float64)
+    if gray:
+        planes = [body[:, :, 0]]
+    else:
+        r, g, b = body[:, :, 0], body[:, :, 1], body[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    bw, bh = -(-width // 8), -(-height // 8)
+    qtab = np.full(64, quant, dtype=np.int64)
+    a = _jpeg_dct_matrix()
+    _, enc_dc = _jpeg_huff_codes(_JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS)
+    _, enc_ac = _jpeg_huff_codes(_JPEG_ENC_AC_BITS, _JPEG_ENC_AC_VALS)
+    w = _JpegBitWriter()
+    pred = [0] * ncomp
+
+    def put(v: int, cat: int) -> None:
+        if cat:
+            w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+    for by in range(bh):
+        for bx in range(bw):
+            for c in range(ncomp):
+                pl = planes[c]
+                blk = np.zeros((8, 8))
+                ys, xs = by * 8, bx * 8
+                tile = pl[ys : ys + 8, xs : xs + 8]
+                blk[: tile.shape[0], : tile.shape[1]] = tile
+                # edge replicate the padding so block means stay local
+                for i in range(tile.shape[0], 8):
+                    blk[i, :] = blk[tile.shape[0] - 1, :]
+                for j in range(tile.shape[1], 8):
+                    blk[:, j] = blk[:, tile.shape[1] - 1]
+                coef = a @ (blk - 128.0) @ a.T
+                q = np.rint(coef.reshape(64)[_JPEG_ZIGZAG] / qtab).astype(int)
+                diff = int(q[0]) - pred[c]
+                pred[c] = int(q[0])
+                cat = _jpeg_category(diff)
+                code, ln = enc_dc[cat]
+                w.write(code, ln)
+                put(diff, cat)
+                run = 0
+                for k in range(1, 64):
+                    v = int(q[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[0xF0]  # ZRL
+                        w.write(code, ln)
+                        run -= 16
+                    cat = _jpeg_category(v)
+                    code, ln = enc_ac[(run << 4) | cat]
+                    w.write(code, ln)
+                    put(v, cat)
+                    run = 0
+                if run:
+                    code, ln = enc_ac[0x00]  # EOB
+                    w.write(code, ln)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: Pq=0 (8-bit), Tq=0, 64 entries in zigzag order (flat table
+    # -> identical in any order)
+    out += seg(0xDB, bytes([0]) + bytes(int(qtab[k]) for k in range(64)))
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00] + _JPEG_ENC_DC_BITS) + bytes(_JPEG_ENC_DC_VALS))
+    out += seg(0xC4, bytes([0x10] + _JPEG_ENC_AC_BITS) + bytes(_JPEG_ENC_AC_VALS))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers
+    (RSTn are consumed explicitly via expect_rst)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise EOFError("entropy data exhausted")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                raise EOFError("marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_rst(self) -> bool:
+        """Consume an RSTn marker at an MCU boundary (byte-aligned)."""
+        self.acc, self.nbits = 0, 0  # discard pad bits
+        d, p = self.data, self.pos
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+            return True
+        return False
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JPEG (SOF0/SOF1, 8-bit, no chroma
+    subsampling): full Huffman + dequant + IDCT decode in numpy +
+    stdlib, matching the PPM/PNG feature conventions (mean_pixel =
+    mean over every decoded RGB/gray sample byte, padding cropped).
+
+    Honest boundary (NotImplementedError): progressive (SOF2),
+    arithmetic coding (SOF9+), hierarchical, 12-bit precision, and
+    subsampled chroma (e.g. 4:2:0) — the MCU interleave there is a
+    real extension, not a parse detail. MALFORMED bytes return
+    ok=False like every other codec here. The entropy loop is pure
+    python (fine for thumbnails/test vectors; production raster
+    decode is the documented PIL/ffmpeg boundary)."""
+    import numpy as np
+
+    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    d = payload
+    n = len(d)
+    if n < 4 or d[0:2] != b"\xff\xd8":
+        return bad
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    dri = 0
+    scan = None
+    while pos + 4 <= n:
+        if d[pos] != 0xFF:
+            return bad
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return bad
+        (ln,) = struct.unpack(">H", d[pos + 2 : pos + 4])
+        seg = d[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            return bad
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                qt[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                dec, _ = _jpeg_huff_codes(bits, vals)
+                huff[(tc, th)] = dec
+                i += 17 + nv
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (e.g. 4:2:0) not supported — "
+                        "4:4:4 / grayscale baseline only"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            sof = (w, h, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/hierarchical) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            tables = {}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                tables[cid] = (tt >> 4, tt & 0xF)
+            scan = tables
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan is None:
+        return bad
+    w, h, comps = sof
+    if w == 0 or h == 0:
+        return bad
+    for c in comps:
+        if c["tq"] not in qt or c["id"] not in scan:
+            return bad
+        td, ta = scan[c["id"]]
+        if (0, td) not in huff or (1, ta) not in huff:
+            return bad
+    reader = _JpegBitReader(d, pos)
+    bw, bh = -(-w // 8), -(-h // 8)
+    ncomp = len(comps)
+    preds = [0] * ncomp
+    blocks = [
+        np.zeros((bh * bw, 64), dtype=np.float64) for _ in range(ncomp)
+    ]
+
+    def huff_decode(table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | reader.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise EOFError("invalid Huffman code")
+
+    try:
+        for mcu in range(bh * bw):
+            if dri and mcu and mcu % dri == 0:
+                if not reader.expect_rst():
+                    return bad
+                preds = [0] * ncomp
+            for ci, comp in enumerate(comps):
+                td, ta = scan[comp["id"]]
+                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+                q = qt[comp["tq"]]
+                zz = np.zeros(64)
+                cat = huff_decode(dc_tab)
+                diff = _jpeg_extend(reader.receive(cat), cat) if cat else 0
+                preds[ci] += diff
+                zz[0] = preds[ci] * q[0]
+                k = 1
+                while k < 64:
+                    sym = huff_decode(ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            return bad
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        return bad
+                    zz[k] = _jpeg_extend(reader.receive(size), size) * q[k]
+                    k += 1
+                blocks[ci][mcu, _JPEG_ZIGZAG] = zz
+    except EOFError:
+        return bad
+    a = _jpeg_dct_matrix()
+    planes = []
+    for ci in range(ncomp):
+        coef = blocks[ci].reshape(bh * bw, 8, 8)
+        pix = np.einsum("ij,njk,kl->nil", a.T, coef, a) + 128.0
+        plane = np.zeros((bh * 8, bw * 8))
+        for m in range(bh * bw):
+            by, bx = divmod(m, bw)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix[m]
+        planes.append(plane[:h, :w])
+    if ncomp == 1:
+        samples = np.clip(np.rint(planes[0]), 0, 255)
+        mean = float(samples.mean())
+    elif ncomp == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cb * 0 + cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.rint(np.stack([r, g, b])), 0, 255)
+        mean = float(rgb.mean())
+    else:
+        return bad
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "mean_pixel": mean,
+        "ok": True,
+    }
 
 
 def make_ppm_blob(width: int, height: int, fill: int = 0) -> bytes:

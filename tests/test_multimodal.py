@@ -81,11 +81,13 @@ def test_chunk_binary_stays_jvm_side(media):
 
 
 def test_decode_real_rejects_compressed_formats():
-    # JPEG still genuinely needs PIL — honest NotImplementedError
+    # MP3/MP4 still genuinely need ffmpeg — honest NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xff\xe0\x00\x10JFIF garbage")
-    # PNG is decoded since round 7; MALFORMED png bytes are ok=False
+        decode_real(b"ID3\x04\x00 mp3 garbage")
+    # PNG (round 7) and baseline JPEG (round 8) are decoded;
+    # MALFORMED bytes of either are ok=False, not a raise
     assert decode_real(b"\x89PNG\r\n\x1a\n garbage")["ok"] is False
+    assert decode_real(b"\xff\xd8\xff\xe0\x00\x10JFIF garbage")["ok"] is False
 
 
 def test_decode_real_ppm_roundtrip():
@@ -363,3 +365,87 @@ def test_resize_media_ppm_trailing_bytes(spark):
     ).reshape(h, w, 3)
     ys, xs = (np.arange(th) * h) // th, (np.arange(tw) * w) // tw
     assert bytes(r["payload"]).endswith(body[ys][:, xs].tobytes())
+
+
+def test_decode_real_jpeg_roundtrip():
+    """Baseline sequential JPEG through the full pure-numpy pipeline
+    (markers -> Huffman -> dequant -> IDCT -> color): gray round-trips
+    the pixel-ramp mean exactly at flat quant=1; color within YCbCr
+    rounding; non-multiple-of-8 dims crop the padding out of the
+    mean."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import make_jpeg_blob
+
+    d = decode_real(make_jpeg_blob(16, 12, fill=7, gray=True))
+    src = np.frombuffer(
+        bytes((7 + i) % 256 for i in range(16 * 12)), dtype=np.uint8
+    )
+    assert d["ok"] and (d["width"], d["height"], d["n_frames"]) == (16, 12, 1)
+    assert abs(d["mean_pixel"] - src.mean()) < 0.5
+
+    d = decode_real(make_jpeg_blob(16, 12, fill=5))
+    src = np.frombuffer(
+        bytes((5 + i) % 256 for i in range(16 * 12 * 3)), dtype=np.uint8
+    )
+    assert d["ok"] and (d["width"], d["height"]) == (16, 12)
+    assert abs(d["mean_pixel"] - src.mean()) < 1.0
+
+    d = decode_real(make_jpeg_blob(13, 9, fill=3))
+    src = np.frombuffer(
+        bytes((3 + i) % 256 for i in range(13 * 9 * 3)), dtype=np.uint8
+    )
+    assert d["ok"] and (d["width"], d["height"]) == (13, 9)
+    assert abs(d["mean_pixel"] - src.mean()) < 1.0
+
+    # lossy path still decodes cleanly
+    assert decode_real(make_jpeg_blob(16, 16, quant=16))["ok"]
+
+
+def test_decode_real_jpeg_honest_boundary():
+    """Progressive (SOF2) and subsampled-chroma JPEGs raise as
+    unsupported (the honest codec boundary); truncated/malformed
+    bytes return ok=False like every other codec."""
+    import pytest
+
+    from chapterhousedb_spark.operators.multimodal import make_jpeg_blob
+
+    blob = bytearray(make_jpeg_blob(16, 8))
+    sof = blob.index(b"\xff\xc0")
+    prog = bytearray(blob)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_real(bytes(prog))
+    sub = bytearray(blob)
+    sub[sof + 11] = 0x22  # luma sampling 2x2 -> 4:2:0 layout
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_real(bytes(sub))
+    assert decode_real(b"\xff\xd8\xff\xd9junk")["ok"] is False
+    assert decode_real(bytes(blob)[: len(blob) // 2])["ok"] is False
+
+
+def test_decode_real_jpeg_through_mapinpandas(spark):
+    """JPEG rows decode through the Arrow-batched Spark path beside
+    the other real codecs; an unsupported-variant row degrades to
+    ok=False instead of killing the task."""
+    from chapterhousedb_spark.operators.multimodal import (
+        extract_features,
+        make_jpeg_blob,
+    )
+
+    blob = make_jpeg_blob(24, 16, fill=9)
+    prog = bytearray(blob)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    rows = [
+        (1, "image", blob, ("t", 0)),
+        (2, "image", make_jpeg_blob(8, 8, gray=True), ("t", 0)),
+        (3, "image", bytes(prog), ("t", 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in extract_features(media, decoder=decode_real).collect()
+    }
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (24, 16)
+    assert got[2]["ok"] and (got[2]["width"], got[2]["height"]) == (8, 8)
+    assert got[3]["ok"] is False
