@@ -57,6 +57,10 @@ from chapterhousedb_spark.operators.similarity import (
     ivf_probe_topk,
     ivf_read_index,
     ivf_write_index,
+    srp_append,
+    srp_probe_topk,
+    srp_read_index,
+    srp_write_index,
     srp_signature,
     srp_ann_topk,
 )
@@ -105,6 +109,10 @@ __all__ = [
     "ivf_probe_topk",
     "ivf_read_index",
     "ivf_write_index",
+    "srp_append",
+    "srp_probe_topk",
+    "srp_read_index",
+    "srp_write_index",
     "lang_id",
     "merge_apply_partitioned",
     "merge_stats",

@@ -442,13 +442,14 @@ def ivf_write_index(
         out.close()
 
 
-def _read_index_meta(spark, path: str) -> dict:
-    """The centroids.json artifact of an ivf_write_index layout."""
+def _read_index_meta(spark, path: str, name: str = "centroids.json") -> dict:
+    """A JSON metadata artifact of a persisted index layout
+    (centroids.json for IVF, srp.json for SRP)."""
     import json
     import posixpath
 
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, "centroids.json"))
+    jpath = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, name))
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     stream = fs.open(jpath)
     try:
@@ -519,6 +520,126 @@ def ivf_probe_topk(
     probes = ivf_probe_cells(centroids, query_vec, nprobe)
     cand = assigned.filter(F.col(cell_col).isin(probes)).select(id_col, vec_col)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def _write_json_artifact(spark, path: str, name: str, payload: dict) -> None:
+    """Write a small JSON artifact through the Hadoop FileSystem so
+    fs/s3a paths both work (same contract as ivf_write_index)."""
+    import json
+    import posixpath
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(posixpath.join(path, name))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def srp_write_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    planes: int = 16,
+    seed: int = 7,
+    dims: int = 64,
+    bucket_col: str = "srp_bucket",
+) -> None:
+    """Persist the production SRP layout: the corpus bucketed ONCE and
+    PARTITIONED by bucket under <path>/corpus, plus the hash family
+    parameters as <path>/srp.json. This is the shape the recall probe
+    (SCALE.md) showed matters: srp_ann_topk recomputes the planes x
+    dims signature fold per QUERY, which dwarfs the scan savings on
+    anything but huge corpora — the persisted layout pays the
+    signature cost once at write time, and every probe reads only the
+    probed buckets' FILES (partition pruning, the IVF economics).
+    No training state at all: the hyperplanes are derived from
+    (seed, planes, dims), so srp.json is 4 scalars."""
+    bucketed = df.withColumn(
+        bucket_col, srp_signature(vec_col, planes, dims, seed)
+    )
+    import posixpath
+
+    bucketed.write.mode("overwrite").partitionBy(bucket_col).parquet(
+        posixpath.join(path, "corpus")
+    )
+    _write_json_artifact(
+        df.sparkSession,
+        path,
+        "srp.json",
+        {
+            "planes": planes,
+            "seed": seed,
+            "dims": dims,
+            "vec_col": vec_col,
+            "bucket_col": bucket_col,
+        },
+    )
+
+
+def srp_read_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Reload an srp_write_index layout in any session: the
+    bucket-partitioned corpus plus the hash-family metadata."""
+    import posixpath
+
+    meta = _read_index_meta(spark, path, "srp.json")
+    return spark.read.parquet(posixpath.join(path, "corpus")), meta
+
+
+def srp_append(batch: DataFrame, path: str) -> dict:
+    """Admit a batch into a persisted SRP layout: bucket with the
+    STORED hash family and append only the touched bucket partitions —
+    O(batch) per admission, identical to a full rebuild with the same
+    parameters (the family is stateless, so there is no IVF-style
+    centroid-drift caveat at all)."""
+    import posixpath
+
+    spark = batch.sparkSession
+    meta = _read_index_meta(spark, path, "srp.json")
+    bucketed = batch.withColumn(
+        meta["bucket_col"],
+        srp_signature(meta["vec_col"], meta["planes"], meta["dims"], meta["seed"]),
+    )
+    bucketed.write.mode("append").partitionBy(meta["bucket_col"]).parquet(
+        posixpath.join(path, "corpus")
+    )
+    return meta
+
+
+def srp_probe_topk(
+    bucketed: DataFrame,
+    meta: dict,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted SRP corpus: compute the query's bucket with
+    the SAME JVM expression family, take every bucket within hamming
+    distance `multiprobe`, and exact-rerank by cosine. On the
+    bucket-partitioned layout the isin filter is PARTITION PRUNING —
+    the probe reads sum_{h<=multiprobe} C(planes, h) directories, not
+    the corpus. multiprobe=planes degenerates to a full scan (== brute
+    force, test-pinned)."""
+    planes, dims, seed = meta["planes"], meta["dims"], meta["seed"]
+    if not 0 <= multiprobe <= planes:
+        raise ValueError(
+            f"multiprobe must be in [0, planes={planes}], got {multiprobe}"
+        )
+    spark = bucketed.sparkSession
+    qdf = spark.range(1).select(
+        F.array(*[F.lit(float(v)) for v in query_vec]).alias("qv")
+    )
+    qbucket = qdf.select(
+        srp_signature("qv", planes, dims, seed).alias("b")
+    ).collect()[0]["b"]
+    probes = srp_probe_buckets(qbucket, planes, multiprobe)
+    cand = bucketed.filter(F.col(meta["bucket_col"]).isin(probes)).select(
+        id_col, meta["vec_col"]
+    )
+    return cosine_topk(cand, query_vec, k, meta["vec_col"], id_col)
 
 
 def l2_normalize(

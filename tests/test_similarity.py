@@ -436,3 +436,83 @@ def test_l2_normalize_unit_norm_and_zero_safe(spark):
     assert [r["vec_id"] for r in top.collect()] == [
         r["vec_id"] for r in top_unit.collect()
     ]
+
+
+def test_srp_index_roundtrip_and_pruning(spark, tmp_path):
+    """The bucket-once production SRP shape (the recall probe showed
+    per-query signature recompute dwarfs the scan savings):
+    srp_write_index persists a bucket-PARTITIONED corpus + the
+    4-scalar hash family; srp_probe_topk in a fresh session equals
+    the in-memory srp_ann_topk bit-for-bit, multiprobe=planes
+    degenerates to exact brute force, and the probe prunes at the
+    PARTITION level."""
+    from chapterhousedb_spark.operators.similarity import (
+        cosine_topk,
+        srp_ann_topk,
+        srp_probe_topk,
+        srp_read_index,
+        srp_write_index,
+    )
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "srp_index")
+    srp_write_index(emb, path, planes=8)
+    q = emb.orderBy("vec_id").first()["embedding"]
+
+    fresh = spark.newSession()
+    corpus, meta = srp_read_index(fresh, path)
+    assert meta["planes"] == 8 and meta["dims"] == 64
+    got = srp_probe_topk(corpus, meta, q, k=5, multiprobe=1)
+    want = srp_ann_topk(emb, q, k=5, planes=8, multiprobe=1)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # full multiprobe == exact brute force
+    full = srp_probe_topk(corpus, meta, q, k=5, multiprobe=8)
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in cosine_topk(emb, q, k=5).collect()
+    ]
+    # the bucket filter reaches the scan as a PARTITION filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "srp_bucket" in scan.split("PartitionFilters: [")[1].split("]")[0]
+
+
+def test_srp_append_equals_rebuild(spark, tmp_path):
+    """srp_append admits a batch at O(batch): the appended layout's
+    probe equals a full rebuild with the same (stateless) hash family
+    at any multiprobe — no drift caveat at all."""
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.similarity import (
+        srp_append,
+        srp_probe_topk,
+        srp_read_index,
+        srp_write_index,
+    )
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    inc_path = str(tmp_path / "srp_inc")
+    srp_write_index(base, inc_path, planes=8)
+    srp_append(batch, inc_path)
+    full_path = str(tmp_path / "srp_full")
+    srp_write_index(emb, full_path, planes=8)
+    q = emb.orderBy(F.desc("vec_id")).first()["embedding"]
+    inc_c, inc_m = srp_read_index(spark, inc_path)
+    full_c, full_m = srp_read_index(spark, full_path)
+    for mp in (0, 1, 8):
+        got = [
+            tuple(r)
+            for r in srp_probe_topk(inc_c, inc_m, q, k=7, multiprobe=mp).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in srp_probe_topk(full_c, full_m, q, k=7, multiprobe=mp).collect()
+        ]
+        assert got == want, mp
