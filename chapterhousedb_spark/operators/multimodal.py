@@ -444,13 +444,21 @@ def _jpeg_category(v: int) -> int:
 
 
 def make_jpeg_blob(
-    width: int, height: int, fill: int = 0, gray: bool = False, quant: int = 1
+    width: int,
+    height: int,
+    fill: int = 0,
+    gray: bool = False,
+    quant: int = 1,
+    subsample: bool = False,
 ) -> bytes:
-    """A real baseline sequential JPEG (SOF0, 4:4:4 / grayscale) with
-    the same deterministic pixel-ramp body convention as
-    make_ppm_blob. quant=1 embeds a flat all-ones quantization table
-    (near-lossless — error bounded by DCT rounding), larger values
-    trade fidelity for the lossy path."""
+    """A real baseline sequential JPEG with the same deterministic
+    pixel-ramp body convention as make_ppm_blob: grayscale, 4:4:4
+    color, or (subsample=True) 4:2:0 color — chroma box-filtered 2x2
+    and the scan MCU-interleaved exactly as real-world camera/web
+    JPEGs are. quant=1 embeds a flat all-ones quantization table
+    (near-lossless — error bounded by DCT rounding and, for 4:2:0,
+    the chroma downsample), larger values trade fidelity for the
+    lossy path."""
     import numpy as np
 
     ncomp = 1 if gray else 3
@@ -460,6 +468,7 @@ def make_jpeg_blob(
     ).reshape(height, width, ncomp).astype(np.float64)
     if gray:
         planes = [body[:, :, 0]]
+        samp = [(1, 1)]
     else:
         r, g, b = body[:, :, 0], body[:, :, 1], body[:, :, 2]
         planes = [
@@ -467,7 +476,30 @@ def make_jpeg_blob(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    bw, bh = -(-width // 8), -(-height // 8)
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    if subsample and not gray:
+        # 2x2 box-filter the chroma planes (pad to even dims first)
+        for c in (1, 2):
+            pl = planes[c]
+            ph = pl.shape[0] + (pl.shape[0] & 1)
+            pw = pl.shape[1] + (pl.shape[1] & 1)
+            pl = np.pad(
+                pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])), mode="edge"
+            )
+            planes[c] = 0.25 * (
+                pl[0::2, 0::2] + pl[0::2, 1::2] + pl[1::2, 0::2] + pl[1::2, 1::2]
+            )
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # pad every component plane to its full MCU-grid size up front
+    for c, (h, v) in enumerate(samp):
+        pl = planes[c]
+        th, tw = mcuy * v * 8, mcux * h * 8
+        planes[c] = np.pad(
+            pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])), mode="edge"
+        )
     qtab = np.full(64, quant, dtype=np.int64)
     a = _jpeg_dct_matrix()
     _, enc_dc = _jpeg_huff_codes(_JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS)
@@ -479,45 +511,46 @@ def make_jpeg_blob(
         if cat:
             w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
 
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(ncomp):
-                pl = planes[c]
-                blk = np.zeros((8, 8))
-                ys, xs = by * 8, bx * 8
-                tile = pl[ys : ys + 8, xs : xs + 8]
-                blk[: tile.shape[0], : tile.shape[1]] = tile
-                # edge replicate the padding so block means stay local
-                for i in range(tile.shape[0], 8):
-                    blk[i, :] = blk[tile.shape[0] - 1, :]
-                for j in range(tile.shape[1], 8):
-                    blk[:, j] = blk[:, tile.shape[1] - 1]
-                coef = a @ (blk - 128.0) @ a.T
-                q = np.rint(coef.reshape(64)[_JPEG_ZIGZAG] / qtab).astype(int)
-                diff = int(q[0]) - pred[c]
-                pred[c] = int(q[0])
-                cat = _jpeg_category(diff)
-                code, ln = enc_dc[cat]
+    def encode_block(pl, ys: int, xs: int, c: int) -> None:
+        blk = pl[ys : ys + 8, xs : xs + 8]
+        coef = a @ (blk - 128.0) @ a.T
+        q = np.rint(coef.reshape(64)[_JPEG_ZIGZAG] / qtab).astype(int)
+        diff = int(q[0]) - pred[c]
+        pred[c] = int(q[0])
+        cat = _jpeg_category(diff)
+        code, ln = enc_dc[cat]
+        w.write(code, ln)
+        put(diff, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(q[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[0xF0]  # ZRL
                 w.write(code, ln)
-                put(diff, cat)
-                run = 0
-                for k in range(1, 64):
-                    v = int(q[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[0xF0]  # ZRL
-                        w.write(code, ln)
-                        run -= 16
-                    cat = _jpeg_category(v)
-                    code, ln = enc_ac[(run << 4) | cat]
-                    w.write(code, ln)
-                    put(v, cat)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[0x00]  # EOB
-                    w.write(code, ln)
+                run -= 16
+            cat = _jpeg_category(v)
+            code, ln = enc_ac[(run << 4) | cat]
+            w.write(code, ln)
+            put(v, cat)
+            run = 0
+        if run:
+            code, ln = enc_ac[0x00]  # EOB
+            w.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (h, v) in enumerate(samp):
+                for by in range(v):
+                    for bx in range(h):
+                        encode_block(
+                            planes[c],
+                            (my * v + by) * 8,
+                            (mx * h + bx) * 8,
+                            c,
+                        )
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -527,8 +560,8 @@ def make_jpeg_blob(
     # -> identical in any order)
     out += seg(0xDB, bytes([0]) + bytes(int(qtab[k]) for k in range(64)))
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
-    for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])
+    for c, (h, v) in enumerate(samp):
+        sof += bytes([c + 1, (h << 4) | v, 0])
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00] + _JPEG_ENC_DC_BITS) + bytes(_JPEG_ENC_DC_VALS))
     out += seg(0xC4, bytes([0x10] + _JPEG_ENC_AC_BITS) + bytes(_JPEG_ENC_AC_VALS))
@@ -595,15 +628,15 @@ def _jpeg_extend(v: int, cat: int) -> int:
 
 
 def _decode_jpeg(payload: bytes) -> dict:
-    """Baseline sequential JPEG (SOF0/SOF1, 8-bit, no chroma
-    subsampling): full Huffman + dequant + IDCT decode in numpy +
-    stdlib, matching the PPM/PNG feature conventions (mean_pixel =
-    mean over every decoded RGB/gray sample byte, padding cropped).
+    """Baseline sequential JPEG (SOF0/SOF1, 8-bit; grayscale, 4:4:4,
+    and subsampled 4:2:2 / 4:2:0 MCU-interleaved scans): full Huffman
+    + dequant + IDCT + replicate-upsample decode in numpy + stdlib,
+    matching the PPM/PNG feature conventions (mean_pixel = mean over
+    every decoded RGB/gray sample byte, padding cropped).
 
     Honest boundary (NotImplementedError): progressive (SOF2),
     arithmetic coding (SOF9+), hierarchical, 12-bit precision, and
-    subsampled chroma (e.g. 4:2:0) — the MCU interleave there is a
-    real extension, not a parse detail. MALFORMED bytes return
+    sampling factors above 2. MALFORMED bytes return
     ok=False like every other codec here. The entropy loop is pure
     python (fine for thumbnails/test vectors; production raster
     decode is the documented PIL/ffmpeg boundary)."""
@@ -657,12 +690,13 @@ def _decode_jpeg(payload: bytes) -> dict:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                sh, sv = hv >> 4, hv & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled chroma (e.g. 4:2:0) not supported — "
-                        "4:4:4 / grayscale baseline only"
+                        f"sampling factors {sh}x{sv} not supported "
+                        "(1 or 2 per axis: 4:4:4 / 4:2:2 / 4:2:0 / gray)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
             sof = (w, h, comps)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG (SOF2) not supported")
@@ -694,11 +728,16 @@ def _decode_jpeg(payload: bytes) -> dict:
         if (0, td) not in huff or (1, ta) not in huff:
             return bad
     reader = _JpegBitReader(d, pos)
-    bw, bh = -(-w // 8), -(-h // 8)
     ncomp = len(comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     preds = [0] * ncomp
+    # per component: one row of 64 coefficients per block, MCU-ordered
     blocks = [
-        np.zeros((bh * bw, 64), dtype=np.float64) for _ in range(ncomp)
+        np.zeros((mcuy * mcux * c["h"] * c["v"], 64), dtype=np.float64)
+        for c in comps
     ]
 
     def huff_decode(table: dict) -> int:
@@ -711,56 +750,74 @@ def _decode_jpeg(payload: bytes) -> dict:
                 return sym
         raise EOFError("invalid Huffman code")
 
+    def decode_block(ci: int, comp: dict, bidx: int) -> bool:
+        td, ta = scan[comp["id"]]
+        dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+        q = qt[comp["tq"]]
+        zz = np.zeros(64)
+        cat = huff_decode(dc_tab)
+        diff = _jpeg_extend(reader.receive(cat), cat) if cat else 0
+        preds[ci] += diff
+        zz[0] = preds[ci] * q[0]
+        k = 1
+        while k < 64:
+            sym = huff_decode(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    return False
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                return False
+            zz[k] = _jpeg_extend(reader.receive(size), size) * q[k]
+            k += 1
+        blocks[ci][bidx, _JPEG_ZIGZAG] = zz
+        return True
+
     try:
-        for mcu in range(bh * bw):
+        for mcu in range(mcuy * mcux):
             if dri and mcu and mcu % dri == 0:
                 if not reader.expect_rst():
                     return bad
                 preds = [0] * ncomp
             for ci, comp in enumerate(comps):
-                td, ta = scan[comp["id"]]
-                dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-                q = qt[comp["tq"]]
-                zz = np.zeros(64)
-                cat = huff_decode(dc_tab)
-                diff = _jpeg_extend(reader.receive(cat), cat) if cat else 0
-                preds[ci] += diff
-                zz[0] = preds[ci] * q[0]
-                k = 1
-                while k < 64:
-                    sym = huff_decode(ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            return bad
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
+                per_mcu = comp["h"] * comp["v"]
+                for sub in range(per_mcu):
+                    if not decode_block(ci, comp, mcu * per_mcu + sub):
                         return bad
-                    zz[k] = _jpeg_extend(reader.receive(size), size) * q[k]
-                    k += 1
-                blocks[ci][mcu, _JPEG_ZIGZAG] = zz
     except EOFError:
         return bad
     a = _jpeg_dct_matrix()
     planes = []
-    for ci in range(ncomp):
-        coef = blocks[ci].reshape(bh * bw, 8, 8)
+    for ci, comp in enumerate(comps):
+        ch, cv = comp["h"], comp["v"]
+        coef = blocks[ci].reshape(-1, 8, 8)
         pix = np.einsum("ij,njk,kl->nil", a.T, coef, a) + 128.0
-        plane = np.zeros((bh * 8, bw * 8))
-        for m in range(bh * bw):
-            by, bx = divmod(m, bw)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix[m]
+        plane = np.zeros((mcuy * cv * 8, mcux * ch * 8))
+        bi = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(cv):
+                    for bx in range(ch):
+                        ys, xs = (my * cv + by) * 8, (mx * ch + bx) * 8
+                        plane[ys : ys + 8, xs : xs + 8] = pix[bi]
+                        bi += 1
+        # replicate-upsample subsampled components to full resolution
+        if cv < vmax:
+            plane = np.repeat(plane, vmax // cv, axis=0)
+        if ch < hmax:
+            plane = np.repeat(plane, hmax // ch, axis=1)
         planes.append(plane[:h, :w])
     if ncomp == 1:
         samples = np.clip(np.rint(planes[0]), 0, 255)
         mean = float(samples.mean())
     elif ncomp == 3:
         y, cb, cr = planes
-        r = y + 1.402 * (cb * 0 + cr - 128.0)
+        r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
         rgb = np.clip(np.rint(np.stack([r, g, b])), 0, 255)

@@ -398,6 +398,17 @@ def test_decode_real_jpeg_roundtrip():
     assert d["ok"] and (d["width"], d["height"]) == (13, 9)
     assert abs(d["mean_pixel"] - src.mean()) < 1.0
 
+    # 4:2:0 (the real-world camera/web layout): MCU-interleaved scan,
+    # box-filtered chroma, replicate upsample — mean within the
+    # chroma-downsample tolerance at odd dims too
+    for w, h in ((16, 12), (13, 9), (17, 15)):
+        d = decode_real(make_jpeg_blob(w, h, fill=5, subsample=True))
+        src = np.frombuffer(
+            bytes((5 + i) % 256 for i in range(w * h * 3)), dtype=np.uint8
+        )
+        assert d["ok"] and (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_pixel"] - src.mean()) < 1.0, (w, h)
+
     # lossy path still decodes cleanly
     assert decode_real(make_jpeg_blob(16, 16, quant=16))["ok"]
 
@@ -417,8 +428,8 @@ def test_decode_real_jpeg_honest_boundary():
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_real(bytes(prog))
     sub = bytearray(blob)
-    sub[sof + 11] = 0x22  # luma sampling 2x2 -> 4:2:0 layout
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    sub[sof + 11] = 0x33  # sampling factor 3 — outside baseline-common
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         decode_real(bytes(sub))
     assert decode_real(b"\xff\xd8\xff\xd9junk")["ok"] is False
     assert decode_real(bytes(blob)[: len(blob) // 2])["ok"] is False
