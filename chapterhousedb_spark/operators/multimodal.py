@@ -465,7 +465,21 @@ def make_jpeg_blob(
     body = np.frombuffer(
         bytes((fill + i) % 256 for i in range(width * height * ncomp)),
         dtype=np.uint8,
-    ).reshape(height, width, ncomp).astype(np.float64)
+    ).reshape(height, width, ncomp)
+    return _encode_jpeg(body, quant=quant, subsample=subsample)
+
+
+def _encode_jpeg(
+    pixels, quant: int = 1, subsample: bool = False
+) -> bytes:
+    """Encode an (h, w, 1|3) uint8 array as baseline sequential JPEG
+    (the make_jpeg_blob engine, reused by resize_media to re-encode
+    resized rasters in their original format)."""
+    import numpy as np
+
+    body = np.asarray(pixels).astype(np.float64)
+    height, width, ncomp = body.shape
+    gray = ncomp == 1
     if gray:
         planes = [body[:, :, 0]]
         samp = [(1, 1)]
@@ -640,9 +654,28 @@ def _decode_jpeg(payload: bytes) -> dict:
     ok=False like every other codec here. The entropy loop is pure
     python (fine for thumbnails/test vectors; production raster
     decode is the documented PIL/ffmpeg boundary)."""
+    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    got = _decode_jpeg_pixels(payload)
+    if got is None:
+        return bad
+    pixels, _sub = got
+    h, w, _c = pixels.shape
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "mean_pixel": float(pixels.mean()),
+        "ok": True,
+    }
+
+
+def _decode_jpeg_pixels(payload: bytes):
+    """Decode a baseline JPEG to ((h, w, 1|3) uint8 RGB/gray array,
+    was_subsampled) — None on malformed bytes (unsupported variants
+    raise, see _decode_jpeg)."""
     import numpy as np
 
-    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    bad = None
     d = payload
     n = len(d)
     if n < 4 or d[0:2] != b"\xff\xd8":
@@ -812,25 +845,18 @@ def _decode_jpeg(payload: bytes) -> dict:
         if ch < hmax:
             plane = np.repeat(plane, hmax // ch, axis=1)
         planes.append(plane[:h, :w])
+    subsampled = hmax > 1 or vmax > 1
     if ncomp == 1:
-        samples = np.clip(np.rint(planes[0]), 0, 255)
-        mean = float(samples.mean())
-    elif ncomp == 3:
+        out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None], subsampled
+    if ncomp == 3:
         y, cb, cr = planes
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
-        rgb = np.clip(np.rint(np.stack([r, g, b])), 0, 255)
-        mean = float(rgb.mean())
-    else:
-        return bad
-    return {
-        "width": int(w),
-        "height": int(h),
-        "n_frames": 1,
-        "mean_pixel": mean,
-        "ok": True,
-    }
+        rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255)
+        return rgb.astype(np.uint8), subsampled
+    return bad
 
 
 def make_ppm_blob(width: int, height: int, fill: int = 0) -> bytes:
@@ -1014,11 +1040,13 @@ def resize_media(
     media: DataFrame, target_w: int, target_h: int
 ) -> DataFrame:
     """REAL image resize through the Arrow-batched mapInPandas path:
-    PPM (P6) and non-interlaced 8-bit RGB/RGBA/gray PNG payloads are
-    decoded (pure python codecs above), nearest-neighbor resampled
-    with a vectorized numpy gather, and re-encoded in their ORIGINAL
-    format (PNG re-encodes with type-0 filter rows — filters are a
-    compression choice, not a fidelity one). Rows whose payload can't
+    PPM (P6), non-interlaced 8-bit RGB/RGBA/gray PNG, and baseline
+    JPEG payloads are decoded (pure python/numpy codecs above),
+    nearest-neighbor resampled with a vectorized numpy gather, and
+    re-encoded in their ORIGINAL format (PNG re-encodes with type-0
+    filter rows — filters are a compression choice, not a fidelity
+    one; JPEG re-encodes near-lossless flat-quant, keeping a 4:2:0
+    source 4:2:0). Rows whose payload can't
     be decoded (or raise as unsupported formats) come back with
     payload NULL and ok=False — one bad blob never kills the task.
 
@@ -1046,6 +1074,24 @@ def resize_media(
             blob = (
                 f"P6\n{target_w} {target_h}\n255\n".encode("ascii") + out
             )
+            return {
+                "payload": blob, "width": target_w, "height": target_h,
+                "ok": True,
+            }
+        if payload[:2] == b"\xff\xd8":
+            got = _decode_jpeg_pixels(payload)
+            if got is None:
+                return bad
+            import numpy as np
+
+            pixels, sub = got
+            h, w, c = pixels.shape
+            out = _resize_rgb(pixels.tobytes(), w, h, c, target_w, target_h)
+            arr = np.frombuffer(out, dtype=np.uint8).reshape(
+                target_h, target_w, c
+            )
+            # re-encode in the original layout (4:2:0 stays 4:2:0)
+            blob = _encode_jpeg(arr, quant=1, subsample=sub and c == 3)
             return {
                 "payload": blob, "width": target_w, "height": target_h,
                 "ok": True,

@@ -460,3 +460,44 @@ def test_decode_real_jpeg_through_mapinpandas(spark):
     assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (24, 16)
     assert got[2]["ok"] and (got[2]["width"], got[2]["height"]) == (8, 8)
     assert got[3]["ok"] is False
+
+
+def test_resize_media_jpeg(spark):
+    """JPEG payloads resize through mapInPandas and re-encode as
+    JPEG: output round-trips decode_real at the target dims with the
+    source mean preserved (flat-quant re-encode); a 4:2:0 source
+    stays decodable; progressive rows degrade to ok=False."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        make_jpeg_blob,
+        resize_media,
+    )
+
+    blob = make_jpeg_blob(16, 12, fill=5)
+    sub = make_jpeg_blob(16, 12, fill=5, subsample=True)
+    prog = bytearray(blob)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    rows = [
+        (1, "image", blob, ("t", 0)),
+        (2, "image", sub, ("t", 0)),
+        (3, "image", bytes(prog), ("t", 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r.asDict()
+        for r in resize_media(media, 8, 6).collect()
+    }
+    src = np.frombuffer(
+        bytes((5 + i) % 256 for i in range(16 * 12 * 3)), dtype=np.uint8
+    ).reshape(12, 16, 3)
+    ys, xs = (np.arange(6) * 12) // 6, (np.arange(8) * 16) // 8
+    ref_mean = src[ys][:, xs].mean()
+    for mid in (1, 2):
+        assert got[mid]["ok"], mid
+        out = bytes(got[mid]["payload"])
+        assert out[:2] == b"\xff\xd8"  # still a JPEG
+        d = decode_real(out)
+        assert d["ok"] and (d["width"], d["height"]) == (8, 6)
+        assert abs(d["mean_pixel"] - ref_mean) < 2.5, (mid, d["mean_pixel"])
+    assert got[3]["ok"] is False and got[3]["payload"] is None
