@@ -425,6 +425,35 @@ TRENDING = TableFunction(
 )
 
 
+def _build_near_dups(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """near_dups('<glob>' [, threshold=>'0.8'] [, text=>...]
+    [, id=>...] [, connection=>...]): confirmed near-duplicate pairs
+    with verification features via the two-stage pipeline
+    (operators/dedup.two_stage_dedup: LSH candidates -> exact
+    token-set rerank -> exact-jaccard threshold) —
+    `select id_a, id_b, jaccard_tokens from near_dups('docs/*.parquet',
+    threshold=>'0.9')` is the corpus-dedup one-liner."""
+    from chapterhousedb_spark.operators.dedup import two_stage_dedup
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return two_stage_dedup(
+        df,
+        text_col=call.named_args.get("text", "text"),
+        id_col=call.named_args.get("id", "doc_id"),
+        jaccard_threshold=float(call.named_args.get("threshold", "0.8")),
+        persist=False,
+    )
+
+
+NEAR_DUPS = TableFunction(
+    name="near_dups",
+    build=_build_near_dups,
+    allowed_args=frozenset({"connection", "threshold", "text", "id"}),
+)
+
+
 def default_table_function_registry() -> TableFunctionRegistry:
     """read_files (the reference's sole function) + the reference's
     unchecked roadmap formats (README.md:63-66: CSV, JSON) + the
@@ -441,4 +470,5 @@ def default_table_function_registry() -> TableFunctionRegistry:
     reg.register(TEXT_QUALITY)
     reg.register(RARITY)
     reg.register(TRENDING)
+    reg.register(NEAR_DUPS)
     return reg

@@ -630,3 +630,34 @@ def test_cancel_does_not_affect_other_queries(engine):
     slow.wait(timeout=60)
     assert ok.status is QueryStatus.COMPLETE
     assert slow.status is QueryStatus.ERROR and slow.error == "cancelled"
+
+
+def test_near_dups_table_function(engine, sf_dir):
+    """The round-8 two-stage dedup pipeline through the engine's SQL
+    registry plug point: near_dups(...) == two_stage_dedup called
+    directly, threshold argument honored."""
+    from chapterhousedb_spark.operators.dedup import (
+        release_self_join_caches,
+        two_stage_dedup,
+    )
+
+    spark = engine.spark
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    [h] = engine.sql_wait(
+        "select id_a, id_b, jaccard_tokens from near_dups("
+        "'documents.parquet', connection=>'testdata', threshold=>'0.6')"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_tokens"]
+        for r in engine.fetch(h.query_id, limit=100_000).to_pylist()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard_tokens"]
+        for r in two_stage_dedup(
+            docs, jaccard_threshold=0.6, persist=False
+        ).collect()
+    }
+    release_self_join_caches()
+    assert got == want
+    assert got  # non-vacuous on the planted near-dups
+    assert all(j >= 0.6 for j in got.values())
