@@ -575,17 +575,29 @@ def srp_write_index(
             "dims": dims,
             "vec_col": vec_col,
             "bucket_col": bucket_col,
+            # lets srp_read_index serve an EMPTY index (an ingest loop
+            # may legitimately start from zero vectors — a partitioned
+            # write of an empty df leaves no readable parquet)
+            "schema_ddl": bucketed.schema.simpleString()[7:-1],
         },
     )
 
 
 def srp_read_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Reload an srp_write_index layout in any session: the
-    bucket-partitioned corpus plus the hash-family metadata."""
+    bucket-partitioned corpus plus the hash-family metadata. An index
+    written from an empty corpus reloads as an empty DataFrame with
+    the recorded schema."""
     import posixpath
 
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     meta = _read_index_meta(spark, path, "srp.json")
-    return spark.read.parquet(posixpath.join(path, "corpus")), meta
+    try:
+        corpus = spark.read.parquet(posixpath.join(path, "corpus"))
+    except AnalysisException:
+        corpus = spark.createDataFrame([], meta["schema_ddl"])
+    return corpus, meta
 
 
 def srp_append(batch: DataFrame, path: str) -> dict:

@@ -272,3 +272,72 @@ def test_round7_operators_on_empty(spark, empty_docs):
     }
     assert got == {5: 5, 9: 9}
     assert components_update(empty_lab, empty_edges).count() == 0
+
+
+def test_round8_operators_on_empty(spark, empty_docs, tmp_path):
+    """Round-8 operators on zero-row inputs: empty results with
+    correct schemas, no crashes."""
+    from chapterhousedb_spark.operators.dedup import two_stage_dedup
+    from chapterhousedb_spark.operators.similarity import (
+        srp_probe_topk,
+        srp_read_index,
+        srp_write_index,
+    )
+    from chapterhousedb_spark.operators.text import bpe_segment
+
+    out = two_stage_dedup(empty_docs, persist=False)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "id_a", "id_b", "n_tok_a", "n_tok_b", "n_common",
+        "jaccard_tokens", "containment", "len_ratio",
+    }
+    # explicit empty candidate relation short-circuits the same way
+    cands = spark.createDataFrame([], "id_a long, id_b long")
+    assert two_stage_dedup(empty_docs, candidates=cands).count() == 0
+
+    # pandas BPE segmenter over an empty corpus: zero rows, schema kept
+    merges = [("a", "b")] * 20  # > threshold -> pandas path
+    seg = bpe_segment(empty_docs, merges)
+    assert seg.count() == 0
+    assert seg.columns == ["doc_id", "tokens", "n_tokens"]
+
+    # SRP index over an empty corpus: probe returns zero rows
+    empty_embs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "srp_empty")
+    srp_write_index(empty_embs, path, planes=4)
+    corpus, meta = srp_read_index(spark, path)
+    assert srp_probe_topk(corpus, meta, [0.0] * 64, k=5, multiprobe=4).count() == 0
+
+
+def test_jpeg_codec_property_random_images():
+    """Hypothesis: random small images round-trip _encode_jpeg ->
+    _decode_jpeg_pixels within the flat-quant DCT rounding bound,
+    PER PIXEL (gray exact to +-2; 4:4:4 color to +-4 after the
+    YCbCr double rounding)."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from chapterhousedb_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 20),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip(w, h, gray, seed):
+        rng = np.random.default_rng(seed)
+        c = 1 if gray else 3
+        img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        got, sub = _decode_jpeg_pixels(_encode_jpeg(img))
+        assert not sub and got.shape == img.shape
+        err = np.abs(got.astype(int) - img.astype(int)).max()
+        assert err <= (2 if gray else 4), err
+
+    roundtrip()
