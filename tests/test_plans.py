@@ -445,3 +445,12 @@ def test_tpch_q2_decorrelated_min_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_two_stage_dedup_plan_no_cartesian(spark):
+    """The two-stage pipeline's candidate stage is a banded equi-join
+    and the rerank joins the pair relation by id — never an all-pairs
+    comparison anywhere in the plan."""
+    plan = physical_plan(q("pipeline_two_stage_dedup", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
