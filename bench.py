@@ -117,6 +117,8 @@ _WRITE_SINK = {
     "text_stats",
     "asof_join_events",
     "incremental_merge",
+    "bpe_tokenize",  # per-doc re-joined segmented text: collect would
+    # measure driver transfer of the whole corpus, not the operator
 }
 
 # Host-speed anchor: the driver's round-4 calibration triple (BENCH_r04.json,

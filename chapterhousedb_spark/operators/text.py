@@ -650,12 +650,24 @@ def bpe_train(
     )
 
 
+# word tables at or below this row count are collected to the driver
+# and trained with the incremental sequential algorithm (one Spark job
+# total); larger tables use the iterative Spark path. A 1e6-row Zipf
+# vocabulary is ~50 MB of driver memory — the same bounded-collect
+# discipline as IVF centroids / z-order boundaries. Measured at sf0.1:
+# the iterative path took 26 s for SIX merges (one explode+groupBy+
+# 1-row-collect job per merge); the driver path trains the same six in
+# well under a second after the single word-count job.
+_BPE_DRIVER_MAX_WORDS = 1_000_000
+
+
 def bpe_train_from_words(
     word_freqs: DataFrame,
     n_merges: int,
     word_col: str = "word",
     freq_col: str = "freq",
     checkpoint_every: int = 8,
+    driver_max_words: int = _BPE_DRIVER_MAX_WORDS,
 ) -> list[tuple[str, str]]:
     """Learn BPE merges directly from a (word, freq) table — the
     INCREMENTAL tokenizer-training composition: maintain the word
@@ -664,9 +676,34 @@ def bpe_train_from_words(
     tokens), then retrain merges from the maintained table whenever
     needed — the corpus text is never rescanned. bpe_train is now a
     thin wrapper: word count + this. Same deterministic tie-break and
-    identical results to training from the raw text (test-pinned)."""
+    identical results to training from the raw text (test-pinned).
+
+    Two physical shapes, identical merges (test-pinned):
+    - word table fits on the driver (<= driver_max_words, checked with
+      a bounded limit+count, never an unguarded count of an unbounded
+      relation): ONE Spark job collects the Zipf-compressed table and
+      the classic sequential trainer with INCREMENTAL pair-count
+      updates (Sennrich et al. 2016) learns all n_merges driver-side —
+      O(touched symbols) per merge, not one Spark job per merge.
+    - bigger tables: the iterative Spark path (per merge: pair explode
+      weighted by freq, map-side-combined groupBy, 1-row collect,
+      JVM merge fold), with localCheckpoint lineage truncation.
+    At 100 TB the corpus is what's big, not the vocabulary — 1e12
+    tokens compress to ~1e7-1e8 unique words, so production training
+    is: one distributed word count, then (usually) the driver path
+    over the compressed table. driver_max_words=0 forces the
+    iterative path."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if driver_max_words > 0:
+        probe = word_freqs.limit(driver_max_words + 1).count()
+        if probe <= driver_max_words:
+            rows = word_freqs.select(
+                F.col(word_col).alias("w"), F.col(freq_col).alias("f")
+            ).collect()
+            return _bpe_train_driver(
+                [(r["w"], int(r["f"])) for r in rows], n_merges
+            )
     words = word_freqs.select(
         # chars + </w> end-of-word marker (classic BPE: merges never
         # cross word boundaries; the marker lets suffixes merge)
@@ -707,15 +744,99 @@ def bpe_train_from_words(
     return merges
 
 
+
+def _bpe_train_driver(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Sequential BPE training with incremental pair-count updates
+    over a collected (word, freq) list — bit-identical merges to the
+    iterative Spark path (same tie-break: count desc, left asc, right
+    asc; same stop rule: best pair count < 2). Per merge, only the
+    words CONTAINING the merged pair are re-segmented and only their
+    pair counts adjusted (a pair -> word-index inverted index keeps
+    the touched set exact) — the classic fast trainer."""
+    from collections import Counter, defaultdict
+
+    vocab: list[list[str]] = []
+    freqs: list[int] = []
+    for w, f in word_freqs:
+        vocab.append(list(w) + ["</w>"])
+        freqs.append(f)
+
+    def word_pairs(syms: list[str]) -> Counter:
+        c: Counter = Counter()
+        for i in range(len(syms) - 1):
+            c[(syms[i], syms[i + 1])] += 1
+        return c
+
+    pair_counts: Counter = Counter()
+    index: defaultdict = defaultdict(set)  # pair -> {word idx}
+    for wi, syms in enumerate(vocab):
+        for pair, k in word_pairs(syms).items():
+            pair_counts[pair] += k * freqs[wi]
+            index[pair].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        best_key = None
+        for pair, n in pair_counts.items():
+            if n < 2:
+                continue
+            key = (-n, pair[0], pair[1])
+            if best_key is None or key < best_key:
+                best, best_key = pair, key
+        if best is None:
+            break
+        merges.append(best)
+        left, right = best
+        fused = left + right
+        for wi in list(index[best]):
+            syms = vocab[wi]
+            f = freqs[wi]
+            old = word_pairs(syms)
+            out, i = [], 0
+            n_syms = len(syms)
+            while i < n_syms:
+                if (
+                    i + 1 < n_syms
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[wi] = out
+            new = word_pairs(out)
+            for pair in old.keys() | new.keys():
+                delta = (new.get(pair, 0) - old.get(pair, 0)) * f
+                if delta:
+                    pair_counts[pair] += delta
+                    if pair_counts[pair] <= 0:
+                        del pair_counts[pair]
+                if new.get(pair, 0):
+                    index[pair].add(wi)
+                elif pair in index:
+                    index[pair].discard(wi)
+        pair_counts.pop(best, None)
+        index.pop(best, None)
+    return merges
+
+
 # above this many merges, bpe_segment switches from the composed JVM
 # fold (plan size AND eval cost grow linearly with len(merges)) to
-# the broadcast pandas path (plan size constant). Measured at sf0.01
-# (SCALE.md): the walls cross between 8 and 32 merges — JVM 1.9s @ 8
-# / 4.7s @ 32 / 7.3s @ 64 vs pandas flat ~0.24s warm — and a
-# production ~30k-merge vocabulary would explode the Catalyst plan
-# (codegen limits) long before the linear eval cost even matters.
-# 16 keeps the dependency-free JVM form for tiny/oracle-sized lists.
-_BPE_JVM_MAX_MERGES = 16
+# the broadcast pandas path (plan size constant). Measured (SCALE.md):
+# at sf0.01 the walls cross between 8 and 32 merges (JVM 1.9s @ 8 /
+# 4.7s @ 32 / 7.3s @ 64 vs pandas ~0.24s warm), and on sf0.1's larger
+# documents pandas already wins 4.5x at SIX merges (9.7s vs 2.2s to a
+# parquet sink — the fold pays per merge PER CHARACTER, the pandas
+# memo pays once per unique word). A production ~30k-merge vocabulary
+# would explode the Catalyst plan (codegen limits) long before the
+# linear eval cost even matters. 4 keeps the dependency-free JVM form
+# for tiny/oracle-sized lists only.
+_BPE_JVM_MAX_MERGES = 4
 
 
 def bpe_segment(

@@ -578,6 +578,7 @@ def test_bpe_segment_auto_selects_pandas_past_threshold(spark):
         "doc_id long, text string",
     )
     merges = bpe_train(docs, n_merges=6)
+    small = merges[: _BPE_JVM_MAX_MERGES]
     # pad to a production-sized merge table with inert symbol pairs
     big = merges + [(f"\x00L{i}", f"\x00R{i}") for i in range(30000)]
     assert len(big) > _BPE_JVM_MAX_MERGES
@@ -586,13 +587,46 @@ def test_bpe_segment_auto_selects_pandas_past_threshold(spark):
     assert "MapInPandas" in plan
     assert len(plan) < 2000, len(plan)  # flat: no per-merge expressions
     # inert padding leaves the segmentation identical to the real list
-    small = {
+    want = {
         r["doc_id"]: r["tokens"]
         for r in bpe_segment(docs, merges, use_pandas=True).collect()
     }
-    assert {r["doc_id"]: r["tokens"] for r in df.collect()} == small
-    # and the small list still uses the dependency-free JVM fold
+    assert {r["doc_id"]: r["tokens"] for r in df.collect()} == want
+    # and a tiny list still uses the dependency-free JVM fold
     jvm_plan = (
-        bpe_segment(docs, merges)._jdf.queryExecution().optimizedPlan().toString()
+        bpe_segment(docs, small)._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "MapInPandas" not in jvm_plan
+
+
+def test_bpe_train_driver_path_equals_iterative_spark_path(spark):
+    """The bounded-collect driver trainer and the iterative Spark path
+    learn IDENTICAL merge lists (same tie-break, same stop rule) — on
+    real testdata and on a tie-heavy corpus."""
+    from chapterhousedb_spark.operators.text import bpe_train_from_words
+    from chapterhousedb_spark.operators.text import normalize_text
+    from chapterhousedb_spark.workload.registry import load
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    def words_of(df):
+        return (
+            df.select(F.explode(F.split(normalize_text("text"), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    docs = load(spark, SF_SMOKE, "documents").limit(40)
+    w = words_of(docs)
+    driver = bpe_train_from_words(w, 12)
+    iterative = bpe_train_from_words(w, 12, driver_max_words=0)
+    assert driver == iterative
+    # tie-heavy: every pair count equal -> tie-break order decides
+    ties = spark.createDataFrame(
+        [(0, "ab cd ab cd ef gh ef gh")], "doc_id long, text string"
+    )
+    wt = words_of(ties)
+    assert bpe_train_from_words(wt, 4) == bpe_train_from_words(
+        wt, 4, driver_max_words=0
+    )
