@@ -293,7 +293,20 @@ def _persist_local(payload: dict) -> str | None:
         if m
     ]
     n = max(ns) + 1 if ns else 1
-    path = os.path.join(here, f"BENCH_LOCAL_r{n}.json")
+    # never clobber an existing record: the same round number can be
+    # claimed twice (a builder run mid-round and the DRIVER's run after
+    # the round's CORRECTNESS artifact lands both derive the same N) —
+    # round 8 lost the driver's round-7 record to exactly this overlap.
+    # Suffixes keep every run: BENCH_LOCAL_r9.json, r9b, r9c, ...
+    suffixes = [""] + [chr(c) for c in range(ord("b"), ord("z") + 1)]
+    path = None
+    for suf in suffixes:
+        cand = os.path.join(here, f"BENCH_LOCAL_r{n}{suf}.json")
+        if not os.path.exists(cand):
+            path = cand
+            break
+    if path is None:
+        return None
     try:
         with open(path, "w") as f:
             json.dump(payload, f, indent=1)

@@ -67,6 +67,14 @@ def test_persist_local_writes_roundtrippable_json(tmp_path, monkeypatch):
     path = b._persist_local(payload)
     assert path == str(tmp_path / "BENCH_LOCAL_r7.json")
     assert json.load(open(path)) == payload
+    # a second run in the same round must NOT clobber the first (the
+    # builder and the driver can both claim the same N — round 8 lost
+    # the driver's round-7 record to that overlap): suffixes b, c, ...
+    path2 = b._persist_local({"queries": {"q1": 9.9}})
+    assert path2 == str(tmp_path / "BENCH_LOCAL_r7b.json")
+    assert json.load(open(path)) == payload  # original intact
+    path3 = b._persist_local({"queries": {}})
+    assert path3 == str(tmp_path / "BENCH_LOCAL_r7c.json")
 
 
 def test_persist_local_survives_unwritable_dir(tmp_path, monkeypatch):
