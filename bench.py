@@ -218,6 +218,38 @@ def _previous_round_times() -> (
     return best_n, best_times, best_factor, best_median
 
 
+def _same_round_record() -> tuple[str, dict, float] | None:
+    """The newest COMPLETE in-repo record of the CURRENT round
+    (BENCH_LOCAL_r{N}[suffix].json, N = max CORRECTNESS + 1): a
+    builder's idle-host run the driver's later run can be compared
+    against on the SAME code. Round 7's idle-vs-driver bench
+    disagreement was adjudicated by hand because no artifact carried
+    this comparison (VERDICT r7 "what's wrong" #2). Returns
+    (filename, queries, median_probe) or None."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = [
+        int(m.group(1))
+        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", f)]
+        if m
+    ]
+    n = max(ns) + 1 if ns else 1
+    cands = sorted(glob.glob(os.path.join(here, f"BENCH_LOCAL_r{n}*.json")))
+    for p in reversed(cands):  # latest suffix first
+        try:
+            obj = json.load(open(p))
+        except (OSError, json.JSONDecodeError):
+            continue
+        times = obj.get("queries") or {}
+        med = (obj.get("calibration") or {}).get("spark_range_sum_median_sec")
+        if times and med:
+            return os.path.basename(p), times, med
+    return None
+
+
 def _median_of(fn, n: int) -> tuple[float, list[float]]:
     import statistics
 
@@ -378,6 +410,27 @@ def main() -> None:
             for q in times
             if q in prev
         }
+        # same-round self-adjudication: when a complete record of THIS
+        # round already exists in-repo (the builder's idle-host run),
+        # record median-normalized deltas against it — same code, so
+        # any residual spread is ENVIRONMENT by construction and an
+        # idle-vs-driver disagreement is decidable from artifacts alone
+        same = _same_round_record()
+        same_block = None
+        if same is not None:
+            ref_name, ref_times, ref_med = same
+            f_same = round(
+                calibration["spark_range_sum_median_sec"] / ref_med, 3
+            )
+            same_block = {
+                "ref": ref_name,
+                "host_factor_vs_ref": f_same,
+                "deltas_host_normalized": {
+                    q: round(times[q] / f_same - ref_times[q], 3)
+                    for q in times
+                    if q in ref_times
+                },
+            }
         payload = {
             "metric": "headline_queries_total_wall",
             "value": total,
@@ -391,6 +444,7 @@ def main() -> None:
             "host_factor_vs_prev": f_now,
             "host_norm_kind": norm_kind,
             "deltas_vs_prev_host_normalized": deltas_norm,
+            "same_round": same_block,
             "noise_floor": noise_floor,
             "calibration": calibration,
         }

@@ -102,3 +102,32 @@ def test_headline_covers_all_gated_tpch_and_rollup_rows():
         "corpus_diff",
     ]:
         assert name in b.HEADLINE, name
+
+
+def test_same_round_record_reads_latest_complete(tmp_path, monkeypatch):
+    """_same_round_record finds the newest complete BENCH_LOCAL of the
+    CURRENT round (latest suffix wins; incomplete records skipped) —
+    the reference the driver's run self-adjudicates against."""
+    b = _bench()
+    (tmp_path / "CORRECTNESS_r7.json").write_text("{}")
+    monkeypatch.setattr(
+        b.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert b._same_round_record() is None
+    (tmp_path / "BENCH_LOCAL_r8.json").write_text(json.dumps({
+        "queries": {"q1": 1.0},
+        "calibration": {"spark_range_sum_median_sec": 0.25},
+    }))
+    name, times, med = b._same_round_record()
+    assert name == "BENCH_LOCAL_r8.json" and times == {"q1": 1.0} and med == 0.25
+    # a later suffixed run supersedes; an incomplete one is skipped
+    (tmp_path / "BENCH_LOCAL_r8b.json").write_text(json.dumps({
+        "queries": {"q1": 2.0},
+        "calibration": {"spark_range_sum_median_sec": 0.5},
+    }))
+    (tmp_path / "BENCH_LOCAL_r8c.json").write_text(json.dumps({"queries": {}}))
+    name, times, med = b._same_round_record()
+    assert name == "BENCH_LOCAL_r8b.json" and times == {"q1": 2.0}
+    # other rounds' records never match
+    (tmp_path / "BENCH_LOCAL_r9.json").write_text("{}")
+    assert b._same_round_record()[0] == "BENCH_LOCAL_r8b.json"
