@@ -450,12 +450,15 @@ def make_jpeg_blob(
     gray: bool = False,
     quant: int = 1,
     subsample: bool = False,
+    sampling: list | None = None,
 ) -> bytes:
     """A real baseline sequential JPEG with the same deterministic
     pixel-ramp body convention as make_ppm_blob: grayscale, 4:4:4
     color, or (subsample=True) 4:2:0 color — chroma box-filtered 2x2
     and the scan MCU-interleaved exactly as real-world camera/web
-    JPEGs are. quant=1 embeds a flat all-ones quantization table
+    JPEGs are. `sampling` passes an explicit per-component (h, v)
+    layout through to the encoder (e.g. [(2, 1), (1, 1), (1, 1)] for
+    4:2:2). quant=1 embeds a flat all-ones quantization table
     (near-lossless — error bounded by DCT rounding and, for 4:2:0,
     the chroma downsample), larger values trade fidelity for the
     lossy path."""
@@ -466,15 +469,24 @@ def make_jpeg_blob(
         bytes((fill + i) % 256 for i in range(width * height * ncomp)),
         dtype=np.uint8,
     ).reshape(height, width, ncomp)
-    return _encode_jpeg(body, quant=quant, subsample=subsample)
+    return _encode_jpeg(body, quant=quant, subsample=subsample, sampling=sampling)
 
 
 def _encode_jpeg(
-    pixels, quant: int = 1, subsample: bool = False
+    pixels,
+    quant: int = 1,
+    subsample: bool = False,
+    sampling: list | None = None,
 ) -> bytes:
     """Encode an (h, w, 1|3) uint8 array as baseline sequential JPEG
     (the make_jpeg_blob engine, reused by resize_media to re-encode
-    resized rasters in their original format)."""
+    resized rasters in their original format).
+
+    `sampling` is an explicit per-component (h, v) factor list (the
+    shape _decode_jpeg_pixels returns), overriding the boolean
+    shorthand — so a 4:2:2 source really re-encodes 4:2:2 instead of
+    silently becoming 4:2:0 (ADVICE r8). Factors are 1 or 2 per axis,
+    the same envelope the decoder supports."""
     import numpy as np
 
     body = np.asarray(pixels).astype(np.float64)
@@ -482,7 +494,6 @@ def _encode_jpeg(
     gray = ncomp == 1
     if gray:
         planes = [body[:, :, 0]]
-        samp = [(1, 1)]
     else:
         r, g, b = body[:, :, 0], body[:, :, 1], body[:, :, 2]
         planes = [
@@ -490,19 +501,38 @@ def _encode_jpeg(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+    if gray:
+        # single component: sampling ratios are all 1 by construction
+        samp = [(1, 1)]
+    elif sampling is not None:
+        if len(sampling) != ncomp:
+            raise ValueError(
+                f"sampling has {len(sampling)} entries for {ncomp} components"
+            )
+        samp = [(int(h), int(v)) for h, v in sampling]
+        for h, v in samp:
+            if h not in (1, 2) or v not in (1, 2):
+                raise NotImplementedError(
+                    f"sampling factors {h}x{v} not supported (1 or 2 per axis)"
+                )
+    else:
         samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
-    if subsample and not gray:
-        # 2x2 box-filter the chroma planes (pad to even dims first)
-        for c in (1, 2):
-            pl = planes[c]
-            ph = pl.shape[0] + (pl.shape[0] & 1)
-            pw = pl.shape[1] + (pl.shape[1] & 1)
-            pl = np.pad(
-                pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])), mode="edge"
-            )
-            planes[c] = 0.25 * (
-                pl[0::2, 0::2] + pl[0::2, 1::2] + pl[1::2, 0::2] + pl[1::2, 1::2]
-            )
+    hmax0 = max(h for h, _ in samp)
+    vmax0 = max(v for _, v in samp)
+    # box-filter every component sampled below the max rate (pad to a
+    # multiple of the factor first); 4:2:0 -> 2x2 box on chroma,
+    # 4:2:2 -> horizontal-only box
+    for c, (h, v) in enumerate(samp):
+        fy, fx = vmax0 // v, hmax0 // h
+        if fy == 1 and fx == 1:
+            continue
+        pl = planes[c]
+        ph = -(-pl.shape[0] // fy) * fy
+        pw = -(-pl.shape[1] // fx) * fx
+        pl = np.pad(
+            pl, ((0, ph - pl.shape[0]), (0, pw - pl.shape[1])), mode="edge"
+        )
+        planes[c] = pl.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
     hmax = max(h for h, _ in samp)
     vmax = max(v for _, v in samp)
     mcux = -(-width // (8 * hmax))
@@ -671,8 +701,8 @@ def _decode_jpeg(payload: bytes) -> dict:
 
 def _decode_jpeg_pixels(payload: bytes):
     """Decode a baseline JPEG to ((h, w, 1|3) uint8 RGB/gray array,
-    was_subsampled) — None on malformed bytes (unsupported variants
-    raise, see _decode_jpeg)."""
+    per-component (h, v) sampling layout) — None on malformed bytes
+    (unsupported variants raise, see _decode_jpeg)."""
     import numpy as np
 
     bad = None
@@ -699,6 +729,11 @@ def _decode_jpeg_pixels(payload: bytes):
         if marker == 0xDB:  # DQT (possibly several tables)
             i = 0
             while i < len(seg):
+                # a truncated table would yield a <64-entry list and an
+                # IndexError deep in dequant — malformed bytes must
+                # return ok=False instead (ADVICE r8)
+                if i + 65 > len(seg):
+                    return bad
                 pq, tq = seg[i] >> 4, seg[i] & 0xF
                 if pq != 0:
                     raise NotImplementedError("16-bit quant tables not supported")
@@ -707,19 +742,27 @@ def _decode_jpeg_pixels(payload: bytes):
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    return bad
                 tc, th = seg[i] >> 4, seg[i] & 0xF
                 bits = list(seg[i + 1 : i + 17])
                 nv = sum(bits)
+                if i + 17 + nv > len(seg):  # bits/vals mismatch
+                    return bad
                 vals = list(seg[i + 17 : i + 17 + nv])
                 dec, _ = _jpeg_huff_codes(bits, vals)
                 huff[(tc, th)] = dec
                 i += 17 + nv
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(seg) < 6:
+                return bad
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if len(seg) < 6 + 3 * ncomp:
+                return bad
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -738,8 +781,12 @@ def _decode_jpeg_pixels(payload: bytes):
                 f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/hierarchical) not supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return bad
             (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                return bad
             ns = seg[0]
             tables = {}
             for c in range(ns):
@@ -845,17 +892,19 @@ def _decode_jpeg_pixels(payload: bytes):
         if ch < hmax:
             plane = np.repeat(plane, hmax // ch, axis=1)
         planes.append(plane[:h, :w])
-    subsampled = hmax > 1 or vmax > 1
+    # the source's own per-component sampling layout, so a re-encode
+    # can reproduce it exactly (4:2:2 stays 4:2:2, not 4:2:0)
+    samp_layout = [(c["h"], c["v"]) for c in comps]
     if ncomp == 1:
         out = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
-        return out[:, :, None], subsampled
+        return out[:, :, None], samp_layout
     if ncomp == 3:
         y, cb, cr = planes
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
         rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255)
-        return rgb.astype(np.uint8), subsampled
+        return rgb.astype(np.uint8), samp_layout
     return bad
 
 
@@ -1045,8 +1094,9 @@ def resize_media(
     nearest-neighbor resampled with a vectorized numpy gather, and
     re-encoded in their ORIGINAL format (PNG re-encodes with type-0
     filter rows — filters are a compression choice, not a fidelity
-    one; JPEG re-encodes near-lossless flat-quant, keeping a 4:2:0
-    source 4:2:0). Rows whose payload can't
+    one; JPEG re-encodes near-lossless flat-quant in the source's own
+    chroma sampling layout — 4:4:4, 4:2:2 and 4:2:0 each stay
+    themselves). Rows whose payload can't
     be decoded (or raise as unsupported formats) come back with
     payload NULL and ok=False — one bad blob never kills the task.
 
@@ -1084,14 +1134,15 @@ def resize_media(
                 return bad
             import numpy as np
 
-            pixels, sub = got
+            pixels, samp = got
             h, w, c = pixels.shape
             out = _resize_rgb(pixels.tobytes(), w, h, c, target_w, target_h)
             arr = np.frombuffer(out, dtype=np.uint8).reshape(
                 target_h, target_w, c
             )
-            # re-encode in the original layout (4:2:0 stays 4:2:0)
-            blob = _encode_jpeg(arr, quant=1, subsample=sub and c == 3)
+            # re-encode in the source's OWN sampling layout
+            # (4:4:4/4:2:2/4:2:0 each stay themselves)
+            blob = _encode_jpeg(arr, quant=1, sampling=samp if c == 3 else None)
             return {
                 "payload": blob, "width": target_w, "height": target_h,
                 "ok": True,

@@ -544,8 +544,9 @@ def srp_write_index(
     vec_col: str = "embedding",
     planes: int = 16,
     seed: int = 7,
-    dims: int = 64,
+    dims: int | None = None,
     bucket_col: str = "srp_bucket",
+    id_col: str = "vec_id",
 ) -> None:
     """Persist the production SRP layout: the corpus bucketed ONCE and
     PARTITIONED by bucket under <path>/corpus, plus the hash family
@@ -556,7 +557,30 @@ def srp_write_index(
     signature cost once at write time, and every probe reads only the
     probed buckets' FILES (partition pruning, the IVF economics).
     No training state at all: the hyperplanes are derived from
-    (seed, planes, dims), so srp.json is 4 scalars."""
+    (seed, planes, dims), so srp.json is 4 scalars.
+
+    `dims` defaults to the corpus's OWN vector length (one bounded
+    min/max agg at write time). An explicit dims larger than the
+    shortest vector raises: signature components past the vector end
+    evaluate to NULL, the whole plane dot-product goes NULL, and every
+    row silently lands in bucket 0 — the index degenerates to a full
+    scan with no error (recall survives, pruning is lost)."""
+    sizes = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).collect()[0]
+    if dims is None:
+        # empty corpus (a legal starting point for an ingest loop):
+        # keep the legacy default — there is no row to mis-bucket, and
+        # srp_append re-validates every future batch against the
+        # recorded dims, so a shorter-vector batch raises then
+        dims = 64 if sizes["lo"] is None else int(sizes["lo"])
+    elif sizes["lo"] is not None and sizes["lo"] < dims:
+        raise ValueError(
+            f"srp_write_index: dims={dims} exceeds the shortest {vec_col} "
+            f"vector (size {sizes['lo']}); out-of-bounds components are "
+            f"NULL and every row would hash to bucket 0"
+        )
     bucketed = df.withColumn(
         bucket_col, srp_signature(vec_col, planes, dims, seed)
     )
@@ -575,6 +599,10 @@ def srp_write_index(
             "dims": dims,
             "vec_col": vec_col,
             "bucket_col": bucket_col,
+            # the corpus id column, so probes read the layout's own
+            # column name instead of trusting a caller-supplied default
+            # against a self-describing metadata file (ADVICE r8)
+            "id_col": id_col,
             # lets srp_read_index serve an EMPTY index (an ingest loop
             # may legitimately start from zero vectors — a partitioned
             # write of an empty df leaves no readable parquet)
@@ -610,6 +638,14 @@ def srp_append(batch: DataFrame, path: str) -> dict:
 
     spark = batch.sparkSession
     meta = _read_index_meta(spark, path, "srp.json")
+    lo = batch.agg(F.min(F.size(F.col(meta["vec_col"])))).collect()[0][0]
+    if lo is not None and lo < meta["dims"]:
+        raise ValueError(
+            f"srp_append: batch has a {meta['vec_col']} vector of size "
+            f"{lo}, shorter than the index's dims={meta['dims']}; "
+            f"out-of-bounds components are NULL and the rows would all "
+            f"hash to bucket 0"
+        )
     bucketed = batch.withColumn(
         meta["bucket_col"],
         srp_signature(meta["vec_col"], meta["planes"], meta["dims"], meta["seed"]),
@@ -626,7 +662,7 @@ def srp_probe_topk(
     query_vec: list[float],
     k: int = 10,
     multiprobe: int = 1,
-    id_col: str = "vec_id",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Probe a persisted SRP corpus: compute the query's bucket with
     the SAME JVM expression family, take every bucket within hamming
@@ -635,6 +671,10 @@ def srp_probe_topk(
     the probe reads sum_{h<=multiprobe} C(planes, h) directories, not
     the corpus. multiprobe=planes degenerates to a full scan (== brute
     force, test-pinned)."""
+    # layout metadata wins over the legacy default: an index written
+    # from a corpus with a different id column probes by ITS name
+    # (pre-id_col srp.json payloads fall back to vec_id)
+    id_col = id_col or meta.get("id_col", "vec_id")
     planes, dims, seed = meta["planes"], meta["dims"], meta["seed"]
     if not 0 <= multiprobe <= planes:
         raise ValueError(

@@ -911,6 +911,11 @@ def _bpe_segment_pandas(
 
     import pandas as pd
 
+    if id_col in ("tokens", "n_tokens"):
+        raise ValueError(
+            f"bpe_segment: id_col={id_col!r} collides with an output "
+            f"column; rename the id column first"
+        )
     spark = df.sparkSession
     ranks_bc = spark.sparkContext.broadcast(
         {pair: i for i, pair in enumerate(merges)}
@@ -919,9 +924,23 @@ def _bpe_segment_pandas(
         F.col(id_col).alias("__id"),
         F.split(normalize_text(text_col), " ").alias("__words"),
     )
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields[:1]
-    ).replace("__id", id_col) + ", tokens array<string>, n_tokens int"
+    # a StructType built from the projected id field — NOT a DDL string
+    # (string surgery breaks on id columns that collide with the output
+    # names, need quoting, or whose type string contains the
+    # placeholder; ADVICE r8)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                id_col,
+                src.schema.fields[0].dataType,
+                src.schema.fields[0].nullable,
+            ),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
 
     def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = ranks_bc.value

@@ -335,8 +335,9 @@ def test_jpeg_codec_property_random_images():
         rng = np.random.default_rng(seed)
         c = 1 if gray else 3
         img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
-        got, sub = _decode_jpeg_pixels(_encode_jpeg(img))
-        assert not sub and got.shape == img.shape
+        got, samp = _decode_jpeg_pixels(_encode_jpeg(img))
+        # unsubsampled encode -> every component at full (1, 1) rate
+        assert set(samp) == {(1, 1)} and got.shape == img.shape
         err = np.abs(got.astype(int) - img.astype(int)).max()
         assert err <= (2 if gray else 4), err
 

@@ -501,3 +501,79 @@ def test_resize_media_jpeg(spark):
         assert d["ok"] and (d["width"], d["height"]) == (8, 6)
         assert abs(d["mean_pixel"] - ref_mean) < 2.5, (mid, d["mean_pixel"])
     assert got[3]["ok"] is False and got[3]["payload"] is None
+
+def test_decode_jpeg_truncated_tables_return_bad():
+    """ADVICE r8: a truncated DQT (or a DHT whose bits/vals run past
+    the segment) is MALFORMED bytes, not a crash — direct
+    _decode_jpeg_pixels callers get None / ok=False instead of an
+    IndexError escaping the documented contract."""
+    import struct
+
+    from chapterhousedb_spark.operators.multimodal import make_jpeg_blob
+
+    blob = bytearray(make_jpeg_blob(16, 8))
+
+    def resegment(marker: bytes, keep: int) -> bytes:
+        """Truncate the first `marker` segment's payload to `keep`
+        bytes (rewriting its length so the stream still parses)."""
+        i = blob.index(marker)
+        (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
+        body = blob[i + 4 : i + 2 + ln][:keep]
+        return (
+            bytes(blob[:i])
+            + marker
+            + struct.pack(">H", len(body) + 2)
+            + bytes(body)
+            + bytes(blob[i + 2 + ln :])
+        )
+
+    # DQT cut mid-table: < 65 bytes of table payload remain
+    assert decode_real(resegment(b"\xff\xdb", 30))["ok"] is False
+    # DHT cut so sum(bits) overruns the remaining vals
+    assert decode_real(resegment(b"\xff\xc4", 18))["ok"] is False
+    # SOF cut mid-component list
+    assert decode_real(resegment(b"\xff\xc0", 7))["ok"] is False
+
+
+def test_resize_media_jpeg_preserves_sampling_layout(spark):
+    """ADVICE r8: resize_media re-encodes a JPEG in the source's OWN
+    chroma layout — a 4:2:2 source stays 4:2:2 (not silently 4:2:0)
+    and a 4:2:0 source stays 4:2:0. The SOF component byte carries
+    (h<<4|v) for component 1, so the layout is directly assertable."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        make_jpeg_blob,
+        resize_media,
+    )
+
+    def luma_hv(payload: bytes) -> int:
+        i = payload.index(b"\xff\xc0")
+        return payload[i + 11]
+
+    h422 = make_jpeg_blob(16, 12, fill=5, sampling=[(2, 1), (1, 1), (1, 1)])
+    h420 = make_jpeg_blob(16, 12, fill=5, subsample=True)
+    h444 = make_jpeg_blob(16, 12, fill=5)
+    assert luma_hv(h422) == 0x21 and luma_hv(h420) == 0x22 and luma_hv(h444) == 0x11
+    # the 4:2:2 blob decodes within the chroma-downsample tolerance
+    src_mean = np.frombuffer(
+        bytes((5 + i) % 256 for i in range(16 * 12 * 3)), dtype=np.uint8
+    ).mean()
+    d = decode_real(h422)
+    assert d["ok"] and abs(d["mean_pixel"] - src_mean) < 1.0
+
+    media = spark.createDataFrame(
+        [(1, "image", h422, ("t", 0)), (2, "image", h420, ("t", 0)),
+         (3, "image", h444, ("t", 0))],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_media(media, 8, 6).collect()
+    }
+    assert luma_hv(got[1]) == 0x21  # 4:2:2 stayed 4:2:2
+    assert luma_hv(got[2]) == 0x22  # 4:2:0 stayed 4:2:0
+    assert luma_hv(got[3]) == 0x11  # 4:4:4 stayed 4:4:4
+    for mid in (1, 2, 3):
+        d = decode_real(got[mid])
+        assert d["ok"] and (d["width"], d["height"]) == (8, 6), mid

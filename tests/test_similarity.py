@@ -516,3 +516,69 @@ def test_srp_append_equals_rebuild(spark, tmp_path):
             for r in srp_probe_topk(full_c, full_m, q, k=7, multiprobe=mp).collect()
         ]
         assert got == want, mp
+
+def test_srp_write_index_dims_validation(spark, tmp_path):
+    """ADVICE r8: dims is derived from the corpus's own vector length
+    by default, and an explicit dims longer than the shortest vector
+    raises instead of silently hashing every row to bucket 0 (the
+    out-of-bounds components go NULL -> plane dot-products go NULL ->
+    the index degenerates to a full scan with recall preserved but all
+    pruning lost). srp_append re-validates each batch the same way."""
+    import pytest
+
+    from chapterhousedb_spark.operators.similarity import (
+        srp_append,
+        srp_read_index,
+        srp_write_index,
+    )
+
+    short = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "srp_short")
+    # derived dims == actual vector length
+    srp_write_index(short, path, planes=4)
+    _, meta = srp_read_index(spark, path)
+    assert meta["dims"] == 8
+    # explicit oversize dims refuses to build a degenerate index
+    with pytest.raises(ValueError, match="dims=64 exceeds"):
+        srp_write_index(short, str(tmp_path / "srp_bad"), planes=4, dims=64)
+    # an append whose batch is shorter than the layout's dims refuses too
+    wide_path = str(tmp_path / "srp_wide")
+    wide = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(16)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    srp_write_index(wide, wide_path, planes=4)
+    with pytest.raises(ValueError, match="srp_append"):
+        srp_append(short, wide_path)
+
+
+def test_srp_index_records_id_col(spark, tmp_path):
+    """ADVICE r8: the srp.json layout metadata records the corpus id
+    column, and srp_probe_topk reads it from there — an index written
+    over a differently-named id column probes without the caller
+    having to repeat the name."""
+    from chapterhousedb_spark.operators.similarity import (
+        srp_probe_topk,
+        srp_read_index,
+        srp_write_index,
+    )
+    from chapterhousedb_spark.workload.registry import load
+    from tests.conftest import SF_SMOKE
+
+    emb = (
+        load(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumnRenamed("vec_id", "doc_key")
+    )
+    path = str(tmp_path / "srp_idcol")
+    srp_write_index(emb, path, planes=8, id_col="doc_key")
+    q = emb.orderBy("doc_key").first()["embedding"]
+    corpus, meta = srp_read_index(spark.newSession(), path)
+    assert meta["id_col"] == "doc_key"
+    got = srp_probe_topk(corpus, meta, q, k=5, multiprobe=1)
+    assert "doc_key" in got.columns and got.count() == 5
+    # a pre-id_col srp.json (no key) still defaults to vec_id
+    assert srp_probe_topk.__defaults__[-1] is None

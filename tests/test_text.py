@@ -630,3 +630,33 @@ def test_bpe_train_driver_path_equals_iterative_spark_path(spark):
     assert bpe_train_from_words(wt, 4) == bpe_train_from_words(
         wt, 4, driver_max_words=0
     )
+
+def test_bpe_segment_pandas_schema_construction(spark):
+    """ADVICE r8: the pandas path's output schema is a programmatic
+    StructType, not DDL string surgery — id columns that need quoting
+    (spaces) segment fine, and an id column colliding with an
+    output name raises a clear error instead of a corrupt schema."""
+    import pytest
+
+    from chapterhousedb_spark.operators.text import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer newest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=4)
+    want = {
+        r["doc_id"]: r["tokens"]
+        for r in bpe_segment(docs, merges, use_pandas=False).collect()
+    }
+
+    weird = docs.withColumnRenamed("doc_id", "doc id")
+    got = bpe_segment(
+        weird, merges, id_col="doc id", use_pandas=True
+    )
+    assert got.schema.fieldNames() == ["doc id", "tokens", "n_tokens"]
+    assert {r["doc id"]: r["tokens"] for r in got.collect()} == want
+
+    collide = docs.withColumnRenamed("doc_id", "n_tokens")
+    with pytest.raises(ValueError, match="collides"):
+        bpe_segment(collide, merges, id_col="n_tokens", use_pandas=True)
