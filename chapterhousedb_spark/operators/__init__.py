@@ -47,6 +47,7 @@ from chapterhousedb_spark.operators.merge import (
 )
 from chapterhousedb_spark.operators.similarity import (
     cosine_topk,
+    embedding_dedup_survivors,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_cross,
     ivf_ann_topk,
@@ -72,6 +73,7 @@ from chapterhousedb_spark.operators.text import (
     bpe_train,
     bpe_train_from_words,
     lang_id,
+    bigram_lm_stats,
     rarity_stats,
     redact_pii,
     pack_sequences,
@@ -92,6 +94,8 @@ __all__ = [
     "ingest_stream",
     "init_ingest",
     "ivf_append",
+    "bigram_lm_stats",
+    "embedding_dedup_survivors",
     "rarity_stats",
     "token_budget_mix",
     "char_shingle_posts",

@@ -335,6 +335,40 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_dedup_survivors(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+    seed: int = 7,
+    seeds: list[int] | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: drop every vector that has a
+    near-duplicate (cosine >= threshold inside an SRP blocking bucket)
+    with a SMALLER id — the smallest id of each near-dup group always
+    survives, and the rule is greedy/deterministic (a dropped vector
+    still dominates larger ids it pairs with, matching the published
+    SemDeDup keep-one semantics rather than transitive clustering,
+    which would need an iterative connected-components pass). Returns
+    the surviving rows of `df`, all columns intact.
+
+    The pair generation reuses embedding_near_dup_pairs (bucketed
+    equi-self-join, multi-seed recall, exact cosine verify); the
+    survivor step is ONE anti join keyed on the id. Deterministic and
+    SQL-replayable end-to-end — the declared `embedding_dedup` query
+    oracles the whole composition against DuckDB.
+
+    At 100 TB: identical economics to the near-dup pair gate (measured
+    in SCALE.md) plus one id-keyed anti join; nothing driver-side."""
+    pairs = embedding_near_dup_pairs(
+        df, threshold, vec_col, id_col, planes, seed, seeds, persist
+    )
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dominated, id_col, "left_anti")
+
+
 def embedding_near_dup_pairs_cross(
     batch: DataFrame,
     corpus: DataFrame,

@@ -561,6 +561,104 @@ def rarity_stats(
     )
 
 
+def bigram_lm_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    surprisal: bool = False,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram language-model fluency features against the
+    corpus's OWN bigram distribution — KenLM-style quality scoring
+    without an external model. Token-rarity (rarity_stats) sees which
+    WORDS are unusual; this sees which ADJACENCIES are: fluent prose
+    reuses collocations the rest of the corpus also uses, while
+    shuffled/generated/mojibake text produces word pairs nobody else
+    writes even when every individual word is common. Docs with fewer
+    than 2 tokens have no bigrams and produce no row.
+
+    Exact outputs (integer counts + one double division, so a DuckDB
+    oracle replays them bit-for-bit — same discipline as rarity_stats):
+
+      n_bigrams      adjacent-pair instances in the doc
+      known_frac     fraction of instances whose corpus count (incl.
+                     this doc's own uses) >= min_count
+      mean_bg_count  mean corpus count of the doc's bigram instances
+
+    `surprisal=True` adds the real LM feature — mean add-k-smoothed
+    negative log2 bigram probability ≈ log2-perplexity under a
+    bigram-count model. log2 is NOT bit-portable across engines (JVM
+    vs libm last-ulp drift), so it stays out of the oracle-gated
+    column set and is pinned by a python-reference unit test instead
+    (the md5-twin discipline, applied to floats).
+
+    At 100 TB: bigram instances = one corpus-sized explode shuffled on
+    the bigram key (head collocations are Zipf-skewed — AQE skew join
+    handles them; counts collapse map-side); the instance><count join
+    is bigram-keyed; the per-doc aggregate is integer-additive. The
+    global (total, vocab) scalars for surprisal are a 1-row broadcast.
+    No driver collects."""
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda t: t != ""
+    )
+    # adjacent pairs, 1-based slots (sequence over size-1); instances
+    # keep their multiplicity — each occurrence is scored. Docs under
+    # 2 tokens need the explicit guard: Spark's sequence(1, 0) counts
+    # DOWN to [1, 0] (step inferred -1), unlike DuckDB's empty list
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posts = df.select(
+        F.col(id_col).alias("id"), F.explode(bigrams).alias("bg")
+    )
+    counts = posts.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_count"))
+    joined = posts.join(counts, "bg")
+    out = (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(
+                    F.when(F.col("bg_count") >= min_count, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("known_frac"),
+            (F.sum("bg_count").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bg_count"
+            ),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+    if not surprisal:
+        return out
+    totals = counts.agg(
+        F.sum("bg_count").alias("bg_total"),
+        F.count(F.lit(1)).alias("bg_vocab"),
+    )
+    scored = (
+        joined.join(F.broadcast(totals))
+        .withColumn(
+            "nll",
+            -F.log2(
+                (F.col("bg_count") + F.lit(float(add_k)))
+                / (F.col("bg_total") + F.lit(float(add_k)) * F.col("bg_vocab"))
+            ),
+        )
+        .groupBy("id")
+        .agg(F.avg("nll").alias("surprisal"))
+        .withColumnRenamed("id", id_col)
+    )
+    return out.join(scored, id_col)
+
+
 def vocabulary_partials(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -60,8 +60,9 @@ _DRIVER_FIRST = [
     "tpch_q13_cust_distribution",
     "tpch_q18_large_orders",
     "events_rollup_daily",
-    "tfidf_top_terms",
-    "training_order",
+    # (tfidf_top_terms / training_order sat here rounds 6-8; demoted
+    # round 9 to pay for embedding_dedup / bigram_coverage — see the
+    # round-9 batch comment below)
     # round-6 third batch: distribution window functions and the
     # exact-moment statistical aggregates (var/stddev/corr via decimal
     # moments) — paid for by demoting window_topk_per_group (windows
@@ -178,8 +179,27 @@ _DRIVER_FIRST = [
     # rotation and the sketch tests in test_rollup.py).
     "pipeline_two_stage_dedup",
     "streaming_ingest_corpus",
+    # round-9 new surface, gated at birth: SemDeDup-style semantic
+    # dedup survivors (the full SRP-blocked pair + greedy
+    # smaller-id-wins anti-join composition under one oracle) and the
+    # bigram LM fluency features (corpus-self collocation coverage,
+    # integer-exact like rarity_stats). Paid for by demoting
+    # training_order (its md5 permutation machinery is replayed INSIDE
+    # pipeline_curation's gated composed oracle as its final stage, so
+    # the family keeps end-to-end coverage) and tfidf_top_terms (its
+    # explode -> df-count -> join-back economics are now gated through
+    # bigram_coverage + rarity_stats; its own oracle stays re-hashed on
+    # every pytest run and rotation-eligible like any tail row).
+    "embedding_dedup",
+    "bigram_coverage",
 ]
 _DRIVER_LAST = [
+    # round-9 demotions paying for the two rows gated above — both
+    # long driver-green (training_order r6-r8, tfidf_top_terms r6-r8),
+    # both family-redundant (see the round-9 batch comment), both
+    # promotion-eligible via the rotation:
+    "training_order",
+    "tfidf_top_terms",
     # round-8 demotions paying for the five round-7 oracle rows gated
     # above — all long driver-green (every round since birth through
     # r07), all family-redundant (see the round-8 batch comment in

@@ -488,6 +488,51 @@ def embedding_near_dup_q(spark, sf_dir):
     )
 
 
+_COS_PAIR = """list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))"""
+
+
+@query(
+    "embedding_dedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_srp_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    dominated AS (
+      SELECT DISTINCT c.vec_id
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE {_COS_PAIR} >= 0.45)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+    ORDER BY vec_id
+    """,
+)
+def embedding_dedup_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup survivors
+    (similarity.embedding_dedup_survivors): every vector with a
+    smaller-id near-duplicate (cosine >= 0.45 inside an SRP bucket,
+    planes=6) is dropped; the oracle replays the ENTIRE composition —
+    pinned hyperplane signs, bucket self-join, exact cosine verify,
+    greedy smaller-id-wins anti join — in DuckDB. threshold matches
+    embedding_near_dup so the pair stage is non-vacuous at sf0.01."""
+    from chapterhousedb_spark.operators.similarity import (
+        embedding_dedup_survivors,
+    )
+
+    return (
+        embedding_dedup_survivors(
+            load(spark, sf_dir, "embeddings"), threshold=0.45, planes=6
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 # md5-prefix expression shared by the sampling oracles — identical to
 # operators/sampling._hash_prefix (md5 is bit-identical across engines,
 # hex prefixes compare lexicographically the same as numerically).
@@ -1242,6 +1287,44 @@ def rarity_stats_q(spark, sf_dir):
     return (
         rarity_stats(load(spark, sf_dir, "documents"), common_k=200)
         .select("doc_id", "n_distinct", "hapax_frac", "common_frac", "mean_df")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "bigram_coverage",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk
+      FROM documents),
+    posts AS (
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      FROM toks WHERE len(tk) >= 2),
+    counts AS (SELECT bg, COUNT(*) AS bg_count FROM posts GROUP BY bg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN bg_count >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS known_frac,
+           CAST(SUM(bg_count) AS DOUBLE) / COUNT(*) AS mean_bg_count
+    FROM posts JOIN counts USING (bg)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_coverage_q(spark, sf_dir):
+    """Bigram LM fluency features (text.bigram_lm_stats): each
+    adjacent-token pair scored by how often the corpus itself uses
+    that adjacency — the collocation signal rarity_stats' unigram df
+    can't see. Integer counts + one double division, replayed exactly
+    by the oracle; the float add-k surprisal twin stays out of the
+    gated column set (log2 is not bit-portable across engines) and is
+    pinned by a python-reference test instead."""
+    from chapterhousedb_spark.operators.text import bigram_lm_stats
+
+    return (
+        bigram_lm_stats(load(spark, sf_dir, "documents"), min_count=2)
+        .select("doc_id", "n_bigrams", "known_frac", "mean_bg_count")
         .orderBy("doc_id")
     )
 

@@ -454,3 +454,22 @@ def test_two_stage_dedup_plan_no_cartesian(spark):
     plan = physical_plan(q("pipeline_two_stage_dedup", spark))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dedup_plan_shape(spark):
+    """Semantic dedup stays equi-keyed end-to-end: the SRP candidate
+    stage joins on (pass_id, bucket), the survivor stage is a LeftAnti
+    on the id — never a cartesian / nested-loop product."""
+    plan = physical_plan(q("embedding_dedup", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_bigram_coverage_plan_shape(spark):
+    """Bigram LM features: the corpus bigram counts collapse map-side
+    (partial_count before the bg-keyed exchange) and the instance
+    scoring joins on the bigram key — no cartesian anywhere."""
+    plan = physical_plan(q("bigram_coverage", spark))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan

@@ -582,3 +582,42 @@ def test_srp_index_records_id_col(spark, tmp_path):
     assert "doc_key" in got.columns and got.count() == 5
     # a pre-id_col srp.json (no key) still defaults to vec_id
     assert srp_probe_topk.__defaults__[-1] is None
+
+def test_embedding_dedup_survivors_greedy_semantics(spark):
+    """SemDeDup keep-one: the smallest id of every near-dup pair
+    survives, and the rule is GREEDY — a dropped vector still
+    dominates larger ids it pairs with (chain a~b, b~c, a!~c keeps
+    only a: b falls to a, c falls to b even though b is gone —
+    transitive-clustering semantics would be a different operator).
+    Survivors keep all their columns."""
+    import math
+
+    from chapterhousedb_spark.operators.similarity import (
+        embedding_dedup_survivors,
+        embedding_near_dup_pairs,
+    )
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)] + [0.0] * 6
+
+    # 0°, 25°, 50°: cos(25°)≈0.906 >= τ=0.86; cos(50°)≈0.64 < τ
+    rows = [(10, vec(0), "a"), (20, vec(25), "b"), (30, vec(50), "c"),
+            (40, [0.0] * 7 + [1.0], "lone")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tag string"
+    )
+    # many 1-plane passes => the 25°-apart pairs certainly collide
+    seeds = list(range(8))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.86, planes=1, seeds=seeds
+        ).collect()
+    }
+    assert pairs == {(10, 20), (20, 30)}
+    surv = embedding_dedup_survivors(
+        df, threshold=0.86, planes=1, seeds=seeds
+    )
+    assert sorted(r["vec_id"] for r in surv.collect()) == [10, 40]
+    assert set(surv.columns) == {"vec_id", "embedding", "tag"}

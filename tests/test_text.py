@@ -660,3 +660,73 @@ def test_bpe_segment_pandas_schema_construction(spark):
     collide = docs.withColumnRenamed("doc_id", "n_tokens")
     with pytest.raises(ValueError, match="collides"):
         bpe_segment(collide, merges, id_col="n_tokens", use_pandas=True)
+
+def test_bigram_lm_stats_planted(spark):
+    """bigram_lm_stats on a planted corpus: hand-computed coverage
+    (doc 1/2 share 'the quick fox' bigrams; doc 3 is a unique word
+    salad), multiplicity-weighted instances, and the <2-token
+    no-row contract."""
+    from chapterhousedb_spark.operators.text import bigram_lm_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox jumps"),
+            (2, "the quick fox sleeps"),
+            (3, "zxq woble frim"),
+            (4, "single"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in bigram_lm_stats(docs, min_count=2).collect()
+    }
+    # docs 4 (one token) and 5 (empty) produce no bigrams -> no row
+    assert set(got) == {1, 2, 3}
+    # doc 1 bigrams: 'the quick'(2), 'quick fox'(2), 'fox jumps'(1)
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["known_frac"] - 2 / 3) < 1e-12
+    assert abs(got[1]["mean_bg_count"] - 5 / 3) < 1e-12
+    # doc 3: all bigrams unique in the corpus
+    assert got[3]["n_bigrams"] == 2
+    assert got[3]["known_frac"] == 0.0 and got[3]["mean_bg_count"] == 1.0
+
+
+def test_bigram_lm_stats_surprisal_matches_python_reference(spark):
+    """The add-k surprisal column equals a sequential python replay of
+    the same count model (rel tol — log2 is float; this is exactly why
+    surprisal stays OUT of the oracle-gated column set)."""
+    import math
+
+    from chapterhousedb_spark.operators.text import bigram_lm_stats
+
+    rows = [
+        (1, "a b c a b"),
+        (2, "a b x y"),
+        (3, "c a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["surprisal"]
+        for r in bigram_lm_stats(docs, surprisal=True, add_k=0.5).collect()
+    }
+
+    def toks(t):
+        return t.lower().split()
+
+    bgs = {}
+    for _, t in rows:
+        w = toks(t)
+        for i in range(len(w) - 1):
+            bg = w[i] + " " + w[i + 1]
+            bgs[bg] = bgs.get(bg, 0) + 1
+    total, vocab = sum(bgs.values()), len(bgs)
+    for did, t in rows:
+        w = toks(t)
+        nll = [
+            -math.log2((bgs[w[i] + " " + w[i + 1]] + 0.5) / (total + 0.5 * vocab))
+            for i in range(len(w) - 1)
+        ]
+        want = sum(nll) / len(nll)
+        assert abs(got[did] - want) < 1e-9, (did, got[did], want)
