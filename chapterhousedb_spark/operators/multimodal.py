@@ -7,14 +7,15 @@ through workers, nothing collects to the driver, and partition sizing
 controls memory per task.
 
 Codec story: `decode_real` REALLY decodes the formats a pure-python
-parser can handle with no external library — binary PPM (P6) images,
-PCM WAV audio, non-interlaced 8-bit PNG (stdlib-zlib inflate + the
-five per-row filters), and baseline sequential JPEG (SOF0/1, 4:4:4
-or grayscale: markers -> canonical Huffman -> dequant -> IDCT in
-numpy) — and raises NotImplementedError for the formats that
-genuinely need PIL/ffmpeg (MP4/MP3, progressive JPEG, subsampled
-chroma, interlaced or palette/16-bit PNG), absent in this
-environment.
+parser can handle with no external library — binary PPM (P6) images;
+WAV audio (PCM 8/16-bit, G.711 A-law/mu-law, IMA ADPCM blocks);
+non-interlaced PNG at every legal depth/color combination (stdlib-
+zlib inflate + the five per-row filters, PLTE palette lookup, 16-bit
+and sub-byte sample unpacking); and baseline sequential JPEG (SOF0/1;
+grayscale, 4:4:4, and subsampled 4:2:2/4:2:0: markers -> canonical
+Huffman -> dequant -> IDCT in numpy) — and raises NotImplementedError
+for the formats that genuinely need PIL/ffmpeg (MP4/MP3, progressive
+JPEG, Adam7-interlaced PNG), absent in this environment.
 `decode_stub` parses a deterministic fake header for plumbing tests
 that want full control of the bytes. Everything Spark-side — schema,
 batching, UDF signatures, partitioning — is identical for both and
@@ -78,15 +79,16 @@ def make_fake_blob(width: int, height: int, n_frames: int = 1, fill: int = 0) ->
 
 def decode_real(payload: bytes) -> dict:
     """Decode REAL media bytes for the formats a pure-python parser can
-    handle with no external codec: binary PPM (P6) images, PCM WAV
-    audio, and non-interlaced 8-bit PNG (the first compressed format —
-    stdlib zlib covers the inflate), and baseline sequential JPEG
-    (SOF0/1, 4:4:4 or grayscale — Huffman + dequant + IDCT in numpy).
-    MP4/MP3, progressive JPEG, subsampled chroma and the exotic PNG
-    variants still raise NotImplementedError — those genuinely need
-    PIL/ffmpeg, which this sandbox lacks. Returns the same dict shape
-    as decode_stub, with the audio mapping documented on _decode_wav.
-    """
+    handle with no external codec: binary PPM (P6) images; WAV audio
+    (PCM 8/16-bit, G.711 A-law/mu-law, IMA ADPCM); non-interlaced PNG
+    at every legal depth/color combination (gray 1/2/4/8/16, RGB 8/16,
+    palette via PLTE, alpha variants — stdlib zlib covers the
+    inflate); and baseline sequential JPEG (SOF0/1; grayscale, 4:4:4,
+    subsampled 4:2:2/4:2:0 — Huffman + dequant + IDCT in numpy).
+    MP4/MP3, progressive JPEG, and Adam7-interlaced PNG still raise
+    NotImplementedError — those genuinely need PIL/ffmpeg, which this
+    sandbox lacks. Returns the same dict shape as decode_stub, with
+    the audio mapping documented on _decode_wav."""
     if payload is not None and payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if (
@@ -100,8 +102,8 @@ def decode_real(payload: bytes) -> dict:
     if payload is not None and payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), PCM WAV, non-interlaced 8-bit PNG, and baseline "
-        "sequential 4:4:4/grayscale JPEG decode without external codecs; "
+        "only PPM (P6), WAV (PCM/G.711/IMA-ADPCM), non-interlaced PNG, "
+        "and baseline sequential JPEG decode without external codecs; "
         "MP4/MP3 etc. require PIL/ffmpeg, not available here"
     )
 
@@ -155,11 +157,102 @@ def _decode_ppm_p6(payload: bytes) -> dict:
     }
 
 
+def _ulaw_to_linear16(b: int) -> int:
+    """ITU-T G.711 mu-law byte -> 16-bit linear sample (the standard
+    st_ulaw2linear16 expansion: bias 0x84, range +-32124)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    val = (((mant << 3) + 0x84) << exp) - 0x84
+    return -val if sign else val
+
+
+def _alaw_to_linear16(b: int) -> int:
+    """ITU-T G.711 A-law byte -> 16-bit linear sample (standard
+    st_alaw2linear16 expansion: xor 0x55, range +-32256). Unlike
+    mu-law, a SET sign bit means positive in A-law."""
+    b ^= 0x55
+    sign = b & 0x80
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    if exp == 0:
+        val = (mant << 4) + 8
+    else:
+        val = ((mant << 4) + 0x108) << (exp - 1)
+    return val if sign else -val
+
+
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_adpcm_decode_block(block: bytes, channels: int) -> list[int]:
+    """Decode one IMA-ADPCM WAV block (per-channel 4-byte header =
+    seed sample + step index, then nibble pairs interleaved across
+    channels in 4-byte groups, low nibble first) into interleaved
+    16-bit samples. Returns [] on a malformed header."""
+    if len(block) < 4 * channels:
+        return []
+    preds, idxs = [], []
+    for c in range(channels):
+        pred, idx = struct.unpack("<hB", block[4 * c : 4 * c + 3])
+        if idx > 88:
+            return []
+        preds.append(pred)
+        idxs.append(idx)
+    out = list(preds)  # the header predictor IS the block's 1st frame
+    data = block[4 * channels :]
+    # groups of 4 bytes per channel = 8 samples per channel per round
+    pos = 0
+    nib_buf: list[list[int]] = [[] for _ in range(channels)]
+    while pos + 4 * channels <= len(data):
+        for c in range(channels):
+            for byte in data[pos + 4 * c : pos + 4 * c + 4]:
+                nib_buf[c].append(byte & 0x0F)
+                nib_buf[c].append(byte >> 4)
+        pos += 4 * channels
+        for k in range(8):
+            for c in range(channels):
+                n = nib_buf[c][k]
+                step = _IMA_STEP_TABLE[idxs[c]]
+                diff = step >> 3
+                if n & 1:
+                    diff += step >> 2
+                if n & 2:
+                    diff += step >> 1
+                if n & 4:
+                    diff += step
+                if n & 8:
+                    preds[c] -= diff
+                else:
+                    preds[c] += diff
+                preds[c] = max(-32768, min(32767, preds[c]))
+                idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX_TABLE[n & 7]))
+                out.append(preds[c])
+        nib_buf = [[] for _ in range(channels)]
+    return out
+
+
 def _decode_wav(payload: bytes) -> dict:
-    """PCM WAV (RIFF chunks; 8- or 16-bit). Feature mapping into the
+    """WAV (RIFF chunks): PCM 8/16-bit (format 1), G.711 A-law
+    (format 6) and mu-law (format 7), and IMA ADPCM (format 0x11) —
+    the compressed-telephony and classic-compression layouts, decoded
+    to 16-bit linear in pure python. Feature mapping into the
     image-shaped FEATURE_SCHEMA, documented here once: width = sample
     rate (Hz), height = channel count, n_frames = samples per channel,
-    mean_pixel = mean ABSOLUTE sample amplitude (raw integer units)."""
+    mean_pixel = mean ABSOLUTE sample amplitude (raw integer units of
+    the DECODED stream). Other registered formats (e.g. float PCM,
+    GSM) return ok=False — a WAV container is cheap to sniff, so the
+    row degrades rather than killing a task mid-scan."""
     bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
     pos, n = 12, len(payload)
     fmt = None
@@ -175,18 +268,38 @@ def _decode_wav(payload: bytes) -> dict:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None or len(fmt) < 16:
         return bad
-    audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack(
+    audio_format, channels, sample_rate, _br, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
-    if audio_format != 1 or channels == 0 or bits not in (8, 16):
+    if channels == 0:
         return bad
-    if bits == 8:
-        samples = list(data)  # unsigned, centered at 128
-        mean_abs = sum(abs(s - 128) for s in samples) / len(samples) if samples else None
+    if audio_format == 1 and bits in (8, 16):
+        if bits == 8:
+            samples = [s - 128 for s in data]  # unsigned, centered at 128
+        else:
+            count = len(data) // 2
+            samples = list(struct.unpack(f"<{count}h", data[: count * 2]))
+    elif audio_format == 6 and bits == 8:
+        samples = [_alaw_to_linear16(b) for b in data]
+    elif audio_format == 7 and bits == 8:
+        samples = [_ulaw_to_linear16(b) for b in data]
+    elif audio_format == 0x11 and bits == 4:
+        if block_align < 4 * channels:
+            return bad
+        samples = []
+        for off in range(0, len(data) - block_align + 1, block_align):
+            got = _ima_adpcm_decode_block(
+                data[off : off + block_align], channels
+            )
+            if not got:
+                return bad
+            samples.extend(got)
     else:
-        count = len(data) // 2
-        samples = struct.unpack(f"<{count}h", data[: count * 2])
-        mean_abs = sum(abs(s) for s in samples) / count if count else None
+        return bad
+    # an empty data chunk is a VALID (zero-length) recording
+    mean_abs = (
+        sum(abs(s) for s in samples) / len(samples) if samples else None
+    )
     n_frames = len(samples) // channels
     return {
         "width": int(sample_rate),
@@ -198,71 +311,26 @@ def _decode_wav(payload: bytes) -> dict:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# PNG color type -> samples per pixel (palette type 3 excluded: real
-# pixel values need the PLTE lookup, which would make mean_pixel mean
-# "mean palette index" — dishonest; it raises as unsupported instead)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type -> samples per pixel. Palette (type 3) decodes THROUGH
+# the PLTE lookup, so its pixels are the real RGB triples and
+# mean_pixel keeps its "mean over decoded sample bytes" meaning.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# valid bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 
-def _decode_png(payload: bytes) -> dict:
-    """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) with
-    no external codec: the IDAT stream is stdlib-zlib inflate and the
-    five per-row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are
-    plain byte arithmetic. mean_pixel = mean over every decoded sample
-    byte (all channels), matching the PPM convention.
-
-    Unsupported-but-valid variants (Adam7 interlace, 1/2/4/16-bit
-    depths, palette) raise NotImplementedError — the honest boundary;
-    MALFORMED bytes (bad chunk framing, truncated inflate, wrong
-    stream length) return ok=False like every other codec here. The
-    per-byte unfilter loop is pure python — fine for feature
-    extraction over thumbnails/test vectors; production-scale raster
-    decode belongs in a vectorized codec, which is exactly the
-    PIL/ffmpeg boundary this module documents."""
-    import zlib
-
-    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
-    pos, n = 8, len(payload)
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= n:
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
-            return bad
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # 4 length + 4 type + data + 4 crc
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        return bad
-    w, h, depth, color, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr[:13]
-    )
-    if comp != 0 or filt != 0:
-        return bad
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    channels = _PNG_CHANNELS.get(color)
-    if channels is None or depth != 8:
-        raise NotImplementedError(
-            f"PNG color type {color} / bit depth {depth} not supported "
-            "(non-interlaced 8-bit gray/RGB/gray+alpha/RGBA only)"
-        )
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return bad
-    stride = w * channels
-    if len(raw) != (stride + 1) * h or w == 0 or h == 0:
-        return bad
-    bpp = channels  # bytes per pixel at depth 8
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the five per-row PNG filters (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6; plain byte arithmetic). Returns the list of
+    unfiltered row bytearrays, or None on an invalid filter type."""
+    rows = []
     prev = bytearray(stride)
-    total = 0
     for y in range(h):
         rs = y * (stride + 1)
         ftype = raw[rs]
@@ -289,14 +357,142 @@ def _decode_png(payload: bytes) -> dict:
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 cur[i] = (cur[i] + pred) & 0xFF
         else:
-            return bad
-        total += sum(cur)
+            return None
+        rows.append(cur)
         prev = cur
+    return rows
+
+
+def _png_unpack_subbyte(row: bytearray, w: int, depth: int) -> list[int]:
+    """Unpack a sub-byte-depth PNG row (1/2/4 bits per sample,
+    MSB-first packing, final byte zero-padded) into w sample values."""
+    vals = []
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for x in range(w):
+        byte = row[x // per_byte]
+        shift = 8 - depth * (x % per_byte + 1)
+        vals.append((byte >> shift) & mask)
+    return vals
+
+
+def _parse_png_chunks(payload: bytes):
+    """Chunk walk shared by the feature and raster decoders: returns
+    (ihdr_fields, idat_bytes, plte_triples) or None on malformed
+    framing. Raises NotImplementedError only for Adam7 interlace —
+    everything else the spec allows is decoded."""
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or length == 0 or length > 768:
+                return None
+            plte = [tuple(data[i : i + 3]) for i in range(0, length, 3)]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # 4 length + 4 type + data + 4 crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if comp != 0 or filt != 0:
+        return None
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth not in _PNG_DEPTHS.get(color, ()):
+        return None  # invalid depth/type combination = malformed
+    return (w, h, depth, color), idat, plte
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Non-interlaced PNG at every legal depth/color combination —
+    gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 (decoded THROUGH the
+    PLTE lookup to real RGB), gray+alpha and RGBA 8/16 — with no
+    external codec: the IDAT stream is stdlib-zlib inflate and the
+    five per-row filters are plain byte arithmetic (_png_unfilter).
+
+    mean_pixel = mean over every decoded sample scaled to the 0-255
+    range (8-bit: the raw bytes, matching the PPM convention; 16-bit:
+    sample/257; sub-byte gray: value*255/(2^depth-1); palette: the
+    looked-up RGB bytes). Adam7 interlace is the one remaining
+    NotImplementedError; MALFORMED bytes (bad chunk framing, truncated
+    inflate, wrong stream length, missing PLTE, out-of-range palette
+    index, illegal depth/type combination) return ok=False like every
+    other codec here. A tRNS chunk is ignored (features are computed
+    over the color samples; alpha-as-4th-channel variants carry their
+    alpha inline and ARE counted, same as before). The per-byte
+    unfilter loop is pure python — fine for feature extraction over
+    thumbnails/test vectors; production-scale raster decode belongs in
+    a vectorized codec, which is exactly the PIL/ffmpeg boundary this
+    module documents."""
+    import zlib
+
+    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    parsed = _parse_png_chunks(payload)
+    if parsed is None:
+        return bad
+    (w, h, depth, color), idat, plte = parsed
+    channels = _PNG_CHANNELS[color]
+    if color == 3 and plte is None:
+        return bad
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return bad
+    stride = (w * channels * depth + 7) // 8
+    if len(raw) != (stride + 1) * h or w == 0 or h == 0:
+        return bad
+    bpp = max(1, (channels * depth) // 8)
+    rows = _png_unfilter(raw, h, stride, bpp)
+    if rows is None:
+        return bad
+    total = 0.0
+    count = 0
+    for cur in rows:
+        if depth == 8:
+            if color == 3:
+                for idx in cur:
+                    if idx >= len(plte):
+                        return bad
+                    total += sum(plte[idx])
+                count += 3 * w
+            else:
+                total += sum(cur)
+                count += stride
+        elif depth == 16:
+            n16 = stride // 2
+            samples = struct.unpack(f">{n16}H", bytes(cur))
+            total += sum(samples) / 257.0
+            count += n16
+        else:  # 1/2/4-bit gray or palette indices
+            vals = _png_unpack_subbyte(cur, w, depth)
+            if color == 3:
+                for idx in vals:
+                    if idx >= len(plte):
+                        return bad
+                    total += sum(plte[idx])
+                count += 3 * w
+            else:
+                scale = 255.0 / ((1 << depth) - 1)
+                total += sum(vals) * scale
+                count += w
     return {
         "width": int(w),
         "height": int(h),
         "n_frames": 1,
-        "mean_pixel": total / (stride * h),
+        "mean_pixel": total / count,
         "ok": True,
     }
 
@@ -307,20 +503,52 @@ def make_png_blob(
     fill: int = 0,
     color_type: int = 2,
     filter_cycle: bool = True,
+    depth: int = 8,
+    n_colors: int = 16,
 ) -> bytes:
     """A real PNG payload (deterministic pixel ramp, same body
     convention as make_ppm_blob) built with stdlib zlib only. With
     filter_cycle the rows apply forward filters cycling through all
     five types, so a decode round-trip exercises every unfilter path;
-    filter_cycle=False writes plain type-0 rows."""
+    filter_cycle=False writes plain type-0 rows. Any legal
+    (color_type, depth) combination: palette (type 3) embeds an
+    `n_colors`-entry PLTE and ramps indices; depth 16 ramps big-endian
+    u16 samples; sub-byte depths pack MSB-first."""
     import zlib
 
     channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
-    body = bytes((fill + i) % 256 for i in range(stride * height))
+    n_samples = width * channels  # per row
+    plte = None
+    if color_type == 3:
+        plte = [
+            ((fill + 3 * k) % 256, (fill + 3 * k + 1) % 256, (fill + 3 * k + 2) % 256)
+            for k in range(n_colors)
+        ]
+    stride = (n_samples * depth + 7) // 8
+    rows_bytes = []
+    for y in range(height):
+        base = y * n_samples
+        if depth == 16:
+            row = b"".join(
+                struct.pack(">H", ((fill + base + i) * 521) % 65536)
+                for i in range(n_samples)
+            )
+        elif depth == 8:
+            mod = n_colors if color_type == 3 else 256
+            row = bytes((fill + base + i) % mod for i in range(n_samples))
+        else:  # 1/2/4-bit, MSB-first packing, final byte zero-padded
+            mod = n_colors if color_type == 3 else (1 << depth)
+            vals = [(fill + base + i) % min(mod, 1 << depth) for i in range(n_samples)]
+            per_byte = 8 // depth
+            packed = bytearray(stride)
+            for x, v in enumerate(vals):
+                packed[x // per_byte] |= v << (8 - depth * (x % per_byte + 1))
+            row = bytes(packed)
+        rows_bytes.append(row)
+    body = b"".join(rows_bytes)
     prev = bytes(stride)
     out = bytearray()
-    bpp = channels
+    bpp = max(1, (channels * depth) // 8)
     for y in range(height):
         row = body[y * stride : (y + 1) * stride]
         ftype = (y % 5) if filter_cycle else 0
@@ -356,10 +584,14 @@ def make_png_blob(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    plte_chunk = (
+        chunk(b"PLTE", b"".join(bytes(t) for t in plte)) if plte else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte_chunk
         + chunk(b"IDAT", zlib.compress(bytes(out)))
         + chunk(b"IEND", b"")
     )
@@ -927,6 +1159,39 @@ def make_wav_blob(
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def make_wav_compressed_blob(
+    raw: bytes,
+    audio_format: int,
+    channels: int = 1,
+    sample_rate: int = 8000,
+    bits: int = 8,
+    block_align: int | None = None,
+    samples_per_block: int | None = None,
+) -> bytes:
+    """A real WAV container around pre-compressed audio bytes: G.711
+    A-law (format 6) / mu-law (format 7) put one compressed byte per
+    sample in the data chunk; IMA ADPCM (format 0x11, bits=4) passes
+    its nibble blocks verbatim with the block layout declared in
+    block_align + the wSamplesPerBlock fmt extension."""
+    block_align = block_align if block_align is not None else channels
+    fmt = struct.pack(
+        "<HHIIHH",
+        audio_format,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    if samples_per_block is not None:
+        fmt += struct.pack("<HH", 2, samples_per_block)  # cbSize + ext
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) & 1:
+        chunks += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
 def decode_stub(payload: bytes) -> dict:
     """Parse the deterministic fake header; mirrors what decode_real
     would return for an actual codec."""
@@ -1201,72 +1466,60 @@ def resize_media(
 
 
 def _decode_png_pixels(payload: bytes):
-    """Decode a supported PNG to (raw interleaved samples, w, h,
-    channels, color_type), or None for malformed/unsupported (resize
-    treats both as a bad row rather than raising)."""
+    """Decode a PNG to (raw interleaved 8-bit samples, w, h, channels,
+    re-encode color_type), or None for malformed/unsupported (resize
+    treats both as a bad row rather than raising). Shares the chunk
+    walk and unfilter with _decode_png. Palette sources (any legal
+    depth) decode THROUGH the PLTE to true RGB and re-encode as 8-bit
+    truecolor — the resampled raster generally exceeds 256 colors, so
+    the palette layout cannot be preserved and the depth promotion is
+    deliberate and documented. Sub-byte grays expand to 8-bit
+    (value*255/(2^depth-1)). 16-bit stays unsupported in the RESIZE
+    path only (re-encoding it as 8-bit would silently halve the
+    source's precision; _decode_png still features it)."""
     import zlib
 
-    pos, n = 8, len(payload)
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= n:
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
-            return None
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or len(ihdr) < 13 or not idat:
+    try:
+        parsed = _parse_png_chunks(payload)
+    except NotImplementedError:
+        return None  # resize degrades unsupported variants to a bad row
+    if parsed is None:
         return None
-    w, h, depth, color, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr[:13]
-    )
-    channels = _PNG_CHANNELS.get(color)
-    if comp != 0 or filt != 0 or interlace != 0 or channels is None or depth != 8:
+    (w, h, depth, color), idat, plte = parsed
+    channels = _PNG_CHANNELS[color]
+    if depth == 16 or (color == 3 and plte is None):
         return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * channels
+    stride = (w * channels * depth + 7) // 8
     if len(raw) != (stride + 1) * h or w == 0 or h == 0:
         return None
-    bpp = channels
-    prev = bytearray(stride)
+    bpp = max(1, (channels * depth) // 8)
+    rows = _png_unfilter(raw, h, stride, bpp)
+    if rows is None:
+        return None
     out = bytearray()
-    for y in range(h):
-        rs = y * (stride + 1)
-        ftype = raw[rs]
-        cur = bytearray(raw[rs + 1 : rs + 1 + stride])
-        if ftype == 0:
-            pass
-        elif ftype == 1:
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
-        elif ftype == 2:
-            for i in range(stride):
-                cur[i] = (cur[i] + prev[i]) & 0xFF
-        elif ftype == 3:
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
-        else:
-            return None
-        out += cur
-        prev = cur
+    for cur in rows:
+        if depth == 8:
+            if color == 3:
+                for idx in cur:
+                    if idx >= len(plte):
+                        return None
+                    out += bytes(plte[idx])
+            else:
+                out += cur
+        else:  # sub-byte gray or palette indices
+            unpacked = _png_unpack_subbyte(cur, w, depth)
+            if color == 3:
+                for idx in unpacked:
+                    if idx >= len(plte):
+                        return None
+                    out += bytes(plte[idx])
+            else:
+                scale = 255 // ((1 << depth) - 1)
+                out += bytes(v * scale for v in unpacked)
+    if color == 3:
+        return bytes(out), w, h, 3, 2  # re-encode as 8-bit truecolor
     return bytes(out), w, h, channels, color

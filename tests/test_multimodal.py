@@ -212,8 +212,10 @@ def test_decode_real_png_spec_direct_vector():
 
 
 def test_decode_real_png_honest_boundaries():
-    """Valid-but-unsupported PNG variants raise (interlaced, 16-bit,
-    palette); malformed bytes return ok=False."""
+    """Adam7 interlace is the one remaining PNG NotImplementedError
+    (16-bit and palette decode for real now); malformed bytes — wrong
+    stream length, missing PLTE, illegal depth/type combination —
+    return ok=False."""
     import struct
     import zlib
 
@@ -235,15 +237,84 @@ def test_decode_real_png_honest_boundaries():
 
     with pytest.raises(NotImplementedError, match="interlaced"):
         decode_real(png_with_ihdr(2, 2, 8, 2, 1))
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
-        decode_real(png_with_ihdr(2, 2, 16, 2, 0))
-    with pytest.raises(NotImplementedError, match="color type 3"):
-        decode_real(png_with_ihdr(2, 2, 8, 3, 0))
-    # malformed: truncated IDAT inflate / wrong stream length
-    good = make_png_blob(4, 4)
-    assert decode_real(good[:-8])["ok"] is False or True  # framing cut
+    # malformed: wrong stream length for the declared dims/depth
+    assert decode_real(png_with_ihdr(2, 2, 16, 2, 0))["ok"] is False
+    # malformed: palette stream without a PLTE chunk
+    assert decode_real(png_with_ihdr(2, 2, 8, 3, 0))["ok"] is False
+    # malformed: illegal depth/type combination (RGB at depth 4)
+    assert decode_real(png_with_ihdr(2, 2, 4, 2, 0))["ok"] is False
     bad_len = png_with_ihdr(10, 10, 8, 2, 0)  # stream too short for 10x10
     assert decode_real(bad_len)["ok"] is False
+
+
+def test_decode_real_png_palette_and_deep_variants():
+    """The full legal PNG matrix decodes: palette (through the PLTE to
+    real RGB bytes), 16-bit (samples scaled /257), and sub-byte grays
+    (scaled to 0-255) — mean_pixel hand-verified against the
+    generator's own ramp for each."""
+    from chapterhousedb_spark.operators.multimodal import make_png_blob
+
+    # palette 8-bit: indices ramp (fill+i) % n_colors over a known PLTE
+    w, h, fill, n_colors = 6, 4, 2, 5
+    d = decode_real(make_png_blob(w, h, fill=fill, color_type=3, n_colors=n_colors))
+    plte = [
+        ((fill + 3 * k) % 256, (fill + 3 * k + 1) % 256, (fill + 3 * k + 2) % 256)
+        for k in range(n_colors)
+    ]
+    idx = [(fill + i) % n_colors for i in range(w * h)]
+    want = sum(sum(plte[i]) for i in idx) / (3 * w * h)
+    assert d["ok"] and (d["width"], d["height"]) == (w, h)
+    assert abs(d["mean_pixel"] - want) < 1e-9
+
+    # palette 4-bit (packed indices, PLTE lookup after unfilter)
+    d4 = decode_real(
+        make_png_blob(5, 3, fill=1, color_type=3, depth=4, n_colors=7)
+    )
+    plte7 = [
+        ((1 + 3 * k) % 256, (1 + 3 * k + 1) % 256, (1 + 3 * k + 2) % 256)
+        for k in range(7)
+    ]
+    idx4 = [(1 + i) % 7 for i in range(15)]
+    want4 = sum(sum(plte7[i]) for i in idx4) / (3 * 15)
+    assert d4["ok"] and abs(d4["mean_pixel"] - want4) < 1e-9
+
+    # 16-bit RGB: u16 ramp, mean over samples/257
+    d16 = decode_real(make_png_blob(4, 3, fill=9, color_type=2, depth=16))
+    samples = [((9 + i) * 521) % 65536 for i in range(4 * 3 * 3)]
+    want16 = sum(s / 257.0 for s in samples) / len(samples)
+    assert d16["ok"] and abs(d16["mean_pixel"] - want16) < 1e-9
+
+    # 1-bit gray: values {0,1} scale to {0,255}
+    d1 = decode_real(make_png_blob(10, 2, fill=0, color_type=0, depth=1))
+    vals = [i % 2 for i in range(10 * 2)]
+    want1 = sum(v * 255 for v in vals) / len(vals)
+    assert d1["ok"] and abs(d1["mean_pixel"] - want1) < 1e-9
+
+
+def test_resize_media_png_palette_promotes_to_truecolor(spark):
+    """resize_media on a palette PNG: decodes through the PLTE,
+    resamples, and re-encodes as 8-bit truecolor (documented depth
+    promotion — a resampled raster generally exceeds 256 colors);
+    16-bit PNG rows degrade to ok=False in the resize path only."""
+    from chapterhousedb_spark.operators.multimodal import (
+        make_png_blob,
+        resize_media,
+    )
+
+    pal = make_png_blob(8, 6, fill=4, color_type=3, n_colors=6)
+    deep = make_png_blob(8, 6, fill=4, color_type=2, depth=16)
+    media = spark.createDataFrame(
+        [(1, "image", pal, ("t", 0)), (2, "image", deep, ("t", 0))],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r.asDict() for r in resize_media(media, 4, 3).collect()}
+    assert got[1]["ok"]
+    out = bytes(got[1]["payload"])
+    d = decode_real(out)
+    assert d["ok"] and (d["width"], d["height"]) == (4, 3)
+    # IHDR color type byte: offset 8(sig)+8(len+type)+8(w,h)+1(depth)=25
+    assert out[25] == 2 and out[24] == 8  # truecolor, 8-bit
+    assert got[2]["ok"] is False and got[2]["payload"] is None
 
 
 def test_decode_real_png_through_mapinpandas(spark):
@@ -577,3 +648,94 @@ def test_resize_media_jpeg_preserves_sampling_layout(spark):
     for mid in (1, 2, 3):
         d = decode_real(got[mid])
         assert d["ok"] and (d["width"], d["height"]) == (8, 6), mid
+
+def test_decode_real_wav_g711_mulaw_alaw():
+    """G.711 mu-law / A-law WAV decode: the full 256-code expansion
+    table equals the stdlib audioop reference (st_ulaw2linear16 /
+    st_alaw2linear16) code-for-code, and the feature row reflects the
+    DECODED 16-bit stream."""
+    import struct as st
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from chapterhousedb_spark.operators.multimodal import (
+        _alaw_to_linear16,
+        _ulaw_to_linear16,
+        make_wav_compressed_blob,
+    )
+
+    for conv, ref in (
+        (_ulaw_to_linear16, audioop.ulaw2lin),
+        (_alaw_to_linear16, audioop.alaw2lin),
+    ):
+        for b in range(256):
+            (want,) = st.unpack("<h", ref(bytes([b]), 2))
+            assert conv(b) == want, (conv.__name__, b, conv(b), want)
+
+    raw = bytes(range(256))
+    d = decode_real(make_wav_compressed_blob(raw, 7, sample_rate=8000))
+    want_mean = sum(abs(_ulaw_to_linear16(b)) for b in raw) / 256
+    assert d["ok"] and d["width"] == 8000 and d["height"] == 1
+    assert d["n_frames"] == 256 and abs(d["mean_pixel"] - want_mean) < 1e-9
+
+    d = decode_real(make_wav_compressed_blob(raw, 6))
+    want_mean = sum(abs(_alaw_to_linear16(b)) for b in raw) / 256
+    assert d["ok"] and abs(d["mean_pixel"] - want_mean) < 1e-9
+
+
+def test_decode_real_wav_ima_adpcm():
+    """IMA-ADPCM WAV decode: a mono block equals the stdlib audioop
+    DVI-ADPCM reference seeded with the block header state (audioop
+    packs the first nibble HIGH, WAV packs it LOW, so the reference
+    stream is nibble-swapped); a stereo block whose channels carry the
+    same nibbles must decode to the mono stream duplicated."""
+    import struct as st
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from chapterhousedb_spark.operators.multimodal import (
+        make_wav_compressed_blob,
+    )
+
+    nibbles = bytes([0x17, 0x82, 0x3F, 0x40, 0x95, 0x06, 0xC8, 0x2B])
+    pred0, idx0 = 1000, 20
+    header = st.pack("<hBB", pred0, idx0, 0)
+    block = header + nibbles  # mono: 1 + 16 samples, block_align 12
+    blob = make_wav_compressed_blob(
+        block, 0x11, channels=1, bits=4, block_align=12, samples_per_block=17
+    )
+    d = decode_real(blob)
+    assert d["ok"] and d["height"] == 1 and d["n_frames"] == 17
+
+    swapped = bytes(((b & 0x0F) << 4) | (b >> 4) for b in nibbles)
+    ref, _state = audioop.adpcm2lin(swapped, 2, (pred0, idx0))
+    want = [pred0] + list(st.unpack(f"<{len(ref) // 2}h", ref))
+    want_mean = sum(abs(s) for s in want) / len(want)
+    assert abs(d["mean_pixel"] - want_mean) < 1e-9, (d["mean_pixel"], want_mean)
+
+    # stereo with identical per-channel nibbles == mono duplicated
+    stereo_block = header + header + b"".join(
+        nibbles[i : i + 4] + nibbles[i : i + 4] for i in range(0, 8, 4)
+    )
+    sblob = make_wav_compressed_blob(
+        stereo_block, 0x11, channels=2, bits=4, block_align=24,
+        samples_per_block=17,
+    )
+    sd = decode_real(sblob)
+    assert sd["ok"] and sd["height"] == 2 and sd["n_frames"] == 17
+    assert abs(sd["mean_pixel"] - want_mean) < 1e-9
+
+    # malformed: step index past 88 in the block header
+    bad = st.pack("<hBB", 0, 99, 0) + nibbles
+    bb = make_wav_compressed_blob(bad, 0x11, bits=4, block_align=12)
+    assert decode_real(bb)["ok"] is False
+
+    # other registered formats (float PCM) degrade to ok=False
+    f32 = make_wav_compressed_blob(b"\x00" * 8, 3, bits=32, block_align=4)
+    assert decode_real(f32)["ok"] is False
