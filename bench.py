@@ -93,6 +93,9 @@ HEADLINE = [
     "bpe_tokenize",
     "pipeline_two_stage_dedup",
     "streaming_ingest_corpus",
+    # round 9 new shapes, benched from birth
+    "embedding_dedup",
+    "bigram_coverage",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

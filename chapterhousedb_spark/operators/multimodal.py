@@ -9,13 +9,13 @@ controls memory per task.
 Codec story: `decode_real` REALLY decodes the formats a pure-python
 parser can handle with no external library — binary PPM (P6) images;
 WAV audio (PCM 8/16-bit, G.711 A-law/mu-law, IMA ADPCM blocks);
-non-interlaced PNG at every legal depth/color combination (stdlib-
-zlib inflate + the five per-row filters, PLTE palette lookup, 16-bit
-and sub-byte sample unpacking); and baseline sequential JPEG (SOF0/1;
+PNG at every legal layout (stdlib-zlib inflate + the five per-row
+filters, PLTE palette lookup, 16-bit and sub-byte sample unpacking,
+Adam7 deinterlacing); and baseline sequential JPEG (SOF0/1;
 grayscale, 4:4:4, and subsampled 4:2:2/4:2:0: markers -> canonical
 Huffman -> dequant -> IDCT in numpy) — and raises NotImplementedError
 for the formats that genuinely need PIL/ffmpeg (MP4/MP3, progressive
-JPEG, Adam7-interlaced PNG), absent in this environment.
+JPEG), absent in this environment.
 `decode_stub` parses a deterministic fake header for plumbing tests
 that want full control of the bytes. Everything Spark-side — schema,
 batching, UDF signatures, partitioning — is identical for both and
@@ -80,15 +80,15 @@ def make_fake_blob(width: int, height: int, n_frames: int = 1, fill: int = 0) ->
 def decode_real(payload: bytes) -> dict:
     """Decode REAL media bytes for the formats a pure-python parser can
     handle with no external codec: binary PPM (P6) images; WAV audio
-    (PCM 8/16-bit, G.711 A-law/mu-law, IMA ADPCM); non-interlaced PNG
-    at every legal depth/color combination (gray 1/2/4/8/16, RGB 8/16,
-    palette via PLTE, alpha variants — stdlib zlib covers the
+    (PCM 8/16-bit, G.711 A-law/mu-law, IMA ADPCM); PNG at every legal
+    layout (gray 1/2/4/8/16, RGB 8/16, palette via PLTE, alpha
+    variants, sequential or Adam7-interlaced — stdlib zlib covers the
     inflate); and baseline sequential JPEG (SOF0/1; grayscale, 4:4:4,
     subsampled 4:2:2/4:2:0 — Huffman + dequant + IDCT in numpy).
-    MP4/MP3, progressive JPEG, and Adam7-interlaced PNG still raise
-    NotImplementedError — those genuinely need PIL/ffmpeg, which this
-    sandbox lacks. Returns the same dict shape as decode_stub, with
-    the audio mapping documented on _decode_wav."""
+    MP4/MP3 and progressive JPEG still raise NotImplementedError —
+    those genuinely need PIL/ffmpeg, which this sandbox lacks. Returns
+    the same dict shape as decode_stub, with the audio mapping
+    documented on _decode_wav."""
     if payload is not None and payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if (
@@ -102,9 +102,9 @@ def decode_real(payload: bytes) -> dict:
     if payload is not None and payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), WAV (PCM/G.711/IMA-ADPCM), non-interlaced PNG, "
-        "and baseline sequential JPEG decode without external codecs; "
-        "MP4/MP3 etc. require PIL/ffmpeg, not available here"
+        "only PPM (P6), WAV (PCM/G.711/IMA-ADPCM), PNG, and baseline "
+        "sequential JPEG decode without external codecs; MP4/MP3 etc. "
+        "require PIL/ffmpeg, not available here"
     )
 
 
@@ -363,6 +363,42 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     return rows
 
 
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]  # (x0, dx, y0, dy) per pass, PNG spec §8.2
+
+
+def _png_passes(raw: bytes, w: int, h: int, depth: int, channels: int, interlace: int):
+    """Split the inflated IDAT stream into unfiltered passes: a list of
+    ((x0, dx, y0, dy, pass_w, pass_h), rows) — one entry covering the
+    whole image when non-interlaced, up to seven Adam7 sub-images
+    otherwise (each pass is filtered independently, empty passes
+    contribute no scanlines). Returns None on malformed stream length
+    or filter bytes."""
+    geoms = [(0, 1, 0, 1)] if interlace == 0 else _ADAM7
+    out = []
+    pos = 0
+    for x0, dx, y0, dy in geoms:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        need = (stride + 1) * ph
+        seg = raw[pos : pos + need]
+        if len(seg) != need:
+            return None
+        rows = _png_unfilter(seg, ph, stride, max(1, (channels * depth) // 8))
+        if rows is None:
+            return None
+        out.append(((x0, dx, y0, dy, pw, ph), rows))
+        pos += need
+    if pos != len(raw):
+        return None
+    return out
+
+
 def _png_unpack_subbyte(row: bytearray, w: int, depth: int) -> list[int]:
     """Unpack a sub-byte-depth PNG row (1/2/4 bits per sample,
     MSB-first packing, final byte zero-padded) into w sample values."""
@@ -378,9 +414,9 @@ def _png_unpack_subbyte(row: bytearray, w: int, depth: int) -> list[int]:
 
 def _parse_png_chunks(payload: bytes):
     """Chunk walk shared by the feature and raster decoders: returns
-    (ihdr_fields, idat_bytes, plte_triples) or None on malformed
-    framing. Raises NotImplementedError only for Adam7 interlace —
-    everything else the spec allows is decoded."""
+    ((w, h, depth, color, interlace), idat_bytes, plte_triples) or
+    None on malformed framing. Every layout the spec allows is
+    decoded, including Adam7 interlace."""
     pos, n = 8, len(payload)
     ihdr = None
     idat = bytearray()
@@ -407,33 +443,33 @@ def _parse_png_chunks(payload: bytes):
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    if comp != 0 or filt != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         return None
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     if depth not in _PNG_DEPTHS.get(color, ()):
         return None  # invalid depth/type combination = malformed
-    return (w, h, depth, color), idat, plte
+    return (w, h, depth, color, interlace), idat, plte
 
 
 def _decode_png(payload: bytes) -> dict:
-    """Non-interlaced PNG at every legal depth/color combination —
-    gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 (decoded THROUGH the
-    PLTE lookup to real RGB), gray+alpha and RGBA 8/16 — with no
-    external codec: the IDAT stream is stdlib-zlib inflate and the
-    five per-row filters are plain byte arithmetic (_png_unfilter).
+    """PNG at every legal layout — gray 1/2/4/8/16, RGB 8/16, palette
+    1/2/4/8 (decoded THROUGH the PLTE lookup to real RGB), gray+alpha
+    and RGBA 8/16, sequential or Adam7-interlaced — with no external
+    codec: the IDAT stream is stdlib-zlib inflate and the five
+    per-row filters are plain byte arithmetic (_png_unfilter).
 
     mean_pixel = mean over every decoded sample scaled to the 0-255
     range (8-bit: the raw bytes, matching the PPM convention; 16-bit:
     sample/257; sub-byte gray: value*255/(2^depth-1); palette: the
-    looked-up RGB bytes). Adam7 interlace is the one remaining
-    NotImplementedError; MALFORMED bytes (bad chunk framing, truncated
-    inflate, wrong stream length, missing PLTE, out-of-range palette
-    index, illegal depth/type combination) return ok=False like every
-    other codec here. A tRNS chunk is ignored (features are computed
-    over the color samples; alpha-as-4th-channel variants carry their
-    alpha inline and ARE counted, same as before). The per-byte
-    unfilter loop is pure python — fine for feature extraction over
+    looked-up RGB bytes). Adam7 interlace decodes too (each pass is an
+    independently-filtered sub-image; every pixel appears in exactly
+    one pass, so features accumulate per pass with no scatter step).
+    MALFORMED bytes (bad chunk framing, truncated inflate, wrong
+    stream length, missing PLTE, out-of-range palette index, illegal
+    depth/type combination) return ok=False like every other codec
+    here. A tRNS chunk is ignored (features are computed over the
+    color samples; alpha-as-4th-channel variants carry their alpha
+    inline and ARE counted, same as before). The per-byte unfilter
+    loop is pure python — fine for feature extraction over
     thumbnails/test vectors; production-scale raster decode belongs in
     a vectorized codec, which is exactly the PIL/ffmpeg boundary this
     module documents."""
@@ -443,51 +479,49 @@ def _decode_png(payload: bytes) -> dict:
     parsed = _parse_png_chunks(payload)
     if parsed is None:
         return bad
-    (w, h, depth, color), idat, plte = parsed
+    (w, h, depth, color, interlace), idat, plte = parsed
     channels = _PNG_CHANNELS[color]
-    if color == 3 and plte is None:
+    if (color == 3 and plte is None) or w == 0 or h == 0:
         return bad
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return bad
-    stride = (w * channels * depth + 7) // 8
-    if len(raw) != (stride + 1) * h or w == 0 or h == 0:
-        return bad
-    bpp = max(1, (channels * depth) // 8)
-    rows = _png_unfilter(raw, h, stride, bpp)
-    if rows is None:
+    passes = _png_passes(raw, w, h, depth, channels, interlace)
+    if passes is None:
         return bad
     total = 0.0
     count = 0
-    for cur in rows:
-        if depth == 8:
-            if color == 3:
-                for idx in cur:
-                    if idx >= len(plte):
-                        return bad
-                    total += sum(plte[idx])
-                count += 3 * w
-            else:
-                total += sum(cur)
-                count += stride
-        elif depth == 16:
-            n16 = stride // 2
-            samples = struct.unpack(f">{n16}H", bytes(cur))
-            total += sum(samples) / 257.0
-            count += n16
-        else:  # 1/2/4-bit gray or palette indices
-            vals = _png_unpack_subbyte(cur, w, depth)
-            if color == 3:
-                for idx in vals:
-                    if idx >= len(plte):
-                        return bad
-                    total += sum(plte[idx])
-                count += 3 * w
-            else:
-                scale = 255.0 / ((1 << depth) - 1)
-                total += sum(vals) * scale
-                count += w
+    for (_x0, _dx, _y0, _dy, pw, _ph), rows in passes:
+        stride = (pw * channels * depth + 7) // 8
+        for cur in rows:
+            if depth == 8:
+                if color == 3:
+                    for idx in cur:
+                        if idx >= len(plte):
+                            return bad
+                        total += sum(plte[idx])
+                    count += 3 * pw
+                else:
+                    total += sum(cur)
+                    count += stride
+            elif depth == 16:
+                n16 = stride // 2
+                samples = struct.unpack(f">{n16}H", bytes(cur))
+                total += sum(samples) / 257.0
+                count += n16
+            else:  # 1/2/4-bit gray or palette indices
+                vals = _png_unpack_subbyte(cur, pw, depth)
+                if color == 3:
+                    for idx in vals:
+                        if idx >= len(plte):
+                            return bad
+                        total += sum(plte[idx])
+                    count += 3 * pw
+                else:
+                    scale = 255.0 / ((1 << depth) - 1)
+                    total += sum(vals) * scale
+                    count += pw
     return {
         "width": int(w),
         "height": int(h),
@@ -505,6 +539,7 @@ def make_png_blob(
     filter_cycle: bool = True,
     depth: int = 8,
     n_colors: int = 16,
+    interlace: bool = False,
 ) -> bytes:
     """A real PNG payload (deterministic pixel ramp, same body
     convention as make_ppm_blob) built with stdlib zlib only. With
@@ -513,68 +548,88 @@ def make_png_blob(
     filter_cycle=False writes plain type-0 rows. Any legal
     (color_type, depth) combination: palette (type 3) embeds an
     `n_colors`-entry PLTE and ramps indices; depth 16 ramps big-endian
-    u16 samples; sub-byte depths pack MSB-first."""
+    u16 samples; sub-byte depths pack MSB-first. interlace=True emits
+    the seven Adam7 passes (each filtered independently over the SAME
+    pixel grid, so expected means are identical to the sequential
+    form)."""
     import zlib
 
     channels = _PNG_CHANNELS[color_type]
-    n_samples = width * channels  # per row
+    n_samples = width * channels  # per full row
     plte = None
     if color_type == 3:
         plte = [
             ((fill + 3 * k) % 256, (fill + 3 * k + 1) % 256, (fill + 3 * k + 2) % 256)
             for k in range(n_colors)
         ]
-    stride = (n_samples * depth + 7) // 8
-    rows_bytes = []
-    for y in range(height):
-        base = y * n_samples
+
+    def sample(y: int, j: int) -> int:
+        """Sample j of full-image row y under the deterministic ramp."""
+        i = y * n_samples + j
         if depth == 16:
-            row = b"".join(
-                struct.pack(">H", ((fill + base + i) * 521) % 65536)
-                for i in range(n_samples)
-            )
-        elif depth == 8:
-            mod = n_colors if color_type == 3 else 256
-            row = bytes((fill + base + i) % mod for i in range(n_samples))
-        else:  # 1/2/4-bit, MSB-first packing, final byte zero-padded
-            mod = n_colors if color_type == 3 else (1 << depth)
-            vals = [(fill + base + i) % min(mod, 1 << depth) for i in range(n_samples)]
-            per_byte = 8 // depth
-            packed = bytearray(stride)
-            for x, v in enumerate(vals):
-                packed[x // per_byte] |= v << (8 - depth * (x % per_byte + 1))
-            row = bytes(packed)
-        rows_bytes.append(row)
-    body = b"".join(rows_bytes)
-    prev = bytes(stride)
+            return ((fill + i) * 521) % 65536
+        mod = n_colors if color_type == 3 else (256 if depth == 8 else 1 << depth)
+        return (fill + i) % min(mod, 1 << depth) if depth < 8 else (fill + i) % mod
+
+    def pack_row(vals: list[int], stride: int) -> bytes:
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in vals)
+        if depth == 8:
+            return bytes(vals)
+        per_byte = 8 // depth
+        packed = bytearray(stride)
+        for x, v in enumerate(vals):
+            packed[x // per_byte] |= v << (8 - depth * (x % per_byte + 1))
+        return bytes(packed)
+
+    geoms = (
+        [(0, 1, 0, 1, width, height)]
+        if not interlace
+        else [
+            (x0, dx, y0, dy,
+             max(0, -(-(width - x0) // dx)), max(0, -(-(height - y0) // dy)))
+            for x0, dx, y0, dy in _ADAM7
+        ]
+    )
     out = bytearray()
     bpp = max(1, (channels * depth) // 8)
-    for y in range(height):
-        row = body[y * stride : (y + 1) * stride]
-        ftype = (y % 5) if filter_cycle else 0
-        enc = bytearray(row)
-        if ftype == 1:
-            for i in range(stride - 1, bpp - 1, -1):
-                enc[i] = (row[i] - row[i - bpp]) & 0xFF
-        elif ftype == 2:
-            for i in range(stride):
-                enc[i] = (row[i] - prev[i]) & 0xFF
-        elif ftype == 3:
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                enc[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                enc[i] = (row[i] - pred) & 0xFF
-        out.append(ftype)
-        out += enc
-        prev = row
+    for x0, dx, y0, dy, pw, ph in geoms:
+        if pw == 0 or ph == 0:
+            continue  # empty passes contribute no scanlines
+        stride = (pw * channels * depth + 7) // 8
+        prev = bytes(stride)
+        for r in range(ph):
+            y = y0 + r * dy
+            vals = [
+                sample(y, (x0 + c * dx) * channels + ch)
+                for c in range(pw)
+                for ch in range(channels)
+            ]
+            row = pack_row(vals, stride)
+            ftype = (r % 5) if filter_cycle else 0
+            enc = bytearray(row)
+            if ftype == 1:
+                for i in range(stride - 1, bpp - 1, -1):
+                    enc[i] = (row[i] - row[i - bpp]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    enc[i] = (row[i] - prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    enc[i] = (row[i] - ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[i] = (row[i] - pred) & 0xFF
+            out.append(ftype)
+            out += enc
+            prev = row
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -584,7 +639,9 @@ def make_png_blob(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     plte_chunk = (
         chunk(b"PLTE", b"".join(bytes(t) for t in plte)) if plte else b""
     )
@@ -1474,52 +1531,52 @@ def _decode_png_pixels(payload: bytes):
     truecolor — the resampled raster generally exceeds 256 colors, so
     the palette layout cannot be preserved and the depth promotion is
     deliberate and documented. Sub-byte grays expand to 8-bit
-    (value*255/(2^depth-1)). 16-bit stays unsupported in the RESIZE
-    path only (re-encoding it as 8-bit would silently halve the
-    source's precision; _decode_png still features it)."""
+    (value*255/(2^depth-1)). Adam7-interlaced sources deinterlace (and
+    re-encode sequentially — interlacing is a progressive-DISPLAY
+    choice, meaningless to re-apply to a resampled raster). 16-bit
+    stays unsupported in the RESIZE path only (re-encoding it as 8-bit
+    would silently halve the source's precision; _decode_png still
+    features it)."""
     import zlib
 
-    try:
-        parsed = _parse_png_chunks(payload)
-    except NotImplementedError:
-        return None  # resize degrades unsupported variants to a bad row
+    parsed = _parse_png_chunks(payload)
     if parsed is None:
         return None
-    (w, h, depth, color), idat, plte = parsed
+    (w, h, depth, color, interlace), idat, plte = parsed
     channels = _PNG_CHANNELS[color]
-    if depth == 16 or (color == 3 and plte is None):
+    if depth == 16 or (color == 3 and plte is None) or w == 0 or h == 0:
         return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = (w * channels * depth + 7) // 8
-    if len(raw) != (stride + 1) * h or w == 0 or h == 0:
+    passes = _png_passes(raw, w, h, depth, channels, interlace)
+    if passes is None:
         return None
-    bpp = max(1, (channels * depth) // 8)
-    rows = _png_unfilter(raw, h, stride, bpp)
-    if rows is None:
-        return None
-    out = bytearray()
-    for cur in rows:
-        if depth == 8:
-            if color == 3:
-                for idx in cur:
-                    if idx >= len(plte):
-                        return None
-                    out += bytes(plte[idx])
+    out_ch = 3 if color == 3 else channels
+    buf = bytearray(w * h * out_ch)
+    for (x0, dx, y0, dy, pw, _ph), rows in passes:
+        for r, cur in enumerate(rows):
+            y = y0 + r * dy
+            if depth == 8 and color != 3:
+                px = [cur[c * channels : (c + 1) * channels] for c in range(pw)]
             else:
-                out += cur
-        else:  # sub-byte gray or palette indices
-            unpacked = _png_unpack_subbyte(cur, w, depth)
-            if color == 3:
-                for idx in unpacked:
-                    if idx >= len(plte):
-                        return None
-                    out += bytes(plte[idx])
-            else:
-                scale = 255 // ((1 << depth) - 1)
-                out += bytes(v * scale for v in unpacked)
+                if depth == 8:
+                    vals = list(cur)
+                else:
+                    vals = _png_unpack_subbyte(cur, pw, depth)
+                if color == 3:
+                    px = []
+                    for idx in vals:
+                        if idx >= len(plte):
+                            return None
+                        px.append(bytes(plte[idx]))
+                else:
+                    scale = 255 // ((1 << depth) - 1)
+                    px = [bytes([v * scale]) for v in vals]
+            for c, pb in enumerate(px):
+                off = (y * w + x0 + c * dx) * out_ch
+                buf[off : off + out_ch] = pb
     if color == 3:
-        return bytes(out), w, h, 3, 2  # re-encode as 8-bit truecolor
-    return bytes(out), w, h, channels, color
+        return bytes(buf), w, h, 3, 2  # re-encode as 8-bit truecolor
+    return bytes(buf), w, h, channels, color

@@ -171,6 +171,22 @@ def probe(spark, docs, embs) -> dict:
     n, t = timed_count(two_stage_dedup(docs, jaccard_threshold=0.5))
     release_self_join_caches()
     out["two_stage_rows"], out["two_stage_rows_sec"] = n, t
+    # round-9 operators: semantic-dedup survivors (pair stage == the
+    # measured embedding gate + one id-keyed anti join; survivors track
+    # corpus size, the blow-up's 4-clusters collapse to ~1 survivor
+    # each) and bigram LM stats (postings explode + bg-keyed count join
+    # + per-doc agg — rows == docs, the rarity_stats economics on the
+    # adjacency key).
+    from chapterhousedb_spark.operators.similarity import (
+        embedding_dedup_survivors,
+    )
+    from chapterhousedb_spark.operators.text import bigram_lm_stats
+
+    n, t = timed_count(embedding_dedup_survivors(embs, threshold=0.95))
+    release_self_join_caches()
+    out["semdedup_rows"], out["semdedup_rows_sec"] = n, t
+    n, t = timed_count(bigram_lm_stats(docs, min_count=2))
+    out["bigram_rows"], out["bigram_rows_sec"] = n, t
     return out
 
 

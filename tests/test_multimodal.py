@@ -212,10 +212,10 @@ def test_decode_real_png_spec_direct_vector():
 
 
 def test_decode_real_png_honest_boundaries():
-    """Adam7 interlace is the one remaining PNG NotImplementedError
-    (16-bit and palette decode for real now); malformed bytes — wrong
-    stream length, missing PLTE, illegal depth/type combination —
-    return ok=False."""
+    """The full legal PNG matrix decodes (palette/16-bit/Adam7 all
+    real now); malformed bytes — wrong stream length, missing PLTE,
+    illegal depth/type combination, unknown interlace method — return
+    ok=False."""
     import struct
     import zlib
 
@@ -235,8 +235,10 @@ def test_decode_real_png_honest_boundaries():
             + chunk(b"IEND", b"")
         )
 
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_real(png_with_ihdr(2, 2, 8, 2, 1))
+    # malformed: Adam7 flag but the stream length doesn't match passes
+    assert decode_real(png_with_ihdr(2, 2, 8, 2, 1))["ok"] is False
+    # malformed: unknown interlace method
+    assert decode_real(png_with_ihdr(2, 2, 8, 2, 2))["ok"] is False
     # malformed: wrong stream length for the declared dims/depth
     assert decode_real(png_with_ihdr(2, 2, 16, 2, 0))["ok"] is False
     # malformed: palette stream without a PLTE chunk
@@ -245,6 +247,50 @@ def test_decode_real_png_honest_boundaries():
     assert decode_real(png_with_ihdr(2, 2, 4, 2, 0))["ok"] is False
     bad_len = png_with_ihdr(10, 10, 8, 2, 0)  # stream too short for 10x10
     assert decode_real(bad_len)["ok"] is False
+
+
+def test_decode_real_png_adam7_interlaced():
+    """Adam7-interlaced PNGs decode: the seven independently-filtered
+    passes cover every pixel exactly once, so the feature row equals
+    the sequential encoding of the same pixel grid — asserted for RGB,
+    palette, 16-bit, and a 1-pixel image (six empty passes). The
+    resize path deinterlaces and re-encodes sequentially."""
+    from chapterhousedb_spark.operators.multimodal import make_png_blob
+
+    for kwargs in (
+        dict(color_type=2),
+        dict(color_type=3, n_colors=6),
+        dict(color_type=2, depth=16),
+        dict(color_type=0, depth=4),
+        dict(color_type=6),
+    ):
+        seq = decode_real(make_png_blob(13, 9, fill=5, **kwargs))
+        lace = decode_real(make_png_blob(13, 9, fill=5, interlace=True, **kwargs))
+        assert lace["ok"], kwargs
+        assert lace == seq, kwargs
+    tiny = decode_real(make_png_blob(1, 1, fill=7, interlace=True))
+    assert tiny["ok"] and (tiny["width"], tiny["height"]) == (1, 1)
+
+
+def test_resize_media_png_adam7_deinterlaces(spark):
+    """resize_media on an interlaced PNG: deinterlace -> resample ->
+    sequential re-encode; the output must decode equal to resizing the
+    sequential twin of the same pixel grid."""
+    from chapterhousedb_spark.operators.multimodal import (
+        make_png_blob,
+        resize_media,
+    )
+
+    lace = make_png_blob(12, 10, fill=3, interlace=True)
+    seq = make_png_blob(12, 10, fill=3)
+    media = spark.createDataFrame(
+        [(1, "image", lace, ("t", 0)), (2, "image", seq, ("t", 0))],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r.asDict() for r in resize_media(media, 6, 5).collect()}
+    assert got[1]["ok"] and got[2]["ok"]
+    d1, d2 = decode_real(bytes(got[1]["payload"])), decode_real(bytes(got[2]["payload"]))
+    assert d1 == d2 and d1["ok"] and (d1["width"], d1["height"]) == (6, 5)
 
 
 def test_decode_real_png_palette_and_deep_variants():
