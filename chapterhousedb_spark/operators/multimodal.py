@@ -13,9 +13,11 @@ PNG at every legal layout (stdlib-zlib inflate + the five per-row
 filters, PLTE palette lookup, 16-bit and sub-byte sample unpacking,
 Adam7 deinterlacing); and baseline sequential JPEG (SOF0/1;
 grayscale, 4:4:4, and subsampled 4:2:2/4:2:0: markers -> canonical
-Huffman -> dequant -> IDCT in numpy) — and raises NotImplementedError
-for the formats that genuinely need PIL/ffmpeg (MP4/MP3, progressive
-JPEG), absent in this environment.
+Huffman -> dequant -> IDCT in numpy; progressive SOF2 accumulates
+quantized coefficients across spectral-selection / successive-
+approximation scans) — and raises NotImplementedError for the formats
+that genuinely need PIL/ffmpeg (MP4/MP3, arithmetic/lossless JPEG),
+absent in this environment.
 `decode_stub` parses a deterministic fake header for plumbing tests
 that want full control of the bytes. Everything Spark-side — schema,
 batching, UDF signatures, partitioning — is identical for both and
@@ -83,12 +85,13 @@ def decode_real(payload: bytes) -> dict:
     (PCM 8/16-bit, G.711 A-law/mu-law, IMA ADPCM); PNG at every legal
     layout (gray 1/2/4/8/16, RGB 8/16, palette via PLTE, alpha
     variants, sequential or Adam7-interlaced — stdlib zlib covers the
-    inflate); and baseline sequential JPEG (SOF0/1; grayscale, 4:4:4,
-    subsampled 4:2:2/4:2:0 — Huffman + dequant + IDCT in numpy).
-    MP4/MP3 and progressive JPEG still raise NotImplementedError —
-    those genuinely need PIL/ffmpeg, which this sandbox lacks. Returns
-    the same dict shape as decode_stub, with the audio mapping
-    documented on _decode_wav."""
+    inflate); and JPEG, baseline sequential AND progressive (SOF0/1/2;
+    grayscale, 4:4:4, subsampled 4:2:2/4:2:0 — Huffman + dequant +
+    IDCT in numpy). MP4/MP3 and the exotic JPEG modes (arithmetic,
+    lossless, 12-bit) still raise NotImplementedError — those
+    genuinely need PIL/ffmpeg, which this sandbox lacks. Returns the
+    same dict shape as decode_stub, with the audio mapping documented
+    on _decode_wav."""
     if payload is not None and payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if (
@@ -102,8 +105,8 @@ def decode_real(payload: bytes) -> dict:
     if payload is not None and payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), WAV (PCM/G.711/IMA-ADPCM), PNG, and baseline "
-        "sequential JPEG decode without external codecs; MP4/MP3 etc. "
+        "only PPM (P6), WAV (PCM/G.711/IMA-ADPCM), PNG, and JPEG "
+        "(sequential/progressive) decode without external codecs; MP4/MP3 etc. "
         "require PIL/ffmpeg, not available here"
     )
 
@@ -740,6 +743,7 @@ def make_jpeg_blob(
     quant: int = 1,
     subsample: bool = False,
     sampling: list | None = None,
+    progressive: bool = False,
 ) -> bytes:
     """A real baseline sequential JPEG with the same deterministic
     pixel-ramp body convention as make_ppm_blob: grayscale, 4:4:4
@@ -758,7 +762,13 @@ def make_jpeg_blob(
         bytes((fill + i) % 256 for i in range(width * height * ncomp)),
         dtype=np.uint8,
     ).reshape(height, width, ncomp)
-    return _encode_jpeg(body, quant=quant, subsample=subsample, sampling=sampling)
+    return _encode_jpeg(
+        body,
+        quant=quant,
+        subsample=subsample,
+        sampling=sampling,
+        progressive=progressive,
+    )
 
 
 def _encode_jpeg(
@@ -766,6 +776,7 @@ def _encode_jpeg(
     quant: int = 1,
     subsample: bool = False,
     sampling: list | None = None,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (h, w, 1|3) uint8 array as baseline sequential JPEG
     (the make_jpeg_blob engine, reused by resize_media to re-encode
@@ -837,23 +848,34 @@ def _encode_jpeg(
     a = _jpeg_dct_matrix()
     _, enc_dc = _jpeg_huff_codes(_JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS)
     _, enc_ac = _jpeg_huff_codes(_JPEG_ENC_AC_BITS, _JPEG_ENC_AC_VALS)
-    w = _JpegBitWriter()
-    pred = [0] * ncomp
+    # quantized zigzag coefficient grid per component (padded MCU grid)
+    qblocks = []
+    for c, (sh, sv) in enumerate(samp):
+        pl = planes[c]
+        rows, cols = mcuy * sv, mcux * sh
+        grid = np.empty((rows, cols, 64), dtype=np.int64)
+        for row in range(rows):
+            for col in range(cols):
+                blk = pl[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8]
+                coefb = a @ (blk - 128.0) @ a.T
+                grid[row, col] = np.rint(
+                    coefb.reshape(64)[_JPEG_ZIGZAG] / qtab
+                ).astype(np.int64)
+        qblocks.append(grid)
 
-    def put(v: int, cat: int) -> None:
+    def put(w, v: int, cat: int) -> None:
         if cat:
             w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
 
-    def encode_block(pl, ys: int, xs: int, c: int) -> None:
-        blk = pl[ys : ys + 8, xs : xs + 8]
-        coef = a @ (blk - 128.0) @ a.T
-        q = np.rint(coef.reshape(64)[_JPEG_ZIGZAG] / qtab).astype(int)
+    def encode_dc(w, q, c: int, pred: list) -> None:
         diff = int(q[0]) - pred[c]
         pred[c] = int(q[0])
         cat = _jpeg_category(diff)
         code, ln = enc_dc[cat]
         w.write(code, ln)
-        put(diff, cat)
+        put(w, diff, cat)
+
+    def encode_ac(w, q) -> None:
         run = 0
         for k in range(1, 64):
             v = int(q[k])
@@ -867,43 +889,80 @@ def _encode_jpeg(
             cat = _jpeg_category(v)
             code, ln = enc_ac[(run << 4) | cat]
             w.write(code, ln)
-            put(v, cat)
+            put(w, v, cat)
             run = 0
         if run:
             code, ln = enc_ac[0x00]  # EOB
             w.write(code, ln)
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c, (h, v) in enumerate(samp):
-                for by in range(v):
-                    for bx in range(h):
-                        encode_block(
-                            planes[c],
-                            (my * v + by) * 8,
-                            (mx * h + bx) * 8,
-                            c,
-                        )
-
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ahal: int) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid + 1, 0x00])
+        return seg(0xDA, sos + bytes([ss, se, ahal]))
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: Pq=0 (8-bit), Tq=0, 64 entries in zigzag order (flat table
     # -> identical in any order)
     out += seg(0xDB, bytes([0]) + bytes(int(qtab[k]) for k in range(64)))
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
-    for c, (h, v) in enumerate(samp):
-        sof += bytes([c + 1, (h << 4) | v, 0])
-    out += seg(0xC0, sof)
+    for c, (sh, sv) in enumerate(samp):
+        sof += bytes([c + 1, (sh << 4) | sv, 0])
+    out += seg(0xC2 if progressive else 0xC0, sof)
     out += seg(0xC4, bytes([0x00] + _JPEG_ENC_DC_BITS) + bytes(_JPEG_ENC_DC_VALS))
     out += seg(0xC4, bytes([0x10] + _JPEG_ENC_AC_BITS) + bytes(_JPEG_ENC_AC_VALS))
-    sos = bytes([ncomp])
-    for c in range(ncomp):
-        sos += bytes([c + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += w.flush()
+
+    if not progressive:
+        w = _JpegBitWriter()
+        pred = [0] * ncomp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            q = qblocks[c][my * sv + by, mx * sh + bx]
+                            encode_dc(w, q, c, pred)
+                            encode_ac(w, q)
+        out += sos_header(list(range(ncomp)), 0, 63, 0)
+        out += w.flush()
+    else:
+        # spectral-selection progressive (T.81 G.1): scan 1 is the
+        # interleaved DC band for every component, then one AC scan
+        # per component over its REAL block grid (AC progressive scans
+        # are non-interleaved by spec; the padded edge blocks' AC stay
+        # zero — their pixels are cropped away on decode)
+        w = _JpegBitWriter()
+        pred = [0] * ncomp
+        if ncomp == 1:
+            # single-component scans are non-interleaved by definition
+            rows, cols = qblocks[0].shape[:2]
+            for row in range(rows):
+                for col in range(cols):
+                    encode_dc(w, qblocks[0][row, col], 0, pred)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c, (sh, sv) in enumerate(samp):
+                        for by in range(sv):
+                            for bx in range(sh):
+                                encode_dc(
+                                    w, qblocks[c][my * sv + by, mx * sh + bx], c, pred
+                                )
+        out += sos_header(list(range(ncomp)), 0, 0, 0)
+        out += w.flush()
+        for c, (sh, sv) in enumerate(samp):
+            cw = -(-width * sh // hmax)
+            chh = -(-height * sv // vmax)
+            bx_r, by_r = -(-cw // 8), -(-chh // 8)
+            w = _JpegBitWriter()
+            for row in range(by_r):
+                for col in range(bx_r):
+                    encode_ac(w, qblocks[c][row, col])
+            out += sos_header([c], 1, 63, 0)
+            out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -961,18 +1020,20 @@ def _jpeg_extend(v: int, cat: int) -> int:
 
 
 def _decode_jpeg(payload: bytes) -> dict:
-    """Baseline sequential JPEG (SOF0/SOF1, 8-bit; grayscale, 4:4:4,
-    and subsampled 4:2:2 / 4:2:0 MCU-interleaved scans): full Huffman
-    + dequant + IDCT + replicate-upsample decode in numpy + stdlib,
-    matching the PPM/PNG feature conventions (mean_pixel = mean over
-    every decoded RGB/gray sample byte, padding cropped).
+    """JPEG feature decode: baseline sequential (SOF0/SOF1) AND
+    progressive (SOF2 — spectral selection + successive approximation,
+    multi-scan); 8-bit; grayscale, 4:4:4, and subsampled 4:2:2/4:2:0
+    MCU-interleaved scans: full Huffman + dequant + IDCT +
+    replicate-upsample decode in numpy + stdlib, matching the PPM/PNG
+    feature conventions (mean_pixel = mean over every decoded RGB/gray
+    sample byte, padding cropped).
 
-    Honest boundary (NotImplementedError): progressive (SOF2),
-    arithmetic coding (SOF9+), hierarchical, 12-bit precision, and
-    sampling factors above 2. MALFORMED bytes return
-    ok=False like every other codec here. The entropy loop is pure
-    python (fine for thumbnails/test vectors; production raster
-    decode is the documented PIL/ffmpeg boundary)."""
+    Honest boundary (NotImplementedError): arithmetic coding (SOF9+),
+    lossless/hierarchical, 12-bit precision, and sampling factors
+    above 2. MALFORMED bytes return ok=False like every other codec
+    here. The entropy loop is pure python (fine for thumbnails/test
+    vectors; production raster decode is the documented PIL/ffmpeg
+    boundary)."""
     bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
     got = _decode_jpeg_pixels(payload)
     if got is None:
@@ -988,10 +1049,221 @@ def _decode_jpeg(payload: bytes) -> dict:
     }
 
 
+def _jpeg_decode_scan(
+    d: bytes,
+    data_start: int,
+    comps: list,
+    coef: list,
+    real: list,
+    geom: tuple,
+    huff: dict,
+    dri: int,
+    scan_list: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+) -> bool:
+    """Decode ONE entropy-coded scan into the per-component quantized
+    coefficient grids. Handles all five scan kinds: baseline full-band,
+    progressive DC first/refine and AC first/refine (T.81 annex G,
+    incl. EOB runs and AC refinement correction bits). Returns False on
+    malformed entropy data."""
+    mcux, mcuy, _hmax, _vmax = geom
+    reader = _JpegBitReader(d, data_start)
+    interleaved = len(scan_list) > 1
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+
+    def huff_decode(table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | reader.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise EOFError("invalid Huffman code")
+
+    def block_full(ci: int, td: int, ta: int, blk) -> bool:
+        cat = huff_decode(huff[(0, td)])
+        diff = _jpeg_extend(reader.receive(cat), cat) if cat else 0
+        preds[ci] += diff
+        blk[0] = preds[ci]
+        k = 1
+        while k <= 63:
+            sym = huff_decode(huff[(1, ta)])
+            if sym == 0x00:  # EOB
+                return True
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    return False
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                return False
+            blk[k] = _jpeg_extend(reader.receive(size), size)
+            k += 1
+        return True
+
+    def block_dc_first(ci: int, td: int, blk) -> bool:
+        cat = huff_decode(huff[(0, td)])
+        diff = _jpeg_extend(reader.receive(cat), cat) if cat else 0
+        preds[ci] += diff
+        blk[0] = preds[ci] << al
+        return True
+
+    def block_dc_refine(blk) -> bool:
+        if reader.read_bit():
+            blk[0] = int(blk[0]) | (1 << al)
+        return True
+
+    def block_ac_first(ta: int, blk) -> bool:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return True
+        k = ss
+        while k <= se:
+            sym = huff_decode(huff[(1, ta)])
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                return False
+            blk[k] = _jpeg_extend(reader.receive(s), s) << al
+            k += 1
+        return True
+
+    def block_ac_refine(ta: int, blk) -> bool:
+        # T.81 G.2 / libjpeg jdphuff decode_mcu_AC_refine: newly
+        # nonzero coefficients arrive as +-1<<al; every HISTORY-nonzero
+        # coefficient passed over contributes one correction bit
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = huff_decode(huff[(1, ta)])
+                r, s = sym >> 4, sym & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        # NOTE: unlike AC-first, the refinement EOB run
+                        # INCLUDES the current block — its tail
+                        # correction bits are read in the eobrun>0
+                        # section below, which then decrements
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += reader.receive(r)
+                        break
+                    # r == 15: advance past 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        return False
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0 and reader.read_bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+        return True
+
+    def decode_one(ci: int, td: int, ta: int, blk) -> bool:
+        if not progressive:
+            return block_full(ci, td, ta, blk)
+        if ss == 0:
+            return block_dc_first(ci, td, blk) if ah == 0 else block_dc_refine(blk)
+        return block_ac_first(ta, blk) if ah == 0 else block_ac_refine(ta, blk)
+
+    def restart() -> bool:
+        if not reader.expect_rst():
+            return False
+        for i in range(len(preds)):
+            preds[i] = 0
+        state["eobrun"] = 0
+        return True
+
+    try:
+        if interleaved:
+            cnt = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and cnt and cnt % dri == 0 and not restart():
+                        return False
+                    cnt += 1
+                    for ci, td, ta in scan_list:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
+                                if not decode_one(ci, td, ta, blk):
+                                    return False
+        else:
+            ci, td, ta = scan_list[0]
+            by_r, bx_r = real[ci]
+            cnt = 0
+            for row in range(by_r):
+                for col in range(bx_r):
+                    if dri and cnt and cnt % dri == 0 and not restart():
+                        return False
+                    cnt += 1
+                    if not decode_one(ci, td, ta, coef[ci][row, col]):
+                        return False
+    except EOFError:
+        return False
+    return True
+
+
+def _jpeg_entropy_end(d: bytes, p: int) -> int:
+    """First position at/after p holding a REAL marker (not a stuffed
+    0xFF00, not an RSTn, not 0xFF fill bytes) — the end of one scan's
+    entropy segment."""
+    n = len(d)
+    while p + 1 < n:
+        if d[p] != 0xFF:
+            p += 1
+        elif d[p + 1] == 0x00 or 0xD0 <= d[p + 1] <= 0xD7:
+            p += 2
+        elif d[p + 1] == 0xFF:
+            p += 1  # fill byte
+        else:
+            return p
+    return n
+
+
 def _decode_jpeg_pixels(payload: bytes):
-    """Decode a baseline JPEG to ((h, w, 1|3) uint8 RGB/gray array,
-    per-component (h, v) sampling layout) — None on malformed bytes
-    (unsupported variants raise, see _decode_jpeg)."""
+    """Decode a baseline-sequential OR progressive JPEG to ((h, w,
+    1|3) uint8 RGB/gray array, per-component (h, v) sampling layout) —
+    None on malformed bytes (unsupported variants raise, see
+    _decode_jpeg). Progressive scans (spectral selection + successive
+    approximation, T.81 annex G: DC first/refine, AC first/refine with
+    EOB runs) accumulate QUANTIZED coefficients across scans into
+    per-component block grids; dequant + IDCT happen once at the end
+    for both modes."""
     import numpy as np
 
     bad = None
@@ -1003,14 +1275,18 @@ def _decode_jpeg_pixels(payload: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
     dri = 0
-    scan = None
+    coef = None  # per comp: (rows, cols, 64) QUANTIZED zigzag ints
+    real = None  # per comp: (by, bx) real block dims (non-interleaved)
+    geom = None  # (mcux, mcuy, hmax, vmax)
+    saw_scan = False
     while pos + 4 <= n:
         if d[pos] != 0xFF:
             return bad
         marker = d[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
-            return bad
+        if marker == 0xD9:  # EOI
+            break
         (ln,) = struct.unpack(">H", d[pos + 2 : pos + 4])
         seg = d[pos + 4 : pos + 2 + ln]
         if len(seg) != ln - 2:
@@ -1042,15 +1318,16 @@ def _decode_jpeg_pixels(payload: bytes):
                 dec, _ = _jpeg_huff_codes(bits, vals)
                 huff[(tc, th)] = dec
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-            if len(seg) < 6:
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if sof is not None or len(seg) < 6:
                 return bad
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
-            if len(seg) < 6 + 3 * ncomp:
+            if len(seg) < 6 + 3 * ncomp or w == 0 or h == 0 or ncomp == 0:
                 return bad
             comps = []
             for c in range(ncomp):
@@ -1063,8 +1340,20 @@ def _decode_jpeg_pixels(payload: bytes):
                     )
                 comps.append({"id": cid, "tq": tq, "h": sh, "v": sv})
             sof = (w, h, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            geom = (mcux, mcuy, hmax, vmax)
+            coef = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+            real = []
+            for c in comps:
+                comp_h = -(-(h * c["v"]) // vmax)  # ceil(h*v/vmax)
+                comp_w = -(-(w * c["h"]) // hmax)
+                real.append((-(-comp_h // 8), -(-comp_w // 8)))
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/hierarchical) not supported"
@@ -1073,114 +1362,68 @@ def _decode_jpeg_pixels(payload: bytes):
             if len(seg) < 2:
                 return bad
             (dri,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
-            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+        elif marker == 0xDA:  # SOS — decode this scan, then continue
+            if sof is None:
+                return bad
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
                 return bad
             ns = seg[0]
-            tables = {}
+            scan_list = []
+            cid_to_ci = {c["id"]: i for i, c in enumerate(comps)}
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                tables[cid] = (tt >> 4, tt & 0xF)
-            scan = tables
-            pos = pos + 2 + ln
-            break
+                if cid not in cid_to_ci:
+                    return bad
+                scan_list.append((cid_to_ci[cid], tt >> 4, tt & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline is one full band
+            if ss > se or se > 63 or (progressive and ss == 0 and se != 0):
+                return bad
+            if progressive and ss > 0 and ns != 1:
+                return bad  # AC progressive scans are single-component
+            # table presence: DC-first/full need a DC table; any AC
+            # band needs an AC table; DC refinement needs none
+            for _ci, td, ta in scan_list:
+                if ss == 0 and ah == 0 and (0, td) not in huff:
+                    return bad
+                if se > 0 and (1, ta) not in huff:
+                    return bad
+            data_start = pos + 2 + ln
+            if not _jpeg_decode_scan(
+                d, data_start, comps, coef, real, geom, huff, dri,
+                scan_list, ss, se, ah, al, progressive,
+            ):
+                return bad
+            saw_scan = True
+            pos = _jpeg_entropy_end(d, data_start)
+            continue
         pos += 2 + ln
-    if sof is None or scan is None:
+    if sof is None or not saw_scan:
         return bad
     w, h, comps = sof
-    if w == 0 or h == 0:
-        return bad
-    for c in comps:
-        if c["tq"] not in qt or c["id"] not in scan:
-            return bad
-        td, ta = scan[c["id"]]
-        if (0, td) not in huff or (1, ta) not in huff:
-            return bad
-    reader = _JpegBitReader(d, pos)
-    ncomp = len(comps)
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    preds = [0] * ncomp
-    # per component: one row of 64 coefficients per block, MCU-ordered
-    blocks = [
-        np.zeros((mcuy * mcux * c["h"] * c["v"], 64), dtype=np.float64)
-        for c in comps
-    ]
-
-    def huff_decode(table: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | reader.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise EOFError("invalid Huffman code")
-
-    def decode_block(ci: int, comp: dict, bidx: int) -> bool:
-        td, ta = scan[comp["id"]]
-        dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-        q = qt[comp["tq"]]
-        zz = np.zeros(64)
-        cat = huff_decode(dc_tab)
-        diff = _jpeg_extend(reader.receive(cat), cat) if cat else 0
-        preds[ci] += diff
-        zz[0] = preds[ci] * q[0]
-        k = 1
-        while k < 64:
-            sym = huff_decode(ac_tab)
-            if sym == 0x00:  # EOB
-                break
-            run, size = sym >> 4, sym & 0xF
-            if size == 0:
-                if run != 15:
-                    return False
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                return False
-            zz[k] = _jpeg_extend(reader.receive(size), size) * q[k]
-            k += 1
-        blocks[ci][bidx, _JPEG_ZIGZAG] = zz
-        return True
-
-    try:
-        for mcu in range(mcuy * mcux):
-            if dri and mcu and mcu % dri == 0:
-                if not reader.expect_rst():
-                    return bad
-                preds = [0] * ncomp
-            for ci, comp in enumerate(comps):
-                per_mcu = comp["h"] * comp["v"]
-                for sub in range(per_mcu):
-                    if not decode_block(ci, comp, mcu * per_mcu + sub):
-                        return bad
-    except EOFError:
-        return bad
+    mcux, mcuy, hmax, vmax = geom
     a = _jpeg_dct_matrix()
     planes = []
     for ci, comp in enumerate(comps):
-        ch, cv = comp["h"], comp["v"]
-        coef = blocks[ci].reshape(-1, 8, 8)
-        pix = np.einsum("ij,njk,kl->nil", a.T, coef, a) + 128.0
-        plane = np.zeros((mcuy * cv * 8, mcux * ch * 8))
-        bi = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(cv):
-                    for bx in range(ch):
-                        ys, xs = (my * cv + by) * 8, (mx * ch + bx) * 8
-                        plane[ys : ys + 8, xs : xs + 8] = pix[bi]
-                        bi += 1
+        if comp["tq"] not in qt:
+            return bad
+        q = np.array(qt[comp["tq"]], dtype=np.float64)
+        zz = coef[ci].astype(np.float64) * q  # still zigzag-ordered
+        nat = np.zeros_like(zz)
+        nat[:, :, _JPEG_ZIGZAG] = zz
+        rows, cols = nat.shape[:2]
+        blocks8 = nat.reshape(rows, cols, 8, 8)
+        pix = np.einsum("ij,rcjk,kl->rcil", a.T, blocks8, a) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         # replicate-upsample subsampled components to full resolution
-        if cv < vmax:
-            plane = np.repeat(plane, vmax // cv, axis=0)
-        if ch < hmax:
-            plane = np.repeat(plane, hmax // ch, axis=1)
+        if comp["v"] < vmax:
+            plane = np.repeat(plane, vmax // comp["v"], axis=0)
+        if comp["h"] < hmax:
+            plane = np.repeat(plane, hmax // comp["h"], axis=1)
         planes.append(plane[:h, :w])
+    ncomp = len(comps)
     # the source's own per-component sampling layout, so a re-encode
     # can reproduce it exactly (4:2:2 stays 4:2:2, not 4:2:0)
     samp_layout = [(c["h"], c["v"]) for c in comps]
@@ -1418,7 +1661,9 @@ def resize_media(
     filter rows — filters are a compression choice, not a fidelity
     one; JPEG re-encodes near-lossless flat-quant in the source's own
     chroma sampling layout — 4:4:4, 4:2:2 and 4:2:0 each stay
-    themselves). Rows whose payload can't
+    themselves; progressive sources re-encode SEQUENTIAL, since
+    progression orders are a transmission choice with no raster
+    meaning after resampling). Rows whose payload can't
     be decoded (or raise as unsupported formats) come back with
     payload NULL and ok=False — one bad blob never kills the task.
 

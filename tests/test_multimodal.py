@@ -531,9 +531,12 @@ def test_decode_real_jpeg_roundtrip():
 
 
 def test_decode_real_jpeg_honest_boundary():
-    """Progressive (SOF2) and subsampled-chroma JPEGs raise as
-    unsupported (the honest codec boundary); truncated/malformed
-    bytes return ok=False like every other codec."""
+    """Arithmetic-coded (SOF9) and >2 sampling-factor JPEGs raise as
+    unsupported (the honest codec boundary — progressive SOF2 decodes
+    for real now); truncated/malformed bytes return ok=False like
+    every other codec, including a baseline stream whose SOF marker
+    was flipped to SOF2 (its full-band scan header is illegal in a
+    progressive file)."""
     import pytest
 
     from chapterhousedb_spark.operators.multimodal import make_jpeg_blob
@@ -541,9 +544,12 @@ def test_decode_real_jpeg_honest_boundary():
     blob = bytearray(make_jpeg_blob(16, 8))
     sof = blob.index(b"\xff\xc0")
     prog = bytearray(blob)
-    prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_real(bytes(prog))
+    prog[sof + 1] = 0xC2  # SOF2 + baseline Ss=0..Se=63 scan = malformed
+    assert decode_real(bytes(prog))["ok"] is False
+    arith = bytearray(blob)
+    arith[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_real(bytes(arith))
     sub = bytearray(blob)
     sub[sof + 11] = 0x33  # sampling factor 3 — outside baseline-common
     with pytest.raises(NotImplementedError, match="sampling factors"):
@@ -785,3 +791,256 @@ def test_decode_real_wav_ima_adpcm():
     # other registered formats (float PCM) degrade to ok=False
     f32 = make_wav_compressed_blob(b"\x00" * 8, 3, bits=32, block_align=4)
     assert decode_real(f32)["ok"] is False
+
+def test_decode_real_jpeg_progressive_spectral_split(spark):
+    """Spectral-selection progressive (SOF2: interleaved DC scan +
+    per-component AC scans): the decoded raster is BIT-identical to
+    the sequential encoding of the same pixels for gray, 4:4:4, 4:2:2
+    and 4:2:0, at even and odd dims — and it decodes through the
+    Arrow-batched Spark path."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        extract_features,
+        make_jpeg_blob,
+    )
+
+    for w, h in ((16, 12), (13, 9)):
+        for kwargs in (
+            dict(), dict(gray=True), dict(subsample=True),
+            dict(sampling=[(2, 1), (1, 1), (1, 1)]),
+        ):
+            prog = make_jpeg_blob(w, h, fill=5, progressive=True, **kwargs)
+            seq = make_jpeg_blob(w, h, fill=5, **kwargs)
+            assert prog.index(b"\xff\xc2") > 0
+            pp, psamp = _decode_jpeg_pixels(prog)
+            sp, ssamp = _decode_jpeg_pixels(seq)
+            assert psamp == ssamp and np.array_equal(pp, sp), (w, h, kwargs)
+
+    media = spark.createDataFrame(
+        [(1, "image", make_jpeg_blob(24, 16, fill=9, progressive=True), ("t", 0))],
+        MEDIA_SCHEMA,
+    )
+    got = extract_features(media, decoder=decode_real).collect()[0]
+    assert got["ok"] and (got["width"], got["height"]) == (24, 16)
+
+
+def _prog_jpeg_from_coeffs(blocks, bw, bh, scans):
+    """Test-side progressive encoder from EXPLICIT quantized zigzag
+    coefficient blocks (gray, flat q=1): a decoder-dual that exercises
+    the successive-approximation scan kinds the production encoder's
+    spectral split doesn't emit. `scans` lists (kind, ah, al) with
+    kind in dc/ac; blocks are row-major over a bh x bw block grid."""
+    import struct as st
+
+    from chapterhousedb_spark.operators.multimodal import (
+        _JPEG_ENC_AC_BITS, _JPEG_ENC_AC_VALS, _JPEG_ENC_DC_BITS,
+        _JPEG_ENC_DC_VALS, _JpegBitWriter, _jpeg_category,
+        _jpeg_huff_codes,
+    )
+
+    _, enc_dc = _jpeg_huff_codes(_JPEG_ENC_DC_BITS, _JPEG_ENC_DC_VALS)
+    _, enc_ac = _jpeg_huff_codes(_JPEG_ENC_AC_BITS, _JPEG_ENC_AC_VALS)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    def put(w, v, cat):
+        if cat:
+            w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+    def dc_scan(ah, al):
+        w = _JpegBitWriter()
+        if ah == 0:
+            pred = 0
+            for blk in blocks:
+                v = int(blk[0]) >> al  # DC point transform = arith shift
+                diff = v - pred
+                pred = v
+                cat = _jpeg_category(diff)
+                code, ln = enc_dc[cat]
+                w.write(code, ln)
+                put(w, diff, cat)
+        else:
+            for blk in blocks:
+                w.write((int(blk[0]) >> al) & 1, 1)
+        return seg(0xDA, bytes([1, 1, 0x00, 0, 0, (ah << 4) | al])) + w.flush()
+
+    def ac_point(v, al):  # AC point transform = toward-zero division
+        return (abs(int(v)) >> al) * (1 if v >= 0 else -1)
+
+    def ac_first_scan(al):
+        w = _JpegBitWriter()
+        pending_eob = 0
+
+        def flush_eob():
+            nonlocal pending_eob
+            while pending_eob:
+                r = pending_eob.bit_length() - 1
+                code, ln = enc_ac[r << 4]
+                w.write(code, ln)
+                if r:
+                    w.write(pending_eob - (1 << r), r)
+                pending_eob = 0
+
+        for blk in blocks:
+            vals = [ac_point(blk[k], al) for k in range(64)]
+            nz = [k for k in range(1, 64) if vals[k]]
+            if not nz:
+                pending_eob += 1
+                if pending_eob == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            k = 1
+            for p in nz:
+                run = p - k
+                while run > 15:
+                    code, ln = enc_ac[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                v = vals[p]
+                cat = _jpeg_category(v)
+                code, ln = enc_ac[(run << 4) | cat]
+                w.write(code, ln)
+                put(w, v, cat)
+                k = p + 1
+            if k <= 63:
+                pending_eob += 1
+        flush_eob()
+        return seg(0xDA, bytes([1, 1, 0x00, 1, 63, al])) + w.flush()
+
+    def ac_refine_scan(ah, al):
+        # dual of block_ac_refine, per-block EOB1 (history = values at
+        # precision ah; this scan reveals bit `al`)
+        w = _JpegBitWriter()
+        for blk in blocks:
+            hist = [ac_point(blk[k], ah) for k in range(64)]
+            full = [ac_point(blk[k], al) for k in range(64)]
+            k = 1
+            while k <= 63:
+                # next newly-nonzero position, counting zero-history zeros
+                np_, r, j = None, 0, k
+                while j <= 63:
+                    if hist[j] == 0:
+                        if full[j] != 0:
+                            np_ = j
+                            break
+                        r += 1
+                    j += 1
+                if np_ is None:
+                    code, ln = enc_ac[0x00]  # EOB1
+                    w.write(code, ln)
+                    for j in range(k, 64):
+                        if hist[j] != 0:
+                            w.write(abs(int(blk[j])) >> al & 1, 1)
+                    k = 64
+                    break
+                while r > 15:
+                    code, ln = enc_ac[0xF0]  # ZRL
+                    w.write(code, ln)
+                    zeros = 0
+                    while zeros < 16:
+                        if hist[k] != 0:
+                            w.write(abs(int(blk[k])) >> al & 1, 1)
+                        else:
+                            zeros += 1
+                        k += 1
+                    r -= 16
+                code, ln = enc_ac[(r << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if full[np_] > 0 else 0, 1)
+                j = k
+                while j < np_:
+                    if hist[j] != 0:
+                        w.write(abs(int(blk[j])) >> al & 1, 1)
+                    j += 1
+                k = np_ + 1
+        return seg(0xDA, bytes([1, 1, 0x00, 1, 63, (ah << 4) | al])) + w.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xC2, bytes([8]) + st.pack(">HH", bh * 8, bw * 8) + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00] + _JPEG_ENC_DC_BITS) + bytes(_JPEG_ENC_DC_VALS))
+    out += seg(0xC4, bytes([0x10] + _JPEG_ENC_AC_BITS) + bytes(_JPEG_ENC_AC_VALS))
+    for kind, ah, al in scans:
+        out += dc_scan(ah, al) if kind == "dc" else (
+            ac_first_scan(al) if ah == 0 else ac_refine_scan(ah, al)
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_jpeg_progressive_successive_approximation():
+    """Successive approximation (the scan kinds the production encoder
+    doesn't emit): DC first at Al=1 + DC refine, AC first at Al=1 +
+    AC refine — including EOBRUN>1 across empty blocks, a ZRL inside a
+    refinement scan, newly-nonzero +-1 coefficients, and correction
+    bits on history coefficients. The decoded raster must equal the
+    direct IDCT of the coefficient blocks."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _decode_jpeg_pixels,
+        _jpeg_dct_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    blocks = []
+    for b in range(6):
+        blk = np.zeros(64, dtype=np.int64)
+        blk[0] = int(rng.integers(-60, 60))
+        if b == 0:
+            blk[[1, 3, 20]] = [5, -3, 7]       # history coeffs + odd bits
+            blk[25] = 1                          # newly nonzero in refine
+        elif b == 1:
+            blk[2] = -1                          # new-only block
+            blk[40] = 2
+        elif b == 2:
+            blk[1] = 4
+            blk[30] = -1                         # 28 zero-history run -> ZRL
+        # blocks 3..5: AC-empty -> EOBRUN across blocks in ac_first
+        blocks.append(blk)
+
+    scans = [("dc", 0, 1), ("ac", 0, 1), ("dc", 1, 0), ("ac", 1, 0)]
+    blob = _prog_jpeg_from_coeffs(blocks, 3, 2, scans)
+    got, samp = _decode_jpeg_pixels(blob)
+    assert samp == [(1, 1)] and got.shape == (16, 24, 1)
+
+    a = _jpeg_dct_matrix()
+    want = np.zeros((16, 24))
+    for i, blk in enumerate(blocks):
+        nat = np.zeros(64)
+        nat[_JPEG_ZIGZAG] = blk
+        pix = a.T @ nat.reshape(8, 8) @ a + 128.0
+        r, c = divmod(i, 3)
+        want[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = pix
+    want = np.clip(np.rint(want), 0, 255).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], want)
+
+    # spectral-split-only decode of the SAME coefficients must agree
+    blob2 = _prog_jpeg_from_coeffs(
+        blocks, 3, 2, [("dc", 0, 0), ("ac", 0, 0)]
+    )
+    got2, _ = _decode_jpeg_pixels(blob2)
+    assert np.array_equal(got, got2)
+
+def test_resize_media_jpeg_progressive_source(spark):
+    """resize_media decodes a progressive source and re-encodes it
+    SEQUENTIAL (progression orders are a transmission choice with no
+    raster meaning after resampling)."""
+    from chapterhousedb_spark.operators.multimodal import (
+        make_jpeg_blob,
+        resize_media,
+    )
+
+    prog = make_jpeg_blob(16, 12, fill=5, progressive=True)
+    media = spark.createDataFrame([(1, "image", prog, ("t", 0))], MEDIA_SCHEMA)
+    row = resize_media(media, 8, 6).collect()[0]
+    assert row["ok"]
+    out = bytes(row["payload"])
+    assert b"\xff\xc0" in out and b"\xff\xc2" not in out
+    d = decode_real(out)
+    assert d["ok"] and (d["width"], d["height"]) == (8, 6)
