@@ -780,6 +780,102 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_doc_freq: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Substring-level dedup REWRITE — the removal half of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better":
+    duplicate_spans only REPORTS repeated spans; this drops them from
+    the corpus. Every token covered by a `span_tokens`-token window
+    that occurs >= min_df times corpus-wide is removed from every doc
+    EXCEPT the window's keeper (the smallest doc_id containing it), so
+    exactly one copy of each duplicated region survives and the rule
+    is greedy/deterministic/SQL-replayable. Repeats wholly inside one
+    doc keep that doc as their own keeper and survive (self-repetition
+    is text_repetition's business, not corpus dedup's).
+
+    Returns (id_col, clean_text, n_kept, n_removed) for EVERY input
+    row — clean_text rebuilds from the kept tokens with single spaces
+    (token-level surgery cannot preserve original whitespace; the
+    declared-query oracle replays the identical reconstruction).
+
+    At 100 TB: the window machinery is duplicate_spans' (token-granular
+    whash explode, map-side-combined df counts, join-back — run it
+    AFTER doc-level dedup, band hot boilerplate with max_doc_freq);
+    the rewrite adds one explode of DUPLICATED ranges only (bounded by
+    the duplicate volume), a (doc, pos)-keyed anti join, and one
+    per-doc rebuild aggregate. No driver collects."""
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    # consumed three times (windows, token explode, totals)
+    base = _persist_for_self_join(base, persist)
+    wins = (
+        base.filter(F.size("__toks") >= span_tokens)
+        .select(
+            "id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {span_tokens - 1}), "
+                    f"i -> xxhash64(array_join(slice(__toks, i, {span_tokens}), ' ')))"
+                )
+            ).alias("__p", "whash"),
+        )
+        .select("id", (F.col("__p") + 1).alias("start"), "whash")
+    )
+    wdf = wins.groupBy("whash").agg(
+        F.count(F.lit(1)).alias("w_df"), F.min("id").alias("keeper")
+    ).filter(F.col("w_df") >= min_df)
+    if max_doc_freq is not None:
+        wdf = wdf.filter(F.col("w_df") <= max_doc_freq)
+    drops = (
+        wins.join(wdf, "whash")
+        .filter(F.col("id") != F.col("keeper"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("start"), F.col("start") + F.lit(span_tokens - 1)
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks_pos = base.select(
+        "id", F.posexplode("__toks").alias("__p", "tok")
+    ).select("id", (F.col("__p") + 1).alias("pos"), "tok")
+    kept = toks_pos.join(drops, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select("id", F.size("__toks").alias("n_toks"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def pair_features(
     pairs: DataFrame,
     docs: DataFrame,
