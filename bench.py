@@ -96,6 +96,7 @@ HEADLINE = [
     # round 9 new shapes, benched from birth
     "embedding_dedup",
     "bigram_coverage",
+    "dedup_span_rewrite",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -59,7 +59,8 @@ _DRIVER_FIRST = [
     # family-redundant rows below
     "tpch_q13_cust_distribution",
     "tpch_q18_large_orders",
-    "events_rollup_daily",
+    # (events_rollup_daily sat here rounds 6-8; demoted round 9 to pay
+    # for dedup_span_rewrite — see the round-9 batch comment below)
     # (tfidf_top_terms / training_order sat here rounds 6-8; demoted
     # round 9 to pay for embedding_dedup / bigram_coverage — see the
     # round-9 batch comment below)
@@ -192,8 +193,21 @@ _DRIVER_FIRST = [
     # every pytest run and rotation-eligible like any tail row).
     "embedding_dedup",
     "bigram_coverage",
+    # ...plus the substring-level dedup REWRITE (the removal half of
+    # Lee et al. substring dedup — duplicate_spans reports, this drops
+    # and rebuilds under one end-to-end oracle incl. the exact text
+    # reconstruction). Paid for by demoting events_rollup_daily: the
+    # rollup family keeps quantile_rollup gated + the
+    # partials==direct-aggregation invariant re-hashed on every pytest
+    # run (test_oracle_parity + test_rollup.py), and the windowed-agg
+    # path stays gated through streaming_events_hourly_files (same
+    # grain under the stronger parquet-sink drain).
+    "dedup_span_rewrite",
 ]
 _DRIVER_LAST = [
+    # round-9 demotion paying for dedup_span_rewrite (see above);
+    # long driver-green (r6-r08), family-redundant, rotation-eligible:
+    "events_rollup_daily",
     # round-9 demotions paying for the two rows gated above — both
     # long driver-green (training_order r6-r8, tfidf_top_terms r6-r8),
     # both family-redundant (see the round-9 batch comment), both

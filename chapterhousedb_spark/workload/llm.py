@@ -821,6 +821,67 @@ def duplicate_spans_q(spark, sf_dir):
 
 
 @query(
+    "dedup_span_rewrite",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents),
+    w0 AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 15),
+                    i -> {'start': i, 'win': array_to_string(toks[i:i+15], ' ')})) AS u
+      FROM t WHERE len(toks) >= 16),
+    ws AS (SELECT doc_id, u.start AS start, u.win AS win FROM w0),
+    wdf AS (SELECT win, MIN(doc_id) AS keeper
+            FROM ws GROUP BY win HAVING COUNT(*) >= 2),
+    drops AS (
+      SELECT DISTINCT w.doc_id, g.p AS pos
+      FROM ws w JOIN wdf d USING (win),
+           UNNEST(generate_series(w.start, w.start + 15)) AS g(p)
+      WHERE w.doc_id <> d.keeper),
+    toks_pos AS (
+      SELECT t.doc_id, g.i AS pos, toks[g.i] AS tok
+      FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM toks_pos tp LEFT JOIN drops dr
+        ON dr.doc_id = tp.doc_id AND dr.pos = tp.pos
+      WHERE dr.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(toks) AS n_toks FROM t)
+    SELECT tt.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(tt.n_toks - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot tt LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_span_rewrite_q(spark, sf_dir):
+    """Substring-level dedup REWRITE (dedup.remove_duplicate_spans):
+    duplicate_spans only reports repeated spans; this drops every token
+    covered by a corpus-duplicated 16-token window from every doc
+    except the window's keeper (smallest doc_id), rebuilding the text.
+    The oracle replays the whole pipeline — window grouping on the
+    window TEXT (so an xxhash64 grouping discrepancy hash-mismatches),
+    keeper election, position drop set, and the exact single-space
+    reconstruction — giving the rewrite end-to-end hash coverage."""
+    from chapterhousedb_spark.operators.dedup import remove_duplicate_spans
+
+    return (
+        remove_duplicate_spans(
+            load(spark, sf_dir, "documents"), span_tokens=16, min_df=2
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "pii_redaction",
     oracle="""
     WITH t AS (

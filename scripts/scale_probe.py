@@ -187,6 +187,18 @@ def probe(spark, docs, embs) -> dict:
     out["semdedup_rows"], out["semdedup_rows_sec"] = n, t
     n, t = timed_count(bigram_lm_stats(docs, min_count=2))
     out["bigram_rows"], out["bigram_rows_sec"] = n, t
+    # span REWRITE: output rows == docs by construction; the blown-up
+    # corpus duplicates every base doc's windows 4x so removal volume
+    # scales with docs — ~10x rows at ~linear wall proves the extra
+    # range-explode + (doc,pos) anti join add no superlinear term over
+    # the already-measured duplicate_spans machinery.
+    from chapterhousedb_spark.operators.dedup import remove_duplicate_spans
+
+    n, t = timed_count(
+        remove_duplicate_spans(docs, span_tokens=16, max_doc_freq=1000)
+    )
+    release_self_join_caches()
+    out["span_rewrite_rows"], out["span_rewrite_rows_sec"] = n, t
     return out
 
 

@@ -633,3 +633,63 @@ def test_two_stage_dedup_pluggable_candidates(corpus):
     }
     assert set(got) == {(0, 2), (4, 5)}
     assert got[(0, 2)] > 0.8 > got[(4, 5)]
+
+def test_remove_duplicate_spans_keeper_semantics(spark):
+    """The span REWRITE: a corpus-duplicated window survives only in
+    its keeper (smallest doc_id); partial overlap keeps the
+    non-duplicated tokens; a repeat wholly inside one doc keeps that
+    doc as its own keeper (self-repetition untouched); short and empty
+    docs pass through with n_removed=0."""
+    from chapterhousedb_spark.operators.dedup import remove_duplicate_spans
+
+    span = " ".join(f"w{i}" for i in range(16))  # the shared 16 tokens
+    rows = [
+        (1, span + " tail1 tail2"),                     # keeper
+        (2, "lead1 lead2 " + span),                     # loses the span
+        (3, span),                                       # loses everything
+        (4, span + " mid " + span),                      # intra-doc... also shares with 1-3
+        (5, "a few short words"),                        # <16 tokens
+        (6, ""),                                         # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(docs, span_tokens=16, min_df=2).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # keeper keeps all tokens
+    assert got[1]["clean_text"] == span + " tail1 tail2"
+    assert got[1]["n_removed"] == 0
+    # doc 2 keeps only its unique lead
+    assert got[2]["clean_text"] == "lead1 lead2"
+    assert got[2]["n_kept"] == 2 and got[2]["n_removed"] == 16
+    # doc 3 loses everything but the ROW survives
+    assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0
+    # doc 4 shares the window with docs 1-3 -> both copies removed
+    # (cross-corpus duplication wins over the intra-doc keeper rule);
+    # the connective token survives
+    assert got[4]["clean_text"] == "mid"
+    # short/empty docs untouched
+    assert got[5]["clean_text"] == "a few short words"
+    assert got[5]["n_removed"] == 0
+    assert got[6]["clean_text"] == "" and got[6]["n_kept"] == 0
+
+
+def test_remove_duplicate_spans_intra_doc_only_repeat(spark):
+    """A window duplicated ONLY within one doc keeps that doc as its
+    own keeper — nothing is removed (self-repetition is
+    text_repetition's business, not corpus dedup's)."""
+    from chapterhousedb_spark.operators.dedup import remove_duplicate_spans
+
+    span = " ".join(f"x{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(1, span + " gap " + span), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(docs, span_tokens=16, min_df=2).collect()
+    }
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_text"] == span + " gap " + span
+    assert got[2]["n_removed"] == 0

@@ -473,3 +473,14 @@ def test_bigram_coverage_plan_shape(spark):
     plan = physical_plan(q("bigram_coverage", spark))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_dedup_span_rewrite_plan_shape(spark):
+    """The span rewrite stays equi-keyed: window df counts collapse
+    map-side, the keeper join is whash-keyed, the drop filter is a
+    (doc, pos) LeftAnti — no cartesian anywhere."""
+    plan = physical_plan(q("dedup_span_rewrite", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "partial_count" in plan
