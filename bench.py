@@ -97,6 +97,7 @@ HEADLINE = [
     "embedding_dedup",
     "bigram_coverage",
     "dedup_span_rewrite",
+    "quality_classifier",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

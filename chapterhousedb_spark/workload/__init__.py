@@ -338,6 +338,7 @@ _DRIVER_LAST = [
     "join_outer",
     "window_lag_delta",
     # rows-only by design: hash-function/iteration-dependent results
+    "quality_classifier",
     "bpe_tokenize",
     "agg_pricing_summary_double",
     "dedup_minhash",

@@ -442,6 +442,32 @@ def similarity_ann_q(spark, sf_dir):
     return srp_ann_topk(load(spark, sf_dir, "embeddings"), _ONES64, k=10, planes=6)
 
 
+@query("quality_classifier")  # rows-only: IRLS training is iterative
+def quality_classifier_q(spark, sf_dir):
+    """Learned quality classifier (classifier.train_quality_classifier):
+    GPT-3-style weak labels (curated sources positive, crawl sources
+    negative), text_stats ratio features, IRLS logistic regression as
+    Spark jobs with decimal-exact order-independent aggregates, every
+    doc scored by a pure-JVM sigmoid projection. No DuckDB oracle —
+    training is iterative (each iteration's weights feed the next
+    scan's expressions), which SQL cannot replay; correctness is
+    pinned by tests/test_classifier.py (numpy-reference IRLS equality,
+    bit-identical fits under repartitioning, JVM-only scoring plan)."""
+    from chapterhousedb_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    _beta, scored = train_quality_classifier(
+        load(spark, sf_dir, "documents"),
+        positive_sources=["src0", "src1", "src4"],
+        negative_sources=["src2", "src3", "src5"],
+        iters=6,
+    )
+    return scored.select("doc_id", "source", "label", "quality_score").orderBy(
+        "doc_id"
+    )
+
+
 @query("similarity_ivf")
 def similarity_ivf_q(spark, sf_dir):
     """IVF approximate top-10 (seeded-KMeans coarse quantizer + probe +
