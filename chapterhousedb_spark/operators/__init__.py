@@ -72,6 +72,11 @@ from chapterhousedb_spark.operators.similarity import (
     srp_signature,
     srp_ann_topk,
 )
+from chapterhousedb_spark.operators.multimodal import (
+    audio_features,
+    extract_features,
+    resize_media,
+)
 from chapterhousedb_spark.operators.sampling import (
     token_budget_mix,
 )
@@ -145,6 +150,9 @@ __all__ = [
     "text_fingerprint",
     "text_stats",
     "token_count",
+    "audio_features",
+    "extract_features",
+    "resize_media",
     "logreg_score",
     "logreg_train",
     "pair_features",

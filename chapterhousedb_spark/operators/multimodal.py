@@ -245,18 +245,14 @@ def _ima_adpcm_decode_block(block: bytes, channels: int) -> list[int]:
     return out
 
 
-def _decode_wav(payload: bytes) -> dict:
-    """WAV (RIFF chunks): PCM 8/16-bit (format 1), G.711 A-law
-    (format 6) and mu-law (format 7), and IMA ADPCM (format 0x11) —
-    the compressed-telephony and classic-compression layouts, decoded
-    to 16-bit linear in pure python. Feature mapping into the
-    image-shaped FEATURE_SCHEMA, documented here once: width = sample
-    rate (Hz), height = channel count, n_frames = samples per channel,
-    mean_pixel = mean ABSOLUTE sample amplitude (raw integer units of
-    the DECODED stream). Other registered formats (e.g. float PCM,
-    GSM) return ok=False — a WAV container is cheap to sniff, so the
-    row degrades rather than killing a task mid-scan."""
-    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+def _wav_linear_samples(payload: bytes):
+    """Parse a WAV container and decode its data chunk to linear
+    samples (interleaved across channels). Supports PCM 8/16-bit
+    (format 1), G.711 A-law (6) / mu-law (7), and IMA ADPCM (0x11).
+    Returns (samples, sample_rate, channels) or None for malformed
+    framing / other registered formats (float PCM, GSM, ...) — a WAV
+    container is cheap to sniff, so callers degrade the row rather
+    than killing a task mid-scan."""
     pos, n = 12, len(payload)
     fmt = None
     data = None
@@ -270,12 +266,12 @@ def _decode_wav(payload: bytes) -> dict:
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None or len(fmt) < 16:
-        return bad
+        return None
     audio_format, channels, sample_rate, _br, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
     if channels == 0:
-        return bad
+        return None
     if audio_format == 1 and bits in (8, 16):
         if bits == 8:
             samples = [s - 128 for s in data]  # unsigned, centered at 128
@@ -288,25 +284,42 @@ def _decode_wav(payload: bytes) -> dict:
         samples = [_ulaw_to_linear16(b) for b in data]
     elif audio_format == 0x11 and bits == 4:
         if block_align < 4 * channels:
-            return bad
+            return None
         samples = []
         for off in range(0, len(data) - block_align + 1, block_align):
             got = _ima_adpcm_decode_block(
                 data[off : off + block_align], channels
             )
             if not got:
-                return bad
+                return None
             samples.extend(got)
     else:
+        return None
+    return samples, int(sample_rate), int(channels)
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """WAV (RIFF chunks): PCM 8/16-bit (format 1), G.711 A-law
+    (format 6) and mu-law (format 7), and IMA ADPCM (format 0x11) —
+    the compressed-telephony and classic-compression layouts, decoded
+    to 16-bit linear in pure python (_wav_linear_samples). Feature
+    mapping into the image-shaped FEATURE_SCHEMA, documented here
+    once: width = sample rate (Hz), height = channel count, n_frames =
+    samples per channel, mean_pixel = mean ABSOLUTE sample amplitude
+    (raw integer units of the DECODED stream)."""
+    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    got = _wav_linear_samples(payload)
+    if got is None:
         return bad
+    samples, sample_rate, channels = got
     # an empty data chunk is a VALID (zero-length) recording
     mean_abs = (
         sum(abs(s) for s in samples) / len(samples) if samples else None
     )
     n_frames = len(samples) // channels
     return {
-        "width": int(sample_rate),
-        "height": int(channels),
+        "width": sample_rate,
+        "height": channels,
         "n_frames": int(n_frames),
         "mean_pixel": mean_abs,
         "ok": True,
@@ -1539,6 +1552,102 @@ def extract_features(
             yield out[["media_id", "width", "height", "n_frames", "mean_pixel", "ok"]]
 
     return media.select("media_id", "payload").mapInPandas(_decode, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossing_rate", T.DoubleType(), True),
+        T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame, batch_hint_rows: int = 1024) -> DataFrame:
+    """Real DSP feature extraction over audio blobs via mapInPandas:
+    decode the WAV (any of the PCM/G.711/IMA-ADPCM layouts
+    _wav_linear_samples covers), mix to mono (mean across channels),
+    and compute per blob
+
+      duration_s            frames / sample_rate
+      rms                   sqrt(mean(x^2)) of the mono mix (raw units)
+      zero_crossing_rate    sign changes / (n_frames - 1)
+      spectral_centroid_hz  sum(f_k |X_k|) / sum(|X_k|) over the rFFT
+                            magnitude spectrum (the brightness feature;
+                            equals the tone frequency for a pure sine)
+
+    All numpy inside the Arrow batch — the vectorization a real audio
+    lib would provide; undecodable/foreign payloads mark their OWN row
+    ok=False. At 100 TB the economics are extract_features': batches
+    stream through workers, nothing driver-side, per-task memory
+    bounded by maxPartitionBytes."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bad = {
+            "duration_s": None, "rms": None,
+            "zero_crossing_rate": None, "spectral_centroid_hz": None,
+            "ok": False,
+        }
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                try:
+                    if p is None or bytes(p[:4]) != b"RIFF" or bytes(p[8:12]) != b"WAVE":
+                        feats.append(dict(bad))
+                        continue
+                    got = _wav_linear_samples(bytes(p))
+                    if got is None:
+                        feats.append(dict(bad))
+                        continue
+                    samples, rate, channels = got
+                    n_frames = len(samples) // channels
+                    if n_frames == 0:
+                        feats.append({
+                            "duration_s": 0.0, "rms": None,
+                            "zero_crossing_rate": None,
+                            "spectral_centroid_hz": None, "ok": True,
+                        })
+                        continue
+                    x = (
+                        np.asarray(samples[: n_frames * channels], dtype=np.float64)
+                        .reshape(n_frames, channels)
+                        .mean(axis=1)
+                    )
+                    rms = float(np.sqrt(np.mean(x * x)))
+                    if n_frames > 1:
+                        zcr = float(
+                            np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
+                            / (n_frames - 1)
+                        )
+                    else:
+                        zcr = 0.0
+                    mag = np.abs(np.fft.rfft(x))
+                    freqs = np.fft.rfftfreq(n_frames, d=1.0 / rate)
+                    tot = float(mag.sum())
+                    centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                    feats.append({
+                        "duration_s": n_frames / rate,
+                        "rms": rms,
+                        "zero_crossing_rate": zcr,
+                        "spectral_centroid_hz": centroid,
+                        "ok": True,
+                    })
+                except Exception:
+                    feats.append(dict(bad))
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out[[
+                "media_id", "duration_s", "rms", "zero_crossing_rate",
+                "spectral_centroid_hz", "ok",
+            ]]
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, AUDIO_FEATURE_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:

@@ -1044,3 +1044,62 @@ def test_resize_media_jpeg_progressive_source(spark):
     assert b"\xff\xc0" in out and b"\xff\xc2" not in out
     d = decode_real(out)
     assert d["ok"] and (d["width"], d["height"]) == (8, 6)
+
+def test_audio_features_sine_vectors(spark):
+    """audio_features over real WAV blobs: a pure sine's spectral
+    centroid lands on the tone frequency (FFT-bin exact for a
+    full-period tone), RMS equals amplitude/sqrt(2), ZCR equals
+    2*f/rate; the features hold through a COMPRESSED (mu-law)
+    container within quantization tolerance; stereo mixes to mono;
+    undecodable rows mark ok=False."""
+    import math
+
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        audio_features,
+        make_wav_blob,
+        make_wav_compressed_blob,
+    )
+
+    rate, n, freq, amp = 8000, 4000, 440.0, 12000
+    t = np.arange(n) / rate
+    sine = np.rint(amp * np.sin(2 * np.pi * freq * t)).astype(int)
+    pcm = make_wav_blob(list(sine), sample_rate=rate)
+
+    # mu-law compressed container of the same tone
+    def lin2ulaw(x):
+        BIAS, CLIP = 0x84, 32635
+        s = 0x80 if x < 0 else 0
+        x = min(abs(x), CLIP) + BIAS
+        e = x.bit_length() - 8
+        m = (x >> (e + 3)) & 0x0F
+        return ~(s | (e << 4) | m) & 0xFF
+
+    ulaw = make_wav_compressed_blob(
+        bytes(lin2ulaw(int(v)) for v in sine), 7, sample_rate=rate
+    )
+    stereo = make_wav_blob(
+        [v for s in sine for v in (int(s), int(s))], sample_rate=rate,
+        channels=2,
+    )
+    rows = [
+        (1, "audio", pcm, ("t", 0)),
+        (2, "audio", ulaw, ("t", 0)),
+        (3, "audio", stereo, ("t", 0)),
+        (4, "audio", b"not audio at all", ("t", 0)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in audio_features(media).collect()}
+
+    # mu-law's ~38 dB quantization noise is broadband, so the
+    # MAGNITUDE-weighted centroid of a compressed pure tone sits ~100
+    # Hz above the tone (expected physics, not decoder error)
+    for mid, tol in ((1, 1.0), (2, 160.0), (3, 1.0)):
+        d = got[mid]
+        assert d["ok"], mid
+        assert abs(d["duration_s"] - n / rate) < 1e-12
+        assert abs(d["spectral_centroid_hz"] - freq) < tol, (mid, d)
+        assert abs(d["rms"] - amp / math.sqrt(2)) < amp * 0.02, (mid, d)
+        assert abs(d["zero_crossing_rate"] - 2 * freq / rate) < 0.002, (mid, d)
+    assert got[4]["ok"] is False and got[4]["rms"] is None
