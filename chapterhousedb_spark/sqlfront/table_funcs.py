@@ -454,6 +454,102 @@ NEAR_DUPS = TableFunction(
 )
 
 
+def _build_span_rewrite(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """span_rewrite('<glob>' [, span_tokens=>'16'] [, min_df=>'2']
+    [, text=>...] [, id=>...] [, connection=>...]): substring-level
+    dedup REWRITE (operators/dedup.remove_duplicate_spans — every
+    token under a corpus-duplicated window dropped everywhere but the
+    keeper doc, text rebuilt) — `select doc_id, clean_text from
+    span_rewrite('docs/*.parquet') where n_removed > 0` is the
+    boilerplate-scrub one-liner."""
+    from chapterhousedb_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return remove_duplicate_spans(
+        df,
+        span_tokens=int(call.named_args.get("span_tokens", "16")),
+        text_col=call.named_args.get("text", "text"),
+        id_col=call.named_args.get("id", "doc_id"),
+        min_df=int(call.named_args.get("min_df", "2")),
+        persist=False,
+    )
+
+
+SPAN_REWRITE = TableFunction(
+    name="span_rewrite",
+    build=_build_span_rewrite,
+    allowed_args=frozenset({"connection", "span_tokens", "min_df", "text", "id"}),
+)
+
+
+def _build_semantic_dedup(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """semantic_dedup('<glob>' [, threshold=>'0.95'] [, planes=>'12']
+    [, vec=>'embedding'] [, id=>'vec_id'] [, connection=>...]):
+    SemDeDup-style keep-one survivors over an embedding column
+    (operators/similarity.embedding_dedup_survivors)."""
+    from chapterhousedb_spark.operators.similarity import (
+        embedding_dedup_survivors,
+    )
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return embedding_dedup_survivors(
+        df,
+        threshold=float(call.named_args.get("threshold", "0.95")),
+        vec_col=call.named_args.get("vec", "embedding"),
+        id_col=call.named_args.get("id", "vec_id"),
+        planes=int(call.named_args.get("planes", "12")),
+        persist=False,
+    )
+
+
+SEMANTIC_DEDUP = TableFunction(
+    name="semantic_dedup",
+    build=_build_semantic_dedup,
+    allowed_args=frozenset({"connection", "threshold", "planes", "vec", "id"}),
+)
+
+
+def _build_quality_scores(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """quality_scores('<glob>', positive=>'src0[,src1]',
+    negative=>'src2[,src3]' [, iters=>'6'] [, text=>...] [, id=>...]
+    [, source=>'source'] [, connection=>...]): the learned quality
+    classifier end-to-end (operators/classifier.train_quality_classifier
+    — weak source labels, IRLS fit as Spark jobs, every doc scored)."""
+    from chapterhousedb_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    pos = [s.strip() for s in call.named_args["positive"].split(",") if s.strip()]
+    neg = [s.strip() for s in call.named_args["negative"].split(",") if s.strip()]
+    _beta, scored = train_quality_classifier(
+        df,
+        positive_sources=pos,
+        negative_sources=neg,
+        text_col=call.named_args.get("text", "text"),
+        id_col=call.named_args.get("id", "doc_id"),
+        source_col=call.named_args.get("source", "source"),
+        iters=int(call.named_args.get("iters", "6")),
+    )
+    return scored
+
+
+QUALITY_SCORES = TableFunction(
+    name="quality_scores",
+    build=_build_quality_scores,
+    allowed_args=frozenset(
+        {"connection", "positive", "negative", "iters", "text", "id", "source"}
+    ),
+    required_args=frozenset({"positive", "negative"}),
+)
+
+
 def default_table_function_registry() -> TableFunctionRegistry:
     """read_files (the reference's sole function) + the reference's
     unchecked roadmap formats (README.md:63-66: CSV, JSON) + the
@@ -471,4 +567,7 @@ def default_table_function_registry() -> TableFunctionRegistry:
     reg.register(RARITY)
     reg.register(TRENDING)
     reg.register(NEAR_DUPS)
+    reg.register(SPAN_REWRITE)
+    reg.register(SEMANTIC_DEDUP)
+    reg.register(QUALITY_SCORES)
     return reg

@@ -588,6 +588,61 @@ def test_round7_operator_table_functions(engine, sf_dir):
     assert got == want  # exact power-of-two sums: equality, no approx
 
 
+def test_round9_operator_table_functions(engine, sf_dir):
+    """The round-9 operator-library TVFs through the full engine.sql
+    path: span_rewrite (substring-dedup rewrite), semantic_dedup
+    (SemDeDup survivors), quality_scores (learned classifier) — each
+    cross-checked against the operator called directly."""
+    from chapterhousedb_spark.operators.dedup import remove_duplicate_spans
+    from chapterhousedb_spark.operators.similarity import (
+        embedding_dedup_survivors,
+    )
+
+    spark = engine.spark
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    [h] = engine.sql_wait(
+        "select doc_id, n_removed from span_rewrite('documents.parquet', "
+        "connection=>'testdata', span_tokens=>'16') where n_removed > 0"
+    )
+    got = {
+        r["doc_id"]: r["n_removed"]
+        for r in engine.fetch(h.query_id, limit=10_000).to_pylist()
+    }
+    want = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_duplicate_spans(docs, span_tokens=16)
+        .filter("n_removed > 0")
+        .collect()
+    }
+    assert got == want and got  # non-vacuous: spans exist at sf0.001
+
+    [h] = engine.sql_wait(
+        "select vec_id from semantic_dedup('embeddings.parquet', "
+        "connection=>'testdata', threshold=>'0.45', planes=>'6')"
+    )
+    got_ids = {
+        r["vec_id"] for r in engine.fetch(h.query_id, limit=10_000).to_pylist()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want_ids = {
+        r["vec_id"]
+        for r in embedding_dedup_survivors(
+            emb, threshold=0.45, planes=6
+        ).collect()
+    }
+    assert got_ids == want_ids
+
+    [h] = engine.sql_wait(
+        "select doc_id, label, quality_score from quality_scores("
+        "'documents.parquet', connection=>'testdata', "
+        "positive=>'src0,src1', negative=>'src2,src3', iters=>'3')"
+    )
+    rows = engine.fetch(h.query_id, limit=10_000).to_pylist()
+    assert rows and all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert {r["label"] for r in rows} == {0, 1, None}
+
+
 def test_cancel_running_query(engine):
     """Engine.cancel interrupts a RUNNING query's Spark job group: the
     handle lands in ERROR('cancelled') promptly instead of burning the
