@@ -1748,12 +1748,18 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
-def _resize_rgb(body: bytes, w: int, h: int, channels: int, tw: int, th: int) -> bytes:
+def _resize_rgb(
+    body: bytes, w: int, h: int, channels: int, tw: int, th: int,
+    itemsize: int = 1,
+) -> bytes:
     """Nearest-neighbor resample of interleaved samples via numpy
-    index gather — vectorized, no per-pixel python loop."""
+    index gather — vectorized, no per-pixel python loop. itemsize=2
+    resamples big-endian u16 samples (16-bit PNG) without precision
+    loss; tobytes() preserves the byte order."""
     import numpy as np
 
-    a = np.frombuffer(body, dtype=np.uint8).reshape(h, w, channels)
+    dtype = np.uint8 if itemsize == 1 else np.dtype(">u2")
+    a = np.frombuffer(body, dtype=dtype).reshape(h, w, channels)
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw
     return a[ys][:, xs].tobytes()
@@ -1763,8 +1769,10 @@ def resize_media(
     media: DataFrame, target_w: int, target_h: int
 ) -> DataFrame:
     """REAL image resize through the Arrow-batched mapInPandas path:
-    PPM (P6), non-interlaced 8-bit RGB/RGBA/gray PNG, and baseline
-    JPEG payloads are decoded (pure python/numpy codecs above),
+    PPM (P6), PNG at every legal layout (16-bit resamples at full u16
+    precision and stays 16-bit; palette promotes to truecolor;
+    interlaced sources deinterlace), and JPEG payloads — baseline or
+    progressive — are decoded (pure python/numpy codecs above),
     nearest-neighbor resampled with a vectorized numpy gather, and
     re-encoded in their ORIGINAL format (PNG re-encodes with type-0
     filter rows — filters are a compression choice, not a fidelity
@@ -1827,9 +1835,12 @@ def resize_media(
             d = _decode_png_pixels(payload)
             if d is None:
                 return bad
-            body, w, h, channels, color_type = d
-            out = _resize_rgb(body, w, h, channels, target_w, target_h)
-            stride = target_w * channels
+            body, w, h, channels, color_type, depth = d
+            isz = depth // 8
+            out = _resize_rgb(
+                body, w, h, channels, target_w, target_h, itemsize=isz
+            )
+            stride = target_w * channels * isz
             raw = b"".join(
                 b"\x00" + out[y * stride : (y + 1) * stride]
                 for y in range(target_h)
@@ -1844,7 +1855,7 @@ def resize_media(
                 )
 
             ihdr = struct.pack(
-                ">IIBBBBB", target_w, target_h, 8, color_type, 0, 0, 0
+                ">IIBBBBB", target_w, target_h, depth, color_type, 0, 0, 0
             )
             blob = (
                 _PNG_SIG
@@ -1877,20 +1888,20 @@ def resize_media(
 
 
 def _decode_png_pixels(payload: bytes):
-    """Decode a PNG to (raw interleaved 8-bit samples, w, h, channels,
-    re-encode color_type), or None for malformed/unsupported (resize
-    treats both as a bad row rather than raising). Shares the chunk
-    walk and unfilter with _decode_png. Palette sources (any legal
-    depth) decode THROUGH the PLTE to true RGB and re-encode as 8-bit
-    truecolor — the resampled raster generally exceeds 256 colors, so
-    the palette layout cannot be preserved and the depth promotion is
-    deliberate and documented. Sub-byte grays expand to 8-bit
-    (value*255/(2^depth-1)). Adam7-interlaced sources deinterlace (and
-    re-encode sequentially — interlacing is a progressive-DISPLAY
-    choice, meaningless to re-apply to a resampled raster). 16-bit
-    stays unsupported in the RESIZE path only (re-encoding it as 8-bit
-    would silently halve the source's precision; _decode_png still
-    features it)."""
+    """Decode a PNG to (raw interleaved samples, w, h, channels,
+    re-encode color_type, re-encode depth), or None for
+    malformed/unsupported (resize treats both as a bad row rather than
+    raising). Shares the chunk walk and unfilter with _decode_png.
+    Palette sources (any legal depth) decode THROUGH the PLTE to true
+    RGB and re-encode as 8-bit truecolor — the resampled raster
+    generally exceeds 256 colors, so the palette layout cannot be
+    preserved and the depth promotion is deliberate and documented.
+    Sub-byte grays expand to 8-bit (value*255/(2^depth-1)). 16-bit
+    sources keep their FULL precision (big-endian u16 samples in, u16
+    back out — no silent halving). Adam7-interlaced sources
+    deinterlace (and re-encode sequentially — interlacing is a
+    progressive-DISPLAY choice, meaningless to re-apply to a resampled
+    raster)."""
     import zlib
 
     parsed = _parse_png_chunks(payload)
@@ -1898,7 +1909,7 @@ def _decode_png_pixels(payload: bytes):
         return None
     (w, h, depth, color, interlace), idat, plte = parsed
     channels = _PNG_CHANNELS[color]
-    if depth == 16 or (color == 3 and plte is None) or w == 0 or h == 0:
+    if (color == 3 and plte is None) or w == 0 or h == 0:
         return None
     try:
         raw = zlib.decompress(bytes(idat))
@@ -1908,12 +1919,14 @@ def _decode_png_pixels(payload: bytes):
     if passes is None:
         return None
     out_ch = 3 if color == 3 else channels
-    buf = bytearray(w * h * out_ch)
+    isz = 2 if depth == 16 else 1  # bytes per output sample
+    buf = bytearray(w * h * out_ch * isz)
     for (x0, dx, y0, dy, pw, _ph), rows in passes:
         for r, cur in enumerate(rows):
             y = y0 + r * dy
-            if depth == 8 and color != 3:
-                px = [cur[c * channels : (c + 1) * channels] for c in range(pw)]
+            if depth in (8, 16) and color != 3:
+                bpp = channels * isz
+                px = [cur[c * bpp : (c + 1) * bpp] for c in range(pw)]
             else:
                 if depth == 8:
                     vals = list(cur)
@@ -1929,8 +1942,8 @@ def _decode_png_pixels(payload: bytes):
                     scale = 255 // ((1 << depth) - 1)
                     px = [bytes([v * scale]) for v in vals]
             for c, pb in enumerate(px):
-                off = (y * w + x0 + c * dx) * out_ch
-                buf[off : off + out_ch] = pb
+                off = (y * w + x0 + c * dx) * out_ch * isz
+                buf[off : off + out_ch * isz] = pb
     if color == 3:
-        return bytes(buf), w, h, 3, 2  # re-encode as 8-bit truecolor
-    return bytes(buf), w, h, channels, color
+        return bytes(buf), w, h, 3, 2, 8  # re-encode as 8-bit truecolor
+    return bytes(buf), w, h, channels, color, depth if depth == 16 else 8

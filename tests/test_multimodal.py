@@ -341,7 +341,9 @@ def test_resize_media_png_palette_promotes_to_truecolor(spark):
     """resize_media on a palette PNG: decodes through the PLTE,
     resamples, and re-encodes as 8-bit truecolor (documented depth
     promotion — a resampled raster generally exceeds 256 colors);
-    16-bit PNG rows degrade to ok=False in the resize path only."""
+    a 16-bit PNG resamples at FULL precision and stays depth 16."""
+    import numpy as np
+
     from chapterhousedb_spark.operators.multimodal import (
         make_png_blob,
         resize_media,
@@ -360,7 +362,19 @@ def test_resize_media_png_palette_promotes_to_truecolor(spark):
     assert d["ok"] and (d["width"], d["height"]) == (4, 3)
     # IHDR color type byte: offset 8(sig)+8(len+type)+8(w,h)+1(depth)=25
     assert out[25] == 2 and out[24] == 8  # truecolor, 8-bit
-    assert got[2]["ok"] is False and got[2]["payload"] is None
+    # 16-bit source: output is a decodable 16-bit PNG whose samples are
+    # the exact nearest-neighbor gather of the source u16 grid
+    assert got[2]["ok"]
+    out16 = bytes(got[2]["payload"])
+    assert out16[24] == 16 and out16[25] == 2
+    d16 = decode_real(out16)
+    assert d16["ok"] and (d16["width"], d16["height"]) == (4, 3)
+    src = np.array(
+        [((4 + i) * 521) % 65536 for i in range(8 * 6 * 3)], dtype=np.uint64
+    ).reshape(6, 8, 3)
+    ys, xs = (np.arange(3) * 6) // 3, (np.arange(4) * 8) // 4
+    want_mean = (src[ys][:, xs] / 257.0).mean()
+    assert abs(d16["mean_pixel"] - want_mean) < 1e-9
 
 
 def test_decode_real_png_through_mapinpandas(spark):
