@@ -98,6 +98,7 @@ HEADLINE = [
     "bigram_coverage",
     "dedup_span_rewrite",
     "quality_classifier",
+    "markup_removal",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

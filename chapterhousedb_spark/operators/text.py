@@ -413,6 +413,59 @@ def redact_pii(
     )
 
 
+# markup stripping: fixed-order chain, RE2-compatible subset (inline
+# (?s) dotall; non-greedy spans), so an ANSI oracle replays it exactly.
+# Container blocks (script/style/comments) drop WITH their content
+# before the generic tag sweep; entities decode after tags so a
+# literal "&lt;p&gt;" in prose never becomes a strippable tag; &amp;
+# decodes LAST (the standard double-decoding guard).
+MARKUP_BLOCK_PATTERNS = [
+    ("script", r"(?s)<script[^>]*>.*?</script>"),
+    ("style", r"(?s)<style[^>]*>.*?</style>"),
+    ("comment", r"(?s)<!--.*?-->"),
+    ("tag", r"<[^>]+>"),
+]
+MARKUP_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML/markup stripping — the first stage of every web-crawl
+    pipeline: script/style/comment blocks removed WITH their content,
+    remaining tags swept, the six core entities decoded, whitespace
+    collapsed. Returns (id, text_clean, n_tags, n_chars_raw,
+    n_chars_clean); n_tags counts tag-shaped spans on the ORIGINAL
+    text (corpus-level markup-rate reporting).
+
+    Pure JVM regexp chain in a FIXED order (same discipline as
+    redact_pii): scan-speed, no shuffle, stateless — streamable
+    unchanged on a readStream. Patterns stay in the RE2-compatible
+    subset so the DuckDB oracle replays the chain character-exactly.
+    This is a tag stripper, not a browser: malformed/hostile HTML
+    degrades to best-effort text, never an error."""
+    cleaned = F.col(text_col)
+    for _name, pat in MARKUP_BLOCK_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, " ")
+    for ent, rep in MARKUP_ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(rep))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text_clean"),
+        F.regexp_count(F.col(text_col), F.lit(r"<[^>]+>")).alias("n_tags"),
+        F.length(F.col(text_col)).cast("int").alias("n_chars_raw"),
+        F.length(cleaned).cast("int").alias("n_chars_clean"),
+    )
+
+
 # ------------------------------------------------------------------ vocab
 
 

@@ -57,8 +57,9 @@ _DRIVER_FIRST = [
     # LLM-pipeline ops (vocabulary, tf-idf terms, deterministic
     # training order) — paid for by demoting nine long-stable
     # family-redundant rows below
-    "tpch_q13_cust_distribution",
     "tpch_q18_large_orders",
+    # (tpch_q13_cust_distribution sat here rounds 6-8; demoted round 9
+    # to pay for markup_removal — see the round-9 batch comment below)
     # (events_rollup_daily sat here rounds 6-8; demoted round 9 to pay
     # for dedup_span_rewrite — see the round-9 batch comment below)
     # (tfidf_top_terms / training_order sat here rounds 6-8; demoted
@@ -203,11 +204,22 @@ _DRIVER_FIRST = [
     # path stays gated through streaming_events_hourly_files (same
     # grain under the stronger parquet-sink drain).
     "dedup_span_rewrite",
+    # ...plus HTML/markup stripping over planted scaffolds (the
+    # pii_redaction discipline — the synthetic corpus has no tags, so
+    # both engines plant the same div/p/script/comment + entity
+    # wrapper and the gate checks the strip chain character-exactly).
+    # Paid for by demoting tpch_q13_cust_distribution: the TPC-H
+    # family keeps FOURTEEN other gated plan shapes this round, q13's
+    # LeftOuter-with-ON-predicate plan property stays test-asserted in
+    # test_plans.py, and it re-earns driver-green via rotation.
+    "markup_removal",
 ]
 _DRIVER_LAST = [
-    # round-9 demotion paying for dedup_span_rewrite (see above);
-    # long driver-green (r6-r08), family-redundant, rotation-eligible:
+    # round-9 demotions paying for dedup_span_rewrite / markup_removal
+    # (see above); long driver-green, family-redundant,
+    # rotation-eligible:
     "events_rollup_daily",
+    "tpch_q13_cust_distribution",
     # round-9 demotions paying for the two rows gated above — both
     # long driver-green (training_order r6-r8, tfidf_top_terms r6-r8),
     # both family-redundant (see the round-9 batch comment), both

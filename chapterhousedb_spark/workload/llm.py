@@ -908,6 +908,67 @@ def dedup_span_rewrite_q(spark, sf_dir):
 
 
 @query(
+    "markup_removal",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             '<div id="d' || CAST(doc_id AS VARCHAR) || '"><p class="body">'
+               || text || ' &amp; tail</p><script type="text/javascript">'
+               || 'var x = 1 < 2;</script><!-- note --></div>' AS text
+      FROM documents),
+    c AS (
+      SELECT doc_id, text,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]+>', ' ', 'g') AS t
+      FROM planted)
+    SELECT doc_id,
+      trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', chr(39)), '&amp;', '&'),
+        '\s+', ' ', 'g')) AS text_clean,
+      CAST(len(regexp_extract_all(text, '<[^>]+>')) AS INT) AS n_tags,
+      CAST(length(text) AS INT) AS n_chars_raw
+    FROM c ORDER BY doc_id
+    """,
+)
+def markup_removal_q(spark, sf_dir):
+    """HTML/markup stripping (text.strip_markup) over deterministically
+    PLANTED markup (the pii_redaction discipline: the synthetic corpus
+    carries no tags, so both engines wrap each doc in the same
+    div/p/script/comment + entity scaffold and the hash gate checks
+    the full strip chain — container-block removal WITH content, tag
+    sweep, entity decode order, whitespace collapse — character by
+    character)."""
+    from chapterhousedb_spark.operators.text import strip_markup
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div id="d'),
+            F.col("doc_id").cast("string"),
+            F.lit('"><p class="body">'),
+            F.col("text"),
+            F.lit(
+                ' &amp; tail</p><script type="text/javascript">'
+                "var x = 1 < 2;</script><!-- note --></div>"
+            ),
+        ).alias("text"),
+    )
+    return (
+        strip_markup(planted)
+        .select("doc_id", "text_clean", "n_tags", "n_chars_raw")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "pii_redaction",
     oracle="""
     WITH t AS (

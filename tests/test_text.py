@@ -730,3 +730,34 @@ def test_bigram_lm_stats_surprisal_matches_python_reference(spark):
         ]
         want = sum(nll) / len(nll)
         assert abs(got[did] - want) < 1e-9, (did, got[did], want)
+
+def test_strip_markup_planted_and_hostile(spark):
+    """strip_markup: container blocks drop WITH content, tags sweep,
+    entities decode in the fixed order (a literal '&lt;p&gt;' in prose
+    becomes visible text, never a strippable tag; '&amp;lt;' decodes
+    exactly once), whitespace collapses; malformed HTML degrades to
+    best-effort text, never an error."""
+    from chapterhousedb_spark.operators.text import strip_markup
+
+    rows = [
+        (1, '<div><p>Hello <b>world</b></p><script>var a="<x>";</script></div>'),
+        (2, "plain text, no markup at all"),
+        (3, "literal &lt;p&gt; stays text &amp; this &amp;lt; decodes once"),
+        (4, "<style>p { color: red; }</style>styled<!-- hidden -->done"),
+        (5, "<broken <unclosed attr='x' text after"),
+        (6, "a&nbsp;b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in strip_markup(docs).collect()}
+    assert got[1]["text_clean"] == "Hello world"
+    assert got[1]["n_tags"] >= 6
+    assert got[2]["text_clean"] == rows[1][1] and got[2]["n_tags"] == 0
+    # entity order: &lt;/&gt; decode AFTER the tag sweep so the result
+    # is the visible text '<p>'; '&amp;lt;' -> '&lt;' (decoded once)
+    assert got[3]["text_clean"] == "literal <p> stays text & this &lt; decodes once"
+    assert got[4]["text_clean"] == "styled done"
+    # hostile: unterminated tags — best effort, no exception
+    assert "text after" in got[5]["text_clean"]
+    assert got[6]["text_clean"] == "a b"
+    for d in got.values():
+        assert d["n_chars_clean"] == len(d["text_clean"])
