@@ -199,6 +199,26 @@ def probe(spark, docs, embs) -> dict:
     )
     release_self_join_caches()
     out["span_rewrite_rows"], out["span_rewrite_rows_sec"] = n, t
+    # quality classifier: each IRLS iteration is ONE map-side-combined
+    # aggregate scan returning ~35 decimals — wall must grow with the
+    # SCAN (sublinear at these sizes, never superlinear), and the
+    # fitted coefficients are bit-deterministic regardless of scale.
+    import time as _time
+
+    from chapterhousedb_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    labeled = docs.withColumn(
+        "source", (F.col("doc_id") % 4).cast("string")
+    )
+    t0 = _time.perf_counter()
+    _beta, scored = train_quality_classifier(
+        labeled, positive_sources=["0"], negative_sources=["1"], iters=4
+    )
+    n = scored.count()
+    out["classifier_rows"] = n
+    out["classifier_rows_sec"] = round(_time.perf_counter() - t0, 3)
     return out
 
 

@@ -585,6 +585,29 @@ def test_redact_pii_on_stream_matches_batch(spark, tmp_path_factory):
     assert got == want and len(got) == 3
 
 
+def test_strip_markup_on_stream_matches_batch(spark, tmp_path_factory):
+    """strip_markup is a stateless projection like redact_pii: the
+    identical code runs on a readStream and yields exactly the batch
+    result — one markup-scrub definition serves backfill and ingest."""
+    from chapterhousedb_spark.operators.text import strip_markup
+
+    rows = [
+        (1, "<p>hello <b>world</b></p>"),
+        (2, "plain &amp; simple"),
+        (3, "<script>drop()</script>kept"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = str(tmp_path_factory.mktemp("markup_landing"))
+    df.write.mode("overwrite").parquet(d)
+    out = str(tmp_path_factory.mktemp("markup_out"))
+    ckpt = str(tmp_path_factory.mktemp("markup_ckpt"))
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    run_available_now(strip_markup(stream), out, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, strip_markup(df).collect()))
+    assert got == want and len(got) == 3
+
+
 def test_asof_enrich_stream_state_survives_restart(spark, tmp_path_factory):
     """Stop the stream after the purchases batch, then RESTART from the
     same checkpoint with a new clicks file: the purchase history must
