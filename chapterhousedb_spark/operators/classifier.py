@@ -56,17 +56,24 @@ def logreg_train(
     the diagonal (also what keeps separable data from driving ||beta||
     to infinity). Returns [intercept, *coefs].
 
-    At 100 TB: `iters` corpus scans, each a single map-side-combined
-    aggregate producing ONE driver row of ~35 decimals; no shuffle of
-    data rows at all."""
+    At 100 TB: the (label, features) projection — k+1 doubles per row,
+    tiny next to raw text — is PERSISTED once, so the text_stats regex
+    chain (or whatever upstream featurization) runs ONE corpus scan;
+    each of the `iters` iterations is then a single map-side-combined
+    aggregate over the cached columns producing ONE driver row of ~35
+    decimals. No shuffle of data rows at all."""
     import numpy as np
 
     k = len(feature_cols) + 1  # intercept first
     beta = [0.0] * k
+    feats = df.select(
+        F.col(label_col).cast("double").alias("__y"),
+        *[F.col(c).cast("double").alias(f"__x{i}") for i, c in enumerate(feature_cols)],
+    ).persist()
     xs = [F.lit(1.0).cast("double")] + [
-        F.col(c).cast("double") for c in feature_cols
+        F.col(f"__x{i}") for i in range(len(feature_cols))
     ]
-    y = F.col(label_col).cast("double")
+    y = F.col("__y")
     for _ in range(iters):
         eta = sum(
             (F.lit(float(b)) * x for b, x in zip(beta, xs)), F.lit(0.0)
@@ -83,7 +90,7 @@ def logreg_train(
                 )
         for i in range(k):
             aggs.append(F.sum((wz * xs[i]).cast(_DEC)).alias(f"m_{i}"))
-        row = df.agg(*aggs).collect()[0]
+        row = feats.agg(*aggs).collect()[0]
         gram = np.zeros((k, k))
         for i in range(k):
             for j in range(i, k):
@@ -92,6 +99,7 @@ def logreg_train(
         moments = np.array([float(row[f"m_{i}"] or 0.0) for i in range(k)])
         gram += np.eye(k) * ridge
         beta = [float(b) for b in np.linalg.solve(gram, moments)]
+    feats.unpersist()
     return beta
 
 
