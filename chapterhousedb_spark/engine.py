@@ -226,6 +226,7 @@ class Engine:
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
         cluster_mode: str = "range",
+        bloom_filters: list[str] | None = None,
     ) -> str:
         """CTAS-style materialization: run one statement and write the
         result to a user destination resolved through the connection
@@ -247,7 +248,12 @@ class Engine:
         per-file min/max is narrow, so filters on ANY of them prune
         files — range mode prunes only on the leading column. Requires
         cluster_files (the z-curve needs an explicit file budget).
-        Returns the resolved path."""
+        bloom_filters writes a parquet BLOOM FILTER for each named
+        column (standard parquet writer options): the complement to
+        min/max clustering for HIGH-CARDINALITY POINT lookups — an
+        `id = X` probe skips a row group whose bloom says absent even
+        when the id range overlaps, exactly the case range stats
+        cannot prune. Returns the resolved path."""
         df = self.dataframe(statement)
         if cluster_mode not in ("range", "zorder"):
             raise ValueError(
@@ -271,6 +277,10 @@ class Engine:
             df = df.sortWithinPartitions(*cluster_by)
         path = self.connections.resolve(dest_glob, connection)
         writer = df.write.mode(mode).format(data_format)
+        for col in bloom_filters or []:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{col}", "true"
+            )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(path)
