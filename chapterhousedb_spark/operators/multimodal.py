@@ -104,10 +104,12 @@ def decode_real(payload: bytes) -> dict:
         return _decode_png(payload)
     if payload is not None and payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "only PPM (P6), WAV (PCM/G.711/IMA-ADPCM), PNG, and JPEG "
-        "(sequential/progressive) decode without external codecs; MP4/MP3 etc. "
-        "require PIL/ffmpeg, not available here"
+        "only PPM (P6), WAV (PCM/G.711/IMA-ADPCM), PNG, JPEG "
+        "(sequential/progressive), and GIF decode without external "
+        "codecs; MP4/MP3 etc. require PIL/ffmpeg, not available here"
     )
 
 
@@ -668,6 +670,321 @@ def make_png_blob(
         + chunk(b"IDAT", zlib.compress(bytes(out)))
         + chunk(b"IEND", b"")
     )
+
+
+# -------------------------------------------------------------------- GIF
+# GIF87a/89a (CompuServe spec, public): LZW is fully derivable from
+# first principles — variable-width codes (LSB-first bit packing),
+# clear/EOI codes, dictionary capped at 4096 — so no memorized tables
+# are involved, unlike e.g. MP3's tabulated filterbank window.
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int):
+    """GIF-variant LZW decode -> list of `expected` palette indices,
+    or None on malformed streams. Tolerates a missing EOI (some
+    encoders just stop) by accepting exactly-expected output."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        # placeholders keep clear/eoi positions occupied so new codes
+        # start at clear + 2
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev = None
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return out if len(out) == expected else None
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        prev = entry
+        # the decoder's dictionary LAGS the encoder's by one pending
+        # entry, so the width grows one code early relative to the
+        # table size (the classic GIF-LZW off-by-one)
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        if len(out) >= expected:
+            break  # encoders may omit EOI; stop at the pixel count
+    return out[:expected] if len(out) >= expected else None
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (the make_gif_blob engine): real
+    dictionary growth with the spec's width schedule and a clear-code
+    reset at 4096 — width timing mirrors the decoder exactly (grow
+    when the NEXT free code reaches 1<<width)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    outb = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            outb.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = clear + 2
+    width = min_code_size + 1
+    emit(clear, width)
+    prev = b""
+    for v in indices:
+        cur = prev + bytes([v])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = fresh()
+            next_code = clear + 2
+            width = min_code_size + 1
+        prev = bytes([v])
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if nacc:
+        outb.append(acc & 0xFF)
+    return bytes(outb)
+
+
+def _gif_iter_frames(payload: bytes):
+    """Parse a GIF and return ((screen_w, screen_h), [(fw, fh,
+    palette_triples, indices), ...]) — or None on malformed bytes (bad
+    LZW, missing color table, truncated blocks)."""
+    d = payload
+    n = len(d)
+    if n < 14:
+        return None
+    w, h = struct.unpack("<HH", d[6:10])
+    flags = d[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        sz = 2 << (flags & 7)
+        if pos + 3 * sz > n:
+            return None
+        gct = [tuple(d[pos + 3 * i : pos + 3 * i + 3]) for i in range(sz)]
+        pos += 3 * sz
+    frames = []
+    while pos < n:
+        b = d[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while pos < n and d[pos] != 0:
+                pos += 1 + d[pos]
+            if pos >= n:
+                return None
+            pos += 1
+            continue
+        if b != 0x2C or pos + 10 > n:
+            return None
+        _fx, _fy, fw, fh = struct.unpack("<HHHH", d[pos + 1 : pos + 9])
+        ff = d[pos + 9]
+        pos += 10
+        pal = gct
+        if ff & 0x80:  # local color table
+            sz = 2 << (ff & 7)
+            if pos + 3 * sz > n:
+                return None
+            pal = [tuple(d[pos + 3 * i : pos + 3 * i + 3]) for i in range(sz)]
+            pos += 3 * sz
+        if pal is None or fw == 0 or fh == 0 or pos >= n:
+            return None
+        min_code = d[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        blocks = bytearray()
+        while pos < n and d[pos] != 0:
+            ln = d[pos]
+            blocks += d[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= n:
+            return None
+        pos += 1  # sub-block terminator
+        idxs = _gif_lzw_decode(bytes(blocks), min_code, fw * fh)
+        if idxs is None or any(i >= len(pal) for i in idxs):
+            return None
+        frames.append((fw, fh, pal, idxs))
+    if not frames:
+        return None
+    return (w, h), frames
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """GIF87a/89a decode: global/local color tables, any number of
+    image frames (n_frames = frame count — GIF is the corpus's real
+    ANIMATED format), extensions skipped by sub-block framing.
+    mean_pixel = mean over every frame's palette-resolved RGB bytes
+    (frame row order — interlaced or not — cannot change a mean, and
+    frames are measured raw, without disposal-method compositing:
+    features summarize content, they don't render). MALFORMED bytes —
+    bad LZW, missing color table, out-of-range index, truncated
+    blocks — return ok=False like every other codec here."""
+    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    got = _gif_iter_frames(payload)
+    if got is None:
+        return bad
+    (w, h), frames = got
+    total = 0.0
+    count = 0
+    for _fw, _fh, pal, idxs in frames:
+        sums = [sum(c) for c in pal]
+        total += sum(sums[i] for i in idxs)
+        count += 3 * len(idxs)
+    if count == 0:
+        return bad
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": len(frames),
+        "mean_pixel": total / count,
+        "ok": True,
+    }
+
+
+def gif_frames(media: DataFrame, every_nth: int = 1) -> DataFrame:
+    """REAL frame sampling over GIF payloads (the FAKE-format
+    sample_frames' production twin): one row per kept frame with the
+    palette-resolved interleaved RGB raster — the decode that feeds a
+    per-frame vision featurizer. Undecodable/foreign rows are skipped
+    (same contract as sample_frames). 1->N mapInPandas, Arrow-batched;
+    at 100 TB the per-task memory bound is maxPartitionBytes exactly
+    as for extract_features."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("frame_rgb", T.BinaryType(), False),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, rasters = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    got = _gif_iter_frames(bytes(payload))
+                except Exception:
+                    got = None
+                if got is None:
+                    continue
+                _dims, frames = got
+                for fi in range(0, len(frames), every_nth):
+                    fw, fh, pal, fidx = frames[fi]
+                    raster = bytearray(fw * fh * 3)
+                    for p, ci in enumerate(fidx):
+                        raster[3 * p : 3 * p + 3] = bytes(pal[ci])
+                    ids.append(mid)
+                    idxs.append(fi)
+                    ws.append(fw)
+                    hs.append(fh)
+                    rasters.append(bytes(raster))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "frame_idx": idxs, "width": ws,
+                    "height": hs, "frame_rgb": rasters,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(_sample, schema)
+
+
+def make_gif_blob(
+    width: int,
+    height: int,
+    n_frames: int = 1,
+    fill: int = 0,
+    n_colors: int = 8,
+    local_palette: bool = False,
+) -> bytes:
+    """A real GIF89a payload (deterministic palette + per-frame index
+    ramp, same body conventions as the other make_* helpers) built
+    with the in-module LZW encoder. Multi-frame output carries one
+    graphic-control extension per frame — the corpus's real animated
+    format. local_palette puts the table on each image descriptor
+    instead of the logical screen."""
+    gct_bits = max(1, (n_colors - 1).bit_length())
+    size = 1 << gct_bits
+    palette = [
+        ((fill + 3 * k) % 256, (fill + 3 * k + 1) % 256, (fill + 3 * k + 2) % 256)
+        for k in range(size)
+    ]
+    table_bytes = b"".join(bytes(c) for c in palette)
+    out = bytearray(b"GIF89a" + struct.pack("<HH", width, height))
+    if local_palette:
+        out += bytes([0x00, 0, 0])
+    else:
+        out += bytes([0x80 | (gct_bits - 1), 0, 0]) + table_bytes
+    min_code = max(2, gct_bits)
+    for f in range(n_frames):
+        # graphic control extension (transparency off, 10cs delay)
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        img_flags = (0x80 | (gct_bits - 1)) if local_palette else 0
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([img_flags])
+        if local_palette:
+            out += table_bytes
+        idxs = [(fill + f + i) % size for i in range(width * height)]
+        lzw = _gif_lzw_encode(idxs, min_code)
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 # ------------------------------------------------------------------- JPEG
