@@ -2088,8 +2088,10 @@ def resize_media(
     """REAL image resize through the Arrow-batched mapInPandas path:
     PPM (P6), PNG at every legal layout (16-bit resamples at full u16
     precision and stays 16-bit; palette promotes to truecolor;
-    interlaced sources deinterlace), and JPEG payloads — baseline or
-    progressive — are decoded (pure python/numpy codecs above),
+    interlaced sources deinterlace), JPEG payloads — baseline or
+    progressive — and multi-frame GIFs (nearest-neighbor in INDEX
+    space with each frame's own palette: lossless, no quantization)
+    are decoded (pure python/numpy codecs above),
     nearest-neighbor resampled with a vectorized numpy gather, and
     re-encoded in their ORIGINAL format (PNG re-encodes with type-0
     filter rows — filters are a compression choice, not a fidelity
@@ -2183,6 +2185,40 @@ def resize_media(
             return {
                 "payload": blob, "width": target_w, "height": target_h,
                 "ok": True,
+            }
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            got = _gif_iter_frames(payload)
+            if got is None:
+                return bad
+            _dims, frames = got
+            # nearest-neighbor in INDEX space: the gather picks existing
+            # palette entries, so each frame re-encodes with ITS OWN
+            # palette losslessly (no quantization step). Every frame
+            # resamples to the target dims; the screen descriptor
+            # shrinks with them.
+            out = bytearray(b"GIF89a" + struct.pack("<HH", target_w, target_h))
+            out += bytes([0x00, 0, 0])  # no GCT: per-frame local tables
+            for fw, fh, pal, idxs in frames:
+                ys = [(y * fh) // target_h for y in range(target_h)]
+                xs = [(x * fw) // target_w for x in range(target_w)]
+                res = [idxs[y * fw + x] for y in ys for x in xs]
+                bits = max(1, (len(pal) - 1).bit_length())
+                size = 1 << bits
+                table = list(pal) + [(0, 0, 0)] * (size - len(pal))
+                min_code = max(2, bits)
+                out += b"\x2c" + struct.pack("<HHHH", 0, 0, target_w, target_h)
+                out += bytes([0x80 | (bits - 1)])
+                out += b"".join(bytes(c) for c in table)
+                lzw = _gif_lzw_encode(res, min_code)
+                out += bytes([min_code])
+                for i in range(0, len(lzw), 255):
+                    chunk2 = lzw[i : i + 255]
+                    out += bytes([len(chunk2)]) + chunk2
+                out += b"\x00"
+            out += b"\x3b"
+            return {
+                "payload": bytes(out), "width": target_w,
+                "height": target_h, "ok": True,
             }
         return bad
 

@@ -1191,3 +1191,34 @@ def test_gif_frames_real_sampling(spark):
             bytes(pal[(fill + fi + i) % size]) for i in range(w * h)
         )
         assert bytes(r["frame_rgb"]) == want, fi
+
+def test_resize_media_gif(spark):
+    """resize_media on a multi-frame GIF: nearest-neighbor in INDEX
+    space with each frame's own palette (lossless — no quantization),
+    all frames kept; output round-trips decode_real at the target
+    dims with the exact gathered-pixel mean."""
+    from chapterhousedb_spark.operators.multimodal import (
+        make_gif_blob,
+        resize_media,
+    )
+
+    w, h, nf, fill, ncol = 8, 6, 2, 3, 4
+    blob = make_gif_blob(w, h, n_frames=nf, fill=fill, n_colors=ncol)
+    media = spark.createDataFrame([(1, "video", blob, ("t", 0))], MEDIA_SCHEMA)
+    row = resize_media(media, 4, 3).collect()[0]
+    assert row["ok"]
+    d = decode_real(bytes(row["payload"]))
+    assert d["ok"] and (d["width"], d["height"], d["n_frames"]) == (4, 3, nf)
+    size = 1 << max(1, (ncol - 1).bit_length())
+    pal = [
+        ((fill + 3 * k) % 256, (fill + 3 * k + 1) % 256, (fill + 3 * k + 2) % 256)
+        for k in range(size)
+    ]
+    ys = [(y * h) // 3 for y in range(3)]
+    xs = [(x * w) // 4 for x in range(4)]
+    tot = sum(
+        sum(pal[(fill + f + (y * w + x)) % size])
+        for f in range(nf) for y in ys for x in xs
+    )
+    want = tot / (3 * nf * 4 * 3)
+    assert abs(d["mean_pixel"] - want) < 1e-9
