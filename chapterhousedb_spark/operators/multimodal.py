@@ -854,6 +854,17 @@ def _gif_iter_frames(payload: bytes):
         idxs = _gif_lzw_decode(bytes(blocks), min_code, fw * fh)
         if idxs is None or any(i >= len(pal) for i in idxs):
             return None
+        if ff & 0x40:  # interlaced: rows arrive in the four GIF passes
+            rows_order = (
+                list(range(0, fh, 8)) + list(range(4, fh, 8))
+                + list(range(2, fh, 4)) + list(range(1, fh, 2))
+            )
+            straight = [0] * (fw * fh)
+            for src, dst in enumerate(rows_order):
+                straight[dst * fw : (dst + 1) * fw] = idxs[
+                    src * fw : (src + 1) * fw
+                ]
+            idxs = straight
         frames.append((fw, fh, pal, idxs))
     if not frames:
         return None
@@ -948,13 +959,15 @@ def make_gif_blob(
     fill: int = 0,
     n_colors: int = 8,
     local_palette: bool = False,
+    interlace: bool = False,
 ) -> bytes:
     """A real GIF89a payload (deterministic palette + per-frame index
     ramp, same body conventions as the other make_* helpers) built
     with the in-module LZW encoder. Multi-frame output carries one
     graphic-control extension per frame — the corpus's real animated
     format. local_palette puts the table on each image descriptor
-    instead of the logical screen."""
+    instead of the logical screen; interlace stores rows in the four
+    GIF passes over the SAME pixel grid."""
     gct_bits = max(1, (n_colors - 1).bit_length())
     size = 1 << gct_bits
     palette = [
@@ -972,11 +985,21 @@ def make_gif_blob(
         # graphic control extension (transparency off, 10cs delay)
         out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
         img_flags = (0x80 | (gct_bits - 1)) if local_palette else 0
+        if interlace:
+            img_flags |= 0x40
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
         out += bytes([img_flags])
         if local_palette:
             out += table_bytes
         idxs = [(fill + f + i) % size for i in range(width * height)]
+        if interlace:
+            rows_order = (
+                list(range(0, height, 8)) + list(range(4, height, 8))
+                + list(range(2, height, 4)) + list(range(1, height, 2))
+            )
+            idxs = [
+                idxs[r * width + x] for r in rows_order for x in range(width)
+            ]
         lzw = _gif_lzw_encode(idxs, min_code)
         out += bytes([min_code])
         for i in range(0, len(lzw), 255):

@@ -1222,3 +1222,32 @@ def test_resize_media_gif(spark):
     )
     want = tot / (3 * nf * 4 * 3)
     assert abs(d["mean_pixel"] - want) < 1e-9
+
+def test_gif_interlaced_deinterlaces(spark):
+    """An interlaced GIF (flag 0x40, rows stored in the four passes)
+    deinterlaces on decode: gif_frames' raster and decode_real's
+    features equal the sequential encoding of the SAME pixel grid —
+    and the resize path therefore gathers the right rows."""
+    from chapterhousedb_spark.operators.multimodal import (
+        gif_frames,
+        make_gif_blob,
+        resize_media,
+    )
+
+    w, h, fill, ncol = 7, 11, 4, 4  # odd dims exercise pass rounding
+    seq = make_gif_blob(w, h, fill=fill, n_colors=ncol)
+    lace = make_gif_blob(w, h, fill=fill, n_colors=ncol, interlace=True)
+    assert decode_real(lace) == decode_real(seq)
+    media = spark.createDataFrame(
+        [(1, "video", seq, ("t", 0)), (2, "video", lace, ("t", 0))],
+        MEDIA_SCHEMA,
+    )
+    rasters = {
+        r["media_id"]: bytes(r["frame_rgb"]) for r in gif_frames(media).collect()
+    }
+    assert rasters[1] == rasters[2]
+    resized = {
+        r["media_id"]: decode_real(bytes(r["payload"]))
+        for r in resize_media(media, 4, 5).collect()
+    }
+    assert resized[1] == resized[2] and resized[1]["ok"]
