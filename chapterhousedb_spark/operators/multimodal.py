@@ -15,9 +15,11 @@ Adam7 deinterlacing); and baseline sequential JPEG (SOF0/1;
 grayscale, 4:4:4, and subsampled 4:2:2/4:2:0: markers -> canonical
 Huffman -> dequant -> IDCT in numpy; progressive SOF2 accumulates
 quantized coefficients across spectral-selection / successive-
-approximation scans) — and raises NotImplementedError for the formats
-that genuinely need PIL/ffmpeg (MP4/MP3, arithmetic/lossless JPEG),
-absent in this environment.
+approximation scans); GIF87a/89a (first-principles LZW, multi-frame,
+interlace, per-frame RGB sampling); and Windows BMP (24/32-bit,
+palette, RLE8) — and raises NotImplementedError for the formats that
+genuinely need PIL/ffmpeg (MP4/MP3, arithmetic/lossless JPEG), absent
+in this environment.
 `decode_stub` parses a deterministic fake header for plumbing tests
 that want full control of the bytes. Everything Spark-side — schema,
 batching, UDF signatures, partitioning — is identical for both and
@@ -85,13 +87,14 @@ def decode_real(payload: bytes) -> dict:
     (PCM 8/16-bit, G.711 A-law/mu-law, IMA ADPCM); PNG at every legal
     layout (gray 1/2/4/8/16, RGB 8/16, palette via PLTE, alpha
     variants, sequential or Adam7-interlaced — stdlib zlib covers the
-    inflate); and JPEG, baseline sequential AND progressive (SOF0/1/2;
+    inflate); JPEG, baseline sequential AND progressive (SOF0/1/2;
     grayscale, 4:4:4, subsampled 4:2:2/4:2:0 — Huffman + dequant +
-    IDCT in numpy). MP4/MP3 and the exotic JPEG modes (arithmetic,
-    lossless, 12-bit) still raise NotImplementedError — those
-    genuinely need PIL/ffmpeg, which this sandbox lacks. Returns the
-    same dict shape as decode_stub, with the audio mapping documented
-    on _decode_wav."""
+    IDCT in numpy); GIF87a/89a (real LZW, multi-frame animation,
+    interlace); and Windows BMP (24/32-bit, 8-bit palette, RLE8).
+    MP4/MP3 and the exotic JPEG modes (arithmetic, lossless, 12-bit)
+    still raise NotImplementedError — those genuinely need PIL/ffmpeg,
+    which this sandbox lacks. Returns the same dict shape as
+    decode_stub, with the audio mapping documented on _decode_wav."""
     if payload is not None and payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if (
@@ -106,9 +109,11 @@ def decode_real(payload: bytes) -> dict:
         return _decode_jpeg(payload)
     if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload is not None and payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
         "only PPM (P6), WAV (PCM/G.711/IMA-ADPCM), PNG, JPEG "
-        "(sequential/progressive), and GIF decode without external "
+        "(sequential/progressive), GIF, and BMP decode without external "
         "codecs; MP4/MP3 etc. require PIL/ffmpeg, not available here"
     )
 
@@ -670,6 +675,221 @@ def make_png_blob(
         + chunk(b"IDAT", zlib.compress(bytes(out)))
         + chunk(b"IEND", b"")
     )
+
+
+# -------------------------------------------------------------------- BMP
+
+
+def _bmp_pixels(payload: bytes):
+    """Decode a Windows BMP (BITMAPINFOHEADER; 24/32-bit BI_RGB, 8-bit
+    palette BI_RGB, and 8-bit RLE8; bottom-up or top-down) to ((h, w,
+    3) RGB row-major bytes, w, h) — None on malformed/unsupported
+    variants (BMP has no magic-distinguishable sub-formats worth a
+    raise: the container is one format, so everything undecodable is
+    treated as malformed)."""
+    d = payload
+    n = len(d)
+    if n < 54 or d[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", d[10:14])
+    (hdr_size,) = struct.unpack("<I", d[14:18])
+    if hdr_size < 40 or n < 14 + hdr_size:
+        return None
+    w, h_raw = struct.unpack("<ii", d[18:26])
+    planes, bpp = struct.unpack("<HH", d[26:30])
+    (comp,) = struct.unpack("<I", d[30:34])
+    if planes != 1 or w <= 0 or h_raw == 0:
+        return None
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    (n_colors,) = struct.unpack("<I", d[46:50])
+    pal = None
+    if bpp == 8:
+        n_pal = n_colors or 256
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_pal > n:
+            return None
+        # BGRX quads -> (r, g, b)
+        pal = [
+            (d[pal_off + 4 * i + 2], d[pal_off + 4 * i + 1], d[pal_off + 4 * i])
+            for i in range(n_pal)
+        ]
+    rows: list[bytes] = []
+    if comp == 0 and bpp in (24, 32):
+        stride = ((w * (bpp // 8) + 3) // 4) * 4
+        if data_off + stride * h > n:
+            return None
+        px = bpp // 8
+        for r in range(h):
+            rs = data_off + r * stride
+            row = bytearray(w * 3)
+            for x in range(w):
+                b_, g_, r_ = d[rs + px * x : rs + px * x + 3]
+                row[3 * x : 3 * x + 3] = bytes((r_, g_, b_))
+            rows.append(bytes(row))
+    elif comp == 0 and bpp == 8:
+        if pal is None:
+            return None
+        stride = ((w + 3) // 4) * 4
+        if data_off + stride * h > n:
+            return None
+        for r in range(h):
+            rs = data_off + r * stride
+            row = bytearray(w * 3)
+            for x in range(w):
+                idx = d[rs + x]
+                if idx >= len(pal):
+                    return None
+                row[3 * x : 3 * x + 3] = bytes(pal[idx])
+            rows.append(bytes(row))
+    elif comp == 1 and bpp == 8:  # RLE8
+        if pal is None:
+            return None
+        grid = [bytearray(w * 3) for _ in range(h)]
+        x = y = 0
+        pos = data_off
+        while pos + 1 < n:
+            cnt, val = d[pos], d[pos + 1]
+            pos += 2
+            if cnt > 0:  # encoded run
+                if val >= len(pal) or y >= h:
+                    return None
+                px3 = bytes(pal[val])
+                for _ in range(cnt):
+                    if x >= w:
+                        break  # spec tolerates run spill at row end
+                    grid[y][3 * x : 3 * x + 3] = px3
+                    x += 1
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                if pos + 1 >= n:
+                    return None
+                x += d[pos]
+                y += d[pos + 1]
+                pos += 2
+            else:  # absolute mode: val literal indices, word-aligned
+                if pos + val > n or y >= h:
+                    return None
+                for k in range(val):
+                    idx = d[pos + k]
+                    if idx >= len(pal):
+                        return None
+                    if x < w:
+                        grid[y][3 * x : 3 * x + 3] = bytes(pal[idx])
+                        x += 1
+                pos += val + (val & 1)
+        rows = [bytes(r) for r in grid]
+    else:
+        return None
+    if not top_down:
+        rows.reverse()  # BMP default is bottom-up
+    return b"".join(rows), w, h
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Windows BMP feature decode (see _bmp_pixels for the supported
+    matrix). mean_pixel = mean over the decoded RGB bytes, matching
+    the PPM convention; malformed/unsupported bytes return ok=False."""
+    bad = {"width": None, "height": None, "n_frames": None, "mean_pixel": None, "ok": False}
+    got = _bmp_pixels(payload)
+    if got is None:
+        return bad
+    body, w, h = got
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": 1,
+        "mean_pixel": sum(body) / len(body),
+        "ok": True,
+    }
+
+
+def make_bmp_blob(
+    width: int,
+    height: int,
+    fill: int = 0,
+    bpp: int = 24,
+    top_down: bool = False,
+    rle: bool = False,
+    n_colors: int = 16,
+) -> bytes:
+    """A real BMP payload (deterministic pixel ramp over RGB for
+    24/32-bit, over a palette for 8-bit; optional RLE8 compression and
+    top-down row order) with the same body conventions as
+    make_ppm_blob: sample i of the raster ramps (fill + i) % 256 in
+    ROW-MAJOR TOP-DOWN RGB order regardless of the stored layout."""
+    if rle and bpp != 8:
+        raise ValueError("RLE requires bpp=8")
+    rows_rgb = [
+        bytes(
+            (fill + (y * width * 3) + i) % 256 for i in range(width * 3)
+        )
+        for y in range(height)
+    ]
+    pal = b""
+    n_pal = 0
+    if bpp == 8:
+        n_pal = n_colors
+        palette = [
+            ((fill + 3 * k) % 256, (fill + 3 * k + 1) % 256, (fill + 3 * k + 2) % 256)
+            for k in range(n_pal)
+        ]
+        pal = b"".join(bytes((b_, g_, r_, 0)) for r_, g_, b_ in palette)
+        idx_rows = [
+            bytes((fill + y * width + x) % n_pal for x in range(width))
+            for y in range(height)
+        ]
+        # the RGB the decoder must produce
+        rows_rgb = [
+            b"".join(bytes(palette[i]) for i in row) for row in idx_rows
+        ]
+    stored = list(range(height)) if top_down else list(range(height - 1, -1, -1))
+    body = bytearray()
+    if rle:
+        for y in stored:
+            row = idx_rows[y]
+            x = 0
+            while x < width:
+                run = 1
+                while (
+                    x + run < width and run < 255 and row[x + run] == row[x]
+                ):
+                    run += 1
+                if run >= 2:
+                    body += bytes((run, row[x]))
+                    x += run
+                else:
+                    # absolute mode needs >= 3; emit a 1-run instead
+                    body += bytes((1, row[x]))
+                    x += 1
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        comp = 1
+    else:
+        px = bpp // 8 if bpp in (24, 32) else 1
+        stride = ((width * px + 3) // 4) * 4
+        for y in stored:
+            if bpp == 8:
+                raw = idx_rows[y]
+            else:
+                rgb = rows_rgb[y]
+                raw = bytearray()
+                for x in range(width):
+                    r_, g_, b_ = rgb[3 * x : 3 * x + 3]
+                    raw += bytes((b_, g_, r_)) + (b"\x00" if bpp == 32 else b"")
+            body += bytes(raw) + b"\x00" * (stride - len(raw))
+        comp = 0
+    hdr_off = 14 + 40 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height, 1, bpp, comp,
+        len(body), 2835, 2835, n_pal, 0,
+    )
+    file_hdr = b"BM" + struct.pack("<IHHI", hdr_off + len(body), 0, 0, hdr_off)
+    return file_hdr + info + pal + bytes(body)
 
 
 # -------------------------------------------------------------------- GIF
@@ -2204,6 +2424,39 @@ def resize_media(
                 + chunk(b"IHDR", ihdr)
                 + chunk(b"IDAT", zlib.compress(raw))
                 + chunk(b"IEND", b"")
+            )
+            return {
+                "payload": blob, "width": target_w, "height": target_h,
+                "ok": True,
+            }
+        if payload[:2] == b"BM":
+            got = _bmp_pixels(payload)
+            if got is None:
+                return bad
+            body, w, h = got
+            out = _resize_rgb(body, w, h, 3, target_w, target_h)
+            # re-encode 24-bit BI_RGB bottom-up (palette/RLE sources
+            # promote to truecolor — resampling has no palette
+            # obligation and RLE is a compression choice)
+            stride = ((target_w * 3 + 3) // 4) * 4
+            rows = bytearray()
+            for y in range(target_h - 1, -1, -1):
+                raw = bytearray()
+                for x in range(target_w):
+                    r_, g_, b_ = out[
+                        (y * target_w + x) * 3 : (y * target_w + x) * 3 + 3
+                    ]
+                    raw += bytes((b_, g_, r_))
+                rows += bytes(raw) + b"\x00" * (stride - len(raw))
+            info = struct.pack(
+                "<IiiHHIIiiII",
+                40, target_w, target_h, 1, 24, 0, len(rows), 2835, 2835, 0, 0,
+            )
+            blob = (
+                b"BM"
+                + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+                + info
+                + bytes(rows)
             )
             return {
                 "payload": blob, "width": target_w, "height": target_h,
