@@ -99,6 +99,8 @@ HEADLINE = [
     "dedup_span_rewrite",
     "quality_classifier",
     "markup_removal",
+    "embedding_sq8",
+    "similarity_pq",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

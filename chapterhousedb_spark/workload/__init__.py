@@ -142,7 +142,8 @@ _DRIVER_FIRST = [
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
     "tpch_q12_priority_shipping",
-    "tpch_q14_promo_effect",
+    # tpch_q14_promo_effect demoted round 9 to pay for embedding_sq8
+    # (see _DRIVER_LAST)
     "tpch_q16_supplier_cnt",
     "tpch_q19_disjunctive_revenue",
     "pack_materialize",
@@ -213,8 +214,21 @@ _DRIVER_FIRST = [
     # LeftOuter-with-ON-predicate plan property stays test-asserted in
     # test_plans.py, and it re-earns driver-green via rotation.
     "markup_removal",
+    # ...plus int8 scalar quantization (the compressed-vector family's
+    # oracle anchor: bounds -> affine int8 codes -> dequantized-cosine
+    # fold, every stage replayed closed-form in DuckDB; the trained
+    # quantizers PQ/IVF-PQ stay rows-only beside it like
+    # similarity_ivf). Paid for by demoting tpch_q14_promo_effect: the
+    # TPC-H family keeps fourteen other gated plan shapes this round,
+    # its conditional-ratio shape stays gated through tpch_q8 and
+    # tpch_q12's conditional counts, and it re-earns driver-green via
+    # rotation like every demoted row.
+    "embedding_sq8",
 ]
 _DRIVER_LAST = [
+    # round-9 demotion paying for embedding_sq8 (see above); long
+    # driver-green (r7-r8), family-redundant, rotation-eligible:
+    "tpch_q14_promo_effect",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

@@ -479,6 +479,105 @@ def similarity_ivf_q(spark, sf_dir):
     )
 
 
+@query("similarity_pq")
+def similarity_pq_q(spark, sf_dir):
+    """IVF-PQ approximate top-10 (round 9): coarse cells prune the
+    scan, product-quantized codes (m=8 subspaces x 4 bits) compress
+    what remains to 8 small ints per vector, an inlined-LUT JVM fold
+    scores them (ADC), and the top-32 candidates rerank exactly.
+    Rows-only by design like similarity_ivf: both quantizers are
+    iterative KMeans fits, not SQL-expressible. Correctness is pinned
+    by tests/test_similarity.py instead: ADC == exact cosine under a
+    lossless codebook, refine>=corpus == brute force, encode
+    partitioning-invariance, and the nprobe=n_cells full-probe
+    equivalence. The oracle-anchored twin for the compressed-vector
+    family is embedding_sq8 below."""
+    from chapterhousedb_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ONES64,
+        k=10,
+        n_cells=8,
+        nprobe=3,
+        m=8,
+        nbits=4,
+        refine=32,
+    )
+
+
+_SQ8_DQ = "(CAST(qvec[i] + 128 AS DOUBLE) / 255.0 * spans[i] + mns[i])"
+
+
+@query(
+    "embedding_sq8",
+    oracle=f"""
+    WITH mm AS (
+      SELECT g.i AS i,
+             CAST(MIN(e.embedding[g.i]) AS DOUBLE) AS mn,
+             GREATEST(CAST(MAX(e.embedding[g.i]) AS DOUBLE)
+                      - CAST(MIN(e.embedding[g.i]) AS DOUBLE), 1e-12) AS span
+      FROM embeddings e CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY g.i),
+    mml AS (
+      SELECT list(mn ORDER BY i) AS mns, list(span ORDER BY i) AS spans
+      FROM mm),
+    q AS (
+      SELECT e.vec_id,
+             list(CAST(GREATEST(LEAST(FLOOR(
+                    (CAST(e.embedding[mm.i] AS DOUBLE) - mm.mn)
+                    * 255.0 / mm.span + 0.5), 255), 0) - 128 AS INT)
+                  ORDER BY mm.i) AS qvec
+      FROM embeddings e CROSS JOIN mm
+      GROUP BY e.vec_id),
+    d AS (SELECT vec_id, qvec, mns, spans FROM q CROSS JOIN mml)
+    SELECT vec_id,
+           qvec[1] AS q0, qvec[22] AS q21, qvec[43] AS q42, qvec[64] AS q63,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> {_SQ8_DQ}))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> {_SQ8_DQ} * {_SQ8_DQ})))
+              * 8.0) AS approx_cosine
+    FROM d
+    ORDER BY approx_cosine DESC, vec_id
+    LIMIT 100
+    """,
+)
+def embedding_sq8_q(spark, sf_dir):
+    """int8 scalar quantization under the hash gate (round 9): per-dim
+    min/max bounds -> affine int8 codes -> dequantized cosine to the
+    all-ones query, top-100. Unlike PQ/IVF this whole compressed-
+    vector path is closed-form, so DuckDB replays EVERY stage — the
+    bounds aggregation, the floor(x+0.5) rounding, the clamps, the
+    sequential dequantized fold — and the hash match pins the
+    quantizer bit-exactly (the oracle anchor for the family;
+    similarity_pq covers the trained-quantizer variant rows-only).
+    Exposes four fixed code components (q0/q21/q42/q63) so a
+    quantization regression breaks the gate even where scores tie."""
+    from chapterhousedb_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_quantize,
+        sq8_scores,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    mins, maxs = sq8_bounds(emb)
+    coded = sq8_quantize(emb.select("vec_id", "embedding"), mins, maxs)
+    scored = sq8_scores(coded, mins, maxs, _ONES64)
+    return (
+        scored.select(
+            "vec_id",
+            F.col("qvec")[0].alias("q0"),
+            F.col("qvec")[21].alias("q21"),
+            F.col("qvec")[42].alias("q42"),
+            F.col("qvec")[63].alias("q63"),
+            "approx_cosine",
+        )
+        .orderBy(F.col("approx_cosine").desc(), "vec_id")
+        .limit(100)
+    )
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""

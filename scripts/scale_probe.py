@@ -272,6 +272,80 @@ def probe_recall(spark, embs, n_queries: int = 20) -> dict:
     }
 
 
+def probe_quant(spark, embs, n_queries: int = 20) -> dict:
+    """Compressed-vector probe (round 9): PQ recall@10 at defaults
+    (m=8, nbits=4 -> 8 nibble-codes per 64-dim vector) and SQ8 top-10
+    overlap vs exact brute force, in the production shape — quantizers
+    fit ONCE per corpus, codes materialized once, every query scans
+    only the code column. The ratio rows prove the per-query scan cost
+    stays linear while the scanned bytes shrink (4x for SQ8, ~32x for
+    PQ codes); recall at defaults is the number users tune m/nbits/
+    refine against (the PQ twin of probe_recall's SRP/IVF rows)."""
+    from chapterhousedb_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_scores,
+        pq_encode,
+        pq_fit,
+        sq8_bounds,
+        sq8_quantize,
+        sq8_scores,
+    )
+
+    qs = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in embs.orderBy("vec_id").limit(n_queries).collect()
+    ]
+    t0 = time.perf_counter()
+    books = pq_fit(embs, "embedding", m=8, nbits=4, seed=7, max_iter=5)
+    coded_pq = pq_encode(embs, books).select("vec_id", "pq_code").cache()
+    coded_pq.count()
+    t_pq_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mins, maxs = sq8_bounds(embs)
+    coded_sq = sq8_quantize(embs, mins, maxs).select("vec_id", "qvec").cache()
+    coded_sq.count()
+    t_sq_build = time.perf_counter() - t0
+    pq_hits = sq_hits = 0
+    t_pq = t_sq = 0.0
+    try:
+        for _, qv in qs:
+            exact = {
+                r["vec_id"] for r in cosine_topk(embs, qv, k=10).collect()
+            }
+            t0 = time.perf_counter()
+            pq = {
+                r["vec_id"]
+                for r in pq_adc_scores(coded_pq, books, qv)
+                .orderBy(F.col("approx_cosine").desc(), "vec_id")
+                .limit(10)
+                .collect()
+            }
+            t_pq += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sq = {
+                r["vec_id"]
+                for r in sq8_scores(coded_sq, mins, maxs, qv)
+                .orderBy(F.col("approx_cosine").desc(), "vec_id")
+                .limit(10)
+                .collect()
+            }
+            t_sq += time.perf_counter() - t0
+            pq_hits += len(pq & exact)
+            sq_hits += len(sq & exact)
+    finally:
+        coded_pq.unpersist()
+        coded_sq.unpersist()
+    denom = 10 * len(qs)
+    return {
+        "pq_recall_at_10": round(pq_hits / denom, 3),
+        "sq8_recall_at_10": round(sq_hits / denom, 3),
+        "pq_build_sec": round(t_pq_build, 3),
+        "sq8_build_sec": round(t_sq_build, 3),
+        "pq_adc_topk_sec": round(t_pq, 3),
+        "sq8_topk_sec": round(t_sq, 3),
+    }
+
+
 def probe_cross(spark, docs, embs) -> dict:
     """Cross-corpus ingest-gate probe (VERDICT r6 next #6): a FIXED
     200-doc batch gated against the growing corpus, measured two ways —
@@ -369,6 +443,8 @@ def main() -> None:
     large.update(probe_cross(spark, docs_l, embs_l))
     small.update(probe_recall(spark, embs_s))
     large.update(probe_recall(spark, embs_l))
+    small.update(probe_quant(spark, embs_s))
+    large.update(probe_quant(spark, embs_l))
     ratios = {
         k: (round(large[k] / small[k], 2) if small[k] else None)
         for k in small

@@ -621,3 +621,225 @@ def test_embedding_dedup_survivors_greedy_semantics(spark):
     )
     assert sorted(r["vec_id"] for r in surv.collect()) == [10, 40]
     assert set(surv.columns) == {"vec_id", "embedding", "tag"}
+
+
+# ---------------------------------------------------------------- PQ / SQ8
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    md = mat.astype(np.float64)
+    return md / np.maximum(np.linalg.norm(md, axis=1), 1e-12)[:, None]
+
+
+def test_pq_adc_exact_under_lossless_codebook(spark):
+    """With a codebook holding every distinct unit subvector, encoding
+    is lossless and ADC == exact cosine (1 - d^2/2 on the unit sphere
+    is an identity, not an approximation)."""
+    from chapterhousedb_spark.operators.similarity import (
+        pq_adc_scores,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(6, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    unit = _unit_rows(mat)
+    m, dsub = 4, 2
+    books = [
+        [[float(x) for x in unit[r, s * dsub : (s + 1) * dsub]] for r in range(6)]
+        for s in range(m)
+    ]
+    q = [1.0] * 8
+    scored = pq_adc_scores(
+        pq_encode(df, books, "embedding"), books, q
+    ).orderBy("vec_id")
+    got = [r["approx_cosine"] for r in scored.collect()]
+    qd = np.array(q) / np.linalg.norm(q)
+    want = unit @ qd
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_pq_refine_full_equals_bruteforce(vectors):
+    from chapterhousedb_spark.operators.similarity import pq_topk
+
+    df, mat = vectors
+    q = [1.0] * DIMS
+    got = [
+        r["vec_id"]
+        for r in pq_topk(df, q, k=10, m=4, nbits=4, refine=N, max_iter=3).collect()
+    ]
+    assert got == _numpy_topk(mat, np.array(q), 10)
+
+
+def test_pq_encode_partitioning_invariant(vectors):
+    from chapterhousedb_spark.operators.similarity import pq_encode, pq_fit
+
+    df, _ = vectors
+    books = pq_fit(df, m=4, nbits=3, max_iter=2)
+    a = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(df, books).select("vec_id", "pq_code").collect()
+    }
+    b = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(df.repartition(7), books)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    assert a == b and len(a) == N
+
+
+def test_ivf_pq_full_probe_refine_equals_bruteforce(vectors):
+    from chapterhousedb_spark.operators.similarity import ivf_pq_topk
+
+    df, mat = vectors
+    q = [0.5] * DIMS
+    got = [
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            df, q, k=10, n_cells=4, nprobe=4, m=4, nbits=4, refine=N, max_iter=3
+        ).collect()
+    ]
+    assert got == _numpy_topk(mat, np.array(q), 10)
+
+
+def test_pq_adc_recall_without_refine(vectors):
+    """ADC alone (no rerank) on clustered data keeps most of the true
+    top-10 — the quality floor a user tunes m/nbits against."""
+    from chapterhousedb_spark.operators.similarity import pq_topk
+
+    df, mat = vectors
+    q = [1.0] * DIMS
+    exact = set(_numpy_topk(mat, np.array(q), 10))
+    got = {
+        r["vec_id"]
+        for r in pq_topk(df, q, k=10, m=8, nbits=4, refine=0, max_iter=5).collect()
+    }
+    assert len(got & exact) >= 5
+    # a modest rerank (refine=3k) recovers at least as much
+    ref = {
+        r["vec_id"]
+        for r in pq_topk(df, q, k=10, m=8, nbits=4, refine=30, max_iter=5).collect()
+    }
+    assert len(ref & exact) >= len(got & exact)
+
+
+def test_pq_dims_validation(spark):
+    from chapterhousedb_spark.operators.similarity import pq_dims, pq_fit
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        pq_dims(ragged)
+    ok = spark.createDataFrame(
+        [(1, [1.0] * 6)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_fit(ok, m=4, nbits=2)
+
+
+def test_pq_index_roundtrip_prunes_and_refines(spark, tmp_path, vectors):
+    from chapterhousedb_spark.operators.similarity import (
+        pq_probe_topk,
+        pq_write_index,
+    )
+
+    df, mat = vectors
+    path = str(tmp_path / "pqidx")
+    meta = pq_write_index(
+        df, path, n_cells=4, m=4, nbits=4, max_iter=3
+    )
+    assert meta["dims"] == DIMS and len(meta["codebooks"]) == 4
+    q = [1.0] * DIMS
+    # full probe + full refine == brute force (the exactness anchor)
+    got = [
+        r["vec_id"]
+        for r in pq_probe_topk(spark, path, q, k=10, nprobe=4, refine=N).collect()
+    ]
+    assert got == _numpy_topk(mat, np.array(q), 10)
+    # ADC-only narrow probe: k rows from a pruned, code-only scan
+    adc = pq_probe_topk(spark, path, q, k=10, nprobe=2, refine=0)
+    rows = adc.collect()
+    assert len(rows) == 10
+    assert set(adc.columns) == {"vec_id", "approx_cosine"}
+
+
+def test_sq8_codes_hit_extremes_and_bounds_are_invariant(spark):
+    from chapterhousedb_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, -2.0]), (2, [10.0, 2.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, maxs = sq8_bounds(df)
+    assert mins == [0.0, -2.0] and maxs == [10.0, 2.0]
+    assert sq8_bounds(df.repartition(5)) == (mins, maxs)
+    codes = {
+        r["vec_id"]: r["qvec"]
+        for r in sq8_quantize(df, mins, maxs).collect()
+    }
+    # x == mn -> -128, x == mx -> 127, midpoint -> floor(127.5+0.5)-128
+    assert codes[1] == [-128, -128]
+    assert codes[2] == [127, 127]
+    assert codes[3] == [0, 0]
+
+
+def test_sq8_caller_bounds_clamp_out_of_range(spark):
+    from chapterhousedb_spark.operators.similarity import sq8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [-5.0, 50.0])], "vec_id long, embedding array<double>"
+    )
+    codes = sq8_quantize(df, [0.0, 0.0], [1.0, 1.0]).collect()[0]["qvec"]
+    assert codes == [-128, 127]
+
+
+def test_sq8_topk_tracks_exact_ranking(vectors):
+    from chapterhousedb_spark.operators.similarity import sq8_topk
+
+    df, mat = vectors
+    q = [1.0] * DIMS
+    exact = _numpy_topk(mat, np.array(q), 10)
+    got = [r["vec_id"] for r in sq8_topk(df, q, k=10).collect()]
+    # 255 steps per dim: top-1 exact, top-10 nearly identical
+    assert got[0] == exact[0]
+    assert len(set(got) & set(exact)) >= 8
+
+
+def test_sq8_quantize_reproducible_under_repartition(vectors):
+    from chapterhousedb_spark.operators.similarity import (
+        sq8_bounds,
+        sq8_quantize,
+        sq8_scores,
+    )
+
+    df, _ = vectors
+    mins, maxs = sq8_bounds(df)
+    q = [1.0] * DIMS
+
+    def run(frame):
+        out = sq8_scores(sq8_quantize(frame, mins, maxs), mins, maxs, q)
+        return {
+            r["vec_id"]: (r["qvec"], r["approx_cosine"])
+            for r in out.select("vec_id", "qvec", "approx_cosine").collect()
+        }
+
+    a, b = run(df), run(df.repartition(9))
+    assert a == b and len(a) == N  # bit-identical scores, not just close
+
+
+def test_sq8_empty_corpus(spark):
+    from chapterhousedb_spark.operators.similarity import sq8_topk
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert sq8_topk(empty, [1.0, 1.0], k=5).count() == 0
