@@ -484,3 +484,35 @@ def test_dedup_span_rewrite_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert "partial_count" in plan
+
+
+def test_embedding_sq8_plan_stays_jvm(spark):
+    """The whole SQ8 path (quantize + dequantized-cosine fold + top-k)
+    is JVM expressions: no Python eval anywhere, and the final top-100
+    is TakeOrdered, never a global sort."""
+    plan = physical_plan(q("embedding_sq8", spark))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_adc_scan_is_code_only_and_pruned(spark, tmp_path, sf_dir):
+    """A persisted IVF-PQ index probed ADC-only must (a) partition-
+    prune to the probed cells and (b) column-prune the float vectors
+    away — the scan reads id + code, nothing else. That pairing is the
+    entire 100 TB story: nprobe/n_cells of the files, ~1/32 of the
+    bytes within them."""
+    from chapterhousedb_spark.operators.similarity import (
+        pq_probe_topk,
+        pq_write_index,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    path = str(tmp_path / "pqplan")
+    pq_write_index(embs, path, n_cells=4, m=8, nbits=4, max_iter=2)
+    adc = pq_probe_topk(spark, path, [1.0] * 64, k=5, nprobe=2, refine=0)
+    plan = physical_plan(adc)
+    assert "PartitionFilters: [ivf_cell" in plan or "ivf_cell IN" in plan, plan
+    [cols] = read_schema_columns(adc)
+    assert "embedding" not in cols, cols
+    assert "pq_code" in cols and "vec_id" in cols
