@@ -101,6 +101,7 @@ HEADLINE = [
     "markup_removal",
     "embedding_sq8",
     "similarity_pq",
+    "ngram_repetition",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

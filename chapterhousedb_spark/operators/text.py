@@ -204,6 +204,116 @@ def repetition_stats(
     )
 
 
+def ngram_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher-style n-gram repetition coverage (Rae et al. 2021 §A1.1,
+    the filters FineWeb/Dolma replicate): per document,
+
+    - top{n}gram_char_frac (n in top_ns): character mass of the single
+      most frequent n-gram (count x its joined character length) over
+      the normalized text length — ties break to the lexicographically
+      smallest n-gram, so the statistic is deterministic;
+    - dup{n}gram_char_frac (n in dup_ns): character mass of ALL
+      n-grams occurring more than once. Overlapping occurrences are
+      NOT deduplicated (the simplified mass measure, documented —
+      fractions can exceed 1 on degenerate loop text, which is exactly
+      the signal the filter thresholds on).
+
+    Docs too short for an n contribute 0.0 for that column; every
+    input doc keeps a row.
+
+    Scale shape: ONE explode over all requested n (sum_n (T-n+1) rows
+    per doc, ~|ns| x tokens), one (doc, n, gram) hash aggregation with
+    map-side partials, then a per-doc conditional aggregation — the
+    same two-shuffle postings shape as rarity_stats; nothing is
+    quadratic in doc length and the gram key keeps skew bounded by
+    in-doc repetition, which is the thing being measured."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    c = F.col(text_col)
+    toks = F.split(normalize_text(c), " ")
+    grams_per_n = [
+        F.when(
+            F.size(F.col("__toks")) >= n,
+            F.expr(
+                f"transform(sequence(0, size(__toks) - {n}), "
+                f"i -> named_struct('n', {n}, "
+                f"'gram', array_join(slice(__toks, i + 1, {n}), ' ')))"
+            ),
+        ).otherwise(
+            F.expr("CAST(array() AS array<struct<n:int,gram:string>>)")
+        )
+        for n in all_ns
+    ]
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.length(normalize_text(c)).alias("total_chars"),
+    )
+    exploded = base.select(
+        id_col,
+        "total_chars",
+        F.explode(F.flatten(F.array(*grams_per_n))).alias("g"),
+    )
+    counts = exploded.groupBy(
+        F.col(id_col), F.col("g.n").alias("__n"), F.col("g.gram").alias("__gram")
+    ).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.first("total_chars").alias("total_chars"),
+    )
+    # deterministic per-(doc, n) argmax: min over (-cnt, gram) —
+    # count desc then gram asc; (cnt, gram) is unique after the groupBy
+    top_struct = F.struct(
+        (-F.col("__cnt")).alias("nc"),
+        F.col("__gram").alias("gram"),
+        F.length("__gram").alias("cl"),
+    )
+    aggs = [F.first("total_chars").alias("total_chars")]
+    for n in top_ns:
+        aggs.append(
+            F.min(F.when(F.col("__n") == n, top_struct)).alias(f"__top{n}")
+        )
+    for n in dup_ns:
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("__n") == n) & (F.col("__cnt") >= 2),
+                    F.col("__cnt") * F.length("__gram"),
+                ).otherwise(F.lit(0))
+            ).alias(f"__dup{n}")
+        )
+    feats = counts.groupBy(id_col).agg(*aggs)
+    denom = F.greatest(F.col("total_chars"), F.lit(1))
+    out_cols = [F.col(id_col)]
+    for n in top_ns:
+        t = F.col(f"__top{n}")
+        out_cols.append(
+            F.coalesce(
+                ((-t["nc"]) * t["cl"]).cast("double") / denom, F.lit(0.0)
+            ).alias(f"top{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        out_cols.append(
+            F.coalesce(
+                F.col(f"__dup{n}").cast("double") / denom, F.lit(0.0)
+            ).alias(f"dup{n}gram_char_frac")
+        )
+    feats = feats.select(*out_cols)
+    # left join keeps a (all-zero) row for docs too short for ANY n
+    zero = [
+        F.coalesce(F.col(cname), F.lit(0.0)).alias(cname)
+        for cname in feats.columns
+        if cname != id_col
+    ]
+    return (
+        df.select(id_col).join(feats, id_col, "left").select(F.col(id_col), *zero)
+    )
+
+
 def text_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

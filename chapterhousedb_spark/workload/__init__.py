@@ -144,7 +144,8 @@ _DRIVER_FIRST = [
     "tpch_q12_priority_shipping",
     # tpch_q14_promo_effect demoted round 9 to pay for embedding_sq8
     # (see _DRIVER_LAST)
-    "tpch_q16_supplier_cnt",
+    # tpch_q16_supplier_cnt demoted round 9 to pay for ngram_repetition
+    # (see _DRIVER_LAST)
     "tpch_q19_disjunctive_revenue",
     "pack_materialize",
     "pii_redaction",
@@ -224,11 +225,22 @@ _DRIVER_FIRST = [
     # tpch_q12's conditional counts, and it re-earns driver-green via
     # rotation like every demoted row.
     "embedding_sq8",
+    # ...plus the Gopher repetition-coverage filters (top-n-gram char
+    # fraction + duplicated-n-gram char mass, every integer mass and
+    # the final division replayed by DuckDB). Paid for by demoting
+    # tpch_q16_supplier_cnt: its distinctive property (the null-aware
+    # anti join `LeftAnti, BuildRight, true`) is plan-asserted in
+    # test_plans.py, anti-join correctness stays gated through
+    # tpch_q21/tpch_q22, and it re-earns driver-green via rotation.
+    "ngram_repetition",
 ]
 _DRIVER_LAST = [
     # round-9 demotion paying for embedding_sq8 (see above); long
     # driver-green (r7-r8), family-redundant, rotation-eligible:
     "tpch_q14_promo_effect",
+    # round-9 demotion paying for ngram_repetition (see above); its
+    # null-aware anti-join plan shape stays test-asserted:
+    "tpch_q16_supplier_cnt",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

@@ -42,6 +42,7 @@ from chapterhousedb_spark.operators.text import (
     pack_sequences,
     _STOPWORDS,
     lang_id,
+    ngram_repetition_stats,
     repetition_stats,
     text_fingerprint,
     text_stats,
@@ -252,6 +253,78 @@ def text_chunks_q(spark, sf_dir):
 def text_repetition_q(spark, sf_dir):
     """Within-document repetition ratios (boilerplate/loop filters)."""
     return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+_NGRAM_TOP_NS = (2, 3, 4)
+_NGRAM_DUP_NS = (5, 6, 7, 8, 9, 10)
+_NGRAM_ALL_NS = ",".join(
+    f"({n})" for n in sorted(set(_NGRAM_TOP_NS) | set(_NGRAM_DUP_NS))
+)
+_NGRAM_TOP_SEL = ",\n".join(
+    f"MAX(CASE WHEN n = {n} THEN mass END) AS t{n}" for n in _NGRAM_TOP_NS
+)
+_NGRAM_DUP_SEL = ",\n".join(
+    f"MAX(CASE WHEN n = {n} THEN mass END) AS m{n}" for n in _NGRAM_DUP_NS
+)
+_NGRAM_OUT = ",\n".join(
+    [
+        f"coalesce(CAST(p.t{n} AS DOUBLE) / tc.denom, 0.0)"
+        f" AS top{n}gram_char_frac"
+        for n in _NGRAM_TOP_NS
+    ]
+    + [
+        f"coalesce(CAST(u.m{n} AS DOUBLE) / tc.denom, 0.0)"
+        f" AS dup{n}gram_char_frac"
+        for n in _NGRAM_DUP_NS
+    ]
+)
+
+
+@query(
+    "ngram_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, length({_NORM}) AS total_chars
+      FROM documents),
+    g AS (
+      SELECT t.doc_id, v.n,
+             array_to_string(t.toks[s.i : s.i + v.n - 1], ' ') AS gram
+      FROM t
+      CROSS JOIN (VALUES {_NGRAM_ALL_NS}) v(n)
+      CROSS JOIN unnest(generate_series(1, len(t.toks) - v.n + 1)) s(i)
+      WHERE len(t.toks) >= v.n),
+    c AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt, length(gram) AS cl
+      FROM g GROUP BY doc_id, n, gram),
+    sel AS (
+      SELECT doc_id, n, cnt, cl,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM c),
+    tops AS (SELECT doc_id, n, cnt * cl AS mass FROM sel WHERE rn = 1),
+    dups AS (
+      SELECT doc_id, n,
+             SUM(CASE WHEN cnt >= 2 THEN cnt * cl ELSE 0 END) AS mass
+      FROM c GROUP BY doc_id, n),
+    p AS (SELECT doc_id, {_NGRAM_TOP_SEL} FROM tops GROUP BY doc_id),
+    u AS (SELECT doc_id, {_NGRAM_DUP_SEL} FROM dups GROUP BY doc_id),
+    tc AS (SELECT doc_id, greatest(total_chars, 1) AS denom FROM t)
+    SELECT d.doc_id,
+           {_NGRAM_OUT}
+    FROM documents d
+    JOIN tc ON tc.doc_id = d.doc_id
+    LEFT JOIN p ON p.doc_id = d.doc_id
+    LEFT JOIN u ON u.doc_id = d.doc_id
+    """,
+)
+def ngram_repetition_q(spark, sf_dir):
+    """Gopher repetition-coverage filters (round 9): top-{2,3,4}-gram
+    character fraction + duplicated-{5..10}-gram character mass per
+    document. The oracle replays the whole pipeline — tokenize, one
+    gram table for every n, count, deterministic tie-broken argmax,
+    dup mass, coalesced zero rows — so the hash gate pins the exact
+    integer masses and the single final division."""
+    return ngram_repetition_stats(load(spark, sf_dir, "documents"))
 
 
 @query(

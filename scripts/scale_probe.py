@@ -129,6 +129,13 @@ def probe(spark, docs, embs) -> dict:
 
     n, t = timed_count(tfidf_top_terms(docs, k=3))
     out["tfidf_rows"], out["tfidf_rows_sec"] = n, t
+    # ngram repetition coverage: output is exactly one row per doc and
+    # the gram table is ~9x tokens — both rows and time must stay
+    # ~linear over the 10x step (round 9)
+    from chapterhousedb_spark.operators.text import ngram_repetition_stats
+
+    n, t = timed_count(ngram_repetition_stats(docs))
+    out["ngram_rep_rows"], out["ngram_rep_rows_sec"] = n, t
     edited = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
         "text",
         F.when(

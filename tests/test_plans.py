@@ -516,3 +516,14 @@ def test_pq_adc_scan_is_code_only_and_pruned(spark, tmp_path, sf_dir):
     [cols] = read_schema_columns(adc)
     assert "embedding" not in cols, cols
     assert "pq_code" in cols and "vec_id" in cols
+
+
+def test_ngram_repetition_plan_shape(spark):
+    """Repetition coverage is the two-shuffle postings shape: the
+    (doc, n, gram) counts collapse map-side before the exchange, no
+    cartesian anywhere, and the final per-doc fold is a hash
+    aggregate."""
+    plan = physical_plan(q("ngram_repetition", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan

@@ -761,3 +761,88 @@ def test_strip_markup_planted_and_hostile(spark):
     assert got[6]["text_clean"] == "a b"
     for d in got.values():
         assert d["n_chars_clean"] == len(d["text_clean"])
+
+
+def test_ngram_repetition_stats_hand_example(spark):
+    """Hand-computed Gopher coverage fractions on a loop doc, a short
+    doc (all-zero row must survive), and a no-repetition doc."""
+    from chapterhousedb_spark.operators.text import ngram_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y x y x y x y"),  # 8 tokens, 15 chars normalized
+            (2, "hello"),            # too short for any n
+            (3, "a b c d e f"),      # no repeated n-gram at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_repetition_stats(df).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    # "x y" x4 -> 4*3/15; tie "x y x"/"y x y" breaks lexicographically
+    # to "x y x" (x3, len 5) -> 15/15; "x y x y" x3 (len 7) -> 21/15
+    assert r1["top2gram_char_frac"] == pytest.approx(12 / 15)
+    assert r1["top3gram_char_frac"] == pytest.approx(15 / 15)
+    assert r1["top4gram_char_frac"] == pytest.approx(21 / 15)
+    # both 5-grams appear twice (len 9): (2*9 + 2*9)/15; the 6-gram
+    # "x y x y x y" twice (len 11): 22/15; 7+ grams never repeat
+    assert r1["dup5gram_char_frac"] == pytest.approx(36 / 15)
+    assert r1["dup6gram_char_frac"] == pytest.approx(22 / 15)
+    assert r1["dup7gram_char_frac"] == 0.0
+    assert r1["dup10gram_char_frac"] == 0.0
+    for c, v in rows[2].items():
+        if c != "doc_id":
+            assert v == 0.0, c
+    r3 = rows[3]
+    assert r3["top2gram_char_frac"] == pytest.approx(3 / 11)  # any one bigram
+    assert all(r3[f"dup{n}gram_char_frac"] == 0.0 for n in range(5, 11))
+
+
+def test_ngram_repetition_stats_python_reference(spark):
+    """Brute-force python replay of the documented semantics on mixed
+    docs — every column, exact fractions."""
+    from collections import Counter
+
+    from chapterhousedb_spark.operators.text import ngram_repetition_stats
+
+    texts = {
+        10: "The  quick brown fox the quick brown fox jumps",
+        11: "one two one two three one two one two three one two",
+        12: "single",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in ngram_repetition_stats(df).collect()
+    }
+
+    def ref(text):
+        import re
+
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        toks = norm.split(" ")
+        denom = max(len(norm), 1)
+        out = {}
+        for n in (2, 3, 4):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if grams:
+                cnt = Counter(grams)
+                best = min(cnt, key=lambda g: (-cnt[g], g))
+                out[f"top{n}gram_char_frac"] = cnt[best] * len(best) / denom
+            else:
+                out[f"top{n}gram_char_frac"] = 0.0
+        for n in range(5, 11):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            cnt = Counter(grams)
+            mass = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+            out[f"dup{n}gram_char_frac"] = mass / denom
+        return out
+
+    for i, t in texts.items():
+        want = ref(t)
+        for c, v in want.items():
+            assert got[i][c] == pytest.approx(v), (i, c)
