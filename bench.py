@@ -102,6 +102,7 @@ HEADLINE = [
     "embedding_sq8",
     "similarity_pq",
     "ngram_repetition",
+    "c4_clean",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -314,6 +314,62 @@ def ngram_repetition_stats(
     )
 
 
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2): keep a
+    line only if it (1) ends in terminal punctuation (. ! ? or a
+    closing quote), (2) has at least `min_words` words, (3) contains
+    no curly brace, (4) doesn't mention "lorem ipsum" and (5) doesn't
+    mention "javascript" (substring match — a documented
+    simplification of C4's word match). Lines are trimmed and
+    inner-whitespace-collapsed first; empty lines never count as
+    dropped. Returns per doc: the rebuilt text (kept lines joined by
+    newlines), kept/dropped line counts, a sentence count over the
+    cleaned text (terminal-punctuation occurrences — C4's own proxy),
+    and C4's page rule keep = n_sentences >= min_sentences.
+
+    Everything is JVM array/string expressions on a single scan — no
+    shuffle, no Python — so this runs at full scan speed on 100 TB and
+    composes with exact_dedup/duplicate_spans for C4's three-sentence
+    span dedup stage."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(
+            F.split(c, r"\n"),
+            lambda x: F.regexp_replace(F.trim(x), r"\s+", " "),
+        ),
+        lambda x: x != "",
+    )
+
+    def _line_ok(x):
+        low = F.lower(x)
+        return (
+            F.substring(x, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(F.split(x, " ")) >= min_words)
+            & ~x.contains("{")
+            & ~x.contains("}")
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.split(clean, r"[.!?]")) - 1
+    return df.select(
+        F.col(id_col),
+        clean.alias("text_clean"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_lines_dropped"),
+        n_sent.cast("int").alias("n_sentences"),
+        (n_sent >= min_sentences).alias("keep"),
+    )
+
+
 def text_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

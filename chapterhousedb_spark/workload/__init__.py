@@ -140,7 +140,8 @@ _DRIVER_FIRST = [
     "token_budget_mix",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
-    "tpch_q10_returned_items",
+    # tpch_q10_returned_items demoted round 9 to pay for c4_clean
+    # (see _DRIVER_LAST)
     "tpch_q12_priority_shipping",
     # tpch_q14_promo_effect demoted round 9 to pay for embedding_sq8
     # (see _DRIVER_LAST)
@@ -233,6 +234,14 @@ _DRIVER_FIRST = [
     # test_plans.py, anti-join correctness stays gated through
     # tpch_q21/tpch_q22, and it re-earns driver-green via rotation.
     "ngram_repetition",
+    # ...plus the C4 line-level cleanup, whose rebuilt text is
+    # hash-checked character-exactly (every line predicate + the
+    # sentence-count page rule under one oracle). Paid for by demoting
+    # tpch_q10_returned_items: its distinctive plan property (the
+    # TakeOrderedAndProject over the wide group) is asserted in
+    # test_plans.py, the join+top-k family stays gated through
+    # tpch_q3/tpch_q18, and it re-earns driver-green via rotation.
+    "c4_clean",
 ]
 _DRIVER_LAST = [
     # round-9 demotion paying for embedding_sq8 (see above); long
@@ -241,6 +250,9 @@ _DRIVER_LAST = [
     # round-9 demotion paying for ngram_repetition (see above); its
     # null-aware anti-join plan shape stays test-asserted:
     "tpch_q16_supplier_cnt",
+    # round-9 demotion paying for c4_clean (see above); its
+    # TakeOrdered-wide-group plan shape stays test-asserted:
+    "tpch_q10_returned_items",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

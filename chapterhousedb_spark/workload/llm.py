@@ -42,6 +42,7 @@ from chapterhousedb_spark.operators.text import (
     pack_sequences,
     _STOPWORDS,
     lang_id,
+    c4_line_filters,
     ngram_repetition_stats,
     repetition_stats,
     text_fingerprint,
@@ -325,6 +326,89 @@ def ngram_repetition_q(spark, sf_dir):
     dup mass, coalesced zero rows — so the hash gate pins the exact
     integer masses and the single final division."""
     return ngram_repetition_stats(load(spark, sf_dir, "documents"))
+
+
+# the synthetic documents are single-line and punctuation-free, so the
+# gated query stages a scaffold around each doc's text (same trick as
+# markup_removal): one line per predicate — a javascript watermark, the
+# doc body ending in '.', a too-short stub, a brace line, lorem ipsum,
+# a parity-dependent line that flips the page rule, and a closing
+# sentence. Every predicate fires on every doc and keep varies by
+# parity, so nothing about the gate is vacuous.
+_C4_SCAFFOLD_SQL = (
+    "'Intro watermark javascript line should drop here.' || chr(10) || "
+    "text || '.' || chr(10) || "
+    "'Short stub.' || chr(10) || "
+    "'A line with {braces} that ends properly anyway.' || chr(10) || "
+    "'lorem ipsum dolor sit amet consectetur adipiscing.' || chr(10) || "
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN 'An extra proper sentence stays right here today.' "
+    "ELSE 'too short.' END || chr(10) || "
+    "'Final valid sentence with enough words to pass!'"
+)
+
+
+@query(
+    "c4_clean",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {_C4_SCAFFOLD_SQL} AS text FROM documents),
+    l AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_split_to_array(text, '\\n'),
+               x -> regexp_replace(trim(x), '\\s+', ' ', 'g')),
+               x -> x != '') AS lines
+      FROM staged),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x ->
+               right(x, 1) IN ('.', '!', '?', '"')
+               AND len(string_split(x, ' ')) >= 5
+               AND NOT contains(x, '{{') AND NOT contains(x, '}}')
+               AND NOT contains(lower(x), 'lorem ipsum')
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l),
+    s AS (
+      SELECT doc_id, lines, kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+      FROM k)
+    SELECT doc_id,
+           text_clean,
+           CAST(len(kept) AS INT) AS n_lines_kept,
+           CAST(len(lines) - len(kept) AS INT) AS n_lines_dropped,
+           CAST(len(regexp_split_to_array(text_clean, '[.!?]')) - 1 AS INT)
+             AS n_sentences,
+           CAST((len(regexp_split_to_array(text_clean, '[.!?]')) - 1 >= 3)
+             AS INT) AS keep
+    FROM s
+    """,
+)
+def c4_clean_q(spark, sf_dir):
+    """C4 line-level cleanup (round 9) over scaffolded multi-line
+    docs: the rebuilt text is hash-checked CHARACTER-exactly, so the
+    gate pins every predicate — terminal punctuation, word minimum,
+    brace/boilerplate/javascript rejection — plus the sentence-count
+    page rule (which flips with doc parity). keep is cast to int on
+    both sides for hash portability."""
+    doc = load(spark, sf_dir, "documents")
+    staged = doc.select(
+        "doc_id",
+        F.concat(
+            F.lit("Intro watermark javascript line should drop here.\n"),
+            F.col("text"),
+            F.lit(".\nShort stub.\n"),
+            F.lit("A line with {braces} that ends properly anyway.\n"),
+            F.lit("lorem ipsum dolor sit amet consectetur adipiscing.\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("An extra proper sentence stays right here today."),
+            ).otherwise(F.lit("too short.")),
+            F.lit("\nFinal valid sentence with enough words to pass!"),
+        ).alias("text"),
+    )
+    out = c4_line_filters(staged)
+    return out.withColumn("keep", F.col("keep").cast("int"))
 
 
 @query(

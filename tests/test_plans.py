@@ -527,3 +527,12 @@ def test_ngram_repetition_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_c4_clean_plan_is_single_scan(spark):
+    """C4 cleanup is a pure per-row projection: no exchange, no join,
+    no Python eval — one scan at full codegen speed."""
+    plan = physical_plan(q("c4_clean", spark))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan

@@ -846,3 +846,56 @@ def test_ngram_repetition_stats_python_reference(spark):
         want = ref(t)
         for c, v in want.items():
             assert got[i][c] == pytest.approx(v), (i, c)
+
+
+def test_c4_line_filters_predicates(spark):
+    """Every C4 predicate on one hand-built page, plus the page rule
+    and the all-dropped degenerate (text_clean must be '', not null)."""
+    from chapterhousedb_spark.operators.text import c4_line_filters
+
+    page = "\n".join(
+        [
+            "This line has five words total.",        # kept
+            "  Weird   spacing should still be kept here.  ",  # kept (collapsed)
+            "no terminal punctuation so it drops",
+            "Too few words.",
+            "This {brace} line drops despite ending well.",
+            "This javascript mention drops the line entirely.",
+            "Lorem Ipsum boilerplate is dropped case-insensitively.",
+            "",                                        # empty: never counted
+            'Quoted lines ending like this stay kept."',
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "no punctuation here at all")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in c4_line_filters(df).collect()}
+    r1 = rows[1]
+    assert r1["text_clean"] == "\n".join(
+        [
+            "This line has five words total.",
+            "Weird spacing should still be kept here.",
+            'Quoted lines ending like this stay kept."',
+        ]
+    )
+    assert r1["n_lines_kept"] == 3
+    assert r1["n_lines_dropped"] == 5  # empty line is not a line
+    assert r1["n_sentences"] == 3 and r1["keep"] is True
+    r2 = rows[2]
+    assert r2["text_clean"] == "" and r2["n_lines_kept"] == 0
+    assert r2["n_lines_dropped"] == 1
+    assert r2["n_sentences"] == 0 and r2["keep"] is False
+
+
+def test_c4_line_filters_thresholds(spark):
+    from chapterhousedb_spark.operators.text import c4_line_filters
+
+    df = spark.createDataFrame(
+        [(1, "One two three four.\nAlpha beta gamma delta epsilon.")],
+        "doc_id long, text string",
+    )
+    strict = c4_line_filters(df).collect()[0]
+    assert strict["n_lines_kept"] == 1  # 4-word line fails min_words=5
+    loose = c4_line_filters(df, min_words=4, min_sentences=2).collect()[0]
+    assert loose["n_lines_kept"] == 2 and loose["keep"] is True
