@@ -103,6 +103,7 @@ HEADLINE = [
     "similarity_pq",
     "ngram_repetition",
     "c4_clean",
+    "temperature_mix",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -268,3 +268,74 @@ def token_budget_mix(
         .drop(*aux, "__prior")
     )
     return kept_wholesale.unionByName(boundary)
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.25,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source resampling (the mT5/BLOOM mixing rule:
+    sample source i proportionally to n_i^alpha, alpha = 1/T): compute
+    each source's weight w_i = n_i^alpha / sum_j n_j^alpha, give it a
+    document quota of target_frac * N * w_i, and keep each of its docs
+    iff the 32-bit md5(salt:id) prefix falls under rate_i = min(1,
+    quota_i / n_i). alpha < 1 flattens the mixture (upsamples small
+    high-quality sources relative to their share); alpha = 1 reduces
+    to plain target_frac sampling; alpha = 0 equalizes sources.
+
+    Determinism contract: selection is the samplers' md5-threshold
+    rule, but here the threshold DERIVES from corpus counts, so the
+    whole arithmetic chain is built from exactly-rounded IEEE ops
+    (sqrt / div / mul / least) evaluated in a pinned order — the
+    normalizer folds sqrt(n_i) in ascending source order — making
+    rate_i bit-identical across engines and partitionings. alpha=0.5
+    (T=2, the most common setting) uses sqrt, which IEEE-754 rounds
+    correctly on every engine; other alphas go through pow(), which is
+    engine-faithful but not oracle-pinned (documented, like the
+    surprisal columns).
+
+    Scale shape: one map-side-combined count by source (|sources|
+    rows), the weight math on that tiny relation, one broadcast join
+    of the |sources|-row rate table onto the corpus, one scan filter.
+    No driver collect, no per-source sort, nothing quadratic."""
+    if not 0.0 <= target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in [0, 1], got {target_frac}")
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    w_expr = (
+        "sqrt(CAST(x.cnt AS DOUBLE))"
+        if alpha == 0.5
+        else f"power(CAST(x.cnt AS DOUBLE), CAST('{float(alpha)!r}' AS DOUBLE))"
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_total"),
+        F.expr(
+            f"aggregate(sort_array(collect_list(struct({source_col} AS src, "
+            f"cnt))), CAST(0 AS DOUBLE), (acc, x) -> acc + {w_expr})"
+        ).alias("wsum"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col(source_col).alias("src"), "cnt"))
+        ).alias("srcs"),
+    )
+    t_lit = f"CAST('{float(target_frac)!r}' AS DOUBLE)"
+    rates = totals.select(
+        F.explode("srcs").alias("x"), "n_total", "wsum"
+    ).select(
+        F.col("x.src").alias(source_col),
+        F.expr(
+            f"least(CAST(1.0 AS DOUBLE), {t_lit} * CAST(n_total AS DOUBLE)"
+            f" * ({w_expr} / wsum) / CAST(x.cnt AS DOUBLE))"
+        ).alias("rate"),
+    )
+    h_int = F.conv(_hash_prefix(id_col, salt + ":"), 16, 10).cast("bigint")
+    thr = F.expr(f"CAST(floor(rate * {float(_SPACE)!r}D) AS BIGINT)")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h_int < thr)
+        .select(F.col(id_col), F.col(source_col), F.col("rate"))
+    )

@@ -142,7 +142,8 @@ _DRIVER_FIRST = [
     "tpch_q8_market_share",
     # tpch_q10_returned_items demoted round 9 to pay for c4_clean
     # (see _DRIVER_LAST)
-    "tpch_q12_priority_shipping",
+    # tpch_q12_priority_shipping demoted round 9 to pay for
+    # temperature_mix (see _DRIVER_LAST)
     # tpch_q14_promo_effect demoted round 9 to pay for embedding_sq8
     # (see _DRIVER_LAST)
     # tpch_q16_supplier_cnt demoted round 9 to pay for ngram_repetition
@@ -242,6 +243,15 @@ _DRIVER_FIRST = [
     # test_plans.py, the join+top-k family stays gated through
     # tpch_q3/tpch_q18, and it re-earns driver-green via rotation.
     "c4_clean",
+    # ...plus alpha-temperature source resampling, whose md5 threshold
+    # DERIVES from corpus counts — the oracle replays the whole
+    # arithmetic chain (ascending-source sqrt fold, quota/rate, the
+    # floor(rate*2^32) threshold) bit-exactly. Paid for by demoting
+    # tpch_q12_priority_shipping: conditional CASE aggregation stays
+    # gated through tpch_q8's conditional market-share ratio and
+    # tpch_q4's exists-counts, the join family through tpch_q3/q18,
+    # and it re-earns driver-green via rotation.
+    "temperature_mix",
 ]
 _DRIVER_LAST = [
     # round-9 demotion paying for embedding_sq8 (see above); long
@@ -253,6 +263,9 @@ _DRIVER_LAST = [
     # round-9 demotion paying for c4_clean (see above); its
     # TakeOrdered-wide-group plan shape stays test-asserted:
     "tpch_q10_returned_items",
+    # round-9 demotion paying for temperature_mix (see above);
+    # conditional CASE aggregation stays gated via tpch_q8/tpch_q4:
+    "tpch_q12_priority_shipping",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

@@ -28,6 +28,7 @@ from chapterhousedb_spark.operators.sampling import (
     deterministic_sample,
     grouped_sample,
     stratified_sample,
+    temperature_mix,
     train_val_test_split,
     training_order,
 )
@@ -859,6 +860,42 @@ def sample_stratified_q(spark, sf_dir):
         default_fraction=0.1,
         salt="s1",
     ).select("doc_id", "source")
+
+
+@query(
+    "temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    t AS (
+      SELECT SUM(cnt) AS n_total,
+             list_sum(list_transform(list(cnt ORDER BY source),
+               x -> sqrt(CAST(x AS DOUBLE)))) AS wsum
+      FROM c),
+    r AS (
+      SELECT c.source,
+             least(CAST(1.0 AS DOUBLE),
+                   CAST('0.25' AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                   * (sqrt(CAST(c.cnt AS DOUBLE)) / t.wsum)
+                   / CAST(c.cnt AS DOUBLE)) AS rate
+      FROM c CROSS JOIN t)
+    SELECT d.doc_id, d.source, r.rate
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substring(md5('tmix:' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT)
+          < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def temperature_mix_q(spark, sf_dir):
+    """alpha=0.5 temperature resampling at a 25% overall target: the
+    oracle replays the ENTIRE derivation — counts, the ascending-
+    source sqrt fold, the weight/quota/rate arithmetic in the same
+    pinned operand order, the floor(rate * 2^32) threshold, and the
+    md5-prefix comparison — so the hash gate pins the rates (exposed
+    as a column) bit-exactly, not just the selected ids."""
+    return temperature_mix(
+        load(spark, sf_dir, "documents"), alpha=0.5, target_frac=0.25
+    )
 
 
 @query(

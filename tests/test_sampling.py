@@ -257,3 +257,88 @@ def test_token_budget_mix_hypothesis_random_graphs(spark):
         assert got == _naive_budget_mix(rows, budgets)
 
     inner()
+
+
+def _tmix_python_ref(rows, alpha, target_frac, salt="tmix"):
+    """Bit-faithful python replay of temperature_mix: IEEE doubles in
+    the same pinned operand order (ascending-source fold)."""
+    import hashlib
+    from collections import Counter
+
+    cnt = Counter(s for _, s in rows)
+    n_total = float(sum(cnt.values()))
+    srcs = sorted(cnt)
+    w = {s: float(cnt[s]) ** alpha if alpha != 0.5 else float(cnt[s]) ** 0.5 for s in srcs}
+    wsum = 0.0
+    for s in srcs:
+        wsum += w[s]
+    rates = {
+        s: min(1.0, target_frac * n_total * (w[s] / wsum) / float(cnt[s]))
+        for s in srcs
+    }
+    kept = set()
+    for i, s in rows:
+        h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+        if h < int(rates[s] * 4294967296.0 // 1):
+            kept.add(i)
+    return rates, kept
+
+
+def test_temperature_mix_matches_python_reference(spark):
+    from chapterhousedb_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 160 else ("mid" if i < 200 else "tiny"))
+            for i in range(210)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.5, target_frac=0.5).collect()
+    rates_ref, kept_ref = _tmix_python_ref(rows, 0.5, 0.5)
+    got_rates = {r["source"]: r["rate"] for r in out}
+    assert got_rates == pytest.approx(rates_ref, abs=0)  # bit-exact
+    assert {r["doc_id"] for r in out} == kept_ref
+    # alpha < 1 upsamples the small source relative to its share
+    assert rates_ref["tiny"] > rates_ref["big"]
+
+
+def test_temperature_mix_alpha_one_is_flat_sampling(spark):
+    from chapterhousedb_spark.operators.sampling import (
+        deterministic_sample,
+        temperature_mix,
+    )
+
+    # 96/32 split: counts are exact binary fractions of N=128, so the
+    # alpha=1 algebra collapses to rate == target bit-exactly
+    rows = [(i, "a" if i % 4 else "b") for i in range(128)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=1.0, target_frac=0.25, salt="s9")
+    rates = {r["rate"] for r in out.select("rate").distinct().collect()}
+    assert rates == {0.25}  # every source keeps exactly the target rate
+    flat = deterministic_sample(df, fraction=0.25, salt="s9:")
+    assert {r["doc_id"] for r in out.collect()} == {
+        r["doc_id"] for r in flat.collect()
+    }
+
+
+def test_temperature_mix_alpha_zero_equalizes(spark):
+    from chapterhousedb_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.0, target_frac=0.2)
+    rates = {r["source"]: r["rate"] for r in out.collect()}
+    # equal quotas: 10 docs each -> small source rate 10/10=1.0, big 10/90
+    assert rates.get("small") == 1.0
+    assert rates["big"] == pytest.approx(0.2 * 100 / 2 / 90, abs=0)
+
+
+def test_temperature_mix_partitioning_invariant_and_validates(spark):
+    from chapterhousedb_spark.operators.sampling import temperature_mix
+
+    rows = [(i, f"s{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r["doc_id"] for r in temperature_mix(df).collect()}
+    b = {r["doc_id"] for r in temperature_mix(df.repartition(13)).collect()}
+    assert a == b and a
+    with pytest.raises(ValueError, match="target_frac"):
+        temperature_mix(df, target_frac=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(df, alpha=-0.1)
