@@ -1271,3 +1271,88 @@ def sq8_topk(
         .orderBy(F.col("approx_cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def sq8_write_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 0,
+    seed: int = 7,
+    max_iter: int = 5,
+    sample_fraction: float | None = None,
+) -> dict:
+    """Persist the production SQ8 layout — quantize at WRITE time so
+    every later query scans int8 codes (1/4 the bytes) and the float
+    vectors only load for exact rerank. n_cells > 0 additionally
+    IVF-partitions the corpus (coarse cells as partition directories),
+    stacking partition pruning on top of the byte shrink, same
+    geometry as pq_write_index. Bounds (the quantizer's entire model:
+    2*dims doubles) live in <path>/sq8.json, reload anywhere."""
+    import posixpath
+
+    dims = pq_dims(df, vec_col)
+    mins, maxs = sq8_bounds(df, vec_col, dims=dims)
+    coded = sq8_quantize(df, mins, maxs, vec_col)
+    meta = {
+        "mins": mins,
+        "maxs": maxs,
+        "dims": dims,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "code_col": "qvec",
+    }
+    if n_cells > 0:
+        centroids = ivf_fit(df, vec_col, n_cells, seed, max_iter, sample_fraction)
+        coded = ivf_assign(coded, centroids, vec_col)
+        coded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+            posixpath.join(path, "corpus")
+        )
+        meta["centroids"] = centroids
+        meta["cell_col"] = "ivf_cell"
+    else:
+        coded.write.mode("overwrite").parquet(posixpath.join(path, "corpus"))
+    _write_json_artifact(df.sparkSession, path, "sq8.json", meta)
+    return meta
+
+
+def sq8_probe_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 0,
+    refine: int = 0,
+) -> DataFrame:
+    """Probe a persisted sq8_write_index layout: (optionally cell-
+    pruned) code-only scan -> dequantized-cosine fold -> TakeOrdered;
+    refine > 0 reranks the top candidates with exact cosine via a
+    broadcast semi-join back to the stored vectors. Layout parameters
+    all come from sq8.json (self-describing, like srp/ivf/pq)."""
+    import posixpath
+
+    meta = _read_index_meta(spark, path, "sq8.json")
+    corpus = spark.read.parquet(posixpath.join(path, "corpus"))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if nprobe > 0 and "centroids" in meta:
+        probes = ivf_probe_cells(meta["centroids"], query_vec, nprobe)
+        corpus = corpus.filter(F.col(meta["cell_col"]).isin(probes))
+    scored = sq8_scores(
+        corpus.select(id_col, meta["code_col"]),
+        meta["mins"],
+        meta["maxs"],
+        query_vec,
+        code_col=meta["code_col"],
+    )
+    top = (
+        scored.select(id_col, "approx_cosine")
+        .orderBy(F.col("approx_cosine").desc(), F.col(id_col))
+        .limit(max(k, refine))
+    )
+    if refine <= 0:
+        return top.limit(k)
+    kept = corpus.select(id_col, vec_col).join(
+        F.broadcast(top.select(id_col)), id_col
+    )
+    return cosine_topk(kept, query_vec, k, vec_col, id_col)

@@ -843,3 +843,37 @@ def test_sq8_empty_corpus(spark):
         [], "vec_id long, embedding array<double>"
     )
     assert sq8_topk(empty, [1.0, 1.0], k=5).count() == 0
+
+
+def test_sq8_index_roundtrip_prunes_and_refines(spark, tmp_path, vectors):
+    from chapterhousedb_spark.operators.similarity import (
+        sq8_probe_topk,
+        sq8_write_index,
+    )
+
+    df, mat = vectors
+    q = [1.0] * DIMS
+    # flat layout (no cells): code-only scan must column-prune the
+    # float vectors away entirely
+    flat = str(tmp_path / "sq8flat")
+    meta = sq8_write_index(df, flat)
+    assert meta["dims"] == DIMS and len(meta["mins"]) == DIMS
+    adc = sq8_probe_topk(spark, flat, q, k=10)
+    got = [r["vec_id"] for r in adc.collect()]
+    exact = _numpy_topk(mat, np.array(q), 10)
+    assert got[0] == exact[0] and len(set(got) & set(exact)) >= 8
+    from chapterhousedb_spark.plans import read_schema_columns
+
+    [cols] = read_schema_columns(adc)
+    assert "embedding" not in cols and "qvec" in cols
+    # celled layout: partition pruning + full refine == brute force
+    celled = str(tmp_path / "sq8cells")
+    sq8_write_index(df, celled, n_cells=4, max_iter=3)
+    ref = sq8_probe_topk(spark, celled, q, k=10, nprobe=4, refine=N)
+    assert [r["vec_id"] for r in ref.collect()] == exact
+    from chapterhousedb_spark.plans import physical_plan
+
+    pruned = sq8_probe_topk(spark, celled, q, k=5, nprobe=2)
+    plan = physical_plan(pruned)
+    assert "PartitionFilters: [ivf_cell" in plan or "ivf_cell IN" in plan
+    assert len(pruned.collect()) == 5
