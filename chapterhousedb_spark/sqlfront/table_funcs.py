@@ -550,6 +550,90 @@ QUALITY_SCORES = TableFunction(
 )
 
 
+def _build_repetition(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """repetition('<glob>' [, text=>...] [, id=>...]
+    [, connection=>...]): Gopher repetition-coverage fractions —
+    top-{2,3,4}-gram char fraction + duplicated-{5..10}-gram char mass
+    per doc (operators/text.py ngram_repetition_stats) —
+    `select doc_id from repetition('docs/*.parquet') where
+    top2gram_char_frac > 0.2` is the loop-text triage one-liner."""
+    from chapterhousedb_spark.operators.text import ngram_repetition_stats
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return ngram_repetition_stats(
+        df,
+        text_col=call.named_args.get("text", "text"),
+        id_col=call.named_args.get("id", "doc_id"),
+    )
+
+
+REPETITION = TableFunction(
+    name="repetition",
+    build=_build_repetition,
+    allowed_args=frozenset({"connection", "text", "id"}),
+)
+
+
+def _build_c4_clean(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """c4_clean('<glob>' [, min_words=>'5'] [, min_sentences=>'3']
+    [, text=>...] [, id=>...] [, connection=>...]): C4 line-level
+    cleanup (operators/text.py c4_line_filters) — `select doc_id,
+    text_clean from c4_clean('docs/*.parquet') where keep`."""
+    from chapterhousedb_spark.operators.text import c4_line_filters
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return c4_line_filters(
+        df,
+        text_col=call.named_args.get("text", "text"),
+        id_col=call.named_args.get("id", "doc_id"),
+        min_words=int(call.named_args.get("min_words", "5")),
+        min_sentences=int(call.named_args.get("min_sentences", "3")),
+    )
+
+
+C4_CLEAN = TableFunction(
+    name="c4_clean",
+    build=_build_c4_clean,
+    allowed_args=frozenset(
+        {"connection", "min_words", "min_sentences", "text", "id"}
+    ),
+)
+
+
+def _build_temperature_mix(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """temperature_mix('<glob>' [, alpha=>'0.5'] [, target=>'0.25']
+    [, source=>'source'] [, id=>'doc_id'] [, salt=>'tmix']
+    [, connection=>...]): mT5-style n^alpha source resampling
+    (operators/sampling.temperature_mix) — the corpus-mixing
+    one-liner at the SQL front door."""
+    from chapterhousedb_spark.operators.sampling import temperature_mix
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return temperature_mix(
+        df,
+        alpha=float(call.named_args.get("alpha", "0.5")),
+        target_frac=float(call.named_args.get("target", "0.25")),
+        source_col=call.named_args.get("source", "source"),
+        id_col=call.named_args.get("id", "doc_id"),
+        salt=call.named_args.get("salt", "tmix"),
+    )
+
+
+TEMPERATURE_MIX = TableFunction(
+    name="temperature_mix",
+    build=_build_temperature_mix,
+    allowed_args=frozenset(
+        {"connection", "alpha", "target", "source", "id", "salt"}
+    ),
+)
+
+
 def default_table_function_registry() -> TableFunctionRegistry:
     """read_files (the reference's sole function) + the reference's
     unchecked roadmap formats (README.md:63-66: CSV, JSON) + the
@@ -570,4 +654,7 @@ def default_table_function_registry() -> TableFunctionRegistry:
     reg.register(SPAN_REWRITE)
     reg.register(SEMANTIC_DEDUP)
     reg.register(QUALITY_SCORES)
+    reg.register(REPETITION)
+    reg.register(C4_CLEAN)
+    reg.register(TEMPERATURE_MIX)
     return reg

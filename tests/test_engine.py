@@ -758,3 +758,66 @@ def test_write_bloom_filters(engine, tmp_path):
         f"where o_orderkey = {probe_key}"
     )
     assert engine.fetch(h.query_id, 0, 10).num_rows >= 1
+
+
+def test_round9_operator_table_functions(engine, sf_dir):
+    """The round-9 operator TVFs through the full engine.sql path:
+    repetition (Gopher coverage fractions), c4_clean (line cleanup),
+    temperature_mix (n^alpha source resampling) — each cross-checked
+    against the operator called directly."""
+    from chapterhousedb_spark.operators.sampling import temperature_mix
+    from chapterhousedb_spark.operators.text import (
+        c4_line_filters,
+        ngram_repetition_stats,
+    )
+
+    spark = engine.spark
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    [h] = engine.sql_wait(
+        "select doc_id, top2gram_char_frac, dup5gram_char_frac "
+        "from repetition('documents.parquet', connection=>'testdata')"
+    )
+    got = {
+        r["doc_id"]: (r["top2gram_char_frac"], r["dup5gram_char_frac"])
+        for r in engine.fetch(h.query_id, limit=10_000).to_pylist()
+    }
+    want = {
+        r["doc_id"]: (r["top2gram_char_frac"], r["dup5gram_char_frac"])
+        for r in ngram_repetition_stats(docs)
+        .select("doc_id", "top2gram_char_frac", "dup5gram_char_frac")
+        .collect()
+    }
+    assert got == want
+
+    [h] = engine.sql_wait(
+        "select doc_id, n_lines_kept, keep from c4_clean("
+        "'documents.parquet', connection=>'testdata', min_words=>'3')"
+    )
+    got = {
+        r["doc_id"]: (r["n_lines_kept"], r["keep"])
+        for r in engine.fetch(h.query_id, limit=10_000).to_pylist()
+    }
+    want = {
+        r["doc_id"]: (r["n_lines_kept"], r["keep"])
+        for r in c4_line_filters(docs, min_words=3)
+        .select("doc_id", "n_lines_kept", "keep")
+        .collect()
+    }
+    assert got == want
+
+    [h] = engine.sql_wait(
+        "select doc_id, rate from temperature_mix('documents.parquet', "
+        "connection=>'testdata', alpha=>'0.5', target=>'0.5', salt=>'t9')"
+    )
+    got = {
+        r["doc_id"]: r["rate"]
+        for r in engine.fetch(h.query_id, limit=10_000).to_pylist()
+    }
+    want = {
+        r["doc_id"]: r["rate"]
+        for r in temperature_mix(
+            docs, alpha=0.5, target_frac=0.5, salt="t9"
+        ).collect()
+    }
+    assert got == want and got
