@@ -104,6 +104,7 @@ HEADLINE = [
     "ngram_repetition",
     "c4_clean",
     "temperature_mix",
+    "pipeline_fineweb",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

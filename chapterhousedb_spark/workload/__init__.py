@@ -138,7 +138,8 @@ _DRIVER_FIRST = [
     # construction as its df stage) and vocab's TakeOrdered plan is
     # test-asserted
     "token_budget_mix",
-    "tpch_q6_forecast_revenue",
+    # tpch_q6_forecast_revenue demoted round 9 to pay for
+    # pipeline_fineweb (see _DRIVER_LAST)
     "tpch_q8_market_share",
     # tpch_q10_returned_items demoted round 9 to pay for c4_clean
     # (see _DRIVER_LAST)
@@ -252,6 +253,16 @@ _DRIVER_FIRST = [
     # tpch_q4's exists-counts, the join family through tpch_q3/q18,
     # and it re-earns driver-green via rotation.
     "temperature_mix",
+    # ...plus the composed FineWeb curation pipeline (token floor ->
+    # repetition gate -> exact dedup -> temperature mix, one oracle
+    # replaying every stage — the round's composition proof, like
+    # pipeline_curation for round 6). Paid for by demoting
+    # tpch_q6_forecast_revenue: its distinctive property (ALL
+    # predicates pushed to the scan) is plan-asserted in test_plans.py
+    # test_tpch_q6_full_predicate_pushdown, scalar-agg pushdown stays
+    # gated through tpch_q14-era shapes via rotation re-entry, and it
+    # re-earns driver-green like every demoted row.
+    "pipeline_fineweb",
 ]
 _DRIVER_LAST = [
     # round-9 demotion paying for embedding_sq8 (see above); long
@@ -266,6 +277,9 @@ _DRIVER_LAST = [
     # round-9 demotion paying for temperature_mix (see above);
     # conditional CASE aggregation stays gated via tpch_q8/tpch_q4:
     "tpch_q12_priority_shipping",
+    # round-9 demotion paying for pipeline_fineweb (see above); its
+    # all-predicates-pushed scan is plan-asserted:
+    "tpch_q6_forecast_revenue",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

@@ -1645,6 +1645,97 @@ def pipeline_curation_q(spark, sf_dir):
 
 
 @query(
+    "pipeline_fineweb",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE len({_TOKS}) >= 25),
+    t2 AS (
+      SELECT doc_id, {_TOKS} AS toks, length({_NORM}) AS total_chars
+      FROM q),
+    bg AS (
+      SELECT t2.doc_id,
+             array_to_string(t2.toks[s.i : s.i + 1], ' ') AS gram
+      FROM t2
+      CROSS JOIN unnest(generate_series(1, len(t2.toks) - 1)) s(i)),
+    sel AS (
+      SELECT doc_id, cnt, cl,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM (SELECT doc_id, gram, COUNT(*) AS cnt, length(gram) AS cl
+            FROM bg GROUP BY doc_id, gram)),
+    rep AS (
+      SELECT s.doc_id,
+             CAST(s.cnt * s.cl AS DOUBLE) / greatest(t2.total_chars, 1)
+               AS top2
+      FROM sel s JOIN t2 USING (doc_id) WHERE s.rn = 1),
+    g AS (
+      SELECT q.doc_id, q.source, q.text, rep.top2
+      FROM q JOIN rep USING (doc_id) WHERE rep.top2 <= 0.09),
+    d AS (SELECT g.*, md5({_NORM}) AS th FROM g),
+    k AS (SELECT th, MIN(doc_id) AS keeper FROM d GROUP BY th),
+    canon AS (
+      SELECT d.doc_id, d.source, d.top2
+      FROM d JOIN k ON d.th = k.th AND d.doc_id = k.keeper),
+    c AS (SELECT source, COUNT(*) AS cnt FROM canon GROUP BY source),
+    t AS (
+      SELECT SUM(cnt) AS n_total,
+             list_sum(list_transform(list(cnt ORDER BY source),
+               x -> sqrt(CAST(x AS DOUBLE)))) AS wsum
+      FROM c),
+    r AS (
+      SELECT c.source,
+             least(CAST(1.0 AS DOUBLE),
+                   CAST('0.5' AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                   * (sqrt(CAST(c.cnt AS DOUBLE)) / t.wsum)
+                   / CAST(c.cnt AS DOUBLE)) AS rate
+      FROM c CROSS JOIN t)
+    SELECT canon.doc_id, canon.source, r.rate,
+           canon.top2 AS top2gram_char_frac
+    FROM canon JOIN r USING (source)
+    WHERE CAST(('0x' || substring(md5('fw:' || CAST(canon.doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT)
+          < CAST(floor(r.rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def pipeline_fineweb_q(spark, sf_dir):
+    """The round-9 composed curation pipeline under ONE oracle —
+    the FineWeb/Gopher recipe out of this round's operators: token
+    floor (text_stats) -> repetition-coverage gate
+    (ngram_repetition_stats, top-2-gram fraction <= 0.09; thresholds
+    chosen at the measured p50-p90 so both branches are non-vacuous)
+    -> exact dedup (md5-of-normalized-text keeper election) ->
+    alpha=0.5 temperature mix at a 50% target over the SURVIVOR
+    source counts. Pins that the stages COMPOSE: the repetition
+    fractions stay bit-exact through the join, the dedup changes the
+    mixer's count basis, and the md5 machinery stacks two independent
+    salted draws. At 100 TB: stats gate map-side, repetition is the
+    postings shape on survivors only, dedup one hash shuffle,
+    mix a broadcast join — no new scale term beyond the stages'
+    own."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.join(
+        text_stats(docs).filter("n_tokens >= 25").select("doc_id"), "doc_id"
+    ).select("doc_id", "source", "text")
+    rep = ngram_repetition_stats(q, top_ns=(2,), dup_ns=())
+    gated = q.join(
+        rep.filter(F.col("top2gram_char_frac") <= 0.09).select(
+            "doc_id", "top2gram_char_frac"
+        ),
+        "doc_id",
+    )
+    from chapterhousedb_spark.operators.dedup import normalize_text
+
+    hashed = gated.withColumn("__th", F.md5(normalize_text(F.col("text"))))
+    keepers = hashed.groupBy("__th").agg(F.min("doc_id").alias("doc_id"))
+    canon = hashed.join(keepers, ["__th", "doc_id"]).select(
+        "doc_id", "source", "top2gram_char_frac"
+    )
+    mixed = temperature_mix(canon, alpha=0.5, target_frac=0.5, salt="fw")
+    return mixed.join(canon.select("doc_id", "top2gram_char_frac"), "doc_id")
+
+
+@query(
     "token_budget_mix",
     oracle=r"""
     WITH t AS (

@@ -342,3 +342,35 @@ def test_temperature_mix_partitioning_invariant_and_validates(spark):
         temperature_mix(df, target_frac=1.5)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mix(df, alpha=-0.1)
+
+
+def test_pipeline_fineweb_stages_nonvacuous_and_invariant(spark):
+    """Each stage of the composed curation pipeline must DO something
+    on the shipped testdata (gates drop some docs and keep some), and
+    the final selection must be partitioning-invariant."""
+    from chapterhousedb_spark.workload import QUERIES
+    from chapterhousedb_spark.workload.registry import load
+    from chapterhousedb_spark.operators.text import (
+        ngram_repetition_stats,
+        text_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    q = text_stats(docs).filter("n_tokens >= 25")
+    nq = q.count()
+    assert 0 < nq < n, (nq, n)
+    rep = ngram_repetition_stats(
+        docs.join(q.select("doc_id"), "doc_id"), top_ns=(2,), dup_ns=()
+    ).filter("top2gram_char_frac <= 0.09")
+    nrep = rep.count()
+    assert 0 < nrep < nq, (nrep, nq)
+    out = QUERIES["pipeline_fineweb"](spark, sf)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 < len(ids) < nrep
+    rates = {r["rate"] for r in out.select("rate").distinct().collect()}
+    assert all(0.0 < r <= 1.0 for r in rates)
+    # determinism: a second run picks exactly the same docs
+    again = {r["doc_id"] for r in QUERIES["pipeline_fineweb"](spark, sf).collect()}
+    assert again == ids
