@@ -301,7 +301,12 @@ def temperature_mix(
     Scale shape: one map-side-combined count by source (|sources|
     rows), the weight math on that tiny relation, one broadcast join
     of the |sources|-row rate table onto the corpus, one scan filter.
-    No driver collect, no per-source sort, nothing quadratic."""
+    No driver collect, no per-source sort, nothing quadratic.
+
+    NULL sources participate as their own group but sort FIRST in
+    Spark's ascending fold and LAST in DuckDB's default ORDER BY —
+    keep null-source rows out of oracle-gated uses (the shipped
+    corpora have none)."""
     if not 0.0 <= target_frac <= 1.0:
         raise ValueError(f"target_frac must be in [0, 1], got {target_frac}")
     if alpha < 0.0:

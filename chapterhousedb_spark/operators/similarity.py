@@ -1225,6 +1225,9 @@ def sq8_scores(
     i) so the result is bit-reproducible and oracle-comparable. The
     scan only needs the int8 codes — the float vectors never load."""
     dims = len(mins)
+    if dims == 0:
+        # sequence(0, -1) counts DOWN in Spark — never build it
+        raise ValueError("sq8_scores: empty bounds (dims=0)")
     mins_arr = _sq8_lit_arr(mins)
     spans_arr = _sq8_lit_arr(_sq8_spans(mins, maxs))
     q_arr = _sq8_lit_arr([float(v) for v in query_vec])
@@ -1293,6 +1296,8 @@ def sq8_write_index(
     import posixpath
 
     dims = pq_dims(df, vec_col)
+    if dims == 0:
+        raise ValueError("sq8_write_index: empty corpus")
     mins, maxs = sq8_bounds(df, vec_col, dims=dims)
     coded = sq8_quantize(df, mins, maxs, vec_col)
     meta = {

@@ -877,3 +877,16 @@ def test_sq8_index_roundtrip_prunes_and_refines(spark, tmp_path, vectors):
     plan = physical_plan(pruned)
     assert "PartitionFilters: [ivf_cell" in plan or "ivf_cell IN" in plan
     assert len(pruned.collect()) == 5
+
+
+def test_sq8_empty_corpus_guards(spark, tmp_path):
+    from chapterhousedb_spark.operators.similarity import (
+        sq8_scores,
+        sq8_write_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        sq8_write_index(empty, str(tmp_path / "sq8empty"))
+    with pytest.raises(ValueError, match="dims=0"):
+        sq8_scores(empty, [], [], [])
