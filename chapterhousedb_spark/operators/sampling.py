@@ -311,6 +311,11 @@ def temperature_mix(
         raise ValueError(f"target_frac must be in [0, 1], got {target_frac}")
     if alpha < 0.0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if "rate" in df.columns:
+        raise ValueError(
+            "temperature_mix: input already has a 'rate' column — the "
+            "broadcast rate join would be ambiguous; rename it first"
+        )
     w_expr = (
         "sqrt(CAST(x.cnt AS DOUBLE))"
         if alpha == 0.5

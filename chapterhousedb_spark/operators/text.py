@@ -234,6 +234,15 @@ def ngram_repetition_stats(
     quadratic in doc length and the gram key keeps skew bounded by
     in-doc repetition, which is the thing being measured."""
     all_ns = sorted(set(top_ns) | set(dup_ns))
+    if not all_ns:
+        raise ValueError("ngram_repetition_stats: top_ns and dup_ns both empty")
+    if any(n < 1 for n in all_ns):
+        raise ValueError(f"ngram_repetition_stats: n must be >= 1, got {all_ns}")
+    if id_col in ("total_chars", "g", "__toks", "__n", "__gram", "__cnt"):
+        raise ValueError(
+            f"ngram_repetition_stats: id_col {id_col!r} collides with an "
+            "internal column name; rename it first"
+        )
     c = F.col(text_col)
     toks = F.split(normalize_text(c), " ")
     grams_per_n = [

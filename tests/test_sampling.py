@@ -374,3 +374,13 @@ def test_pipeline_fineweb_stages_nonvacuous_and_invariant(spark):
     # determinism: a second run picks exactly the same docs
     again = {r["doc_id"] for r in QUERIES["pipeline_fineweb"](spark, sf).collect()}
     assert again == ids
+
+
+def test_temperature_mix_rejects_rate_collision(spark):
+    from chapterhousedb_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5)], "doc_id long, source string, rate double"
+    )
+    with pytest.raises(ValueError, match="rate"):
+        temperature_mix(df)

@@ -899,3 +899,16 @@ def test_c4_line_filters_thresholds(spark):
     assert strict["n_lines_kept"] == 1  # 4-word line fails min_words=5
     loose = c4_line_filters(df, min_words=4, min_sentences=2).collect()[0]
     assert loose["n_lines_kept"] == 2 and loose["keep"] is True
+
+
+def test_ngram_repetition_stats_validates_args(spark):
+    from chapterhousedb_spark.operators.text import ngram_repetition_stats
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="both empty"):
+        ngram_repetition_stats(df, top_ns=(), dup_ns=())
+    with pytest.raises(ValueError, match=">= 1"):
+        ngram_repetition_stats(df, top_ns=(0,), dup_ns=())
+    df2 = spark.createDataFrame([(1, "a b")], "g long, text string")
+    with pytest.raises(ValueError, match="collides"):
+        ngram_repetition_stats(df2, id_col="g")
