@@ -158,16 +158,31 @@ def ivf_fit(
     streaming jobs. Vectors are L2-normalized before clustering so
     Euclidean KMeans cells align with cosine neighborhoods. At scale
     fit on a sample (sample_fraction): the quantizer only needs the
-    cluster structure, not every row."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    cluster structure, not every row.
 
-    vecs = df.select(array_to_vector(_unit_expr(vec_col)).alias("__v"))
-    train = vecs.sample(sample_fraction, seed=seed) if sample_fraction else vecs
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__v"
-    ).fit(train)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    Same deterministic Lloyd's machinery as pq_fit (shared
+    _lloyd_iterations): hash-smallest init, lowest-id tie-break,
+    order-independent scaled-integer means — the centroids are
+    bit-identical under any partitioning and re-draw under a new
+    seed; no pyspark.ml dependency, max_iter+2 jobs total."""
+    unit = df.select(_unit_expr(vec_col).alias("__u"))
+    train = unit.sample(sample_fraction, seed=seed) if sample_fraction else unit
+    seeds_rows = (
+        train.select("__u", F.xxhash64("__u", F.lit(seed)).alias("__h"))
+        .orderBy("__h", "__u")
+        .limit(n_cells)
+        .collect()
+    )
+    if not seeds_rows:
+        raise ValueError("ivf_fit: empty training set")
+    books = [[[float(x) for x in r["__u"]] for r in seeds_rows]]
+    sub = train.select(
+        F.lit(0).alias("__s"), F.col("__u").alias("__v")
+    ).cache()
+    try:
+        return _lloyd_iterations(sub, books, max_iter)[0]
+    finally:
+        sub.unpersist()
 
 
 def ivf_assign(
@@ -880,54 +895,79 @@ def pq_fit(
     ).select(F.col("g.s").alias("__s"), F.col("g.v").alias("__v"))
     sub = sub.cache()
     try:
-        n_train = sub.count() // m  # materializes the cache too
-        # fixed-point grid: unit components are in [-1, 1], so a
-        # cluster of n_train rows sums to at most n_train * 2^shift —
-        # keep that under 2^62 (capped at 2^48 of fraction precision)
-        shift = min(48, 62 - max(n_train, 1).bit_length() - 1)
-        factor = float(1 << shift)
-        sums = [
-            F.sum(
-                F.expr(f"CAST(round(__v[{i}] * {factor!r}D) AS BIGINT)")
-            ).alias(f"d{i}")
-            for i in range(dsub)
-        ]
-        for _ in range(max_iter):
-            cur = [np.asarray(b, dtype=np.float64) for b in books]
-
-            # no annotations (postponed-annotation mode breaks
-            # pandas_udf resolution in nested scopes)
-            @pandas_udf(IntegerType())
-            def _nearest(ss, vs):
-                if not len(ss):
-                    return pd.Series([], dtype="int32")
-                out = np.empty(len(ss), dtype=np.int32)
-                sarr = ss.to_numpy()
-                X = np.asarray(vs.tolist(), dtype=np.float64)
-                for s_val in np.unique(sarr):
-                    idx = np.nonzero(sarr == s_val)[0]
-                    d = (
-                        (X[idx, None, :] - cur[int(s_val)][None, :, :]) ** 2
-                    ).sum(axis=2)
-                    out[idx] = d.argmin(axis=1)
-                return pd.Series(out)
-
-            rows = (
-                sub.withColumn("__c", _nearest("__s", "__v"))
-                .groupBy("__s", "__c")
-                .agg(F.count(F.lit(1)).alias("n"), *sums)
-                .collect()
-            )
-            nxt = [[list(c) for c in b] for b in books]
-            for r in rows:
-                cnt = r["n"]
-                nxt[r["__s"]][r["__c"]] = [
-                    r[f"d{i}"] / factor / cnt for i in range(dsub)
-                ]
-            books = nxt
-        return books
+        return _lloyd_iterations(sub, books, max_iter)
     finally:
         sub.unpersist()
+
+
+def _lloyd_iterations(
+    sub: DataFrame,
+    books: list[list[list[float]]],
+    max_iter: int,
+) -> list[list[list[float]]]:
+    """The shared Lloyd's loop behind pq_fit and ivf_fit: `sub` is a
+    (preferably cached) frame of (__s int, __v array<double>) rows,
+    `books` the m x k x d initial codebooks. One Spark job per
+    iteration: vectorized pandas argmin against the broadcast
+    codebooks, then a per-(subspace, cluster) aggregate of m*k rows.
+    Means are order-independent scaled-integer sums (shift sized from
+    the training count so a worst-case single-cluster sum stays under
+    2^62 — no overflow at any corpus size, 4x cheaper than
+    decimal(38,18) sums), so the result is bit-identical under any
+    partitioning. Empty clusters keep their previous centroid."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    m = len(books)
+    dsub = len(books[0][0])
+    n_train = sub.count() // m  # materializes the cache too
+    # fixed-point grid: unit components are in [-1, 1], so a cluster
+    # of n_train rows sums to at most n_train * 2^shift — keep that
+    # under 2^62 (capped at 2^48 of fraction precision)
+    shift = min(48, 62 - max(n_train, 1).bit_length() - 1)
+    factor = float(1 << shift)
+    sums = [
+        F.sum(
+            F.expr(f"CAST(round(__v[{i}] * {factor!r}D) AS BIGINT)")
+        ).alias(f"d{i}")
+        for i in range(dsub)
+    ]
+    for _ in range(max_iter):
+        cur = [np.asarray(b, dtype=np.float64) for b in books]
+
+        # no annotations (postponed-annotation mode breaks pandas_udf
+        # resolution in nested scopes)
+        @pandas_udf(IntegerType())
+        def _nearest(ss, vs):
+            if not len(ss):
+                return pd.Series([], dtype="int32")
+            out = np.empty(len(ss), dtype=np.int32)
+            sarr = ss.to_numpy()
+            X = np.asarray(vs.tolist(), dtype=np.float64)
+            for s_val in np.unique(sarr):
+                idx = np.nonzero(sarr == s_val)[0]
+                d = (
+                    (X[idx, None, :] - cur[int(s_val)][None, :, :]) ** 2
+                ).sum(axis=2)
+                out[idx] = d.argmin(axis=1)
+            return pd.Series(out)
+
+        rows = (
+            sub.withColumn("__c", _nearest("__s", "__v"))
+            .groupBy("__s", "__c")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        nxt = [[list(c) for c in b] for b in books]
+        for r in rows:
+            cnt = r["n"]
+            nxt[r["__s"]][r["__c"]] = [
+                r[f"d{i}"] / factor / cnt for i in range(dsub)
+            ]
+        books = nxt
+    return books
 
 
 def pq_encode(

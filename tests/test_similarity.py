@@ -905,3 +905,13 @@ def test_pq_fit_bit_identical_under_repartition(vectors):
     assert a == b
     c = pq_fit(df, m=4, nbits=3, max_iter=3, seed=99)
     assert a != c  # re-seeding re-draws the init
+
+
+def test_ivf_fit_bit_identical_under_repartition(vectors):
+    from chapterhousedb_spark.operators.similarity import ivf_fit
+
+    df, _ = vectors
+    a = ivf_fit(df, n_cells=4, max_iter=3)
+    b = ivf_fit(df.repartition(9), n_cells=4, max_iter=3)
+    assert a == b
+    assert a != ivf_fit(df, n_cells=4, max_iter=3, seed=23)
