@@ -1667,3 +1667,47 @@ def test_quota_stream_weighted_budget(spark, tmp_path_factory):
     q.awaitTermination()
     got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]
+
+
+def test_c4_and_repetition_filters_on_stream_match_batch(
+    spark, tmp_path_factory
+):
+    """The round-9 text filters are stateless projections, so the same
+    code cleans a landing stream exactly as it cleans the batch
+    corpus. (ngram_repetition_stats aggregates per doc WITHIN a row's
+    own text only — no cross-row state — but its groupBy makes it a
+    batch op; the stream twin here is c4_line_filters, which is pure
+    per-row.)"""
+    from chapterhousedb_spark.operators.text import c4_line_filters
+
+    src = str(tmp_path_factory.mktemp("c4_src"))
+    out = str(tmp_path_factory.mktemp("c4_out"))
+    ckpt = str(tmp_path_factory.mktemp("c4_ckpt"))
+    rows = [
+        (1, "Keep this full sentence with enough words.\nno punct drop"),
+        (2, "Short.\nA second proper sentence that is long enough!"),
+        (3, "lorem ipsum should be dropped from this doc entirely."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    cleaned = c4_line_filters(stream)
+    (
+        cleaned.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_kept"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_kept"])
+        for r in c4_line_filters(df).collect()
+    }
+    assert got == want and got[3][1] == 0
