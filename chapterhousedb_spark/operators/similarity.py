@@ -821,6 +821,8 @@ def pq_fit(
     max_iter: int = 5,
     sample_fraction: float | None = None,
     dims: int | None = None,
+    normalize: bool = True,
+    max_abs: float = 1.0,
 ) -> list[list[list[float]]]:
     """Fit the m sub-codebooks (k=2^nbits centroids each, dims/m wide)
     by Lloyd's iterations over the L2-normalized corpus — ALL m
@@ -859,7 +861,15 @@ def pq_fit(
     if dims % m != 0:
         raise ValueError(f"pq_fit: dims={dims} not divisible by m={m}")
     dsub = dims // m
-    unit = df.select(_unit_expr(vec_col).alias("__u"))
+    # normalize=False: the caller supplies the FINAL training vectors
+    # (e.g. cell residuals of unit vectors — pass max_abs=2.0 so the
+    # fixed-point sum grid accounts for the wider range)
+    uexpr = (
+        _unit_expr(vec_col)
+        if normalize
+        else F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    )
+    unit = df.select(uexpr.alias("__u"))
     train = unit.sample(sample_fraction, seed=seed) if sample_fraction else unit
     k = 1 << nbits
     # deterministic init: the k hash-smallest unit vectors (TakeOrdered
@@ -895,7 +905,7 @@ def pq_fit(
     ).select(F.col("g.s").alias("__s"), F.col("g.v").alias("__v"))
     sub = sub.cache()
     try:
-        return _lloyd_iterations(sub, books, max_iter)
+        return _lloyd_iterations(sub, books, max_iter, max_abs=max_abs)
     finally:
         sub.unpersist()
 
@@ -904,6 +914,7 @@ def _lloyd_iterations(
     sub: DataFrame,
     books: list[list[list[float]]],
     max_iter: int,
+    max_abs: float = 1.0,
 ) -> list[list[list[float]]]:
     """The shared Lloyd's loop behind pq_fit and ivf_fit: `sub` is a
     (preferably cached) frame of (__s int, __v array<double>) rows,
@@ -923,10 +934,19 @@ def _lloyd_iterations(
     m = len(books)
     dsub = len(books[0][0])
     n_train = sub.count() // m  # materializes the cache too
-    # fixed-point grid: unit components are in [-1, 1], so a cluster
-    # of n_train rows sums to at most n_train * 2^shift — keep that
-    # under 2^62 (capped at 2^48 of fraction precision)
-    shift = min(48, 62 - max(n_train, 1).bit_length() - 1)
+    # fixed-point grid: components are in [-max_abs, max_abs], so a
+    # cluster of n_train rows sums to at most n_train * max_abs *
+    # 2^shift — keep that under 2^62 (capped at 2^48 of fraction
+    # precision; max_abs=2 for cell residuals of unit vectors)
+    import math
+
+    shift = min(
+        48,
+        62
+        - max(n_train, 1).bit_length()
+        - (max(1, math.ceil(max_abs)) - 1).bit_length()
+        - 1,
+    )
     factor = float(1 << shift)
     sums = [
         F.sum(
@@ -975,6 +995,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    normalize: bool = True,
 ) -> DataFrame:
     """Append each row's m-code PQ encoding (array<int>, one nearest-
     centroid id per subspace). Runs as an Arrow-batched pandas UDF with
@@ -1010,8 +1031,9 @@ def pq_encode(
             raise ValueError(
                 f"pq_encode: vector length {X.shape[1:]} != codebook dims {dims}"
             )
-        norms = np.sqrt((X * X).sum(axis=1))
-        X = X / np.maximum(norms, 1e-12)[:, None]
+        if normalize:
+            norms = np.sqrt((X * X).sum(axis=1))
+            X = X / np.maximum(norms, 1e-12)[:, None]
         codes = np.empty((X.shape[0], m), dtype=np.int32)
         for s in range(m):
             sub = X[:, s * dsub : (s + 1) * dsub]
@@ -1027,14 +1049,18 @@ def pq_encode(
 
 
 def _pq_lut(
-    codebooks: list[list[list[float]]], query_vec: list[float]
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    normalize: bool = True,
 ) -> list[list[float]]:
     """Driver-side ADC lookup table: lut[s][c] = ||q_s - C_s[c]||^2 for
-    the L2-normalized query (m x k floats)."""
+    the (by default L2-normalized) query (m x k floats); normalize=
+    False takes the query as-is (the residual path pre-subtracts)."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(float(np.sqrt((q * q).sum())), 1e-12)
+    if normalize:
+        q = q / max(float(np.sqrt((q * q).sum())), 1e-12)
     dsub = len(codebooks[0][0])
     lut = []
     for s, book in enumerate(codebooks):
@@ -1123,6 +1149,103 @@ def pq_topk(
     return cosine_topk(kept, query_vec, k, vec_col, id_col)
 
 
+def _centroids_lit(centroids: list[list[float]]) -> str:
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def residual_frame(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    res_col: str = "pq_resid",
+) -> DataFrame:
+    """Cell-assign each vector and append its residual (unit vector
+    minus its cell centroid — the FAISS by_residual=True encoding
+    input). Pure JVM: centroid lookup is element_at of a literal
+    nested array by cell id; the unit projection goes through the
+    explode(array(...)) Generate barrier so Catalyst can't re-inline
+    the normalization into the subtraction lambda (the CollapseProject
+    hazard, see ivf_assign)."""
+    assigned = ivf_assign(df, centroids, vec_col, cell_col)
+    keep = assigned.columns
+    barrier = assigned.select(
+        *keep, F.explode(F.array(_unit_expr(vec_col))).alias("__u")
+    )
+    return barrier.withColumn(
+        res_col,
+        F.expr(
+            f"zip_with(__u, element_at({_centroids_lit(centroids)}, "
+            f"{cell_col} + 1), (x, y) -> x - y)"
+        ),
+    ).drop("__u")
+
+
+def _residual_query(
+    centroids: list[list[float]], query_vec: list[float], cell: int
+) -> list[float]:
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(float(np.sqrt((q * q).sum())), 1e-12)
+    return [float(x) for x in q - np.asarray(centroids[cell], dtype=np.float64)]
+
+
+def pq_adc_scores_residual(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    query_vec: list[float],
+    probes: list[int],
+    code_col: str = "pq_code",
+    cell_col: str = "ivf_cell",
+    score_col: str = "approx_cosine",
+) -> DataFrame:
+    """ADC over RESIDUAL codes: within a shared cell, (q - c) - (v - c)
+    = q - v, so the residual-vs-residual distance IS the unit-sphere
+    distance and 1 - d^2/2 is still exact-cosine geometry — but the
+    LUT is per probed cell (the query residual differs per cell).
+    nprobe LUTs (nprobe x m x k doubles) inline as one nested literal
+    indexed by array_position over the probed-cell list; per-row cost
+    stays an m-step JVM fold. Rows must already be filtered to
+    `probes`."""
+    luts = [
+        _pq_lut(codebooks, _residual_query(centroids, query_vec, c), normalize=False)
+        for c in probes
+    ]
+    m = len(codebooks)
+    lut3 = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in row) + ")"
+                for row in lut
+            )
+            + ")"
+            for lut in luts
+        )
+        + ")"
+    )
+    probes_lit = "array(" + ",".join(str(int(p)) for p in probes) + ")"
+    return df.withColumn(
+        score_col,
+        F.expr(
+            f"1.0D - 0.5D * aggregate(sequence(0, {m - 1}), 0D, (acc, s) -> "
+            f"acc + element_at({lut3}, "
+            f"CAST(array_position({probes_lit}, {cell_col}) AS INT))"
+            f"[s][{code_col}[s]])"
+        ),
+    )
+
+
 def ivf_pq_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -1139,28 +1262,70 @@ def ivf_pq_topk(
     sample_fraction: float | None = None,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse cells prune the scan (nprobe/n_cells of the
     corpus at the partition level), PQ codes compress what remains
     (code-only columns at the scan level), ADC scores it JVM-side, and
-    `refine` candidates rerank exactly. Codes quantize the RAW unit
-    vector, not the cell residual (FAISS by_residual=False): one global
-    codebook set serves every cell, so cells and codes can be
-    maintained independently (ivf_append-style) at the price of a
-    slightly coarser quantization — the refine stage absorbs it.
-    nprobe=n_cells AND refine>=corpus degenerates to exact brute force
-    (test-pinned)."""
+    `refine` candidates rerank exactly.
+
+    by_residual=False (default): codes quantize the RAW unit vector —
+    one global codebook set serves every cell, so cells and codes can
+    be maintained independently (ivf_append-style) at the price of a
+    slightly coarser quantization.
+
+    by_residual=True (the FAISS default): codes quantize the CELL
+    RESIDUAL (unit vector minus its centroid) — residual magnitudes
+    are smaller than raw components, so the same bit budget spends its
+    resolution where the within-cell variation actually is (higher
+    ADC recall, test-pinned on clustered data); the cost is that
+    re-fitting cells invalidates every code. Scoring uses per-cell
+    LUTs ((q - c) vs codebook — see pq_adc_scores_residual).
+
+    Either way nprobe=n_cells AND refine>=corpus degenerates to exact
+    brute force (test-pinned)."""
     if df.select(id_col).limit(1).count() == 0:
         return cosine_topk(df, query_vec, k, vec_col, id_col)
     if centroids is None:
         centroids = ivf_fit(df, vec_col, n_cells, seed, max_iter, sample_fraction)
-    if codebooks is None:
-        codebooks = pq_fit(df, vec_col, m, nbits, seed, max_iter, sample_fraction)
-    assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
     probes = ivf_probe_cells(centroids, query_vec, nprobe)
-    cand = assigned.filter(F.col("ivf_cell").isin(probes)).select(id_col, vec_col)
-    coded = pq_encode(cand, codebooks, vec_col)
-    scored = pq_adc_scores(coded, codebooks, query_vec)
+    if by_residual:
+        res = residual_frame(
+            df.select(id_col, vec_col), centroids, vec_col
+        )
+        if codebooks is None:
+            codebooks = pq_fit(
+                res,
+                "pq_resid",
+                m,
+                nbits,
+                seed,
+                max_iter,
+                sample_fraction,
+                normalize=False,
+                max_abs=2.0,
+            )
+        cand = res.filter(F.col("ivf_cell").isin(probes))
+        coded = pq_encode(
+            cand.select(id_col, "ivf_cell", "pq_resid"),
+            codebooks,
+            "pq_resid",
+            normalize=False,
+        )
+        scored = pq_adc_scores_residual(
+            coded, codebooks, centroids, query_vec, probes
+        )
+    else:
+        if codebooks is None:
+            codebooks = pq_fit(
+                df, vec_col, m, nbits, seed, max_iter, sample_fraction
+            )
+        assigned = ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+        cand = assigned.filter(F.col("ivf_cell").isin(probes)).select(
+            id_col, vec_col
+        )
+        coded = pq_encode(cand, codebooks, vec_col)
+        scored = pq_adc_scores(coded, codebooks, query_vec)
     top = (
         scored.select(id_col, "approx_cosine")
         .orderBy(F.col("approx_cosine").desc(), F.col(id_col))
@@ -1183,20 +1348,42 @@ def pq_write_index(
     seed: int = 7,
     max_iter: int = 5,
     sample_fraction: float | None = None,
+    by_residual: bool = False,
 ) -> dict:
     """Persist the production IVF-PQ layout: cells + codes + the
     original vector column, partitioned by cell under <path>/corpus,
     with centroids/codebooks in <path>/pq.json (plain lists — reload
     anywhere, no ML runtime). An ADC-only probe column-prunes the
     vector away (reads id + code from the probed cells' files only);
-    a refined probe reads vectors for just the candidate set."""
+    a refined probe reads vectors for just the candidate set.
+    by_residual=True stores residual codes (see ivf_pq_topk for the
+    tradeoff) and records the flag so pq_probe_topk scores with
+    per-cell LUTs automatically."""
     dims = pq_dims(df, vec_col)
     centroids = ivf_fit(df, vec_col, n_cells, seed, max_iter, sample_fraction)
-    codebooks = pq_fit(
-        df, vec_col, m, nbits, seed, max_iter, sample_fraction, dims=dims
-    )
-    assigned = ivf_assign(df, centroids, vec_col)
-    coded = pq_encode(assigned, codebooks, vec_col)
+    if by_residual:
+        res = residual_frame(df, centroids, vec_col)
+        codebooks = pq_fit(
+            res,
+            "pq_resid",
+            m,
+            nbits,
+            seed,
+            max_iter,
+            sample_fraction,
+            dims=dims,
+            normalize=False,
+            max_abs=2.0,
+        )
+        coded = pq_encode(res, codebooks, "pq_resid", normalize=False).drop(
+            "pq_resid"
+        )
+    else:
+        codebooks = pq_fit(
+            df, vec_col, m, nbits, seed, max_iter, sample_fraction, dims=dims
+        )
+        assigned = ivf_assign(df, centroids, vec_col)
+        coded = pq_encode(assigned, codebooks, vec_col)
     import posixpath
 
     coded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
@@ -1212,6 +1399,7 @@ def pq_write_index(
         "id_col": id_col,
         "code_col": "pq_code",
         "cell_col": "ivf_cell",
+        "by_residual": by_residual,
     }
     _write_json_artifact(df.sparkSession, path, "pq.json", meta)
     return meta
@@ -1236,12 +1424,23 @@ def pq_probe_topk(
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     probes = ivf_probe_cells(meta["centroids"], query_vec, nprobe)
     cand = corpus.filter(F.col(meta["cell_col"]).isin(probes))
-    scored = pq_adc_scores(
-        cand.select(id_col, meta["code_col"]),
-        meta["codebooks"],
-        query_vec,
-        code_col=meta["code_col"],
-    )
+    if meta.get("by_residual"):
+        scored = pq_adc_scores_residual(
+            cand.select(id_col, meta["cell_col"], meta["code_col"]),
+            meta["codebooks"],
+            meta["centroids"],
+            query_vec,
+            probes,
+            code_col=meta["code_col"],
+            cell_col=meta["cell_col"],
+        )
+    else:
+        scored = pq_adc_scores(
+            cand.select(id_col, meta["code_col"]),
+            meta["codebooks"],
+            query_vec,
+            code_col=meta["code_col"],
+        )
     top = (
         scored.select(id_col, "approx_cosine")
         .orderBy(F.col("approx_cosine").desc(), F.col(id_col))

@@ -915,3 +915,136 @@ def test_ivf_fit_bit_identical_under_repartition(vectors):
     b = ivf_fit(df.repartition(9), n_cells=4, max_iter=3)
     assert a == b
     assert a != ivf_fit(df, n_cells=4, max_iter=3, seed=23)
+
+
+def test_ivf_pq_residual_full_probe_refine_equals_bruteforce(vectors):
+    from chapterhousedb_spark.operators.similarity import ivf_pq_topk
+
+    df, mat = vectors
+    q = [0.5] * DIMS
+    got = [
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            df, q, k=10, n_cells=4, nprobe=4, m=4, nbits=4, refine=N,
+            max_iter=3, by_residual=True,
+        ).collect()
+    ]
+    assert got == _numpy_topk(mat, np.array(q), 10)
+
+
+def test_ivf_pq_residual_adc_beats_or_matches_raw(vectors):
+    """The reason by_residual exists: with the same bit budget, coding
+    the within-cell residual keeps more resolution than coding the raw
+    vector. Statistical claim (a tendency, not pointwise): summed
+    ADC-only recall over several queries at an aggressively small
+    codebook (nbits=2 -> 4 centers/subspace, where resolution is
+    scarcest) must not be worse on clustered data."""
+    from chapterhousedb_spark.operators.similarity import (
+        ivf_fit,
+        ivf_pq_topk,
+        pq_fit,
+        residual_frame,
+    )
+
+    df, mat = vectors
+    queries = [
+        [1.0] * DIMS,
+        [0.5] * DIMS,
+        [1.0, -1.0] * (DIMS // 2),
+        list(mat[0].astype(float)),
+        list(mat[100].astype(float)),
+    ]
+    # fit each quantizer ONCE (the production shape) and reuse per query
+    cents = ivf_fit(df, n_cells=4, max_iter=5)
+    books_raw = pq_fit(df, m=8, nbits=2, max_iter=5)
+    books_res = pq_fit(
+        residual_frame(df, cents), "pq_resid", m=8, nbits=2, max_iter=5,
+        normalize=False, max_abs=2.0,
+    )
+
+    def recall(q, by_residual):
+        exact = set(_numpy_topk(mat, np.array(q), 10))
+        got = {
+            r["vec_id"]
+            for r in ivf_pq_topk(
+                df, q, k=10, n_cells=4, nprobe=4, m=8, nbits=2, refine=0,
+                centroids=cents,
+                codebooks=books_res if by_residual else books_raw,
+                by_residual=by_residual,
+            ).collect()
+        }
+        return len(got & exact)
+
+    raw = sum(recall(q, False) for q in queries)
+    res = sum(recall(q, True) for q in queries)
+    assert res >= raw, (raw, res)
+    assert res >= len(queries) * 4  # a real quality floor, not vacuous
+
+
+def test_ivf_pq_residual_scores_exact_under_lossless_codebook(spark):
+    """With codebooks holding every distinct residual subvector, the
+    per-cell ADC LUT reproduces exact cosine: (q-c)-(v-c) = q-v."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.similarity import (
+        ivf_fit,
+        pq_adc_scores_residual,
+        pq_encode,
+        residual_frame,
+        ivf_probe_cells,
+    )
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(6, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_fit(df, n_cells=2, max_iter=2)
+    res = residual_frame(df, cents)
+    res_rows = {r["vec_id"]: r["pq_resid"] for r in res.collect()}
+    m, dsub = 4, 2
+    books = [
+        [
+            [float(x) for x in res_rows[i][s * dsub : (s + 1) * dsub]]
+            for i in range(6)
+        ]
+        for s in range(m)
+    ]
+    q = [1.0] * 8
+    probes = ivf_probe_cells(cents, q, 2)  # every cell
+    coded = pq_encode(
+        res.select("vec_id", "ivf_cell", "pq_resid"),
+        books,
+        "pq_resid",
+        normalize=False,
+    )
+    scored = pq_adc_scores_residual(coded, books, cents, q, probes).orderBy(
+        "vec_id"
+    )
+    got = [r["approx_cosine"] for r in scored.collect()]
+    md = mat / np.linalg.norm(mat, axis=1)[:, None]
+    want = md @ (np.array(q) / np.linalg.norm(q))
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_pq_residual_index_roundtrip(spark, tmp_path, vectors):
+    from chapterhousedb_spark.operators.similarity import (
+        pq_probe_topk,
+        pq_write_index,
+    )
+
+    df, mat = vectors
+    path = str(tmp_path / "pqres")
+    meta = pq_write_index(
+        df, path, n_cells=4, m=4, nbits=4, max_iter=3, by_residual=True
+    )
+    assert meta["by_residual"] is True
+    q = [1.0] * DIMS
+    got = [
+        r["vec_id"]
+        for r in pq_probe_topk(spark, path, q, k=10, nprobe=4, refine=N).collect()
+    ]
+    assert got == _numpy_topk(mat, np.array(q), 10)
+    adc = pq_probe_topk(spark, path, q, k=10, nprobe=2, refine=0)
+    assert len(adc.collect()) == 10
