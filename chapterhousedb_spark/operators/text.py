@@ -177,16 +177,27 @@ def token_chunks(
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Within-document repetition ratios (boilerplate/loop filters used
-    in pretraining pipelines): duplicate-line ratio and duplicate-token
-    ratio, plus the line count. All built-ins."""
+    """Within-document repetition ratios (the Gopher line/paragraph/
+    token boilerplate filters, Rae et al. §A1.1): duplicate-line,
+    duplicate-paragraph (blank-line-separated blocks, inner whitespace
+    collapsed) and duplicate-token ratios, plus the line count. All
+    built-ins; ngram_repetition_stats carries the n-gram coverage half
+    of the family."""
     c = F.col(text_col)
     lines = F.filter(
         F.transform(F.split(c, r"\n"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
+    paras = F.filter(
+        F.transform(
+            F.split(c, r"\n{2,}"),
+            lambda x: F.regexp_replace(F.trim(x), r"\s+", " "),
+        ),
+        lambda x: x != "",
+    )
     toks = F.split(normalize_text(c), " ")
     n_lines = F.size(lines)
+    n_paras = F.size(paras)
     n_toks = F.size(toks)
     return df.select(
         F.col(id_col),
@@ -196,6 +207,11 @@ def repetition_stats(
             - F.size(F.array_distinct(lines)).cast("double")
             / F.greatest(n_lines, F.lit(1))
         ).alias("dup_line_ratio"),
+        (
+            1.0
+            - F.size(F.array_distinct(paras)).cast("double")
+            / F.greatest(n_paras, F.lit(1))
+        ).alias("dup_para_ratio"),
         (
             1.0
             - F.size(F.array_distinct(toks)).cast("double")

@@ -243,17 +243,24 @@ def text_chunks_q(spark, sf_dir):
            CAST(len(lines) AS INT) AS n_lines,
            1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / greatest(len(lines), 1)
              AS dup_line_ratio,
+           1.0 - CAST(len(list_distinct(paras)) AS DOUBLE) / greatest(len(paras), 1)
+             AS dup_para_ratio,
            1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)
              AS dup_token_ratio
     FROM (SELECT doc_id,
                  list_filter(list_transform(regexp_split_to_array(text, '\\n'),
                                             x -> trim(x)), x -> x != '') AS lines,
+                 list_filter(list_transform(
+                   regexp_split_to_array(text, '\\n{{2,}}'),
+                   x -> regexp_replace(trim(x), '\\s+', ' ', 'g')),
+                   x -> x != '') AS paras,
                  {_TOKS} AS toks
           FROM documents)
     """,
 )
 def text_repetition_q(spark, sf_dir):
-    """Within-document repetition ratios (boilerplate/loop filters)."""
+    """Within-document repetition ratios (Gopher line/paragraph/token
+    boilerplate filters)."""
     return repetition_stats(load(spark, sf_dir, "documents"))
 
 

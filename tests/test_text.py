@@ -912,3 +912,26 @@ def test_ngram_repetition_stats_validates_args(spark):
     df2 = spark.createDataFrame([(1, "a b")], "g long, text string")
     with pytest.raises(ValueError, match="collides"):
         ngram_repetition_stats(df2, id_col="g")
+
+
+def test_repetition_stats_paragraph_ratio(spark):
+    """Gopher's duplicate-paragraph ratio: blank-line-separated blocks
+    compare after whitespace collapse, so reflowed copies count as
+    duplicates; lines and paragraphs are independent signals."""
+    from chapterhousedb_spark.operators.text import repetition_stats
+
+    page = (
+        "Alpha beta gamma.\n\n"
+        "Alpha  beta   gamma.\n\n"      # same para, different spacing
+        "Different paragraph here.\n\n"
+        "unique line one\nunique line two"  # one para, two lines
+    )
+    r = repetition_stats(
+        spark.createDataFrame([(1, page)], "doc_id long, text string")
+    ).collect()[0]
+    # 4 paras, 3 distinct -> 1 - 3/4
+    assert r["dup_para_ratio"] == pytest.approx(0.25)
+    # 5 non-empty lines, all distinct except the reflowed pair differs
+    # textually -> dup_line_ratio 0 (paragraph collapse is what catches it)
+    assert r["dup_line_ratio"] == 0.0
+    assert r["n_lines"] == 5
