@@ -290,9 +290,13 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
     refine against (the PQ twin of probe_recall's SRP/IVF rows)."""
     from chapterhousedb_spark.operators.similarity import (
         cosine_topk,
+        ivf_fit,
+        ivf_probe_cells,
         pq_adc_scores,
+        pq_adc_scores_residual,
         pq_encode,
         pq_fit,
+        residual_frame,
         sq8_bounds,
         sq8_quantize,
         sq8_scores,
@@ -307,13 +311,30 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
     coded_pq = pq_encode(embs, books).select("vec_id", "pq_code").cache()
     coded_pq.count()
     t_pq_build = time.perf_counter() - t0
+    # residual twin at the same bit budget (full-probe so recall
+    # isolates quantization, not cell pruning)
+    t0 = time.perf_counter()
+    cents = ivf_fit(embs, "embedding", n_cells=16, seed=7, max_iter=5)
+    res = residual_frame(embs, cents)
+    books_res = pq_fit(
+        res, "pq_resid", m=8, nbits=4, seed=7, max_iter=5,
+        normalize=False, max_abs=2.0,
+    )
+    coded_res = (
+        pq_encode(res, books_res, "pq_resid", normalize=False)
+        .select("vec_id", "ivf_cell", "pq_code")
+        .cache()
+    )
+    coded_res.count()
+    t_res_build = time.perf_counter() - t0
+    all_cells = list(range(len(cents)))
     t0 = time.perf_counter()
     mins, maxs = sq8_bounds(embs)
     coded_sq = sq8_quantize(embs, mins, maxs).select("vec_id", "qvec").cache()
     coded_sq.count()
     t_sq_build = time.perf_counter() - t0
-    pq_hits = sq_hits = 0
-    t_pq = t_sq = 0.0
+    pq_hits = sq_hits = res_hits = 0
+    t_pq = t_sq = t_res = 0.0
     try:
         for _, qv in qs:
             exact = {
@@ -337,18 +358,34 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
                 .collect()
             }
             t_sq += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            pr = {
+                r["vec_id"]
+                for r in pq_adc_scores_residual(
+                    coded_res, books_res, cents, qv, all_cells
+                )
+                .orderBy(F.col("approx_cosine").desc(), "vec_id")
+                .limit(10)
+                .collect()
+            }
+            t_res += time.perf_counter() - t0
             pq_hits += len(pq & exact)
             sq_hits += len(sq & exact)
+            res_hits += len(pr & exact)
     finally:
         coded_pq.unpersist()
         coded_sq.unpersist()
+        coded_res.unpersist()
     denom = 10 * len(qs)
     return {
         "pq_recall_at_10": round(pq_hits / denom, 3),
+        "pq_residual_recall_at_10": round(res_hits / denom, 3),
         "sq8_recall_at_10": round(sq_hits / denom, 3),
         "pq_build_sec": round(t_pq_build, 3),
+        "pq_residual_build_sec": round(t_res_build, 3),
         "sq8_build_sec": round(t_sq_build, 3),
         "pq_adc_topk_sec": round(t_pq, 3),
+        "pq_residual_adc_topk_sec": round(t_res, 3),
         "sq8_topk_sec": round(t_sq, 3),
     }
 
