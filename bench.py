@@ -105,6 +105,7 @@ HEADLINE = [
     "c4_clean",
     "temperature_mix",
     "pipeline_fineweb",
+    "embedding_bq",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -1682,3 +1682,116 @@ def sq8_probe_topk(
         F.broadcast(top.select(id_col)), id_col
     )
     return cosine_topk(kept, query_vec, k, vec_col, id_col)
+
+
+# ----------------------------------------------------- binary quantization
+#
+# 1-bit binary quantization (the "BQ" every production vector store
+# now ships beside SQ8/PQ): keep only the SIGN of each component,
+# packed into ceil(dims/63) bigint words (63 bits/word for engine
+# portability — see bq_encode) — 64 float32 dims become two longs, a
+# 16x scan reduction (31x at 256 dims). Distance is Hamming via
+# bit_count(code XOR query_code): pure JVM integer ops, no UDF, no
+# LUT, and (unlike PQ) no training. For unit vectors the SRP identity
+# applies: P[sign mismatch] = theta/pi, so hamming/dims estimates the
+# angle and 1 - 2*hamming/dims is the monotone similarity proxy this
+# module scores with (exact rerank via `refine` restores true cosine).
+# Every stage — sign test, bit packing, xor, popcount, the rational
+# score — is engine-portable integer/SQL arithmetic, so the whole path
+# hash-gates against DuckDB (embedding_bq), like embedding_sq8.
+
+
+def bq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "bq_code",
+    dims: int | None = None,
+) -> DataFrame:
+    """Append the packed sign-bit code (array<bigint>, 63 bits per
+    word — bit 63 stays clear because DuckDB raises on `1::BIGINT <<
+    63` while Spark silently wraps negative, so 63-bit words are the
+    portable choice and codes stay non-negative in both engines; word
+    w holds bits for dims [63w, 63w+62], component i sets bit
+    (i - 63w) iff v_i > 0 — zeros and NaNs pack as 0,
+    deterministically everywhere). Signs are normalization-invariant,
+    so this reads the raw column: one scan, no shuffle, no Python."""
+    dims = pq_dims(df, vec_col) if dims is None else dims
+    if dims == 0:
+        raise ValueError("bq_encode: empty corpus")
+    words = (dims + 62) // 63
+    word_exprs = []
+    for w in range(words):
+        lo, hi = w * 63, min((w + 1) * 63, dims) - 1
+        word_exprs.append(
+            f"aggregate(sequence({lo}, {hi}), 0L, (acc, i) -> acc + "
+            f"CASE WHEN CAST({vec_col}[i] AS DOUBLE) > 0D "
+            f"THEN shiftleft(1L, i - {lo}) ELSE 0L END)"
+        )
+    return df.withColumn(
+        code_col, F.expr("array(" + ",".join(word_exprs) + ")")
+    )
+
+
+def bq_query_code(query_vec: list[float]) -> list[int]:
+    """Driver-side exact twin of bq_encode for the query vector
+    (63-bit words, always non-negative)."""
+    dims = len(query_vec)
+    words = (dims + 62) // 63
+    out = []
+    for w in range(words):
+        acc = 0
+        for i in range(w * 63, min((w + 1) * 63, dims)):
+            if float(query_vec[i]) > 0.0:
+                acc += 1 << (i - w * 63)
+        out.append(acc)
+    return out
+
+
+def bq_scores(
+    df: DataFrame,
+    query_vec: list[float],
+    code_col: str = "bq_code",
+    hamming_col: str = "hamming",
+    score_col: str = "approx_cosine",
+) -> DataFrame:
+    """Hamming distance to the query's sign code (bit_count of per-word
+    XOR — integer-exact, engine-portable) plus the rational angle proxy
+    1 - 2*hamming/dims. The scan reads ONLY the code words."""
+    qcode = bq_query_code(query_vec)
+    dims = len(query_vec)
+    ham = " + ".join(
+        f"bit_count({code_col}[{w}] ^ CAST({q} AS BIGINT))"
+        for w, q in enumerate(qcode)
+    )
+    return df.withColumn(
+        hamming_col, F.expr(f"CAST({ham} AS INT)")
+    ).withColumn(
+        score_col,
+        F.expr(f"1.0D - 2.0D * CAST({hamming_col} AS DOUBLE) / {dims}.0D"),
+    )
+
+
+def bq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine: int = 0,
+) -> DataFrame:
+    """Binary-quantized top-k: sign codes -> Hamming TakeOrdered (ties
+    by id); refine > 0 reranks the top candidates with exact cosine
+    via broadcast semi-join (refine >= corpus == brute force,
+    test-pinned). The production shape encodes at write time and scans
+    1/256 of the float bytes."""
+    coded = bq_encode(df.select(id_col, vec_col), vec_col)
+    scored = bq_scores(coded, query_vec)
+    top = (
+        scored.select(id_col, "hamming", "approx_cosine")
+        .orderBy(F.col("hamming").asc(), F.col(id_col))
+        .limit(max(k, refine))
+    )
+    if refine <= 0:
+        return top.limit(k)
+    kept = df.select(id_col, vec_col).join(F.broadcast(top.select(id_col)), id_col)
+    return cosine_topk(kept, query_vec, k, vec_col, id_col)

@@ -91,7 +91,8 @@ _DRIVER_FIRST = [
     # stats_funcs + both rollups gated; the GROUPING SETS Expand plan
     # is test-asserted in test_plans.py)
     "pipeline_curation",
-    "quantile_rollup",
+    # quantile_rollup demoted round 9 to pay for embedding_bq
+    # (see _DRIVER_LAST)
     # round-6 sixth batch: the Q20-like double decorrelation
     # (correlated scalar agg INSIDE an IN subquery) — paid for by
     # demoting multimodal_meta, whose oracle is byte-length arithmetic
@@ -263,6 +264,15 @@ _DRIVER_FIRST = [
     # gated through tpch_q14-era shapes via rotation re-entry, and it
     # re-earns driver-green like every demoted row.
     "pipeline_fineweb",
+    # ...plus 1-bit binary quantization (sign-bit packing -> xor ->
+    # popcount -> rational angle proxy, all integer-exact and replayed
+    # by DuckDB — the BQ oracle anchor beside embedding_sq8). Paid for
+    # by demoting quantile_rollup: its mergeable-quantile partials are
+    # pinned BIT-identical to the direct aggregation in
+    # tests/test_rollup.py, the rollup family keeps
+    # events_distinct_rollup in-window (and events_rollup_daily
+    # rotation-eligible), and it re-earns driver-green via rotation.
+    "embedding_bq",
 ]
 _DRIVER_LAST = [
     # round-9 demotion paying for embedding_sq8 (see above); long
@@ -280,6 +290,9 @@ _DRIVER_LAST = [
     # round-9 demotion paying for pipeline_fineweb (see above); its
     # all-predicates-pushed scan is plan-asserted:
     "tpch_q6_forecast_revenue",
+    # round-9 demotion paying for embedding_bq (see above); partials
+    # bit-identity stays test-pinned in tests/test_rollup.py:
+    "quantile_rollup",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

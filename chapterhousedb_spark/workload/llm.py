@@ -743,6 +743,64 @@ def embedding_sq8_q(spark, sf_dir):
     )
 
 
+def _bq_oracle() -> str:
+    """The embedding_bq oracle, built from the same word layout the
+    operator uses (63-bit words; dims=64 -> 2 words) with the query
+    code words computed by the SAME python twin the operator uses —
+    pack, xor, popcount, and the rational angle proxy all replay as
+    integer-exact SQL."""
+    from chapterhousedb_spark.operators.similarity import bq_query_code
+
+    q0, q1 = bq_query_code([1.0] * 64)
+    word = (
+        "CAST(list_sum(list_transform(generate_series({lo}, {hi}), "
+        "i -> CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > 0 "
+        "THEN (CAST(1 AS BIGINT) << (i - {lo})) ELSE 0 END)) AS BIGINT)"
+    )
+    w0 = word.format(lo=0, hi=62)
+    w1 = word.format(lo=63, hi=63)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, {w0} AS w0, {w1} AS w1 FROM embeddings),
+    h AS (
+      SELECT vec_id, w0,
+             CAST(bit_count(xor(w0, CAST({q0} AS BIGINT)))
+                  + bit_count(xor(w1, CAST({q1} AS BIGINT))) AS INT)
+               AS hamming
+      FROM c)
+    SELECT vec_id, w0 AS code_word0, hamming,
+           1.0 - 2.0 * CAST(hamming AS DOUBLE) / 64.0 AS approx_cosine
+    FROM h
+    ORDER BY hamming, vec_id
+    LIMIT 100
+    """
+
+
+@query("embedding_bq", oracle=_bq_oracle())
+def embedding_bq_q(spark, sf_dir):
+    """1-bit binary quantization under the hash gate (round 9): sign
+    bits packed into 63-bit bigint words, Hamming to the all-ones
+    query via bit_count(xor), rational angle proxy, top-100. Every
+    stage is integer-exact and engine-portable, so DuckDB replays the
+    whole path (the BQ oracle anchor beside embedding_sq8's; the
+    first code word is exposed so a packing regression breaks the
+    gate even where distances tie)."""
+    from chapterhousedb_spark.operators.similarity import bq_encode, bq_scores
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = bq_scores(bq_encode(emb.select("vec_id", "embedding")), _ONES64)
+    return (
+        scored.select(
+            "vec_id",
+            F.col("bq_code")[0].alias("code_word0"),
+            "hamming",
+            "approx_cosine",
+        )
+        .orderBy(F.col("hamming").asc(), "vec_id")
+        .limit(100)
+    )
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""

@@ -1048,3 +1048,53 @@ def test_pq_residual_index_roundtrip(spark, tmp_path, vectors):
     assert got == _numpy_topk(mat, np.array(q), 10)
     adc = pq_probe_topk(spark, path, q, k=10, nprobe=2, refine=0)
     assert len(adc.collect()) == 10
+
+
+# ------------------------------------------------------------ binary quant
+
+
+def test_bq_encode_matches_python_reference(vectors):
+    from chapterhousedb_spark.operators.similarity import (
+        bq_encode,
+        bq_query_code,
+    )
+
+    df, mat = vectors
+    got = {r["vec_id"]: r["bq_code"] for r in bq_encode(df).collect()}
+    for i, v in enumerate(mat):
+        assert got[i] == bq_query_code([float(x) for x in v]), i
+    # 16 dims -> one 63-bit word, always non-negative
+    assert all(len(c) == 1 and c[0] >= 0 for c in got.values())
+
+
+def test_bq_refine_full_equals_bruteforce_and_hamming_sane(vectors):
+    from chapterhousedb_spark.operators.similarity import bq_topk
+
+    df, mat = vectors
+    q = [1.0] * DIMS
+    got = [r["vec_id"] for r in bq_topk(df, q, k=10, refine=N).collect()]
+    assert got == _numpy_topk(mat, np.array(q), 10)
+    # ADC-only: hamming of the true top-1 should be small (signs agree)
+    adc = bq_topk(df, q, k=10, refine=0).collect()
+    assert all(0 <= r["hamming"] <= DIMS for r in adc)
+    assert adc[0]["approx_cosine"] == 1.0 - 2.0 * adc[0]["hamming"] / DIMS
+
+
+def test_bq_multiword_packing(spark):
+    """dims > 63 spills into a second word; hamming sums across words."""
+    from chapterhousedb_spark.operators.similarity import (
+        bq_encode,
+        bq_query_code,
+        bq_scores,
+    )
+
+    v = [1.0 if i % 3 == 0 else -1.0 for i in range(70)]
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>")
+    code = bq_encode(df).collect()[0]["bq_code"]
+    assert code == bq_query_code(v) and len(code) == 2
+    # against itself: hamming 0; against its negation: hamming = dims
+    r = bq_scores(bq_encode(df), v).collect()[0]
+    assert r["hamming"] == 0 and r["approx_cosine"] == 1.0
+    neg = [-x for x in v]
+    r2 = bq_scores(bq_encode(df), neg).collect()[0]
+    assert r2["hamming"] == 70
