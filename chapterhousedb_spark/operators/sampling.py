@@ -277,6 +277,7 @@ def temperature_mix(
     source_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "tmix",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based source resampling (the mT5/BLOOM mixing rule:
     sample source i proportionally to n_i^alpha, alpha = 1/T): compute
@@ -321,7 +322,17 @@ def temperature_mix(
         if alpha == 0.5
         else f"power(CAST(x.cnt AS DOUBLE), CAST('{float(alpha)!r}' AS DOUBLE))"
     )
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # weight_col (e.g. a token count): source mass n_i is an exact
+    # integer SUM of weights rather than a row count — the "sample by
+    # token share" form mT5 actually uses. Selection stays per-doc:
+    # rates say WHAT FRACTION OF DOCS each source keeps so that doc
+    # mass tracks target_frac of weighted mass.
+    mass = (
+        F.count(F.lit(1)).alias("cnt")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).alias("cnt")
+    )
+    counts = df.groupBy(source_col).agg(mass)
     totals = counts.agg(
         F.sum("cnt").alias("n_total"),
         F.expr(

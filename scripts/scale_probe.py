@@ -289,6 +289,8 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
     PQ codes); recall at defaults is the number users tune m/nbits/
     refine against (the PQ twin of probe_recall's SRP/IVF rows)."""
     from chapterhousedb_spark.operators.similarity import (
+        bq_encode,
+        bq_scores,
         cosine_topk,
         ivf_fit,
         ivf_probe_cells,
@@ -329,12 +331,16 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
     t_res_build = time.perf_counter() - t0
     all_cells = list(range(len(cents)))
     t0 = time.perf_counter()
+    coded_bq = bq_encode(embs).select("vec_id", "bq_code").cache()
+    coded_bq.count()
+    t_bq_build = time.perf_counter() - t0
+    t0 = time.perf_counter()
     mins, maxs = sq8_bounds(embs)
     coded_sq = sq8_quantize(embs, mins, maxs).select("vec_id", "qvec").cache()
     coded_sq.count()
     t_sq_build = time.perf_counter() - t0
-    pq_hits = sq_hits = res_hits = 0
-    t_pq = t_sq = t_res = 0.0
+    pq_hits = sq_hits = res_hits = bq_hits = 0
+    t_pq = t_sq = t_res = t_bq = 0.0
     try:
         for _, qv in qs:
             exact = {
@@ -369,24 +375,38 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
                 .collect()
             }
             t_res += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            bq = {
+                r["vec_id"]
+                for r in bq_scores(coded_bq, qv)
+                .orderBy(F.col("hamming").asc(), "vec_id")
+                .limit(10)
+                .collect()
+            }
+            t_bq += time.perf_counter() - t0
             pq_hits += len(pq & exact)
             sq_hits += len(sq & exact)
             res_hits += len(pr & exact)
+            bq_hits += len(bq & exact)
     finally:
         coded_pq.unpersist()
         coded_sq.unpersist()
         coded_res.unpersist()
+        coded_bq.unpersist()
     denom = 10 * len(qs)
     return {
         "pq_recall_at_10": round(pq_hits / denom, 3),
         "pq_residual_recall_at_10": round(res_hits / denom, 3),
         "sq8_recall_at_10": round(sq_hits / denom, 3),
+        "bq_recall_at_10": round(bq_hits / denom, 3),
         "pq_build_sec": round(t_pq_build, 3),
         "pq_residual_build_sec": round(t_res_build, 3),
         "sq8_build_sec": round(t_sq_build, 3),
+        "bq_build_sec": round(t_bq_build, 3),
         "pq_adc_topk_sec": round(t_pq, 3),
         "pq_residual_adc_topk_sec": round(t_res, 3),
         "sq8_topk_sec": round(t_sq, 3),
+        "bq_topk_sec": round(t_bq, 3),
     }
 
 

@@ -384,3 +384,34 @@ def test_temperature_mix_rejects_rate_collision(spark):
     )
     with pytest.raises(ValueError, match="rate"):
         temperature_mix(df)
+
+
+def test_temperature_mix_token_weighted(spark):
+    """weight_col switches source mass from doc counts to exact token
+    sums (the mT5 'sample by token share' form): rates replay the same
+    pinned IEEE chain over the integer masses."""
+    from chapterhousedb_spark.operators.sampling import temperature_mix
+
+    rows = [
+        (i, "big" if i < 60 else "small", 100 if i < 60 else 10)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = temperature_mix(
+        df, alpha=0.5, target_frac=0.5, weight_col="n_tok", salt="tw"
+    )
+    rates = {r["source"]: r["rate"] for r in out.collect()}
+    # masses: big 6000, small 200; exact python replay in source order
+    import math
+
+    wsum = 0.0
+    for mass in (6000.0, 200.0):  # 'big' < 'small' lexicographically
+        wsum += math.sqrt(mass)
+    total = 6200.0
+
+    def rate(mass):
+        return min(1.0, 0.5 * total * (math.sqrt(mass) / wsum) / mass)
+
+    assert rates["big"] == rate(6000.0)
+    assert rates["small"] == rate(200.0)
+    assert rates["small"] > rates["big"]  # alpha<1 upsamples small mass
