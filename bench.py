@@ -106,6 +106,7 @@ HEADLINE = [
     "temperature_mix",
     "pipeline_fineweb",
     "embedding_bq",
+    "knn_graph",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

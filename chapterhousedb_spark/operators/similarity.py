@@ -1795,3 +1795,66 @@ def bq_topk(
         return top.limit(k)
     kept = df.select(id_col, vec_col).join(F.broadcast(top.select(id_col)), id_col)
     return cosine_topk(kept, query_vec, k, vec_col, id_col)
+
+
+def knn_join(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+    seed: int = 7,
+    seeds: list[int] | None = None,
+) -> DataFrame:
+    """Blocked k-nearest-neighbor SELF-join (the similarity-graph /
+    approxSimilarityJoin operator): for every row, its k most-similar
+    OTHER rows among SRP bucket-mates, as (src_id, nbr_id, cosine,
+    rank) with rank 1..k per src (ties by nbr id — deterministic).
+    This is the hard-negative-mining / graph-construction primitive:
+    contrastive training data wants each anchor's nearest non-dups,
+    and clustering wants the kNN graph.
+
+    Recall is bounded by the blocking exactly like
+    embedding_near_dup_pairs (more seeds/fewer planes = more recall,
+    more candidates); rows whose buckets are singletons produce no
+    output rows (no neighbors found — callers treat absence as
+    'isolated', the honest answer under blocking).
+
+    Scale shape: the candidate stage is the measured SRP bucket
+    self-join (equi-keyed, never cartesian); the directed rank stage
+    is one window partitioned by src id whose partition sizes are
+    bounded by per-bucket candidate counts — nothing new beyond the
+    near-dup gate's economics, and the exact-cosine verify cost is
+    paid once per UNDIRECTED pair before the direction union."""
+    from pyspark.sql.window import Window
+
+    pairs = embedding_near_dup_pairs(
+        df,
+        threshold=-1.0,  # keep every candidate; ranking replaces the cut
+        vec_col=vec_col,
+        id_col=id_col,
+        planes=planes,
+        seed=seed,
+        seeds=seeds,
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("nbr_id"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("nbr_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id")
+    )
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src_id", "nbr_id", "cosine", F.col("rank").cast("int").alias("rank")
+        )
+    )

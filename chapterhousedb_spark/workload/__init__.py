@@ -90,7 +90,8 @@ _DRIVER_FIRST = [
     # by demoting agg_grouping_sets (aggs keep pricing_summary +
     # stats_funcs + both rollups gated; the GROUPING SETS Expand plan
     # is test-asserted in test_plans.py)
-    "pipeline_curation",
+    # pipeline_curation demoted round 9 to pay for knn_graph
+    # (see _DRIVER_LAST)
     # quantile_rollup demoted round 9 to pay for embedding_bq
     # (see _DRIVER_LAST)
     # round-6 sixth batch: the Q20-like double decorrelation
@@ -273,6 +274,15 @@ _DRIVER_FIRST = [
     # events_distinct_rollup in-window (and events_rollup_daily
     # rotation-eligible), and it re-earns driver-green via rotation.
     "embedding_bq",
+    # ...plus the SRP-blocked kNN self-join (similarity graph /
+    # hard-negative mining: pinned-sign bucketing -> exact pair cosine
+    # -> direction union -> deterministic rank window, all replayed by
+    # DuckDB). Paid for by demoting pipeline_curation: the composed-
+    # pipeline family keeps THREE other gated compositions in-window
+    # (pipeline_pretrain, pipeline_two_stage_dedup, pipeline_fineweb),
+    # every curation stage operator also has its own gated row, and it
+    # re-earns driver-green via rotation.
+    "knn_graph",
 ]
 _DRIVER_LAST = [
     # round-9 demotion paying for embedding_sq8 (see above); long
@@ -293,6 +303,9 @@ _DRIVER_LAST = [
     # round-9 demotion paying for embedding_bq (see above); partials
     # bit-identity stays test-pinned in tests/test_rollup.py:
     "quantile_rollup",
+    # round-9 demotion paying for knn_graph (see above); three other
+    # composed pipelines stay gated in-window:
+    "pipeline_curation",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

@@ -801,6 +801,48 @@ def embedding_bq_q(spark, sf_dir):
     )
 
 
+_KNN_COS = """list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))))"""
+
+
+@query(
+    "knn_graph",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_srp_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    und AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b, {_KNN_COS} AS cosine
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+    dir AS (
+      SELECT id_a AS src_id, id_b AS nbr_id, cosine FROM und
+      UNION ALL
+      SELECT id_b AS src_id, id_a AS nbr_id, cosine FROM und),
+    rk AS (
+      SELECT src_id, nbr_id, cosine,
+             CAST(row_number() OVER (PARTITION BY src_id
+                  ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+      FROM dir)
+    SELECT src_id, nbr_id, cosine, rank FROM rk WHERE rank <= 3
+    """,
+)
+def knn_graph_q(spark, sf_dir):
+    """SRP-blocked kNN self-join (round 9): each vector's top-3
+    bucket-mates by exact cosine, both directions, deterministic
+    rank ties. The oracle replays the pinned-sign bucketing, the
+    undirected-pair cosine (hash-exact since the near-dup gate), the
+    direction union, and the rank window — pinning the whole
+    similarity-graph construction."""
+    from chapterhousedb_spark.operators.similarity import knn_join
+
+    return knn_join(load(spark, sf_dir, "embeddings"), k=3, planes=6)
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""

@@ -1098,3 +1098,56 @@ def test_bq_multiword_packing(spark):
     neg = [-x for x in v]
     r2 = bq_scores(bq_encode(df), neg).collect()[0]
     assert r2["hamming"] == 70
+
+
+def test_knn_join_graph_properties(vectors):
+    """kNN self-join invariants: no self edges, contiguous ranks from
+    1 per src capped at k, cosine non-increasing with rank, and the
+    planted near-dup pair (0, 1) is each other's rank-1 neighbor."""
+    from chapterhousedb_spark.operators.similarity import knn_join
+
+    df, mat = vectors
+    out = knn_join(df, k=3, planes=4).collect()
+    assert all(r["src_id"] != r["nbr_id"] for r in out)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src_id"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+    assert by_src[0][0]["nbr_id"] == 1 and by_src[1][0]["nbr_id"] == 0
+    assert by_src[0][0]["cosine"] > 0.999
+    # deterministic: identical graph on a repartitioned input
+    again = knn_join(df.repartition(7), k=3, planes=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_knn_join_matches_numpy_within_buckets(vectors):
+    """Exactness anchor: the rank-1 neighbor per src equals the numpy
+    argmax over that src's actual bucket-mates (blocking included in
+    the reference, so this checks ranking, not recall)."""
+    from chapterhousedb_spark.operators.similarity import (
+        knn_join,
+        srp_signature,
+    )
+
+    df, mat = vectors
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", srp_signature("embedding", 4, DIMS, 7).alias("b")
+        ).collect()
+    }
+    got = {}
+    for r in knn_join(df, k=1, planes=4).collect():
+        got[r["src_id"]] = r["nbr_id"]
+    md = mat.astype(np.float64)
+    md = md / np.linalg.norm(md, axis=1)[:, None]
+    for src, nbr in got.items():
+        mates = [i for i in range(N) if i != src and buckets[i] == buckets[src]]
+        assert mates, src
+        best = max(mates, key=lambda i: (md[i] @ md[src], -i))
+        assert nbr == best, (src, nbr, best)
