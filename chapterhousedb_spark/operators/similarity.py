@@ -1756,7 +1756,11 @@ def bq_scores(
 ) -> DataFrame:
     """Hamming distance to the query's sign code (bit_count of per-word
     XOR — integer-exact, engine-portable) plus the rational angle proxy
-    1 - 2*hamming/dims. The scan reads ONLY the code words."""
+    1 - 2*hamming/dims. The scan reads ONLY the code words. Rows whose
+    stored code has fewer words than the query implies (a corpus
+    encoded at different dims) get NULL hamming — order such output
+    with nulls last, or use bq_topk, which encodes and scores from the
+    same vectors and cannot mismatch."""
     qcode = bq_query_code(query_vec)
     dims = len(query_vec)
     ham = " + ".join(
@@ -1825,7 +1829,9 @@ def knn_join(
     is one window partitioned by src id whose partition sizes are
     bounded by per-bucket candidate counts — nothing new beyond the
     near-dup gate's economics, and the exact-cosine verify cost is
-    paid once per UNDIRECTED pair before the direction union."""
+    paid once per UNDIRECTED pair before the direction union. Like
+    the near-dup gate, the candidate stage persists intermediates —
+    call operators.release_self_join_caches() after materializing."""
     from pyspark.sql.window import Window
 
     pairs = embedding_near_dup_pairs(
