@@ -107,6 +107,7 @@ HEADLINE = [
     "pipeline_fineweb",
     "embedding_bq",
     "knn_graph",
+    "embedding_clusters",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -49,7 +49,8 @@ _DRIVER_FIRST = [
     # sort-merge-join strategy pin (paid for by permanently demoting
     # join_semi / join_range_bands / pivot_mktsegment below)
     "streaming_sessionize",
-    "tpch_q17_small_qty",
+    # tpch_q17_small_qty demoted round 9 to pay for embedding_clusters
+    # (see _DRIVER_LAST)
     # round-6 second batch: four more TPC-H plan shapes (outer-join
     # histogram, IN-subquery semi + top-k, the double EXISTS/NOT EXISTS
     # decorrelation, scalar-broadcast + anti), the incremental-rollup
@@ -283,6 +284,14 @@ _DRIVER_FIRST = [
     # every curation stage operator also has its own gated row, and it
     # re-earns driver-green via rotation.
     "knn_graph",
+    # ...plus semantic clustering (the SemDeDup label step: the gated
+    # SRP edge set closed transitively, oracle = recursive CTE like
+    # dedup_clusters). Paid for by demoting tpch_q17_small_qty: the
+    # correlated-scalar-aggregate family keeps tpch_q2 (multi-join
+    # MIN), tpch_q20 (double decorrelation, plan-asserted exchange
+    # reuse) and tpch_q22 (threshold broadcast) gated in-window, and
+    # it re-earns driver-green via rotation.
+    "embedding_clusters",
 ]
 _DRIVER_LAST = [
     # round-9 demotion paying for embedding_sq8 (see above); long
@@ -306,6 +315,9 @@ _DRIVER_LAST = [
     # round-9 demotion paying for knn_graph (see above); three other
     # composed pipelines stay gated in-window:
     "pipeline_curation",
+    # round-9 demotion paying for embedding_clusters (see above);
+    # correlated-scalar family keeps q2/q20/q22 in-window:
+    "tpch_q17_small_qty",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

