@@ -1864,3 +1864,50 @@ def knn_join(
             "src_id", "nbr_id", "cosine", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+def knn_join_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+    seed: int = 7,
+    seeds: list[int] | None = None,
+) -> DataFrame:
+    """Bipartite kNN lookup (the ANN-serve / ingest-enrichment
+    primitive): for every `batch` vector, its k most-similar CORPUS
+    bucket-mates as (src_id, nbr_id, cosine, rank) — the directed twin
+    of knn_join the same way the `_cross` dedup gates twin their
+    self-joins. The batch never pairs with itself and the corpus never
+    re-pairs with itself: one corpus scan + map-side bucketing per
+    batch, batch side broadcast-sized (the measured cross-gate
+    economics, SCALE.md). Recall is the blocking's, tunable via
+    planes/seeds; batch rows with no corpus bucket-mate produce no
+    rows (isolated — the honest answer under blocking)."""
+    from pyspark.sql.window import Window
+
+    pairs = embedding_near_dup_pairs_cross(
+        batch,
+        corpus,
+        threshold=-1.0,
+        vec_col=vec_col,
+        id_col=id_col,
+        planes=planes,
+        seed=seed,
+        seeds=seeds,
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("batch_id").alias("src_id"),
+            F.col("corpus_id").alias("nbr_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1172,3 +1172,41 @@ def test_embedding_clusters_composition(spark, sf_dir):
                for cid in sizes)
     assert any(s > 1 for s in sizes.values())
     assert any(s == 1 for s in sizes.values())
+
+
+def test_knn_join_cross_equals_self_join_cross_edges(vectors, spark):
+    """The bipartite lookup must agree with the self-join restricted
+    to cross edges: split the corpus into batch/base halves, run
+    knn_join on the union with the SAME blocking, keep only edges
+    src in batch AND nbr in base, re-rank per src — identical graph
+    to knn_join_cross(batch, base)."""
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.similarity import (
+        knn_join,
+        knn_join_cross,
+    )
+
+    df, _ = vectors
+    batch = df.filter(F.col("vec_id") < 20)
+    base = df.filter(F.col("vec_id") >= 20)
+    got = {
+        (r["src_id"], r["nbr_id"], r["rank"]): r["cosine"]
+        for r in knn_join_cross(batch, base, k=3, planes=4).collect()
+    }
+    # reference: all candidate edges of the union (huge k), restricted
+    full = knn_join(df, k=N, planes=4).collect()
+    ref_edges = {}
+    for r in full:
+        if r["src_id"] < 20 and r["nbr_id"] >= 20:
+            ref_edges.setdefault(r["src_id"], []).append(
+                (r["nbr_id"], r["cosine"])
+            )
+    want = {}
+    for src, nbrs in ref_edges.items():
+        nbrs.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nbr, cos) in enumerate(nbrs[:3], start=1):
+            want[(src, nbr, rank)] = cos
+    assert set(got) == set(want)
+    for key in got:
+        assert got[key] == want[key], key
