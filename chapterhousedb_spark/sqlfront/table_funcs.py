@@ -634,6 +634,33 @@ TEMPERATURE_MIX = TableFunction(
 )
 
 
+def _build_knn_graph(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """knn_graph('<glob>' [, k=>'5'] [, planes=>'12'] [, vec=>...]
+    [, id=>...] [, connection=>...]): each vector's k nearest
+    bucket-mates (operators/similarity.knn_join) — `select * from
+    knn_graph('embeddings/*.parquet', k=>'3')` builds the similarity
+    graph at the SQL front door."""
+    from chapterhousedb_spark.operators.similarity import knn_join
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    return knn_join(
+        df,
+        k=int(call.named_args.get("k", "5")),
+        vec_col=call.named_args.get("vec", "embedding"),
+        id_col=call.named_args.get("id", "vec_id"),
+        planes=int(call.named_args.get("planes", "12")),
+    )
+
+
+KNN_GRAPH = TableFunction(
+    name="knn_graph",
+    build=_build_knn_graph,
+    allowed_args=frozenset({"connection", "k", "planes", "vec", "id"}),
+)
+
+
 def default_table_function_registry() -> TableFunctionRegistry:
     """read_files (the reference's sole function) + the reference's
     unchecked roadmap formats (README.md:63-66: CSV, JSON) + the
@@ -657,4 +684,5 @@ def default_table_function_registry() -> TableFunctionRegistry:
     reg.register(REPETITION)
     reg.register(C4_CLEAN)
     reg.register(TEMPERATURE_MIX)
+    reg.register(KNN_GRAPH)
     return reg

@@ -821,3 +821,27 @@ def test_round9_operator_table_functions(engine, sf_dir):
         ).collect()
     }
     assert got == want and got
+
+
+def test_knn_graph_table_function(engine, sf_dir):
+    """The kNN-graph TVF through engine.sql, cross-checked against the
+    operator called directly."""
+    from chapterhousedb_spark.operators.similarity import knn_join
+
+    spark = engine.spark
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    [h] = engine.sql_wait(
+        "select src_id, nbr_id, rank from knn_graph("
+        "'embeddings.parquet', connection=>'testdata', k=>'2', planes=>'6')"
+    )
+    got = {
+        (r["src_id"], r["rank"]): r["nbr_id"]
+        for r in engine.fetch(h.query_id, limit=10_000).to_pylist()
+    }
+    want = {
+        (r["src_id"], r["rank"]): r["nbr_id"]
+        for r in knn_join(embs, k=2, planes=6)
+        .select("src_id", "nbr_id", "rank")
+        .collect()
+    }
+    assert got == want and got

@@ -536,3 +536,19 @@ def test_c4_clean_plan_is_single_scan(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_knn_graph_plan_shape(spark):
+    """kNN graph: the candidate stage is the SRP equi-keyed self-join
+    (never cartesian/nested-loop) and the ranking is a window over the
+    directed union — one hash-partitioned window, no global sort."""
+    plan = physical_plan(q("knn_graph", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_embedding_clusters_plan_shape(spark):
+    plan = physical_plan(q("embedding_clusters", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
