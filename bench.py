@@ -108,6 +108,7 @@ HEADLINE = [
     "embedding_bq",
     "knn_graph",
     "embedding_clusters",
+    "pipeline_retrieval",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

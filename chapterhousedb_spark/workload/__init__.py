@@ -41,7 +41,8 @@ _DRIVER_FIRST = [
     # streaming_events_hourly, which streaming_events_hourly_files
     # SUBSUMES (same windowed agg drained through the stronger
     # parquet-sink path with the watermark cutoff under the same gate)
-    "streaming_interval_join_outer",
+    # streaming_interval_join_outer demoted round 9 to pay for
+    # pipeline_retrieval (see _DRIVER_LAST)
     "streaming_dedup",
     "streaming_enrich",
     # round-6 additions: the last streaming operator under the gate,
@@ -292,6 +293,16 @@ _DRIVER_FIRST = [
     # reuse) and tpch_q22 (threshold broadcast) gated in-window, and
     # it re-earns driver-green via rotation.
     "embedding_clusters",
+    # ...plus the composed retrieval funnel (BQ hamming prefilter ->
+    # SQ8 dequantized rerank -> exact cosine top-10, every stage score
+    # a gated column — the quantization family's capstone, all three
+    # arithmetic chains replayed by DuckDB). Paid for by demoting
+    # streaming_interval_join_outer: the interval-join family keeps
+    # the INNER form gated in-window (same stream machinery, the outer
+    # adds only the null-padding branch, which stays pinned in
+    # tests/test_streaming.py), and it re-earns driver-green via
+    # rotation.
+    "pipeline_retrieval",
 ]
 _DRIVER_LAST = [
     # round-9 demotion paying for embedding_sq8 (see above); long
@@ -318,6 +329,9 @@ _DRIVER_LAST = [
     # round-9 demotion paying for embedding_clusters (see above);
     # correlated-scalar family keeps q2/q20/q22 in-window:
     "tpch_q17_small_qty",
+    # round-9 demotion paying for pipeline_retrieval (see above); the
+    # inner interval join stays gated, outer null-padding test-pinned:
+    "streaming_interval_join_outer",
     # round-9 demotions paying for dedup_span_rewrite / markup_removal
     # (see above); long driver-green, family-redundant,
     # rotation-eligible:

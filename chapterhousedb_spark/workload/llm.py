@@ -843,6 +843,115 @@ def knn_graph_q(spark, sf_dir):
     return knn_join(load(spark, sf_dir, "embeddings"), k=3, planes=6)
 
 
+_RETR_COS = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * 1.0)) "
+    "/ (sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) "
+    "* 8.0)"
+)
+
+
+def _retrieval_oracle() -> str:
+    """pipeline_retrieval oracle: the three-stage funnel composed —
+    BQ hamming gate (embedding_bq's packing SQL) -> top-256, SQ8
+    dequantized rerank over FULL-corpus bounds (embedding_sq8's
+    arithmetic) -> top-32, exact cosine -> top-10; each stage's score
+    is carried as a gated column."""
+    from chapterhousedb_spark.operators.similarity import bq_query_code
+
+    q0, q1 = bq_query_code([1.0] * 64)
+    word = (
+        "CAST(list_sum(list_transform(generate_series({lo}, {hi}), "
+        "i -> CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > 0 "
+        "THEN (CAST(1 AS BIGINT) << (i - {lo})) ELSE 0 END)) AS BIGINT)"
+    )
+    w0 = word.format(lo=0, hi=62)
+    w1 = word.format(lo=63, hi=63)
+    return f"""
+    WITH mm AS (
+      SELECT g.i AS i,
+             CAST(MIN(e.embedding[g.i]) AS DOUBLE) AS mn,
+             GREATEST(CAST(MAX(e.embedding[g.i]) AS DOUBLE)
+                      - CAST(MIN(e.embedding[g.i]) AS DOUBLE), 1e-12) AS span
+      FROM embeddings e CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY g.i),
+    mml AS (
+      SELECT list(mn ORDER BY i) AS mns, list(span ORDER BY i) AS spans
+      FROM mm),
+    s1 AS (
+      SELECT vec_id, embedding,
+             CAST(bit_count(xor({w0}, CAST({q0} AS BIGINT)))
+                  + bit_count(xor({w1}, CAST({q1} AS BIGINT))) AS INT)
+               AS hamming
+      FROM embeddings
+      ORDER BY hamming, vec_id LIMIT 256),
+    s2q AS (
+      SELECT s1.vec_id, s1.embedding, s1.hamming,
+             list(CAST(GREATEST(LEAST(FLOOR(
+                    (CAST(s1.embedding[mm.i] AS DOUBLE) - mm.mn)
+                    * 255.0 / mm.span + 0.5), 255), 0) - 128 AS INT)
+                  ORDER BY mm.i) AS qvec
+      FROM s1 CROSS JOIN mm
+      GROUP BY s1.vec_id, s1.embedding, s1.hamming),
+    s2 AS (
+      SELECT vec_id, embedding, hamming,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> {_SQ8_DQ}))
+             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                  i -> {_SQ8_DQ} * {_SQ8_DQ})))
+                * 8.0) AS sq8_cosine
+      FROM (SELECT q.vec_id, q.embedding, q.hamming, q.qvec,
+                   l.mns, l.spans FROM s2q q CROSS JOIN mml l) d
+      ORDER BY sq8_cosine DESC, vec_id LIMIT 32)
+    SELECT e.vec_id, e.hamming, e.sq8_cosine,
+           {_RETR_COS} AS cosine
+    FROM s2 e
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@query("pipeline_retrieval", oracle=_retrieval_oracle())
+def pipeline_retrieval_q(spark, sf_dir):
+    """The production vector-retrieval funnel under ONE oracle (round
+    9): BQ Hamming prefilter (1/16 the bytes) -> top-256, SQ8
+    dequantized-cosine rerank (1/4 the bytes, full-corpus write-time
+    bounds) -> top-32, exact cosine -> top-10, each stage's score
+    carried so the gate pins every cut point and every arithmetic
+    chain. This is how the quantization family composes at 100 TB:
+    the float vectors load for 32 rows, not the corpus."""
+    from chapterhousedb_spark.operators.similarity import (
+        bq_encode,
+        bq_scores,
+        cosine_scores,
+        sq8_bounds,
+        sq8_quantize,
+        sq8_scores,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    s1 = (
+        bq_scores(bq_encode(emb.select("vec_id", "embedding")), _ONES64)
+        .orderBy(F.col("hamming").asc(), "vec_id")
+        .limit(256)
+        .select("vec_id", "embedding", "hamming")
+    )
+    mins, maxs = sq8_bounds(emb)  # write-time shape: corpus bounds
+    s2 = (
+        sq8_scores(sq8_quantize(s1, mins, maxs), mins, maxs, _ONES64)
+        .withColumnRenamed("approx_cosine", "sq8_cosine")
+        .orderBy(F.col("sq8_cosine").desc(), "vec_id")
+        .limit(32)
+        .select("vec_id", "embedding", "hamming", "sq8_cosine")
+    )
+    return (
+        cosine_scores(s2, _ONES64)
+        .select("vec_id", "hamming", "sq8_cosine", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 @query(
     "embedding_near_dup",
     oracle=f"""

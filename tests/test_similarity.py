@@ -1210,3 +1210,50 @@ def test_knn_join_cross_equals_self_join_cross_edges(vectors, spark):
     assert set(got) == set(want)
     for key in got:
         assert got[key] == want[key], key
+
+
+def test_retrieval_funnel_full_width_equals_bruteforce(vectors):
+    """BQ -> SQ8 -> exact with stage widths >= corpus degenerates to
+    brute force (the funnel's exactness anchor); at production widths
+    (256/32) the funnel keeps most of the true top-10 on this corpus."""
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.similarity import (
+        bq_encode,
+        bq_scores,
+        cosine_scores,
+        cosine_topk,
+        sq8_bounds,
+        sq8_quantize,
+        sq8_scores,
+    )
+
+    df, mat = vectors
+    q = [1.0] * DIMS
+    mins, maxs = sq8_bounds(df)
+
+    def funnel(w1, w2):
+        s1 = (
+            bq_scores(bq_encode(df.select("vec_id", "embedding")), q)
+            .orderBy(F.col("hamming").asc(), "vec_id")
+            .limit(w1)
+            .select("vec_id", "embedding")
+        )
+        s2 = (
+            sq8_scores(sq8_quantize(s1, mins, maxs), mins, maxs, q)
+            .orderBy(F.col("approx_cosine").desc(), "vec_id")
+            .limit(w2)
+            .select("vec_id", "embedding")
+        )
+        return [
+            r["vec_id"]
+            for r in cosine_scores(s2, q)
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(10)
+            .collect()
+        ]
+
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    assert funnel(N, N) == exact
+    narrow = funnel(64, 24)
+    assert len(set(narrow) & set(exact)) >= 7, (narrow, exact)
