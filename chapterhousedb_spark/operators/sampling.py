@@ -348,9 +348,13 @@ def temperature_mix(
         F.explode("srcs").alias("x"), "n_total", "wsum"
     ).select(
         F.col("x.src").alias(source_col),
+        # zero-mass sources (every doc weighs 0) get rate 0, NOT 1:
+        # the unguarded 0/0 makes the rate NaN/NULL and Spark's least()
+        # skips non-values, silently keeping the whole junk source
         F.expr(
+            f"CASE WHEN x.cnt <= 0 THEN CAST(0.0 AS DOUBLE) ELSE "
             f"least(CAST(1.0 AS DOUBLE), {t_lit} * CAST(n_total AS DOUBLE)"
-            f" * ({w_expr} / wsum) / CAST(x.cnt AS DOUBLE))"
+            f" * ({w_expr} / wsum) / CAST(x.cnt AS DOUBLE)) END"
         ).alias("rate"),
     )
     h_int = F.conv(_hash_prefix(id_col, salt + ":"), 16, 10).cast("bigint")

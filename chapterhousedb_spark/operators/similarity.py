@@ -34,10 +34,14 @@ def cosine_scores(
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     qn = sum(v * v for v in query_vec) ** 0.5
     df = df.withColumn("__q", q)
+    # greatest(denom, 1e-12): bit-identical for every real vector
+    # (norms >> 1e-12) and gives degenerate zero vectors cosine 0.0
+    # instead of an ANSI DIVIDE_BY_ZERO job failure
     return (
         df.withColumn(
             "cosine",
-            _dot(vec_col, "__q") / (_norm(vec_col) * F.lit(qn)),
+            _dot(vec_col, "__q")
+            / F.greatest(_norm(vec_col) * F.lit(qn), F.lit(1e-12)),
         )
         .drop("__q")
     )
@@ -275,7 +279,7 @@ def ivf_ann_topk(
 
 def embedding_near_dup_pairs(
     df: DataFrame,
-    threshold: float = 0.95,
+    threshold: float | None = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = 12,
@@ -342,12 +346,17 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    # guarded denominator: zero/degenerate vectors score cosine 0.0
+    # instead of failing the job under ANSI (bit-identical otherwise)
+    cos = _dot("va", "vb") / F.greatest(
+        _norm("va") * _norm("vb"), F.lit(1e-12)
     )
+    out = pairs.withColumn("cosine", cos)
+    if threshold is not None:
+        # a numeric threshold above 0 drops zero-vector pairs; pass
+        # threshold=None to keep every blocked candidate (knn_join does)
+        out = out.filter(F.col("cosine") >= threshold)
+    return out.select("id_a", "id_b", "cosine")
 
 
 def embedding_dedup_survivors(
@@ -387,7 +396,7 @@ def embedding_dedup_survivors(
 def embedding_near_dup_pairs_cross(
     batch: DataFrame,
     corpus: DataFrame,
-    threshold: float = 0.95,
+    threshold: float | None = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = 12,
@@ -445,12 +454,13 @@ def embedding_near_dup_pairs_cross(
         )
         .dropDuplicates(["batch_id", "corpus_id"])
     )
-    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("batch_id", "corpus_id", "cosine")
+    cos = _dot("va", "vb") / F.greatest(
+        _norm("va") * _norm("vb"), F.lit(1e-12)
     )
+    out = pairs.withColumn("cosine", cos)
+    if threshold is not None:
+        out = out.filter(F.col("cosine") >= threshold)
+    return out.select("batch_id", "corpus_id", "cosine")
 
 
 def ivf_write_index(
@@ -1146,7 +1156,11 @@ def pq_topk(
         .select(id_col)
     )
     kept = df.select(id_col, vec_col).join(F.broadcast(cand), id_col)
-    return cosine_topk(kept, query_vec, k, vec_col, id_col)
+    # stable schema across the refine knob: the score column is ALWAYS
+    # approx_cosine; with refine > 0 it holds the EXACT rerank cosine
+    return cosine_topk(kept, query_vec, k, vec_col, id_col).withColumnRenamed(
+        "cosine", "approx_cosine"
+    )
 
 
 def _centroids_lit(centroids: list[list[float]]) -> str:
@@ -1235,7 +1249,10 @@ def pq_adc_scores_residual(
         + ")"
     )
     probes_lit = "array(" + ",".join(str(int(p)) for p in probes) + ")"
-    return df.withColumn(
+    # self-enforce the documented precondition: a row whose cell is
+    # not in `probes` would hit element_at(lut3, 0) and fail the whole
+    # job mid-flight with an opaque index error — filter instead
+    return df.filter(F.col(cell_col).isin([int(p) for p in probes])).withColumn(
         score_col,
         F.expr(
             f"1.0D - 0.5D * aggregate(sequence(0, {m - 1}), 0D, (acc, s) -> "
@@ -1290,8 +1307,21 @@ def ivf_pq_topk(
         centroids = ivf_fit(df, vec_col, n_cells, seed, max_iter, sample_fraction)
     probes = ivf_probe_cells(centroids, query_vec, nprobe)
     if by_residual:
-        res = residual_frame(
-            df.select(id_col, vec_col), centroids, vec_col
+        # the residual lineage (unit projection + n_cells distance
+        # lambdas + subtract) is the dominant per-row cost — cache it
+        # so the fit jobs, the encode pass, and the (lazy) scoring
+        # share ONE materialization instead of re-running the corpus
+        # scan ~3x. The result is returned lazily, so the cache is
+        # registered with the self-join cache registry (released by
+        # operators.release_self_join_caches(), exactly like the
+        # near-dup pair caches — bench.py already releases per query).
+        from chapterhousedb_spark.operators.dedup import (
+            _persist_for_self_join,
+        )
+
+        res = _persist_for_self_join(
+            residual_frame(df.select(id_col, vec_col), centroids, vec_col),
+            True,
         )
         if codebooks is None:
             codebooks = pq_fit(
@@ -1334,7 +1364,10 @@ def ivf_pq_topk(
     if refine <= 0:
         return top.limit(k)
     kept = df.select(id_col, vec_col).join(F.broadcast(top.select(id_col)), id_col)
-    return cosine_topk(kept, query_vec, k, vec_col, id_col)
+    # stable schema across the refine knob (see pq_topk)
+    return cosine_topk(kept, query_vec, k, vec_col, id_col).withColumnRenamed(
+        "cosine", "approx_cosine"
+    )
 
 
 def pq_write_index(
@@ -1362,7 +1395,9 @@ def pq_write_index(
     dims = pq_dims(df, vec_col)
     centroids = ivf_fit(df, vec_col, n_cells, seed, max_iter, sample_fraction)
     if by_residual:
-        res = residual_frame(df, centroids, vec_col)
+        # the parquet write below materializes while cached; unpersist
+        # right after it (see the write call)
+        res = residual_frame(df, centroids, vec_col).cache()
         codebooks = pq_fit(
             res,
             "pq_resid",
@@ -1386,9 +1421,13 @@ def pq_write_index(
         coded = pq_encode(assigned, codebooks, vec_col)
     import posixpath
 
-    coded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
-        posixpath.join(path, "corpus")
-    )
+    try:
+        coded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+            posixpath.join(path, "corpus")
+        )
+    finally:
+        if by_residual:
+            res.unpersist()
     meta = {
         "centroids": centroids,
         "codebooks": codebooks,
@@ -1451,7 +1490,10 @@ def pq_probe_topk(
     kept = cand.select(id_col, vec_col).join(
         F.broadcast(top.select(id_col)), id_col
     )
-    return cosine_topk(kept, query_vec, k, vec_col, id_col)
+    # stable schema across the refine knob (see pq_topk)
+    return cosine_topk(kept, query_vec, k, vec_col, id_col).withColumnRenamed(
+        "cosine", "approx_cosine"
+    )
 
 
 # ----------------------------------------------------- scalar quantization
@@ -1681,7 +1723,10 @@ def sq8_probe_topk(
     kept = corpus.select(id_col, vec_col).join(
         F.broadcast(top.select(id_col)), id_col
     )
-    return cosine_topk(kept, query_vec, k, vec_col, id_col)
+    # stable schema across the refine knob (see pq_topk)
+    return cosine_topk(kept, query_vec, k, vec_col, id_col).withColumnRenamed(
+        "cosine", "approx_cosine"
+    )
 
 
 # ----------------------------------------------------- binary quantization
@@ -1767,8 +1812,16 @@ def bq_scores(
         f"bit_count({code_col}[{w}] ^ CAST({q} AS BIGINT))"
         for w, q in enumerate(qcode)
     )
+    # any word-count mismatch (corpus encoded at other dims) -> NULL,
+    # in BOTH directions: fewer stored words already null the sum via
+    # the out-of-range index; MORE stored words would silently truncate
+    # to a plausible-looking wrong hamming without this guard
+    ham = (
+        f"CASE WHEN size({code_col}) = {len(qcode)} "
+        f"THEN CAST({ham} AS INT) ELSE CAST(NULL AS INT) END"
+    )
     return df.withColumn(
-        hamming_col, F.expr(f"CAST({ham} AS INT)")
+        hamming_col, F.expr(ham)
     ).withColumn(
         score_col,
         F.expr(f"1.0D - 2.0D * CAST({hamming_col} AS DOUBLE) / {dims}.0D"),
@@ -1798,7 +1851,17 @@ def bq_topk(
     if refine <= 0:
         return top.limit(k)
     kept = df.select(id_col, vec_col).join(F.broadcast(top.select(id_col)), id_col)
-    return cosine_topk(kept, query_vec, k, vec_col, id_col)
+    # stable schema across the refine knob: same 3 columns as the ADC
+    # branch, with approx_cosine holding the EXACT rerank cosine and
+    # hamming carried through from the prefilter
+    exact = cosine_topk(kept, query_vec, k, vec_col, id_col)
+    return (
+        exact.join(F.broadcast(top.select(id_col, "hamming")), id_col)
+        .select(
+            id_col, "hamming", F.col("cosine").alias("approx_cosine")
+        )
+        .orderBy(F.col("approx_cosine").desc(), F.col(id_col))
+    )
 
 
 def knn_join(
@@ -1809,6 +1872,7 @@ def knn_join(
     planes: int = 12,
     seed: int = 7,
     seeds: list[int] | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Blocked k-nearest-neighbor SELF-join (the similarity-graph /
     approxSimilarityJoin operator): for every row, its k most-similar
@@ -1836,12 +1900,16 @@ def knn_join(
 
     pairs = embedding_near_dup_pairs(
         df,
-        threshold=-1.0,  # keep every candidate; ranking replaces the cut
+        threshold=None,  # keep EVERY candidate (incl. zero/degenerate
+        # vectors, which score cosine 0.0 under the guarded norm — a
+        # positive threshold would silently drop them); ranking
+        # replaces the cut
         vec_col=vec_col,
         id_col=id_col,
         planes=planes,
         seed=seed,
         seeds=seeds,
+        persist=persist,
     )
     directed = pairs.select(
         F.col("id_a").alias("src_id"),
@@ -1891,7 +1959,7 @@ def knn_join_cross(
     pairs = embedding_near_dup_pairs_cross(
         batch,
         corpus,
-        threshold=-1.0,
+        threshold=None,  # keep every candidate, incl. zero vectors
         vec_col=vec_col,
         id_col=id_col,
         planes=planes,

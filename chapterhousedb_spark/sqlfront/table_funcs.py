@@ -645,12 +645,16 @@ def _build_knn_graph(
     from chapterhousedb_spark.operators.similarity import knn_join
 
     df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    # persist=False like every self-join TVF (near_dups/span_rewrite/
+    # semantic_dedup): SQL-front callers can't release the cache, so a
+    # long-lived engine would leak one pinned RDD per invocation
     return knn_join(
         df,
         k=int(call.named_args.get("k", "5")),
         vec_col=call.named_args.get("vec", "embedding"),
         id_col=call.named_args.get("id", "vec_id"),
         planes=int(call.named_args.get("planes", "12")),
+        persist=False,
     )
 
 

@@ -1257,3 +1257,121 @@ def test_retrieval_funnel_full_width_equals_bruteforce(vectors):
     assert funnel(N, N) == exact
     narrow = funnel(64, 24)
     assert len(set(narrow) & set(exact)) >= 7, (narrow, exact)
+
+
+# ------------------------------------------- round-9 review-fix regressions
+
+
+def test_bq_scores_word_mismatch_is_null_both_directions(spark):
+    from chapterhousedb_spark.operators.similarity import bq_encode, bq_scores
+
+    wide = spark.createDataFrame(
+        [(1, [1.0] * 126)], "vec_id long, embedding array<double>"
+    )
+    narrow_q = [1.0] * 63  # 1 word vs the corpus's 2
+    r = bq_scores(bq_encode(wide), narrow_q).collect()[0]
+    assert r["hamming"] is None and r["approx_cosine"] is None
+    narrow = spark.createDataFrame(
+        [(1, [1.0] * 63)], "vec_id long, embedding array<double>"
+    )
+    wide_q = [1.0] * 126
+    r2 = bq_scores(bq_encode(narrow), wide_q).collect()[0]
+    assert r2["hamming"] is None and r2["approx_cosine"] is None
+
+
+def test_knn_join_zero_vector_not_silently_dropped(spark):
+    """A zero (failed-embedder) vector must neither crash the job
+    (Spark 4 ANSI raises DIVIDE_BY_ZERO on an unguarded norm) nor be
+    silently dropped: under the guarded denominator its pairs score
+    cosine 0.0 and rank below every real neighbor."""
+    from chapterhousedb_spark.operators.similarity import knn_join
+
+    rows = [(1, [1.0, 0.5]), (2, [0.9, 0.6]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_join(df, k=3, planes=1, persist=False).collect()
+    for r in out:
+        if 3 in (r["src_id"], r["nbr_id"]):
+            assert r["cosine"] == 0.0
+    # the well-formed pair is present with a real cosine and rank 1
+    pair12 = [r for r in out if r["src_id"] == 1 and r["nbr_id"] == 2]
+    assert pair12 and pair12[0]["rank"] == 1 and pair12[0]["cosine"] > 0.9
+
+
+def test_refine_keeps_schema_stable(vectors, spark, tmp_path):
+    from chapterhousedb_spark.operators.similarity import (
+        bq_topk,
+        ivf_pq_topk,
+        pq_topk,
+        sq8_topk,  # noqa: F401  (no refine knob — bounds-only)
+        pq_write_index,
+        pq_probe_topk,
+    )
+
+    df, _ = vectors
+    q = [1.0] * DIMS
+    assert (
+        pq_topk(df, q, k=3, m=4, nbits=3, refine=0, max_iter=2).columns
+        == pq_topk(df, q, k=3, m=4, nbits=3, refine=20, max_iter=2).columns
+    )
+    assert (
+        ivf_pq_topk(df, q, k=3, n_cells=4, nprobe=2, m=4, nbits=3,
+                    refine=0, max_iter=2).columns
+        == ivf_pq_topk(df, q, k=3, n_cells=4, nprobe=2, m=4, nbits=3,
+                       refine=20, max_iter=2).columns
+    )
+    a = bq_topk(df, q, k=3, refine=0)
+    b = bq_topk(df, q, k=3, refine=20)
+    assert a.columns == b.columns == ["vec_id", "hamming", "approx_cosine"]
+    path = str(tmp_path / "pqschema")
+    pq_write_index(df, path, n_cells=4, m=4, nbits=3, max_iter=2)
+    assert (
+        pq_probe_topk(spark, path, q, k=3, nprobe=2, refine=0).columns
+        == pq_probe_topk(spark, path, q, k=3, nprobe=2, refine=20).columns
+    )
+
+
+def test_residual_scorer_self_filters_out_of_probe_rows(spark):
+    import numpy as np
+
+    from chapterhousedb_spark.operators.similarity import (
+        ivf_fit,
+        pq_adc_scores_residual,
+        pq_encode,
+        residual_frame,
+    )
+
+    rng = np.random.default_rng(8)
+    mat = rng.normal(size=(12, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_fit(df, n_cells=3, max_iter=2)
+    res = residual_frame(df, cents)
+    books = [[[0.0, 0.0]] for _ in range(4)]
+    coded = pq_encode(
+        res.select("vec_id", "ivf_cell", "pq_resid"), books, "pq_resid",
+        normalize=False,
+    )
+    # probe only cell 0 but feed the UNfiltered frame: rows in other
+    # cells must be dropped, not crash the job on element_at(lut, 0)
+    out = pq_adc_scores_residual(coded, books, cents, [1.0] * 8, [0]).collect()
+    cells = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in res.select("vec_id", "ivf_cell").collect()
+    }
+    assert {r["vec_id"] for r in out} == {v for v, c in cells.items() if c == 0}
+
+
+def test_temperature_mix_zero_mass_source_dropped(spark):
+    from chapterhousedb_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "good", 50) for i in range(40)] + [
+        (100 + i, "junk", 0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = temperature_mix(
+        df, alpha=0.5, target_frac=0.5, weight_col="n_tok", salt="zm"
+    ).collect()
+    assert all(r["source"] == "good" for r in out), out
+    assert out  # the real source still samples
