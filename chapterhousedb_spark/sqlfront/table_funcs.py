@@ -665,6 +665,55 @@ KNN_GRAPH = TableFunction(
 )
 
 
+def _build_vector_topk(
+    spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
+) -> DataFrame:
+    """vector_topk('<glob>', q=>'0.1,0.2,...' [, k=>'10']
+    [, method=>'exact'|'bq'|'sq8'|'srp'] [, refine=>'0'] [, vec=>...]
+    [, id=>...] [, connection=>...]): top-k similarity search at the
+    SQL front door — exact brute force by default, or the compressed /
+    LSH scans (operators/similarity) with their documented
+    recall/exactness contracts; refine (bq/sq8 take it via their topk
+    defaults) reranks exactly."""
+    from chapterhousedb_spark.operators.similarity import (
+        bq_topk,
+        cosine_topk,
+        sq8_topk,
+        srp_ann_topk,
+    )
+
+    df = spark.read.parquet(connections.resolve(call.glob, call.connection))
+    q = [float(x) for x in call.named_args["q"].split(",") if x.strip()]
+    k = int(call.named_args.get("k", "10"))
+    vec = call.named_args.get("vec", "embedding")
+    ident = call.named_args.get("id", "vec_id")
+    method = call.named_args.get("method", "exact")
+    if method == "exact":
+        return cosine_topk(df, q, k, vec, ident)
+    if method == "bq":
+        return bq_topk(
+            df, q, k, vec, ident, refine=int(call.named_args.get("refine", "0"))
+        )
+    if method == "sq8":
+        return sq8_topk(df, q, k, vec, ident)
+    if method == "srp":
+        return srp_ann_topk(df, q, k, vec, ident)
+    raise ValueError(
+        f"vector_topk: unknown method {method!r} "
+        "(expected exact|bq|sq8|srp)"
+    )
+
+
+VECTOR_TOPK = TableFunction(
+    name="vector_topk",
+    build=_build_vector_topk,
+    allowed_args=frozenset(
+        {"connection", "q", "k", "method", "refine", "vec", "id"}
+    ),
+    required_args=frozenset({"q"}),
+)
+
+
 def default_table_function_registry() -> TableFunctionRegistry:
     """read_files (the reference's sole function) + the reference's
     unchecked roadmap formats (README.md:63-66: CSV, JSON) + the
@@ -689,4 +738,5 @@ def default_table_function_registry() -> TableFunctionRegistry:
     reg.register(C4_CLEAN)
     reg.register(TEMPERATURE_MIX)
     reg.register(KNN_GRAPH)
+    reg.register(VECTOR_TOPK)
     return reg

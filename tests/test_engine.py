@@ -845,3 +845,33 @@ def test_knn_graph_table_function(engine, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_vector_topk_table_function(engine, sf_dir):
+    """vector_topk through engine.sql: exact matches cosine_topk; the
+    bq method with full refine matches exact too (the schema-stable
+    refine contract); bad method errors at build time."""
+    from chapterhousedb_spark.operators.similarity import cosine_topk
+
+    spark = engine.spark
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = ",".join(["1.0"] * 64)
+    [h] = engine.sql_wait(
+        f"select vec_id, cosine from vector_topk('embeddings.parquet', "
+        f"connection=>'testdata', q=>'{q}', k=>'5')"
+    )
+    got = [r["vec_id"] for r in engine.fetch(h.query_id).to_pylist()]
+    want = [r["vec_id"] for r in cosine_topk(embs, [1.0] * 64, k=5).collect()]
+    assert got == want
+    [h2] = engine.sql_wait(
+        f"select vec_id from vector_topk('embeddings.parquet', "
+        f"connection=>'testdata', q=>'{q}', k=>'5', method=>'bq', "
+        f"refine=>'100000')"
+    )
+    got2 = [r["vec_id"] for r in engine.fetch(h2.query_id).to_pylist()]
+    assert got2 == want
+    [h3] = engine.sql_wait(
+        f"select * from vector_topk('embeddings.parquet', "
+        f"connection=>'testdata', q=>'{q}', method=>'bogus')"
+    )
+    assert h3.status.name == "ERROR"
