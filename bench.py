@@ -109,6 +109,9 @@ HEADLINE = [
     "knn_graph",
     "embedding_clusters",
     "pipeline_retrieval",
+    # round 10 new shapes, benched from birth
+    "pq_fixed_codebook",
+    "ivf_fixed_centroids",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

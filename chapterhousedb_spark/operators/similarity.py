@@ -1086,14 +1086,17 @@ def pq_adc_scores(
     query_vec: list[float],
     code_col: str = "pq_code",
     score_col: str = "approx_cosine",
+    normalize: bool = True,
 ) -> DataFrame:
     """Score PQ codes against a query by asymmetric distance
     computation: the m x k LUT is computed once on the driver and
     inlined as a nested array literal, so the per-row cost is an
     m-step JVM fold of table lookups — no Python, no join, and on a
     code-only scan parquet never reads the vectors at all.
-    approx_cosine = 1 - d^2/2 (unit-sphere identity)."""
-    lut = _pq_lut(codebooks, query_vec)
+    approx_cosine = 1 - d^2/2 (unit-sphere identity). normalize=False
+    skips the query L2-normalization (raw-space codebooks — the
+    pinned-codebook oracle twin's shape)."""
+    lut = _pq_lut(codebooks, query_vec, normalize=normalize)
     m = len(lut)
     lut_lit = (
         "array("

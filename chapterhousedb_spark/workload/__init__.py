@@ -172,8 +172,10 @@ _DRIVER_FIRST = [
     # incremental_merge (the merge family keeps corpus_diff gated +
     # the strategy-equality and plan tests in test_merge.py).
     "rarity_stats",
-    "pair_features",
-    "embedding_normalize",
+    # (pair_features sat here rounds 8-9; demoted round 10 to pay for
+    # pq_fixed_codebook — see the round-10 batch comment below)
+    # (embedding_normalize sat here rounds 8-9; demoted round 10 to pay
+    # for ivf_fixed_centroids — see the round-10 batch comment below)
     "minhash_md5_signatures",
     "simhash_md5_fingerprints",
     # round-8 new surface, gated at birth: the composed two-stage
@@ -303,8 +305,28 @@ _DRIVER_FIRST = [
     # tests/test_streaming.py), and it re-earns driver-green via
     # rotation.
     "pipeline_retrieval",
+    # round-10 new surface, gated at birth (VERDICT r9 #1): the
+    # pinned-codebook PQ twin (the production encode -> LUT -> ADC
+    # chain replayed bit-exactly by DuckDB against a literal codebook —
+    # closes the trained-quantizer scoring-arithmetic gap) and the
+    # pinned-centroid IVF twin (the production ivf_assign normalize +
+    # distance + argmin JVM expression under the same treatment). Paid
+    # for by demoting pair_features (its exact token-set rerank
+    # features are replayed VERBATIM inside pipeline_two_stage_dedup's
+    # gated composed oracle as its stage 2, so the family keeps
+    # end-to-end coverage) and embedding_normalize (the L2-normalize
+    # fold is replayed inside the gated embedding_dedup / knn_graph /
+    # embedding_clusters oracles and now ivf_fixed_centroids' oracle;
+    # both re-earn driver-green via rotation like every demoted row).
+    "pq_fixed_codebook",
+    "ivf_fixed_centroids",
 ]
 _DRIVER_LAST = [
+    # round-10 demotions paying for pq_fixed_codebook /
+    # ivf_fixed_centroids (see above); both driver-green r8-r9,
+    # family-redundant, rotation-eligible:
+    "pair_features",
+    "embedding_normalize",
     # round-9 demotion paying for embedding_sq8 (see above); long
     # driver-green (r7-r8), family-redundant, rotation-eligible:
     "tpch_q14_promo_effect",

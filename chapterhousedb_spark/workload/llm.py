@@ -655,8 +655,11 @@ def similarity_pq_q(spark, sf_dir):
     by tests/test_similarity.py instead: ADC == exact cosine under a
     lossless codebook, refine>=corpus == brute force, encode
     partitioning-invariance, and the nprobe=n_cells full-probe
-    equivalence. The oracle-anchored twin for the compressed-vector
-    family is embedding_sq8 below."""
+    equivalence. The SCORING ARITHMETIC (encode -> LUT -> ADC fold) is
+    additionally hash-gated by pq_fixed_codebook below (VERDICT r9 #1),
+    and the cell-assignment arithmetic by ivf_fixed_centroids — only
+    the Lloyd's FIT itself stays outside the gate. The oracle-anchored
+    twin for the compressed-vector family is embedding_sq8 below."""
     from chapterhousedb_spark.operators.similarity import ivf_pq_topk
 
     return ivf_pq_topk(
@@ -668,6 +671,207 @@ def similarity_pq_q(spark, sf_dir):
         m=8,
         nbits=4,
         refine=32,
+    )
+
+
+# ------------------------------------------------- pinned-codebook PQ twin
+# The trained quantizers (similarity_pq/similarity_ivf) are rows-only
+# because Lloyd's is iterative — but their SCORING arithmetic is not:
+# with a FIXED literal codebook the whole encode -> LUT -> ADC chain is
+# closed-form and DuckDB replays it bit-exactly (VERDICT r9 #1, the
+# md5-twin pattern applied to PQ). dsub=4 keeps every numpy reduction
+# sequential (np.sum goes pairwise above 8 elements, which would break
+# parity with SQL's left-associated fold); normalize=False skips the
+# 64-element L2 norm for the same reason. The Spark side runs the REAL
+# production operators (pq_encode's Arrow-batched numpy argmin,
+# pq_adc_scores' inlined-LUT JVM fold) — only the codebook is pinned.
+_PQF_M, _PQF_K, _PQF_DSUB = 16, 8, 4
+
+
+def _pq_fixed_books() -> list[list[list[float]]]:
+    """Deterministic dyadic codebook (m=16 x k=8 x dsub=4): varied
+    enough that every subspace uses several codes on the test corpus,
+    exactly representable so both engines parse identical doubles."""
+    return [
+        [
+            [((s * 31 + c * 17 + j * 7) % 13 - 6) / 8.0 for j in range(_PQF_DSUB)]
+            for c in range(_PQF_K)
+        ]
+        for s in range(_PQF_M)
+    ]
+
+
+def _pq_fixed_query() -> list[float]:
+    return [((j * 5) % 11 - 5) / 8.0 for j in range(64)]
+
+
+def _pq_fixed_oracle() -> str:
+    """DuckDB replay of pq_encode(normalize=False) + pq_adc_scores:
+    per subspace the 8 squared distances (left-associated 4-term sums,
+    matching numpy's sequential reduction), argmin via
+    list_position-of-min (first occurrence = lowest code id, numpy's
+    tie rule), then the ADC score from a LUT DuckDB constant-folds
+    from the same codebook/query literals Spark inlines."""
+    books, qv = _pq_fixed_books(), _pq_fixed_query()
+
+    def dist(s: int, c: int) -> str:
+        terms = []
+        for j in range(_PQF_DSUB):
+            cv = repr(float(books[s][c][j]))
+            idx = s * _PQF_DSUB + j + 1
+            terms.append(
+                f"(CAST(v[{idx}] AS DOUBLE) - CAST({cv} AS DOUBLE))"
+                f" * (CAST(v[{idx}] AS DOUBLE) - CAST({cv} AS DOUBLE))"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def lut(s: int, c: int) -> str:
+        terms = []
+        for j in range(_PQF_DSUB):
+            cv = repr(float(books[s][c][j]))
+            q = repr(float(qv[s * _PQF_DSUB + j]))
+            terms.append(
+                f"(CAST({cv} AS DOUBLE) - CAST({q} AS DOUBLE))"
+                f" * (CAST({cv} AS DOUBLE) - CAST({q} AS DOUBLE))"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    ds_cols = ",\n      ".join(
+        f"[{', '.join(dist(s, c) for c in range(_PQF_K))}] AS ds{s}"
+        for s in range(_PQF_M)
+    )
+    c_cols = ",\n      ".join(
+        f"CAST(list_position(ds{s}, list_aggregate(ds{s}, 'min')) - 1 AS INT)"
+        f" AS c{s}"
+        for s in range(_PQF_M)
+    )
+    lut_lists = ",\n      ".join(
+        f"[{', '.join(lut(s, c) for c in range(_PQF_K))}] AS lut{s}"
+        for s in range(_PQF_M)
+    )
+    adc = " + ".join(f"lut{s}[c{s} + 1]" for s in range(_PQF_M))
+    codes = " || '-' || ".join(f"CAST(c{s} AS VARCHAR)" for s in range(_PQF_M))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    dl AS (SELECT vec_id,
+      {ds_cols}
+    FROM e),
+    cs AS (SELECT vec_id,
+      {c_cols}
+    FROM dl),
+    lt AS (SELECT
+      {lut_lists})
+    SELECT vec_id, {codes} AS codes,
+           CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)
+             * (CAST(0 AS DOUBLE) + {adc}) AS adc_score
+    FROM cs CROSS JOIN lt
+    ORDER BY vec_id
+    """
+
+
+@query("pq_fixed_codebook", oracle=_pq_fixed_oracle())
+def pq_fixed_codebook_q(spark, sf_dir):
+    """PQ encode -> LUT -> ADC under the hash gate (VERDICT r9 #1): the
+    production pq_encode (Arrow-batched numpy nearest-centroid argmin,
+    operators/similarity.py:1003) and pq_adc_scores (driver LUT inlined
+    into a JVM aggregate fold, similarity.py:1083) run against a PINNED
+    literal codebook, so DuckDB replays the entire scoring chain —
+    subspace distances, argmin tie-break (first/lowest id), LUT
+    arithmetic, the left-folded ADC sum — bit-exactly. Emits every code
+    (joined as a string) AND the double score: a regression anywhere in
+    encode or ADC breaks the gate even where scores tie. Production
+    (similarity_pq) differs only in where the codebook comes from
+    (Lloyd's fit — pinned separately by tests/test_similarity.py)."""
+    from chapterhousedb_spark.operators.similarity import (
+        pq_adc_scores,
+        pq_encode,
+    )
+
+    books = _pq_fixed_books()
+    emb = load(spark, sf_dir, "embeddings")
+    coded = pq_encode(
+        emb.select("vec_id", "embedding"), books, normalize=False
+    )
+    scored = pq_adc_scores(
+        coded, books, _pq_fixed_query(), normalize=False, score_col="adc_score"
+    )
+    return scored.select(
+        "vec_id",
+        F.array_join(
+            F.expr("transform(pq_code, c -> CAST(c AS STRING))"), "-"
+        ).alias("codes"),
+        "adc_score",
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------- pinned-centroid IVF twin
+def _ivf_fixed_centroids() -> list[list[float]]:
+    """16 deterministic dyadic centroids in the unit-normalized space
+    ivf_assign operates in (the exact values only need to spread the
+    cells; both engines parse identical doubles)."""
+    return [
+        [((c * 29 + j * 13) % 17 - 8) / 16.0 for j in range(64)]
+        for c in range(16)
+    ]
+
+
+def _ivf_fixed_oracle() -> str:
+    """DuckDB replay of ivf_assign (operators/similarity.py:192) with
+    literal centroids: L2-normalize (the same left-folded sum-of-
+    squares _unit_expr computes), per-cell squared distance as a
+    left fold over the 64 squared diffs (list_reduce seeded with a
+    prepended double 0 == Spark's aggregate(zip_with(...), 0D, +)),
+    argmin via list_position-of-min (first occurrence == Spark's
+    array_position(array_min))."""
+    cbs = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]"
+            for c in _ivf_fixed_centroids()
+        )
+        + "]"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    n AS (SELECT vec_id,
+      list_transform(v, x -> CAST(x AS DOUBLE) / greatest(sqrt(
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(v, y -> CAST(y AS DOUBLE) * y)),
+          (s, z) -> s + z)), 1e-12)) AS u
+    FROM e),
+    d AS (SELECT vec_id,
+      list_transform({cbs}, cb ->
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64),
+            i -> (u[i] - cb[i]) * (u[i] - cb[i]))),
+          (s, z) -> s + z)) AS ds
+    FROM n)
+    SELECT vec_id,
+           CAST(list_position(ds, list_aggregate(ds, 'min')) - 1 AS INT)
+             AS ivf_cell
+    FROM d
+    ORDER BY vec_id
+    """
+
+
+@query("ivf_fixed_centroids", oracle=_ivf_fixed_oracle())
+def ivf_fixed_centroids_q(spark, sf_dir):
+    """IVF cell assignment under the hash gate (VERDICT r9 #1's
+    "ideally" half): the production ivf_assign — the pure-JVM
+    normalize + per-centroid distance + argmin expression every IVF
+    write/probe path uses (operators/similarity.py:192) — runs against
+    PINNED literal centroids, and DuckDB replays the whole chain
+    (the _unit_expr fold, the zip_with squared-distance fold, the
+    array_position(array_min) first-occurrence tie rule) bit-exactly
+    for every row. Production (similarity_ivf, ivf_write_index) differs
+    only in where the centroids come from (Lloyd's fit)."""
+    from chapterhousedb_spark.operators.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        ivf_assign(emb.select("vec_id", "embedding"), _ivf_fixed_centroids())
+        .select("vec_id", "ivf_cell")
+        .orderBy("vec_id")
     )
 
 
