@@ -5,7 +5,9 @@ bipartite near-dup gates (dedup.minhash/simhash `_cross`,
 similarity cross embedding near-dup), versioned-base merge
 (streaming.batcher), incremental cluster-label maintenance
 (cluster.components_update), and incremental ANN index maintenance
-(similarity.ivf_append). This module is the PRODUCT surface that
+(similarity.ivf_append / srp_append / pq_append / sq8_append — the
+whole persisted-index family, wired in via admit_batch's
+index_paths). This module is the PRODUCT surface that
 composes them: `admit_batch` runs the whole admission for one batch,
 and `ingest_stream` mounts it on a Structured Streaming source via
 foreachBatch, so a landing directory drains straight into a
@@ -48,6 +50,7 @@ def admit_batch(
     num_hashes: int = 64,
     bands: int = 16,
     gate_fn=None,
+    index_paths: dict[str, str] | None = None,
 ) -> dict:
     """Admit one batch into a versioned corpus. Steps:
 
@@ -62,7 +65,10 @@ def admit_batch(
     4. if labels_root: fold the admitted docs' cross+self pairs into
        the corpus cluster labels with components_update and write
        labels v+1 (rejected docs never enter the label space).
-    5. flip the corpus _LATEST marker to v+1 (the commit point).
+    5. if index_paths: append the admitted rows into each persisted
+       ANN index against its FROZEN model state (VERDICT r9 #2 — the
+       quantized families join the versioned-corpus story).
+    6. flip the corpus _LATEST marker to v+1 (the commit point).
 
     `gate_fn` swaps the duplicate detector: any callable
     (batch, corpus) -> DataFrame with (batch_id, corpus_id) columns —
@@ -70,6 +76,21 @@ def admit_batch(
     embedding-side embedding_near_dup_pairs_cross for vector corpora.
     Default: the MinHash bipartite gate with this function's
     threshold/num_hashes/bands.
+
+    `index_paths` maps index kind -> persisted index root: "ivf"
+    (ivf_write_index layouts), "srp", "pq" (incl. by_residual), "sq8".
+    Each batch appends at O(batch) cost against the frozen
+    centroids/planes/codebooks/bounds recorded in the index metadata;
+    the admitted rows must carry the index's vec_col. Crash contract:
+    index appends run BEFORE the marker flip, and parquet appends are
+    not idempotent — a crash between an index append and the marker
+    flip replays the batch and can leave the replayed rows TWICE in
+    the affected index (the corpus itself stays exactly-once via the
+    versioned merge). Duplicate index rows are benign for dedup-gated
+    corpora (same id, same cell/codes; probes return the id twice and
+    exact rerank re-scores it identically) and disappear at the next
+    full index rebuild — callers needing strict-once index rows should
+    rebuild indexes from the committed corpus version instead.
 
     Returns {"version", "n_batch", "n_admitted", "n_rejected"}.
     """
@@ -89,6 +110,16 @@ def admit_batch(
             "reject_near_dups=False records duplicates in the labels — "
             "pass labels_root"
         )
+    _INDEX_KINDS = ("ivf", "srp", "pq", "sq8")
+    if index_paths:
+        # validate BEFORE any writes: a typo'd kind must not leave a
+        # half-admitted (pre-marker) version behind
+        for kind in index_paths:
+            if kind not in _INDEX_KINDS:
+                raise ValueError(
+                    f"unknown index kind {kind!r}; expected one of "
+                    f"{sorted(_INDEX_KINDS)}"
+                )
     spark = batch.sparkSession
     corpus, ver = read_versioned_base(spark, corpus_root)
     n_batch = batch.count()
@@ -137,6 +168,22 @@ def admit_batch(
         # BEFORE the marker flip leaves an orphan v+1 dir; the
         # checkpoint replays the batch and must be able to rewrite it
         new_labels.write.mode("overwrite").parquet(f"{labels_root}/v{ver + 1}")
+    if index_paths:
+        from chapterhousedb_spark.operators.similarity import (
+            ivf_append,
+            pq_append,
+            sq8_append,
+            srp_append,
+        )
+
+        appenders = {
+            "ivf": ivf_append,
+            "srp": srp_append,
+            "pq": pq_append,
+            "sq8": sq8_append,
+        }
+        for kind, ipath in index_paths.items():
+            appenders[kind](admitted, ipath)
     # the marker flip is the commit point: readers only ever see a
     # version whose corpus AND labels directories are complete
     _write_latest_marker(spark, corpus_root, ver + 1)

@@ -1499,6 +1499,38 @@ def pq_probe_topk(
     )
 
 
+def pq_append(batch: DataFrame, path: str) -> dict:
+    """Incrementally admit a batch of new vectors into a persisted
+    pq_write_index layout (VERDICT r9 #2, mirroring ivf_append): encode
+    against the FROZEN centroids + codebooks from pq.json and APPEND
+    only the touched cell partitions — no refit, no corpus rescan, an
+    O(batch) Spark job per crawl batch. Handles both layouts the index
+    writes (plain codes and by_residual codes). Same operational
+    contract as ivf_append: the quantizer stays frozen until the next
+    full pq_write_index, correct by construction (append == rebuild
+    with the same centroids/codebooks, test-pinned at any
+    nprobe/refine) but recall can drift under distribution shift —
+    monitor per-cell skew and re-fit when it degrades."""
+    import posixpath
+
+    spark = batch.sparkSession
+    meta = _read_index_meta(spark, path, "pq.json")
+    centroids, codebooks = meta["centroids"], meta["codebooks"]
+    vec_col, cell_col = meta["vec_col"], meta["cell_col"]
+    if meta.get("by_residual"):
+        res = residual_frame(batch, centroids, vec_col, cell_col)
+        coded = pq_encode(
+            res, codebooks, "pq_resid", meta["code_col"], normalize=False
+        ).drop("pq_resid")
+    else:
+        assigned = ivf_assign(batch, centroids, vec_col, cell_col)
+        coded = pq_encode(assigned, codebooks, vec_col, meta["code_col"])
+    coded.write.mode("append").partitionBy(cell_col).parquet(
+        posixpath.join(path, "corpus")
+    )
+    return meta
+
+
 # ----------------------------------------------------- scalar quantization
 #
 # int8 scalar quantization (the "SQ8" of FAISS / the int8 path every
@@ -1730,6 +1762,35 @@ def sq8_probe_topk(
     return cosine_topk(kept, query_vec, k, vec_col, id_col).withColumnRenamed(
         "cosine", "approx_cosine"
     )
+
+
+def sq8_append(batch: DataFrame, path: str) -> dict:
+    """Incrementally admit a batch of new vectors into a persisted
+    sq8_write_index layout (VERDICT r9 #2, mirroring ivf_append):
+    quantize against the FROZEN per-dim bounds from sq8.json (batch
+    components outside the fit-time bounds SATURATE at the clamp —
+    sq8_quantize's documented contract, bit-identical to what a
+    rebuild with the same bounds would store) and append; when the
+    layout is celled (n_cells > 0 at write time) assign against the
+    frozen centroids and append only the touched cell partitions.
+    O(batch) per crawl batch, no corpus rescan; re-fit bounds/cells
+    with a full sq8_write_index when the distribution shifts."""
+    import posixpath
+
+    spark = batch.sparkSession
+    meta = _read_index_meta(spark, path, "sq8.json")
+    vec_col = meta["vec_col"]
+    coded = sq8_quantize(
+        batch, meta["mins"], meta["maxs"], vec_col, meta["code_col"]
+    )
+    if "centroids" in meta:
+        coded = ivf_assign(coded, meta["centroids"], vec_col, meta["cell_col"])
+        coded.write.mode("append").partitionBy(meta["cell_col"]).parquet(
+            posixpath.join(path, "corpus")
+        )
+    else:
+        coded.write.mode("append").parquet(posixpath.join(path, "corpus"))
+    return meta
 
 
 # ----------------------------------------------------- binary quantization

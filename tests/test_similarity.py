@@ -402,6 +402,147 @@ def test_ivf_append_incremental_index_maintenance(spark, tmp_path):
     assert "PartitionFilters" in plan and "ivf_cell" in plan
 
 
+@pytest.mark.parametrize("by_residual", [False, True])
+def test_pq_append_equals_rebuild_with_frozen_state(
+    spark, tmp_path, vectors, by_residual
+):
+    """pq_append (VERDICT r9 #2): a batch encoded against the FROZEN
+    centroids/codebooks from pq.json and appended to the touched cell
+    partitions must be indistinguishable — at any nprobe and refine,
+    for both the plain and by_residual layouts — from a rebuild that
+    encodes the union with the same frozen state. Partition pruning
+    must survive the append."""
+    from chapterhousedb_spark.operators.similarity import (
+        _write_json_artifact,
+        ivf_assign,
+        pq_append,
+        pq_encode,
+        pq_probe_topk,
+        pq_write_index,
+        residual_frame,
+    )
+    from pyspark.sql import functions as F
+
+    df, _ = vectors
+    base = df.filter(F.col("vec_id") < N // 2)
+    batch = df.filter(F.col("vec_id") >= N // 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "pq_inc")
+    meta = pq_write_index(
+        base, path, n_cells=4, m=4, nbits=4, max_iter=2, by_residual=by_residual
+    )
+    got_meta = pq_append(batch, path)
+    assert got_meta["centroids"] == meta["centroids"]
+    assert got_meta["codebooks"] == meta["codebooks"]
+
+    # rebuild: the union encoded with the SAME frozen state (what a
+    # pq_write_index would produce if its fit were skipped)
+    union = base.unionByName(batch)
+    if by_residual:
+        coded = pq_encode(
+            residual_frame(union, meta["centroids"]),
+            meta["codebooks"],
+            "pq_resid",
+            normalize=False,
+        ).drop("pq_resid")
+    else:
+        coded = pq_encode(
+            ivf_assign(union, meta["centroids"]), meta["codebooks"]
+        )
+    rebuilt = str(tmp_path / "pq_rebuilt")
+    coded.write.partitionBy("ivf_cell").parquet(rebuilt + "/corpus")
+    _write_json_artifact(spark, rebuilt, "pq.json", meta)
+
+    q = [1.0] * DIMS
+    for nprobe in (2, 4):
+        for refine in (0, 8):
+            got = [
+                tuple(r)
+                for r in pq_probe_topk(
+                    spark, path, q, k=5, nprobe=nprobe, refine=refine
+                ).collect()
+            ]
+            want = [
+                tuple(r)
+                for r in pq_probe_topk(
+                    spark, rebuilt, q, k=5, nprobe=nprobe, refine=refine
+                ).collect()
+            ]
+            assert got == want, (nprobe, refine)
+    # appended rows are actually present and reachable
+    full = pq_probe_topk(spark, path, q, k=N + 100, nprobe=4)
+    assert full.count() == union.count()
+    # pruning survives the append
+    pruned = pq_probe_topk(spark, path, q, k=5, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+
+@pytest.mark.parametrize("n_cells", [0, 4])
+def test_sq8_append_equals_rebuild_with_frozen_bounds(
+    spark, tmp_path, vectors, n_cells
+):
+    """sq8_append (VERDICT r9 #2): a batch quantized against the FROZEN
+    per-dim bounds (and, for the celled layout, assigned against the
+    frozen centroids) must probe identically to a rebuild quantizing
+    the union with the same frozen state, at any nprobe/refine."""
+    from chapterhousedb_spark.operators.similarity import (
+        _write_json_artifact,
+        ivf_assign,
+        sq8_append,
+        sq8_probe_topk,
+        sq8_quantize,
+        sq8_write_index,
+    )
+    from pyspark.sql import functions as F
+
+    df, _ = vectors
+    base = df.filter(F.col("vec_id") < N // 2)
+    batch = df.filter(F.col("vec_id") >= N // 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    path = str(tmp_path / "sq8_inc")
+    meta = sq8_write_index(base, path, n_cells=n_cells, max_iter=2)
+    got_meta = sq8_append(batch, path)
+    assert got_meta["mins"] == meta["mins"] and got_meta["maxs"] == meta["maxs"]
+
+    union = base.unionByName(batch)
+    coded = sq8_quantize(union, meta["mins"], meta["maxs"])
+    rebuilt = str(tmp_path / "sq8_rebuilt")
+    if n_cells > 0:
+        coded = ivf_assign(coded, meta["centroids"])
+        coded.write.partitionBy("ivf_cell").parquet(rebuilt + "/corpus")
+    else:
+        coded.write.parquet(rebuilt + "/corpus")
+    _write_json_artifact(spark, rebuilt, "sq8.json", meta)
+
+    q = [1.0] * DIMS
+    probe_opts = [(0, 0), (0, 8)] if n_cells == 0 else [
+        (2, 0), (2, 8), (4, 0), (4, 8)
+    ]
+    for nprobe, refine in probe_opts:
+        got = [
+            tuple(r)
+            for r in sq8_probe_topk(
+                spark, path, q, k=5, nprobe=nprobe, refine=refine
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in sq8_probe_topk(
+                spark, rebuilt, q, k=5, nprobe=nprobe, refine=refine
+            ).collect()
+        ]
+        assert got == want, (nprobe, refine)
+    full = sq8_probe_topk(spark, path, q, k=N + 100, nprobe=max(n_cells, 0))
+    assert full.count() == union.count()
+    if n_cells > 0:
+        pruned = sq8_probe_topk(spark, path, q, k=5, nprobe=1)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+
 def test_l2_normalize_unit_norm_and_zero_safe(spark):
     import math
 

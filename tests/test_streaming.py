@@ -1486,6 +1486,151 @@ def test_ingest_stream_operator_both_modes(spark, tmp_path_factory):
         admit_batch(b1, str(root / "corpus"), reject_near_dups=False)
 
 
+def test_ingest_stream_maintains_quantized_indexes(spark, tmp_path_factory):
+    """The quantized index family inside the versioned-corpus story
+    (VERDICT r9 #2): an embedding corpus drains through ingest_stream
+    with index_paths pointing at persisted SQ8 and PQ layouts. Each
+    admitted micro-batch must append against the FROZEN quantizer
+    state, and after the drain both indexes must probe identically to
+    a rebuild that encodes the FINAL corpus version with that same
+    frozen state (rejected near-dups never reach the index)."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from chapterhousedb_spark.operators.ingest import ingest_stream, init_ingest
+    from chapterhousedb_spark.operators.similarity import (
+        _write_json_artifact,
+        embedding_near_dup_pairs_cross,
+        ivf_assign,
+        pq_encode,
+        pq_probe_topk,
+        pq_write_index,
+        sq8_probe_topk,
+        sq8_quantize,
+        sq8_write_index,
+    )
+    from chapterhousedb_spark.streaming import read_versioned_base
+
+    dims = 8
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(20, dims)).astype(np.float64)
+    vecs[12] = vecs[3] + 1e-4  # batch-1 near-dup of seed row 3 -> rejected
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+            T.StructField("version", T.IntegerType(), False),
+        ]
+    )
+
+    def frame(ids, version):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in vecs[i]], version) for i in ids],
+            schema,
+        )
+
+    seed = frame(range(10), 0)
+    b1, b2 = frame(range(10, 15), 1), frame(range(15, 20), 2)
+
+    root = tmp_path_factory.mktemp("ingest_qidx")
+    landing = str(root / "landing")
+    os.makedirs(landing)
+    b1.coalesce(1).write.parquet(f"{landing}/f0")
+    b2.coalesce(1).write.parquet(f"{landing}/f1")
+    for i, d in enumerate(("f0", "f1")):
+        for f in os.listdir(os.path.join(landing, d)):
+            os.utime(os.path.join(landing, d, f), (1_600_000_000 + i,) * 2)
+
+    sq8_path, pq_path = str(root / "sq8"), str(root / "pq")
+    sq8_meta = sq8_write_index(seed, sq8_path, n_cells=2, max_iter=2)
+    pq_meta = pq_write_index(seed, pq_path, n_cells=2, m=4, nbits=3, max_iter=2)
+    init_ingest(seed, str(root / "corpus"), id_col="vec_id")
+
+    def gate(batch, corpus):
+        return embedding_near_dup_pairs_cross(batch, corpus, threshold=0.9999)
+
+    q = ingest_stream(
+        spark.readStream.schema(seed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/*"),
+        str(root / "corpus"),
+        str(root / "ckpt"),
+        id_col="vec_id",
+        gate_fn=gate,
+        index_paths={"sq8": sq8_path, "pq": pq_path},
+    )
+    q.awaitTermination()
+
+    final, ver = read_versioned_base(spark, str(root / "corpus"))
+    ids = {r["vec_id"] for r in final.collect()}
+    assert ver == 2
+    assert 12 not in ids and len(ids) == 19  # the near-dup was rejected
+
+    # rebuilds: the FINAL corpus encoded with the frozen state
+    sq8_rebuilt, pq_rebuilt = str(root / "sq8_rb"), str(root / "pq_rb")
+    coded = ivf_assign(
+        sq8_quantize(final, sq8_meta["mins"], sq8_meta["maxs"]),
+        sq8_meta["centroids"],
+    )
+    coded.write.partitionBy("ivf_cell").parquet(sq8_rebuilt + "/corpus")
+    _write_json_artifact(spark, sq8_rebuilt, "sq8.json", sq8_meta)
+    pq_coded = pq_encode(
+        ivf_assign(final, pq_meta["centroids"]), pq_meta["codebooks"]
+    )
+    pq_coded.write.partitionBy("ivf_cell").parquet(pq_rebuilt + "/corpus")
+    _write_json_artifact(spark, pq_rebuilt, "pq.json", pq_meta)
+
+    qv = [1.0] * dims
+    for nprobe, refine in ((1, 0), (2, 0), (2, 8)):
+        got = [
+            tuple(r)
+            for r in sq8_probe_topk(
+                spark, sq8_path, qv, k=25, nprobe=nprobe, refine=refine
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in sq8_probe_topk(
+                spark, sq8_rebuilt, qv, k=25, nprobe=nprobe, refine=refine
+            ).collect()
+        ]
+        assert got == want, ("sq8", nprobe, refine)
+        got = [
+            tuple(r)
+            for r in pq_probe_topk(
+                spark, pq_path, qv, k=25, nprobe=nprobe, refine=refine
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in pq_probe_topk(
+                spark, pq_rebuilt, qv, k=25, nprobe=nprobe, refine=refine
+            ).collect()
+        ]
+        assert got == want, ("pq", nprobe, refine)
+    # full-probe row counts: every admitted row is in both indexes
+    assert (
+        sq8_probe_topk(spark, sq8_path, qv, k=100, nprobe=2).count() == 19
+    )
+    assert pq_probe_topk(spark, pq_path, qv, k=100, nprobe=2).count() == 19
+    # unknown index kind is a loud error, not a silent skip
+    from chapterhousedb_spark.operators.ingest import admit_batch
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown index kind"):
+        admit_batch(
+            frame([19], 3),
+            str(root / "corpus"),
+            id_col="vec_id",
+            gate_fn=gate,
+            index_paths={"hnsw": "/nope"},
+        )
+
+
 def test_admit_batch_custom_gate_fn(spark, tmp_path_factory):
     """admit_batch with a swapped duplicate detector: the SimHash
     bipartite gate via gate_fn rejects the same planted near-dup the
