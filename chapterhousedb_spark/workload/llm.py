@@ -1122,8 +1122,20 @@ def pipeline_retrieval_q(spark, sf_dir):
     dequantized-cosine rerank (1/4 the bytes, full-corpus write-time
     bounds) -> top-32, exact cosine -> top-10, each stage's score
     carried so the gate pins every cut point and every arithmetic
-    chain. This is how the quantization family composes at 100 TB:
-    the float vectors load for 32 rows, not the corpus."""
+    chain.
+
+    Which shape does what (VERDICT r9 finding #1): this GATED shape
+    replays the write-time state INLINE so DuckDB can follow — it
+    computes sq8 bounds over the full corpus in-query and carries
+    `embedding` alongside the 256 BQ survivors, so here the floats do
+    flow through the funnel. The PRODUCTION shape persists the state
+    at write time (bq_encode + sq8_write_index: codes, bounds in
+    sq8.json) and probes code-only scans whose ReadSchema excludes the
+    float column entirely; the vector column is only read by the final
+    exact-rerank scan, and only 32 rows survive its broadcast id
+    semi-join to be scored. That indexed twin produces EXACTLY these
+    rows — equality and the code-only ReadSchemas are pinned by
+    tests/test_similarity.py::test_retrieval_funnel_indexed_twin."""
     from chapterhousedb_spark.operators.similarity import (
         bq_encode,
         bq_scores,

@@ -543,6 +543,89 @@ def test_sq8_append_equals_rebuild_with_frozen_bounds(
         assert "PartitionFilters" in plan and "ivf_cell" in plan
 
 
+def test_retrieval_funnel_indexed_twin(spark, tmp_path):
+    """The pipeline_retrieval docstring's economics claim, proven on
+    the PRODUCTION path (VERDICT r9 finding #1 / next-step #4): the
+    same BQ -> SQ8 -> exact funnel run over a write-time persisted
+    index (bq_encode codes + sq8_write_index bounds/codes) must (a)
+    return EXACTLY the gated in-query shape's rows, (b) scan codes
+    only in stages 1-2 — the float column absent from those scans'
+    ReadSchema — and (c) read the float column only in the final
+    exact-rerank scan, gated by a broadcast semi-join of the 32
+    candidate ids."""
+    from chapterhousedb_spark.operators.similarity import (
+        bq_encode,
+        bq_scores,
+        cosine_scores,
+        sq8_write_index,
+    )
+    from chapterhousedb_spark.operators.similarity import sq8_scores
+    from chapterhousedb_spark.plans import physical_plan, read_schema_columns
+    from chapterhousedb_spark.workload.registry import QUERIES, load
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    ones = [1.0] * 64
+
+    # write time: persist BQ codes + SQ8 codes/bounds next to the
+    # vectors (one index layout serving the whole funnel)
+    path = str(tmp_path / "funnel")
+    meta = sq8_write_index(bq_encode(emb), path)
+    corpus = spark.read.parquet(path + "/corpus")
+
+    # query time, stage 1: hamming over a (vec_id, bq_code)-only scan
+    s1 = (
+        bq_scores(corpus.select("vec_id", "bq_code"), ones)
+        .orderBy(F.col("hamming").asc(), "vec_id")
+        .limit(256)
+        .select("vec_id", "hamming")
+    )
+    # stage 2: sq8 rerank over a (vec_id, qvec)-only scan, survivors
+    # selected by broadcast id join
+    s2 = (
+        sq8_scores(
+            corpus.select("vec_id", "qvec").join(F.broadcast(s1), "vec_id"),
+            meta["mins"],
+            meta["maxs"],
+            ones,
+        )
+        .withColumnRenamed("approx_cosine", "sq8_cosine")
+        .orderBy(F.col("sq8_cosine").desc(), "vec_id")
+        .limit(32)
+        .select("vec_id", "hamming", "sq8_cosine")
+    )
+    # stage 3: exact cosine — the ONLY stage that touches the floats,
+    # for the 32 surviving ids
+    out = (
+        cosine_scores(
+            corpus.select("vec_id", "embedding").join(F.broadcast(s2), "vec_id"),
+            ones,
+        )
+        .select("vec_id", "hamming", "sq8_cosine", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+    # (a) == the gated in-query shape, bit-for-bit
+    want = [tuple(r) for r in QUERIES["pipeline_retrieval"](spark, SF_SMOKE).collect()]
+    got = [tuple(r) for r in out.collect()]
+    assert got == want
+
+    # (b) stages 1-2 never read the float column
+    for stage, needed in ((s1, {"vec_id", "bq_code"}), (s2, {"vec_id", "qvec"})):
+        scans = read_schema_columns(stage)
+        assert scans, "expected at least one parquet scan"
+        for cols in scans:
+            assert "embedding" not in cols, cols
+        assert any(needed <= set(cols) for cols in scans)
+    # (c) the final stage reads embedding exactly once, and the id
+    # gate is a broadcast join (no shuffle of the float column)
+    emb_scans = [cols for cols in read_schema_columns(out) if "embedding" in cols]
+    assert len(emb_scans) == 1
+    assert "BroadcastHashJoin" in physical_plan(out)
+
+
 def test_l2_normalize_unit_norm_and_zero_safe(spark):
     import math
 
