@@ -112,6 +112,7 @@ HEADLINE = [
     # round 10 new shapes, benched from birth
     "pq_fixed_codebook",
     "ivf_fixed_centroids",
+    "gopher_quality",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -171,7 +171,8 @@ _DRIVER_FIRST = [
     # q8/q10..q20 — and all four re-earn via rotation) and
     # incremental_merge (the merge family keeps corpus_diff gated +
     # the strategy-equality and plan tests in test_merge.py).
-    "rarity_stats",
+    # (rarity_stats sat here rounds 8-9; demoted round 10 to pay for
+    # gopher_quality — see the round-10 batch comment below)
     # (pair_features sat here rounds 8-9; demoted round 10 to pay for
     # pq_fixed_codebook — see the round-10 batch comment below)
     # (embedding_normalize sat here rounds 8-9; demoted round 10 to pay
@@ -320,13 +321,23 @@ _DRIVER_FIRST = [
     # both re-earn driver-green via rotation like every demoted row).
     "pq_fixed_codebook",
     "ivf_fixed_centroids",
+    # ...plus the remaining Gopher quality heuristics (symbol-to-word
+    # ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    # stop-word presence — Rae et al. §A1.1, VERDICT r9 #5) over seven
+    # scaffold classes that fire every threshold both ways. Paid for
+    # by demoting rarity_stats: its postings -> df-count -> join-back
+    # economics stay gated through bigram_coverage (in-window), its
+    # integer-exact feature arithmetic through the same row, and it
+    # re-earns driver-green via rotation like every demoted row.
+    "gopher_quality",
 ]
 _DRIVER_LAST = [
     # round-10 demotions paying for pq_fixed_codebook /
-    # ivf_fixed_centroids (see above); both driver-green r8-r9,
-    # family-redundant, rotation-eligible:
+    # ivf_fixed_centroids / gopher_quality (see above); all
+    # driver-green r8-r9, family-redundant, rotation-eligible:
     "pair_features",
     "embedding_normalize",
+    "rarity_stats",
     # round-9 demotion paying for embedding_sq8 (see above); long
     # driver-green (r7-r8), family-redundant, rotation-eligible:
     "tpch_q14_promo_effect",

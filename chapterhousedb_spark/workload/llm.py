@@ -419,6 +419,108 @@ def c4_clean_q(spark, sf_dir):
     return out.withColumn("keep", F.col("keep").cast("int"))
 
 
+# gopher_quality scaffold (VERDICT r9 #5): the synthetic docs are
+# single-line, punctuation-free and lowercase, so every doc is staged
+# into one of seven deterministic shape classes — one per predicate
+# (all-bullet lines, all-ellipsis lines, symbol-heavy, digits-only,
+# stop-rich keeper, stop-free, and the natural doc enriched with stop
+# words). Each of the five thresholds fires in both directions across
+# the corpus, so no branch of the gate is vacuous.
+_GOPHER_STAGE_SQL = (
+    "CASE CAST(doc_id % 7 AS INT) "
+    "WHEN 0 THEN '- alpha point one' || chr(10) || "
+    "'- beta point two' || chr(10) || '- gamma point three' "
+    "WHEN 1 THEN 'first thought...' || chr(10) || "
+    "'second idea' || chr(10) || 'the ending nears...' "
+    "WHEN 2 THEN '### x ### y ### z' "
+    "WHEN 3 THEN '12345 67890 11111 22222' "
+    "WHEN 4 THEN 'the cat and dog that play with joy to be of use' "
+    "WHEN 5 THEN 'rare uncommon lexicon entirely lacking connectives' "
+    "ELSE text || ' with the stuff of and that have' END"
+)
+_GQ_STOPS_SQL = " + ".join(
+    f"CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END"
+    for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@query(
+    "gopher_quality",
+    oracle=f"""
+    WITH staged AS (
+      SELECT doc_id, {_GOPHER_STAGE_SQL} AS text FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+               x -> regexp_replace(trim(x), '\\s+', ' ', 'g')),
+               x -> x != '') AS l,
+             list_filter(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'),
+               x -> lower(x)), x -> x != '') AS w,
+             (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '…', '')))
+               + (len(text) - len(replace(text, '...', ''))) / 3 AS sym
+      FROM staged),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_words,
+             CAST(len(l) AS INT) AS n_lines,
+             CAST(sym AS DOUBLE)
+               / CAST(GREATEST(len(w), 1) AS DOUBLE) AS symbol_word_ratio,
+             CAST(len(list_filter(l, x ->
+                 substring(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+               / CAST(GREATEST(len(l), 1) AS DOUBLE) AS bullet_line_frac,
+             CAST(len(list_filter(l, x ->
+                 x LIKE '%...' OR x LIKE '%…')) AS DOUBLE)
+               / CAST(GREATEST(len(l), 1) AS DOUBLE) AS ellipsis_line_frac,
+             CAST(len(list_filter(w, x ->
+                 regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / CAST(GREATEST(len(w), 1) AS DOUBLE) AS alpha_word_frac,
+             CAST({_GQ_STOPS_SQL} AS INT) AS stop_word_hits
+      FROM g)
+    SELECT doc_id, n_words, n_lines, symbol_word_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, stop_word_hits,
+           CAST((symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+                 AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+                 AND stop_word_hits >= 2) AS INT) AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def gopher_quality_q(spark, sf_dir):
+    """The remaining Gopher quality heuristics under the hash gate
+    (VERDICT r9 #5): symbol-to-word ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction and stop-word presence
+    (operators/text.py gopher_quality_stats), over seven deterministic
+    scaffold classes so every threshold fires both ways. Every count
+    is integer-exact and each ratio is one division, so DuckDB replays
+    all five statistics and the combined keep rule bit-exactly."""
+    from chapterhousedb_spark.operators.text import gopher_quality_stats
+
+    doc = load(spark, sf_dir, "documents")
+    staged = doc.select(
+        "doc_id",
+        F.expr(
+            "CASE CAST(doc_id % 7 AS INT) "
+            "WHEN 0 THEN '- alpha point one\\n- beta point two\\n"
+            "- gamma point three' "
+            "WHEN 1 THEN 'first thought...\\nsecond idea\\n"
+            "the ending nears...' "
+            "WHEN 2 THEN '### x ### y ### z' "
+            "WHEN 3 THEN '12345 67890 11111 22222' "
+            "WHEN 4 THEN 'the cat and dog that play with joy to be of use' "
+            "WHEN 5 THEN 'rare uncommon lexicon entirely lacking "
+            "connectives' "
+            "ELSE text || ' with the stuff of and that have' END"
+        ).alias("text"),
+    )
+    return (
+        gopher_quality_stats(staged)
+        .withColumn("keep", F.col("keep").cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""

@@ -935,3 +935,57 @@ def test_repetition_stats_paragraph_ratio(spark):
     # textually -> dup_line_ratio 0 (paragraph collapse is what catches it)
     assert r["dup_line_ratio"] == 0.0
     assert r["n_lines"] == 5
+
+
+def test_gopher_quality_stats_hand_computed(spark):
+    """Each Gopher §A1.1 heuristic pinned on a constructed doc that
+    isolates it, plus the empty-doc floor (ratios 0, keep False)."""
+    from chapterhousedb_spark.operators.text import gopher_quality_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "- a\n- b\n- c"),                       # all bullet lines
+            (2, "first...\nsecond\nthird..."),           # 2/3 ellipsis lines
+            (3, "### x ### y ### z"),                    # 9 symbols / 6 words
+            (4, "12345 67890 11111"),                    # no alpha words
+            (5, "the cat and dog that play with joy to be of use have fun"),
+            (6, "rare uncommon lexicon entirely lacking connectives"),
+            (7, ""),                                     # empty doc
+            (8, "dot dot … dot ... and the end"),        # unicode + ascii ellipsis
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in gopher_quality_stats(df).collect()}
+    assert r[1]["bullet_line_frac"] == 1.0 and r[1]["keep"] is False
+    assert r[2]["ellipsis_line_frac"] == pytest.approx(2 / 3)
+    assert r[2]["keep"] is False
+    assert r[3]["symbol_word_ratio"] == 1.5  # 9 '#' over 6 words
+    assert r[3]["alpha_word_frac"] == 0.5 and r[3]["keep"] is False
+    assert r[4]["alpha_word_frac"] == 0.0 and r[4]["keep"] is False
+    assert r[5]["stop_word_hits"] == 8 and r[5]["keep"] is True
+    assert r[6]["stop_word_hits"] == 0 and r[6]["keep"] is False
+    assert r[7]["n_words"] == 0 and r[7]["symbol_word_ratio"] == 0.0
+    assert r[7]["keep"] is False
+    # one '…' + one '...' = 2 symbols over 8 words; 'and'+'the' = 2 hits
+    assert r[8]["symbol_word_ratio"] == 0.25
+    assert r[8]["stop_word_hits"] == 2
+    assert r[8]["keep"] is False  # 0.25 > 0.1 symbol threshold
+
+
+def test_gopher_quality_stats_knobs_and_scan_shape(spark):
+    """Thresholds are knobs, and the operator is a single-scan pure-JVM
+    projection: no exchange, no Python eval in the plan."""
+    from chapterhousedb_spark.operators.text import gopher_quality_stats
+
+    df = spark.createDataFrame(
+        [(1, "dot dot … dot ... and the end")], "doc_id long, text string"
+    )
+    # '…'/'...' count as words without alpha: 6/8 = 0.75 alpha frac,
+    # so both knobs must loosen for the doc to pass
+    loose = gopher_quality_stats(
+        df, max_symbol_word_ratio=0.5, min_alpha_word_frac=0.7
+    ).collect()[0]
+    assert loose["keep"] is True
+    out = gopher_quality_stats(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
