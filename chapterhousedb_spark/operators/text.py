@@ -1161,6 +1161,7 @@ def bpe_train_from_words(
     freq_col: str = "freq",
     checkpoint_every: int = 8,
     driver_max_words: int = _BPE_DRIVER_MAX_WORDS,
+    prune_to_cap: bool = False,
 ) -> list[tuple[str, str]]:
     """Learn BPE merges directly from a (word, freq) table — the
     INCREMENTAL tokenizer-training composition: maintain the word
@@ -1185,7 +1186,27 @@ def bpe_train_from_words(
     tokens compress to ~1e7-1e8 unique words, so production training
     is: one distributed word count, then (usually) the driver path
     over the compressed table. driver_max_words=0 forces the
-    iterative path."""
+    iterative path.
+
+    prune_to_cap=True (VERDICT r9 #6) adds a FREQUENCY-FLOOR pre-prune
+    when the table exceeds the cap: one job aggregates the frequency
+    histogram (|distinct freqs| rows — O(sqrt(total_tokens)) under any
+    Zipf-like law, a bounded collect), the smallest floor whose
+    survivor count fits the cap is chosen, words below it drop, and
+    the driver path trains the pruned table — so real corpora always
+    take the one-job path and the per-merge-job fallback is reached
+    only when even the single most-frequent class overflows the cap.
+    This is an explicit approximation (hence opt-in, preserving the
+    default's bit-determinism): a pruned word of frequency f and
+    symbol length L contributes at most f*L to any pair count, so the
+    total pruned mass M = sum(f*L) bounds every pair count's change —
+    the learned merges are IDENTICAL whenever each step's winning
+    margin (winner minus runner-up under the count-desc/left/right
+    order) exceeds M, and can differ exactly when some step's margin
+    is <= M. For a Zipf corpus and a 1e6 cap, M is the freq-1 tail —
+    orders of magnitude below head pair counts. The no-shared-symbols
+    special case (pruned words' pairs disjoint from survivors', each
+    below the count-2 stop rule) changes NOTHING and is test-pinned."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if driver_max_words > 0:
@@ -1197,6 +1218,32 @@ def bpe_train_from_words(
             return _bpe_train_driver(
                 [(r["w"], int(r["f"])) for r in rows], n_merges
             )
+        if prune_to_cap:
+            hist = (
+                word_freqs.groupBy(freq_col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .orderBy(F.col(freq_col).desc())
+                .collect()
+            )
+            total, floor = 0, None
+            for r in hist:
+                if total + r["__n"] > driver_max_words:
+                    break
+                total += r["__n"]
+                floor = r[freq_col]
+            if floor is not None:
+                rows = (
+                    word_freqs.filter(F.col(freq_col) >= floor)
+                    .select(
+                        F.col(word_col).alias("w"), F.col(freq_col).alias("f")
+                    )
+                    .collect()
+                )
+                return _bpe_train_driver(
+                    [(r["w"], int(r["f"])) for r in rows], n_merges
+                )
+            # even the top frequency class overflows the cap — the
+            # iterative path below is the only exact option left
     words = word_freqs.select(
         # chars + </w> end-of-word marker (classic BPE: merges never
         # cross word boundaries; the marker lets suffixes merge)

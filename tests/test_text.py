@@ -989,3 +989,57 @@ def test_gopher_quality_stats_knobs_and_scan_shape(spark):
     out = gopher_quality_stats(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bpe_prune_to_cap_trains_identical_merges(spark):
+    """The frequency-floor pre-prune (VERDICT r9 #6): a word table 10x
+    over the driver cap whose tail is freq-1 words with symbols
+    DISJOINT from the head's (each tail pair below the count-2 stop
+    rule, sharing no pair with a survivor) must train merges identical
+    to the exact iterative path over the FULL table — the documented
+    no-effect condition. Also pins the floor choice: survivors = the
+    head (freq >= 2), tail pruned."""
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.text import bpe_train_from_words
+
+    head = [
+        Row(word="banana", freq=400),
+        Row(word="bandana", freq=300),
+        Row(word="cabana", freq=200),
+        Row(word="nababan", freq=100),
+        Row(word="anan", freq=50),
+    ]
+    # 50 junk words, all freq 1, over unicode symbols the head never
+    # uses; every char distinct within a word -> all tail pairs have
+    # count 1 (< 2), selectable never, shared with the head never
+    tail = [
+        Row(word="".join(chr(0x4E00 + 7 * i + j) for j in range(4)), freq=1)
+        for i in range(50)
+    ]
+    full = spark.createDataFrame(head + tail)
+    cap = 5  # 55 rows = 11x over the cap
+    exact = bpe_train_from_words(full, 8, driver_max_words=0)
+    pruned = bpe_train_from_words(
+        full, 8, driver_max_words=cap, prune_to_cap=True
+    )
+    assert pruned == exact and len(exact) == 8
+    # without the prune, the same call takes the per-merge-job path
+    # and still agrees (the exactness baseline the prune is bounded by)
+    iterative = bpe_train_from_words(full, 8, driver_max_words=cap)
+    assert iterative == exact
+
+
+def test_bpe_prune_to_cap_falls_back_when_top_class_overflows(spark):
+    """If even the most frequent class alone overflows the cap, no
+    floor exists and the exact iterative path must run (not a silent
+    truncation)."""
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.text import bpe_train_from_words
+
+    rows = [Row(word=w, freq=7) for w in ("banana", "bandana", "cabana")]
+    df = spark.createDataFrame(rows)
+    got = bpe_train_from_words(df, 3, driver_max_words=2, prune_to_cap=True)
+    want = bpe_train_from_words(df, 3, driver_max_words=0)
+    assert got == want and len(want) == 3
