@@ -143,3 +143,81 @@ def test_components_update_randomized_vs_recompute(spark):
             spark, base_edges + batch, nodes=base_nodes + new_nodes
         )
         assert got == want, seed
+
+
+# ------------------------------------------- large-star / small-star
+
+
+def _star(spark, edges, nodes=None, **kw):
+    from chapterhousedb_spark.operators.cluster import connected_components_star
+
+    e = spark.createDataFrame(edges or [], "id_a long, id_b long")
+    n = spark.createDataFrame([(x,) for x in nodes], "doc_id long") if nodes else None
+    df = connected_components_star(e, nodes=n, **kw)
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_star_basic_shapes(spark):
+    assert _star(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]) == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1
+    }
+    assert _star(spark, [(2, 1), (1, 2), (3, 2), (10, 11)]) == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10
+    }
+    assert _star(spark, [(1, 2)], nodes=[1, 2, 7, 9]) == {1: 1, 2: 1, 7: 7, 9: 9}
+    assert _star(spark, [], nodes=[4, 5, 6]) == {4: 4, 5: 5, 6: 6}
+    # self-loops are dropped, not componentized
+    assert _star(spark, [(3, 3), (1, 2)], nodes=[1, 2, 3]) == {1: 1, 2: 1, 3: 3}
+
+
+def test_star_equals_min_label_on_random_graphs(spark):
+    """Equality with connected_components on random graphs (VERDICT r9
+    #7's done-criterion) — three seeds, mixed density, with isolated
+    nodes in the node frame."""
+    import random
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.choice((25, 60, 140)))
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        e = spark.createDataFrame(edges, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        from chapterhousedb_spark.operators.cluster import (
+            connected_components,
+            connected_components_star,
+        )
+
+        want = {
+            r["id"]: r["component"]
+            for r in connected_components(e, nodes=nodes, max_iters=80).collect()
+        }
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(e, nodes=nodes).collect()
+        }
+        assert got == want, seed
+
+
+def test_star_chain_converges_in_log_rounds(spark):
+    """The adversarial case the escape hatch exists for: a 512-node
+    path has diameter 511, so min-label propagation cannot converge in
+    14 rounds — the alternating algorithm must (O(log^2 n): ~10 rounds
+    at n=512), with identical labels."""
+    from chapterhousedb_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(i, i + 1) for i in range(511)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iters=14)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(e, max_iters=14).collect()
+    }
+    assert got == {i: 0 for i in range(512)}
