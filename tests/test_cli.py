@@ -214,3 +214,78 @@ def test_cli_statement_timeout_cancels(tmp_path):
     assert "cancelled" in r.stderr
     assert "[2/2] complete" in r.stderr or "[2/2] complete" in r.stdout
     assert "1 row(s)" in r.stdout or "5" in r.stdout
+
+
+def _run_repl(stdin: str, extra: list[str] | None = None) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [
+            sys.executable, "-m", "chapterhousedb_spark", "--repl",
+            "--connection", f"d={SF_SMOKE}",
+            "--page-size", "2", "--shuffle-partitions", "4",
+            *(extra or []),
+        ],
+        input=stdin,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_repl_bidirectional_paging_and_exit(tmp_path):
+    """The interactive client (reference client_tui.rs flow as a
+    readline REPL): auto-emits page 1, n/n/p browse both directions
+    over the materialized result (prev must re-serve the page the
+    reference iterator would), \\q exits rc=0."""
+    proc = _run_repl(
+        "select r_regionkey from read_files('region.parquet', "
+        "connection=>'d') order by r_regionkey;\n"
+        "n\nn\np\nn\n\\q\n"
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "-- complete:" in out and "-- 5 row(s)" in out
+    # page walk: [0,1] auto, n->[2,3], n->[4], p->[2,3], n->[4]
+    import re
+
+    pages = re.findall(r"r_regionkey\n-+\n((?:\d+\s*\n?)+)", out)
+    walked = ["/".join(p.split()) for p in pages]
+    assert walked == ["0/1", "2/3", "4", "2/3", "4"]
+    assert out.count("-- next: rows=") == 3 and "-- prev: rows=2" in out
+
+
+def test_repl_multiline_errors_explain_and_page_guard(tmp_path):
+    """Statements buffer until ';' across lines; a failing statement
+    reports and the loop continues (rc=1 like batch mode); \\explain
+    prints a plan without executing; paging before any result is a
+    friendly note, as is paging past the end."""
+    proc = _run_repl(
+        "p\n"                                      # nothing to page yet
+        "select count(*) as n\n"
+        "  from read_files('region.parquet', connection=>'d');\n"
+        "n\n"                                      # past the end: 1 row fit page 1
+        "select broken from nowhere;\n"
+        "\\explain select 1 as one;\n"
+        "select 2 as two;\n"
+        "quit\n"
+    )
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "-- no result to page" in out
+    assert "n\n-\n5" in out                        # count over 5 regions
+    assert "-- next: no page" in out
+    assert "-- error: select broken from nowhere" in out
+    assert "== Optimized Logical Plan ==" in out or "Project" in out
+    assert "two\n---\n2" in out
+    assert "-- error:" in proc.stderr
+
+
+def test_repl_rejects_batch_flags():
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "chapterhousedb_spark", "--repl",
+            "--sql", "select 1;",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "drop --sql/--sql-file" in proc.stderr
