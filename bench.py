@@ -113,6 +113,7 @@ HEADLINE = [
     "pq_fixed_codebook",
     "ivf_fixed_centroids",
     "gopher_quality",
+    "dedup_clusters_star",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

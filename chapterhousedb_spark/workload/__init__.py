@@ -177,7 +177,8 @@ _DRIVER_FIRST = [
     # pq_fixed_codebook — see the round-10 batch comment below)
     # (embedding_normalize sat here rounds 8-9; demoted round 10 to pay
     # for ivf_fixed_centroids — see the round-10 batch comment below)
-    "minhash_md5_signatures",
+    # (minhash_md5_signatures sat here rounds 8-9; demoted round 10 to
+    # pay for dedup_clusters_star — see the round-10 batch comment)
     "simhash_md5_fingerprints",
     # round-8 new surface, gated at birth: the composed two-stage
     # rerank pipeline (md5-portable LSH candidates -> exact token-set
@@ -330,14 +331,26 @@ _DRIVER_FIRST = [
     # integer-exact feature arithmetic through the same row, and it
     # re-earns driver-green via rotation like every demoted row.
     "gopher_quality",
+    # ...plus the large-star/small-star solver under the SAME
+    # recursive-CTE oracle as dedup_clusters — the alternating
+    # algorithm's fixpoint faces the hash gate on real near-dup
+    # structure, not only its unit tests. Paid for by demoting
+    # minhash_md5_signatures: the md5-portable minhash family stays
+    # gated END-TO-END through pipeline_two_stage_dedup (same
+    # signatures as its stage 1) and streaming_ingest_corpus (same
+    # band family through the chained streaming admission), and it
+    # re-earns driver-green via rotation like every demoted row.
+    "dedup_clusters_star",
 ]
 _DRIVER_LAST = [
     # round-10 demotions paying for pq_fixed_codebook /
-    # ivf_fixed_centroids / gopher_quality (see above); all
-    # driver-green r8-r9, family-redundant, rotation-eligible:
+    # ivf_fixed_centroids / gopher_quality / dedup_clusters_star
+    # (see above); all driver-green r8-r9, family-redundant,
+    # rotation-eligible:
     "pair_features",
     "embedding_normalize",
     "rarity_stats",
+    "minhash_md5_signatures",
     # round-9 demotion paying for embedding_sq8 (see above); long
     # driver-green (r7-r8), family-redundant, rotation-eligible:
     "tpch_q14_promo_effect",

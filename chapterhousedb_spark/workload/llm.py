@@ -619,6 +619,36 @@ def dedup_clusters_q(spark, sf_dir):
 
 
 @query(
+    "dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_cluster_reach_sql()}
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_star_q(spark, sf_dir):
+    """The SAME transitive closure through the round-10 large-star/
+    small-star solver (operators/cluster.py connected_components_star,
+    Kiveris et al. SoCC'14 — the O(log^2 n)-round escape hatch for
+    chain-shaped graphs): identical labels to dedup_clusters under the
+    identical recursive-CTE oracle, so the alternating algorithm's
+    fixpoint — not just its unit tests — faces the driver's hash gate
+    on real near-dup structure."""
+    docs = load(spark, sf_dir, "documents")
+    from chapterhousedb_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    pairs = ngram_jaccard_pairs(docs, ngram_k=3, threshold=0.2, max_doc_freq=100)
+    return connected_components_star(
+        pairs,
+        nodes=docs.select("doc_id"),
+        id_col="doc_id",
+        component_col="cluster_id",
+    )
+
+
+@query(
     "dedup_survivors",
     oracle=f"""
     WITH RECURSIVE {_cluster_reach_sql()},
