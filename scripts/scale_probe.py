@@ -226,6 +226,38 @@ def probe(spark, docs, embs) -> dict:
     n = scored.count()
     out["classifier_rows"] = n
     out["classifier_rows_sec"] = round(_time.perf_counter() - t0, 3)
+    # round-10: Gopher quality heuristics — a pure single-scan JVM
+    # projection (rows == docs by construction); wall must track the
+    # scan, never a shuffle term (there is none in the plan).
+    from chapterhousedb_spark.operators.text import gopher_quality_stats
+
+    n, t = timed_count(gopher_quality_stats(docs))
+    out["gopher_rows"], out["gopher_rows_sec"] = n, t
+    # round-10: large-star/small-star components on the ADVERSARIAL
+    # shape (one chain over all docs — diameter n). Rounds must grow
+    # ~log^2(n), NOT with n: the 10x step adds at most a few
+    # alternations while min-label would need 10x the rounds. Probed
+    # here because the dup-shaped graphs above never exercise depth.
+    from pyspark.sql.window import Window
+
+    from chapterhousedb_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    chain = ids.withColumn(
+        "id_b", F.lead("id_a").over(Window.orderBy("id_a"))
+    ).filter(F.col("id_b").isNotNull())
+    # the star loop runs EAGERLY inside the call (localCheckpoint per
+    # round), so time construction + count together, and assert the
+    # chain actually collapsed to ONE component (the adversarial case)
+    t0 = _time.perf_counter()
+    lab = connected_components_star(chain)
+    n_comp = lab.select("component").distinct().count()
+    n = lab.count()
+    out["star_chain_rows"] = n
+    out["star_chain_rows_sec"] = round(_time.perf_counter() - t0, 3)
+    out["star_chain_components"] = n_comp
     return out
 
 
