@@ -114,6 +114,7 @@ HEADLINE = [
     "ivf_fixed_centroids",
     "gopher_quality",
     "dedup_clusters_star",
+    "pq_residual_fixed",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

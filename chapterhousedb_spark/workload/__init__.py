@@ -144,7 +144,8 @@ _DRIVER_FIRST = [
     "token_budget_mix",
     # tpch_q6_forecast_revenue demoted round 9 to pay for
     # pipeline_fineweb (see _DRIVER_LAST)
-    "tpch_q8_market_share",
+    # (tpch_q8_market_share sat here rounds 7-9; demoted round 10 to
+    # pay for pq_residual_fixed — see the round-10 batch comment)
     # tpch_q10_returned_items demoted round 9 to pay for c4_clean
     # (see _DRIVER_LAST)
     # tpch_q12_priority_shipping demoted round 9 to pay for
@@ -341,16 +342,27 @@ _DRIVER_FIRST = [
     # band family through the chained streaming admission), and it
     # re-earns driver-green via rotation like every demoted row.
     "dedup_clusters_star",
+    # ...plus the RESIDUAL IVF-PQ chain (residual_frame -> residual
+    # codes -> per-cell LUT fold) under pinned state — the one
+    # quantizer arithmetic the two twins above don't reach. Paid for
+    # by demoting tpch_q8_market_share: the TPC-H family keeps SIX
+    # other gated plan shapes in-window (q7/q11/q15/q18/q19/q20), its
+    # conditional-ratio aggregation stays re-hashed against DuckDB on
+    # every pytest run (test_oracle_parity) with its no-forced-
+    # broadcast plan property asserted in test_plans.py, and it
+    # re-earns driver-green via rotation like every demoted row.
+    "pq_residual_fixed",
 ]
 _DRIVER_LAST = [
     # round-10 demotions paying for pq_fixed_codebook /
-    # ivf_fixed_centroids / gopher_quality / dedup_clusters_star
-    # (see above); all driver-green r8-r9, family-redundant,
-    # rotation-eligible:
+    # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
+    # pq_residual_fixed (see above); all long driver-green,
+    # family-redundant, rotation-eligible:
     "pair_features",
     "embedding_normalize",
     "rarity_stats",
     "minhash_md5_signatures",
+    "tpch_q8_market_share",
     # round-9 demotion paying for embedding_sq8 (see above); long
     # driver-green (r7-r8), family-redundant, rotation-eligible:
     "tpch_q14_promo_effect",

@@ -1007,6 +1007,148 @@ def ivf_fixed_centroids_q(spark, sf_dir):
     )
 
 
+# ------------------------------------------ pinned residual IVF-PQ twin
+# The last scoring chain the two twins above leave unexercised is the
+# RESIDUAL path (FAISS by_residual=True): unit vector minus its cell
+# centroid, PQ codes over the residual, per-cell query LUTs folded via
+# the probed-cell lookup. With pinned centroids+codebooks and a query
+# of EXACTLY unit norm (16 components of 0.25: sum of squares == 1.0,
+# so numpy's normalization is the identity and every later op is exact
+# dyadic arithmetic) the whole chain is closed-form in both engines.
+def _pqr_cents() -> list[list[float]]:
+    return _ivf_fixed_centroids()[:4]
+
+
+def _pqr_query() -> list[float]:
+    return [0.25 if j % 4 == 0 else 0.0 for j in range(64)]
+
+
+def _pq_residual_fixed_oracle() -> str:
+    """DuckDB replay of residual_frame + pq_encode(normalize=False) +
+    pq_adc_scores_residual with pinned state: the ivf_fixed_centroids
+    normalization/argmin chain, residual r = u - c[cell], per-subspace
+    4-term left-associated distances (numpy-sequential-compatible, see
+    _pq_fixed_oracle), first-occurrence argmin, and the per-cell query
+    LUT folded left (matching Spark's aggregate over the inlined
+    3-deep LUT literal)."""
+    cents, books, qv = _pqr_cents(), _pq_fixed_books(), _pqr_query()
+
+    def dlit(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    cents_lit = (
+        "[" + ", ".join("[" + ", ".join(dlit(x) for x in c) + "]" for c in cents) + "]"
+    )
+    q_lit = "[" + ", ".join(dlit(x) for x in qv) + "]"
+
+    def book_lit(s: int) -> str:
+        return (
+            "["
+            + ", ".join(
+                "[" + ", ".join(dlit(x) for x in cb) + "]" for cb in books[s]
+            )
+            + "]"
+        )
+
+    def sq4(vec: str, s: int) -> str:
+        # ((t0 + t1) + t2) + t3 over (cb[j] - vec[4s+j])^2 — numpy's
+        # sequential reduction at dsub=4
+        terms = [
+            f"(cb[{j + 1}] - {vec}[{s * 4 + j + 1}])"
+            f" * (cb[{j + 1}] - {vec}[{s * 4 + j + 1}])"
+            for j in range(4)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    code_cols = ",\n      ".join(
+        f"CAST(list_position(list_transform({book_lit(s)}, cb -> {sq4('r', s)}),"
+        f" list_aggregate(list_transform({book_lit(s)}, cb -> {sq4('r', s)}),"
+        f" 'min')) - 1 AS INT) AS c{s}"
+        for s in range(len(books))
+    )
+    lut_terms = " + ".join(
+        f"(list_transform({book_lit(s)}, cb -> {sq4('qr', s)}))[c{s} + 1]"
+        for s in range(len(books))
+    )
+    codes_str = " || '-' || ".join(
+        f"CAST(c{s} AS VARCHAR)" for s in range(len(books))
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    n AS (SELECT vec_id,
+      list_transform(v, x -> CAST(x AS DOUBLE) / greatest(sqrt(
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(v, y -> CAST(y AS DOUBLE) * y)),
+          (s, z) -> s + z)), 1e-12)) AS u
+    FROM e),
+    a AS (SELECT vec_id, u,
+      CAST(list_position(ds, list_aggregate(ds, 'min')) - 1 AS INT) AS cell
+    FROM (SELECT vec_id, u,
+      list_transform({cents_lit}, cb ->
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64),
+            i -> (u[i] - cb[i]) * (u[i] - cb[i]))),
+          (s, z) -> s + z)) AS ds
+    FROM n)),
+    rr AS (SELECT vec_id, cell,
+      list_transform(generate_series(1, 64),
+        i -> u[i] - ({cents_lit})[cell + 1][i]) AS r,
+      list_transform(generate_series(1, 64),
+        i -> ({q_lit})[i] - ({cents_lit})[cell + 1][i]) AS qr
+    FROM a),
+    cs AS (SELECT vec_id, cell, qr,
+      {code_cols}
+    FROM rr)
+    SELECT vec_id, cell AS ivf_cell, {codes_str} AS codes,
+           CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)
+             * (CAST(0 AS DOUBLE) + {lut_terms}) AS adc_score
+    FROM cs
+    ORDER BY vec_id
+    """
+
+
+@query("pq_residual_fixed", oracle=_pq_residual_fixed_oracle())
+def pq_residual_fixed_q(spark, sf_dir):
+    """The RESIDUAL IVF-PQ scoring chain under the hash gate — the one
+    trained-quantizer arithmetic pq_fixed_codebook/ivf_fixed_centroids
+    don't reach: residual_frame's unit-minus-centroid JVM projection
+    (operators/similarity.py:1180), pq_encode over the residuals
+    (normalize=False), and pq_adc_scores_residual's per-cell LUT fold
+    through the probed-cell array lookup (similarity.py:1218) — all
+    against PINNED centroids/codebooks, probing every cell so each
+    row's score faces the gate. The query vector has exactly unit norm
+    (16 x 0.25), making numpy's query normalization the identity and
+    the whole chain exact dyadic arithmetic both engines reproduce
+    bit-for-bit. Production (ivf_pq_topk/pq_probe_topk by_residual)
+    differs only in where centroids/codebooks come from."""
+    from chapterhousedb_spark.operators.similarity import (
+        pq_adc_scores_residual,
+        pq_encode,
+        residual_frame,
+    )
+
+    cents, books = _pqr_cents(), _pq_fixed_books()
+    emb = load(spark, sf_dir, "embeddings")
+    res = residual_frame(emb.select("vec_id", "embedding"), cents)
+    coded = pq_encode(res, books, "pq_resid", normalize=False).drop("pq_resid")
+    scored = pq_adc_scores_residual(
+        coded,
+        books,
+        cents,
+        _pqr_query(),
+        probes=list(range(len(cents))),
+        score_col="adc_score",
+    )
+    return scored.select(
+        "vec_id",
+        "ivf_cell",
+        F.array_join(
+            F.expr("transform(pq_code, c -> CAST(c AS STRING))"), "-"
+        ).alias("codes"),
+        "adc_score",
+    ).orderBy("vec_id")
+
+
 _SQ8_DQ = "(CAST(qvec[i] + 128 AS DOUBLE) / 255.0 * spans[i] + mns[i])"
 
 
