@@ -115,6 +115,7 @@ HEADLINE = [
     "gopher_quality",
     "dedup_clusters_star",
     "pq_residual_fixed",
+    "embedding_mrl",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -78,7 +78,9 @@ def admit_batch(
     threshold/num_hashes/bands.
 
     `index_paths` maps index kind -> persisted index root: "ivf"
-    (ivf_write_index layouts), "srp", "pq" (incl. by_residual), "sq8".
+    (ivf_write_index layouts), "srp", "pq" (incl. by_residual), "sq8",
+    "mrl" (prefix-column layouts — stateless, so its appends carry no
+    freeze caveat at all).
     Each batch appends at O(batch) cost against the frozen
     centroids/planes/codebooks/bounds recorded in the index metadata;
     the admitted rows must carry the index's vec_col. Crash contract:
@@ -110,7 +112,7 @@ def admit_batch(
             "reject_near_dups=False records duplicates in the labels — "
             "pass labels_root"
         )
-    _INDEX_KINDS = ("ivf", "srp", "pq", "sq8")
+    _INDEX_KINDS = ("ivf", "srp", "pq", "sq8", "mrl")
     if index_paths:
         # validate BEFORE any writes: a typo'd kind must not leave a
         # half-admitted (pre-marker) version behind
@@ -171,6 +173,7 @@ def admit_batch(
     if index_paths:
         from chapterhousedb_spark.operators.similarity import (
             ivf_append,
+            mrl_append,
             pq_append,
             sq8_append,
             srp_append,
@@ -181,6 +184,7 @@ def admit_batch(
             "srp": srp_append,
             "pq": pq_append,
             "sq8": sq8_append,
+            "mrl": mrl_append,
         }
         for kind, ipath in index_paths.items():
             appenders[kind](admitted, ipath)

@@ -1928,6 +1928,179 @@ def bq_topk(
     )
 
 
+# ----------------------------------------------------- Matryoshka retrieval
+#
+# Prefix-dimension ("Matryoshka", Kusupati et al. 2022) retrieval: MRL-
+# trained embeddings concentrate information in the leading dimensions,
+# so a coarse pass over the first d' components ranks almost as well as
+# the full vector at d'/d the bytes. Unlike SQ8/PQ/BQ this needs no
+# model state at all — the "index" is just the prefix stored as its own
+# column so the coarse scan COLUMN-prunes the full vector away — and
+# every score is plain float arithmetic, so the whole funnel is
+# oracle-replayable like the exact cosine path.
+
+
+def mrl_coarse_scores(
+    df: DataFrame,
+    query_vec: list[float],
+    prefix_dims: int,
+    vec_col: str = "embedding",
+    score_col: str = "prefix_cosine",
+) -> DataFrame:
+    """Cosine over the FIRST `prefix_dims` components of vector and
+    query (both norms over the prefix only — the standard MRL
+    truncated-retrieval score). Pure JVM sequential folds, so scores
+    are bit-reproducible and oracle-comparable; `vec_col` may be the
+    full vector or an already-truncated prefix column (slice(x, 1, n)
+    of an n-long array is the array)."""
+    if prefix_dims < 1 or prefix_dims > len(query_vec):
+        raise ValueError(
+            f"prefix_dims must be in [1, {len(query_vec)}], got {prefix_dims}"
+        )
+    q = query_vec[:prefix_dims]
+    q_arr = "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in q) + ")"
+    qn = float(sum(float(v) * float(v) for v in q)) ** 0.5
+    dot = (
+        f"aggregate(sequence(0, {prefix_dims - 1}), 0D, "
+        f"(s, i) -> s + CAST({vec_col}[i] AS DOUBLE) * {q_arr}[i])"
+    )
+    nrm = (
+        f"sqrt(aggregate(sequence(0, {prefix_dims - 1}), 0D, "
+        f"(s, i) -> s + CAST({vec_col}[i] AS DOUBLE) * CAST({vec_col}[i] AS DOUBLE)))"
+    )
+    return df.withColumn(
+        score_col,
+        F.expr(
+            f"{dot} / greatest({nrm} * CAST('{qn!r}' AS DOUBLE), 1e-12)"
+        ),
+    )
+
+
+def mrl_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefix_dims: int = 16,
+    refine: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka top-k: coarse prefix-cosine scan -> TakeOrdered;
+    refine > 0 reranks the top `refine` prefix candidates with exact
+    FULL-dimension cosine via a broadcast id semi-join (only `refine`
+    rows load their full vectors — the pq_topk/sq8_topk shape).
+    prefix_dims = full dims with refine=0 degenerates to exact brute
+    force (test-pinned)."""
+    scored = mrl_coarse_scores(df, query_vec, prefix_dims, vec_col)
+    if refine <= 0:
+        return (
+            scored.select(id_col, "prefix_cosine")
+            .orderBy(F.col("prefix_cosine").desc(), F.col(id_col))
+            .limit(k)
+        )
+    cand = (
+        scored.select(id_col, "prefix_cosine")
+        .orderBy(F.col("prefix_cosine").desc(), F.col(id_col))
+        .limit(refine)
+        .select(id_col)
+    )
+    kept = df.select(id_col, vec_col).join(F.broadcast(cand), id_col)
+    return cosine_topk(kept, query_vec, k, vec_col, id_col).withColumnRenamed(
+        "cosine", "prefix_cosine"
+    )
+
+
+def mrl_write_index(
+    df: DataFrame,
+    path: str,
+    prefix_dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Persist the production MRL layout: the corpus with the leading
+    `prefix_dims` components materialized as their own column
+    (`mrl_prefix`), so the coarse scan reads d'/d of the float bytes
+    and COLUMN-prunes the full vector away entirely (the same
+    write-time economics as sq8_write_index, with zero model state —
+    mrl.json records only the layout). Appends need no freeze logic:
+    slice is stateless, so batches append with the same projection."""
+    import posixpath
+
+    dims = pq_dims(df, vec_col)
+    if dims == 0:
+        raise ValueError("mrl_write_index: empty corpus")
+    if not 1 <= prefix_dims <= dims:
+        raise ValueError(
+            f"prefix_dims must be in [1, {dims}], got {prefix_dims}"
+        )
+    out = df.withColumn(
+        "mrl_prefix", F.expr(f"slice({vec_col}, 1, {prefix_dims})")
+    )
+    out.write.mode("overwrite").parquet(posixpath.join(path, "corpus"))
+    meta = {
+        "prefix_dims": prefix_dims,
+        "dims": dims,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "prefix_col": "mrl_prefix",
+    }
+    _write_json_artifact(df.sparkSession, path, "mrl.json", meta)
+    return meta
+
+
+def mrl_append(batch: DataFrame, path: str) -> dict:
+    """Append a batch into a persisted mrl_write_index layout (the
+    ivf/srp/pq/sq8_append family; accepted by admit_batch's
+    index_paths as "mrl"). Stateless by construction — the prefix is
+    a slice, so append == rebuild with no freeze caveat at all."""
+    import posixpath
+
+    meta = _read_index_meta(batch.sparkSession, path, "mrl.json")
+    out = batch.withColumn(
+        meta["prefix_col"],
+        F.expr(f"slice({meta['vec_col']}, 1, {meta['prefix_dims']})"),
+    )
+    out.write.mode("append").parquet(posixpath.join(path, "corpus"))
+    return meta
+
+
+def mrl_probe_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 0,
+) -> DataFrame:
+    """Probe a persisted mrl_write_index layout: coarse scan over the
+    prefix COLUMN only (ReadSchema excludes the full vector —
+    test-asserted), optional exact full-dim rerank of the top `refine`
+    ids via broadcast semi-join."""
+    import posixpath
+
+    meta = _read_index_meta(spark, path, "mrl.json")
+    corpus = spark.read.parquet(posixpath.join(path, "corpus"))
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    scored = mrl_coarse_scores(
+        corpus.select(id_col, meta["prefix_col"]),
+        query_vec,
+        meta["prefix_dims"],
+        vec_col=meta["prefix_col"],
+    )
+    top = (
+        scored.select(id_col, "prefix_cosine")
+        .orderBy(F.col("prefix_cosine").desc(), F.col(id_col))
+        .limit(max(k, refine))
+    )
+    if refine <= 0:
+        return top.limit(k)
+    kept = corpus.select(id_col, vec_col).join(
+        F.broadcast(top.select(id_col)), id_col
+    )
+    return cosine_topk(kept, query_vec, k, vec_col, id_col).withColumnRenamed(
+        "cosine", "prefix_cosine"
+    )
+
+
 def knn_join(
     df: DataFrame,
     k: int = 5,

@@ -141,7 +141,8 @@ _DRIVER_FIRST = [
     # gated through tfidf_top_terms (which subsumes the vocabulary
     # construction as its df stage) and vocab's TakeOrdered plan is
     # test-asserted
-    "token_budget_mix",
+    # (token_budget_mix sat here rounds 7-9; demoted round 10 to pay
+    # for embedding_mrl — see the round-10 batch comment below)
     # tpch_q6_forecast_revenue demoted round 9 to pay for
     # pipeline_fineweb (see _DRIVER_LAST)
     # (tpch_q8_market_share sat here rounds 7-9; demoted round 10 to
@@ -352,17 +353,27 @@ _DRIVER_FIRST = [
     # broadcast plan property asserted in test_plans.py, and it
     # re-earns driver-green via rotation like every demoted row.
     "pq_residual_fixed",
+    # ...plus Matryoshka prefix-dimension retrieval (coarse 16-dim
+    # cosine -> top-64 -> exact full-dim rerank, both stage scores
+    # gated). Paid for by demoting token_budget_mix: the mixture
+    # family keeps temperature_mix gated in-window plus the full mix
+    # stage replayed inside pipeline_fineweb's composed oracle, its
+    # bucket-decomposed-prefix-sum == naive-running-sum invariant
+    # stays re-hashed on every pytest run (test_oracle_parity), and
+    # it re-earns driver-green via rotation like every demoted row.
+    "embedding_mrl",
 ]
 _DRIVER_LAST = [
     # round-10 demotions paying for pq_fixed_codebook /
     # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
-    # pq_residual_fixed (see above); all long driver-green,
-    # family-redundant, rotation-eligible:
+    # pq_residual_fixed / embedding_mrl (see above); all long
+    # driver-green, family-redundant, rotation-eligible:
     "pair_features",
     "embedding_normalize",
     "rarity_stats",
     "minhash_md5_signatures",
     "tpch_q8_market_share",
+    "token_budget_mix",
     # round-9 demotion paying for embedding_sq8 (see above); long
     # driver-green (r7-r8), family-redundant, rotation-eligible:
     "tpch_q14_promo_effect",

@@ -1330,6 +1330,62 @@ _RETR_COS = (
 )
 
 
+@query(
+    "embedding_mrl",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(generate_series(1, 16),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(1.0 AS DOUBLE)))
+             / GREATEST(sqrt(list_sum(list_transform(generate_series(1, 16),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[i] AS DOUBLE))))
+               * CAST(4.0 AS DOUBLE), 1e-12) AS prefix_cosine
+      FROM embeddings
+      ORDER BY prefix_cosine DESC, vec_id LIMIT 64)
+    SELECT e.vec_id, e.prefix_cosine,
+           list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(1.0 AS DOUBLE)))
+           / GREATEST(sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(e.embedding[i] AS DOUBLE)
+                    * CAST(e.embedding[i] AS DOUBLE))))
+             * CAST(8.0 AS DOUBLE), 1e-12) AS cosine
+    FROM c e
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_mrl_q(spark, sf_dir):
+    """Matryoshka (prefix-dimension) retrieval under the hash gate
+    (round 10): coarse cosine over the FIRST 16 of 64 components
+    (operators/similarity.py mrl_coarse_scores — the MRL truncation
+    retrieval of Kusupati et al. 2022, d'/d the scan bytes with zero
+    model state) -> top-64 candidates -> exact full-dimension rerank
+    -> top-10, both stage scores carried so DuckDB replays the prefix
+    fold, the cut point, and the exact rerank bit-exactly. The
+    write-time layout (mrl_write_index: the prefix as its own column,
+    coarse ReadSchema excluding the full vector) is pinned by
+    tests/test_similarity.py."""
+    from chapterhousedb_spark.operators.similarity import (
+        cosine_scores,
+        mrl_coarse_scores,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = (
+        mrl_coarse_scores(emb.select("vec_id", "embedding"), _ONES64, 16)
+        .select("vec_id", "prefix_cosine")
+        .orderBy(F.col("prefix_cosine").desc(), "vec_id")
+        .limit(64)
+    )
+    kept = emb.select("vec_id", "embedding").join(F.broadcast(coarse), "vec_id")
+    return (
+        cosine_scores(kept, _ONES64)
+        .select("vec_id", "prefix_cosine", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 def _retrieval_oracle() -> str:
     """pipeline_retrieval oracle: the three-stage funnel composed —
     BQ hamming gate (embedding_bq's packing SQL) -> top-256, SQ8

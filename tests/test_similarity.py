@@ -1599,3 +1599,69 @@ def test_temperature_mix_zero_mass_source_dropped(spark):
     ).collect()
     assert all(r["source"] == "good" for r in out), out
     assert out  # the real source still samples
+
+
+def test_mrl_topk_full_prefix_is_brute_force(vectors):
+    """Matryoshka retrieval exactness anchors: prefix_dims == full
+    dims (refine=0) must equal brute-force cosine exactly, and any
+    prefix with refine >= corpus must too (the rerank restores
+    exactness regardless of the coarse cut)."""
+    from chapterhousedb_spark.operators.similarity import mrl_topk
+
+    df, mat = vectors
+    q = [1.0] * DIMS
+    exact = _numpy_topk(mat, np.array(q), 10)
+    full = [r["vec_id"] for r in mrl_topk(df, q, k=10, prefix_dims=DIMS).collect()]
+    assert full == exact
+    reranked = [
+        r["vec_id"]
+        for r in mrl_topk(df, q, k=10, prefix_dims=4, refine=N).collect()
+    ]
+    assert reranked == exact
+    # coarse-only prefix ranking still finds most of the true top-10
+    coarse = [
+        r["vec_id"] for r in mrl_topk(df, q, k=10, prefix_dims=8).collect()
+    ]
+    assert len(set(coarse) & set(exact)) >= 5
+    with pytest.raises(ValueError, match="prefix_dims"):
+        mrl_topk(df, q, prefix_dims=0)
+
+
+def test_mrl_index_roundtrip_column_prunes_and_appends(spark, tmp_path, vectors):
+    """The persisted MRL layout: the coarse probe's scan must read the
+    prefix column ONLY (ReadSchema excludes the full vector), refine
+    reranks exactly, and appends (stateless slice) equal a rebuild."""
+    from chapterhousedb_spark.operators.similarity import (
+        mrl_append,
+        mrl_probe_topk,
+        mrl_write_index,
+    )
+    from chapterhousedb_spark.plans import read_schema_columns
+    from pyspark.sql import functions as F
+
+    df, mat = vectors
+    q = [1.0] * DIMS
+    base = df.filter(F.col("vec_id") < N // 2)
+    batch = df.filter(F.col("vec_id") >= N // 2)
+    path = str(tmp_path / "mrl")
+    meta = mrl_write_index(base, path, prefix_dims=4)
+    assert meta["prefix_dims"] == 4 and meta["dims"] == DIMS
+    got_meta = mrl_append(batch, path)
+    assert got_meta["prefix_dims"] == 4
+
+    coarse = mrl_probe_topk(spark, path, q, k=10)
+    scans = read_schema_columns(coarse)
+    assert scans and all("embedding" not in cols for cols in scans)
+    assert coarse.count() == 10
+    # full refine over the appended index == brute force over the union
+    got = [
+        r["vec_id"]
+        for r in mrl_probe_topk(spark, path, q, k=10, refine=N).collect()
+    ]
+    assert got == _numpy_topk(mat, np.array(q), 10)
+    # append == rebuild (stateless slice: identical layout)
+    rebuilt = str(tmp_path / "mrl_rb")
+    mrl_write_index(df, rebuilt, prefix_dims=4)
+    a = [tuple(r) for r in mrl_probe_topk(spark, path, q, k=25, refine=40).collect()]
+    b = [tuple(r) for r in mrl_probe_topk(spark, rebuilt, q, k=25, refine=40).collect()]
+    assert a == b
