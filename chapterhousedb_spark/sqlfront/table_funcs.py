@@ -669,15 +669,17 @@ def _build_vector_topk(
     spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
 ) -> DataFrame:
     """vector_topk('<glob>', q=>'0.1,0.2,...' [, k=>'10']
-    [, method=>'exact'|'bq'|'sq8'|'srp'] [, refine=>'0'] [, vec=>...]
+    [, method=>'exact'|'bq'|'sq8'|'srp'|'mrl'] [, refine=>'0']
+    [, prefix_dims=>'16'] [, vec=>...]
     [, id=>...] [, connection=>...]): top-k similarity search at the
     SQL front door — exact brute force by default, or the compressed /
-    LSH scans (operators/similarity) with their documented
-    recall/exactness contracts; refine (bq/sq8 take it via their topk
-    defaults) reranks exactly."""
+    LSH / prefix-dimension scans (operators/similarity) with their
+    documented recall/exactness contracts; refine (bq/mrl take it
+    directly) reranks exactly."""
     from chapterhousedb_spark.operators.similarity import (
         bq_topk,
         cosine_topk,
+        mrl_topk,
         sq8_topk,
         srp_ann_topk,
     )
@@ -698,9 +700,19 @@ def _build_vector_topk(
         return sq8_topk(df, q, k, vec, ident)
     if method == "srp":
         return srp_ann_topk(df, q, k, vec, ident)
+    if method == "mrl":
+        return mrl_topk(
+            df,
+            q,
+            k,
+            prefix_dims=int(call.named_args.get("prefix_dims", "16")),
+            refine=int(call.named_args.get("refine", "0")),
+            vec_col=vec,
+            id_col=ident,
+        )
     raise ValueError(
         f"vector_topk: unknown method {method!r} "
-        "(expected exact|bq|sq8|srp)"
+        "(expected exact|bq|sq8|srp|mrl)"
     )
 
 
@@ -708,7 +720,8 @@ VECTOR_TOPK = TableFunction(
     name="vector_topk",
     build=_build_vector_topk,
     allowed_args=frozenset(
-        {"connection", "q", "k", "method", "refine", "vec", "id"}
+        {"connection", "q", "k", "method", "refine", "prefix_dims", "vec",
+         "id"}
     ),
     required_args=frozenset({"q"}),
 )

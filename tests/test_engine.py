@@ -875,3 +875,11 @@ def test_vector_topk_table_function(engine, sf_dir):
         f"connection=>'testdata', q=>'{q}', method=>'bogus')"
     )
     assert h3.status.name == "ERROR"
+    # mrl with full refine matches exact too (round 10)
+    [h4] = engine.sql_wait(
+        f"select vec_id from vector_topk('embeddings.parquet', "
+        f"connection=>'testdata', q=>'{q}', k=>'5', method=>'mrl', "
+        f"prefix_dims=>'8', refine=>'100000')"
+    )
+    got4 = [r["vec_id"] for r in engine.fetch(h4.query_id).to_pylist()]
+    assert got4 == want
