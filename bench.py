@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_clusters_star",
     "pq_residual_fixed",
     "embedding_mrl",
+    "pipeline_cluster_balance",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

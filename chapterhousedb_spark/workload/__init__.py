@@ -159,7 +159,8 @@ _DRIVER_FIRST = [
     "pack_materialize",
     "pii_redaction",
     "join_skew_salted",
-    "pipeline_pretrain",
+    # (pipeline_pretrain sat here rounds 2-9; demoted round 10 to pay
+    # for pipeline_cluster_balance — see the round-10 batch comment)
     # round-8 batch: the five round-7 tail additions that never earned
     # a driver-green CORRECTNESS row (VERDICT r7 #1 — the ADVICE-r4
     # "new oracle surface belongs INSIDE the window" discipline,
@@ -362,18 +363,30 @@ _DRIVER_FIRST = [
     # stays re-hashed on every pytest run (test_oracle_parity), and
     # it re-earns driver-green via rotation like every demoted row.
     "embedding_mrl",
+    # ...plus cluster-balanced corpus subsampling (pinned-centroid
+    # cell assignment composed with the per-group md5 cap under ONE
+    # oracle — the embedding-space diversity primitive). Paid for by
+    # demoting pipeline_pretrain: the composed-pipeline family keeps
+    # THREE other gated compositions in-window (pipeline_two_stage_
+    # dedup, pipeline_fineweb, pipeline_retrieval), every pretrain
+    # stage operator also has its own gated row, it has been
+    # driver-green since round 2, and it re-earns driver-green via
+    # rotation like every demoted row.
+    "pipeline_cluster_balance",
 ]
 _DRIVER_LAST = [
     # round-10 demotions paying for pq_fixed_codebook /
     # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
-    # pq_residual_fixed / embedding_mrl (see above); all long
-    # driver-green, family-redundant, rotation-eligible:
+    # pq_residual_fixed / embedding_mrl / pipeline_cluster_balance
+    # (see above); all long driver-green, family-redundant,
+    # rotation-eligible:
     "pair_features",
     "embedding_normalize",
     "rarity_stats",
     "minhash_md5_signatures",
     "tpch_q8_market_share",
     "token_budget_mix",
+    "pipeline_pretrain",
     # round-9 demotion paying for embedding_sq8 (see above); long
     # driver-green (r7-r8), family-redundant, rotation-eligible:
     "tpch_q14_promo_effect",

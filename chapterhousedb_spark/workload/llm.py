@@ -1007,6 +1007,75 @@ def ivf_fixed_centroids_q(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_cluster_balance",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    n AS (SELECT vec_id,
+      list_transform(v, x -> CAST(x AS DOUBLE) / greatest(sqrt(
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(v, y -> CAST(y AS DOUBLE) * y)),
+          (s, z) -> s + z)), 1e-12)) AS u
+    FROM e),
+    a AS (SELECT vec_id,
+      CAST(list_position(ds, list_aggregate(ds, 'min')) - 1 AS INT)
+        AS ivf_cell
+    FROM (SELECT vec_id,
+      list_transform({{CENTS}}, cb ->
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64),
+            i -> (u[i] - cb[i]) * (u[i] - cb[i]))),
+          (s, z) -> s + z)) AS ds
+    FROM n)),
+    r AS (SELECT vec_id, ivf_cell,
+      row_number() OVER (PARTITION BY ivf_cell
+        ORDER BY md5('cluster-balance-v1' || CAST(vec_id AS VARCHAR)),
+                 vec_id) AS rk
+    FROM a)
+    SELECT vec_id, ivf_cell FROM r WHERE rk <= 20
+    ORDER BY vec_id
+    """.replace(
+        "{CENTS}",
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]"
+            for c in _ivf_fixed_centroids()
+        )
+        + "]",
+    ),
+)
+def pipeline_cluster_balance_q(spark, sf_dir):
+    """Cluster-balanced corpus subsampling under one oracle (round 10)
+    — the embedding-space diversity primitive modern curation stacks
+    use ("at most N documents per semantic cluster"): ivf_assign
+    against pinned centroids (the ivf_fixed_centroids chain) composed
+    with the deterministic per-group md5 cap (sampling.grouped_sample,
+    the sample_grouped machinery keyed on the CELL). DuckDB replays
+    both stages — normalization, argmin, the md5 rank order and the
+    cap — so the composition's cut set is hash-exact. At 100 TB: one
+    JVM projection for the cells + one hash shuffle on the cell key
+    with a partition-local rank filter; stable under corpus growth
+    (adding rows only displaces hash-largest survivors)."""
+    from chapterhousedb_spark.operators.sampling import grouped_sample
+    from chapterhousedb_spark.operators.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(
+        emb.select("vec_id", "embedding"), _ivf_fixed_centroids()
+    )
+    return (
+        grouped_sample(
+            assigned,
+            group_col="ivf_cell",
+            k=20,
+            id_col="vec_id",
+            salt="cluster-balance-v1",
+        )
+        .select("vec_id", "ivf_cell")
+        .orderBy("vec_id")
+    )
+
+
 # ------------------------------------------ pinned residual IVF-PQ twin
 # The last scoring chain the two twins above leave unexercised is the
 # RESIDUAL path (FAISS by_residual=True): unit vector minus its cell
