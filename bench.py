@@ -117,6 +117,7 @@ HEADLINE = [
     "pq_residual_fixed",
     "embedding_mrl",
     "pipeline_cluster_balance",
+    "pack_best_fit",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

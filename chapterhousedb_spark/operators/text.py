@@ -709,6 +709,120 @@ def pack_materialize(
     )
 
 
+def pack_best_fit(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    salt: str = "pack",
+    long_docs: str = "error",
+) -> DataFrame:
+    """DOCUMENT-INTEGRITY sequence packing: assign every document to a
+    training pack without ever splitting it across a pack boundary —
+    the complement of pack_sequences' concat-then-chunk (which has
+    zero padding but splits documents mid-text). Packs are filled by
+    best-fit-decreasing bin packing inside deterministic md5 shards:
+    docs sort (n_tokens desc, id asc) and each goes into the bin with
+    the LEAST remaining room that still fits (ties -> lowest pack id),
+    the classic BFD heuristic (<= 11/9 OPT + 1 bins). Output one row
+    per doc: (id, n_tokens, shard, pack_id, pack_offset); materialize
+    by joining text back on id and grouping by (shard, pack_id) with
+    pack_offset as the in-pack order.
+
+    long_docs: a document longer than `budget` cannot pack whole —
+    "error" (default) raises with the offending count; "drop" excludes
+    them (pre-chunk with token_chunks when they should be kept).
+
+    Determinism contract: shard membership is md5(salt || id), the BFD
+    order is (n_tokens desc, id asc), and the fit search is a sorted
+    bisect with lowest-pack-id ties — the layout is a pure function of
+    (salt, ids, lengths), invariant under input partitioning
+    (test-pinned), exactly like pack_sequences.
+
+    Scale shape: ONE hash shuffle on the shard key, then a per-shard
+    Arrow-batched pandas pass over (id, n_tokens) PAIRS ONLY — the
+    text never enters the packing state, so a shard's working set is
+    ~16 bytes/doc (1e8 docs/shard ~= 1.6 GB; size n_shards so shards
+    fit an executor, and fix it per corpus version — the layout, not
+    the cluster, owns it). Token arrays only move in the caller's
+    materialization join, shuffling budget-bounded groups like
+    pack_materialize."""
+    if long_docs not in ("error", "drop"):
+        raise ValueError(
+            f"long_docs must be 'error' or 'drop', got {long_docs!r}"
+        )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    sized = df.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    if long_docs == "error":
+        n_over = sized.filter(F.col("n_tokens") > budget).count()
+        if n_over:
+            raise ValueError(
+                f"pack_best_fit: {n_over} document(s) exceed budget="
+                f"{budget}; pre-chunk them (token_chunks) or pass "
+                "long_docs='drop'"
+            )
+    else:
+        sized = sized.filter(F.col("n_tokens") <= budget)
+
+    id_name = id_col  # close over plain strings, not Columns
+
+    def _pack(pdf):
+        import bisect
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_name], ascending=[False, True]
+        ).reset_index(drop=True)
+        # sorted list of (remaining, pack_id): bisect finds the bin
+        # with the SMALLEST remaining >= size (best fit); equal
+        # remainders resolve to the lowest pack id by tuple order
+        open_bins: list[tuple[int, int]] = []
+        n_bins = 0
+        pack_ids, offsets = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            i = bisect.bisect_left(open_bins, (n, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+            else:
+                rem, b = budget, n_bins
+                n_bins += 1
+            pack_ids.append(b)
+            offsets.append(budget - rem)
+            bisect.insort(open_bins, (rem - n, b))
+        out = pd.DataFrame(
+            {
+                id_name: pdf[id_name],
+                "n_tokens": pdf["n_tokens"],
+                "shard": pdf["shard"],
+                "pack_id": pack_ids,
+                "pack_offset": offsets,
+            }
+        )
+        return out
+
+    schema = (
+        f"{id_name} long, n_tokens long, shard long, "
+        "pack_id long, pack_offset long"
+    )
+    return sized.groupBy("shard").applyInPandas(_pack, schema)
+
+
 # PII patterns: shared RE2-compatible subset (no backreferences or
 # lookaround) so Spark (Java regex) and DuckDB (RE2) agree exactly —
 # the property the oracle-gated query depends on. Order matters and is

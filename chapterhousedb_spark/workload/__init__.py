@@ -551,6 +551,9 @@ _DRIVER_LAST = [
     # rows-only by design: hash-function/iteration-dependent results
     "quality_classifier",
     "bpe_tokenize",
+    # rows-only by design (round 10): BFD bin packing is a sequential
+    # loop per shard; pinned by the reference-equality tests instead
+    "pack_best_fit",
     "agg_pricing_summary_double",
     "dedup_minhash",
     "dedup_simhash",

