@@ -244,6 +244,14 @@ def probe(spark, docs, embs) -> dict:
         connected_components_star,
     )
 
+    # round-10: document-integrity packing — the BFD pass sees (id,
+    # length) pairs only, so rows == docs and wall tracks the word
+    # count scan + one shard shuffle (~linear), never the text volume
+    # inside the packing state.
+    from chapterhousedb_spark.operators.text import pack_best_fit
+
+    n, t = timed_count(pack_best_fit(docs, budget=256, n_shards=8))
+    out["bfd_rows"], out["bfd_rows_sec"] = n, t
     ids = docs.select(F.col("doc_id").alias("id_a"))
     chain = ids.withColumn(
         "id_b", F.lead("id_a").over(Window.orderBy("id_a"))

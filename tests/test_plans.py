@@ -552,3 +552,55 @@ def test_embedding_clusters_plan_shape(spark):
     plan = physical_plan(q("embedding_clusters", spark))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pinned_twin_plans_stay_jvm(spark):
+    """The round-10 pinned-state twins run the production expressions:
+    pq encode is the one sanctioned Arrow-batched pandas stage (no
+    row-at-a-time Python), ivf assignment and both ADC folds are pure
+    JVM — no BatchEvalPython anywhere, no shuffle beyond the final
+    orderBy exchange."""
+    for name in ("pq_fixed_codebook", "pq_residual_fixed"):
+        plan = physical_plan(q(name, spark))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" in plan, name  # pq_encode, by design
+    plan = physical_plan(q("ivf_fixed_centroids", spark))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # assignment is pure JVM
+
+
+def test_embedding_mrl_plan_shape(spark):
+    """MRL funnel: the coarse cut feeds the exact rerank through a
+    BROADCAST id join (the floats never shuffle), and the final top-k
+    is TakeOrdered — no global sort of the corpus."""
+    plan = physical_plan(q("embedding_mrl", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_cluster_balance_plan_shape(spark):
+    """Cluster-balanced subsampling: pure-JVM cell assignment + ONE
+    hash shuffle on the cell key for the rank window; no Python, no
+    cartesian, no global sort before the window."""
+    df = q("pipeline_cluster_balance", spark)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # exchanges: the cell-keyed window partitioning (+ the driver-side
+    # orderBy collect) — never a join shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_pack_best_fit_plan_shape(spark):
+    """Document-integrity packing: exactly one hash shuffle (the shard
+    key) feeding ONE Arrow-batched pandas stage; the text column never
+    reaches the pandas group (only id/len/shard do)."""
+    df = q("pack_best_fit", spark)
+    plan = physical_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    [cols] = read_schema_columns(df)
+    assert "doc_id" in cols and "text" in cols  # token_count needs text
