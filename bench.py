@@ -276,9 +276,14 @@ def _same_round_record() -> tuple[str, dict, float] | None:
 
 
 # a query is FLAGGED when its host-normalized slowdown vs the previous
-# round exceeds its own measured noise spread (or this absolute floor,
-# for sub-threshold queries that carry no repeat wall)
+# round exceeds its own measured noise spread. Queries without a
+# repeat wall (sub-threshold, no per-query spread) use this absolute
+# floor instead; measured queries use their OWN spread with only a
+# small granularity guard, so a persistent 0.1s regression on a fast
+# query with a tight spread still flags (review r10 — the old
+# unconditional 0.15s floor exempted every sub-150ms regression).
 _FLAG_FLOOR_SEC = 0.15
+_FLAG_GRANULARITY_SEC = 0.05
 
 
 def _flagged(deltas_norm: dict, noise_floor: dict) -> list[str]:
@@ -288,7 +293,12 @@ def _flagged(deltas_norm: dict, noise_floor: dict) -> list[str]:
     for q, d in deltas_norm.items():
         nf = noise_floor.get(q) or {}
         spread = nf.get("spread_sec")
-        if d > max(spread if spread is not None else 0.0, _FLAG_FLOOR_SEC):
+        thr = (
+            max(spread, _FLAG_GRANULARITY_SEC)
+            if spread is not None
+            else _FLAG_FLOOR_SEC
+        )
+        if d > thr:
             out.append(q)
     return sorted(out)
 

@@ -58,7 +58,15 @@ def _format_page(page: pa.Table, *, header: bool) -> str:
     return "\n".join(out)
 
 
-def _repl(eng, *, page_size: int, emit, note) -> int:
+def _repl(
+    eng,
+    *,
+    page_size: int,
+    emit,
+    note,
+    pool: str | None = None,
+    statement_timeout: float | None = None,
+) -> int:
     """Interactive REPL over the Engine lifecycle — the reference's
     ratatui client (src/bin/client_tui.rs:303, bidirectional paging
     via TuiQueryDataIterator) as a line-oriented readline loop, the
@@ -72,15 +80,22 @@ def _repl(eng, *, page_size: int, emit, note) -> int:
     Protocol: statements end with ';' (multi-line input buffers until
     then); 'n'/'p' page the latest result forward/backward (the
     prev/next flow of tui_query_data_iterator.rs:58-143); '\\explain
-    <sql>;' prints the optimized plan; '\\q' (or EOF) exits. Prompts
-    go to stderr so stdout carries exactly what batch mode would
-    print; statement errors report and the loop continues (rc=1 at
-    exit, like batch mode)."""
+    <sql>;' prints the optimized plan; '\\q' (or EOF) exits. On a tty,
+    input goes through input() so readline line editing and history
+    actually hook in (prompts on stdout — a human is watching); piped
+    input reads sys.stdin with no prompts, so stdout carries exactly
+    what batch mode would print. Statement errors report and the loop
+    continues (rc=1 at exit, like batch mode). `pool` and
+    `statement_timeout` carry the batch-mode flags' semantics:
+    per-statement FAIR routing, and cancel-after-deadline (counted per
+    submission, like batch mode)."""
+    import time as _time
+
     from chapterhousedb_spark import QueryStatus
 
     interactive = sys.stdin.isatty()
     if interactive:
-        try:  # line editing + history when a human is attached
+        try:  # line editing + history: hooks input() below
             import readline  # noqa: F401
         except ImportError:
             pass
@@ -88,18 +103,21 @@ def _repl(eng, *, page_size: int, emit, note) -> int:
     it = None
     rc = 0
 
-    def prompt() -> None:
+    def _lines():
+        # tty: input() so readline history/editing work (prompt on
+        # stdout, standard REPL behavior); piped: plain stdin lines,
+        # no prompts, stdout stays identical to batch output
         if interactive:
-            print(
-                "chdb> " if not buf else "  ..> ",
-                end="",
-                file=sys.stderr,
-                flush=True,
-            )
+            while True:
+                try:
+                    yield input("chdb> " if not buf else "  ..> ")
+                except EOFError:
+                    return
+        else:
+            for raw in sys.stdin:
+                yield raw.rstrip("\n")
 
-    prompt()
-    for raw in sys.stdin:
-        line = raw.rstrip("\n")
+    for line in _lines():
         s = line.strip()
         if not buf:
             if s in ("\\q", "quit", "exit"):
@@ -116,14 +134,11 @@ def _repl(eng, *, page_size: int, emit, note) -> int:
                     else:
                         note(f"-- {label}: rows={page.num_rows}")
                         emit(page, first=True)
-                prompt()
                 continue
             if not s:
-                prompt()
                 continue
         buf.append(line)
         if not s.endswith(";"):
-            prompt()
             continue
         text = "\n".join(buf)
         buf.clear()
@@ -135,17 +150,25 @@ def _repl(eng, *, page_size: int, emit, note) -> int:
             except Exception as ex:  # noqa: BLE001 — REPL survives bad SQL
                 print(f"-- error: {ex}", file=sys.stderr)
                 rc = 1
-            prompt()
             continue
         try:
-            handles = eng.sql(text)
+            handles = eng.sql(text, pool=pool)
         except Exception as ex:  # noqa: BLE001
             print(f"-- error: {ex}", file=sys.stderr)
             rc = 1
-            prompt()
             continue
+        submitted_at = _time.monotonic()
         for h in handles:
-            h.wait()
+            if statement_timeout is None:
+                h.wait()
+            else:
+                remaining = statement_timeout - (
+                    _time.monotonic() - submitted_at
+                )
+                h.wait(max(remaining, 0.0))
+                if not h.status.terminal():
+                    eng.cancel(h.query_id)
+                    h.wait()
             note(f"-- {h.status.value}: {h.sql.strip()}")
             if h.status is QueryStatus.ERROR:
                 print(f"-- error: {h.error}", file=sys.stderr)
@@ -157,7 +180,6 @@ def _repl(eng, *, page_size: int, emit, note) -> int:
             if page is not None and page.num_rows:
                 emit(page, first=True)
             note(f"-- {h.num_rows} row(s); n=next page, p=prev page")
-        prompt()
     return rc
 
 
@@ -354,7 +376,12 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.repl:
             return _repl(
-                eng, page_size=args.page_size, emit=emit, note=note
+                eng,
+                page_size=args.page_size,
+                emit=emit,
+                note=note,
+                pool=args.pool,
+                statement_timeout=args.statement_timeout,
             )
         # async submit of every statement up front (client_tui runs the
         # file's statements through one connection), then page each in

@@ -148,6 +148,14 @@ def admit_batch(
         cross_pairs = cross.select(
             F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b")
         )
+    # `admitted` is the batch anti-joined against the near-dup gate (a
+    # batch-x-corpus LSH join) and feeds the merge write, the count,
+    # the label solve and every index append below — persist it ONCE
+    # so the gate doesn't re-execute per consumer (with five
+    # index_paths that would be ~8 replays of the most expensive stage)
+    from pyspark.storagelevel import StorageLevel
+
+    admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
     merged = merge_upsert(corpus, admitted, [id_col], version_col)
     merged.write.mode("overwrite").parquet(f"{corpus_root}/v{ver + 1:06d}")
     n_admitted = admitted.count()
@@ -191,6 +199,7 @@ def admit_batch(
     # the marker flip is the commit point: readers only ever see a
     # version whose corpus AND labels directories are complete
     _write_latest_marker(spark, corpus_root, ver + 1)
+    admitted.unpersist()
     return {
         "version": ver + 1,
         "n_batch": n_batch,

@@ -1499,6 +1499,21 @@ def pq_probe_topk(
     )
 
 
+def _check_append_dims(batch: DataFrame, vec_col: str, dims: int, fn: str) -> None:
+    """Append-family guard (the srp_append contract, shared): a batch
+    vector shorter than the index's dims would index out of bounds in
+    the stored-model arithmetic, score NULL, and the appended rows
+    would silently vanish from every probe — raise loudly instead.
+    One bounded 1-row aggregate over the batch."""
+    lo = batch.agg(F.min(F.size(F.col(vec_col)))).collect()[0][0]
+    if lo is not None and lo < dims:
+        raise ValueError(
+            f"{fn}: batch has a {vec_col} vector of size {lo}, shorter "
+            f"than the index's dims={dims}; its codes/scores would be "
+            f"NULL and the appended rows unreachable by any probe"
+        )
+
+
 def pq_append(batch: DataFrame, path: str) -> dict:
     """Incrementally admit a batch of new vectors into a persisted
     pq_write_index layout (VERDICT r9 #2, mirroring ivf_append): encode
@@ -1517,6 +1532,7 @@ def pq_append(batch: DataFrame, path: str) -> dict:
     meta = _read_index_meta(spark, path, "pq.json")
     centroids, codebooks = meta["centroids"], meta["codebooks"]
     vec_col, cell_col = meta["vec_col"], meta["cell_col"]
+    _check_append_dims(batch, vec_col, meta["dims"], "pq_append")
     if meta.get("by_residual"):
         res = residual_frame(batch, centroids, vec_col, cell_col)
         coded = pq_encode(
@@ -1780,6 +1796,7 @@ def sq8_append(batch: DataFrame, path: str) -> dict:
     spark = batch.sparkSession
     meta = _read_index_meta(spark, path, "sq8.json")
     vec_col = meta["vec_col"]
+    _check_append_dims(batch, vec_col, meta["dims"], "sq8_append")
     coded = sq8_quantize(
         batch, meta["mins"], meta["maxs"], vec_col, meta["code_col"]
     )
@@ -2001,7 +2018,9 @@ def mrl_topk(
     cand = (
         scored.select(id_col, "prefix_cosine")
         .orderBy(F.col("prefix_cosine").desc(), F.col(id_col))
-        .limit(refine)
+        # refine < k must still return k rows (the bq_topk/probe
+        # contract: refine widens the rerank pool, never the output)
+        .limit(max(k, refine))
         .select(id_col)
     )
     kept = df.select(id_col, vec_col).join(F.broadcast(cand), id_col)
@@ -2056,6 +2075,9 @@ def mrl_append(batch: DataFrame, path: str) -> dict:
     import posixpath
 
     meta = _read_index_meta(batch.sparkSession, path, "mrl.json")
+    _check_append_dims(
+        batch, meta["vec_col"], meta["prefix_dims"], "mrl_append"
+    )
     out = batch.withColumn(
         meta["prefix_col"],
         F.expr(f"slice({meta['vec_col']}, 1, {meta['prefix_dims']})"),

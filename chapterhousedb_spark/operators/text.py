@@ -745,9 +745,13 @@ def pack_best_fit(
     text never enters the packing state, so a shard's working set is
     ~16 bytes/doc (1e8 docs/shard ~= 1.6 GB; size n_shards so shards
     fit an executor, and fix it per corpus version — the layout, not
-    the cluster, owns it). Token arrays only move in the caller's
-    materialization join, shuffling budget-bounded groups like
-    pack_materialize."""
+    the cluster, owns it). The fit search buckets open packs by
+    remaining capacity with a Fenwick tree over [0, budget] for the
+    smallest-sufficient-remainder query — O(log budget) per placement,
+    so a 1e8-doc shard is ~1e9 tree steps, not the O(n * open_packs)
+    memmove a sorted-list search would cost. Token arrays only move in
+    the caller's materialization join, shuffling budget-bounded groups
+    like pack_materialize."""
     if long_docs not in ("error", "drop"):
         raise ValueError(
             f"long_docs must be 'error' or 'drop', got {long_docs!r}"
@@ -781,30 +785,70 @@ def pack_best_fit(
     id_name = id_col  # close over plain strings, not Columns
 
     def _pack(pdf):
-        import bisect
+        import heapq
 
         import pandas as pd
 
         pdf = pdf.sort_values(
             ["n_tokens", id_name], ascending=[False, True]
         ).reset_index(drop=True)
-        # sorted list of (remaining, pack_id): bisect finds the bin
-        # with the SMALLEST remaining >= size (best fit); equal
-        # remainders resolve to the lowest pack id by tuple order
-        open_bins: list[tuple[int, int]] = []
+        # Open packs bucketed by REMAINING capacity: buckets[r] is a
+        # min-heap of pack ids with exactly r tokens of room, and a
+        # Fenwick tree over bucket occupancy answers "smallest r >= n
+        # with a non-empty bucket" in O(log budget) — the best-fit
+        # query — so placement is O(log budget) per doc instead of the
+        # O(open_packs) memmove a sorted-list bisect would pay. Ties
+        # (several packs at the same remainder) resolve to the lowest
+        # pack id via the heap, matching the sequential reference.
+        size = budget + 2
+        tree = [0] * size  # Fenwick over remainders 1..budget+1 (1-based r+1)
+        buckets: list[list[int]] = [[] for _ in range(budget + 1)]
+
+        def _add(pos: int, delta: int) -> None:
+            pos += 1  # remainder r lives at tree position r+1 >= 1
+            while pos < size:
+                tree[pos] += delta
+                pos += pos & -pos
+
+        def _count_le(pos: int) -> int:
+            pos += 1
+            s = 0
+            while pos > 0:
+                s += tree[pos]
+                pos -= pos & -pos
+            return s
+
+        def _smallest_at_least(n: int) -> int:
+            """Smallest remainder r in [n, budget] with a non-empty
+            bucket, or -1: binary-search the Fenwick prefix counts."""
+            below = _count_le(n - 1) if n > 0 else 0
+            if _count_le(budget) == below:
+                return -1
+            lo, hi = n, budget
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if _count_le(mid) > below:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            return lo
+
         n_bins = 0
         pack_ids, offsets = [], []
         for n in pdf["n_tokens"]:
             n = int(n)
-            i = bisect.bisect_left(open_bins, (n, -1))
-            if i < len(open_bins):
-                rem, b = open_bins.pop(i)
+            r = _smallest_at_least(n)
+            if r >= 0:
+                b = heapq.heappop(buckets[r])
+                _add(r, -1)
+                rem = r
             else:
                 rem, b = budget, n_bins
                 n_bins += 1
             pack_ids.append(b)
             offsets.append(budget - rem)
-            bisect.insort(open_bins, (rem - n, b))
+            heapq.heappush(buckets[rem - n], b)
+            _add(rem - n, 1)
         out = pd.DataFrame(
             {
                 id_name: pdf[id_name],
@@ -816,8 +860,11 @@ def pack_best_fit(
         )
         return out
 
+    # the id column keeps its INPUT type (string/uuid ids pack exactly
+    # like pack_sequences' — only lengths enter the packing state)
+    id_type = sized.schema[id_name].dataType.simpleString()
     schema = (
-        f"{id_name} long, n_tokens long, shard long, "
+        f"`{id_name}` {id_type}, n_tokens long, shard long, "
         "pack_id long, pack_offset long"
     )
     return sized.groupBy("shard").applyInPandas(_pack, schema)

@@ -1623,6 +1623,9 @@ def test_mrl_topk_full_prefix_is_brute_force(vectors):
         r["vec_id"] for r in mrl_topk(df, q, k=10, prefix_dims=8).collect()
     ]
     assert len(set(coarse) & set(exact)) >= 5
+    # refine < k still returns k rows (refine widens the rerank pool,
+    # never the output — the bq_topk contract; review r10)
+    assert mrl_topk(df, q, k=10, prefix_dims=8, refine=5).count() == 10
     with pytest.raises(ValueError, match="prefix_dims"):
         mrl_topk(df, q, prefix_dims=0)
 
