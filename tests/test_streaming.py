@@ -1505,6 +1505,8 @@ def test_ingest_stream_maintains_quantized_indexes(spark, tmp_path_factory):
         _write_json_artifact,
         embedding_near_dup_pairs_cross,
         ivf_assign,
+        mrl_probe_topk,
+        mrl_write_index,
         pq_encode,
         pq_probe_topk,
         pq_write_index,
@@ -1545,8 +1547,10 @@ def test_ingest_stream_maintains_quantized_indexes(spark, tmp_path_factory):
             os.utime(os.path.join(landing, d, f), (1_600_000_000 + i,) * 2)
 
     sq8_path, pq_path = str(root / "sq8"), str(root / "pq")
+    mrl_path = str(root / "mrl")
     sq8_meta = sq8_write_index(seed, sq8_path, n_cells=2, max_iter=2)
     pq_meta = pq_write_index(seed, pq_path, n_cells=2, m=4, nbits=3, max_iter=2)
+    mrl_write_index(seed, mrl_path, prefix_dims=4)
     init_ingest(seed, str(root / "corpus"), id_col="vec_id")
 
     def gate(batch, corpus):
@@ -1560,7 +1564,7 @@ def test_ingest_stream_maintains_quantized_indexes(spark, tmp_path_factory):
         str(root / "ckpt"),
         id_col="vec_id",
         gate_fn=gate,
-        index_paths={"sq8": sq8_path, "pq": pq_path},
+        index_paths={"sq8": sq8_path, "pq": pq_path, "mrl": mrl_path},
     )
     q.awaitTermination()
 
@@ -1611,11 +1615,25 @@ def test_ingest_stream_maintains_quantized_indexes(spark, tmp_path_factory):
             ).collect()
         ]
         assert got == want, ("pq", nprobe, refine)
-    # full-probe row counts: every admitted row is in both indexes
+    # full-probe row counts: every admitted row is in all three indexes
     assert (
         sq8_probe_topk(spark, sq8_path, qv, k=100, nprobe=2).count() == 19
     )
     assert pq_probe_topk(spark, pq_path, qv, k=100, nprobe=2).count() == 19
+    assert mrl_probe_topk(spark, mrl_path, qv, k=100).count() == 19
+    # mrl appends are stateless slices: full refine over the
+    # maintained index == exact brute force over the final corpus
+    from chapterhousedb_spark.operators.similarity import cosine_topk
+
+    got_mrl = [
+        tuple(r)
+        for r in mrl_probe_topk(spark, mrl_path, qv, k=5, refine=100).collect()
+    ]
+    want_mrl = [
+        (r["vec_id"], r["cosine"])
+        for r in cosine_topk(final, qv, k=5).collect()
+    ]
+    assert [v for v, _ in got_mrl] == [v for v, _ in want_mrl]
     # unknown index kind is a loud error, not a silent skip
     from chapterhousedb_spark.operators.ingest import admit_batch
 
