@@ -531,8 +531,10 @@ def main() -> None:
         prev_rec_name, prev_flags = _previous_record_flags()
         regressions = {
             "rule": (
-                "host-normalized delta > own noise spread (floor "
-                f"{_FLAG_FLOOR_SEC}s) in two consecutive records"
+                "host-normalized delta > own noise spread (min "
+                f"{_FLAG_GRANULARITY_SEC}s; queries without a repeat "
+                f"wall use a flat {_FLAG_FLOOR_SEC}s floor) in two "
+                "consecutive records"
             ),
             "flagged_now": flags,
             "prev_record": prev_rec_name,

@@ -93,7 +93,11 @@ def _repl(
 
     from chapterhousedb_spark import QueryStatus
 
-    interactive = sys.stdin.isatty()
+    # input() writes its prompt to stdout, so only go through it when
+    # BOTH ends are a tty — with stdout redirected (`--repl > out.txt`
+    # or jsonl piped to a consumer) prompts would corrupt the captured
+    # stream, so redirected sessions read plain stdin with no prompts
+    interactive = sys.stdin.isatty() and sys.stdout.isatty()
     if interactive:
         try:  # line editing + history: hooks input() below
             import readline  # noqa: F401

@@ -96,16 +96,10 @@ def admit_batch(
 
     Returns {"version", "n_batch", "n_admitted", "n_rejected"}.
     """
-    from chapterhousedb_spark.operators.cluster import components_update
     from chapterhousedb_spark.operators.dedup import (
-        minhash_near_dup_pairs,
         minhash_near_dup_pairs_cross,
     )
-    from chapterhousedb_spark.operators.merge import merge_upsert
-    from chapterhousedb_spark.streaming.batcher import (
-        _write_latest_marker,
-        read_versioned_base,
-    )
+    from chapterhousedb_spark.streaming.batcher import read_versioned_base
 
     if not reject_near_dups and labels_root is None:
         raise ValueError(
@@ -156,6 +150,56 @@ def admit_batch(
     from pyspark.storagelevel import StorageLevel
 
     admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
+    # unpersist in finally: a failed admission (e.g. an appender's
+    # dims guard) must not leak cached state into the long-lived
+    # streaming session, one RDD per retried micro-batch
+    try:
+        return _admit_batch_writes(
+            spark,
+            corpus,
+            admitted,
+            cross_pairs,
+            corpus_root,
+            labels_root,
+            id_col,
+            version_col,
+            threshold,
+            num_hashes,
+            bands,
+            index_paths,
+            ver,
+            n_batch,
+            text_col,
+        )
+    finally:
+        admitted.unpersist()
+
+
+def _admit_batch_writes(
+    spark,
+    corpus,
+    admitted,
+    cross_pairs,
+    corpus_root,
+    labels_root,
+    id_col,
+    version_col,
+    threshold,
+    num_hashes,
+    bands,
+    index_paths,
+    ver,
+    n_batch,
+    text_col,
+) -> dict:
+    """admit_batch's write half (merge -> labels -> index appends ->
+    marker flip), split out so the caller can guarantee the persisted
+    `admitted` frame is released on every exit path."""
+    from chapterhousedb_spark.operators.cluster import components_update
+    from chapterhousedb_spark.operators.dedup import minhash_near_dup_pairs
+    from chapterhousedb_spark.operators.merge import merge_upsert
+    from chapterhousedb_spark.streaming.batcher import _write_latest_marker
+
     merged = merge_upsert(corpus, admitted, [id_col], version_col)
     merged.write.mode("overwrite").parquet(f"{corpus_root}/v{ver + 1:06d}")
     n_admitted = admitted.count()
@@ -199,7 +243,6 @@ def admit_batch(
     # the marker flip is the commit point: readers only ever see a
     # version whose corpus AND labels directories are complete
     _write_latest_marker(spark, corpus_root, ver + 1)
-    admitted.unpersist()
     return {
         "version": ver + 1,
         "n_batch": n_batch,

@@ -554,6 +554,13 @@ def ivf_append(
     spark = batch.sparkSession
     meta = _read_index_meta(spark, path)
     centroids = meta["centroids"]
+    # same guard as the rest of the append family (centroids.json
+    # predates a dims key — the centroid width IS the dims): a shorter
+    # vector NULLs every zip_with distance, lands in the NULL cell
+    # partition and vanishes from every cell-pruned probe
+    _check_append_dims(
+        batch, meta["vec_col"], len(centroids[0]), "ivf_append"
+    )
     assigned = ivf_assign(batch, centroids, meta["vec_col"], meta["cell_col"])
     assigned.write.mode("append").partitionBy(meta["cell_col"]).parquet(
         posixpath.join(path, "corpus")
@@ -697,14 +704,7 @@ def srp_append(batch: DataFrame, path: str) -> dict:
 
     spark = batch.sparkSession
     meta = _read_index_meta(spark, path, "srp.json")
-    lo = batch.agg(F.min(F.size(F.col(meta["vec_col"])))).collect()[0][0]
-    if lo is not None and lo < meta["dims"]:
-        raise ValueError(
-            f"srp_append: batch has a {meta['vec_col']} vector of size "
-            f"{lo}, shorter than the index's dims={meta['dims']}; "
-            f"out-of-bounds components are NULL and the rows would all "
-            f"hash to bucket 0"
-        )
+    _check_append_dims(batch, meta["vec_col"], meta["dims"], "srp_append")
     bucketed = batch.withColumn(
         meta["bucket_col"],
         srp_signature(meta["vec_col"], meta["planes"], meta["dims"], meta["seed"]),
@@ -2075,9 +2075,11 @@ def mrl_append(batch: DataFrame, path: str) -> dict:
     import posixpath
 
     meta = _read_index_meta(batch.sparkSession, path, "mrl.json")
-    _check_append_dims(
-        batch, meta["vec_col"], meta["prefix_dims"], "mrl_append"
-    )
+    # guard on FULL dims, not prefix_dims: a vector in
+    # [prefix_dims, dims) would coarse-score fine but NULL out of the
+    # refined exact rerank (zip_with pads with NULL) — the same
+    # silent-vanish class the guard exists for
+    _check_append_dims(batch, meta["vec_col"], meta["dims"], "mrl_append")
     out = batch.withColumn(
         meta["prefix_col"],
         F.expr(f"slice({meta['vec_col']}, 1, {meta['prefix_dims']})"),

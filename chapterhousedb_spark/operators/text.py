@@ -735,23 +735,24 @@ def pack_best_fit(
     them (pre-chunk with token_chunks when they should be kept).
 
     Determinism contract: shard membership is md5(salt || id), the BFD
-    order is (n_tokens desc, id asc), and the fit search is a sorted
-    bisect with lowest-pack-id ties — the layout is a pure function of
-    (salt, ids, lengths), invariant under input partitioning
-    (test-pinned), exactly like pack_sequences.
+    order is (n_tokens desc, id asc), and the fit search picks the
+    smallest sufficient remainder with lowest-pack-id ties — the
+    layout is a pure function of (salt, ids, lengths), invariant under
+    input partitioning (test-pinned), exactly like pack_sequences.
 
     Scale shape: ONE hash shuffle on the shard key, then a per-shard
     Arrow-batched pandas pass over (id, n_tokens) PAIRS ONLY — the
     text never enters the packing state, so a shard's working set is
-    ~16 bytes/doc (1e8 docs/shard ~= 1.6 GB; size n_shards so shards
-    fit an executor, and fix it per corpus version — the layout, not
-    the cluster, owns it). The fit search buckets open packs by
-    remaining capacity with a Fenwick tree over [0, budget] for the
-    smallest-sufficient-remainder query — O(log budget) per placement,
-    so a 1e8-doc shard is ~1e9 tree steps, not the O(n * open_packs)
-    memmove a sorted-list search would cost. Token arrays only move in
-    the caller's materialization join, shuffling budget-bounded groups
-    like pack_materialize."""
+    ~16 bytes/doc plus an O(budget) bucket table (1e8 docs/shard ~=
+    1.6 GB; size n_shards so shards fit an executor, and fix it per
+    corpus version — the layout, not the cluster, owns it). The fit
+    search buckets open packs by remaining capacity with a Fenwick
+    tree over [0, budget]: a binary-lifting descent answers the
+    smallest-sufficient-remainder query in one O(log budget) pass, so
+    placement is ~2 log(budget) tree steps per doc — never the
+    O(open_packs) memmove a sorted-list search would cost. Token
+    arrays only move in the caller's materialization join, shuffling
+    budget-bounded groups like pack_materialize."""
     if long_docs not in ("error", "drop"):
         raise ValueError(
             f"long_docs must be 'error' or 'drop', got {long_docs!r}"
@@ -818,20 +819,26 @@ def pack_best_fit(
                 pos -= pos & -pos
             return s
 
+        top_bit = 1 << (size - 1).bit_length()
+
         def _smallest_at_least(n: int) -> int:
             """Smallest remainder r in [n, budget] with a non-empty
-            bucket, or -1: binary-search the Fenwick prefix counts."""
+            bucket, or -1: one binary-lifting descent over the Fenwick
+            (O(log budget) total — not a bisect of O(log) prefix
+            queries). Finds the largest tree position whose prefix
+            count is <= count(< n); the next position is the answer,
+            and it is >= n automatically because prefix(n-1) equals
+            that count exactly."""
             below = _count_le(n - 1) if n > 0 else 0
             if _count_le(budget) == below:
                 return -1
-            lo, hi = n, budget
-            while lo < hi:
-                mid = (lo + hi) // 2
-                if _count_le(mid) > below:
-                    hi = mid
-                else:
-                    lo = mid + 1
-            return lo
+            pos, rem, bit = 0, below, top_bit
+            while bit:
+                nxt = pos + bit
+                if nxt < size and tree[nxt] <= rem:
+                    pos, rem = nxt, rem - tree[nxt]
+                bit >>= 1
+            return pos  # tree position pos+1 <-> remainder pos
 
         n_bins = 0
         pack_ids, offsets = [], []
