@@ -50,6 +50,7 @@ def connected_components(
     id_col: str = "id",
     component_col: str = "component",
     max_iters: int = 30,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, component) labels; component = min node id in the component.
 
@@ -58,10 +59,24 @@ def connected_components(
     label isolated nodes (singleton components), e.g. every document in
     a corpus, not only those appearing in some pair.
 
+    algorithm: "label" (default — min-label propagation, diameter
+    rounds, the cheap choice for near-clique dedup graphs) or "star"
+    (delegates to connected_components_star: O(log^2 n) rounds for
+    chain-shaped graphs). Identical output either way (test-pinned),
+    so callers switch solvers without changing call sites.
+
     Monotone convergence: labels only ever decrease, so the global
     label sum strictly decreases every non-converged round — one cheap
     1-row aggregate per round detects the fixpoint without a join.
     """
+    if algorithm == "star":
+        return connected_components_star(
+            edges, src, dst, nodes, id_col, component_col, max_iters
+        )
+    if algorithm != "label":
+        raise ValueError(
+            f"algorithm must be 'label' or 'star', got {algorithm!r}"
+        )
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )

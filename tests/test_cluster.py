@@ -221,3 +221,31 @@ def test_star_chain_converges_in_log_rounds(spark):
         for r in connected_components_star(e, max_iters=14).collect()
     }
     assert got == {i: 0 for i in range(512)}
+
+
+def test_algorithm_kwarg_unifies_solvers(spark):
+    """connected_components(algorithm=...) switches solvers without
+    changing call sites: 'star' == 'label' on the same graph, an
+    unknown name errors, and 'star' handles the chain 'label' cannot
+    at the same max_iters."""
+    from chapterhousedb_spark.operators.cluster import connected_components
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    lab = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(e, algorithm="star").collect()
+    }
+    assert lab == star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(e, algorithm="bogus")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(chain, max_iters=12, algorithm="star").collect()
+    }
+    assert got == {i: 0 for i in range(201)}
