@@ -171,3 +171,48 @@ def histogram(
         )
         .orderBy("bin")
     )
+
+
+def key_skew(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter report for a join/aggregation key: the top-k keys
+    by row count with each key's share of the table and the running
+    cumulative share — the diagnostic you run BEFORE choosing skew
+    mitigations (operators/skew.py salting factor, AQE skew-join
+    thresholds, bucketing). A top key holding >> 1/shuffle_partitions
+    of the rows is the reducer that will straggle.
+
+    Output: (key string-cast for schema stability, n, share,
+    cum_share), ordered by n desc with deterministic key tie-break.
+
+    Scale shape: one map-side-combined groupBy on the key (the same
+    shuffle the join under diagnosis would pay, but moving only
+    (key, count) partials) + TakeOrdered for the top-k + a 1-row total
+    broadcast; the cumulative share is a window over k rows, not the
+    table. NULL keys count as a group (they hash together in a real
+    join, which is exactly the skew worth seeing)."""
+    if k < 1:
+        raise ValueError(f"key_skew: k must be >= 1, got {k}")
+    total = df.count()
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "key")
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.desc("n"), "key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    denom = float(max(total, 1))
+    return counts.select(
+        "key",
+        "n",
+        (F.col("n") / F.lit(denom)).alias("share"),
+        (F.sum("n").over(w) / F.lit(denom)).alias("cum_share"),
+    )

@@ -111,3 +111,34 @@ def test_histogram_extreme_values_no_int_wrap(spark):
     )
     got = {r["bin"]: r["n"] for r in histogram(df, "x", 0.0, 10.0, nbins=4).collect()}
     assert got == {0: 2, 2: 1, 3: 2}  # -inf,-1e18 | 5.0 | 1e18,+inf
+
+
+def test_key_skew_heavy_hitters(spark):
+    """Top-k keys with exact shares and cumulative shares; NULL keys
+    count as a group (they co-locate in a real join); deterministic
+    tie-break; k guard."""
+    import pytest as _pytest
+
+    from chapterhousedb_spark.operators.profile import key_skew
+
+    rows = (
+        [("hot",)] * 60 + [("warm",)] * 25 + [("cold",)] * 10 + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew(df, "k", k=3).collect()
+    assert [(r["key"], r["n"]) for r in got] == [
+        ("hot", 60), ("warm", 25), ("cold", 10)
+    ]
+    assert got[0]["share"] == 0.60 and got[0]["cum_share"] == 0.60
+    assert got[1]["cum_share"] == 0.85
+    assert got[2]["cum_share"] == 0.95
+    # NULL group appears when k admits it
+    all4 = key_skew(df, "k", k=10).collect()
+    assert (None, 5) in [(r["key"], r["n"]) for r in all4]
+    assert all4[-1]["cum_share"] == 1.0
+    # ties break on the stringified key
+    t = spark.createDataFrame([("b",), ("a",)], "k string")
+    tied = key_skew(t, "k", k=2).collect()
+    assert [r["key"] for r in tied] == ["a", "b"]
+    with _pytest.raises(ValueError, match="k must be"):
+        key_skew(df, "k", k=0)
