@@ -49,7 +49,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     component_col: str = "component",
-    max_iters: int = 30,
+    max_iters: int | None = None,
     algorithm: str = "label",
 ) -> DataFrame:
     """(id, component) labels; component = min node id in the component.
@@ -65,18 +65,31 @@ def connected_components(
     chain-shaped graphs). Identical output either way (test-pinned),
     so callers switch solvers without changing call sites.
 
+    max_iters: None (default) resolves per-algorithm — 30 propagation
+    rounds for "label", 50 alternating rounds for "star" (ADVICE r10:
+    forwarding the label default silently tightened the star solver's
+    documented budget for callers switching via the kwarg).
+
     Monotone convergence: labels only ever decrease, so the global
     label sum strictly decreases every non-converged round — one cheap
     1-row aggregate per round detects the fixpoint without a join.
     """
     if algorithm == "star":
         return connected_components_star(
-            edges, src, dst, nodes, id_col, component_col, max_iters
+            edges,
+            src,
+            dst,
+            nodes,
+            id_col,
+            component_col,
+            50 if max_iters is None else max_iters,
         )
     if algorithm != "label":
         raise ValueError(
             f"algorithm must be 'label' or 'star', got {algorithm!r}"
         )
+    if max_iters is None:
+        max_iters = 30
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )

@@ -93,6 +93,17 @@ def admit_batch(
     exact rerank re-scores it identically) and disappear at the next
     full index rebuild — callers needing strict-once index rows should
     rebuild indexes from the committed corpus version instead.
+    UPSERT caveat (ADVICE r10): index appends only ADD rows, while
+    merge_upsert REPLACES corpus rows for existing ids — a re-admitted
+    doc whose embedding CHANGED (below the near-dup threshold, or past
+    any custom gate_fn) leaves the old vector's codes in the index
+    under the same id, and those stale codes can outrank the current
+    vector in probes. That is NOT the benign same-codes case above:
+    callers updating embeddings in place must rebuild the affected
+    indexes from the committed corpus version to get correct scores
+    for updated docs (exact rerank over the true vec_col still scores
+    the CURRENT vector, so refine>0 probes self-heal the ranking; the
+    coarse candidate stage does not).
 
     Returns {"version", "n_batch", "n_admitted", "n_rejected"}.
     """

@@ -1501,17 +1501,24 @@ def pq_probe_topk(
 
 def _check_append_dims(batch: DataFrame, vec_col: str, dims: int, fn: str) -> None:
     """Append-family guard (the srp_append contract, shared): a batch
-    vector shorter than the index's dims would index out of bounds in
-    the stored-model arithmetic, score NULL, and the appended rows
-    would silently vanish from every probe — raise loudly instead.
-    One bounded 1-row aggregate over the batch."""
-    lo = batch.agg(F.min(F.size(F.col(vec_col)))).collect()[0][0]
-    if lo is not None and lo < dims:
-        raise ValueError(
-            f"{fn}: batch has a {vec_col} vector of size {lo}, shorter "
-            f"than the index's dims={dims}; its codes/scores would be "
-            f"NULL and the appended rows unreachable by any probe"
-        )
+    vector whose size differs from the index's dims silently vanishes
+    from every probe — SHORTER vectors index out of bounds in the
+    stored-model arithmetic and score NULL; LONGER ones make
+    ivf_assign's zip_with pad the centroid literal with NULLs, so
+    every distance is NULL and the row lands in the unreachable
+    NULL-cell partition (ADVICE r10: the one-sided min check let the
+    long case through). Exact-equality check, one bounded 1-row
+    aggregate over the batch."""
+    lo, hi = batch.agg(
+        F.min(F.size(F.col(vec_col))), F.max(F.size(F.col(vec_col)))
+    ).collect()[0]
+    for bad in (lo, hi):
+        if bad is not None and bad != dims:
+            raise ValueError(
+                f"{fn}: batch has a {vec_col} vector of size {bad}, but "
+                f"the index's dims={dims}; its codes/scores would be "
+                f"NULL and the appended rows unreachable by any probe"
+            )
 
 
 def pq_append(batch: DataFrame, path: str) -> dict:

@@ -1154,6 +1154,39 @@ def table_profile(spark, sf_dir):
     )
 
 
+@query(
+    "key_skew_events",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+    top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 15)
+    SELECT key, n,
+           CAST(n AS DOUBLE) / total AS share,
+           CAST(SUM(n) OVER (ORDER BY n DESC, key
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE) / total
+             AS cum_share
+    FROM top, t
+    ORDER BY n DESC, key
+    """,
+)
+def key_skew_events(spark, sf_dir):
+    """Heavy-hitter diagnostic over the events stream's join key
+    (VERDICT r10 #6 — key_skew gets an oracle row): the top-15 user_id
+    groups with exact share and running cumulative share, the report
+    you read before picking a salting factor for the user-keyed join.
+    Single scan: the rollup grouping sets ((key), ()) deliver per-key
+    counts AND the grand total from one aggregation (plan-asserted in
+    tests/test_profile.py); shares are IEEE double divisions of exact
+    bigint counts, so they hash-match DuckDB bit-for-bit."""
+    from chapterhousedb_spark.operators.profile import key_skew
+
+    return key_skew(load(spark, sf_dir, "events"), "user_id", k=15)
+
+
 # --------------------------------------------------------------------------
 # Composed multi-join analytics (TPC-H shapes over the testdata schema)
 # --------------------------------------------------------------------------

@@ -142,3 +142,25 @@ def test_key_skew_heavy_hitters(spark):
     assert [r["key"] for r in tied] == ["a", "b"]
     with _pytest.raises(ValueError, match="k must be"):
         key_skew(df, "k", k=0)
+
+
+def test_key_skew_single_scan(spark):
+    """VERDICT r10 #6: key_skew must derive the total in the SAME
+    aggregation pass as the per-key counts (rollup grouping sets), not
+    via a second df.count() scan — at 100 TB the old shape doubled the
+    diagnostic's cost. Assert exactly one scan of the source in the
+    physical plan, and that the rollup total row never leaks into the
+    output."""
+    from chapterhousedb_spark.operators.profile import key_skew
+    from chapterhousedb_spark.plans import physical_plan
+
+    from tests.conftest import SF_SMOKE
+
+    df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan = physical_plan(key_skew(df, "user_id", k=5))
+    assert plan.count("Scan parquet") == 1, plan
+    rows = key_skew(df, "user_id", k=10**9).collect()
+    # every output row is a genuine key group; the grand-total row
+    # (grouping flag 1) was consumed into the denominator
+    assert len(rows) == df.select("user_id").distinct().count()
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-12
