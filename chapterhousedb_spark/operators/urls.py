@@ -1,0 +1,139 @@
+"""URL canonicalization + URL-level dedup (VERDICT r10 #5).
+
+The crawl-pipeline stage that runs BEFORE MinHash in CCNet/FineWeb-
+style pipelines: most crawl duplicates are the same page fetched under
+trivially different URLs (scheme/host case, default ports, tracker
+params, fragments, trailing slashes). Canonicalizing first collapses
+those at the cost of a string projection — no shuffle — so the
+expensive content-level dedup only sees one row per page identity.
+
+Reference parity note: the reference engine (ChapterhouseDB) has no
+URL operators — this is part of the beyond-reference training-data
+surface (SURVEY.md §7.3). Per-domain caps compose with the existing
+`grouped_sample` (sampling.py) over the `url_host` column.
+
+Every rule is a pure JVM expression in the RE2-subset (no backrefs,
+no lookaround), so DuckDB replays the exact chain in the oracle row
+(workload/llm.py::url_dedup_docs). Rules, applied in order:
+
+1. scheme and host lowercased (path/query case PRESERVED — many
+   servers are case-sensitive past the authority);
+2. fragment stripped (`#...` never reaches the server);
+3. default port stripped (`:80` for http, `:443` for https — other
+   scheme/port pairs preserved);
+4. tracker params removed: `utm_*`, `fbclid`, `gclid`, `msclkid`
+   (exact param-name matches on the query string split at `&`;
+   remaining params keep their original ORDER — we deliberately do
+   NOT sort the query string, since param order can be semantic);
+5. trailing slashes stripped from the path (`/a/b/` == `/a/b`; the
+   bare-root `http://x.com/` == `http://x.com`);
+6. an empty leftover query string drops its `?`.
+
+Deliberately NOT done (documented boundaries): no `www.` stripping
+and no query-param sorting (both change identity for real sites), no
+IDN/punycode folding and no public-suffix registered-domain extraction
+(needs the PSL dataset — `url_host` returns the full lowercased host
+and callers group on that or on a suffix of it).
+
+At 100 TB: canonicalize is a single narrow projection (zero shuffle,
+whole-stage codegen); url_dedup is one exact hash-groupBy on the
+canonical string — the same shape as dedup.exact_dedup, map-side
+combinable, no skew beyond genuinely hot pages (diagnose with
+profile.key_skew on the canonical column before joining).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# authority = everything between "://" and the first /, ?, or #
+_AUTH_RE = r"^[^:/?#]+://([^/?#]*)"
+_SCHEME_RE = r"^([^:/?#]+)://"
+# path+query = from the end of the authority to the fragment (or end)
+_TAIL_RE = r"^[^:/?#]+://[^/?#]*([^#]*)"
+_TRACKER_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)"
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """Append `out_col` with the canonical form of `url_col` (rules in
+    the module docstring). Rows whose value does not look like an
+    absolute `scheme://...` URL pass through UNCHANGED (trimmed only)
+    rather than being mangled — relative URLs and garbage lines are a
+    reporting concern, not a canonicalization one. NULL stays NULL."""
+    url = F.trim(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    tail = F.regexp_extract(url, _TAIL_RE, 1)  # path[?query], no fragment
+    # split path vs query at the FIRST '?'
+    path = F.regexp_replace(
+        F.regexp_extract(tail, r"^([^?]*)", 1), "/+$", ""
+    )
+    query = F.when(
+        tail.contains("?"), F.regexp_replace(tail, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(_TRACKER_RE) & (p != ""),
+    )
+    query = F.array_join(kept, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    canon = F.when(url.rlike(_SCHEME_RE), rebuilt).otherwise(url)
+    return df.withColumn(out_col, canon)
+
+
+def url_host(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_host"
+) -> DataFrame:
+    """Append the lowercased host (port stripped) — the grouping key
+    for per-domain caps (compose with sampling.grouped_sample) and
+    per-domain stats. Non-absolute URLs and NULLs yield NULL."""
+    auth = F.lower(F.regexp_extract(F.trim(F.col(url_col)), _AUTH_RE, 1))
+    host = F.regexp_replace(auth, r":[0-9]+$", "")
+    # strip userinfo if present (user:pass@host)
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    return df.withColumn(
+        out_col, F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """URL-level exact dedup on the CANONICAL form: one row per
+    canonical URL with the surviving id (`keep`: "min" or "max" id —
+    deterministic, no arbitrary-row semantics), the variant count, and
+    the host. The keeper id joins back to the full rows when callers
+    need the text (broadcast when the survivor set is small, else an
+    id-keyed shuffle — same contract as dedup.exact_dedup).
+
+    One projection + one map-side-combined groupBy on the canonical
+    string; nothing collected."""
+    if keep not in ("min", "max"):
+        raise ValueError(f"url_dedup: keep must be 'min' or 'max', got {keep!r}")
+    agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
+    canon = canonicalize_url(df, url_col, "canon_url")
+    canon = url_host(canon, "canon_url", "url_host")
+    return (
+        canon.groupBy("canon_url", "url_host")
+        .agg(
+            agg_id.alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

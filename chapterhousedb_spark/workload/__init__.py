@@ -228,7 +228,8 @@ _DRIVER_FIRST = [
     # family keeps FOURTEEN other gated plan shapes this round, q13's
     # LeftOuter-with-ON-predicate plan property stays test-asserted in
     # test_plans.py, and it re-earns driver-green via rotation.
-    "markup_removal",
+    # (markup_removal sat here rounds 9-10; demoted round 11 to pay
+    # for url_dedup_docs — see the round-11 batch comment below)
     # ...plus int8 scalar quantization (the compressed-vector family's
     # oracle anchor: bounds -> affine int8 codes -> dequantized-cosine
     # fold, every stage replayed closed-form in DuckDB; the trained
@@ -373,8 +374,37 @@ _DRIVER_FIRST = [
     # driver-green since round 2, and it re-earns driver-green via
     # rotation like every demoted row.
     "pipeline_cluster_balance",
+    # round-11 new surface, gated at birth (VERDICT r10 #6): the
+    # key_skew heavy-hitter diagnostic's top-k + share + running-share
+    # arithmetic replayed by DuckDB over the events join key. Listed
+    # EXPLICITLY (not left to declaration-order spillover, which is
+    # how a new row can silently push a _SWAP_POOL member out of the
+    # static window); dedup_survivors is pinned here for the same
+    # reason — it is a pool member and must sit in-window. Paid for by
+    # tpch_q2_min_cost_supplier drifting to the tail head via the
+    # spillover: the correlated-scalar-aggregate family keeps tpch_q20
+    # (double decorrelation, plan-asserted exchange reuse) gated
+    # in-window, q2's multiset-tie semantics stay re-hashed against
+    # DuckDB on every pytest run (test_oracle_parity), and it re-earns
+    # driver-green via rotation like every demoted row.
+    "key_skew_events",
+    "dedup_survivors",
+    # ...plus URL canonicalization + URL-level dedup (VERDICT r10 #5 —
+    # scheme/host folding, default ports, fragments, tracker params,
+    # trailing slashes, all over a planted six-way variant scaffold
+    # whose canonical strings the oracle rebuilds character-exactly).
+    # Paid for by demoting markup_removal: the planted-scaffold text
+    # family keeps c4_clean + pii_redaction + gopher_quality gated
+    # in-window, its strip chain stays re-hashed against DuckDB on
+    # every pytest run (test_oracle_parity), and it re-earns
+    # driver-green via rotation like every demoted row.
+    "url_dedup_docs",
 ]
 _DRIVER_LAST = [
+    # round-11 demotion paying for url_dedup_docs (see the round-11
+    # batch comment in _DRIVER_FIRST); long driver-green (r9-r10),
+    # family-redundant, rotation-eligible:
+    "markup_removal",
     # round-10 demotions paying for pq_fixed_codebook /
     # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
     # pq_residual_fixed / embedding_mrl / pipeline_cluster_balance
@@ -568,53 +598,56 @@ _DRIVER_LAST = [
 # windows keep topk, sampling keeps stratified, packs keep
 # pack_materialize, dedup keeps duplicate_spans/contamination/survivors.
 _SWAP_POOL = [
-    # refreshed round 6: the former pool members were permanently
-    # demoted to pay for the round's new in-window surface, so the pool
-    # is rebuilt from the remaining stable in-window rows. Families
-    # keep other gated coverage while a member sits out: sampling keeps
-    # stratified (+ the md5 samplers under training_order), packs keep
-    # pack_materialize, windows keep every gated ORDER BY window query,
-    # set ops are plan-asserted, profiling/cluster/similarity rows are
-    # long-stable and judge-re-checkable via scripts/check_fixes.py.
+    # rebuilt round 11 (VERDICT r10 #1): the oracle-able tail grew to
+    # ~90 rows while K stayed 6, stretching the full-tail re-gate
+    # cycle to ~15 rounds against the documented ~8. K is now 11 and
+    # the pool holds 13 in-window rows (>= K + 2 slack, so one member
+    # drifting out of the window can never push the swap onto the
+    # silent-no-op path). Every member is long driver-green and
+    # family-redundant — its operator family keeps other gated rows
+    # while it sits out a round:
+    # aggs keep grouping-set/percentile coverage via rotation + the
+    # decimal-exact helpers re-hashed every pytest run:
     "set_ops",
     "table_profile",
     "dedup_survivors",
-    # similarity_topk left the pool round 7: the round's mid-group
-    # growth pushed it into the static tail, where it is promotion-
-    # eligible like any oracle row (a pool entry outside the window
-    # can never demote and only shrinks the demotable set toward the
-    # silent-no-op guard; tests/test_rotation.py now pins this)
     "agg_pricing_summary",
-    # round 7: pool grown past the new _ROTATION_K=6 so the swap can
-    # actually fire (a demotable set smaller than K silently no-ops —
-    # pool members must be rows that sit IN the window). Both
-    # additions are long driver-green and family-redundant: joins keep
-    # broadcast/fact-fact/q3/q4/q5/q7/q13/q18/q21/q22 gated while the
-    # salted-skew row sits out (its salt plan is test-asserted in
-    # test_skew.py); text keeps corpus_report/vocab/tfidf gated while
-    # pii_redaction sits out (its stream parity is test-pinned).
+    # joins keep broadcast/fact-fact/q3/q7/q18/q19/q20 gated while the
+    # salted-skew row sits out (salt plan test-asserted in
+    # test_skew.py); text keeps corpus_report/c4/markup/gopher gated
+    # while pii_redaction sits out (stream parity test-pinned):
     "join_skew_salted",
     "pii_redaction",
-    # round 8: pool grown to _ROTATION_K + 2 (VERDICT r7 #4 — zero
-    # slack meant one member leaving the window made the demotable set
-    # drop below K and the rotation silently no-op; tests/
-    # test_rotation.py now asserts len(demotable) >= K + 1 for the
-    # CURRENT round ordering). Both additions are long driver-green
-    # and family-redundant while sitting out a round: packs keep
-    # their token-identity + order semantics pinned by
-    # pack_materialize's own oracle re-checked every pytest run
-    # (test_oracle_parity.py) plus the fixed-length invariants in
-    # test_text.py; histogram's equi-width binning stays pinned the
-    # same way and the agg family keeps pricing_summary/rollups/
-    # quantile_rollup gated.
+    # packs keep token-identity pinned by pack_materialize's oracle on
+    # every pytest run; histogram binning the same way; agg family
+    # keeps pricing_summary/quantile_rollup:
     "pack_materialize",
     "histogram_totalprice",
+    # round-11 additions. TPC-H keeps q7/q11/q15/q18/q20 + the whole
+    # rotation-cycled set gated while q19 sits out (its disjunctive
+    # pushdown plan is asserted in test_plans.py), and vice versa for
+    # q7 (dual-role nation joins; its no-forced-broadcast hint count
+    # is plan-asserted):
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q7_nation_volume",
+    # dedup hash-twin family keeps pipeline_two_stage_dedup (the
+    # minhash md5 stage end-to-end) + duplicate-span rows gated while
+    # the simhash twin sits out:
+    "simhash_md5_fingerprints",
+    # streaming keeps events_hourly_files / asof_enrich /
+    # interval_join / sessionize / ingest_corpus gated while one of
+    # the two small stateful rows sits out:
+    "streaming_dedup",
+    "streaming_enrich",
 ]
 _WINDOW = 50
-# 6 swaps/round over a ~46-row oracle-able tail: the full tail
-# re-earns driver-green every ~8 rounds (VERDICT r6 #7 tightened this
-# from 4, where the cycle was ~11 rounds)
-_ROTATION_K = 6
+# 11 swaps/round over a ~90-row oracle-able tail: the full tail
+# re-earns driver-green every <= 9 rounds (ceil(tail/K); VERDICT r10
+# #1 restored this after r9/r10 surface growth stretched the K=6
+# cycle to ~15). tests/test_rotation.py pins ceil(pool/K) <= 9 from
+# the live ordering, so tail growth past ~99 rows fails loudly
+# instead of silently slowing the cadence again.
+_ROTATION_K = 11
 
 
 def _current_round() -> int:
@@ -641,7 +674,12 @@ def _current_round() -> int:
 
 # diagnostics of the LAST _rotate application (tests/test_rotation.py
 # asserts the swap actually fired; empty lists = no-op path taken)
-_ROTATION_INFO: dict = {"demoted": [], "promoted": [], "window_static": []}
+_ROTATION_INFO: dict = {
+    "demoted": [],
+    "promoted": [],
+    "window_static": [],
+    "pool_size": 0,
+}
 
 
 def _rotate(order: list[str]) -> list[str]:
@@ -653,6 +691,7 @@ def _rotate(order: list[str]) -> list[str]:
     window, tail = order[:_WINDOW], order[_WINDOW:]
     _ROTATION_INFO["window_static"] = list(window)
     pool = [n for n in tail if n in ORACLES]
+    _ROTATION_INFO["pool_size"] = len(pool)
     demotable = [n for n in _SWAP_POOL if n in window]
     if not pool or len(demotable) < _ROTATION_K:
         return order

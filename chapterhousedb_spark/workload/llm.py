@@ -2155,6 +2155,119 @@ def markup_removal_q(spark, sf_dir):
 
 
 @query(
+    "url_dedup_docs",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE doc_id % 6
+          WHEN 0 THEN 'HTTP://Example.COM/Arts/Page?id='
+                      || CAST(doc_id // 6 AS VARCHAR)
+          WHEN 1 THEN 'http://example.com:80/Arts/Page?id='
+                      || CAST(doc_id // 6 AS VARCHAR) || '#frag'
+          WHEN 2 THEN 'http://Example.com/Arts/Page/?utm_source=x&id='
+                      || CAST(doc_id // 6 AS VARCHAR) || '&utm_campaign=y'
+          WHEN 3 THEN 'HTTPS://News.Site.ORG:443/a/b?fbclid=abc'
+                      || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 4 THEN 'https://news.site.org/a/b/'
+          ELSE 'https://news.site.org/a/b?gclid=1&msclkid=2#x'
+        END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+        lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth0,
+        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS tail
+      FROM planted),
+    norm AS (
+      SELECT doc_id, scheme,
+        CASE WHEN scheme = 'http'  THEN regexp_replace(auth0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+             ELSE auth0 END AS auth,
+        regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/+$', '')
+          AS path,
+        CASE WHEN contains(tail, '?')
+             THEN regexp_replace(tail, '^[^?]*\?', '')
+             ELSE '' END AS q
+      FROM parts),
+    cleaned AS (
+      SELECT doc_id, scheme, auth, path,
+        coalesce(array_to_string(list_filter(string_split(q, '&'),
+          x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)')
+               AND x <> ''), '&'), '') AS q2
+      FROM norm),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' || auth || path
+          || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canon_url
+      FROM cleaned)
+    SELECT canon_url,
+      nullif(regexp_replace(regexp_replace(
+        lower(regexp_extract(canon_url, '^[^:/?#]+://([^/?#]*)', 1)),
+        ':[0-9]+$', ''), '^[^@]*@', ''), '') AS url_host,
+      CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+      CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM canon
+    GROUP BY canon_url, url_host
+    ORDER BY canon_url
+    """,
+)
+def url_dedup_docs_q(spark, sf_dir):
+    """URL canonicalization + URL-level exact dedup (VERDICT r10 #5 —
+    the CCNet/FineWeb crawl stage that runs BEFORE MinHash) over
+    deterministically PLANTED URL variants (the markup_removal
+    discipline: the synthetic corpus carries no URLs, so both engines
+    derive the same six-way variant scaffold from doc_id, exercising
+    EVERY rule — scheme/host case folding, :80/:443 default-port
+    strip, fragment strip, utm_*/fbclid/gclid/msclkid tracker-param
+    removal with surviving-param order preserved, trailing-slash
+    collapse, empty-query '?' drop). The oracle replays the exact
+    RE2-subset regex chain, so the hash gate checks canonical strings
+    character by character. The %6 in (3,4,5) docs all collapse into
+    ONE canonical row (a deliberate heavy hitter — the shape key_skew
+    diagnoses); each %6 in (0,1,2) triple collapses per doc_id DIV 6.
+    One projection + one map-side-combined groupBy; no shuffle before
+    the group."""
+    from chapterhousedb_spark.operators.urls import url_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    variant = F.col("doc_id") % 6
+    k = F.expr("CAST(doc_id DIV 6 AS STRING)")
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("HTTP://Example.COM/Arts/Page?id="), k),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("http://example.com:80/Arts/Page?id="),
+                k,
+                F.lit("#frag"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("http://Example.com/Arts/Page/?utm_source=x&id="),
+                k,
+                F.lit("&utm_campaign=y"),
+            ),
+        )
+        .when(
+            variant == 3,
+            F.concat(
+                F.lit("HTTPS://News.Site.ORG:443/a/b?fbclid=abc"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(variant == 4, F.lit("https://news.site.org/a/b/"))
+        .otherwise(F.lit("https://news.site.org/a/b?gclid=1&msclkid=2#x"))
+    )
+    planted = docs.select("doc_id", url.alias("url"))
+    return url_dedup(planted).orderBy("canon_url")
+
+
+@query(
     "pii_redaction",
     oracle="""
     WITH t AS (

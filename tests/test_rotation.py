@@ -51,3 +51,23 @@ def test_rows_only_queries_stay_at_the_tail_end():
     window = list(w.QUERIES)[:50]
     rows_only = set(w.QUERIES) - set(w.ORACLES)
     assert not (rows_only & set(window)), rows_only & set(window)
+
+
+def test_full_tail_regate_cycle_at_most_9_rounds():
+    """VERDICT r10 #1: the cadence promise is structural, not a
+    comment — every oracle-able tail row must re-earn driver-green
+    within 9 rounds, i.e. ceil(promotion_pool / K) <= 9 for the LIVE
+    ordering. Tail growth past ~9*K rows fails here loudly instead of
+    silently stretching the cycle (as r9/r10 surface growth did to the
+    old K=6 / '~8 rounds' claim)."""
+    import math
+
+    pool = w._ROTATION_INFO["pool_size"]
+    assert pool > 0, "rotation never ran"
+    assert w._ROTATION_K >= 10
+    cycle = math.ceil(pool / w._ROTATION_K)
+    assert cycle <= 9, (
+        f"promotion pool {pool} at K={w._ROTATION_K} -> {cycle}-round "
+        "re-gate cycle; raise _ROTATION_K (and grow _SWAP_POOL) to "
+        "restore the <=9-round cadence"
+    )

@@ -1,0 +1,118 @@
+"""URL canonicalization + URL-level dedup (operators/urls.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from chapterhousedb_spark.operators.urls import (
+    canonicalize_url,
+    url_dedup,
+    url_host,
+)
+
+
+def _canon(spark, raw: str) -> str:
+    df = spark.createDataFrame([(raw,)], "url string")
+    return canonicalize_url(df).collect()[0]["canon_url"]
+
+
+def test_every_canonicalization_rule(spark):
+    cases = {
+        # scheme + host lowercased, path case preserved
+        "HTTP://Example.COM/Path/Page?id=1": "http://example.com/Path/Page?id=1",
+        # default ports stripped per scheme
+        "http://example.com:80/a": "http://example.com/a",
+        "https://example.com:443/a": "https://example.com/a",
+        # non-default port preserved; https:80 is NOT default
+        "http://example.com:8080/a": "http://example.com:8080/a",
+        "https://example.com:80/a": "https://example.com:80/a",
+        # fragment stripped
+        "http://example.com/a#section-2": "http://example.com/a",
+        "http://example.com/a?x=1#frag": "http://example.com/a?x=1",
+        # tracker params removed, other params keep order
+        "http://e.com/p?utm_source=tw&id=3&utm_campaign=x": "http://e.com/p?id=3",
+        "http://e.com/p?fbclid=abc": "http://e.com/p",
+        "http://e.com/p?gclid=1&b=2&msclkid=3&a=1": "http://e.com/p?b=2&a=1",
+        # utm_* is a prefix family; a param merely CONTAINING utm stays
+        "http://e.com/p?utm_x=1&autumn=2": "http://e.com/p?autumn=2",
+        # valueless tracker param ('fbclid' with no '=') also removed
+        "http://e.com/p?fbclid&id=1": "http://e.com/p?id=1",
+        # trailing slashes stripped (incl. bare root, incl. multiple)
+        "http://example.com/": "http://example.com",
+        "http://example.com/a/b/": "http://example.com/a/b",
+        "http://example.com/a//": "http://example.com/a",
+        # empty leftover query drops its '?'
+        "http://example.com/a?": "http://example.com/a",
+        # everything at once
+        "HTTPS://News.Site.ORG:443/A/b/?utm_medium=m#top": "https://news.site.org/A/b",
+        # whitespace trimmed
+        "  http://example.com/a  ": "http://example.com/a",
+    }
+    for raw, want in cases.items():
+        assert _canon(spark, raw) == want, raw
+
+
+def test_non_absolute_urls_pass_through(spark):
+    """Relative URLs / garbage are trimmed but never mangled; NULL
+    stays NULL."""
+    df = spark.createDataFrame(
+        [("/relative/path?utm_source=x",), ("not a url",), (None,)],
+        "url string",
+    )
+    got = [r["canon_url"] for r in canonicalize_url(df).collect()]
+    assert got == ["/relative/path?utm_source=x", "not a url", None]
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://News.Site.ORG:8443/a",),
+            ("http://user:pw@example.com/x",),
+            ("nonsense",),
+            (None,),
+        ],
+        "url string",
+    )
+    got = [r["url_host"] for r in url_host(df).collect()]
+    assert got == ["news.site.org", "example.com", None, None]
+
+
+def test_url_dedup_groups_variants(spark):
+    rows = [
+        (1, "HTTP://E.com/p?id=1"),
+        (2, "http://e.com:80/p?id=1#frag"),
+        (3, "http://e.com/p/?utm_source=x&id=1"),
+        (4, "https://other.org/q"),
+        (5, "https://other.org/q/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["canon_url"]: (r["keeper_id"], r["n_variants"], r["url_host"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {
+        "http://e.com/p?id=1": (1, 3, "e.com"),
+        "https://other.org/q": (4, 2, "other.org"),
+    }
+    mx = {
+        r["canon_url"]: r["keeper_id"]
+        for r in url_dedup(df, keep="max").collect()
+    }
+    assert mx["http://e.com/p?id=1"] == 3
+    with pytest.raises(ValueError, match="keep must be"):
+        url_dedup(df, keep="first")
+
+
+def test_canonicalize_is_idempotent(spark):
+    """canon(canon(x)) == canon(x) — the property that makes re-running
+    the stage over an already-canonicalized corpus a no-op."""
+    raws = [
+        "HTTP://Example.COM:80/Path/?utm_source=a&id=1#f",
+        "https://a.b.c/x//",
+        "http://e.com/p?fbclid&id=1",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], "url string")
+    once = canonicalize_url(df).select("canon_url")
+    twice = canonicalize_url(once, "canon_url", "again")
+    for r in twice.collect():
+        assert r["again"] == r["canon_url"]
