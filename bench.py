@@ -121,6 +121,8 @@ HEADLINE = [
     # round 11 new shapes, benched from birth
     "key_skew_events",
     "url_dedup_docs",
+    "unigram_segment_fixed",
+    "unigram_tokenize",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

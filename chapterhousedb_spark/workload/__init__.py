@@ -209,7 +209,8 @@ _DRIVER_FIRST = [
     # bigram_coverage + rarity_stats; its own oracle stays re-hashed on
     # every pytest run and rotation-eligible like any tail row).
     "embedding_dedup",
-    "bigram_coverage",
+    # (bigram_coverage sat here rounds 9-10; demoted round 11 to pay
+    # for unigram_segment_fixed — see the round-11 batch comment)
     # ...plus the substring-level dedup REWRITE (the removal half of
     # Lee et al. substring dedup — duplicate_spans reports, this drops
     # and rebuilds under one end-to-end oracle incl. the exact text
@@ -399,12 +400,26 @@ _DRIVER_FIRST = [
     # every pytest run (test_oracle_parity), and it re-earns
     # driver-green via rotation like every demoted row.
     "url_dedup_docs",
+    # ...plus unigram-LM Viterbi segmentation under a pinned model
+    # (VERDICT r10 #4 — the tokenizer-family counterpart of
+    # pq_fixed_codebook: the production lattice DP faces a full
+    # path-enumeration recursive-CTE oracle bit-exactly; EM training
+    # itself stays pinned by distributed==sequential equality tests
+    # like BPE). Paid for by demoting bigram_coverage: long
+    # driver-green (r9-r10), its explode -> df-count -> join-back
+    # economics stay gated through ngram_repetition's in-window row,
+    # its integer-exact feature arithmetic stays re-hashed against
+    # DuckDB on every pytest run (test_oracle_parity), and it re-earns
+    # driver-green via rotation like every demoted row.
+    "unigram_segment_fixed",
 ]
 _DRIVER_LAST = [
-    # round-11 demotion paying for url_dedup_docs (see the round-11
-    # batch comment in _DRIVER_FIRST); long driver-green (r9-r10),
+    # round-11 demotions paying for url_dedup_docs /
+    # unigram_segment_fixed (see the round-11 batch comments in
+    # _DRIVER_FIRST); both long driver-green (r9-r10),
     # family-redundant, rotation-eligible:
     "markup_removal",
+    "bigram_coverage",
     # round-10 demotions paying for pq_fixed_codebook /
     # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
     # pq_residual_fixed / embedding_mrl / pipeline_cluster_balance
@@ -581,6 +596,11 @@ _DRIVER_LAST = [
     # rows-only by design: hash-function/iteration-dependent results
     "quality_classifier",
     "bpe_tokenize",
+    # rows-only by design (round 11): unigram-LM EM training is
+    # iterative state like BPE merges; pinned by the distributed==
+    # sequential equality tests + the pinned-model hash gate
+    # (unigram_segment_fixed) instead
+    "unigram_tokenize",
     # rows-only by design (round 10): BFD bin packing is a sequential
     # loop per shard; pinned by the reference-equality tests instead
     "pack_best_fit",

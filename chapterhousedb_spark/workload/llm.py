@@ -2892,6 +2892,127 @@ def bpe_tokenize_q(spark, sf_dir):
     )
 
 
+# Pinned unigram-LM model for the segmentation hash gate: literal
+# (piece, logp) pairs shared between the Spark broadcast model and the
+# DuckDB VALUES list (repr() round-trips every double exactly, so both
+# engines hold identical bits). The linear ramps keep every logp
+# distinct; multigrams are drawn from the synthetic corpus vocabulary
+# so the lattice actually branches (e.g. 'data' vs 'da'+'ta' vs
+# d+a+t+a all compete).
+_UNI_FIXED_MULTI = [
+    "er", "or", "ta", "ar", "an", "in", "st", "ro", "le", "ue",
+    "ow", "rt", "al", "am", "ry",
+    "row", "ord", "art", "tab", "ble", "ata", "que",
+    "data", "sort", "scan",
+]
+_UNI_FIXED_MODEL = [
+    (c, -(5.0 + 0.13 * i))
+    for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")
+] + [(p, -(2.0 + 0.37 * i)) for i, p in enumerate(_UNI_FIXED_MULTI)]
+_UNI_FIXED_VALUES = ", ".join(
+    f"('{p}', {lp!r})" for p, lp in _UNI_FIXED_MODEL
+)
+
+
+@query(
+    "unigram_segment_fixed",
+    oracle=f"""
+    WITH RECURSIVE pieces(piece, logp) AS (VALUES {_UNI_FIXED_VALUES}),
+    w0 AS (
+      SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+'))
+        AS word
+      FROM documents),
+    w1 AS (SELECT word FROM w0 WHERE word <> ''),
+    words AS (
+      SELECT word FROM w1
+      UNION
+      SELECT a.word || b.word AS word FROM w1 a, w1 b
+      WHERE length(a.word) + length(b.word) <= 10),
+    paths(word, pos, score) AS (
+      SELECT word, 0, CAST(0 AS DOUBLE) FROM words
+      UNION ALL
+      SELECT p.word, p.pos + length(pc.piece), p.score + pc.logp
+      FROM paths p JOIN pieces pc
+        ON substr(p.word, p.pos + 1, length(pc.piece)) = pc.piece
+      WHERE p.pos < length(p.word)),
+    best AS (
+      SELECT word, MAX(score) AS score
+      FROM paths WHERE pos = length(word) GROUP BY word)
+    SELECT word, score FROM best ORDER BY word
+    """,
+)
+def unigram_segment_fixed_q(spark, sf_dir):
+    """Unigram-LM Viterbi segmentation under a PINNED model (VERDICT
+    r10 #4, the pq_fixed_codebook discipline for tokenizers): the
+    production unigram_segment lattice DP faces DuckDB bit-exactly.
+    The oracle ENUMERATES every segmentation of every scaffold word
+    with a recursive CTE — each path's score accumulates left-to-right
+    exactly like the DP does along its winning chain, so
+    MAX(path score) == dp[n] in exact IEEE arithmetic (the DP's max
+    ranges over the identical set of identically-computed doubles).
+    Scaffold = the corpus vocabulary plus all pairwise concatenations
+    up to 10 chars (the pairs create real lattice branching:
+    'data'||'sort' can split as data|sort, da..., or any char mix).
+    Only (word, score) is gated — the argmax PATH is tie-sensitive in
+    principle, the max score never is; piece sequences stay pinned by
+    the reference-equality unit tests (tests/test_text.py). The gate
+    scaffold's crossJoin is over the tiny distinct-vocab frame (gate
+    construction, not a production operator)."""
+    from chapterhousedb_spark.operators.dedup import normalize_text
+    from chapterhousedb_spark.operators.text import unigram_segment
+
+    docs = load(spark, sf_dir, "documents")
+    w1 = (
+        docs.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    pairs = (
+        w1.alias("a")
+        .crossJoin(w1.alias("b"))
+        .filter(
+            F.length(F.col("a.word")) + F.length(F.col("b.word")) <= 10
+        )
+        .select(F.concat(F.col("a.word"), F.col("b.word")).alias("word"))
+    )
+    words = w1.union(pairs).distinct()
+    seg = unigram_segment(
+        words, _UNI_FIXED_MODEL, text_col="word", id_col="word"
+    )
+    return seg.select("word", "score").orderBy("word")
+
+
+@query("unigram_tokenize")  # rows-only: EM training is not ANSI-SQL
+def unigram_tokenize_q(spark, sf_dir):
+    """Unigram-LM tokenizer training + application (text.unigram_train/
+    unigram_segment): hard-EM over the corpus word table, then Viterbi-
+    segment every document. No DuckDB oracle — the EM/prune loop is
+    iterative state like BPE merge learning; correctness is pinned by
+    the distributed==sequential bit-equality tests and the
+    segment==_uni_viterbi replay test in tests/test_text.py, and the
+    pinned-model arithmetic faces the hash gate through
+    unigram_segment_fixed."""
+    from chapterhousedb_spark.operators.text import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    model = unigram_train(docs, vocab_size=40, max_piece_len=5)
+    return (
+        unigram_segment(docs, model)
+        .select(
+            "doc_id",
+            "n_pieces",
+            "score",
+            F.array_join("pieces", " ").alias("segmented"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "pair_features",
     oracle=f"""

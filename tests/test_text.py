@@ -1142,3 +1142,141 @@ def test_pack_best_fit_long_doc_contract(spark):
     assert [r["doc_id"] for r in kept] == [2]
     with pytest.raises(ValueError, match="long_docs"):
         pack_best_fit(df, budget=64, long_docs="nope")
+
+
+# ------------------------------------------------------- unigram LM tokenizer
+
+
+def test_uni_viterbi_dp_and_ties():
+    """Lattice DP picks the max-score path; equal-score ties keep the
+    LONGEST piece (strict-> update over ascending start positions);
+    unseen chars consume one UNK char each."""
+    from chapterhousedb_spark.operators.text import _uni_viterbi
+
+    m = {"a": -1.0, "b": -2.0, "ab": -2.5}
+    assert _uni_viterbi("ab", m, 2) == (["ab"], -2.5)
+    # tie: ['ab'] = -2.0 == ['a','b'] = -2.0 -> longest piece wins
+    tie = {"a": -1.0, "b": -1.0, "ab": -2.0}
+    assert _uni_viterbi("ab", tie, 2) == (["ab"], -2.0)
+    # multigram loses when singles are cheaper
+    m2 = {"a": -0.5, "b": -0.5, "ab": -2.0}
+    assert _uni_viterbi("ab", m2, 2) == (["a", "b"], -1.0)
+    # unk fallback: 'x' unseen
+    ps, s = _uni_viterbi("axb", {"a": -1.0, "b": -1.0}, 2, unk_logp=-20.0)
+    assert ps == ["a", "x", "b"] and s == -22.0
+
+
+def test_unigram_train_learns_frequent_pieces(spark):
+    """A corpus dominated by one word must learn that word (or its
+    substrings) as multi-char pieces; singles always survive."""
+    from chapterhousedb_spark.operators.text import unigram_train
+
+    rows = [("sparky sparky sparky sparky row",)] * 20 + [("key row",)] * 3
+    df = spark.createDataFrame(rows, "text string")
+    model = unigram_train(df, vocab_size=20, max_piece_len=6)
+    pieces = {p for p, _ in model}
+    chars = {c for r in rows for c in r[0] if c != " "}
+    assert chars <= pieces
+    assert len(pieces) <= 20
+    assert any(len(p) > 1 for p in pieces)
+    # the dominant word's material is in the vocab as multigrams
+    assert any(p in "sparky" and len(p) > 1 for p in pieces), pieces
+    # probabilities normalize: sum(exp(logp)) == 1 up to float error
+    import math
+
+    assert abs(sum(math.exp(lp) for _, lp in model) - 1.0) < 1e-9
+
+
+def test_unigram_distributed_equals_sequential(spark):
+    """The bpe_train discipline: the iterative Spark path (mapInPandas
+    E-step, integer-usage shuffle, driver M-step) must produce the
+    BIT-identical model to the sequential Kudo reference on the same
+    word table."""
+    from chapterhousedb_spark.operators.text import (
+        _unigram_train_driver,
+        unigram_train_from_words,
+    )
+
+    words = [
+        ("spark", 40), ("sparky", 25), ("park", 18), ("parquet", 11),
+        ("query", 30), ("queue", 7), ("row", 50), ("rows", 22),
+        ("order", 13), ("sort", 29), ("sorted", 9), ("key", 31),
+    ]
+    df = spark.createDataFrame(words, "word string, freq long")
+    seq = _unigram_train_driver(list(words), 30, em_iters=2, shrink=0.75)
+    dist = unigram_train_from_words(
+        df, 30, em_iters=2, shrink=0.75, driver_max_words=0
+    )
+    assert dist == seq  # exact: pieces AND float logps
+    # and the driver-collect fast path agrees too
+    fast = unigram_train_from_words(df, 30)
+    assert fast == seq
+
+
+def test_unigram_train_guards(spark):
+    from chapterhousedb_spark.operators.text import (
+        unigram_train_from_words,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("abc", 5)], "word string, freq long")
+    with _pytest.raises(ValueError, match="alphabet"):
+        unigram_train_from_words(df, 2)
+    with _pytest.raises(ValueError, match="shrink"):
+        unigram_train_from_words(df, 10, shrink=1.5)
+    with _pytest.raises(ValueError, match="max_piece_len"):
+        unigram_train_from_words(df, 10, max_piece_len=1)
+
+
+def test_unigram_segment_output(spark):
+    from chapterhousedb_spark.operators.text import unigram_segment
+
+    model = [("a", -1.0), ("b", -2.0), ("ab", -2.5), ("c", -3.0)]
+    df = spark.createDataFrame(
+        [(1, "ab c"), (2, "AB  \t c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_segment(df, model).collect()}
+    assert list(got[1]["pieces"]) == ["ab", "c"]
+    assert got[1]["n_pieces"] == 2 and got[1]["score"] == -5.5
+    # normalize_text folds case + whitespace -> same as doc 1
+    assert list(got[2]["pieces"]) == ["ab", "c"] and got[2]["score"] == -5.5
+    assert list(got[3]["pieces"]) == [] and got[3]["score"] == 0.0
+    assert list(got[4]["pieces"]) == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collides"):
+        unigram_segment(
+            df.withColumnRenamed("doc_id", "score"), model, id_col="score"
+        )
+    with _pytest.raises(ValueError, match="empty model"):
+        unigram_segment(df, [])
+
+
+def test_unigram_segment_matches_viterbi_reference(spark):
+    """Segmenting through Spark == calling _uni_viterbi per word —
+    the operator adds no arithmetic of its own."""
+    from chapterhousedb_spark.operators.text import (
+        _uni_viterbi,
+        unigram_segment,
+        unigram_train,
+    )
+
+    rows = [
+        (1, "spark row sort key"),
+        (2, "query the sorted rows"),
+        (3, "parquet queue order"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = unigram_train(df, vocab_size=25)
+    lp = dict(model)
+    ml = max(len(p) for p, _ in model)
+    got = {r["doc_id"]: r for r in unigram_segment(df, model).collect()}
+    for did, text in rows:
+        want_pieces, want_score = [], 0.0
+        for w in text.split():
+            ps, s = _uni_viterbi(w, lp, ml)
+            want_pieces.extend(ps)
+            want_score += s
+        assert list(got[did]["pieces"]) == want_pieces, did
+        assert got[did]["score"] == want_score, did
