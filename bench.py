@@ -123,6 +123,7 @@ HEADLINE = [
     "url_dedup_docs",
     "unigram_segment_fixed",
     "unigram_tokenize",
+    "lang_ngram_fixed",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

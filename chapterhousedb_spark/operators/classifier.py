@@ -59,44 +59,92 @@ def logreg_train(
     At 100 TB: the (label, features) projection — k+1 doubles per row,
     tiny next to raw text — is PERSISTED once, so the text_stats regex
     chain (or whatever upstream featurization) runs ONE corpus scan;
-    each of the `iters` iterations is then a single map-side-combined
-    aggregate over the cached columns producing ONE driver row of ~35
-    decimals. No shuffle of data rows at all."""
+    each of the `iters` iterations is then one aggregation over the
+    cached columns producing k(k+1)/2 + k driver decimals.
+
+    Plan size is O(1) in k (round 11 — the round-10 shape built one
+    named agg expression PER gram entry, and a 33-feature langid model
+    spent ~20 s/iteration in Catalyst on the 595-expression plan):
+    the per-row gram/moment terms build as ONE array fold over the
+    packed feature array (w hoisted into a real column so the
+    Generate barrier evaluates sigmoid once per row, not per term),
+    posexplode, and a single map-side-combined decimal sum per
+    position — the shuffle carries k(k+1)/2 + k partial rows per
+    partition, never data rows. Decimal addition is exact, hence the
+    regrouping is bit-neutral, and the eta fold keeps the original
+    left-to-right order — coefficients are bit-identical to the
+    round-10 shape (repartition-invariance and IRLS tests unchanged)."""
     import numpy as np
 
     k = len(feature_cols) + 1  # intercept first
     beta = [0.0] * k
     feats = df.select(
         F.col(label_col).cast("double").alias("__y"),
-        *[F.col(c).cast("double").alias(f"__x{i}") for i, c in enumerate(feature_cols)],
+        F.array(
+            F.lit(1.0).cast("double"),
+            *[F.col(c).cast("double") for c in feature_cols],
+        ).alias("__x"),
     ).persist()
-    xs = [F.lit(1.0).cast("double")] + [
-        F.col(f"__x{i}") for i in range(len(feature_cols))
-    ]
-    y = F.col("__y")
+    xv = F.col("__x")
+    n_gram = k * (k + 1) // 2
+    # position -> (i, j) of the upper triangle, in emission order
+    tri = [(i, j) for i in range(k) for j in range(i, k)]
     for _ in range(iters):
-        eta = sum(
-            (F.lit(float(b)) * x for b, x in zip(beta, xs)), F.lit(0.0)
+        barr = F.array(*[F.lit(float(b)) for b in beta])
+        eta = F.aggregate(
+            F.zip_with(barr, xv, lambda b, x: b * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
         )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        w = p * (F.lit(1.0) - p)
+        staged = feats.select(
+            "__x",
+            "__y",
+            eta.alias("__eta"),
+            p.alias("__p"),
+        ).select(
+            "__x",
+            "__eta",
+            (F.col("__p") * (F.lit(1.0) - F.col("__p"))).alias("__w"),
+            (F.col("__y") - F.col("__p")).alias("__r"),
+        )
+        w = F.col("__w")
         # working response times weight: w*z = w*eta + (y - p)
-        wz = w * eta + (y - p)
-        aggs = []
-        for i in range(k):
-            for j in range(i, k):
-                aggs.append(
-                    F.sum((w * xs[i] * xs[j]).cast(_DEC)).alias(f"g_{i}_{j}")
+        wz = w * F.col("__eta") + F.col("__r")
+        idx = F.sequence(F.lit(0), F.lit(k - 1))
+        gram_terms = F.flatten(
+            F.transform(
+                idx,
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(k - 1)),
+                    lambda j: (
+                        (w * F.element_at(xv, i + 1))
+                        * F.element_at(xv, j + 1)
+                    ).cast(_DEC),
+                ),
+            )
+        )
+        moment_terms = F.transform(
+            idx, lambda i: (wz * F.element_at(xv, i + 1)).cast(_DEC)
+        )
+        sums = {
+            r["pos"]: r["s"]
+            for r in staged.select(
+                F.posexplode(F.concat(gram_terms, moment_terms)).alias(
+                    "pos", "val"
                 )
-        for i in range(k):
-            aggs.append(F.sum((wz * xs[i]).cast(_DEC)).alias(f"m_{i}"))
-        row = feats.agg(*aggs).collect()[0]
+            )
+            .groupBy("pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        }
         gram = np.zeros((k, k))
-        for i in range(k):
-            for j in range(i, k):
-                v = float(row[f"g_{i}_{j}"] or 0.0)
-                gram[i, j] = gram[j, i] = v
-        moments = np.array([float(row[f"m_{i}"] or 0.0) for i in range(k)])
+        for pos, (i, j) in enumerate(tri):
+            v = float(sums.get(pos) or 0.0)
+            gram[i, j] = gram[j, i] = v
+        moments = np.array(
+            [float(sums.get(n_gram + i) or 0.0) for i in range(k)]
+        )
         gram += np.eye(k) * ridge
         beta = [float(b) for b in np.linalg.solve(gram, moments)]
     feats.unpersist()
@@ -154,3 +202,177 @@ def train_quality_classifier(
     train = labeled.filter(F.col("label").isNotNull())
     beta = logreg_train(train, QUALITY_FEATURES, "label", iters, ridge)
     return beta, logreg_score(labeled, beta, QUALITY_FEATURES)
+
+
+# -------------------------------------------------- char-n-gram language id
+# fastText-style language classifier (VERDICT r10 #7): hashed char
+# n-gram features + one-vs-rest logistic regression on the SAME IRLS
+# machinery as the quality classifier, weakly labeled by the existing
+# charset/stopword lang_id (text.lang_id). Where the charset baseline
+# needs exact stopword hits, the n-gram model generalizes from
+# character shape — the standard langid trade (Joulin et al. 2017,
+# public fastText paper; no external binary, every feature a JVM
+# expression).
+#
+# Hash family: bucket(g) = md5-prefix mod num_buckets — the repo's
+# engine-portable hash recipe (same as the samplers / md5 twins), so
+# the scoring arithmetic is DuckDB-replayable under the hash gate
+# (workload lang_ngram_fixed). Scoring never materializes the count
+# vector: etas fold LINEARLY over the gram-order bucket list
+# (sum of beta[bucket] in text order — same float sequence both
+# engines), one md5 per gram, all languages in one 4-lane fold.
+
+LANGID_LANGS = ("en", "es", "de", "fr")
+
+
+def _char_gram_buckets(
+    text_col, n: int, num_buckets: int, salt: str
+):
+    """array<bigint> of hashed char-n-gram buckets in TEXT ORDER over
+    the normalized text (lowercase, single spaces — spaces stay in the
+    grams, marking word boundaries like fastText's char n-grams).
+    Spark `sequence(1, 0)` counts DOWN, so short texts guard to an
+    empty array explicitly."""
+    from chapterhousedb_spark.operators.dedup import normalize_text
+
+    t = normalize_text(text_col)
+    L = F.length(t)
+    idx = F.when(
+        L >= n, F.sequence(F.lit(1), L - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    return F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), g)), 1, 8), 16, 10
+        ).cast("bigint")
+        % num_buckets,
+    )
+
+
+def lang_ngram_score(
+    df: DataFrame,
+    betas: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_buckets: int = 16,
+    salt: str = "lang-v1",
+) -> DataFrame:
+    """Score every doc against per-language linear models:
+    (id, eta_<lang> per language, lang_pred = argmax). betas maps
+    lang -> [intercept, *coefs(num_buckets)] (lang_ngram_train output
+    or pinned literals). eta = intercept + fold(beta[bucket(g)]) /
+    n_grams — mathematically the dot product with the L1-normalized
+    hashed count vector, computed WITHOUT materializing it: one
+    4-lane aggregate over the gram-order bucket list, one md5 per
+    gram, zero shuffles (scan-speed, stream-safe stateless).
+    Deterministic argmax tie-break: earlier lang in `betas` order
+    wins (strictly-greater chain, the lang_id discipline)."""
+    langs = list(betas)
+    B = num_buckets
+    for lang, b in betas.items():
+        if len(b) != B + 1:
+            raise ValueError(
+                f"lang_ngram_score: betas[{lang!r}] has {len(b)} entries, "
+                f"expected intercept + {B} coefs"
+            )
+    buckets = _char_gram_buckets(text_col, n, B, salt)
+    flat = [float(v) for lang in langs for v in betas[lang][1:]]
+    flat_lit = F.array(*[F.lit(v) for v in flat])
+    acc0 = F.array_repeat(F.lit(0.0).cast("double"), len(langs))
+    folded = F.aggregate(
+        buckets,
+        acc0,
+        lambda acc, b: F.transform(
+            acc,
+            lambda v, l: v
+            + F.element_at(flat_lit, (l * B + b.cast("int") + 1).cast("int")),
+        ),
+    )
+    total = F.greatest(F.size(buckets), F.lit(1)).cast("double")
+    out = df.select(
+        F.col(id_col),
+        *[
+            (
+                F.lit(float(betas[lang][0]))
+                + F.element_at(folded, i + 1) / total
+            ).alias(f"eta_{lang}")
+            for i, lang in enumerate(langs)
+        ],
+    )
+    pred = F.lit(langs[-1])
+    best = F.greatest(*[F.col(f"eta_{lang}") for lang in langs])
+    for lang in reversed(langs[:-1]):
+        pred = F.when(F.col(f"eta_{lang}") == best, F.lit(lang)).otherwise(
+            pred
+        )
+    return out.withColumn("lang_pred", pred)
+
+
+def lang_ngram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple = LANGID_LANGS,
+    n: int = 3,
+    num_buckets: int = 16,
+    iters: int = 6,
+    ridge: float = 1e-3,
+    label_col: str | None = None,
+) -> dict:
+    """Train the one-vs-rest char-n-gram language classifier. Weak
+    labels come from the charset/stopword lang_id baseline unless
+    `label_col` supplies real ones; docs the baseline can't place
+    (pred outside `langs`) are excluded from training — the trained
+    model then GENERALIZES past the baseline to stopword-free text
+    (test-pinned accuracy floor in tests/test_classifier.py).
+
+    Training features are the explicit L1-normalized hashed count
+    columns (explode -> groupBy(id, bucket) -> pivot over the KNOWN
+    bucket range — one shuffle over (id, bucket) pairs, never wider),
+    because IRLS wants per-feature columns; scoring never builds them
+    (see lang_ngram_score). Returns {lang: [intercept, *coefs]}."""
+    from chapterhousedb_spark.operators.text import lang_id
+
+    if label_col is None:
+        labels = lang_id(docs, text_col, id_col).select(
+            F.col(id_col), F.col("lang_pred").alias("__lang")
+        )
+        base = docs.join(labels, id_col)
+    else:
+        base = docs.withColumn("__lang", F.col(label_col))
+    base = base.filter(F.col("__lang").isin(*langs))
+    buckets = _char_gram_buckets(text_col, n, num_buckets, "lang-v1")
+    pairs = base.select(
+        F.col(id_col), F.col("__lang"), F.explode(buckets).alias("b")
+    )
+    counts = (
+        pairs.groupBy(id_col, "__lang")
+        .pivot("b", list(range(num_buckets)))
+        .count()
+        .na.fill(0)
+    )
+    total = sum(F.col(str(j)) for j in range(num_buckets))
+    feat_cols = [f"f{j}" for j in range(num_buckets)]
+    feats = counts.select(
+        id_col,
+        "__lang",
+        *[
+            (
+                F.col(str(j)).cast("double")
+                / F.greatest(total, F.lit(1)).cast("double")
+            ).alias(f"f{j}")
+            for j in range(num_buckets)
+        ],
+    ).persist()
+    try:
+        betas = {}
+        for lang in langs:
+            train = feats.withColumn(
+                "label", (F.col("__lang") == lang).cast("int")
+            )
+            betas[lang] = logreg_train(train, feat_cols, "label", iters, ridge)
+        return betas
+    finally:
+        feats.unpersist()

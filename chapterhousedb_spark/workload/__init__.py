@@ -256,7 +256,8 @@ _DRIVER_FIRST = [
     # TakeOrderedAndProject over the wide group) is asserted in
     # test_plans.py, the join+top-k family stays gated through
     # tpch_q3/tpch_q18, and it re-earns driver-green via rotation.
-    "c4_clean",
+    # (c4_clean sat here rounds 9-10; demoted round 11 to pay for
+    # lang_ngram_fixed — see the round-11 batch comment below)
     # ...plus alpha-temperature source resampling, whose md5 threshold
     # DERIVES from corpus counts — the oracle replays the whole
     # arithmetic chain (ascending-source sqrt fold, quota/rate, the
@@ -412,6 +413,17 @@ _DRIVER_FIRST = [
     # DuckDB on every pytest run (test_oracle_parity), and it re-earns
     # driver-green via rotation like every demoted row.
     "unigram_segment_fixed",
+    # ...plus char-n-gram language-id scoring under pinned one-vs-rest
+    # weights (VERDICT r10 #7 — md5-bucketed trigram features, the
+    # 4-lane gram-order linear fold, and the argmax chain all face
+    # DuckDB bit-exactly; training accuracy floors vs the charset
+    # baseline stay pinned in tests/test_classifier.py). Paid for by
+    # demoting c4_clean: long driver-green (r9-r10), the line-level
+    # text family keeps gopher_quality + pii_redaction +
+    # temperature_mix gated in-window, its rebuilt-text hash stays
+    # re-checked against DuckDB on every pytest run
+    # (test_oracle_parity), and it re-earns driver-green via rotation.
+    "lang_ngram_fixed",
 ]
 _DRIVER_LAST = [
     # round-11 demotions paying for url_dedup_docs /
@@ -420,6 +432,7 @@ _DRIVER_LAST = [
     # family-redundant, rotation-eligible:
     "markup_removal",
     "bigram_coverage",
+    "c4_clean",
     # round-10 demotions paying for pq_fixed_codebook /
     # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
     # pq_residual_fixed / embedding_mrl / pipeline_cluster_balance

@@ -783,6 +783,100 @@ def quality_classifier_q(spark, sf_dir):
     )
 
 
+# Pinned one-vs-rest weights for the char-n-gram language-id scoring
+# gate: arbitrary but fixed literal doubles (computed once in python,
+# repr-embedded in the SQL so both engines hold identical bits). The
+# sentences are stopword-rich so the four lanes genuinely diverge.
+_LANGID_LANGS = ("en", "es", "de", "fr")
+_LANGID_FIXED_BETAS = {
+    lang: [0.05 * (li + 1)]
+    + [((li * 5 + j * 3) % 13 - 6) * 0.217 for j in range(16)]
+    for li, lang in enumerate(_LANGID_LANGS)
+}
+_LANGID_SENT = {
+    "en": "the quick brown fox and the lazy dog with some of their friends",
+    "es": "el perro y el gato de la casa con los amigos para que no se vaya",
+    "de": "der hund und die katze von dem haus mit den freunden und das",
+    "fr": "le chien et le chat de la maison avec les amis pour que ne pas",
+}
+_LANGID_ETAS_SQL = "\n".join(
+    f"""      {float(_LANGID_FIXED_BETAS[lang][0])!r} + list_reduce(
+        list_prepend(CAST(0 AS DOUBLE), list_transform(buckets,
+          b -> list_extract([{", ".join(repr(float(v)) for v in _LANGID_FIXED_BETAS[lang][1:])}], CAST(b + 1 AS INT)))),
+        (a, x) -> a + x) / total AS eta_{lang},"""
+    for lang in _LANGID_LANGS
+)
+_LANGID_CASE_SQL = " ".join(
+    f"WHEN eta_{lang} = best THEN '{lang}'" for lang in _LANGID_LANGS[:-1]
+)
+_LANGID_SENT_SQL = " ".join(
+    f"WHEN {i} THEN '{s}'" for i, s in enumerate(_LANGID_SENT.values())
+)
+
+
+@query(
+    "lang_ngram_fixed",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             (CASE doc_id % 4 {_LANGID_SENT_SQL} END)
+               || ' x' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM planted),
+    feats AS (
+      SELECT doc_id,
+        list_transform(
+          list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)),
+          g -> CAST(('0x' || substring(md5('lang-v1:' || g), 1, 8))
+                    AS BIGINT) % 16) AS buckets,
+        CAST(greatest(length(t) - 2, 1) AS DOUBLE) AS total
+      FROM norm),
+    scored AS (
+      SELECT doc_id,
+{_LANGID_ETAS_SQL}
+      FROM feats),
+    ranked AS (
+      SELECT *, greatest(eta_en, eta_es, eta_de, eta_fr) AS best
+      FROM scored)
+    SELECT doc_id, eta_en, eta_es, eta_de, eta_fr,
+           CASE {_LANGID_CASE_SQL} ELSE 'fr' END AS lang_pred
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def lang_ngram_fixed_q(spark, sf_dir):
+    """Char-n-gram language-id scoring under PINNED weights (VERDICT
+    r10 #7, the pq_fixed_codebook discipline for the classifier
+    family): the production lang_ngram_score arithmetic — md5-bucketed
+    char trigrams over normalized text, the gram-order 4-lane linear
+    fold, the /n_grams normalization, the strictly-greater argmax
+    chain — replayed by DuckDB bit-exactly over planted multilingual
+    docs (one stopword-rich sentence per language, doc_id-salted so
+    every row's gram multiset differs). Training itself stays pinned
+    by the accuracy-floor and IRLS tests (tests/test_classifier.py);
+    this row is the scoring twin. greatest(n_grams, 1) matches the
+    operator's empty-text guard even though the scaffold never hits
+    it."""
+    from chapterhousedb_spark.operators.classifier import lang_ngram_score
+
+    docs = load(spark, sf_dir, "documents")
+    sent = F.col("doc_id") % 4
+    text = F.concat(
+        F.when(sent == 0, F.lit(_LANGID_SENT["en"]))
+        .when(sent == 1, F.lit(_LANGID_SENT["es"]))
+        .when(sent == 2, F.lit(_LANGID_SENT["de"]))
+        .otherwise(F.lit(_LANGID_SENT["fr"])),
+        F.lit(" x"),
+        F.col("doc_id").cast("string"),
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return lang_ngram_score(
+        planted, _LANGID_FIXED_BETAS, num_buckets=16
+    ).orderBy("doc_id")
+
+
 @query("similarity_ivf")
 def similarity_ivf_q(spark, sf_dir):
     """IVF approximate top-10 (seeded-KMeans coarse quantizer + probe +

@@ -97,3 +97,84 @@ def test_train_quality_classifier_weak_labels(spark):
     assert labeled and unlabeled
     srcs = {r["source"] for r in labeled}
     assert srcs == {"src0", "src1", "src2", "src3"}
+
+
+# -------------------------------------------------- char-n-gram language id
+
+_LANG_SENTENCES = {
+    "en": "the quick brown fox and the lazy dog with some of their friends",
+    "es": "el perro y el gato de la casa con los amigos para que no se vaya",
+    "de": "der hund und die katze von dem haus mit den freunden und das nicht",
+    "fr": "le chien et le chat de la maison avec les amis pour que ne pas vous",
+}
+# stopword-FREE probes: same character material, stopwords stripped /
+# fused — the charset baseline scores them 0 (no stopword hits ->
+# 'unknown'), the n-gram model must still place them from char shape
+_LANG_PROBES = {
+    "en": "quickbrown foxlazy dogfriends somtheir",
+    "es": "perrogato casamigos paraque sevaya losamigos",
+    "de": "hundkatze hausfreunden dennicht vonden",
+    "fr": "chienchat maisonamis pourque nepas vousavec",
+}
+
+
+def _planted_lang_docs(spark, n_per_lang=12):
+    rows = []
+    langs = list(_LANG_SENTENCES)
+    for i in range(n_per_lang * len(langs)):
+        lang = langs[i % len(langs)]
+        rows.append((i, f"{_LANG_SENTENCES[lang]} x{i}", lang))
+    return spark.createDataFrame(rows, "doc_id long, text string, truth string")
+
+
+def test_lang_ngram_beats_charset_baseline_off_stopwords(spark):
+    """VERDICT r10 #7 accuracy floor: trained on weak labels FROM the
+    charset baseline, the char-n-gram model must (a) reproduce the
+    baseline on stopword-rich planted docs and (b) classify
+    stopword-free probes the baseline cannot place at all."""
+    from chapterhousedb_spark.operators.classifier import (
+        lang_ngram_score,
+        lang_ngram_train,
+    )
+    from chapterhousedb_spark.operators.text import lang_id
+
+    docs = _planted_lang_docs(spark)
+    betas = lang_ngram_train(docs, num_buckets=32)
+    scored = lang_ngram_score(docs, betas, num_buckets=32)
+    joined = scored.join(docs.select("doc_id", "truth"), "doc_id").collect()
+    acc = sum(r["lang_pred"] == r["truth"] for r in joined) / len(joined)
+    assert acc >= 0.9, acc
+
+    probes = spark.createDataFrame(
+        [(i, t, lang) for i, (lang, t) in enumerate(_LANG_PROBES.items())],
+        "doc_id long, text string, truth string",
+    )
+    base = {r["doc_id"]: r["lang_pred"] for r in lang_id(probes).collect()}
+    assert all(v == "unknown" for v in base.values()), base
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in lang_ngram_score(probes, betas, num_buckets=32).collect()
+    }
+    truth = {r["doc_id"]: r["truth"] for r in probes.collect()}
+    ngram_acc = sum(got[d] == truth[d] for d in truth) / len(truth)
+    assert ngram_acc >= 0.75, (got, truth)
+
+
+def test_lang_ngram_score_guards_and_determinism(spark):
+    from chapterhousedb_spark.operators.classifier import lang_ngram_score
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    betas = {"en": [0.1] + [0.01] * 16, "fr": [0.2] + [0.02] * 16}
+    got = {r["doc_id"]: r for r in lang_ngram_score(df, betas).collect()}
+    # empty text: zero grams -> eta == intercept; argmax -> fr
+    assert got[2]["eta_en"] == 0.1 and got[2]["eta_fr"] == 0.2
+    assert got[2]["lang_pred"] == "fr"
+    # repartition invariance (pure projection, no shuffle state)
+    rep = {
+        r["doc_id"]: r
+        for r in lang_ngram_score(df.repartition(7), betas).collect()
+    }
+    assert rep[1]["eta_en"] == got[1]["eta_en"]
+    with _pytest.raises(ValueError, match="expected intercept"):
+        lang_ngram_score(df, {"en": [0.0] * 5})
