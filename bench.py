@@ -124,6 +124,7 @@ HEADLINE = [
     "unigram_segment_fixed",
     "unigram_tokenize",
     "lang_ngram_fixed",
+    "streaming_ingest_quality",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

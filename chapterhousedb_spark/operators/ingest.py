@@ -50,10 +50,16 @@ def admit_batch(
     num_hashes: int = 64,
     bands: int = 16,
     gate_fn=None,
+    quality_fn=None,
     index_paths: dict[str, str] | None = None,
 ) -> dict:
     """Admit one batch into a versioned corpus. Steps:
 
+    0. optional `quality_fn` gate (VERDICT r10 #8 — the FineWeb shape:
+       quality -> dedup -> merge -> index): any callable
+       (batch) -> surviving-rows DataFrame, applied BEFORE the dedup
+       gate so low-quality docs never pay the LSH join. Use
+       `fineweb_quality_gate()` for the stock Gopher+C4 predicate.
     1. cross MinHash gate: batch docs near-duplicating the CURRENT
        corpus version (one corpus scan; batch side broadcasts).
     2. `reject_near_dups=True`: gated docs are dropped before the
@@ -105,7 +111,9 @@ def admit_batch(
     the CURRENT vector, so refine>0 probes self-heal the ranking; the
     coarse candidate stage does not).
 
-    Returns {"version", "n_batch", "n_admitted", "n_rejected"}.
+    Returns {"version", "n_batch", "n_admitted", "n_rejected",
+    "n_quality_rejected"} — n_rejected stays the TOTAL rejection count
+    (quality + near-dup), so pre-round-11 callers read it unchanged.
     """
     from chapterhousedb_spark.operators.dedup import (
         minhash_near_dup_pairs_cross,
@@ -130,6 +138,10 @@ def admit_batch(
     spark = batch.sparkSession
     corpus, ver = read_versioned_base(spark, corpus_root)
     n_batch = batch.count()
+    n_quality_rejected = 0
+    if quality_fn is not None:
+        batch = quality_fn(batch)
+        n_quality_rejected = n_batch - batch.count()
     if gate_fn is not None:
         cross = gate_fn(batch, corpus)
     else:
@@ -181,6 +193,7 @@ def admit_batch(
             ver,
             n_batch,
             text_col,
+            n_quality_rejected,
         )
     finally:
         admitted.unpersist()
@@ -202,6 +215,7 @@ def _admit_batch_writes(
     ver,
     n_batch,
     text_col,
+    n_quality_rejected,
 ) -> dict:
     """admit_batch's write half (merge -> labels -> index appends ->
     marker flip), split out so the caller can guarantee the persisted
@@ -259,6 +273,7 @@ def _admit_batch_writes(
         "n_batch": n_batch,
         "n_admitted": n_admitted,
         "n_rejected": n_batch - n_admitted,
+        "n_quality_rejected": n_quality_rejected,
     }
 
 
@@ -277,6 +292,51 @@ def init_ingest(
         seed.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
         ).write.mode("overwrite").parquet(f"{labels_root}/v0")
+
+
+def fineweb_quality_gate(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gopher_kwargs: dict | None = None,
+    c4_kwargs: dict | None = None,
+):
+    """The stock quality gate for admit_batch(quality_fn=...) — the
+    FineWeb admission shape (VERDICT r10 #8): a batch doc survives iff
+    it passes BOTH the Gopher document-shape heuristics
+    (text.gopher_quality_stats keep) and the C4 line-level page rule
+    (text.c4_line_filters keep). Returns a callable
+    (batch) -> surviving rows, all original columns intact.
+
+    Physical shape: both stat operators are single-scan JVM
+    projections over the micro-batch; the two keep flags join back on
+    the id (micro-batch-sized, broadcastable) and the survivors
+    inner-join the original rows. No Python, no shuffle wider than the
+    batch. The predicate arithmetic faces the hash gate through the
+    gopher_quality / c4_clean rows and the composed admission through
+    streaming_ingest_quality."""
+    from chapterhousedb_spark.operators.text import (
+        c4_line_filters,
+        gopher_quality_stats,
+    )
+
+    gk = dict(gopher_kwargs or {})
+    ck = dict(c4_kwargs or {})
+
+    def gate(batch: DataFrame) -> DataFrame:
+        g = gopher_quality_stats(batch, text_col, id_col, **gk).select(
+            F.col(id_col), F.col("keep").alias("__gopher_keep")
+        )
+        c = c4_line_filters(batch, text_col, id_col, **ck).select(
+            F.col(id_col), F.col("keep").alias("__c4_keep")
+        )
+        keep_ids = (
+            g.join(c, id_col)
+            .filter(F.col("__gopher_keep") & F.col("__c4_keep"))
+            .select(id_col)
+        )
+        return batch.join(keep_ids, id_col)
+
+    return gate
 
 
 def ingest_stream(

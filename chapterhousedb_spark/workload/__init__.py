@@ -266,7 +266,8 @@ _DRIVER_FIRST = [
     # gated through tpch_q8's conditional market-share ratio and
     # tpch_q4's exists-counts, the join family through tpch_q3/q18,
     # and it re-earns driver-green via rotation.
-    "temperature_mix",
+    # (temperature_mix sat here rounds 9-10; demoted round 11 to pay
+    # for streaming_ingest_quality — see the round-11 batch comment)
     # ...plus the composed FineWeb curation pipeline (token floor ->
     # repetition gate -> exact dedup -> temperature mix, one oracle
     # replaying every stage — the round's composition proof, like
@@ -424,6 +425,17 @@ _DRIVER_FIRST = [
     # re-checked against DuckDB on every pytest run
     # (test_oracle_parity), and it re-earns driver-green via rotation.
     "lang_ngram_fixed",
+    # ...plus the FULL FineWeb admission composition under the gate
+    # (VERDICT r10 #8 — quality -> dedup -> merge -> commit through
+    # the streaming engine, both quality predicates + the chained
+    # version semantics replayed by DuckDB; the planted scaffold makes
+    # the gopher/C4 AND load-bearing). Paid for by demoting
+    # temperature_mix: long driver-green (r9-r10), its entire
+    # corpus-derived threshold arithmetic is replayed VERBATIM inside
+    # pipeline_fineweb's in-window composed oracle as its final stage,
+    # its own oracle stays re-hashed on every pytest run
+    # (test_oracle_parity), and it re-earns driver-green via rotation.
+    "streaming_ingest_quality",
 ]
 _DRIVER_LAST = [
     # round-11 demotions paying for url_dedup_docs /
@@ -433,6 +445,7 @@ _DRIVER_LAST = [
     "markup_removal",
     "bigram_coverage",
     "c4_clean",
+    "temperature_mix",
     # round-10 demotions paying for pq_fixed_codebook /
     # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
     # pq_residual_fixed / embedding_mrl / pipeline_cluster_balance

@@ -3419,6 +3419,171 @@ def streaming_ingest_corpus_q(spark, sf_dir):
 
 
 @query(
+    "streaming_ingest_quality",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INT) AS version,
+        (CASE WHEN doc_id % 4 = 1
+              THEN 'dup group ' || CAST(doc_id % 16 AS VARCHAR)
+              ELSE 'uniq ' || CAST(doc_id AS VARCHAR) END)
+        || (CASE CAST(doc_id % 5 AS INT)
+              WHEN 3 THEN ' ### ### ### ###'
+              WHEN 4 THEN ' this {{brace}} kills and that to be. of it. the end.'
+              ELSE ' and that to be. of it. the end.' END) AS text
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+               x -> regexp_replace(trim(x), '\\s+', ' ', 'g')),
+               x -> x != '') AS l,
+             list_filter(list_transform(
+               regexp_split_to_array(trim(text), '\\s+'),
+               x -> lower(x)), x -> x != '') AS w,
+             (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '…', '')))
+               + (len(text) - len(replace(text, '...', ''))) / 3 AS sym
+      FROM planted),
+    gk AS (
+      SELECT doc_id,
+        (CAST(sym AS DOUBLE) / CAST(GREATEST(len(w), 1) AS DOUBLE) <= 0.1
+         AND CAST(len(list_filter(l, x ->
+               substring(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+             / CAST(GREATEST(len(l), 1) AS DOUBLE) <= 0.9
+         AND CAST(len(list_filter(l, x ->
+               x LIKE '%...' OR x LIKE '%…')) AS DOUBLE)
+             / CAST(GREATEST(len(l), 1) AS DOUBLE) <= 0.3
+         AND CAST(len(list_filter(w, x ->
+               regexp_matches(x, '[a-z]'))) AS DOUBLE)
+             / CAST(GREATEST(len(w), 1) AS DOUBLE) >= 0.8
+         AND {_GQ_STOPS_SQL} >= 2) AS gopher_keep
+      FROM g),
+    ck AS (
+      SELECT doc_id,
+        (len(string_split_regex(coalesce(array_to_string(
+           list_filter(l, x ->
+             substring(x, length(x), 1) IN ('.', '!', '?', '"')
+             AND len(string_split(x, ' ')) >= 5
+             AND NOT contains(x, '{{') AND NOT contains(x, '}}')
+             AND NOT contains(lower(x), 'lorem ipsum')
+             AND NOT contains(lower(x), 'javascript')),
+           chr(10)), ''), '[.!?]')) - 1 >= 3) AS c4_keep
+      FROM g),
+    qual AS (
+      SELECT p.doc_id, p.version, p.text
+      FROM planted p
+      JOIN gk USING (doc_id) JOIN ck USING (doc_id)
+      WHERE gk.gopher_keep AND ck.c4_keep),
+    seed AS (SELECT doc_id, text FROM planted WHERE version = 0),
+    b1 AS (SELECT doc_id, text FROM qual WHERE version = 1),
+    rej1 AS (SELECT DISTINCT x.doc_id
+             FROM b1 x JOIN seed s ON s.text = x.text),
+    c1 AS (SELECT doc_id, text FROM seed
+           UNION ALL
+           SELECT doc_id, text FROM b1
+           WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+    b2 AS (SELECT doc_id, text FROM qual WHERE version = 2),
+    rej2 AS (SELECT DISTINCT x.doc_id
+             FROM b2 x JOIN c1 c ON c.text = x.text),
+    fin AS (SELECT doc_id FROM c1
+            UNION ALL
+            SELECT doc_id FROM b2
+            WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+    SELECT p.doc_id, p.version, CAST(length(p.text) AS INT) AS n_chars
+    FROM fin f JOIN planted p ON p.doc_id = f.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def streaming_ingest_quality_q(spark, sf_dir):
+    """The FULL FineWeb admission shape through the streaming engine
+    under the oracle gate (VERDICT r10 #8): quality -> dedup -> merge
+    -> commit, chained over two micro-batches. Documents split 3 ways
+    by doc_id into a seed version and two landing files; each batch
+    first passes fineweb_quality_gate (Gopher document-shape AND C4
+    page rule — the planted scaffold makes doc_id%5==3 fail Gopher on
+    symbol ratio and doc_id%5==4 fail ONLY C4 via the brace line, so
+    the AND is load-bearing), then an exact-text cross gate against
+    the current corpus version (planted 'dup group' cores collide
+    across versions), then merge_upsert to v+1 and the marker flip.
+    DuckDB replays the ENTIRE composition: both quality predicates
+    arithmetic-exactly (the gopher_quality / c4_clean fragments), the
+    text-equality gate, and the chained version semantics (batch 2
+    gated against seed + batch-1 admissions). The seed version is
+    deliberately NOT quality-filtered — init_ingest models an existing
+    curated corpus; only ADMISSIONS pay the gate. Production swaps the
+    exact-text gate for the MinHash cross default (already gated
+    end-to-end by streaming_ingest_corpus)."""
+    import os
+    import tempfile
+
+    from chapterhousedb_spark.operators.ingest import (
+        fineweb_quality_gate,
+        ingest_stream,
+        init_ingest,
+    )
+    from chapterhousedb_spark.streaming.batcher import read_versioned_base
+
+    docs = load(spark, sf_dir, "documents")
+    core = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.lit("dup group "), (F.col("doc_id") % 16).cast("string")),
+    ).otherwise(F.concat(F.lit("uniq "), F.col("doc_id").cast("string")))
+    qcls = (F.col("doc_id") % 5).cast("int")
+    wrapper = (
+        F.when(qcls == 3, F.lit(" ### ### ### ###"))
+        .when(
+            qcls == 4,
+            F.lit(" this {brace} kills and that to be. of it. the end."),
+        )
+        .otherwise(F.lit(" and that to be. of it. the end."))
+    )
+    planted = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("version"),
+        F.concat(core, wrapper).alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="chdb_ingest_quality_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for i, grp in enumerate((1, 2)):
+        planted.filter(F.col("version") == grp).coalesce(1).write.parquet(
+            os.path.join(landing, f"f{i}")
+        )
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+
+    def text_gate(batch, corpus):
+        return (
+            batch.select(F.col("doc_id").alias("batch_id"), "text")
+            .join(
+                corpus.select(F.col("doc_id").alias("corpus_id"), "text"),
+                "text",
+            )
+            .select("batch_id", "corpus_id")
+            .distinct()
+        )
+
+    init_ingest(planted.filter("version = 0"), os.path.join(root, "corpus"))
+    q = ingest_stream(
+        spark.readStream.schema(planted.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*")),
+        os.path.join(root, "corpus"),
+        os.path.join(root, "ckpt"),
+        gate_fn=text_gate,
+        quality_fn=fineweb_quality_gate(),
+    )
+    q.awaitTermination()
+    final, _ver = read_versioned_base(spark, os.path.join(root, "corpus"))
+    return final.select(
+        "doc_id",
+        F.col("version").cast("int").alias("version"),
+        F.length("text").cast("int").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@query(
     "minhash_md5_signatures",
     oracle=f"""
     WITH posts AS (

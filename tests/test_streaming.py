@@ -1683,6 +1683,7 @@ def test_admit_batch_custom_gate_fn(spark, tmp_path_factory):
     )
     assert res == {
         "version": 1, "n_batch": 2, "n_admitted": 1, "n_rejected": 1,
+        "n_quality_rejected": 0,
     }
     final, ver = read_versioned_base(spark, str(root / "corpus"))
     assert {r["doc_id"] for r in final.collect()} == {0, 101}
@@ -1874,3 +1875,68 @@ def test_c4_and_repetition_filters_on_stream_match_batch(
         for r in c4_line_filters(df).collect()
     }
     assert got == want and got[3][1] == 0
+
+
+def test_admit_batch_quality_gate(spark, tmp_path_factory):
+    """admit_batch(quality_fn=...) — the FineWeb admission shape
+    (VERDICT r10 #8): low-quality docs are rejected BEFORE the dedup
+    gate, counted separately, and never reach the corpus, the labels,
+    or the near-dup join; the seed version is untouched."""
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.ingest import (
+        admit_batch,
+        fineweb_quality_gate,
+        init_ingest,
+    )
+    from chapterhousedb_spark.streaming import read_versioned_base
+
+    root = tmp_path_factory.mktemp("ingest_quality")
+    good = (
+        "the quick brown fox jumps over the lazy dog to be of use. "
+        "it runs again and again with that same joy. the end is here."
+    )
+    init_ingest(
+        spark.createDataFrame([Row(doc_id=0, text=good, version=0)]),
+        str(root / "corpus"),
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of the seed -> rejected by the DEDUP gate
+            Row(doc_id=100, text=good + " small tail here.", version=1),
+            # symbol spam -> rejected by the QUALITY gate (gopher)
+            Row(doc_id=101, text="### ### ### ### spam", version=1),
+            # brace line -> rejected by the QUALITY gate (C4 only)
+            Row(
+                doc_id=102,
+                text="this {brace} kills the page and that to be of. x. y.",
+                version=1,
+            ),
+            # clean novel doc -> admitted
+            Row(
+                doc_id=103,
+                text=(
+                    "a genuinely new document with its own unique words. "
+                    "it has several proper sentences to be sure of. "
+                    "that ending arrives with the final stop."
+                ),
+                version=1,
+            ),
+        ]
+    )
+    res = admit_batch(
+        batch,
+        str(root / "corpus"),
+        quality_fn=fineweb_quality_gate(),
+        threshold=0.5,
+    )
+    assert res == {
+        "version": 1,
+        "n_batch": 4,
+        "n_admitted": 1,
+        "n_rejected": 3,
+        "n_quality_rejected": 2,
+    }
+    final, ver = read_versioned_base(spark, str(root / "corpus"))
+    assert ver == 1
+    assert {r["doc_id"] for r in final.collect()} == {0, 103}
