@@ -125,6 +125,7 @@ HEADLINE = [
     "unigram_tokenize",
     "lang_ngram_fixed",
     "streaming_ingest_quality",
+    "url_domain_cap",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -208,7 +208,8 @@ _DRIVER_FIRST = [
     # explode -> df-count -> join-back economics are now gated through
     # bigram_coverage + rarity_stats; its own oracle stays re-hashed on
     # every pytest run and rotation-eligible like any tail row).
-    "embedding_dedup",
+    # (embedding_dedup sat here rounds 9-10; demoted round 11 to pay
+    # for url_domain_cap — see the round-11 batch comment below)
     # (bigram_coverage sat here rounds 9-10; demoted round 11 to pay
     # for unigram_segment_fixed — see the round-11 batch comment)
     # ...plus the substring-level dedup REWRITE (the removal half of
@@ -436,6 +437,16 @@ _DRIVER_FIRST = [
     # its own oracle stays re-hashed on every pytest run
     # (test_oracle_parity), and it re-earns driver-green via rotation.
     "streaming_ingest_quality",
+    # ...plus per-domain caps (url_host normalization composed with
+    # the md5 per-group cap under one oracle — the crawl stage after
+    # URL dedup, closing VERDICT r10 Missing #3 end to end). Paid for
+    # by demoting embedding_dedup: long driver-green (r9-r10), its SRP
+    # pair blocking stays gated through knn_graph (same pinned-sign
+    # bucketing) and its transitive closure through embedding_clusters
+    # (both in-window), its own oracle stays re-hashed on every pytest
+    # run (test_oracle_parity), and it re-earns driver-green via
+    # rotation like every demoted row.
+    "url_domain_cap",
 ]
 _DRIVER_LAST = [
     # round-11 demotions paying for url_dedup_docs /
@@ -446,6 +457,7 @@ _DRIVER_LAST = [
     "bigram_coverage",
     "c4_clean",
     "temperature_mix",
+    "embedding_dedup",
     # round-10 demotions paying for pq_fixed_codebook /
     # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
     # pq_residual_fixed / embedding_mrl / pipeline_cluster_balance

@@ -2677,6 +2677,72 @@ def sample_grouped_q(spark, sf_dir):
 
 
 @query(
+    "url_domain_cap",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+        'https://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.ORG'
+        || (CASE WHEN doc_id % 2 = 0 THEN ':8443' ELSE '' END)
+        || '/p/' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END)
+          AS url
+      FROM documents),
+    hosts AS (
+      SELECT doc_id,
+        nullif(regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+          ':[0-9]+$', ''), '^[^@]*@', ''), '') AS url_host
+      FROM planted)
+    SELECT doc_id, url_host FROM (
+      SELECT doc_id, url_host,
+             ROW_NUMBER() OVER (
+               PARTITION BY url_host
+               ORDER BY md5('grouped-v1' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM hosts) t
+    WHERE rk <= 8
+    ORDER BY doc_id
+    """,
+)
+def url_domain_cap_q(spark, sf_dir):
+    """Per-domain document caps (the CCNet/FineWeb crawl-pipeline
+    stage after URL dedup): url_host extraction composed with the
+    deterministic md5 per-group cap (sampling.grouped_sample) under
+    ONE oracle — at most 8 docs per host, chosen reproducibly. The
+    scaffold plants 7 hosts with case/port/tracker noise so the host
+    normalization (lowercase, port strip, userinfo strip) is
+    load-bearing, and DuckDB replays both stages exactly. One narrow
+    regex projection + one host-keyed rank window over capped groups —
+    the same shuffle shape as sample_grouped."""
+    from chapterhousedb_spark.operators.sampling import grouped_sample
+    from chapterhousedb_spark.operators.urls import url_host
+
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.ORG"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":8443")).otherwise(
+                F.lit("")
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("?utm_source=x")
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    hosted = url_host(planted, "url")
+    return (
+        grouped_sample(hosted, group_col="url_host", k=8)
+        .select("doc_id", "url_host")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "pipeline_curation",
     oracle=f"""
     WITH clean AS (

@@ -266,6 +266,61 @@ def probe(spark, docs, embs) -> dict:
     out["star_chain_rows"] = n
     out["star_chain_rows_sec"] = round(_time.perf_counter() - t0, 3)
     out["star_chain_components"] = n_comp
+    # round-11 operators:
+    # key_skew — ONE rollup shuffle moving (key, count) partials plus a
+    # TakeOrdered; output is fixed k+shape so only TIME must stay
+    # ~linear (at these sizes per-job constants dominate, so the wall
+    # ratio lands well below 10x — the shuffle bytes are the bound).
+    from chapterhousedb_spark.operators.profile import key_skew
+
+    n, t = timed_count(key_skew(docs, "doc_id", k=20))
+    out["key_skew_rows"], out["key_skew_rows_sec"] = n, t
+    # url_dedup — a narrow regex projection + one exact groupBy on the
+    # canonical string; the blown-up corpus plants 4 URL variants per
+    # base doc, so output groups scale with docs (~10x) and the shuffle
+    # moves one (canon, id) pair per row.
+    from chapterhousedb_spark.operators.urls import url_dedup
+
+    planted_urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Example.COM:80/d/"),
+            (F.col("doc_id") % 10_000_000).cast("string"),
+            F.lit("/?utm_source=probe&id="),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    n, t = timed_count(url_dedup(planted_urls))
+    out["url_dedup_rows"], out["url_dedup_rows_sec"] = n, t
+    # unigram segmentation — shuffle-free broadcast-model mapInPandas;
+    # rows == docs, time ~linear in corpus chars. The model is trained
+    # ONCE on the small slice and reused at both scales (segmentation
+    # is the 100 TB path; training runs over the Zipf-compressed word
+    # table and is probed by its own unit timings).
+    from chapterhousedb_spark.operators.text import (
+        unigram_segment,
+        unigram_train,
+    )
+
+    if not hasattr(probe, "_uni_model"):
+        probe._uni_model = unigram_train(
+            docs.limit(2000), vocab_size=40, max_piece_len=5
+        )
+    n, t = timed_count(unigram_segment(docs, probe._uni_model))
+    out["unigram_seg_rows"], out["unigram_seg_rows_sec"] = n, t
+    # char-n-gram langid scoring — pure JVM projection (one md5 per
+    # gram, 4-lane fold); rows == docs, time ~linear in chars.
+    from chapterhousedb_spark.operators.classifier import lang_ngram_score
+
+    fixed_betas = {
+        lang: [0.1 * (li + 1)] + [0.01 * (li + j) for j in range(16)]
+        for li, lang in enumerate(("en", "es", "de", "fr"))
+    }
+    n, t = timed_count(
+        lang_ngram_score(docs, fixed_betas, num_buckets=16)
+    )
+    out["langid_rows"], out["langid_rows_sec"] = n, t
     return out
 
 

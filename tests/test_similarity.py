@@ -777,6 +777,15 @@ def test_srp_write_index_dims_validation(spark, tmp_path):
     srp_write_index(wide, wide_path, planes=4)
     with pytest.raises(ValueError, match="srp_append"):
         srp_append(short, wide_path)
+    # ...and a batch LONGER than the layout's dims refuses too (ADVICE
+    # r10: the one-sided min check let oversize vectors through —
+    # ivf_assign's zip_with then pads the centroid with NULLs, every
+    # distance goes NULL, and the row lands in the unreachable
+    # NULL-cell partition)
+    narrow_path = str(tmp_path / "srp_narrow")
+    srp_write_index(short, narrow_path, planes=4)
+    with pytest.raises(ValueError, match="size 16"):
+        srp_append(wide, narrow_path)
 
 
 def test_srp_index_records_id_col(spark, tmp_path):
