@@ -598,8 +598,27 @@ def main() -> None:
                 "spark_range_sum_median_sec"
             ],
         }
-        line = json.dumps(summary)
-        assert len(line) < 1900, f"bench summary too long: {len(line)}"
+        # fit the cap by SHEDDING detail, never by erroring: an
+        # AssertionError traceback here would itself become the
+        # unparseable stdout tail this line exists to prevent (and
+        # would throw away the whole completed run). Drop the bulkiest
+        # optional fields first; flags/persistent survive longest in
+        # truncated form.
+        for shed in (
+            None,
+            ("slowest5_sec",),
+            ("flags", 8),
+            ("persistent_regressions", 8),
+            ("prev_record",),
+        ):
+            if shed is not None:
+                if len(shed) == 2:
+                    summary[shed[0]] = summary[shed[0]][: shed[1]]
+                else:
+                    summary.pop(shed[0], None)
+            line = json.dumps(summary)
+            if len(line) < 1900:
+                break
         print(line)
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)

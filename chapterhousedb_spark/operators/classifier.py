@@ -320,6 +320,7 @@ def lang_ngram_train(
     iters: int = 6,
     ridge: float = 1e-3,
     label_col: str | None = None,
+    salt: str = "lang-v1",
 ) -> dict:
     """Train the one-vs-rest char-n-gram language classifier. Weak
     labels come from the charset/stopword lang_id baseline unless
@@ -332,7 +333,9 @@ def lang_ngram_train(
     columns (explode -> groupBy(id, bucket) -> pivot over the KNOWN
     bucket range — one shuffle over (id, bucket) pairs, never wider),
     because IRLS wants per-feature columns; scoring never builds them
-    (see lang_ngram_score). Returns {lang: [intercept, *coefs]}."""
+    (see lang_ngram_score). `salt` seeds the md5 bucket family and
+    must match the salt later passed to lang_ngram_score (both default
+    "lang-v1"). Returns {lang: [intercept, *coefs]}."""
     from chapterhousedb_spark.operators.text import lang_id
 
     if label_col is None:
@@ -343,7 +346,10 @@ def lang_ngram_train(
     else:
         base = docs.withColumn("__lang", F.col(label_col))
     base = base.filter(F.col("__lang").isin(*langs))
-    buckets = _char_gram_buckets(text_col, n, num_buckets, "lang-v1")
+    # the SAME salt must feed scoring (lang_ngram_score's salt param),
+    # else every gram hashes to a different bucket than during
+    # training and predictions are silently garbage
+    buckets = _char_gram_buckets(text_col, n, num_buckets, salt)
     pairs = base.select(
         F.col(id_col), F.col("__lang"), F.explode(buckets).alias("b")
     )

@@ -135,48 +135,62 @@ def admit_batch(
                     f"unknown index kind {kind!r}; expected one of "
                     f"{sorted(_INDEX_KINDS)}"
                 )
+    from pyspark.storagelevel import StorageLevel
+
     spark = batch.sparkSession
     corpus, ver = read_versioned_base(spark, corpus_root)
     n_batch = batch.count()
     n_quality_rejected = 0
+    quality_persisted = None
     if quality_fn is not None:
-        batch = quality_fn(batch)
-        n_quality_rejected = n_batch - batch.count()
-    if gate_fn is not None:
-        cross = gate_fn(batch, corpus)
-    else:
-        cross = minhash_near_dup_pairs_cross(
-            batch,
-            corpus,
-            text_col=text_col,
-            id_col=id_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-        )
-    if reject_near_dups:
-        dup_ids = cross.select(F.col("batch_id").alias(id_col)).distinct()
-        admitted = batch.join(dup_ids, id_col, "left_anti")
-        # pairs folded into labels: only among ADMITTED docs (the
-        # rejected ones never exist in the corpus or label space)
-        cross_pairs = None
-    else:
-        admitted = batch
-        cross_pairs = cross.select(
-            F.col("batch_id").alias("id_a"), F.col("corpus_id").alias("id_b")
-        )
-    # `admitted` is the batch anti-joined against the near-dup gate (a
-    # batch-x-corpus LSH join) and feeds the merge write, the count,
-    # the label solve and every index append below — persist it ONCE
-    # so the gate doesn't re-execute per consumer (with five
-    # index_paths that would be ~8 replays of the most expensive stage)
-    from pyspark.storagelevel import StorageLevel
-
-    admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
-    # unpersist in finally: a failed admission (e.g. an appender's
-    # dims guard) must not leak cached state into the long-lived
-    # streaming session, one RDD per retried micro-batch
+        # persist the gated batch: it feeds the n_quality_rejected
+        # count, the cross dedup gate AND the admitted anti-join below
+        # — without the cache the quality joins replay ~3x per
+        # micro-batch (the same hazard `admitted` is persisted for)
+        batch = quality_fn(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        quality_persisted = batch
+    # everything from here runs under the unpersist guarantee: a
+    # failure anywhere below (a raising gate_fn, a cross-join analysis
+    # error, an appender's dims guard) must not leak cached state into
+    # the long-lived streaming session — one RDD per retried
+    # micro-batch
+    admitted = None
     try:
+        if quality_persisted is not None:
+            n_quality_rejected = n_batch - batch.count()
+        if gate_fn is not None:
+            cross = gate_fn(batch, corpus)
+        else:
+            cross = minhash_near_dup_pairs_cross(
+                batch,
+                corpus,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+            )
+        if reject_near_dups:
+            dup_ids = cross.select(
+                F.col("batch_id").alias(id_col)
+            ).distinct()
+            admitted = batch.join(dup_ids, id_col, "left_anti")
+            # pairs folded into labels: only among ADMITTED docs (the
+            # rejected ones never exist in the corpus or label space)
+            cross_pairs = None
+        else:
+            admitted = batch
+            cross_pairs = cross.select(
+                F.col("batch_id").alias("id_a"),
+                F.col("corpus_id").alias("id_b"),
+            )
+        # `admitted` is the batch anti-joined against the near-dup
+        # gate (a batch-x-corpus LSH join) and feeds the merge write,
+        # the count, the label solve and every index append below —
+        # persist it ONCE so the gate doesn't re-execute per consumer
+        # (with five index_paths that would be ~8 replays of the most
+        # expensive stage)
+        admitted = admitted.persist(StorageLevel.MEMORY_AND_DISK)
         return _admit_batch_writes(
             spark,
             corpus,
@@ -196,7 +210,10 @@ def admit_batch(
             n_quality_rejected,
         )
     finally:
-        admitted.unpersist()
+        if admitted is not None:
+            admitted.unpersist()
+        if quality_persisted is not None:
+            quality_persisted.unpersist()
 
 
 def _admit_batch_writes(

@@ -1870,6 +1870,8 @@ def _uni_train_loop(
     tie rule — bit-parity by construction, then test-pinned."""
     import math
 
+    if em_iters < 1:
+        raise ValueError(f"em_iters must be >= 1, got {em_iters}")
     if vocab_size < len(chars) + 1:
         raise ValueError(
             f"vocab_size={vocab_size} cannot cover the {len(chars)}-char "
@@ -2000,13 +2002,19 @@ def unigram_train_from_words(
                         out_f.extend([int(f)] * len(pieces))
                     yield pd.DataFrame({"piece": out_p, "use": out_f})
 
-            used = (
-                wf.mapInPandas(gen, "piece string, use long")
-                .groupBy("piece")
-                .agg(F.sum("use").alias("n"))
-                .collect()
-            )
-            return {r["piece"]: int(r["n"]) for r in used}
+            try:
+                used = (
+                    wf.mapInPandas(gen, "piece string, use long")
+                    .groupBy("piece")
+                    .agg(F.sum("use").alias("n"))
+                    .collect()
+                )
+                return {r["piece"]: int(r["n"]) for r in used}
+            finally:
+                # one fresh model broadcast per EM iteration (~8 per
+                # training run) — release each after its only job, or
+                # they pin driver+executor memory for the session
+                bc.unpersist()
 
         return _uni_train_loop(
             chars, seed_counts, vocab_size, em_iters, shrink, e_step

@@ -16,8 +16,9 @@ Every rule is a pure JVM expression in the RE2-subset (no backrefs,
 no lookaround), so DuckDB replays the exact chain in the oracle row
 (workload/llm.py::url_dedup_docs). Rules, applied in order:
 
-1. scheme and host lowercased (path/query case PRESERVED — many
-   servers are case-sensitive past the authority);
+1. scheme and host:port lowercased (path/query AND userinfo case
+   PRESERVED — servers are case-sensitive past the authority, and
+   RFC 3986 userinfo is case-sensitive too);
 2. fragment stripped (`#...` never reaches the server);
 3. default port stripped (`:80` for http, `:443` for https — other
    scheme/port pairs preserved);
@@ -65,12 +66,18 @@ def canonicalize_url(
     reporting concern, not a canonicalization one. NULL stays NULL."""
     url = F.trim(F.col(url_col))
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    auth = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
-    auth = (
-        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
-        .otherwise(auth)
+    raw_auth = F.regexp_extract(url, _AUTH_RE, 1)
+    # case-fold ONLY host:port — userinfo is case-sensitive per RFC
+    # 3986 (lowercasing it would falsely merge URLs differing only in
+    # credential case), same boundary as path/query
+    userinfo = F.regexp_extract(raw_auth, r"^([^@]*@)", 1)
+    hostport = F.lower(F.regexp_replace(raw_auth, r"^[^@]*@", ""))
+    hostport = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
     )
+    auth = F.concat(userinfo, hostport)
     tail = F.regexp_extract(url, _TAIL_RE, 1)  # path[?query], no fragment
     # split path vs query at the FIRST '?'
     path = F.regexp_replace(

@@ -2260,23 +2260,30 @@ def markup_removal_q(spark, sf_dir):
                       || CAST(doc_id // 6 AS VARCHAR) || '#frag'
           WHEN 2 THEN 'http://Example.com/Arts/Page/?utm_source=x&id='
                       || CAST(doc_id // 6 AS VARCHAR) || '&utm_campaign=y'
-          WHEN 3 THEN 'HTTPS://News.Site.ORG:443/a/b?fbclid=abc'
+          WHEN 3 THEN 'HTTPS://MiXedUser@News.Site.ORG:443/a/b?fbclid=abc'
                       || CAST(doc_id % 7 AS VARCHAR)
-          WHEN 4 THEN 'https://news.site.org/a/b/'
-          ELSE 'https://news.site.org/a/b?gclid=1&msclkid=2#x'
+          WHEN 4 THEN 'https://MiXedUser@news.site.org/a/b/'
+          ELSE 'https://MiXedUser@news.site.org/a/b?gclid=1&msclkid=2#x'
         END AS url
       FROM documents),
     parts AS (
       SELECT doc_id, url,
         lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
-        lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS auth0,
+        regexp_extract(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                       '^([^@]*@)', 1) AS userinfo,
+        lower(regexp_replace(
+          regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+          '^[^@]*@', '')) AS hostport,
         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS tail
       FROM planted),
     norm AS (
       SELECT doc_id, scheme,
-        CASE WHEN scheme = 'http'  THEN regexp_replace(auth0, ':80$', '')
-             WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
-             ELSE auth0 END AS auth,
+        userinfo ||
+        CASE WHEN scheme = 'http'
+             THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https'
+             THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS auth,
         regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/+$', '')
           AS path,
         CASE WHEN contains(tail, '?')
@@ -2311,10 +2318,12 @@ def url_dedup_docs_q(spark, sf_dir):
     deterministically PLANTED URL variants (the markup_removal
     discipline: the synthetic corpus carries no URLs, so both engines
     derive the same six-way variant scaffold from doc_id, exercising
-    EVERY rule — scheme/host case folding, :80/:443 default-port
-    strip, fragment strip, utm_*/fbclid/gclid/msclkid tracker-param
-    removal with surviving-param order preserved, trailing-slash
-    collapse, empty-query '?' drop). The oracle replays the exact
+    EVERY rule — scheme/host case folding with USERINFO case preserved
+    (the %6 in (3,4,5) variants carry 'MiXedUser@', so the selective
+    fold is load-bearing), :80/:443 default-port strip, fragment
+    strip, utm_*/fbclid/gclid/msclkid tracker-param removal with
+    surviving-param order preserved, trailing-slash collapse,
+    empty-query '?' drop). The oracle replays the exact
     RE2-subset regex chain, so the hash gate checks canonical strings
     character by character. The %6 in (3,4,5) docs all collapse into
     ONE canonical row (a deliberate heavy hitter — the shape key_skew
@@ -2350,12 +2359,14 @@ def url_dedup_docs_q(spark, sf_dir):
         .when(
             variant == 3,
             F.concat(
-                F.lit("HTTPS://News.Site.ORG:443/a/b?fbclid=abc"),
+                F.lit("HTTPS://MiXedUser@News.Site.ORG:443/a/b?fbclid=abc"),
                 (F.col("doc_id") % 7).cast("string"),
             ),
         )
-        .when(variant == 4, F.lit("https://news.site.org/a/b/"))
-        .otherwise(F.lit("https://news.site.org/a/b?gclid=1&msclkid=2#x"))
+        .when(variant == 4, F.lit("https://MiXedUser@news.site.org/a/b/"))
+        .otherwise(
+            F.lit("https://MiXedUser@news.site.org/a/b?gclid=1&msclkid=2#x")
+        )
     )
     planted = docs.select("doc_id", url.alias("url"))
     return url_dedup(planted).orderBy("canon_url")
@@ -3069,20 +3080,34 @@ _UNI_FIXED_MODEL = [
     (c, -(5.0 + 0.13 * i))
     for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")
 ] + [(p, -(2.0 + 0.37 * i)) for i, p in enumerate(_UNI_FIXED_MULTI)]
+# each logp is emitted as an EXPONENT literal ('...e0'): DuckDB parses
+# plain decimal literals as DECIMAL first (even inside CAST(x AS
+# DOUBLE)), and the decimal->double conversion rounds through an
+# int128 that exceeds 2^53 for 17-digit reprs — e.g.
+# -10.879999999999999 came back as -10.88, one ULP off the python
+# double Spark holds (caught at sf0.001). Exponent literals take the
+# strtod path and round-trip exactly.
 _UNI_FIXED_VALUES = ", ".join(
-    f"('{p}', {lp!r})" for p, lp in _UNI_FIXED_MODEL
+    f"('{p}', {lp!r}e0)" for p, lp in _UNI_FIXED_MODEL
 )
 
 
 @query(
     "unigram_segment_fixed",
     oracle=f"""
-    WITH RECURSIVE pieces(piece, logp) AS (VALUES {_UNI_FIXED_VALUES}),
+    WITH RECURSIVE pieces AS (
+      -- the logp literals carry an 'e0' exponent so DuckDB parses
+      -- them as DOUBLE via strtod (see _UNI_FIXED_VALUES: the bare-
+      -- literal DECIMAL path rounds 17-digit reprs one ULP off); the
+      -- CAST is a belt-and-suspenders type pin
+      SELECT piece, CAST(logp AS DOUBLE) AS logp
+      FROM (VALUES {_UNI_FIXED_VALUES}) t(piece, logp)),
     w0 AS (
       SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+'))
         AS word
       FROM documents),
-    w1 AS (SELECT word FROM w0 WHERE word <> ''),
+    w1 AS (SELECT word FROM w0
+           WHERE regexp_matches(word, '^[a-z]+$')),
     words AS (
       SELECT word FROM w1
       UNION
@@ -3122,11 +3147,17 @@ def unigram_segment_fixed_q(spark, sf_dir):
     from chapterhousedb_spark.operators.text import unigram_segment
 
     docs = load(spark, sf_dir, "documents")
+    # scaffold scope = in-alphabet words only: the pinned model covers
+    # a-z, and the enumeration oracle has no UNK path — a word with a
+    # digit/punctuation char would score via the operator's UNK
+    # fallback but be silently ABSENT from the oracle (no complete
+    # path), failing the gate on row count if the corpus ever grows
+    # such tokens. The UNK arithmetic stays pinned by unit tests.
     w1 = (
         docs.select(
             F.explode(F.split(normalize_text("text"), " ")).alias("word")
         )
-        .filter(F.col("word") != "")
+        .filter(F.col("word").rlike("^[a-z]+$"))
         .distinct()
     )
     pairs = (

@@ -116,3 +116,14 @@ def test_canonicalize_is_idempotent(spark):
     twice = canonicalize_url(once, "canon_url", "again")
     for r in twice.collect():
         assert r["again"] == r["canon_url"]
+
+
+def test_canonicalize_preserves_userinfo_case(spark):
+    """Only host:port case-folds — RFC 3986 userinfo is
+    case-sensitive, so URLs differing only in credential case must NOT
+    merge (review fix, round 11)."""
+    a = _canon(spark, "http://Alice@Example.COM:80/x")
+    b = _canon(spark, "http://alice@example.com/x")
+    assert a == "http://Alice@example.com/x"
+    assert b == "http://alice@example.com/x"
+    assert a != b
