@@ -619,6 +619,11 @@ def main() -> None:
             line = json.dumps(summary)
             if len(line) < 1900:
                 break
+        else:
+            # guaranteed-fit fallback: never print an over-cap line
+            line = json.dumps(
+                {"bench_summary": True, "value": total, "unit": "sec"}
+            )
         print(line)
     finally:
         shutil.rmtree(sink_root, ignore_errors=True)

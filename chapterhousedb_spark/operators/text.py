@@ -1942,6 +1942,10 @@ def unigram_train_from_words(
         raise ValueError("max_piece_len must be >= 2")
     if not 0.0 < shrink < 1.0:
         raise ValueError("shrink must be in (0, 1)")
+    if em_iters < 1:
+        # checked BEFORE any Spark work (the controller re-checks, but
+        # by then the seed explode — the biggest job — already ran)
+        raise ValueError(f"em_iters must be >= 1, got {em_iters}")
     if driver_max_words > 0:
         probe = word_freqs.limit(driver_max_words + 1).count()
         if probe <= driver_max_words:
@@ -2012,9 +2016,11 @@ def unigram_train_from_words(
                 return {r["piece"]: int(r["n"]) for r in used}
             finally:
                 # one fresh model broadcast per EM iteration (~8 per
-                # training run) — release each after its only job, or
-                # they pin driver+executor memory for the session
-                bc.unpersist()
+                # training run) — destroy (not just unpersist: that
+                # frees executors only, the driver-side file/JVM
+                # object needs destroy) after its only job, or they
+                # pin driver+executor memory for the session
+                bc.destroy()
 
         return _uni_train_loop(
             chars, seed_counts, vocab_size, em_iters, shrink, e_step

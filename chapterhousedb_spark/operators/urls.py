@@ -69,9 +69,11 @@ def canonicalize_url(
     raw_auth = F.regexp_extract(url, _AUTH_RE, 1)
     # case-fold ONLY host:port — userinfo is case-sensitive per RFC
     # 3986 (lowercasing it would falsely merge URLs differing only in
-    # credential case), same boundary as path/query
-    userinfo = F.regexp_extract(raw_auth, r"^([^@]*@)", 1)
-    hostport = F.lower(F.regexp_replace(raw_auth, r"^[^@]*@", ""))
+    # credential case), same boundary as path/query. GREEDY '.*@':
+    # WHATWG puts everything before the LAST '@' in userinfo, so a
+    # multi-'@' authority keeps ALL its credentials un-folded
+    userinfo = F.regexp_extract(raw_auth, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(raw_auth, r"^.*@", ""))
     hostport = (
         F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
@@ -110,8 +112,9 @@ def url_host(
     per-domain stats. Non-absolute URLs and NULLs yield NULL."""
     auth = F.lower(F.regexp_extract(F.trim(F.col(url_col)), _AUTH_RE, 1))
     host = F.regexp_replace(auth, r":[0-9]+$", "")
-    # strip userinfo if present (user:pass@host)
-    host = F.regexp_replace(host, r"^[^@]*@", "")
+    # strip userinfo if present (user:pass@host) — greedy through the
+    # LAST '@' (WHATWG authority parsing)
+    host = F.regexp_replace(host, r"^.*@", "")
     return df.withColumn(
         out_col, F.when(host == "", F.lit(None).cast("string")).otherwise(host)
     )

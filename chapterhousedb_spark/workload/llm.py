@@ -2270,10 +2270,10 @@ def markup_removal_q(spark, sf_dir):
       SELECT doc_id, url,
         lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
         regexp_extract(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
-                       '^([^@]*@)', 1) AS userinfo,
+                       '^(.*@)', 1) AS userinfo,
         lower(regexp_replace(
           regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
-          '^[^@]*@', '')) AS hostport,
+          '^.*@', '')) AS hostport,
         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS tail
       FROM planted),
     norm AS (
@@ -2304,7 +2304,7 @@ def markup_removal_q(spark, sf_dir):
     SELECT canon_url,
       nullif(regexp_replace(regexp_replace(
         lower(regexp_extract(canon_url, '^[^:/?#]+://([^/?#]*)', 1)),
-        ':[0-9]+$', ''), '^[^@]*@', ''), '') AS url_host,
+        ':[0-9]+$', ''), '^.*@', ''), '') AS url_host,
       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
       CAST(COUNT(*) AS BIGINT) AS n_variants
     FROM canon
@@ -2702,7 +2702,7 @@ def sample_grouped_q(spark, sf_dir):
       SELECT doc_id,
         nullif(regexp_replace(regexp_replace(
           lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
-          ':[0-9]+$', ''), '^[^@]*@', ''), '') AS url_host
+          ':[0-9]+$', ''), '^.*@', ''), '') AS url_host
       FROM planted)
     SELECT doc_id, url_host FROM (
       SELECT doc_id, url_host,
@@ -3087,8 +3087,17 @@ _UNI_FIXED_MODEL = [
 # -10.879999999999999 came back as -10.88, one ULP off the python
 # double Spark holds (caught at sf0.001). Exponent literals take the
 # strtod path and round-trip exactly.
+def _sql_double(v: float) -> str:
+    """A DuckDB literal that parses as DOUBLE via strtod: repr + 'e0'
+    unless the repr already carries an exponent (appending would emit
+    invalid '1e-05e0' SQL — exponent reprs already take the strtod
+    path as-is)."""
+    s = repr(float(v))
+    return s if "e" in s or "E" in s else f"{s}e0"
+
+
 _UNI_FIXED_VALUES = ", ".join(
-    f"('{p}', {lp!r}e0)" for p, lp in _UNI_FIXED_MODEL
+    f"('{p}', {_sql_double(lp)})" for p, lp in _UNI_FIXED_MODEL
 )
 
 

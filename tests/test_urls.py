@@ -127,3 +127,14 @@ def test_canonicalize_preserves_userinfo_case(spark):
     assert a == "http://Alice@example.com/x"
     assert b == "http://alice@example.com/x"
     assert a != b
+
+
+def test_multi_at_authority_splits_at_last_at(spark):
+    """WHATWG: everything before the LAST '@' is userinfo — a
+    multi-'@' authority keeps all credentials case-preserved, and
+    url_host returns the true host (review fix, round 11)."""
+    assert (
+        _canon(spark, "http://A@B@Host.COM/x") == "http://A@B@host.com/x"
+    )
+    df = spark.createDataFrame([("http://A@B@Host.COM:81/x",)], "url string")
+    assert url_host(df).collect()[0]["url_host"] == "host.com"
