@@ -126,6 +126,7 @@ HEADLINE = [
     "lang_ngram_fixed",
     "streaming_ingest_quality",
     "url_domain_cap",
+    "kn_bigram_scores",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

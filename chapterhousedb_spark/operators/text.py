@@ -1121,6 +1121,32 @@ def rarity_stats(
     )
 
 
+def _adjacent_pairs(text_col: str, combine, elem_type: str):
+    """Adjacent-token-pair array over normalized text, shared by the
+    bigram LM operators (bigram_lm_stats / kneser_ney_bigram — one
+    copy of the subtle guards so the two oracle-gated operators cannot
+    desync). Pairs via zip_with over two shifted slices — NOT
+    transform(sequence, i -> element_at(toks, i)): element_at
+    re-evaluates the inlined split/filter per array slot (the
+    documented HOF landmine, dedup.py module docstring), measured
+    15.1 s -> 2.3 s warm at sf0.1. Instances keep their multiplicity —
+    each occurrence is scored. Docs under 2 tokens need the explicit
+    guard: Spark's sequence/slice forms reject or count down where
+    DuckDB's generate_series is empty."""
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda t: t != ""
+    )
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            combine,
+        ),
+    ).otherwise(F.array().cast(f"array<{elem_type}>"))
+
+
 def bigram_lm_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -1159,26 +1185,9 @@ def bigram_lm_stats(
     is bigram-keyed; the per-doc aggregate is integer-additive. The
     global (total, vocab) scalars for surprisal are a 1-row broadcast.
     No driver collects."""
-    toks = F.filter(
-        F.split(normalize_text(text_col), " "), lambda t: t != ""
+    bigrams = _adjacent_pairs(
+        text_col, lambda a, b: F.concat_ws(" ", a, b), "string"
     )
-    # adjacent pairs via zip_with over two shifted slices — NOT
-    # transform(sequence, i -> element_at(toks, i)): element_at
-    # re-evaluates the inlined split/filter per array slot (the
-    # documented HOF landmine, dedup.py module docstring), measured
-    # 15.1 s -> 2.3 s warm at sf0.1 for this operator. Instances keep
-    # their multiplicity — each occurrence is scored. Docs under 2
-    # tokens need the explicit guard: Spark's sequence/slice forms
-    # reject or count down where DuckDB's generate_series is empty
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, F.lit(1), n - 1),
-            F.slice(toks, F.lit(2), n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     posts = df.select(
         F.col(id_col).alias("id"), F.explode(bigrams).alias("bg")
     )
@@ -2163,3 +2172,119 @@ def unigram_segment(
         ]
     )
     return src.mapInPandas(gen, schema)
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    surprisal: bool = False,
+) -> DataFrame:
+    """Per-document fluency under an interpolated KNESER-NEY bigram LM
+    trained on the corpus's own counts — the smoothing KenLM/CCNet
+    actually use (Kneser & Ney 1995; Chen & Goodman 1998), beside
+    bigram_lm_stats' simpler add-k model. KN's two ideas: absolute
+    discounting (subtract `discount` from every seen bigram count, so
+    head collocations stop hoarding mass) and CONTINUATION probability
+    (a word's backoff weight is how many distinct contexts it follows,
+    not how often it occurs — "francisco" is frequent but follows only
+    "san", so it backs off near zero). Closed form from exact counts —
+    no iteration — so unlike BPE/unigram training this whole model is
+    SQL-replayable:
+
+        p_cont(w2)  = n1plus(.w2) / N_distinct_bigrams
+        lambda(w1)  = discount * n1plus(w1.) / c(w1.)
+        p(w2|w1)    = (greatest(c(w1,w2) - discount, 0)
+                       + (discount * n1plus(w1.)) * p_cont(w2))
+                      / c(w1.)
+
+    (exact float op order as written; every input an integer count,
+    `discount` a literal — the whole chain is engine-portable, and
+    interpolated KN sums to 1 over the seen vocab per context,
+    test-pinned). Output per doc with >= 2 tokens:
+
+      n_bigrams     adjacent-pair instances
+      sum_kn_prob   position-ordered left fold of the instances' p
+      mean_kn_prob  sum_kn_prob / n_bigrams
+
+    `surprisal=True` adds mean -log2 p — the real perplexity feature.
+    log2 is NOT bit-portable across engines (the bigram_lm_stats
+    boundary), so it stays out of oracle-gated column sets and is
+    pinned by the python-reference unit test instead.
+
+    At 100 TB: one corpus explode shuffled on the bigram key (Zipf
+    skew -> AQE), three count tables (bigram / context / continuation)
+    each map-side combined, the instance joins keyed on bigram then
+    broadcast-joined to the 1-row N, and the per-doc fold over a
+    sorted collect_list of (pos, p) — list state is per-doc bigram
+    count, never corpus-sized. Corpus-self scoring has no OOV by
+    construction (every scored pair is in the counts); scoring a
+    FOREIGN corpus against these counts would need an OOV floor —
+    out of scope here, documented."""
+    d = float(discount)
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    pairs = _adjacent_pairs(
+        text_col,
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        "struct<w1:string,w2:string>",
+    )
+    posts = df.select(
+        F.col(id_col).alias("id"), F.posexplode(pairs).alias("pos", "p")
+    ).select("id", "pos", "p.w1", "p.w2")
+    bg = posts.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_w1"),
+        F.count(F.lit(1)).alias("n1p_w1"),
+    )
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_dot_w2"))
+    n_distinct = bg.agg(F.count(F.lit(1)).alias("n_bg_distinct"))
+    probs = (
+        bg.join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(n_distinct))
+        .select(
+            "w1",
+            "w2",
+            (
+                (
+                    F.greatest(
+                        F.col("c_bg").cast("double") - F.lit(d), F.lit(0.0)
+                    )
+                    + (F.lit(d) * F.col("n1p_w1").cast("double"))
+                    * (
+                        F.col("n1p_dot_w2").cast("double")
+                        / F.col("n_bg_distinct").cast("double")
+                    )
+                )
+                / F.col("c_w1").cast("double")
+            ).alias("kn_p"),
+        )
+    )
+    scored = posts.join(probs, ["w1", "w2"])
+    # surprisal rides the SAME aggregation — recomputing the scored
+    # relation for a second groupBy would re-run the corpus explode
+    # and the three count joins (round-11 review fix)
+    aggs = [
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "kn_p"))),
+                lambda s: s["kn_p"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ).alias("sum_kn_prob"),
+    ]
+    if surprisal:
+        aggs.append(F.avg(-F.log2("kn_p")).alias("kn_surprisal"))
+    cols = [
+        F.col("id").alias(id_col),
+        F.col("n_bigrams"),
+        F.col("sum_kn_prob"),
+        (F.col("sum_kn_prob") / F.col("n_bigrams")).alias("mean_kn_prob"),
+    ]
+    if surprisal:
+        cols.append(F.col("kn_surprisal"))
+    return scored.groupBy("id").agg(*aggs).select(*cols)

@@ -241,7 +241,8 @@ _DRIVER_FIRST = [
     # its conditional-ratio shape stays gated through tpch_q8 and
     # tpch_q12's conditional counts, and it re-earns driver-green via
     # rotation like every demoted row.
-    "embedding_sq8",
+    # (embedding_sq8 sat here rounds 9-10; demoted round 11 to pay for
+    # kn_bigram_scores — see the round-11 batch comment below)
     # ...plus the Gopher repetition-coverage filters (top-n-gram char
     # fraction + duplicated-n-gram char mass, every integer mass and
     # the final division replayed by DuckDB). Paid for by demoting
@@ -447,17 +448,34 @@ _DRIVER_FIRST = [
     # run (test_oracle_parity), and it re-earns driver-green via
     # rotation like every demoted row.
     "url_domain_cap",
+    # ...plus interpolated Kneser-Ney bigram LM fluency — the
+    # CCNet-style LM-quality stage with KenLM's smoothing, closed-form
+    # from corpus counts so the ENTIRE trained model (discount /
+    # continuation / backoff arithmetic + the per-doc ordered
+    # probability fold) faces the hash gate; the log2 perplexity
+    # column stays python-reference-pinned (not bit-portable). Paid
+    # for by demoting embedding_sq8: long driver-green (r9-r10), the
+    # quantization family keeps FIVE other gated rows in-window
+    # (pq_fixed_codebook, ivf_fixed_centroids, pq_residual_fixed,
+    # embedding_bq, embedding_mrl) plus pipeline_retrieval whose
+    # composed oracle replays the SAME sq8 dequantized-rerank stage
+    # scores in-window, and it re-earns driver-green via rotation.
+    "kn_bigram_scores",
 ]
 _DRIVER_LAST = [
-    # round-11 demotions paying for url_dedup_docs /
-    # unigram_segment_fixed (see the round-11 batch comments in
-    # _DRIVER_FIRST); both long driver-green (r9-r10),
-    # family-redundant, rotation-eligible:
+    # round-11 demotions, one per new gated row (see the round-11
+    # batch comments in _DRIVER_FIRST for each pairing):
+    # markup_removal -> url_dedup_docs, bigram_coverage ->
+    # unigram_segment_fixed, c4_clean -> lang_ngram_fixed,
+    # temperature_mix -> streaming_ingest_quality, embedding_dedup ->
+    # url_domain_cap, embedding_sq8 -> kn_bigram_scores. All long
+    # driver-green (r9-r10), family-redundant, rotation-eligible:
     "markup_removal",
     "bigram_coverage",
     "c4_clean",
     "temperature_mix",
     "embedding_dedup",
+    "embedding_sq8",
     # round-10 demotions paying for pq_fixed_codebook /
     # ivf_fixed_centroids / gopher_quality / dedup_clusters_star /
     # pq_residual_fixed / embedding_mrl / pipeline_cluster_balance

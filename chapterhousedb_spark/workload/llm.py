@@ -3001,6 +3001,65 @@ def rarity_stats_q(spark, sf_dir):
 
 
 @query(
+    "kn_bigram_scores",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk
+      FROM documents),
+    posts AS (
+      SELECT doc_id, u.i AS pos, tk[u.i] AS w1, tk[u.i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) u(i)
+      WHERE len(tk) >= 2),
+    bg AS (
+      SELECT w1, w2, COUNT(*) AS c_bg FROM posts GROUP BY w1, w2),
+    ctx AS (
+      SELECT w1, SUM(c_bg) AS c_w1, COUNT(*) AS n1p_w1
+      FROM bg GROUP BY w1),
+    cont AS (
+      SELECT w2, COUNT(*) AS n1p_dot_w2 FROM bg GROUP BY w2),
+    nd AS (SELECT COUNT(*) AS n_bg_distinct FROM bg),
+    probs AS (
+      SELECT b.w1, b.w2,
+        (greatest(CAST(b.c_bg AS DOUBLE) - 0.75e0, CAST(0 AS DOUBLE))
+         + (0.75e0 * CAST(c.n1p_w1 AS DOUBLE))
+           * (CAST(k.n1p_dot_w2 AS DOUBLE)
+              / CAST(nd.n_bg_distinct AS DOUBLE)))
+        / CAST(c.c_w1 AS DOUBLE) AS kn_p
+      FROM bg b JOIN ctx c ON c.w1 = b.w1
+                JOIN cont k ON k.w2 = b.w2, nd),
+    scored AS (
+      SELECT p.doc_id, p.pos, pr.kn_p
+      FROM posts p JOIN probs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(kn_p ORDER BY pos)), (a, b) -> a + b) AS sum_kn_prob,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(kn_p ORDER BY pos)), (a, b) -> a + b)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_kn_prob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def kn_bigram_scores_q(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM fluency (text.kneser_ney_
+    bigram) under the hash gate — the CCNet-style LM-quality stage
+    with the smoothing KenLM actually uses, trained closed-form on the
+    corpus's own counts (no iteration, so unlike BPE/unigram training
+    the WHOLE model is SQL-replayable: discount/continuation/backoff
+    arithmetic per bigram plus each doc's position-ordered probability
+    fold face DuckDB bit-exactly; the 0.75 discount literal is exactly
+    representable). The log2 perplexity column stays out of the gated
+    set (not bit-portable) and is pinned by the python-reference tests
+    in tests/test_text.py instead."""
+    from chapterhousedb_spark.operators.text import kneser_ney_bigram
+
+    return (
+        kneser_ney_bigram(load(spark, sf_dir, "documents"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "bigram_coverage",
     oracle=rf"""
     WITH toks AS (

@@ -321,6 +321,13 @@ def probe(spark, docs, embs) -> dict:
         lang_ngram_score(docs, fixed_betas, num_buckets=16)
     )
     out["langid_rows"], out["langid_rows_sec"] = n, t
+    # Kneser-Ney bigram LM — one bigram-keyed explode/count shuffle +
+    # three bounded count tables + the instance join; rows == docs
+    # (with >= 2 tokens), time ~linear in corpus bigrams.
+    from chapterhousedb_spark.operators.text import kneser_ney_bigram
+
+    n, t = timed_count(kneser_ney_bigram(docs))
+    out["kn_rows"], out["kn_rows_sec"] = n, t
     return out
 
 

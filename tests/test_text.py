@@ -1280,3 +1280,136 @@ def test_unigram_segment_matches_viterbi_reference(spark):
             want_score += s
         assert list(got[did]["pieces"]) == want_pieces, did
         assert got[did]["score"] == want_score, did
+
+
+# ---------------------------------------------------- Kneser-Ney bigram LM
+
+
+def _kn_reference(docs, discount=0.75):
+    """Sequential interpolated-KN reference: returns (probs dict
+    (w1,w2)->p, per-doc (n_bigrams, sum_p) with the position-ordered
+    left fold)."""
+    import collections
+
+    pairs_per_doc = {}
+    c_bg = collections.Counter()
+    for did, text in docs:
+        toks = text.lower().split()
+        ps = list(zip(toks, toks[1:]))
+        pairs_per_doc[did] = ps
+        c_bg.update(ps)
+    c_w1 = collections.Counter()
+    n1p_w1 = collections.Counter()
+    n1p_dot = collections.Counter()
+    for (w1, w2), c in c_bg.items():
+        c_w1[w1] += c
+        n1p_w1[w1] += 1
+        n1p_dot[w2] += 1
+    n_distinct = len(c_bg)
+    probs = {}
+    for (w1, w2), c in c_bg.items():
+        probs[(w1, w2)] = (
+            max(float(c) - discount, 0.0)
+            + (discount * float(n1p_w1[w1]))
+            * (float(n1p_dot[w2]) / float(n_distinct))
+        ) / float(c_w1[w1])
+    out = {}
+    for did, ps in pairs_per_doc.items():
+        if not ps:
+            continue
+        s = 0.0
+        for p in ps:
+            s += probs[p]
+        out[did] = (len(ps), s)
+    return probs, out
+
+
+_KN_DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the cat"),
+    (3, "a dog and the cat and a mat"),
+    (4, "san francisco san francisco san jose"),
+    (5, "one"),  # < 2 tokens -> no row
+    (6, "the cat sat"),
+]
+
+
+def test_kneser_ney_matches_sequential_reference(spark):
+    """Distributed KN == the sequential closed-form reference,
+    bit-exactly (integer counts + the same float op order)."""
+    from chapterhousedb_spark.operators.text import kneser_ney_bigram
+
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_kn_prob"], r["mean_kn_prob"])
+        for r in kneser_ney_bigram(df).collect()
+    }
+    _, want = _kn_reference(_KN_DOCS)
+    assert set(got) == set(want)
+    for did, (n, s) in want.items():
+        assert got[did][0] == n, did
+        assert got[did][1] == s, (did, got[did][1], s)
+        assert got[did][2] == s / n, did
+
+
+def test_kneser_ney_sums_to_one_per_context(spark):
+    """Interpolated KN is a proper distribution: for every context w1,
+    sum over the SEEN vocab of p(w2|w1)'s discounted part plus
+    lambda(w1) * sum(p_cont) == 1 (continuation probs sum to 1 over
+    seen bigram types, so contexts whose followers cover the vocab sum
+    to 1 exactly up to float tolerance)."""
+    import collections
+
+    probs, _ = _kn_reference(_KN_DOCS)
+    # p(w2|w1) for UNSEEN (w1,w2) pairs = lambda(w1) * p_cont(w2);
+    # extend the sum over the full seen-w2 vocab per context
+    c_bg = collections.Counter()
+    for _, text in _KN_DOCS:
+        toks = text.lower().split()
+        c_bg.update(zip(toks, toks[1:]))
+    n1p_w1 = collections.Counter()
+    c_w1 = collections.Counter()
+    n1p_dot = collections.Counter()
+    for (w1, w2), c in c_bg.items():
+        c_w1[w1] += c
+        n1p_w1[w1] += 1
+        n1p_dot[w2] += 1
+    n_distinct = len(c_bg)
+    vocab_w2 = set(n1p_dot)
+    for w1 in c_w1:
+        lam = 0.75 * n1p_w1[w1] / c_w1[w1]
+        total = 0.0
+        for w2 in vocab_w2:
+            if (w1, w2) in probs:
+                total += probs[(w1, w2)]
+            else:
+                total += lam * (n1p_dot[w2] / n_distinct)
+        assert abs(total - 1.0) < 1e-12, (w1, total)
+
+
+def test_kneser_ney_surprisal_and_guards(spark):
+    """surprisal=True adds mean -log2 p, pinned against the python
+    reference (log stays out of gated sets — the bigram_lm_stats
+    boundary); discount is range-checked."""
+    import math
+
+    import pytest as _pytest
+
+    from chapterhousedb_spark.operators.text import kneser_ney_bigram
+
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["kn_surprisal"]
+        for r in kneser_ney_bigram(df, surprisal=True).collect()
+    }
+    probs, _ = _kn_reference(_KN_DOCS)
+    for did, text in _KN_DOCS:
+        toks = text.lower().split()
+        ps = list(zip(toks, toks[1:]))
+        if not ps:
+            assert did not in got
+            continue
+        want = sum(-math.log2(probs[p]) for p in ps) / len(ps)
+        assert abs(got[did] - want) < 1e-12, did
+    with _pytest.raises(ValueError, match="discount"):
+        kneser_ney_bigram(df, discount=1.5)
