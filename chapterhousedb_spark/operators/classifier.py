@@ -89,65 +89,71 @@ def logreg_train(
     n_gram = k * (k + 1) // 2
     # position -> (i, j) of the upper triangle, in emission order
     tri = [(i, j) for i in range(k) for j in range(i, k)]
-    for _ in range(iters):
-        barr = F.array(*[F.lit(float(b)) for b in beta])
-        eta = F.aggregate(
-            F.zip_with(barr, xv, lambda b, x: b * x),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
-        staged = feats.select(
-            "__x",
-            "__y",
-            eta.alias("__eta"),
-            p.alias("__p"),
-        ).select(
-            "__x",
-            "__eta",
-            (F.col("__p") * (F.lit(1.0) - F.col("__p"))).alias("__w"),
-            (F.col("__y") - F.col("__p")).alias("__r"),
-        )
-        w = F.col("__w")
-        # working response times weight: w*z = w*eta + (y - p)
-        wz = w * F.col("__eta") + F.col("__r")
-        idx = F.sequence(F.lit(0), F.lit(k - 1))
-        gram_terms = F.flatten(
-            F.transform(
-                idx,
-                lambda i: F.transform(
-                    F.sequence(i, F.lit(k - 1)),
-                    lambda j: (
-                        (w * F.element_at(xv, i + 1))
-                        * F.element_at(xv, j + 1)
-                    ).cast(_DEC),
-                ),
+    # unpersist under finally: a mid-training failure (singular solve
+    # at ridge=0, a dying executor) must not leak the cached
+    # projection into a long-lived session (round-11 review fix —
+    # the admit_batch / lang_ngram_train discipline)
+    try:
+        for _ in range(iters):
+            barr = F.array(*[F.lit(float(b)) for b in beta])
+            eta = F.aggregate(
+                F.zip_with(barr, xv, lambda b, x: b * x),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
             )
-        )
-        moment_terms = F.transform(
-            idx, lambda i: (wz * F.element_at(xv, i + 1)).cast(_DEC)
-        )
-        sums = {
-            r["pos"]: r["s"]
-            for r in staged.select(
-                F.posexplode(F.concat(gram_terms, moment_terms)).alias(
-                    "pos", "val"
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+            staged = feats.select(
+                "__x",
+                "__y",
+                eta.alias("__eta"),
+                p.alias("__p"),
+            ).select(
+                "__x",
+                "__eta",
+                (F.col("__p") * (F.lit(1.0) - F.col("__p"))).alias("__w"),
+                (F.col("__y") - F.col("__p")).alias("__r"),
+            )
+            w = F.col("__w")
+            # working response times weight: w*z = w*eta + (y - p)
+            wz = w * F.col("__eta") + F.col("__r")
+            idx = F.sequence(F.lit(0), F.lit(k - 1))
+            gram_terms = F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(k - 1)),
+                        lambda j: (
+                            (w * F.element_at(xv, i + 1))
+                            * F.element_at(xv, j + 1)
+                        ).cast(_DEC),
+                    ),
                 )
             )
-            .groupBy("pos")
-            .agg(F.sum("val").alias("s"))
-            .collect()
-        }
-        gram = np.zeros((k, k))
-        for pos, (i, j) in enumerate(tri):
-            v = float(sums.get(pos) or 0.0)
-            gram[i, j] = gram[j, i] = v
-        moments = np.array(
-            [float(sums.get(n_gram + i) or 0.0) for i in range(k)]
-        )
-        gram += np.eye(k) * ridge
-        beta = [float(b) for b in np.linalg.solve(gram, moments)]
-    feats.unpersist()
+            moment_terms = F.transform(
+                idx, lambda i: (wz * F.element_at(xv, i + 1)).cast(_DEC)
+            )
+            sums = {
+                r["pos"]: r["s"]
+                for r in staged.select(
+                    F.posexplode(F.concat(gram_terms, moment_terms)).alias(
+                        "pos", "val"
+                    )
+                )
+                .groupBy("pos")
+                .agg(F.sum("val").alias("s"))
+                .collect()
+            }
+            gram = np.zeros((k, k))
+            for pos, (i, j) in enumerate(tri):
+                v = float(sums.get(pos) or 0.0)
+                gram[i, j] = gram[j, i] = v
+            moments = np.array(
+                [float(sums.get(n_gram + i) or 0.0) for i in range(k)]
+            )
+            gram += np.eye(k) * ridge
+            beta = [float(b) for b in np.linalg.solve(gram, moments)]
+    finally:
+        feats.unpersist()
     return beta
 
 

@@ -1985,16 +1985,25 @@ def unigram_train_from_words(
             ).alias("piece"),
             "f",
         )
-        counts = subs.groupBy("piece").agg(F.sum("f").alias("n"))
-        char_rows = counts.filter(F.length("piece") == 1).collect()
-        chars = {r["piece"] for r in char_rows}
-        seed_cap = max(0, 4 * vocab_size - len(chars))
-        seed_rows = (
-            counts.filter((F.length("piece") > 1) & (F.col("n") >= 2))
-            .orderBy(F.desc("n"), "piece")
-            .limit(seed_cap)
-            .collect()
+        # persist: the char collect and the capped multi-piece collect
+        # are two actions over the same aggregation — unpersisted, the
+        # substring explode (the docstring's dominant cost) would run
+        # twice (round-11 review fix)
+        counts = (
+            subs.groupBy("piece").agg(F.sum("f").alias("n")).persist()
         )
+        try:
+            char_rows = counts.filter(F.length("piece") == 1).collect()
+            chars = {r["piece"] for r in char_rows}
+            seed_cap = max(0, 4 * vocab_size - len(chars))
+            seed_rows = (
+                counts.filter((F.length("piece") > 1) & (F.col("n") >= 2))
+                .orderBy(F.desc("n"), "piece")
+                .limit(seed_cap)
+                .collect()
+            )
+        finally:
+            counts.unpersist()
         seed_counts = {r["piece"]: int(r["n"]) for r in seed_rows}
         seed_counts.update({r["piece"]: int(r["n"]) for r in char_rows})
 

@@ -133,6 +133,13 @@ def url_dedup(
     need the text (broadcast when the survivor set is small, else an
     id-keyed shuffle — same contract as dedup.exact_dedup).
 
+    NULL urls are NOT dedup groups: a missing URL says nothing about
+    page identity, so each NULL-url doc survives as its own singleton
+    row (canon_url NULL, keeper_id = its own id, n_variants 1) — a
+    groupBy would collapse ALL of them into one key and the documented
+    keeper-join-back pattern would silently drop every such doc but
+    one (round-11 review fix).
+
     One projection + one map-side-combined groupBy on the canonical
     string; nothing collected."""
     if keep not in ("min", "max"):
@@ -140,10 +147,18 @@ def url_dedup(
     agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
     canon = canonicalize_url(df, url_col, "canon_url")
     canon = url_host(canon, "canon_url", "url_host")
-    return (
-        canon.groupBy("canon_url", "url_host")
+    grouped = (
+        canon.filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url", "url_host")
         .agg(
             agg_id.alias("keeper_id"),
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+    singletons = canon.filter(F.col("canon_url").isNull()).select(
+        "canon_url",
+        "url_host",
+        F.col(id_col).alias("keeper_id"),
+        F.lit(1).cast("long").alias("n_variants"),
+    )
+    return grouped.unionByName(singletons)

@@ -59,6 +59,20 @@ from chapterhousedb_spark.workload.registry import load, query
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
 
+
+def _sql_double(v: float) -> str:
+    """A DuckDB literal that parses as DOUBLE via strtod: repr + 'e0'
+    unless the repr already carries an exponent (appending would emit
+    invalid '1e-05e0' SQL — exponent reprs already take the strtod
+    path as-is). Bare decimal literals parse as DECIMAL first, and the
+    decimal->double conversion rounds through an int128 that exceeds
+    2^53 for 17-digit reprs — one ULP off the python double Spark
+    holds (caught at sf0.001 in round 11)."""
+    s = repr(float(v))
+    return s if "e" in s or "E" in s else f"{s}e0"
+
+
+
 # ---------------------------------------------------------------- SRP oracle
 # The SRP hyperplane signs are deterministic: sign[p][d] =
 # (xxhash64(p*64 + d, 7) & 1) * 2 - 1 (operators/similarity.py
@@ -800,9 +814,9 @@ _LANGID_SENT = {
     "fr": "le chien et le chat de la maison avec les amis pour que ne pas",
 }
 _LANGID_ETAS_SQL = "\n".join(
-    f"""      {float(_LANGID_FIXED_BETAS[lang][0])!r} + list_reduce(
+    f"""      {_sql_double(_LANGID_FIXED_BETAS[lang][0])} + list_reduce(
         list_prepend(CAST(0 AS DOUBLE), list_transform(buckets,
-          b -> list_extract([{", ".join(repr(float(v)) for v in _LANGID_FIXED_BETAS[lang][1:])}], CAST(b + 1 AS INT)))),
+          b -> list_extract([{", ".join(_sql_double(v) for v in _LANGID_FIXED_BETAS[lang][1:])}], CAST(b + 1 AS INT)))),
         (a, x) -> a + x) / total AS eta_{lang},"""
     for lang in _LANGID_LANGS
 )
@@ -3146,15 +3160,6 @@ _UNI_FIXED_MODEL = [
 # -10.879999999999999 came back as -10.88, one ULP off the python
 # double Spark holds (caught at sf0.001). Exponent literals take the
 # strtod path and round-trip exactly.
-def _sql_double(v: float) -> str:
-    """A DuckDB literal that parses as DOUBLE via strtod: repr + 'e0'
-    unless the repr already carries an exponent (appending would emit
-    invalid '1e-05e0' SQL — exponent reprs already take the strtod
-    path as-is)."""
-    s = repr(float(v))
-    return s if "e" in s or "E" in s else f"{s}e0"
-
-
 _UNI_FIXED_VALUES = ", ".join(
     f"('{p}', {_sql_double(lp)})" for p, lp in _UNI_FIXED_MODEL
 )

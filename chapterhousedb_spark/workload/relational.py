@@ -1162,15 +1162,21 @@ def table_profile(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY 1
     ), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
-    top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 15)
+    -- NULLS FIRST pins Spark's ascending default: the operator counts
+    -- NULL keys as a group, and DuckDB's default NULLS LAST would
+    -- order a count-tied NULL group differently (round-11 review fix;
+    -- events.user_id has no NULLs today, but the gate must not depend
+    -- on that)
+    top AS (SELECT key, n FROM c
+            ORDER BY n DESC, key NULLS FIRST LIMIT 15)
     SELECT key, n,
            CAST(n AS DOUBLE) / total AS share,
-           CAST(SUM(n) OVER (ORDER BY n DESC, key
+           CAST(SUM(n) OVER (ORDER BY n DESC, key NULLS FIRST
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS DOUBLE) / total
              AS cum_share
     FROM top, t
-    ORDER BY n DESC, key
+    ORDER BY n DESC, key NULLS FIRST
     """,
 )
 def key_skew_events(spark, sf_dir):

@@ -138,3 +138,18 @@ def test_multi_at_authority_splits_at_last_at(spark):
     )
     df = spark.createDataFrame([("http://A@B@Host.COM:81/x",)], "url string")
     assert url_host(df).collect()[0]["url_host"] == "host.com"
+
+
+def test_url_dedup_null_urls_survive_as_singletons(spark):
+    """NULL urls are not an identity: each NULL-url doc is its own
+    singleton row, never collapsed into one NULL dedup group (round-11
+    review fix)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "http://e.com/x")],
+        "doc_id long, url string",
+    )
+    rows = url_dedup(df).collect()
+    nulls = [r for r in rows if r["canon_url"] is None]
+    assert {r["keeper_id"] for r in nulls} == {1, 2}
+    assert all(r["n_variants"] == 1 for r in nulls)
+    assert [r["keeper_id"] for r in rows if r["canon_url"] is not None] == [3]
