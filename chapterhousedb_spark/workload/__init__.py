@@ -715,15 +715,28 @@ _SWAP_POOL = [
     # the two small stateful rows sits out:
     "streaming_dedup",
     "streaming_enrich",
+    # round-12 additions (VERDICT r11 #2: pool sat at exactly the
+    # pinned 9-round ceiling; K goes 11 -> 13 and the pool grows to 15
+    # in-window members, >= K + 2 slack). TPC-H keeps q7/q11/q15/q19/
+    # q20 + the rotation-cycled set gated while q18 sits out (its
+    # LeftSemi + TakeOrderedAndProject plan is asserted in
+    # test_plans.py); streaming keeps events_hourly_files/asof_enrich/
+    # interval_join/dedup/enrich/ingest_corpus/ingest_quality gated
+    # while the sessionize row sits out (its gaps-and-islands SQL is
+    # additionally the batch twin's oracle, re-hashed every pytest
+    # run via test_oracle_parity):
+    "tpch_q18_large_orders",
+    "streaming_sessionize",
 ]
 _WINDOW = 50
-# 11 swaps/round over a ~90-row oracle-able tail: the full tail
-# re-earns driver-green every <= 9 rounds (ceil(tail/K); VERDICT r10
-# #1 restored this after r9/r10 surface growth stretched the K=6
-# cycle to ~15). tests/test_rotation.py pins ceil(pool/K) <= 9 from
-# the live ordering, so tail growth past ~99 rows fails loudly
-# instead of silently slowing the cadence again.
-_ROTATION_K = 11
+# 13 swaps/round over a ~98-row oracle-able tail: the full tail
+# re-earns driver-green every <= 9 rounds (ceil(tail/K); VERDICT r11
+# #2 bought headroom BEFORE the round-12 demotions — the K=11 pool
+# sat at exactly ceil(95/11)=9, so the first new gated row would have
+# tripped the cadence pin). tests/test_rotation.py pins
+# ceil(pool/K) <= 9 from the live ordering, so tail growth past ~117
+# rows fails loudly instead of silently slowing the cadence again.
+_ROTATION_K = 13
 
 
 def _current_round() -> int:
