@@ -155,6 +155,48 @@ _WRITE_SINK = {
     # measure driver transfer of the whole corpus, not the operator
 }
 
+# Aggregate host-drift subset (VERDICT r11 #1): the per-query flag gate
+# compares each query against its OWN noise spread, so a uniform ~7%
+# creep across all ~90 queries (r10f -> r11d) sits under every
+# individual spread and nothing flags — the single spark-range-sum
+# probe under-corrects moderate host drift. This pinned subset is the
+# 21 pure-JVM TPC-H rows: plans untouched since round 7, no Python
+# stages, no temp-dir or streaming constants — so a move in their
+# host-normalized SUM is either residual host drift the probe missed
+# (uniform, no per-query flags in the subset) or a real shared plan
+# cost (and then the per-query gate usually names the culprits).
+_DRIFT_SUBSET = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q4_order_priority",
+    "tpch_q5_region_revenue",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_cust_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_lone_blame",
+    "tpch_q22_idle_balances",
+]
+_DRIFT_THRESHOLD_PCT = 5.0
+
+# Superseded full records are folded into this append-only file (one
+# summary line per record, including the per-query walls) and deleted
+# from the repo root (VERDICT r11 #3: 23 BENCH_LOCAL files and
+# counting). Readers fall back to history lines when the referenced
+# file is gone, so round-over-round comparisons survive the cleanup.
+_HISTORY_FILE = "BENCH_HISTORY.jsonl"
+
 # Host-speed anchor: the driver's round-4 calibration triple (BENCH_r04.json,
 # committed as the canonical anchor in BASELINE.md §host-calibration).
 # host_factor = this run's spark_range_sum_sec / anchor; a value of ~1.0 means
@@ -252,14 +294,10 @@ def _previous_round_times() -> (
     return best_n, best_times, best_factor, best_median
 
 
-def _same_round_record() -> tuple[str, dict, float] | None:
-    """The newest COMPLETE in-repo record of the CURRENT round
-    (BENCH_LOCAL_r{N}[suffix].json, N = max CORRECTNESS + 1): a
-    builder's idle-host run the driver's later run can be compared
-    against on the SAME code. Round 7's idle-vs-driver bench
-    disagreement was adjudicated by hand because no artifact carried
-    this comparison (VERDICT r7 "what's wrong" #2). Returns
-    (filename, queries, median_probe) or None."""
+def _current_round_n() -> int:
+    """Round number the rotation/persist logic uses: max
+    CORRECTNESS_r{N} artifact on disk + 1 (the current round's
+    artifact is only written after this bench run)."""
     import glob
     import re
 
@@ -270,17 +308,106 @@ def _same_round_record() -> tuple[str, dict, float] | None:
         for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", f)]
         if m
     ]
-    n = max(ns) + 1 if ns else 1
-    cands = sorted(glob.glob(os.path.join(here, f"BENCH_LOCAL_r{n}*.json")))
-    for p in reversed(cands):  # latest suffix first
+    return max(ns) + 1 if ns else 1
+
+
+def _iter_bench_records():
+    """Every known complete bench record, newest first (round, then
+    suffix): in-repo BENCH_LOCAL_r{N}{suffix}.json files first-class,
+    BENCH_HISTORY.jsonl lines rehydrated into the same shape for
+    records whose full file was folded away (VERDICT r11 #3). Yields
+    (filename, record_dict); a file on disk wins over its history
+    line."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: dict[str, dict] = {}
+    order: list[tuple[int, str, str]] = []
+    for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)([a-z]?)\.json$", p)
+        if not m:
+            continue
         try:
             obj = json.load(open(p))
         except (OSError, json.JSONDecodeError):
             continue
+        name = os.path.basename(p)
+        seen[name] = obj
+        order.append((int(m.group(1)), m.group(2), name))
+    hist = os.path.join(here, _HISTORY_FILE)
+    if os.path.exists(hist):
+        try:
+            lines = open(hist).read().splitlines()
+        except OSError:
+            lines = []
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            name = rec.get("record") or ""
+            m = re.search(r"BENCH_LOCAL_r(\d+)([a-z]?)\.json$", name)
+            if not m or name in seen:
+                continue
+            seen[name] = {
+                "queries": rec.get("queries") or {},
+                "sf": rec.get("sf"),
+                "flags": rec.get("flags"),
+                "calibration": {
+                    "spark_range_sum_median_sec": rec.get(
+                        "calibration_median_sec"
+                    )
+                },
+                "regressions": {
+                    "aggregate_drift": rec.get("aggregate_drift"),
+                    "persistent": rec.get("persistent"),
+                },
+            }
+            order.append((int(m.group(1)), m.group(2), name))
+    for _, _, name in sorted(order, reverse=True):
+        yield name, seen[name]
+
+
+def _same_round_record() -> tuple[str, dict, float] | None:
+    """The newest COMPLETE record of the CURRENT round: a builder's
+    idle-host run the driver's later run can be compared against on
+    the SAME code. Round 7's idle-vs-driver bench disagreement was
+    adjudicated by hand because no artifact carried this comparison
+    (VERDICT r7 "what's wrong" #2). Returns
+    (filename, queries, median_probe) or None."""
+    import re
+
+    n = _current_round_n()
+    for name, obj in _iter_bench_records():
+        if not re.fullmatch(rf"BENCH_LOCAL_r{n}[a-z]?\.json", name):
+            continue
         times = obj.get("queries") or {}
         med = (obj.get("calibration") or {}).get("spark_range_sum_median_sec")
         if times and med:
-            return os.path.basename(p), times, med
+            return name, times, med
+    return None
+
+
+def _drift_reference(sf: float | None) -> tuple[str, dict, float, bool] | None:
+    """Newest complete record AT THE SAME SCALE FACTOR for the
+    aggregate-drift rule: (filename, queries, median_probe, its own
+    drift flag). Sum comparisons are sf-sensitive, so a builder's
+    sf0.01 iteration run must never become the reference for a driver
+    sf0.1 run (records predating the sf field count as sf0.1, the only
+    sf ever recorded before round 12). Records predating the drift
+    block read as unflagged, so the two-consecutive persistence rule
+    starts counting from this round."""
+    for name, obj in _iter_bench_records():
+        times = obj.get("queries") or {}
+        med = (obj.get("calibration") or {}).get("spark_range_sum_median_sec")
+        rec_sf = obj.get("sf", 0.1)
+        if times and med and (sf is None or rec_sf is None or rec_sf == sf):
+            agg = (obj.get("regressions") or {}).get("aggregate_drift") or {}
+            return name, times, med, bool(agg.get("flagged"))
     return None
 
 
@@ -324,27 +451,69 @@ def _flags_from_record(obj: dict) -> list[str] | None:
 
 
 def _previous_record_flags() -> tuple[str | None, list[str] | None]:
-    """Flags of the newest complete in-repo bench record (any round/
-    suffix) — the 'previous consecutive round' side of the regression
-    rule. Returns (filename, flags) or (None, None)."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    cands = []
-    for p in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
-        m = re.search(r"BENCH_LOCAL_r(\d+)([a-z]?)\.json$", p)
-        if m:
-            cands.append((int(m.group(1)), m.group(2), p))
-    for _, _, p in sorted(cands, reverse=True):
-        try:
-            obj = json.load(open(p))
-        except (OSError, json.JSONDecodeError):
-            continue
+    """Flags of the newest complete bench record (any round/suffix,
+    file or history line) — the 'previous consecutive round' side of
+    the regression rule. Returns (filename, flags) or (None, None)."""
+    for name, obj in _iter_bench_records():
         flags = _flags_from_record(obj)
         if flags is not None:
-            return os.path.basename(p), flags
+            return name, flags
     return None, None
+
+
+def _aggregate_drift(
+    times: dict, flags: list, median_probe: float, sf: float | None = None
+) -> dict | None:
+    """Aggregate host-drift block (VERDICT r11 #1): the host-normalized
+    SUM over the pinned stable subset, compared to the newest complete
+    record. A uniform move here with NO per-query flags inside the
+    subset is residual host drift the single range-sum probe
+    under-corrected (the r10f->r11d pattern: +7% cold-anchor-normalized
+    creep that every per-query spread swallowed); a move with subset
+    members flagged is a real shared plan cost. Mirrors the per-query
+    persistence rule: two consecutive flagged records = persistent.
+    Returns None when no usable reference exists."""
+    drift_ref = _drift_reference(sf)
+    if drift_ref is None or not median_probe:
+        return None
+    ref_name, ref_times, ref_med, ref_flagged = drift_ref
+    common = [q for q in _DRIFT_SUBSET if q in times and q in ref_times]
+    if len(common) < 10 or not ref_med:
+        return None
+    f_ref = median_probe / ref_med
+    now_norm = sum(times[q] for q in common) / f_ref
+    ref_sum = sum(ref_times[q] for q in common)
+    drift_pct = round(100.0 * (now_norm - ref_sum) / ref_sum, 1)
+    agg_flagged = abs(drift_pct) > _DRIFT_THRESHOLD_PCT
+    subset_query_flags = sorted(set(flags) & set(common))
+    return {
+        "rule": (
+            "host-normalized sum over the pinned stable subset moves "
+            f">{_DRIFT_THRESHOLD_PCT}% vs the newest record; "
+            "persistent on two consecutive records"
+        ),
+        "subset_n": len(common),
+        "ref": ref_name,
+        "sum_sec_host_norm": round(now_norm, 3),
+        "ref_sum_sec": round(ref_sum, 3),
+        "drift_pct": drift_pct,
+        # residual correction factor: multiply the range-sum host
+        # factor by this to get the subset-implied one
+        "residual_host_factor": round(now_norm / ref_sum, 3),
+        "flagged": agg_flagged,
+        "flagged_prev": ref_flagged,
+        "persistent": bool(agg_flagged and ref_flagged),
+        "subset_query_flags": subset_query_flags,
+        "classification": (
+            "none"
+            if not agg_flagged
+            else (
+                "uniform_host_drift"
+                if not subset_query_flags
+                else "plan_cost_candidates"
+            )
+        ),
+    }
 
 
 def _median_of(fn, n: int) -> tuple[float, list[float]]:
@@ -411,17 +580,8 @@ def _persist_local(payload: dict) -> str | None:
     rotation does (max CORRECTNESS_r{N} on disk + 1: the current
     round's artifact is written after this bench run). Best-effort:
     an unwritable repo dir must not fail the bench itself."""
-    import re
-    import glob
-
     here = os.path.dirname(os.path.abspath(__file__))
-    ns = [
-        int(m.group(1))
-        for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", f)]
-        if m
-    ]
-    n = max(ns) + 1 if ns else 1
+    n = _current_round_n()
     # never clobber an existing record: the same round number can be
     # claimed twice (a builder run mid-round and the DRIVER's run after
     # the round's CORRECTNESS artifact lands both derive the same N) —
@@ -442,7 +602,42 @@ def _persist_local(payload: dict) -> str | None:
             f.write("\n")
     except OSError:
         return None
+    # append the same record's summary line to the history file so the
+    # full file can later be deleted without losing round-over-round
+    # comparability (the line carries the per-query walls + the fields
+    # _iter_bench_records rehydrates). Best-effort like the file write.
+    try:
+        with open(os.path.join(here, _HISTORY_FILE), "a") as f:
+            f.write(json.dumps(_history_entry(payload, os.path.basename(path))))
+            f.write("\n")
+    except OSError:
+        pass
     return path
+
+
+def _history_entry(payload: dict, record_name: str) -> dict:
+    """One BENCH_HISTORY.jsonl line: everything a later round's
+    comparisons need from this record (per-query walls, the median
+    probe, flags, the aggregate-drift verdict) without the bulky
+    noise_floor/deltas blocks."""
+    regs = payload.get("regressions") or {}
+    agg = regs.get("aggregate_drift")
+    return {
+        "record": record_name,
+        "metric": payload.get("metric"),
+        "value": payload.get("value"),
+        "unit": payload.get("unit"),
+        "sf": payload.get("sf"),
+        "n_queries": len(payload.get("queries") or {}),
+        "host_factor": payload.get("host_factor"),
+        "calibration_median_sec": (payload.get("calibration") or {}).get(
+            "spark_range_sum_median_sec"
+        ),
+        "flags": payload.get("flags"),
+        "persistent": regs.get("persistent"),
+        "aggregate_drift": agg,
+        "queries": payload.get("queries"),
+    }
 
 
 def main() -> None:
@@ -538,6 +733,20 @@ def main() -> None:
         # of doing delta archaeology.
         flags = _flagged(deltas_norm, noise_floor)
         prev_rec_name, prev_flags = _previous_record_flags()
+        # aggregate host-drift gate (VERDICT r11 #1): the host-
+        # normalized SUM over the pinned stable subset, compared to the
+        # newest complete record. A uniform move here with NO per-query
+        # flags inside the subset is residual host drift the single
+        # range-sum probe under-corrected (the r10f->r11d +7% pattern);
+        # a move with subset members flagged is a real shared plan
+        # cost. Mirrors the per-query persistence rule: two consecutive
+        # flagged records = persistent.
+        drift_block = _aggregate_drift(
+            times,
+            flags,
+            calibration["spark_range_sum_median_sec"],
+            sf=float(sf) if sf else None,
+        )
         regressions = {
             "rule": (
                 "host-normalized delta > own noise spread (min "
@@ -549,6 +758,7 @@ def main() -> None:
             "prev_record": prev_rec_name,
             "flagged_prev": prev_flags,
             "persistent": sorted(set(flags) & set(prev_flags or [])),
+            "aggregate_drift": drift_block,
         }
         payload = {
             "metric": "headline_queries_total_wall",
@@ -593,6 +803,8 @@ def main() -> None:
             "prev_round": prev_n,
             "flags": flags[:20],
             "persistent_regressions": regressions["persistent"][:20],
+            "agg_drift_pct": (drift_block or {}).get("drift_pct"),
+            "agg_drift": (drift_block or {}).get("classification"),
             "prev_record": prev_rec_name,
             "slowest5_sec": slowest,
             "calibration_median_sec": calibration[

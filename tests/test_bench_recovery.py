@@ -104,6 +104,131 @@ def test_headline_covers_all_gated_tpch_and_rollup_rows():
         assert name in b.HEADLINE, name
 
 
+def _stage(tmp_path, monkeypatch, b):
+    monkeypatch.setattr(b.os.path, "abspath", lambda p: str(tmp_path / "bench.py"))
+
+
+def test_iter_bench_records_falls_back_to_history(tmp_path, monkeypatch):
+    """A record whose full file was folded into BENCH_HISTORY.jsonl and
+    deleted (VERDICT r11 #3) must still be readable for round-over-round
+    comparisons — rehydrated into the full-record shape, files winning
+    over their own history line, newest (round, suffix) first."""
+    b = _bench()
+    _stage(tmp_path, monkeypatch, b)
+    (tmp_path / "BENCH_LOCAL_r8.json").write_text(json.dumps({
+        "queries": {"q1": 2.0},
+        "flags": ["q1"],
+        "calibration": {"spark_range_sum_median_sec": 0.5},
+    }))
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({
+            "record": "BENCH_LOCAL_r7.json",
+            "queries": {"q1": 1.0},
+            "flags": [],
+            "calibration_median_sec": 0.25,
+            "aggregate_drift": {"flagged": True, "drift_pct": 9.0},
+        })
+        + "\n"
+        + json.dumps({  # stale duplicate of the on-disk file: file wins
+            "record": "BENCH_LOCAL_r8.json",
+            "queries": {"q1": 99.0},
+            "flags": ["stale"],
+            "calibration_median_sec": 9.9,
+        })
+        + "\n"
+        + "not json\n"  # corrupt lines are skipped, never fatal
+    )
+    recs = list(b._iter_bench_records())
+    assert [n for n, _ in recs] == ["BENCH_LOCAL_r8.json", "BENCH_LOCAL_r7.json"]
+    assert recs[0][1]["queries"] == {"q1": 2.0}  # file, not stale line
+    r7 = recs[1][1]
+    assert r7["queries"] == {"q1": 1.0}
+    assert r7["calibration"]["spark_range_sum_median_sec"] == 0.25
+    assert r7["regressions"]["aggregate_drift"]["flagged"] is True
+    # the flag reader sees the newest record's flags through the file
+    assert b._previous_record_flags() == ("BENCH_LOCAL_r8.json", ["q1"])
+    # drift reference = newest complete record, carrying its drift flag
+    name, times, med, flagged = b._drift_reference(None)
+    assert name == "BENCH_LOCAL_r8.json" and med == 0.5 and flagged is False
+
+
+def test_persist_local_appends_history_line(tmp_path, monkeypatch):
+    b = _bench()
+    _stage(tmp_path, monkeypatch, b)
+    (tmp_path / "CORRECTNESS_r7.json").write_text("{}")
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": 3.0,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {"q1": 1.0, "q2": 2.0},
+        "flags": ["q2"],
+        "host_factor": 1.1,
+        "calibration": {"spark_range_sum_median_sec": 0.3},
+        "regressions": {
+            "persistent": [],
+            "aggregate_drift": {"flagged": False, "drift_pct": 1.0},
+        },
+    }
+    path = b._persist_local(payload)
+    assert path.endswith("BENCH_LOCAL_r8.json")
+    lines = (tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["record"] == "BENCH_LOCAL_r8.json"
+    assert rec["queries"] == {"q1": 1.0, "q2": 2.0}
+    assert rec["calibration_median_sec"] == 0.3
+    assert rec["flags"] == ["q2"]
+    assert rec["aggregate_drift"]["drift_pct"] == 1.0
+    # second record in the same round appends, never truncates
+    b._persist_local(payload)
+    assert len((tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()) == 2
+
+
+def test_aggregate_drift_classification(tmp_path, monkeypatch):
+    """The aggregate gate (VERDICT r11 #1): a uniform move of the
+    pinned stable subset beyond 5% flags as host drift when no subset
+    query flags individually, as plan-cost candidates when one does,
+    and goes persistent only on two consecutive flagged records."""
+    b = _bench()
+    _stage(tmp_path, monkeypatch, b)
+    sub = b._DRIFT_SUBSET[:12]
+    ref_times = {q: 1.0 for q in sub}
+    (tmp_path / "BENCH_LOCAL_r8.json").write_text(json.dumps({
+        "queries": ref_times,
+        "calibration": {"spark_range_sum_median_sec": 0.5},
+    }))
+    # same median, every subset query +8% -> uniform host drift
+    now = {q: 1.08 for q in sub}
+    blk = b._aggregate_drift(now, [], 0.5)
+    assert blk["subset_n"] == 12 and blk["ref"] == "BENCH_LOCAL_r8.json"
+    assert blk["drift_pct"] == 8.0 and blk["flagged"] is True
+    assert blk["classification"] == "uniform_host_drift"
+    assert blk["persistent"] is False  # ref record carried no drift flag
+    # the same +8% raw move on a host whose median probe also moved +8%
+    # normalizes away -> not flagged
+    blk = b._aggregate_drift(now, [], 0.54)
+    assert blk["flagged"] is False and blk["classification"] == "none"
+    # a flagged subset member reclassifies as plan cost
+    blk = b._aggregate_drift(now, [sub[0]], 0.5)
+    assert blk["classification"] == "plan_cost_candidates"
+    assert blk["subset_query_flags"] == [sub[0]]
+    # persistence: the reference record itself flagged -> persistent
+    (tmp_path / "BENCH_LOCAL_r8b.json").write_text(json.dumps({
+        "queries": ref_times,
+        "calibration": {"spark_range_sum_median_sec": 0.5},
+        "regressions": {"aggregate_drift": {"flagged": True}},
+    }))
+    blk = b._aggregate_drift(now, [], 0.5)
+    assert blk["flagged_prev"] is True and blk["persistent"] is True
+    # too few common subset rows -> no block rather than a noisy one
+    assert b._aggregate_drift({sub[0]: 1.0}, [], 0.5) is None
+    # sf guard: a reference at a different scale factor never compares
+    # (records predating the sf field count as sf0.1)
+    assert b._aggregate_drift(now, [], 0.5, sf=0.01) is None
+    assert b._aggregate_drift(now, [], 0.5, sf=0.1) is not None
+
+
 def test_same_round_record_reads_latest_complete(tmp_path, monkeypatch):
     """_same_round_record finds the newest complete BENCH_LOCAL of the
     CURRENT round (latest suffix wins; incomplete records skipped) —
