@@ -1386,49 +1386,54 @@ def bpe_train_from_words(
     below the count-2 stop rule) changes NOTHING and is test-pinned."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    if driver_max_words > 0:
-        probe = word_freqs.limit(driver_max_words + 1).count()
-        if probe <= driver_max_words:
-            rows = word_freqs.select(
-                F.col(word_col).alias("w"), F.col(freq_col).alias("f")
-            ).collect()
-            return _bpe_train_driver(
-                [(r["w"], int(r["f"])) for r in rows], n_merges
-            )
-        if prune_to_cap:
-            hist = (
-                word_freqs.groupBy(freq_col)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .orderBy(F.col(freq_col).desc())
-                .collect()
-            )
-            total, floor = 0, None
-            for r in hist:
-                if total + r["__n"] > driver_max_words:
-                    break
-                total += r["__n"]
-                floor = r[freq_col]
-            if floor is not None:
-                rows = (
-                    word_freqs.filter(F.col(freq_col) >= floor)
-                    .select(
-                        F.col(word_col).alias("w"), F.col(freq_col).alias("f")
-                    )
-                    .collect()
-                )
+    # persist BEFORE the driver-size probe (ADVICE r11 #3, the same
+    # double-scan unigram_train_from_words had): word_freqs is usually
+    # an upstream word-count aggregation, and unpersisted the probe ran
+    # that full groupBy once for the limit+count and then again for the
+    # collect / histogram / checkpoint action of whichever path won.
+    wf = word_freqs.select(
+        F.col(word_col).alias("w"), F.col(freq_col).cast("long").alias("f")
+    ).persist()
+    try:
+        if driver_max_words > 0:
+            probe = wf.limit(driver_max_words + 1).count()
+            if probe <= driver_max_words:
+                rows = wf.collect()
                 return _bpe_train_driver(
                     [(r["w"], int(r["f"])) for r in rows], n_merges
                 )
-            # even the top frequency class overflows the cap — the
-            # iterative path below is the only exact option left
-    words = word_freqs.select(
-        # chars + </w> end-of-word marker (classic BPE: merges never
-        # cross word boundaries; the marker lets suffixes merge)
-        F.concat(
-            F.split(F.col(word_col), ""), F.array(F.lit("</w>"))
-        ).alias("syms"),
-        F.col(freq_col).alias("freq"),
-    ).localCheckpoint(eager=True)
+            if prune_to_cap:
+                hist = (
+                    wf.groupBy("f")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .orderBy(F.col("f").desc())
+                    .collect()
+                )
+                total, floor = 0, None
+                for r in hist:
+                    if total + r["__n"] > driver_max_words:
+                        break
+                    total += r["__n"]
+                    floor = r["f"]
+                if floor is not None:
+                    rows = wf.filter(F.col("f") >= floor).collect()
+                    return _bpe_train_driver(
+                        [(r["w"], int(r["f"])) for r in rows], n_merges
+                    )
+                # even the top frequency class overflows the cap — the
+                # iterative path below is the only exact option left
+        words = wf.select(
+            # chars + </w> end-of-word marker (classic BPE: merges never
+            # cross word boundaries; the marker lets suffixes merge)
+            F.concat(
+                F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+            F.col("f").alias("freq"),
+        ).localCheckpoint(eager=True)
+    finally:
+        # words is eagerly checkpointed above, so the cache is done
+        # serving both the probe and the winning path
+        wf.unpersist()
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         pairs = (
@@ -1955,24 +1960,29 @@ def unigram_train_from_words(
         # checked BEFORE any Spark work (the controller re-checks, but
         # by then the seed explode — the biggest job — already ran)
         raise ValueError(f"em_iters must be >= 1, got {em_iters}")
-    if driver_max_words > 0:
-        probe = word_freqs.limit(driver_max_words + 1).count()
-        if probe <= driver_max_words:
-            rows = word_freqs.select(
-                F.col(word_col).alias("w"), F.col(freq_col).alias("f")
-            ).collect()
-            return _unigram_train_driver(
-                [(r["w"], int(r["f"])) for r in rows],
-                vocab_size,
-                max_piece_len=max_piece_len,
-                em_iters=em_iters,
-                shrink=shrink,
-            )
     spark = word_freqs.sparkSession
+    # persist BEFORE the driver-size probe (ADVICE r11 #3): word_freqs
+    # is usually an upstream word-count aggregation, and the unpersisted
+    # probe executed that full groupBy once for the limit+count and then
+    # AGAIN for the collect (driver path) or the first distributed
+    # action — the corpus word count ran twice per training call. The
+    # cache fills on the partitions the probe touches and both paths
+    # reuse it; unpersist in the shared finally.
     wf = word_freqs.select(
         F.col(word_col).alias("w"), F.col(freq_col).cast("long").alias("f")
     ).persist()
     try:
+        if driver_max_words > 0:
+            probe = wf.limit(driver_max_words + 1).count()
+            if probe <= driver_max_words:
+                rows = wf.collect()
+                return _unigram_train_driver(
+                    [(r["w"], int(r["f"])) for r in rows],
+                    vocab_size,
+                    max_piece_len=max_piece_len,
+                    em_iters=em_iters,
+                    shrink=shrink,
+                )
         # distributed seed: same integer counts as _uni_seed_counts
         subs = wf.select(
             F.explode(

@@ -16,13 +16,12 @@ sketch onto Structured Streaming (see streaming/batcher.py).
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from chapterhousedb_spark.workload.registry import query
+from chapterhousedb_spark.workload.registry import query, scratch_dir
 
 
 @query(
@@ -44,7 +43,7 @@ def engine_materialize_roundtrip_q(spark, sf_dir):
 
     eng = Engine(
         spark=spark,
-        results_dir=tempfile.mkdtemp(prefix="chdb_lifecycle_"),
+        results_dir=scratch_dir(prefix="chdb_lifecycle_"),
         connections=ConnectionRegistry(
             {"t": FsConnection(name="t", base_path=sf_dir)}
         ),
@@ -90,7 +89,7 @@ def _normalize_nanos_events(spark, sf_dir):
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     prev = spark.conf.get(key, None)  # None = not explicitly set
-    out_dir = tempfile.mkdtemp(prefix="chdb_events_norm_")
+    out_dir = scratch_dir(prefix="chdb_events_norm_")
     tmp = os.path.join(out_dir, "_tmp")
     raw_schema = T.StructType(
         [
@@ -139,7 +138,7 @@ def _scatter_ordered_by_ts(df, ts_col="ts", n_files=8):
 
     import pyarrow.parquet as pq
 
-    scatter = tempfile.mkdtemp(prefix="chdb_scatter_")
+    scatter = scratch_dir(prefix="chdb_scatter_")
     tmp = os.path.join(scatter, "_tmp")
     df.repartitionByRange(n_files, ts_col).write.mode("overwrite").parquet(tmp)
     keyed = []
@@ -240,7 +239,7 @@ def streaming_events_hourly_q(spark, sf_dir):
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="chdb_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -283,7 +282,7 @@ def streaming_events_hourly_files_q(spark, sf_dir):
     agg = windowed_counts(ev).select(
         F.unix_timestamp("window_start").alias("window_start"), "event_type", "n"
     )
-    root = tempfile.mkdtemp(prefix="chdb_stream_files_")
+    root = scratch_dir(prefix="chdb_stream_files_")
     run_available_now(
         agg, os.path.join(root, "out"), os.path.join(root, "ckpt")
     )
@@ -351,7 +350,7 @@ def streaming_interval_join_q(spark, sf_dir):
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_ij_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="chdb_ij_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -379,7 +378,7 @@ def compaction_roundtrip_q(spark, sf_dir):
     from chapterhousedb_spark.engine import Engine
     from chapterhousedb_spark.workload.registry import load
 
-    root = tempfile.mkdtemp(prefix="chdb_compact_")
+    root = scratch_dir(prefix="chdb_compact_")
     load(spark, sf_dir, "documents").repartition(64).write.mode("overwrite").parquet(
         os.path.join(root, "small")
     )
@@ -441,7 +440,7 @@ def streaming_asof_enrich_q(spark, sf_dir):
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_sa_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="chdb_sa_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -501,7 +500,7 @@ def streaming_dedup_q(spark, sf_dir):
         deduped.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_sd_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="chdb_sd_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -584,7 +583,7 @@ def streaming_sessionize_q(spark, sf_dir):
         sess.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_ss_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="chdb_ss_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -625,7 +624,7 @@ def streaming_enrich_q(spark, sf_dir):
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_se_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="chdb_se_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -714,7 +713,7 @@ def streaming_interval_join_outer_q(spark, sf_dir):
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chdb_ijo_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="chdb_ijo_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

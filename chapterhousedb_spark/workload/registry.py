@@ -12,6 +12,23 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def scratch_dir(prefix: str) -> str:
+    """tempfile.mkdtemp registered for removal at interpreter exit
+    (ADVICE r11 #2): the streaming/lifecycle queries write landing dirs,
+    checkpoints and parquet sinks that the returned DataFrame reads
+    LAZILY, so nothing can delete them inline — repeated bench/pytest
+    runs were accumulating chdb_* temp roots. atexit runs after the
+    last possible action on the returned frame; ignore_errors because
+    a dir already swept (or a second atexit pass) must not raise."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; `oracle` is the DuckDB twin (None => the
     driver records a weaker rows-only check)."""

@@ -293,6 +293,29 @@ def probe(spark, docs, embs) -> dict:
     )
     n, t = timed_count(url_dedup(planted_urls))
     out["url_dedup_rows"], out["url_dedup_rows_sec"] = n, t
+    # registered-domain extraction — pure JVM split + literal IN
+    # probes, zero shuffle; rows == docs, time ~scan speed. Reuses the
+    # planted urls with a co.uk twist so the snapshot match is
+    # load-bearing at both scales.
+    from chapterhousedb_spark.operators.urls import url_registered_domain
+
+    etld_urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"),
+            (F.col("doc_id") % 1000).cast("string"),
+            F.lit(".reg"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".co.uk/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    n, t = timed_count(
+        url_registered_domain(etld_urls).filter(
+            F.col("registered_domain").isNotNull()
+        )
+    )
+    out["url_etld_rows"], out["url_etld_rows_sec"] = n, t
     # unigram segmentation — shuffle-free broadcast-model mapInPandas;
     # rows == docs, time ~linear in corpus chars. The model is trained
     # ONCE on the small slice and reused at both scales (segmentation
@@ -304,8 +327,13 @@ def probe(spark, docs, embs) -> dict:
     )
 
     if not hasattr(probe, "_uni_model"):
+        # deterministic slice (ADVICE r11 #1): LIMIT without ORDER BY is
+        # nondeterministic in Spark, so the probe model — and hence the
+        # segmentation timings — could differ between runs and between
+        # the small/large invocations; a key filter picks the same docs
+        # every time
         probe._uni_model = unigram_train(
-            docs.limit(2000), vocab_size=40, max_piece_len=5
+            docs.filter(F.col("doc_id") < 2000), vocab_size=40, max_piece_len=5
         )
     n, t = timed_count(unigram_segment(docs, probe._uni_model))
     out["unigram_seg_rows"], out["unigram_seg_rows_sec"] = n, t
