@@ -127,6 +127,8 @@ HEADLINE = [
     "streaming_ingest_quality",
     "url_domain_cap",
     "kn_bigram_scores",
+    # round 12 new shapes, benched from birth
+    "url_etld_cap",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -111,7 +111,8 @@ _DRIVER_FIRST = [
     # hash-matches the identical batch gaps-and-islands SQL, and
     # streaming_asof_enrich drains against the same DuckDB ASOF JOIN
     # oracle (the three-way batch = streaming = DuckDB agreement)
-    "tpch_q11_important_parts",
+    # (tpch_q11_important_parts sat here rounds 6-11; demoted round 12
+    # to pay for url_etld_cap — see the round-12 batch comment below)
     "tpch_q15_top_supplier",
     # ...and the Q7 dual-role-dimension shape, paid for by demoting
     # tpch_q3_shipping: its 3-way join + per-order agg + top-k shape
@@ -461,8 +462,23 @@ _DRIVER_FIRST = [
     # composed oracle replays the SAME sq8 dequantized-rerank stage
     # scores in-window, and it re-earns driver-green via rotation.
     "kn_bigram_scores",
+    # round-12 new surface, gated at birth (VERDICT r11 #3): per-
+    # registered-domain caps — eTLD+1 extraction under the pinned
+    # public-suffix snapshot composed with the md5 per-group cap, the
+    # crawl stage that fixes full-host grouping's subdomain-farm
+    # under-capping. DuckDB replays the longest-suffix match against
+    # the same literal snapshot. Paid for by demoting
+    # tpch_q11_important_parts: long driver-green (r6-r11), the TPC-H
+    # family keeps q7/q15/q18/q19/q20 + the rotation-cycled set gated
+    # in-window, its global-scalar-HAVING shape stays re-hashed
+    # against DuckDB on every pytest run (test_oracle_parity), and it
+    # re-earns driver-green via rotation like every demoted row.
+    "url_etld_cap",
 ]
 _DRIVER_LAST = [
+    # round-12 demotions, one per new gated row (see the round-12
+    # batch comments in _DRIVER_FIRST for each pairing):
+    "tpch_q11_important_parts",
     # round-11 demotions, one per new gated row (see the round-11
     # batch comments in _DRIVER_FIRST for each pairing):
     # markup_removal -> url_dedup_docs, bigram_coverage ->

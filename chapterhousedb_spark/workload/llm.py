@@ -53,7 +53,7 @@ from chapterhousedb_spark.operators.text import (
     vocabulary,
 )
 from chapterhousedb_spark.functions.exact import davg, davg_sql
-from chapterhousedb_spark.workload.registry import load, query
+from chapterhousedb_spark.workload.registry import load, query, scratch_dir
 
 # normalized text, oracle side (mirror of operators.dedup.normalize_text)
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -2767,6 +2767,188 @@ def url_domain_cap_q(spark, sf_dir):
     )
 
 
+def _psl_in_list(entries) -> str:
+    """The pinned public-suffix snapshot as a SQL IN-list — built from
+    the SAME python lists the JVM expression compiles in, so the two
+    engines can never drift apart on the snapshot contents."""
+    return ", ".join(f"'{s}'" for s in entries)
+
+
+def _psl_sql_lists():
+    from chapterhousedb_spark.operators.urls import (
+        PSL_SNAPSHOT_2,
+        PSL_SNAPSHOT_3,
+    )
+
+    return _psl_in_list(PSL_SNAPSHOT_2), _psl_in_list(PSL_SNAPSHOT_3)
+
+
+_PSL2_SQL, _PSL3_SQL = _psl_sql_lists()
+
+
+@query(
+    "url_etld_cap",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+        CASE doc_id % 8
+          WHEN 0 THEN 'https://s' || CAST(doc_id % 5 AS VARCHAR)
+                      || '.Blogspot.COM/p/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'https://shop' || CAST(doc_id % 4 AS VARCHAR)
+                      || '.example.co.uk/p'
+          WHEN 2 THEN 'https://brand' || CAST(doc_id % 6 AS VARCHAR)
+                      || '.co.uk/x'
+          WHEN 3 THEN 'https://school' || CAST(doc_id % 3 AS VARCHAR)
+                      || '.k12.ca.us/h'
+          WHEN 4 THEN 'http://93.184.216.' || CAST(doc_id % 9 AS VARCHAR)
+                      || '/x'
+          WHEN 5 THEN 'https://co.uk/'
+          WHEN 6 THEN 'https://m' || CAST(doc_id % 4 AS VARCHAR)
+                      || '.foo.internal/x'
+          ELSE 'https://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+               || '.ORG:8443/p?utm_source=t'
+        END AS url
+      FROM documents),
+    hosts AS (
+      SELECT doc_id,
+        regexp_replace(nullif(regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+          ':[0-9]+$', ''), '^.*@', ''), ''), '\\.$', '') AS host
+      FROM planted),
+    lvls AS (
+      SELECT doc_id, host, ls,
+        CASE WHEN len(ls) >= 3 AND array_to_string(
+               ls[len(ls) - 2 : len(ls)], '.') IN ({_PSL3_SQL}) THEN 3
+             WHEN len(ls) >= 2 AND array_to_string(
+               ls[len(ls) - 1 : len(ls)], '.') IN ({_PSL2_SQL}) THEN 2
+             ELSE 1 END AS lvl
+      FROM (SELECT doc_id, host, string_split(host, '.') AS ls
+            FROM hosts)),
+    rd AS (
+      SELECT doc_id,
+        CASE WHEN host IS NULL OR regexp_matches(host, '^[0-9.]+$')
+                  OR substr(host, 1, 1) = '[' THEN NULL
+             WHEN len(ls) > lvl THEN array_to_string(
+               ls[len(ls) - lvl : len(ls)], '.')
+             ELSE NULL END AS registered_domain
+      FROM lvls),
+    capped AS (
+      SELECT doc_id, registered_domain FROM (
+        SELECT doc_id, registered_domain,
+               ROW_NUMBER() OVER (
+                 PARTITION BY registered_domain
+                 ORDER BY md5('grouped-v1' || CAST(doc_id AS VARCHAR)),
+                          doc_id
+               ) AS rk
+        FROM rd WHERE registered_domain IS NOT NULL) t
+      WHERE rk <= 8)
+    SELECT doc_id, registered_domain FROM capped
+    UNION ALL
+    SELECT doc_id, registered_domain FROM rd
+    WHERE registered_domain IS NULL
+    ORDER BY doc_id
+    """,
+)
+def url_etld_cap_q(spark, sf_dir):
+    """Per-REGISTERED-DOMAIN caps (VERDICT r11 #3): eTLD+1 extraction
+    under the pinned public-suffix snapshot composed with the
+    deterministic md5 per-group cap — the crawl-stage fix for the
+    subdomain-farm under-capping that full-host grouping has (every
+    `*.blogspot.com` host counting as its own "domain"). The scaffold
+    plants eight URL classes so every snapshot branch is load-bearing:
+    a blogspot farm (5 subdomains -> ONE capped domain), subdomains of
+    one co.uk registrant, six distinct co.uk registrants, a 3-label
+    suffix (k12.ca.us), IPv4 hosts and a bare public suffix (both ->
+    NULL, passed through uncapped), an unknown TLD (default rule), and
+    case/port/tracker noise. DuckDB replays the host normalization,
+    the longest-suffix match against the SAME literal snapshot
+    (_PSL2_SQL/_PSL3_SQL are built from the python lists), the
+    registered-domain assembly, and the cap window exactly. One narrow
+    projection + one domain-keyed rank window — the url_domain_cap
+    shuffle shape, with the better key."""
+    from chapterhousedb_spark.operators.sampling import grouped_sample
+    from chapterhousedb_spark.operators.urls import url_registered_domain
+
+    docs = load(spark, sf_dir, "documents")
+    cls = F.col("doc_id") % 8
+    did = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        (
+            F.when(
+                cls == 0,
+                F.concat(
+                    F.lit("https://s"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".Blogspot.COM/p/"),
+                    did,
+                ),
+            )
+            .when(
+                cls == 1,
+                F.concat(
+                    F.lit("https://shop"),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit(".example.co.uk/p"),
+                ),
+            )
+            .when(
+                cls == 2,
+                F.concat(
+                    F.lit("https://brand"),
+                    (F.col("doc_id") % 6).cast("string"),
+                    F.lit(".co.uk/x"),
+                ),
+            )
+            .when(
+                cls == 3,
+                F.concat(
+                    F.lit("https://school"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".k12.ca.us/h"),
+                ),
+            )
+            .when(
+                cls == 4,
+                F.concat(
+                    F.lit("http://93.184.216."),
+                    (F.col("doc_id") % 9).cast("string"),
+                    F.lit("/x"),
+                ),
+            )
+            .when(cls == 5, F.lit("https://co.uk/"))
+            .when(
+                cls == 6,
+                F.concat(
+                    F.lit("https://m"),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit(".foo.internal/x"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://WWW.Site"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".ORG:8443/p?utm_source=t"),
+                )
+            )
+        ).alias("url"),
+    )
+    rd = url_registered_domain(planted, "url")
+    capped = grouped_sample(
+        rd.filter(F.col("registered_domain").isNotNull()),
+        group_col="registered_domain",
+        k=8,
+    ).select("doc_id", "registered_domain")
+    # docs WITHOUT a registered domain (IP hosts, bare suffixes, junk
+    # URLs) are not a cap group — they pass through uncapped, exactly
+    # like url_dedup's NULL-url singleton contract
+    passthrough = rd.filter(F.col("registered_domain").isNull()).select(
+        "doc_id", "registered_domain"
+    )
+    return capped.unionByName(passthrough).orderBy("doc_id")
+
+
 @query(
     "pipeline_curation",
     oracle=f"""
@@ -3181,10 +3363,16 @@ _UNI_FIXED_VALUES = ", ".join(
       FROM documents),
     w1 AS (SELECT word FROM w0
            WHERE regexp_matches(word, '^[a-z]+$')),
+    -- deterministic vocab cap (VERDICT r11 #5): the pair scaffold is
+    -- quadratic in distinct words, so both engines take the first 200
+    -- ascending — the gate stays O(200^2) under any corpus growth
+    -- (the current corpus has 31 in-alphabet words at every sf, so
+    -- today the cap is a no-op)
+    w1c AS (SELECT word FROM w1 ORDER BY word LIMIT 200),
     words AS (
       SELECT word FROM w1
       UNION
-      SELECT a.word || b.word AS word FROM w1 a, w1 b
+      SELECT a.word || b.word AS word FROM w1c a, w1c b
       WHERE length(a.word) + length(b.word) <= 10),
     paths(word, pos, score) AS (
       SELECT word, 0, CAST(0 AS DOUBLE) FROM words
@@ -3233,9 +3421,15 @@ def unigram_segment_fixed_q(spark, sf_dir):
         .filter(F.col("word").rlike("^[a-z]+$"))
         .distinct()
     )
+    # deterministic vocab cap before the quadratic pair scaffold
+    # (VERDICT r11 #5): first 200 words ascending, replayed by the
+    # oracle's w1c CTE — the gate stays O(200^2) under any corpus
+    # growth (today's corpus has 31 in-alphabet words, so the cap is
+    # a no-op and the gated rows are unchanged)
+    w1c = w1.orderBy("word").limit(200)
     pairs = (
-        w1.alias("a")
-        .crossJoin(w1.alias("b"))
+        w1c.alias("a")
+        .crossJoin(w1c.alias("b"))
         .filter(
             F.length(F.col("a.word")) + F.length(F.col("b.word")) <= 10
         )
@@ -3531,7 +3725,6 @@ def streaming_ingest_corpus_q(spark, sf_dir):
     gate (admit_batch's default) — identical composition, e2e-tested
     with crash replay in tests/test_streaming.py."""
     import os
-    import tempfile
 
     from chapterhousedb_spark.operators.ingest import (
         ingest_stream,
@@ -3542,7 +3735,7 @@ def streaming_ingest_corpus_q(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("version")
     )
-    root = tempfile.mkdtemp(prefix="chdb_ingest_stream_")
+    root = scratch_dir(prefix="chdb_ingest_stream_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
     for i, grp in enumerate((1, 2)):
@@ -3683,7 +3876,6 @@ def streaming_ingest_quality_q(spark, sf_dir):
     exact-text gate for the MinHash cross default (already gated
     end-to-end by streaming_ingest_corpus)."""
     import os
-    import tempfile
 
     from chapterhousedb_spark.operators.ingest import (
         fineweb_quality_gate,
@@ -3711,7 +3903,7 @@ def streaming_ingest_quality_q(spark, sf_dir):
         (F.col("doc_id") % 3).cast("int").alias("version"),
         F.concat(core, wrapper).alias("text"),
     )
-    root = tempfile.mkdtemp(prefix="chdb_ingest_quality_")
+    root = scratch_dir(prefix="chdb_ingest_quality_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
     for i, grp in enumerate((1, 2)):

@@ -153,3 +153,84 @@ def test_url_dedup_null_urls_survive_as_singletons(spark):
     assert {r["keeper_id"] for r in nulls} == {1, 2}
     assert all(r["n_variants"] == 1 for r in nulls)
     assert [r["keeper_id"] for r in rows if r["canon_url"] is not None] == [3]
+
+
+def _regdom(spark, raw):
+    from chapterhousedb_spark.operators.urls import url_registered_domain
+
+    df = spark.createDataFrame([(raw,)], "url string")
+    return url_registered_domain(df).collect()[0]["registered_domain"]
+
+
+def test_registered_domain_every_branch(spark):
+    """eTLD+1 under the pinned snapshot (VERDICT r11 #3) — one case
+    per branch of the longest-suffix match."""
+    cases = {
+        # plain TLD: default rule (last label is the suffix)
+        "https://www.example.com/a": "example.com",
+        "https://a.b.c.example.com/a": "example.com",
+        # 2-label snapshot suffix
+        "https://shop.example.co.uk/p": "example.co.uk",
+        "https://brand.co.uk/": "brand.co.uk",
+        # 3-label snapshot suffix (longest match wins over heuristics)
+        "https://school.k12.ca.us/h": "school.k12.ca.us",
+        "https://deep.school.k12.ca.us/h": "school.k12.ca.us",
+        # PRIVATE-section farm host folds into the PARENT domain (the
+        # documented snapshot boundary: blogspot.com is NOT a suffix
+        # here, so the farm caps against one budget)
+        "https://someone.blogspot.com/post": "blogspot.com",
+        "https://someone.github.io/repo": "github.io",
+        # unknown TLD: default rule applies
+        "https://x.foo.internal/": "foo.internal",
+        # host normalization feeds in: case, port, userinfo, FQDN dot
+        "HTTPS://User:P@SS@WWW.Example.COM.:8443/q": "example.com",
+        # bare public suffix / bare TLD: no registered domain
+        "https://co.uk/": None,
+        "https://k12.ca.us/": None,
+        "http://localhost/": None,
+        # IP literals: no registered domain
+        "http://93.184.216.34/x": None,
+        "http://[2001:db8::1]/x": None,
+        # non-absolute / garbage / NULL
+        "not a url": None,
+    }
+    for raw, want in cases.items():
+        assert _regdom(spark, raw) == want, raw
+    assert _regdom(spark, None) is None
+
+
+def test_registered_domain_caps_subdomain_farm_as_one(spark):
+    """The subdomain-farm fix the operator exists for: hosts across a
+    farm share ONE registered domain, so a per-domain cap counts them
+    against one budget (full-host grouping would give each subdomain
+    its own cap). Two *.blogspot.com docs, cap k=1 -> ONE survivor."""
+    from chapterhousedb_spark.operators.sampling import grouped_sample
+    from chapterhousedb_spark.operators.urls import url_registered_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://alice.blogspot.com/a"),
+            (2, "https://bob.blogspot.com/b"),
+            (3, "https://other.example.org/c"),
+        ],
+        "doc_id long, url string",
+    )
+    rd = url_registered_domain(df)
+    assert {
+        r["registered_domain"] for r in rd.collect()
+    } == {"blogspot.com", "example.org"}
+    capped = grouped_sample(rd, group_col="registered_domain", k=1)
+    rows = {r["registered_domain"]: r["doc_id"] for r in capped.collect()}
+    assert len(rows) == 2  # one blogspot survivor + one example.org
+    assert rows["blogspot.com"] in (1, 2)
+
+
+def test_registered_domain_is_jvm_only(spark):
+    """The extraction must stay a pure JVM projection: no Python eval
+    nodes, no exchange — the 100 TB path is scan-speed."""
+    from chapterhousedb_spark.operators.urls import url_registered_domain
+
+    df = spark.createDataFrame([(1, "https://a.co.uk/x")], "doc_id long, url string")
+    plan = url_registered_domain(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
