@@ -129,6 +129,7 @@ HEADLINE = [
     "kn_bigram_scores",
     # round 12 new shapes, benched from birth
     "url_etld_cap",
+    "quality_score_fixed",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

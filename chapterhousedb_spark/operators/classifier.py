@@ -157,16 +157,14 @@ def logreg_train(
     return beta
 
 
-def logreg_score(
-    df: DataFrame,
-    beta: list[float],
-    feature_cols: list[str],
-    out_col: str = "quality_score",
-) -> DataFrame:
-    """Append sigmoid(X beta) with the fitted coefficients embedded as
-    literals — a pure JVM projection (scan-speed scoring, stream-safe
-    stateless, usable as the keep/drop gate of a curation pipeline)."""
-    eta = sum(
+def _eta_expr(beta: list[float], feature_cols: list[str]) -> Column:
+    """The linear predictor X·beta as ONE left-associated JVM fold in
+    PINNED operand order (intercept first, then features in list
+    order): 0.0 + b0*1.0 + b1*x1 + ... — the exact IEEE sequence a SQL
+    `0.0e0 + b0*1.0e0 + b1*x1 + ...` replays, which is what makes the
+    eta (and the eta>0 decision, == sigmoid>0.5 by monotonicity)
+    hash-gateable while exp stays out of the gated set."""
+    return sum(
         (
             F.lit(float(b)) * x
             for b, x in zip(
@@ -177,6 +175,32 @@ def logreg_score(
         ),
         F.lit(0.0),
     )
+
+
+def logreg_eta(
+    df: DataFrame,
+    beta: list[float],
+    feature_cols: list[str],
+    out_col: str = "eta",
+) -> DataFrame:
+    """Append the linear predictor X·beta (see _eta_expr) — the
+    oracle-portable half of logreg scoring: eta and any fixed
+    threshold on it (eta > 0 == quality_score > 0.5) are bit-exact
+    across engines; the sigmoid itself is not (exp is not IEEE-pinned
+    across runtimes)."""
+    return df.withColumn(out_col, _eta_expr(beta, feature_cols))
+
+
+def logreg_score(
+    df: DataFrame,
+    beta: list[float],
+    feature_cols: list[str],
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """Append sigmoid(X beta) with the fitted coefficients embedded as
+    literals — a pure JVM projection (scan-speed scoring, stream-safe
+    stateless, usable as the keep/drop gate of a curation pipeline)."""
+    eta = _eta_expr(beta, feature_cols)
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)))
 
 

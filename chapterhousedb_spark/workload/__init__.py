@@ -289,7 +289,8 @@ _DRIVER_FIRST = [
     # tests/test_rollup.py, the rollup family keeps
     # events_distinct_rollup in-window (and events_rollup_daily
     # rotation-eligible), and it re-earns driver-green via rotation.
-    "embedding_bq",
+    # (embedding_bq sat here rounds 9-11; demoted round 12 to pay for
+    # quality_score_fixed — see the round-12 batch comment below)
     # ...plus the SRP-blocked kNN self-join (similarity graph /
     # hard-negative mining: pinned-sign bucketing -> exact pair cosine
     # -> direction union -> deterministic rank window, all replayed by
@@ -474,11 +475,25 @@ _DRIVER_FIRST = [
     # against DuckDB on every pytest run (test_oracle_parity), and it
     # re-earns driver-green via rotation like every demoted row.
     "url_etld_cap",
+    # ...plus quality scoring under pinned logreg weights (VERDICT r11
+    # #7 — the last trained-model family without a gated scoring row):
+    # the production text_stats features + logreg_eta fold face DuckDB
+    # bit-exactly, and the keep/drop decision gates through eta > 0 ==
+    # sigmoid > 0.5 (exp stays out of the gated set);
+    # quality_classifier itself stays rows-only. Paid for by demoting
+    # embedding_bq: long driver-green (r9-r11), the quantization
+    # family keeps FOUR other gated rows in-window (pq_fixed_codebook,
+    # ivf_fixed_centroids, pq_residual_fixed, embedding_mrl) plus
+    # pipeline_retrieval whose composed oracle replays the SAME BQ
+    # hamming-prefilter stage scores in-window, and it re-earns
+    # driver-green via rotation like every demoted row.
+    "quality_score_fixed",
 ]
 _DRIVER_LAST = [
     # round-12 demotions, one per new gated row (see the round-12
     # batch comments in _DRIVER_FIRST for each pairing):
     "tpch_q11_important_parts",
+    "embedding_bq",
     # round-11 demotions, one per new gated row (see the round-11
     # batch comments in _DRIVER_FIRST for each pairing):
     # markup_removal -> url_dedup_docs, bigram_coverage ->

@@ -797,6 +797,98 @@ def quality_classifier_q(spark, sf_dir):
     )
 
 
+# Pinned logreg weights for the quality-scoring gate (VERDICT r11 #7 —
+# the lang_ngram_fixed discipline on the SAME IRLS machinery): frozen
+# from a representative sf0.01 train_quality_classifier fit
+# (src0/src1/src4 positive, iters=6), full-precision reprs so both
+# engines hold identical bits ('e0' exponents route DuckDB through
+# strtod — bare literals would round through DECIMAL one ULP off).
+# digit_ratio/punct_ratio trained to exactly 0.0 on the digit- and
+# punctuation-free synthetic corpus; pinned to small NONZERO literals
+# instead so those fold terms go live the moment the corpus grows such
+# text, while contributing exactly b*0.0 today.
+_QUALITY_FIXED_BETA = [
+    1.6060231870829509,  # intercept
+    1.5523973897877148,  # avg_token_len
+    -14.98760695974239,  # alpha_ratio
+    0.75,  # digit_ratio (see note above)
+    -0.5,  # punct_ratio (see note above)
+    16.593630146834347,  # space_ratio
+    -12.64093958341396,  # stopword_ratio
+]
+_QF_ETA_SQL = " + ".join(
+    ["0.0e0", f"{_QUALITY_FIXED_BETA[0]!r}e0 * 1.0e0"]
+    + [
+        f"{b!r}e0 * {c}"
+        for b, c in zip(
+            _QUALITY_FIXED_BETA[1:],
+            (
+                "avg_token_len",
+                "alpha_ratio",
+                "digit_ratio",
+                "punct_ratio",
+                "space_ratio",
+                "stopword_ratio",
+            ),
+        )
+    ]
+)
+
+
+@query(
+    "quality_score_fixed",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+        CAST(length(text) AS DOUBLE) / greatest(len({_TOKS}), 1)
+          AS avg_token_len,
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS alpha_ratio,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS digit_ratio,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS punct_ratio,
+        CAST(length(regexp_replace(text, '[^\\s]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS space_ratio,
+        CAST(len(list_filter({_TOKS},
+             t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t)))
+             AS DOUBLE) / greatest(len({_TOKS}), 1) AS stopword_ratio
+      FROM documents)
+    SELECT doc_id, quality_eta, quality_eta > 0.0e0 AS keep
+    FROM (SELECT doc_id, {_QF_ETA_SQL} AS quality_eta FROM feats)
+    ORDER BY doc_id
+    """,
+)
+def quality_score_fixed_q(spark, sf_dir):
+    """Quality scoring under PINNED logreg weights (VERDICT r11 #7 —
+    the last trained-model family without a gated scoring row;
+    lang_ngram_fixed proved the pattern on the same IRLS machinery):
+    the production text_stats feature extraction and the production
+    logreg_eta left-associated fold face DuckDB bit-exactly under
+    literal coefficients, and the keep/drop DECISION is gated through
+    eta > 0 — algebraically identical to sigmoid(eta) > 0.5 (strict
+    monotonicity) without putting the non-IEEE-portable exp in the
+    gated set. quality_classifier itself (IRLS training, sigmoid
+    scores) stays rows-only beside it, pinned by the numpy-reference
+    equality tests. Pure JVM projection at scan speed — zero shuffle,
+    the stream-safe FineWeb-style admission gate shape."""
+    from chapterhousedb_spark.operators.classifier import (
+        QUALITY_FEATURES,
+        logreg_eta,
+    )
+    from chapterhousedb_spark.operators.text import text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    scored = logreg_eta(
+        text_stats(docs), _QUALITY_FIXED_BETA, QUALITY_FEATURES, "quality_eta"
+    )
+    return scored.select(
+        "doc_id",
+        "quality_eta",
+        (F.col("quality_eta") > F.lit(0.0)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 # Pinned one-vs-rest weights for the char-n-gram language-id scoring
 # gate: arbitrary but fixed literal doubles (computed once in python,
 # repr-embedded in the SQL so both engines hold identical bits). The

@@ -178,3 +178,44 @@ def test_lang_ngram_score_guards_and_determinism(spark):
     assert rep[1]["eta_en"] == got[1]["eta_en"]
     with _pytest.raises(ValueError, match="expected intercept"):
         lang_ngram_score(df, {"en": [0.0] * 5})
+
+
+def test_logreg_eta_decision_matches_sigmoid_threshold(spark):
+    """logreg_eta is the oracle-portable half of logreg_score: the SAME
+    pinned fold, so eta > 0 must agree with quality_score > 0.5 on
+    every row (strict monotonicity of the sigmoid), and both must stay
+    pure JVM projections (no Python eval, no exchange)."""
+    from chapterhousedb_spark.operators.classifier import (
+        logreg_eta,
+        logreg_score,
+    )
+
+    beta = [0.3, 1.7, -2.5]
+    df = spark.createDataFrame(
+        [(i, 0.1 * i, 0.05 * (i * 7 % 11)) for i in range(40)],
+        "doc_id long, f1 double, f2 double",
+    )
+    both = logreg_score(
+        logreg_eta(df, beta, ["f1", "f2"], "eta"), beta, ["f1", "f2"]
+    )
+    rows = both.collect()
+    assert any(r["eta"] > 0 for r in rows) and any(r["eta"] <= 0 for r in rows)
+    import math
+
+    for r in rows:
+        assert (r["eta"] > 0) == (r["quality_score"] > 0.5), r
+        # the score is sigmoid(eta) up to exp's cross-runtime ULPs —
+        # JVM exp != libm exp bitwise, which is exactly why eta (not
+        # the sigmoid) is the gated column in quality_score_fixed
+        assert math.isclose(
+            r["quality_score"],
+            1.0 / (1.0 + math.exp(-r["eta"])),
+            rel_tol=1e-12,
+        ), r
+    plan = (
+        logreg_eta(df, beta, ["f1", "f2"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
