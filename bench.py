@@ -130,6 +130,7 @@ HEADLINE = [
     # round 12 new shapes, benched from birth
     "url_etld_cap",
     "quality_score_fixed",
+    "pipeline_ccnet",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -288,9 +288,13 @@ def lang_ngram_score(
     n: int = 3,
     num_buckets: int = 16,
     salt: str = "lang-v1",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Score every doc against per-language linear models:
-    (id, eta_<lang> per language, lang_pred = argmax). betas maps
+    (id, *keep_cols, eta_<lang> per language, lang_pred = argmax) —
+    `keep_cols` carries payload columns (e.g. the text itself) through
+    the projection so a downstream language GATE composes without a
+    join-back shuffle (pipeline_ccnet). betas maps
     lang -> [intercept, *coefs(num_buckets)] (lang_ngram_train output
     or pinned literals). eta = intercept + fold(beta[bucket(g)]) /
     n_grams — mathematically the dot product with the L1-normalized
@@ -323,6 +327,7 @@ def lang_ngram_score(
     total = F.greatest(F.size(buckets), F.lit(1)).cast("double")
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         *[
             (
                 F.lit(float(betas[lang][0]))

@@ -299,7 +299,8 @@ _DRIVER_FIRST = [
     # (pipeline_pretrain, pipeline_two_stage_dedup, pipeline_fineweb),
     # every curation stage operator also has its own gated row, and it
     # re-earns driver-green via rotation.
-    "knn_graph",
+    # (knn_graph sat here rounds 9-11; demoted round 12 to pay for
+    # pipeline_ccnet — see the round-12 batch comment below)
     # ...plus semantic clustering (the SemDeDup label step: the gated
     # SRP edge set closed transitively, oracle = recursive CTE like
     # dedup_clusters). Paid for by demoting tpch_q17_small_qty: the
@@ -488,12 +489,25 @@ _DRIVER_FIRST = [
     # hamming-prefilter stage scores in-window, and it re-earns
     # driver-green via rotation like every demoted row.
     "quality_score_fixed",
+    # ...plus the CCNet curation composition (VERDICT r11 #4): pinned
+    # language gate -> Kneser-Ney fluency trained on the GATED subset
+    # -> corpus-derived tercile split via the fixed-point bin-histogram
+    # rule (no global sort, no float quantile interpolation) ->
+    # per-bucket md5-threshold sampling, every stage replayed by
+    # DuckDB under one oracle. Paid for by demoting knn_graph: long
+    # driver-green (r9-r11), the similarity family keeps
+    # embedding_clusters + dedup_survivors gated in-window (same SRP
+    # blocking and transitive machinery), its no-cartesian plan stays
+    # asserted in test_plans.py, and it re-earns driver-green via
+    # rotation like every demoted row.
+    "pipeline_ccnet",
 ]
 _DRIVER_LAST = [
     # round-12 demotions, one per new gated row (see the round-12
     # batch comments in _DRIVER_FIRST for each pairing):
     "tpch_q11_important_parts",
     "embedding_bq",
+    "knn_graph",
     # round-11 demotions, one per new gated row (see the round-11
     # batch comments in _DRIVER_FIRST for each pairing):
     # markup_removal -> url_dedup_docs, bigram_coverage ->

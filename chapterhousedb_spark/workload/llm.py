@@ -3347,6 +3347,188 @@ def kn_bigram_scores_q(spark, sf_dir):
     )
 
 
+# CCNet perplexity-bucketing composition (VERDICT r11 #4): language
+# gate -> LM fluency -> head/middle/tail split at CORPUS-DERIVED
+# tercile cutoffs -> per-bucket deterministic sampling. The cutoffs
+# use the quantile_rollup trick instead of a global row sort: fluency
+# is fixed-point binned (floor(score * 2^16) — exact IEEE multiply +
+# floor, bit-identical both engines), the bin HISTOGRAM (bounded:
+# <= 2^16 * score range distinct bins regardless of corpus size) gets
+# a cumulative count, and cutoff bin c_k = min bin with cum * 3 >= k *
+# total — integer arithmetic only, no float quantile interpolation to
+# port. Buckets are tercile-sized up to bin-granularity ties, and the
+# whole rule is deterministic and SQL-replayable.
+_CCNET_BIN_SCALE = 65536.0  # 2^16
+_CCNET_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+_CCNET_RATE_CASE_SQL = " ".join(
+    f"WHEN '{b}' THEN '{_threshold_hex(r)}'"
+    for b, r in _CCNET_RATES.items()
+)
+
+
+@query(
+    "pipeline_ccnet",
+    oracle=rf"""
+    WITH norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, text,
+        list_transform(
+          list_transform(range(1, length(t) - 1), i -> substr(t, i, 3)),
+          g -> CAST(('0x' || substring(md5('lang-v1:' || g), 1, 8))
+                    AS BIGINT) % 16) AS buckets,
+        CAST(greatest(length(t) - 2, 1) AS DOUBLE) AS total
+      FROM norm),
+    lscored AS (
+      SELECT doc_id, text,
+{_LANGID_ETAS_SQL}
+      FROM feats),
+    lranked AS (
+      SELECT *, greatest(eta_en, eta_es, eta_de, eta_fr) AS best
+      FROM lscored),
+    gated AS (
+      SELECT doc_id, text FROM lranked
+      WHERE (CASE {_LANGID_CASE_SQL} ELSE 'fr' END) = 'es'),
+    toks AS (
+      SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk
+      FROM gated),
+    posts AS (
+      SELECT doc_id, u.i AS pos, tk[u.i] AS w1, tk[u.i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) u(i)
+      WHERE len(tk) >= 2),
+    bg AS (
+      SELECT w1, w2, COUNT(*) AS c_bg FROM posts GROUP BY w1, w2),
+    ctx AS (
+      SELECT w1, SUM(c_bg) AS c_w1, COUNT(*) AS n1p_w1
+      FROM bg GROUP BY w1),
+    cont AS (
+      SELECT w2, COUNT(*) AS n1p_dot_w2 FROM bg GROUP BY w2),
+    nd AS (SELECT COUNT(*) AS n_bg_distinct FROM bg),
+    probs AS (
+      SELECT b.w1, b.w2,
+        (greatest(CAST(b.c_bg AS DOUBLE) - 0.75e0, CAST(0 AS DOUBLE))
+         + (0.75e0 * CAST(c.n1p_w1 AS DOUBLE))
+           * (CAST(k.n1p_dot_w2 AS DOUBLE)
+              / CAST(nd.n_bg_distinct AS DOUBLE)))
+        / CAST(c.c_w1 AS DOUBLE) AS kn_p
+      FROM bg b JOIN ctx c ON c.w1 = b.w1
+                JOIN cont k ON k.w2 = b.w2, nd),
+    knscored AS (
+      SELECT p.doc_id, p.pos, pr.kn_p
+      FROM posts p JOIN probs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2),
+    fl AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(kn_p ORDER BY pos)), (a, b) -> a + b)
+               / CAST(COUNT(*) AS DOUBLE) AS fluency
+      FROM knscored GROUP BY doc_id),
+    binned AS (
+      SELECT doc_id, fluency,
+             CAST(floor(fluency * 65536.0e0) AS BIGINT) AS bin
+      FROM fl),
+    hist AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum,
+             SUM(n) OVER () AS total
+      FROM hist),
+    cuts AS (
+      SELECT MIN(CASE WHEN cum * 3 >= total THEN bin END) AS c1,
+             MIN(CASE WHEN cum * 3 >= total * 2 THEN bin END) AS c2
+      FROM cum),
+    bucketed AS (
+      SELECT doc_id, fluency,
+        CASE WHEN bin <= c1 THEN 'tail'
+             WHEN bin <= c2 THEN 'middle'
+             ELSE 'head' END AS bucket
+      FROM binned, cuts)
+    SELECT doc_id, fluency, bucket FROM bucketed
+    WHERE substring(md5('ccnet-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < (CASE bucket {_CCNET_RATE_CASE_SQL} END)
+    ORDER BY doc_id
+    """,
+)
+def pipeline_ccnet_q(spark, sf_dir):
+    """The CCNet curation composition (Wenzek et al. 2020) end-to-end
+    under ONE oracle (VERDICT r11 #4): (1) language gate — the pinned
+    lang_ngram_score 4-lane fold + argmax keeps the corpus's majority
+    predicted language ('es' under the pinned weights); (2) fluency —
+    interpolated Kneser-Ney bigram LM trained closed-form ON THE GATED
+    SUBSET (the composition order is load-bearing: the counts differ
+    from kn_bigram_scores' full-corpus model); (3) head/middle/tail
+    tercile split at corpus-derived cutoffs via the fixed-point bin
+    histogram rule (module comment above — no global row sort, no
+    float quantile interpolation); (4) per-bucket deterministic
+    md5-threshold sampling (head 1.0 / middle 0.5 / tail 0.1, the
+    CCNet shape: keep the fluent head, thin the tail). DuckDB replays
+    every stage. At 100 TB: the gate is a scan-speed projection, KN is
+    the kn_bigram_scores shuffle set over the gated subset, the
+    histogram is one bounded groupBy + a <=2^16-row window, cutoffs
+    broadcast back, sampling is map-side."""
+    from pyspark.sql.window import Window
+
+    from chapterhousedb_spark.operators.classifier import lang_ngram_score
+    from chapterhousedb_spark.operators.sampling import (
+        _hash_prefix,
+        _threshold_hex as thex,
+    )
+    from chapterhousedb_spark.operators.text import kneser_ney_bigram
+
+    docs = load(spark, sf_dir, "documents")
+    gated = (
+        lang_ngram_score(
+            docs, _LANGID_FIXED_BETAS, num_buckets=16, keep_cols=("text",)
+        )
+        .filter(F.col("lang_pred") == "es")
+        .select("doc_id", "text")
+    )
+    fl = kneser_ney_bigram(gated).select(
+        "doc_id", F.col("mean_kn_prob").alias("fluency")
+    )
+    binned = fl.withColumn(
+        "bin",
+        F.floor(F.col("fluency") * F.lit(_CCNET_BIN_SCALE)).cast("bigint"),
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    cuts = cum.agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("total"), F.col("bin"))
+        ).alias("c1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("total") * 2, F.col("bin"))
+        ).alias("c2"),
+    )
+    bucketed = binned.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "fluency",
+        F.when(F.col("bin") <= F.col("c1"), F.lit("tail"))
+        .when(F.col("bin") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+    thr = (
+        F.when(F.col("bucket") == "head", F.lit(thex(_CCNET_RATES["head"])))
+        .when(F.col("bucket") == "middle", F.lit(thex(_CCNET_RATES["middle"])))
+        .otherwise(F.lit(thex(_CCNET_RATES["tail"])))
+    )
+    return (
+        bucketed.filter(_hash_prefix("doc_id", "ccnet-v1") < thr)
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "bigram_coverage",
     oracle=rf"""

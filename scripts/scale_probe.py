@@ -356,6 +356,57 @@ def probe(spark, docs, embs) -> dict:
 
     n, t = timed_count(kneser_ney_bigram(docs))
     out["kn_rows"], out["kn_rows_sec"] = n, t
+    # round-12 CCNet composition — langid gate (scan-speed) + KN over
+    # the gated subset + the bounded bin-histogram tercile cutoffs
+    # (<= 2^16 * range bins regardless of corpus size); rows track the
+    # gated subset (~linear in docs), wall dominated by the KN stage's
+    # bigram shuffle. Gate on the majority predicted lang so the gated
+    # subset is never empty under the probe's arbitrary fixed betas.
+    from pyspark.sql.window import Window
+
+    scored = lang_ngram_score(
+        docs, fixed_betas, num_buckets=16, keep_cols=("text",)
+    )
+    major = (
+        scored.groupBy("lang_pred")
+        .count()
+        .orderBy(F.desc("count"), "lang_pred")
+        .first()["lang_pred"]
+    )
+    gated = scored.filter(F.col("lang_pred") == major).select(
+        "doc_id", "text"
+    )
+    fl = kneser_ney_bigram(gated).select(
+        "doc_id", F.col("mean_kn_prob").alias("fluency")
+    )
+    binned = fl.withColumn(
+        "bin", F.floor(F.col("fluency") * F.lit(65536.0)).cast("bigint")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("total"), F.col("bin"))).alias("c1"),
+        F.min(F.when(F.col("cum") * 3 >= F.col("total") * 2, F.col("bin"))).alias("c2"),
+    )
+    bucketed = binned.join(F.broadcast(cuts)).select(
+        "doc_id",
+        F.when(F.col("bin") <= F.col("c1"), F.lit("tail"))
+        .when(F.col("bin") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+    n, t = timed_count(bucketed)
+    out["ccnet_rows"], out["ccnet_rows_sec"] = n, t
     return out
 
 
