@@ -48,11 +48,16 @@ rather than the live PSL dataset — documented snapshot boundaries:
   encodes.
 - No wildcard (`*.ck`) or exception (`!www.ck`) rules — a dozen-odd
   PSL entries; hosts under them fall back to the default rule.
-- The snapshot is a literal list compiled into the JVM expression
-  (and replayed verbatim by the DuckDB oracle) — refreshing it is a
-  code change, not a data load. At a few hundred entries an
-  `IN`-list/broadcast is strictly cheaper than joining a suffix
-  table.
+- The snapshot is a pinned literal list (replayed verbatim by the
+  DuckDB oracle) — refreshing it is a code change, not a data load.
+  The lookup runs as two BROADCAST hash joins against the tiny
+  suffix table, NOT as inlined `IN`-list expressions: the join is a
+  real operator boundary, so Catalyst's filter/window pushdown
+  cannot re-inline the whole host-normalization chain per reference
+  site (the inlined-expression form blew Janino's 64 KB method
+  limit at composition sites like url_etld_cap and silently fell
+  back to INTERPRETED evaluation — round-12 fix), and the same plan
+  shape holds for the full ~9k-entry live PSL.
 
 At 100 TB: canonicalize is a single narrow projection (zero shuffle,
 whole-stage codegen); url_dedup is one exact hash-groupBy on the
@@ -197,37 +202,6 @@ PSL_SNAPSHOT_2 = sorted(
 PSL_SNAPSHOT_3 = sorted({"cc.ca.us", "k12.ca.us", "k12.ny.us", "k12.tx.us"})
 
 
-def _registered_domain_expr(host):
-    """eTLD+1 from a lowercased host Column: longest pinned suffix
-    match (3-label, then 2-label, else the default rule's 1-label),
-    registered domain = suffix + one more label. NULL when the host IS
-    a bare public suffix / bare TLD, an IPv4/[IPv6] literal, or NULL —
-    exactly the PSL 'no registered domain' cases."""
-    host = F.regexp_replace(host, r"\.$", "")  # FQDN trailing dot
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    suf3 = F.array_join(F.slice(labels, -3, 3), ".")
-    suf2 = F.array_join(F.slice(labels, -2, 2), ".")
-    lvl = (
-        F.when((n >= 3) & suf3.isin(PSL_SNAPSHOT_3), F.lit(3))
-        .when((n >= 2) & suf2.isin(PSL_SNAPSHOT_2), F.lit(2))
-        .otherwise(F.lit(1))
-    )
-    return F.when(
-        host.isNull()
-        | host.rlike(r"^[0-9.]+$")  # IPv4 literal
-        | host.startswith("["),  # [IPv6] literal
-        F.lit(None).cast("string"),
-    ).otherwise(
-        # slice(start = n - lvl, length = lvl + 1) = the last lvl+1
-        # labels, 1-based; NULL when the host has no label beyond the
-        # suffix (n <= lvl)
-        F.when(
-            n > lvl, F.array_join(F.slice(labels, n - lvl, lvl + 1), ".")
-        ).otherwise(F.lit(None).cast("string"))
-    )
-
-
 def url_registered_domain(
     df: DataFrame, url_col: str = "url", out_col: str = "registered_domain"
 ) -> DataFrame:
@@ -235,14 +209,105 @@ def url_registered_domain(
     grouping key real crawl pipelines cap on: full-host grouping
     under-caps subdomain farms (every `*.blogspot.com` host counting
     as its own "domain" multiplies the farm's budget by its subdomain
-    count). Pure JVM expression (split + two literal IN probes), zero
-    shuffle, whole-stage codegen; the pinned-snapshot boundaries are
-    in the module docstring. Non-absolute URLs, IP-literal hosts and
-    bare public suffixes yield NULL."""
+    count). Longest pinned-suffix match (3-label, then 2-label, else
+    the PSL default rule's 1-label); registered domain = suffix + one
+    more label. Non-absolute URLs, IP-literal hosts and bare public
+    suffixes / bare TLDs yield NULL — exactly the PSL "no registered
+    domain" cases.
+
+    Plan shape (round-12 rebuild): staged narrow projections compute
+    the host-label array and its 2-/3-label tail suffixes ONCE, then
+    two BROADCAST hash joins (one per suffix depth — each suffix list
+    is unique within its depth, so neither join can duplicate rows)
+    probe the pinned snapshot, and the final projection assembles the
+    domain from plain attributes. All-JVM, no data shuffle (the only
+    exchanges are the two ~200-row broadcasts); safe under
+    whole-stage codegen because downstream filter/window pushdown
+    stops at the join boundary instead of re-inlining the host
+    normalization chain per reference (the previous single-expression
+    form exceeded Janino's 64 KB method limit when composed with a
+    filter + cap window and silently degraded to interpreted eval)."""
+    spark = df.sparkSession
+    psl3 = F.broadcast(
+        spark.createDataFrame(
+            [(s,) for s in PSL_SNAPSHOT_3], "__rd_psl3_suffix string"
+        )
+    )
+    psl2 = F.broadcast(
+        spark.createDataFrame(
+            [(s,) for s in PSL_SNAPSHOT_2], "__rd_psl2_suffix string"
+        )
+    )
     hosted = url_host(df, url_col, "__rd_host")
-    return hosted.withColumn(
-        out_col, _registered_domain_expr(F.col("__rd_host"))
-    ).drop("__rd_host")
+    # staged projections: each non-cheap intermediate becomes a real
+    # column referenced as an attribute downstream, so CollapseProject
+    # keeps single evaluation sites
+    labeled = hosted.withColumn(
+        "__rd_labels",
+        F.split(F.regexp_replace("__rd_host", r"\.$", ""), r"\."),
+    )
+    sufd = (
+        labeled.withColumn("__rd_n", F.size("__rd_labels"))
+        .withColumn(
+            "__rd_suf3", F.array_join(F.slice("__rd_labels", -3, 3), ".")
+        )
+        .withColumn(
+            "__rd_suf2", F.array_join(F.slice("__rd_labels", -2, 2), ".")
+        )
+    )
+    joined = sufd.join(
+        psl3,
+        (F.col("__rd_suf3") == F.col("__rd_psl3_suffix"))
+        & (F.col("__rd_n") >= 3),
+        "left",
+    ).join(
+        psl2,
+        (F.col("__rd_suf2") == F.col("__rd_psl2_suffix"))
+        & (F.col("__rd_n") >= 2),
+        "left",
+    )
+    lvl = (
+        F.when(F.col("__rd_psl3_suffix").isNotNull(), F.lit(3))
+        .when(F.col("__rd_psl2_suffix").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    host = F.col("__rd_host")
+    n = F.col("__rd_n")
+    leveled = joined.withColumn("__rd_lvl", lvl)
+    out = leveled.withColumn(
+        out_col,
+        F.when(
+            host.isNull()
+            | host.rlike(r"^[0-9.]+$")  # IPv4 literal
+            | host.startswith("["),  # [IPv6] literal
+            F.lit(None).cast("string"),
+        ).otherwise(
+            # slice(start = n - lvl, length = lvl + 1) = the last
+            # lvl+1 labels, 1-based; NULL when the host has no label
+            # beyond the suffix (n <= lvl)
+            F.when(
+                n > F.col("__rd_lvl"),
+                F.array_join(
+                    F.slice(
+                        "__rd_labels",
+                        n - F.col("__rd_lvl"),
+                        F.col("__rd_lvl") + F.lit(1),
+                    ),
+                    ".",
+                ),
+            ).otherwise(F.lit(None).cast("string"))
+        ),
+    )
+    return out.drop(
+        "__rd_host",
+        "__rd_labels",
+        "__rd_n",
+        "__rd_suf3",
+        "__rd_suf2",
+        "__rd_psl3_suffix",
+        "__rd_psl2_suffix",
+        "__rd_lvl",
+    )
 
 
 def url_dedup(

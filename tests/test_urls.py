@@ -226,11 +226,17 @@ def test_registered_domain_caps_subdomain_farm_as_one(spark):
 
 
 def test_registered_domain_is_jvm_only(spark):
-    """The extraction must stay a pure JVM projection: no Python eval
-    nodes, no exchange — the 100 TB path is scan-speed."""
+    """The extraction must stay all-JVM and data-shuffle-free: no
+    Python eval nodes, no hash/range exchange of the input — the
+    100 TB path is scan-speed. The ONLY exchanges allowed are the two
+    ~200-row snapshot broadcasts (round-12 rebuild: broadcast joins
+    replace the inlined IN-lists so downstream pushdown can't blow
+    codegen past Janino's method limit)."""
     from chapterhousedb_spark.operators.urls import url_registered_domain
 
     df = spark.createDataFrame([(1, "https://a.co.uk/x")], "doc_id long, url string")
     plan = url_registered_domain(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "EvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
