@@ -131,6 +131,7 @@ HEADLINE = [
     "url_etld_cap",
     "quality_score_fixed",
     "pipeline_ccnet",
+    "line_dedup_docs",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

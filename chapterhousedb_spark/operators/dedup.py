@@ -1000,3 +1000,95 @@ def two_stage_dedup(
         candidates, docs, id_col=id_col, text_col=text_col
     )
     return feats.filter(F.col("jaccard_tokens") >= jaccard_threshold)
+
+
+# --------------------------------------------------------- line dedup
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Corpus-GLOBAL line-level deduplication — the RefinedWeb/C4
+    crawl stage that strips boilerplate (nav bars, cookie banners,
+    copyright footers) by removing every LINE whose exact text repeats
+    across the corpus, while document-level dedup above it only sees
+    whole-page identity. Lines are `text_col` split on newline.
+
+    Policy per line occurring `cnt` times corpus-wide (cnt counts
+    EXACT line text; lines that are empty after trim are structure,
+    not content — they never count and are always kept):
+
+      keep="first": occurrences survive iff cnt < min_count OR the
+        occurrence is the corpus-first one (min (id, pos)) — every
+        distinct line keeps exactly one copy (RefinedWeb's rule);
+      keep="none":  lines with cnt >= min_count are removed
+        EVERYWHERE (C4's stricter span rule at line granularity).
+
+    Returns one row per input doc: (id_col, text [kept lines joined
+    by newline, original order], n_lines, n_removed). Docs whose
+    every line is removed stay present with text ''. NULL text is
+    treated as '' (one empty always-kept line). Metadata columns are
+    dropped — join back on id_col.
+
+    At 100 TB: one narrow posexplode, one groupBy on the line text
+    (map-side combine collapses the Zipf-heavy boilerplate before the
+    shuffle), one equi-join back on the line (hot boilerplate keys
+    are exactly what AQE skew-join splits — a window over
+    partitionBy(line) would put a 100M-copy cookie banner in ONE
+    task, which is why this is groupBy+join, not a window), and one
+    groupBy(id) whose collect_list state is bounded by a single
+    document's line count."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"line_dedup: keep must be 'first' or 'none', got {keep!r}")
+    if min_count < 2:
+        raise ValueError(f"line_dedup: min_count must be >= 2, got {min_count}")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    eligible = F.trim(F.col("line")) != ""
+    counts = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("id", "pos")).alias("keeper"),
+        )
+    )
+    joined = lines.join(counts, "line", "left")
+    kept = F.col("cnt").isNull() | (F.col("cnt") < min_count)
+    if keep == "first":
+        kept = kept | (
+            (F.col("keeper.id") == F.col("id"))
+            & (F.col("keeper.pos") == F.col("pos"))
+        )
+    flagged = joined.select("id", "pos", "line", kept.alias("kept"))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_removed"),
+        )
+        .select(
+            F.col("id").alias(id_col), "text", "n_lines", "n_removed"
+        )
+    )

@@ -682,6 +682,77 @@ def dedup_survivors_q(spark, sf_dir):
     return dedup_survivors(docs, pairs)
 
 
+@query(
+    "line_dedup_docs",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             'HOME | ABOUT | CONTACT' || chr(10)
+             || substr(coalesce(text, ''), 1, 100) || ' #'
+               || CAST(doc_id AS VARCHAR) || chr(10)
+             || chr(10)
+             || 'repeat me ' || CAST(doc_id % 2 AS VARCHAR) || chr(10)
+             || 'repeat me ' || CAST(doc_id % 2 AS VARCHAR) || chr(10)
+             || 'copyright footer ' || CAST(doc_id % 5 AS VARCHAR)
+               AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, u.i - 1 AS pos, l[u.i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+            FROM planted),
+           unnest(generate_series(1, len(l))) u(i)),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             (trim(line) = ''
+              OR COUNT(*) OVER (PARTITION BY line) < 2
+              OR ROW_NUMBER() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) = 1) AS kept
+      FROM lines)
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN kept THEN line END, chr(10)
+                               ORDER BY pos), '') AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def line_dedup_docs_q(spark, sf_dir):
+    """Corpus-global line-level dedup (dedup.line_dedup, the
+    RefinedWeb/C4 boilerplate-stripping stage) under the hash gate:
+    the scaffold plants a six-line page per doc — a corpus-wide nav
+    header (one keeper across the whole corpus), a doc-unique body
+    line, a blank structural line (never a dedup candidate, always
+    kept), the SAME line twice within one doc (the within-doc +
+    cross-doc dup case, two ~250-doc groups), and a five-way
+    copyright footer — so every policy branch is load-bearing. DuckDB
+    replays the exact construction, the global per-line counts, the
+    corpus-first keeper rule (min (doc_id, pos)), and the ordered
+    reassembly of each doc's surviving lines character-exactly."""
+    from chapterhousedb_spark.operators.dedup import line_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    rep = F.concat(F.lit("repeat me "), (F.col("doc_id") % 2).cast("string"))
+    text = F.concat_ws(
+        "\n",
+        F.lit("HOME | ABOUT | CONTACT"),
+        F.concat(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100),
+            F.lit(" #"),
+            did,
+        ),
+        F.lit(""),
+        rep,
+        rep,
+        F.concat(
+            F.lit("copyright footer "), (F.col("doc_id") % 5).cast("string")
+        ),
+    )
+    planted = docs.select("doc_id", text.alias("text"))
+    return line_dedup(planted).orderBy("doc_id")
+
+
 @query("dedup_minhash")
 def dedup_minhash_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs (banded signature join; xxhash64-based

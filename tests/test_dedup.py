@@ -695,3 +695,81 @@ def test_remove_duplicate_spans_intra_doc_only_repeat(spark):
     assert got[1]["n_removed"] == 0
     assert got[1]["clean_text"] == span + " gap " + span
     assert got[2]["n_removed"] == 0
+
+
+# --------------------------------------------------------- line dedup
+
+
+@pytest.fixture(scope="module")
+def line_corpus(spark):
+    """Three docs sharing a boilerplate header; doc 1 repeats one of
+    its own lines; doc 2 is boilerplate-only; blank lines throughout."""
+    return spark.createDataFrame(
+        [
+            (0, "HOME | ABOUT\nalpha unique zero\n\nrepeat me\nrepeat me"),
+            (1, "HOME | ABOUT\nbeta unique one\n\nrepeat me"),
+            (2, "HOME | ABOUT"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_line_dedup_keep_first(spark, line_corpus):
+    from chapterhousedb_spark.operators.dedup import line_dedup
+
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(line_corpus).collect()
+    }
+    # doc 0 is corpus-first for both dup groups: keeps header and the
+    # FIRST "repeat me" (pos 3), loses the second (pos 4)
+    assert out[0]["text"] == "HOME | ABOUT\nalpha unique zero\n\nrepeat me"
+    assert (out[0]["n_lines"], out[0]["n_removed"]) == (5, 1)
+    # doc 1 loses the header (doc 0 holds it) and its "repeat me"
+    assert out[1]["text"] == "beta unique one\n"
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (4, 2)
+    # doc 2: every line removed -> present with empty text
+    assert out[2]["text"] == ""
+    assert (out[2]["n_lines"], out[2]["n_removed"]) == (1, 1)
+    # NULL text behaves as one empty (always-kept) line
+    assert out[3]["text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (1, 0)
+
+
+def test_line_dedup_keep_none(spark, line_corpus):
+    from chapterhousedb_spark.operators.dedup import line_dedup
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(line_corpus, keep="none").collect()
+    }
+    # no keeper: every duplicated line vanishes everywhere
+    assert out[0] == "alpha unique zero\n"
+    assert out[1] == "beta unique one\n"
+    assert out[2] == ""
+
+
+def test_line_dedup_min_count_threshold(spark):
+    from chapterhousedb_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "twice\nunique a"), (1, "twice\nunique b")],
+        "doc_id long, text string",
+    )
+    # min_count=3: a line seen twice is NOT a duplicate
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(df, min_count=3).collect()
+    }
+    assert out[0] == "twice\nunique a"
+    assert out[1] == "twice\nunique b"
+
+
+def test_line_dedup_guards(spark, line_corpus):
+    from chapterhousedb_spark.operators.dedup import line_dedup
+
+    with pytest.raises(ValueError, match="keep"):
+        line_dedup(line_corpus, keep="last")
+    with pytest.raises(ValueError, match="min_count"):
+        line_dedup(line_corpus, min_count=1)
