@@ -132,6 +132,7 @@ HEADLINE = [
     "quality_score_fixed",
     "pipeline_ccnet",
     "line_dedup_docs",
+    "dsir_weights",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -370,7 +370,12 @@ _DRIVER_FIRST = [
     # every pytest run (test_oracle_parity) with its no-forced-
     # broadcast plan property asserted in test_plans.py, and it
     # re-earns driver-green via rotation like every demoted row.
-    "pq_residual_fixed",
+    # pq_residual_fixed demoted round 12 to pay for dsir_weights (see
+    # the round-12 batch comment below): the quantization family keeps
+    # FOUR gated rows in-window (pq_fixed_codebook, ivf_fixed_centroids,
+    # embedding_mrl, pipeline_retrieval), the residual-LUT chain stays
+    # re-hashed every pytest run via test_oracle_parity, and it
+    # re-earns driver-green via rotation like every demoted row.
     # ...plus Matryoshka prefix-dimension retrieval (coarse 16-dim
     # cosine -> top-64 -> exact full-dim rerank, both stage scores
     # gated). Paid for by demoting token_budget_mix: the mixture
@@ -519,6 +524,15 @@ _DRIVER_FIRST = [
     # character-exactly. Paid for by demoting dedup_span_rewrite (see
     # its comment above).
     "line_dedup_docs",
+    # ...plus DSIR importance-resampling selection (Xie et al. 2023 —
+    # the data-selection stage CCNet/DSIR-style curation pipelines run
+    # between language-ID and dedup): both hashed-bigram bucket models
+    # trained CLOSED-FORM from exact counts (the kn_bigram_scores
+    # pattern: no iteration, so the whole train->score->select chain
+    # is SQL-replayable), each doc's ordered ratio-product fold and
+    # the integer-arithmetic top-quartile rule gated bit-exactly.
+    # Paid for by demoting pq_residual_fixed (see its comment above).
+    "dsir_weights",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -541,6 +555,7 @@ _DRIVER_LAST = [
     "embedding_bq",
     "knn_graph",
     "dedup_span_rewrite",
+    "pq_residual_fixed",
     # round-11 demotions, one per new gated row (see the round-11
     # batch comments in _DRIVER_FIRST for each pairing):
     # markup_removal -> url_dedup_docs, bigram_coverage ->

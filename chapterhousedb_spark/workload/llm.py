@@ -3418,6 +3418,97 @@ def kn_bigram_scores_q(spark, sf_dir):
     )
 
 
+@query(
+    "dsir_weights",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS tk
+      FROM documents),
+    posts AS (
+      SELECT doc_id, 1 AS ord, u.i - 1 AS pos, tk[u.i] AS gram
+      FROM toks, unnest(generate_series(1, len(tk))) u(i)
+      WHERE len(tk) >= 1
+      UNION ALL
+      SELECT doc_id, 2 AS ord, u.i - 1 AS pos,
+             tk[u.i] || ' ' || tk[u.i + 1] AS gram
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) u(i)
+      WHERE len(tk) >= 2),
+    bucketed AS (
+      SELECT doc_id, ord, pos,
+        CAST(('0x' || substring(md5('dsir-v1:' || CAST(ord AS VARCHAR)
+                                     || ':' || gram), 1, 8))
+             AS BIGINT) % 1024 AS bucket
+      FROM posts),
+    ct AS (SELECT bucket, COUNT(*) AS c_t FROM bucketed
+           WHERE doc_id % 7 = 0 GROUP BY bucket),
+    cr AS (SELECT bucket, COUNT(*) AS c_r FROM bucketed GROUP BY bucket),
+    tot AS (SELECT (SELECT coalesce(SUM(c_t), 0) FROM ct) AS nt,
+                   (SELECT coalesce(SUM(c_r), 0) FROM cr) AS nr),
+    model AS (
+      SELECT b.bucket,
+        ((CAST(coalesce(ct.c_t, 0) AS DOUBLE) + 1e0)
+         / (CAST(tot.nt AS DOUBLE) + 1024e0))
+        / ((CAST(coalesce(cr.c_r, 0) AS DOUBLE) + 1e0)
+         / (CAST(tot.nr AS DOUBLE) + 1024e0)) AS ratio
+      FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) b
+      LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket), tot),
+    scored AS (
+      SELECT p.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_grams,
+        list_reduce(list_prepend(CAST(1 AS DOUBLE),
+          list(m.ratio ORDER BY p.ord, p.pos)), (a, b) -> a * b)
+          AS ratio_prod
+      FROM bucketed p JOIN model m USING (bucket)
+      GROUP BY p.doc_id),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY ratio_prod DESC, doc_id ASC)
+               AS rn,
+             COUNT(*) OVER () AS cnt
+      FROM scored)
+    SELECT doc_id, n_grams, ratio_prod, (4 * rn <= cnt + 3) AS selected
+    FROM ranked ORDER BY doc_id
+    """,
+)
+def dsir_weights_q(spark, sf_dir):
+    """DSIR importance-resampling selection (operators/dsir.py, Xie et
+    al. 2023) under the hash gate — train -> score -> select END TO
+    END, the kn_bigram_scores discipline for a second closed-form
+    trained model family: the target sample is the deterministic
+    doc_id % 7 == 0 slice, both hashed-bigram bucket models (1024
+    buckets, Laplace alpha=1) are rebuilt by DuckDB from exact counts,
+    every doc's ordered ratio-product fold is replayed bit-exactly,
+    and the top-quartile selection rule gates through pure INTEGER
+    rank arithmetic (4*rn <= cnt+3 == rn <= ceil(cnt/4); ties break on
+    doc_id). log_weight — the paper's log-space statistic, equivalent
+    ordering — is NOT bit-portable across engines and stays out of the
+    gated set, pinned by tests/test_dsir.py's numpy replay instead."""
+    from pyspark.sql import Window
+
+    from chapterhousedb_spark.operators.dsir import dsir_score, dsir_train
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    model = dsir_train(target, docs, num_buckets=1024)
+    scored = dsir_score(docs, model, num_buckets=1024, log_weight=False)
+    w = Window.orderBy(F.col("ratio_prod").desc(), F.col("doc_id").asc())
+    ranked = scored.select(
+        "doc_id",
+        "n_grams",
+        "ratio_prod",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("cnt"),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_grams",
+        "ratio_prod",
+        (F.col("rn") * 4 <= F.col("cnt") + 3).alias("selected"),
+    ).orderBy("doc_id")
+
+
 # CCNet perplexity-bucketing composition (VERDICT r11 #4): language
 # gate -> LM fluency -> head/middle/tail split at CORPUS-DERIVED
 # tercile cutoffs -> per-bucket deterministic sampling. The cutoffs
