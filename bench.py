@@ -133,6 +133,7 @@ HEADLINE = [
     "pipeline_ccnet",
     "line_dedup_docs",
     "dsir_weights",
+    "semdedup_fixed",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -2247,3 +2247,119 @@ def knn_join_cross(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------------------ semdedup
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "far_from_centroid",
+    persist: bool = True,
+    tag_cols: bool = False,
+) -> DataFrame:
+    """Cluster-blocked semantic dedup — the PAPER-faithful SemDeDup
+    shape (Abbas et al. 2023): vectors are blocked by their k-means
+    cell (ivf_assign against fixed/fitted centroids), candidate pairs
+    are the exact within-cell cosine pairs at `threshold`, and each
+    near-dup neighborhood keeps ONE representative. This is the
+    cluster-blocking sibling of embedding_dedup_survivors (SRP
+    blocking): SRP blocks by random hyperplanes with tunable recall;
+    cell blocking matches the paper and lets the pair stage reuse a
+    corpus already written partitioned by cell.
+
+    `keep` picks the representative, greedy/deterministic like the SRP
+    sibling (a dropped vector still dominates its own neighbors —
+    published SemDeDup keep-one semantics, not transitive clustering):
+
+      "far_from_centroid": the paper's rule — within a pair, the
+        vector MORE aligned with the cell centroid is dropped
+        (keeping low-alignment examples preserves cluster diversity);
+        alignment = dot(unit vector, cell centroid), monotone in
+        cosine-to-centroid within a cell (shared centroid norm), ties
+        break on id. Survivors are the (alignment, id)-minimal rows
+        of their neighborhoods.
+      "min_id": the SRP sibling's smaller-id-wins rule.
+
+    Returns the surviving rows, all columns intact; `tag_cols=True`
+    appends (semdedup_cell, semdedup_align) diagnostics. Deterministic
+    and SQL-replayable end to end — the declared `semdedup_fixed` row
+    gates the whole chain under pinned centroids.
+
+    At 100 TB: the cell self-join is O(sum over cells of cell_size^2)
+    — the paper's accepted cost with k sized so n/k stays small (they
+    run k=11k on 5B embeddings). Size `len(centroids)` accordingly, or
+    compose: pre-split mega-cells with an SRP pass (the two blockers
+    chain, since both are deterministic keys). Everything else is one
+    JVM projection and one anti join; nothing driver-side."""
+    if keep not in ("far_from_centroid", "min_id"):
+        raise ValueError(
+            f"semdedup_survivors: keep must be 'far_from_centroid' or"
+            f" 'min_id', got {keep!r}"
+        )
+    others = list(df.columns)
+    cells = ivf_assign(df, centroids, vec_col=vec_col, cell_col="__sd_cell")
+    # alignment: unit vector materialized through a Generate barrier
+    # (the ivf_assign CollapseProject discipline), centroid picked by
+    # the assigned cell from the literal table
+    unit = cells.select(
+        "*", F.explode(F.array(_unit_expr(vec_col))).alias("__sd_u")
+    )
+    align = F.expr(
+        "aggregate(zip_with(__sd_u, element_at("
+        + _centroids_lit(centroids)
+        + ", __sd_cell + 1), (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    )
+    tagged = unit.select(
+        *others, "__sd_cell", align.alias("__sd_align")
+    )
+    from chapterhousedb_spark.operators.dedup import _persist_for_self_join
+
+    base = _persist_for_self_join(
+        tagged.select(
+            F.col(id_col), F.col(vec_col), "__sd_cell", "__sd_align"
+        ),
+        persist,
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__sd_cell").alias("__c"),
+        F.col("__sd_align").alias("__al_a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__sd_cell").alias("__c"),
+        F.col("__sd_align").alias("__al_b"),
+    )
+    # same guarded-denominator cosine as embedding_near_dup_pairs
+    cos = _dot("va", "vb") / F.greatest(
+        _norm("va") * _norm("vb"), F.lit(1e-12)
+    )
+    pairs = (
+        a.join(b, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+    )
+    if keep == "min_id":
+        loser = F.col("id_b")
+    else:
+        # keep the LOWER alignment; exact-tie (e.g. identical vectors)
+        # falls to the larger id, matching the min_id convention
+        loser = F.when(
+            F.col("__al_b") < F.col("__al_a"), F.col("id_a")
+        ).otherwise(F.col("id_b"))
+    dominated = pairs.select(loser.alias(id_col)).distinct()
+    out = tagged if tag_cols else df
+    survivors = out.join(dominated, id_col, "left_anti")
+    if tag_cols:
+        survivors = survivors.withColumnRenamed(
+            "__sd_cell", "semdedup_cell"
+        ).withColumnRenamed("__sd_align", "semdedup_align")
+    return survivors

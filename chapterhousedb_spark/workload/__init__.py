@@ -394,7 +394,14 @@ _DRIVER_FIRST = [
     # stage operator also has its own gated row, it has been
     # driver-green since round 2, and it re-earns driver-green via
     # rotation like every demoted row.
-    "pipeline_cluster_balance",
+    # pipeline_cluster_balance demoted round 12 to pay for
+    # semdedup_fixed (see the round-12 batch comment below): BOTH its
+    # stages stay gated in-window through siblings — the pinned-
+    # centroid ivf_assign chain (normalize/distance/argmin) is replayed
+    # verbatim inside semdedup_fixed's oracle, and the md5 per-group
+    # cap machinery inside url_domain_cap/url_etld_cap — it stays
+    # re-hashed every pytest run via test_oracle_parity, and it
+    # re-earns driver-green via rotation like every demoted row.
     # round-11 new surface, gated at birth (VERDICT r10 #6): the
     # key_skew heavy-hitter diagnostic's top-k + share + running-share
     # arithmetic replayed by DuckDB over the events join key. Listed
@@ -533,6 +540,14 @@ _DRIVER_FIRST = [
     # the integer-arithmetic top-quartile rule gated bit-exactly.
     # Paid for by demoting pq_residual_fixed (see its comment above).
     "dsir_weights",
+    # ...plus cluster-blocked SemDeDup (Abbas et al. 2023 — the paper-
+    # faithful k-means-cell blocking beside the SRP-blocked
+    # embedding_dedup): pinned-centroid cells, within-cell exact
+    # cosine pairs, keep-farthest-from-centroid dominance, with a
+    # planted scaled-twin scaffold guaranteeing non-vacuous pairs at
+    # every sf. Paid for by demoting pipeline_cluster_balance (see its
+    # comment above).
+    "semdedup_fixed",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -556,6 +571,7 @@ _DRIVER_LAST = [
     "knn_graph",
     "dedup_span_rewrite",
     "pq_residual_fixed",
+    "pipeline_cluster_balance",
     # round-11 demotions, one per new gated row (see the round-11
     # batch comments in _DRIVER_FIRST for each pairing):
     # markup_removal -> url_dedup_docs, bigram_coverage ->

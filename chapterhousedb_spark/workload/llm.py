@@ -1365,6 +1365,110 @@ def pipeline_cluster_balance_q(spark, sf_dir):
     )
 
 
+_SD_COS = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, 64),
+          i -> CAST(x.embedding[i] AS DOUBLE)
+               * CAST(y.embedding[i] AS DOUBLE))), (s, z) -> s + z)
+      / greatest(
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(x.embedding,
+              v -> CAST(v AS DOUBLE) * v)), (s, z) -> s + z))
+          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(y.embedding,
+              v -> CAST(v AS DOUBLE) * v)), (s, z) -> s + z)),
+          1e-12)"""
+
+
+@query(
+    "semdedup_fixed",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(embedding,
+               x -> CAST(x * 1.25e0 AS FLOAT)) AS embedding
+      FROM embeddings WHERE vec_id % 5 = 0),
+    n AS (
+      SELECT vec_id, embedding,
+        list_transform(embedding, x -> CAST(x AS DOUBLE) / greatest(
+          sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(embedding, y -> CAST(y AS DOUBLE) * y)),
+            (s, z) -> s + z)), 1e-12)) AS u
+      FROM base),
+    a AS (
+      SELECT vec_id, embedding, u,
+        CAST(list_position(ds, list_aggregate(ds, 'min')) - 1 AS INT)
+          AS cell
+      FROM (SELECT vec_id, embedding, u,
+        list_transform({CENTS}, cb ->
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, 64),
+              i -> (u[i] - cb[i]) * (u[i] - cb[i]))),
+            (s, z) -> s + z)) AS ds
+      FROM n)),
+    al AS (
+      SELECT vec_id, embedding, cell,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64),
+            i -> u[i] * ({CENTS})[cell + 1][i])),
+          (s, z) -> s + z) AS align
+      FROM a),
+    p AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib,
+             x.align AS ala, y.align AS alb,
+             {SDCOS} AS cos
+      FROM al x JOIN al y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+    dominated AS (
+      SELECT DISTINCT CASE WHEN alb < ala THEN ia ELSE ib END AS vec_id
+      FROM p WHERE cos >= 0.45e0)
+    SELECT vec_id, cell AS semdedup_cell, align AS semdedup_align
+    FROM al WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+    ORDER BY vec_id
+    """.replace(
+        "{CENTS}",
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]"
+            for c in _ivf_fixed_centroids()
+        )
+        + "]",
+    ).replace("{SDCOS}", _SD_COS),
+)
+def semdedup_fixed_q(spark, sf_dir):
+    """Cluster-blocked SemDeDup (similarity.semdedup_survivors, Abbas
+    et al. 2023 — the paper-faithful k-means-cell blocking beside the
+    SRP-blocked embedding_dedup) under the hash gate with pinned
+    centroids: the scaffold plants a 1.25x-scaled float twin for every
+    fifth vector (same direction -> same cell, cosine ~1 -> a
+    guaranteed within-cell near-dup whose centroid-ALIGNMENT differs
+    only by float-cast rounding, so the keep-farthest-from-centroid
+    rule's comparison is decided by exactly-replayed ulps), on top of
+    the corpus's natural >=0.45 within-cell pairs. DuckDB replays the
+    twin construction, normalization, cell argmin, the alignment fold,
+    the guarded pair cosine, the lexicographic (align, id) dominance
+    rule, and the surviving (cell, align) diagnostics bit-exactly."""
+    from chapterhousedb_spark.operators.similarity import semdedup_survivors
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(x * 1.25e0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    planted = emb.unionByName(twins)
+    out = semdedup_survivors(
+        planted,
+        _ivf_fixed_centroids(),
+        threshold=0.45,
+        tag_cols=True,
+    )
+    return out.select(
+        "vec_id", "semdedup_cell", "semdedup_align"
+    ).orderBy("vec_id")
+
+
 # ------------------------------------------ pinned residual IVF-PQ twin
 # The last scoring chain the two twins above leave unexercised is the
 # RESIDUAL path (FAISS by_residual=True): unit vector minus its cell

@@ -1677,3 +1677,79 @@ def test_mrl_index_roundtrip_column_prunes_and_appends(spark, tmp_path, vectors)
     a = [tuple(r) for r in mrl_probe_topk(spark, path, q, k=25, refine=40).collect()]
     b = [tuple(r) for r in mrl_probe_topk(spark, rebuilt, q, k=25, refine=40).collect()]
     assert a == b
+
+
+# ------------------------------------------------------------ semdedup
+
+
+def _sd_centroids():
+    # two orthogonal unit centroids in 4-d
+    return [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+
+@pytest.fixture(scope="module")
+def sd_corpus(spark):
+    """Cell 0: vectors 0/1 near-dup (cos ~0.9999), 0 MORE aligned with
+    the centroid than 1; vector 2 unrelated (cos to 0/1 well below
+    threshold). Cell 1: vectors 10/11 exact duplicates (alignment
+    tie). Cross-cell near-dups impossible by construction."""
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [0.6, 0.0, 0.8, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.5]),
+        (11, [0.0, 1.0, 0.0, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semdedup_far_from_centroid_keeps_less_aligned(spark, sd_corpus):
+    from chapterhousedb_spark.operators.similarity import semdedup_survivors
+
+    out = semdedup_survivors(
+        sd_corpus, _sd_centroids(), threshold=0.99, tag_cols=True
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    # vector 0 is MORE centroid-aligned than 1 -> 0 is dropped, the
+    # diversity-preserving survivor is 1; 2 survives (below threshold);
+    # the exact-duplicate tie at cell 1 falls to the larger id
+    assert set(rows) == {1, 2, 10}
+    assert rows[1]["semdedup_cell"] == 0
+    assert rows[10]["semdedup_cell"] == 1
+
+
+def test_semdedup_min_id_matches_srp_sibling_convention(spark, sd_corpus):
+    from chapterhousedb_spark.operators.similarity import semdedup_survivors
+
+    out = semdedup_survivors(
+        sd_corpus, _sd_centroids(), threshold=0.99, keep="min_id"
+    )
+    assert {r["vec_id"] for r in out.collect()} == {0, 2, 10}
+    # all original columns intact, no diagnostic columns by default
+    assert out.columns == ["vec_id", "embedding"]
+
+
+def test_semdedup_cell_blocking_is_a_real_boundary(spark):
+    """Identical vectors assigned to the same cell always pair; the
+    blocking never compares across cells, so survivors in different
+    cells coexist even at cosine 1 (use SRP or more centroids if the
+    corpus straddles cell boundaries)."""
+    from chapterhousedb_spark.operators.similarity import semdedup_survivors
+
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [0.01, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_survivors(df, _sd_centroids(), threshold=0.5)
+    assert {r["vec_id"] for r in out.collect()} == {0, 1}
+
+
+def test_semdedup_threshold_and_guard(spark, sd_corpus):
+    from chapterhousedb_spark.operators.similarity import semdedup_survivors
+
+    # threshold above every pair's cosine -> nothing dropped
+    out = semdedup_survivors(sd_corpus, _sd_centroids(), threshold=1.5)
+    assert out.count() == 5
+    with pytest.raises(ValueError, match="keep"):
+        semdedup_survivors(sd_corpus, _sd_centroids(), keep="random")
