@@ -293,10 +293,11 @@ def probe(spark, docs, embs) -> dict:
     )
     n, t = timed_count(url_dedup(planted_urls))
     out["url_dedup_rows"], out["url_dedup_rows_sec"] = n, t
-    # registered-domain extraction — pure JVM split + literal IN
-    # probes, zero shuffle; rows == docs, time ~scan speed. Reuses the
-    # planted urls with a co.uk twist so the snapshot match is
-    # load-bearing at both scales.
+    # registered-domain extraction — staged JVM projections + two
+    # ~200-row broadcast suffix joins (round-12 rebuild), no data
+    # shuffle; rows == docs, time ~scan speed. Reuses the planted urls
+    # with a co.uk twist so the snapshot match is load-bearing at both
+    # scales.
     from chapterhousedb_spark.operators.urls import url_registered_domain
 
     etld_urls = docs.select(
@@ -407,6 +408,60 @@ def probe(spark, docs, embs) -> dict:
     )
     n, t = timed_count(bucketed)
     out["ccnet_rows"], out["ccnet_rows_sec"] = n, t
+    # round-12 line-level dedup — one line-keyed groupBy + join back +
+    # per-doc reassembly; rows == docs (every doc survives), time
+    # ~linear in corpus lines. Planted headers/footers create the
+    # Zipf-heavy duplicate keys the map-side combine collapses.
+    from chapterhousedb_spark.operators.dedup import line_dedup
+
+    lined = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("HOME | NAV | BAR"),
+            F.concat(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
+                F.lit(" #"),
+                F.col("doc_id").cast("string"),
+            ),
+            F.concat(
+                F.lit("footer "), (F.col("doc_id") % 11).cast("string")
+            ),
+        ).alias("text"),
+    )
+    n, t = timed_count(line_dedup(lined))
+    out["line_dedup_rows"], out["line_dedup_rows_sec"] = n, t
+    # round-12 DSIR — two bounded bucket histograms (model <= 1024
+    # rows at any corpus size) + a broadcast-model join + one per-doc
+    # fold shuffle; rows == docs, time ~linear in corpus grams.
+    from chapterhousedb_spark.operators.dsir import dsir_score, dsir_train
+
+    model = dsir_train(
+        docs.filter(F.col("doc_id") % 7 == 0), docs, num_buckets=1024
+    )
+    n, t = timed_count(
+        dsir_score(docs, model, num_buckets=1024, log_weight=False)
+    )
+    out["dsir_rows"], out["dsir_rows_sec"] = n, t
+    # round-12 cluster-blocked SemDeDup — the HONESTLY quadratic
+    # stage: within-cell pair count grows ~(rows/cells)^2 per cell, so
+    # the 10x step should show ~100x pair work split over 16 cells;
+    # survivors == rows (no natural near-dups), time tracks the pair
+    # join. 16 dyadic centroids, same family as the gated row.
+    from chapterhousedb_spark.operators.similarity import (
+        semdedup_survivors,
+    )
+
+    sd_cents = [
+        [((c * 29 + j * 13) % 17 - 8) / 16.0 for j in range(64)]
+        for c in range(16)
+    ]
+    n, t = timed_count(
+        semdedup_survivors(
+            embs.select("vec_id", "embedding"), sd_cents, threshold=0.45
+        )
+    )
+    out["semdedup_rows"], out["semdedup_rows_sec"] = n, t
     return out
 
 

@@ -161,3 +161,13 @@ def test_guards(spark, corpus, model):
         dsir_topk(scored, k=1, by="weight")
     with pytest.raises(ValueError, match="k"):
         dsir_topk(scored, k=0)
+
+
+def test_score_plan_broadcasts_model_and_stays_jvm(spark, corpus, model):
+    """Scoring must join the (<= num_buckets)-row model by BROADCAST
+    (no shuffle of the posts on the bucket key) and keep the gram
+    pipeline free of Python eval nodes."""
+    scored = dsir_score(corpus, model, num_buckets=B, salt=SALT)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

@@ -1753,3 +1753,15 @@ def test_semdedup_threshold_and_guard(spark, sd_corpus):
     assert out.count() == 5
     with pytest.raises(ValueError, match="keep"):
         semdedup_survivors(sd_corpus, _sd_centroids(), keep="random")
+
+
+def test_semdedup_pair_join_is_equi_not_cartesian(spark, sd_corpus):
+    """The within-cell pair stage must be a cell-keyed equi-join —
+    never a cartesian product — and all-JVM."""
+    from chapterhousedb_spark.operators.similarity import semdedup_survivors
+
+    out = semdedup_survivors(sd_corpus, _sd_centroids(), threshold=0.99)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
