@@ -134,6 +134,7 @@ HEADLINE = [
     "line_dedup_docs",
     "dsir_weights",
     "semdedup_fixed",
+    "source_overlap",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -228,3 +228,96 @@ def key_skew(
         )
         .orderBy(F.desc("n"), "key")
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Cross-source vocabulary overlap matrix — the pre-mix diagnostic
+    for corpus composition: how much of each pair of sources is the
+    same text distribution (near-identical crawls masquerading as two
+    sources inflate dedup load and silently double their mix weight;
+    near-disjoint sources are safe to weight independently). One row
+    per unordered group pair that shares at least one gram:
+
+      (group_a, group_b, n_a, n_b, n_common, jaccard, containment)
+
+    over each group's DISTINCT word-`ngram` set (normalized text;
+    ngram=1 is vocabulary overlap, higher n approaches content
+    overlap — 8-gram containment is the usual contamination-style
+    signal). containment = n_common / min(n_a, n_b) catches a small
+    source embedded in a big one, which Jaccard dilutes.
+
+    At 100 TB: one distinct-(group, gram) shuffle (map-side combine
+    collapses each group's repeats first), then ONE groupBy(gram)
+    whose state is the gram's group-SET (<= #groups, never
+    corpus-sized) exploded into <= G^2/2 pair rows per gram — the
+    hot-stopword skew an a-join-b-on-gram self-join would hit never
+    materializes. Output is G^2 rows."""
+    if ngram < 1:
+        raise ValueError(f"source_overlap: ngram must be >= 1, got {ngram}")
+    from chapterhousedb_spark.operators.dedup import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(text_col), " "), lambda w: w != ""
+    )
+    if ngram == 1:
+        grams = words
+    else:
+        grams = F.when(
+            F.size(words) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (ngram - 1)),
+                lambda i: F.array_join(F.slice(words, i, ngram), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    posts = (
+        df.select(F.col(group_col).alias("g"), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    sizes = posts.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    tok_groups = (
+        posts.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("g")).alias("gs"))
+        .filter(F.size("gs") >= 2)
+    )
+    # all i<j pairs from the sorted group set (two-arg transform: the
+    # second lambda param IS the element index here, deliberately)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("gs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("gs"), i + 2, F.size(F.col("gs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    counts = (
+        tok_groups.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("group_a"), F.col("p.b").alias("group_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("group_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("group_b"), F.col("n").alias("n_b"))
+    return (
+        counts.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+    )

@@ -113,7 +113,12 @@ _DRIVER_FIRST = [
     # oracle (the three-way batch = streaming = DuckDB agreement)
     # (tpch_q11_important_parts sat here rounds 6-11; demoted round 12
     # to pay for url_etld_cap — see the round-12 batch comment below)
-    "tpch_q15_top_supplier",
+    # tpch_q15_top_supplier demoted round 12 to pay for source_overlap
+    # (see the round-12 batch comment below): the TPC-H family keeps
+    # q7/q18/q19/q20 gated in-window plus the rotation-cycled set, its
+    # exact-decimal argmax + global-scalar HAVING shape stays re-hashed
+    # every pytest run via test_oracle_parity, and it re-earns
+    # driver-green via rotation like every demoted row.
     # ...and the Q7 dual-role-dimension shape, paid for by demoting
     # tpch_q3_shipping: its 3-way join + per-order agg + top-k shape
     # stays covered by tpch_q18 (3-way + semi + TakeOrdered) and the
@@ -548,6 +553,15 @@ _DRIVER_FIRST = [
     # every sf. Paid for by demoting pipeline_cluster_balance (see its
     # comment above).
     "semdedup_fixed",
+    # ...plus the cross-source vocabulary overlap matrix (the pre-mix
+    # corpus-composition diagnostic: near-identical crawls posing as
+    # two sources inflate dedup load and silently double their mix
+    # weight). The operator's set-based pair derivation and the
+    # oracle's DISTINCT-posts self-join are different formulations of
+    # the same relation, so their equality is itself under the gate.
+    # Paid for by demoting tpch_q15_top_supplier (see its comment
+    # above).
+    "source_overlap",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -572,6 +586,7 @@ _DRIVER_LAST = [
     "dedup_span_rewrite",
     "pq_residual_fixed",
     "pipeline_cluster_balance",
+    "tpch_q15_top_supplier",
     # round-11 demotions, one per new gated row (see the round-11
     # batch comments in _DRIVER_FIRST for each pairing):
     # markup_removal -> url_dedup_docs, bigram_coverage ->

@@ -3523,6 +3523,47 @@ def kn_bigram_scores_q(spark, sf_dir):
 
 
 @query(
+    "source_overlap",
+    oracle=rf"""
+    WITH posts AS (
+      SELECT DISTINCT source AS g, t.token AS gram
+      FROM documents, UNNEST({_TOKS}) t(token)
+      WHERE t.token <> ''),
+    sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+              FROM posts GROUP BY g),
+    com AS (
+      SELECT a.g AS group_a, b.g AS group_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM posts a JOIN posts b ON a.gram = b.gram AND a.g < b.g
+      GROUP BY a.g, b.g)
+    SELECT group_a, group_b, x.n AS n_a, y.n AS n_b, n_common,
+           CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard,
+           CAST(n_common AS DOUBLE) / least(x.n, y.n) AS containment
+    FROM com JOIN sizes x ON x.g = group_a
+             JOIN sizes y ON y.g = group_b
+    ORDER BY group_a, group_b
+    """,
+)
+def source_overlap_q(spark, sf_dir):
+    """Cross-source vocabulary overlap matrix (profile.source_overlap)
+    under the hash gate — the pre-mix composition diagnostic: per
+    source pair, distinct-vocab sizes, the shared-gram count, Jaccard
+    and containment (the small-source-inside-big-source signal
+    Jaccard dilutes). The operator derives pairs from per-gram group
+    SETS (state bounded by #groups per gram — no gram-keyed self-join
+    for a hot stopword to skew, plan-asserted in tests/
+    test_profile.py); the oracle replays the same relation with the
+    plain DISTINCT-posts self-join, so the two formulations' equality
+    is itself under the gate. Integer counts + two double divisions —
+    engine-portable."""
+    from chapterhousedb_spark.operators.profile import source_overlap
+
+    return source_overlap(
+        load(spark, sf_dir, "documents")
+    ).orderBy("group_a", "group_b")
+
+
+@query(
     "dsir_weights",
     oracle=rf"""
     WITH toks AS (

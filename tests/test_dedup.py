@@ -773,3 +773,46 @@ def test_line_dedup_guards(spark, line_corpus):
         line_dedup(line_corpus, keep="last")
     with pytest.raises(ValueError, match="min_count"):
         line_dedup(line_corpus, min_count=1)
+
+
+# ----------------------------------------------------------- lsh tuner
+
+
+def test_lsh_tune_midpoint_tracks_threshold():
+    from chapterhousedb_spark.operators.dedup import lsh_tune
+
+    for t in (0.5, 0.8, 0.9):
+        r = lsh_tune(t, max_hashes=128)
+        assert r["bands"] * r["rows"] == r["num_hashes"] <= 128
+        # the S-curve's rise point lands near the target threshold
+        assert abs(r["threshold_midpoint"] - t) < 0.1
+        assert r["cost"] == pytest.approx(r["fp_area"] + r["fn_area"])
+
+
+def test_lsh_tune_weights_shift_the_midpoint():
+    from chapterhousedb_spark.operators.dedup import lsh_tune
+
+    prec = lsh_tune(0.7, max_hashes=128, fp_weight=10.0)
+    rec = lsh_tune(0.7, max_hashes=128, fn_weight=10.0)
+    # precision-weighted tuning pushes the rise point ABOVE the
+    # recall-weighted one (fewer low-sim collisions vs fewer misses)
+    assert prec["threshold_midpoint"] > rec["threshold_midpoint"]
+    assert prec["fp_area"] < rec["fp_area"]
+    assert prec["fn_area"] > rec["fn_area"]
+
+
+def test_lsh_tune_budget_monotone_and_guards():
+    from chapterhousedb_spark.operators.dedup import lsh_tune
+
+    small = lsh_tune(0.8, max_hashes=32)
+    big = lsh_tune(0.8, max_hashes=256)
+    assert big["cost"] <= small["cost"]  # more budget never hurts
+    # the repo's 64/16 default is near-optimal for its ~0.5 midpoint
+    d = lsh_tune(0.5, max_hashes=64)
+    assert abs(d["threshold_midpoint"] - 0.5) < 0.06
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_tune(1.0)
+    with pytest.raises(ValueError, match="max_hashes"):
+        lsh_tune(0.5, max_hashes=1)
+    with pytest.raises(ValueError, match="weights"):
+        lsh_tune(0.5, fp_weight=0.0, fn_weight=0.0)

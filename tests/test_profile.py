@@ -164,3 +164,73 @@ def test_key_skew_single_scan(spark):
     # (grouping flag 1) was consumed into the denominator
     assert len(rows) == df.select("user_id").distinct().count()
     assert abs(rows[-1]["cum_share"] - 1.0) < 1e-12
+
+
+def test_source_overlap_matrix(spark):
+    """Three hand-built sources: A and B share half their vocab, C is
+    disjoint from both, and D (a small subset of A) shows containment
+    1.0 where jaccard dilutes."""
+    from chapterhousedb_spark.operators.profile import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("A", "alpha beta gamma delta"),
+            ("B", "gamma delta epsilon zeta"),
+            ("C", "one two three"),
+            ("D", "alpha beta"),
+        ],
+        "source string, text string",
+    )
+    rows = {
+        (r["group_a"], r["group_b"]): r
+        for r in source_overlap(df).collect()
+    }
+    # C overlaps nothing -> no C rows at all
+    assert set(rows) == {("A", "B"), ("A", "D"), ("B", "D")} - {("B", "D")}
+    ab = rows[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (4, 4, 2)
+    assert ab["jaccard"] == pytest.approx(2 / 6)
+    assert ab["containment"] == pytest.approx(0.5)
+    ad = rows[("A", "D")]
+    assert (ad["n_common"], ad["containment"]) == (2, 1.0)
+    assert ad["jaccard"] == pytest.approx(0.5)
+
+
+def test_source_overlap_ngram_and_dedup_within_group(spark):
+    from chapterhousedb_spark.operators.profile import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("A", "x y z"),
+            ("A", "x y z"),  # repeats never inflate the distinct set
+            ("B", "x y q"),
+        ],
+        "source string, text string",
+    )
+    uni = {
+        (r["group_a"], r["group_b"]): r for r in source_overlap(df).collect()
+    }[("A", "B")]
+    assert (uni["n_a"], uni["n_b"], uni["n_common"]) == (3, 3, 2)
+    bi = {
+        (r["group_a"], r["group_b"]): r
+        for r in source_overlap(df, ngram=2).collect()
+    }[("A", "B")]
+    # bigrams: A {x y, y z}, B {x y, y q} -> common {x y}
+    assert (bi["n_a"], bi["n_b"], bi["n_common"]) == (2, 2, 1)
+    with pytest.raises(ValueError, match="ngram"):
+        source_overlap(df, ngram=0)
+
+
+def test_source_overlap_no_gram_selfjoin_skew(spark):
+    """The pair stage must come from per-gram group SETS (bounded by
+    #groups), never an a-join-b-on-gram self-join a hot stopword would
+    skew: no join on the gram column in the plan."""
+    from chapterhousedb_spark.operators.profile import source_overlap
+
+    df = spark.createDataFrame(
+        [("A", "x y"), ("B", "x z")], "source string, text string"
+    )
+    plan = (
+        source_overlap(df)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "gram = gram" not in plan.replace("#", " ").lower()
