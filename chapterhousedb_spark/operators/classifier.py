@@ -311,6 +311,8 @@ def lang_ngram_score(
                 f"lang_ngram_score: betas[{lang!r}] has {len(b)} entries, "
                 f"expected intercept + {B} coefs"
             )
+    from chapterhousedb_spark.operators.dedup import normalize_text
+
     buckets = _char_gram_buckets(text_col, n, B, salt)
     flat = [float(v) for lang in langs for v in betas[lang][1:]]
     flat_lit = F.array(*[F.lit(v) for v in flat])
@@ -324,14 +326,35 @@ def lang_ngram_score(
             + F.element_at(flat_lit, (l * B + b.cast("int") + 1).cast("int")),
         ),
     )
-    total = F.greatest(F.size(buckets), F.lit(1)).cast("double")
-    out = df.select(
+    # gram count WITHOUT touching the bucket array: size(buckets) ==
+    # greatest(len(norm) - (n-1), 1) by _char_gram_buckets'
+    # construction (the empty-array guard maps to the same floor), and
+    # evaluating size(buckets) would re-run the whole md5 transform
+    # just to count it
+    total = F.greatest(
+        F.length(normalize_text(text_col)) - (n - 1), F.lit(1)
+    ).cast("double")
+    # materialize the 4-lane fold ONCE through a Generate barrier:
+    # each eta column referencing `folded` directly re-evaluates the
+    # full per-gram md5 fold (higher-order lambdas defeat codegen
+    # subexpression elimination — same CollapseProject hazard as
+    # ivf_assign), which measured ~#langs x the whole scoring cost on
+    # real-length text (round-12 fix: pipeline_ccnet's gate stage
+    # dropped ~5x)
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.array(F.struct(folded.alias("f"), total.alias("t")))
+        ).alias("__ln"),
+    )
+    out = staged.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         *[
             (
                 F.lit(float(betas[lang][0]))
-                + F.element_at(folded, i + 1) / total
+                + F.element_at(F.col("__ln.f"), i + 1) / F.col("__ln.t")
             ).alias(f"eta_{lang}")
             for i, lang in enumerate(langs)
         ],

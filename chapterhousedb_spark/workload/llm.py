@@ -3632,7 +3632,12 @@ def dsir_weights_q(spark, sf_dir):
 
     from chapterhousedb_spark.operators.dsir import dsir_score, dsir_train
 
-    docs = load(spark, sf_dir, "documents")
+    # same small-file artifact as pipeline_ccnet: the gram hashing is
+    # compute-dense (one portable md5 per gram instance) and a single
+    # local parquet serializes it onto one core — fan out first
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     target = docs.filter(F.col("doc_id") % 7 == 0)
     model = dsir_train(target, docs, num_buckets=1024)
     scored = dsir_score(docs, model, num_buckets=1024, log_weight=False)
@@ -3782,20 +3787,50 @@ def pipeline_ccnet_q(spark, sf_dir):
     )
     from chapterhousedb_spark.operators.text import kneser_ney_bigram
 
-    docs = load(spark, sf_dir, "documents")
-    gated = (
+    from chapterhousedb_spark.operators.dedup import _persist_for_self_join
+
+    # fan the gate input out to the session's parallelism: the
+    # trigram gate is COMPUTE-dense (one portable md5 per char
+    # position), and a small local parquet arrives as ONE scan
+    # partition, serializing the whole stage onto one core (measured
+    # 34 s -> ~2 s for the gate at sf0.1 on local[32]). At cluster
+    # scale the scan supplies partitions and this is one cheap
+    # balanced exchange of the raw docs ahead of four shuffling
+    # stages.
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # the md5-heavy language gate feeds BOTH sides of KN's internal
+    # posts reuse (count tables + instance scoring) — persist the
+    # gated slice so the trigram scoring projection runs once, not
+    # once per subtree (tracked handle, released like the dedup
+    # self-join caches). 100 TB note: this caches the gated TEXT; at
+    # cluster scale write the gate's output to a staging table
+    # instead — the composition is stage-materialized there anyway.
+    gated = _persist_for_self_join(
         lang_ngram_score(
             docs, _LANGID_FIXED_BETAS, num_buckets=16, keep_cols=("text",)
         )
         .filter(F.col("lang_pred") == "es")
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        True,
     )
     fl = kneser_ney_bigram(gated).select(
         "doc_id", F.col("mean_kn_prob").alias("fluency")
     )
-    binned = fl.withColumn(
-        "bin",
-        F.floor(F.col("fluency") * F.lit(_CCNET_BIN_SCALE)).cast("bigint"),
+    # binned feeds the cutoff histogram AND the final bucketing —
+    # persist the tiny (doc_id, fluency, bin) frame so the whole
+    # gate+KN pipeline runs once per action, not once per consumer
+    # (this single composition was 59 s cold at sf0.1 before the two
+    # persists, ~3.4x its stages' sum; ~17 s after)
+    binned = _persist_for_self_join(
+        fl.withColumn(
+            "bin",
+            F.floor(
+                F.col("fluency") * F.lit(_CCNET_BIN_SCALE)
+            ).cast("bigint"),
+        ),
+        True,
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
     w_cum = Window.orderBy("bin").rowsBetween(
