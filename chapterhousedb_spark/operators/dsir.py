@@ -255,3 +255,52 @@ def dsir_topk(
     if k < 1:
         raise ValueError(f"dsir_topk: k must be >= 1, got {k}")
     return scored.orderBy(F.col(by).desc(), F.col(id_col).asc()).limit(k)
+
+
+def dsir_quality_gate(
+    model: DataFrame,
+    min_log_weight: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DEFAULT_BUCKETS,
+    salt: str = DEFAULT_SALT,
+    orders: tuple = (1, 2),
+):
+    """DSIR admission gate for ingest.admit_batch(quality_fn=...) —
+    the CCNet/DSIR-style streaming shape: score each incoming micro-
+    batch against a FROZEN importance model (dsir_train output,
+    trained once offline on the in-domain target vs a raw snapshot)
+    and admit only docs with log-weight >= `min_log_weight`. Calibrate
+    the threshold against the model, not universally at 0.0: when the
+    target sample is a SUBSET of the raw corpus (the usual DSIR setup)
+    the raw model already contains the target mass, so even strongly
+    target-like docs score below zero — pick the cutoff from the score
+    distribution of a held-out target slice (dsir_score it) the way
+    the paper picks its resampling budget. Returns a
+    callable (batch) -> surviving rows, all original columns intact —
+    the fineweb_quality_gate contract, so the two gates compose by
+    nesting.
+
+    Physical shape per micro-batch: the gram projection + ONE
+    broadcast join against the (<= num_buckets)-row model + a batch-
+    sized aggregation, then survivors inner-join the original rows on
+    the id. No state across batches (the model is frozen); docs with
+    no grams (empty text) score nothing and are NOT admitted —
+    gating on content requires content. The model frame must come
+    from dsir_train with the SAME num_buckets/salt/orders or scores
+    are silently garbage (the lang_ngram_train salt contract)."""
+    kw = dict(
+        text_col=text_col,
+        id_col=id_col,
+        num_buckets=num_buckets,
+        salt=salt,
+        orders=orders,
+    )
+    thr = float(min_log_weight)
+
+    def gate(batch: DataFrame) -> DataFrame:
+        scored = dsir_score(batch, model, log_weight=True, **kw)
+        keep = scored.filter(F.col("log_weight") >= thr).select(id_col)
+        return batch.join(F.broadcast(keep), id_col)
+
+    return gate

@@ -1940,3 +1940,76 @@ def test_admit_batch_quality_gate(spark, tmp_path_factory):
     final, ver = read_versioned_base(spark, str(root / "corpus"))
     assert ver == 1
     assert {r["doc_id"] for r in final.collect()} == {0, 103}
+
+
+def test_admit_batch_dsir_gate(spark, tmp_path_factory):
+    """admit_batch(quality_fn=dsir_quality_gate(...)) — the CCNet/DSIR
+    admission shape: incoming docs are scored against a FROZEN
+    importance model (trained offline, target vs raw) and only
+    target-like docs reach the dedup gate and the corpus."""
+    from pyspark.sql import Row
+
+    from chapterhousedb_spark.operators.dsir import (
+        dsir_quality_gate,
+        dsir_train,
+    )
+    from chapterhousedb_spark.operators.ingest import admit_batch, init_ingest
+    from chapterhousedb_spark.streaming import read_versioned_base
+
+    # offline model: target = astronomy, raw = astronomy + cooking
+    target = spark.createDataFrame(
+        [
+            (0, "star galaxy nebula orbit comet"),
+            (1, "galaxy orbit comet star nebula"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = target.unionByName(
+        spark.createDataFrame(
+            [
+                (2, "flour oven butter sugar dough"),
+                (3, "dough sugar oven flour butter"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    model = dsir_train(target, raw, num_buckets=64, salt="dsir-gate-t")
+
+    root = tmp_path_factory.mktemp("ingest_dsir")
+    init_ingest(
+        spark.createDataFrame(
+            [Row(doc_id=10, text="star comet orbit map", version=0)]
+        ),
+        str(root / "corpus"),
+    )
+    batch = spark.createDataFrame(
+        [
+            # target-like AND novel -> admitted (log_weight ~ -1.8:
+            # with target a SUBSET of raw, even target-like docs score
+            # below 0 — raw already contains the target mass — so the
+            # threshold is calibrated per model, not universally 0)
+            Row(doc_id=100, text="nebula star comet galaxy drift", version=1),
+            # raw-typical (cooking) -> rejected (log_weight ~ -4.4)
+            Row(doc_id=101, text="butter dough oven sugar flour", version=1),
+            # empty text: no grams, nothing to score -> not admitted
+            Row(doc_id=102, text="", version=1),
+        ]
+    )
+    res = admit_batch(
+        batch,
+        str(root / "corpus"),
+        quality_fn=dsir_quality_gate(
+            model, min_log_weight=-2.0, num_buckets=64, salt="dsir-gate-t"
+        ),
+        threshold=0.9,
+    )
+    assert res == {
+        "version": 1,
+        "n_batch": 3,
+        "n_admitted": 1,
+        "n_rejected": 2,
+        "n_quality_rejected": 2,
+    }
+    final, ver = read_versioned_base(spark, str(root / "corpus"))
+    assert ver == 1
+    assert {r["doc_id"] for r in final.collect()} == {10, 100}
