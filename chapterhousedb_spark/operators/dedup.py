@@ -103,6 +103,34 @@ def normalize_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def split_words(col: Column | str) -> Column:
+    """Non-empty words of the normalized text, in order."""
+    return F.filter(
+        F.split(normalize_text(col), " "), lambda w: w != ""
+    )
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Space-joined length-`n` windows over a word array, in text
+    order; empty array when the text has fewer than n words (guarded
+    explicitly — Spark `sequence(1, 0)` counts DOWN). The shared gram
+    recipe the DSIR / source-overlap oracles replay character-exactly
+    (round-12 review fix: it was duplicated per module).
+
+    NB: the gram lambda must stay SINGLE-parameter — a second
+    (default) parameter flips pyspark's transform() into its
+    (element, index) two-arg form and the index silently replaces the
+    closed-over value."""
+
+    def _gram(i):
+        return F.array_join(F.slice(words, i, n), " ")
+
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)), _gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # ------------------------------------------------------------------ exact
 
 

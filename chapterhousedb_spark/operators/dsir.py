@@ -35,10 +35,13 @@ actual statistic, sum of natural logs) is NOT bit-portable across
 engines, so it stays out of oracle-gated column sets and is pinned by
 the numpy-reference unit tests in tests/test_dsir.py instead.
 
-At 100 TB: gram extraction is a narrow projection + one posexplode
-per order; each corpus's bucket histogram is ONE map-side-combined
-groupBy whose output is at most `num_buckets` rows (the model is KB-
-sized however big the corpus is); scoring joins the posts against the
+At 100 TB: gram extraction is a narrow projection + ONE posexplode
+covering every order (per-order windows concatenate into one struct
+stream, so each corpus scans once total); each corpus's bucket
+histogram is ONE map-side-combined groupBy whose output is at most
+`num_buckets` rows (the model is KB-sized however big the corpus is,
+and training caches both histograms so the totals pass does not
+re-hash the corpus); scoring joins the posts against the
 BROADCAST model and folds per doc with collect_list state bounded by
 a single document's gram count; top-k selection is a
 TakeOrderedAndProject, never a global sort.
@@ -48,8 +51,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from chapterhousedb_spark.operators.dedup import normalize_text
 
 DEFAULT_BUCKETS = 8192
 DEFAULT_SALT = "dsir-v1"
@@ -88,43 +89,30 @@ def dsir_gram_posts(
         raise ValueError(f"dsir: orders must be positive ints, got {orders!r}")
     if num_buckets < 2:
         raise ValueError(f"dsir: num_buckets must be >= 2, got {num_buckets}")
-    words = F.filter(
-        F.split(normalize_text(text_col), " "), lambda w: w != ""
-    )
-    # NB: the gram lambda must stay SINGLE-parameter — a second
-    # (default) parameter flips pyspark's transform() into its
-    # (element, index) two-arg form and the index silently replaces
-    # the closed-over value
-    def _gram_fn(n):
-        return lambda i: F.array_join(F.slice(words, i, n), " ")
+    from chapterhousedb_spark.operators.dedup import split_words, word_ngrams
 
-    parts = []
-    for n in sorted(set(int(n) for n in orders)):
-        grams = F.when(
-            F.size(words) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (n - 1)),
-                _gram_fn(n),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        parts.append(
-            df.select(
-                F.col(id_col).alias("id"),
+    words = split_words(text_col)
+    # ONE scan for every order (round-12 review fix — the old
+    # union-of-orders shape scanned the corpus once PER order): each
+    # order's gram windows become (ord, pos, bucket) structs, the
+    # per-order arrays concatenate, and a single posexplode emits the
+    # whole gram stream. The (g, i) two-arg transform is deliberate —
+    # i is the in-order gram position.
+    def _order_arr(n):
+        return F.transform(
+            word_ngrams(words, n),
+            lambda g, i: F.struct(
                 F.lit(n).alias("ord"),
-                F.posexplode(grams).alias("pos", "gram"),
-            ).select(
-                "id",
-                "ord",
-                "pos",
-                _bucket_expr(F.col("gram"), n, num_buckets, salt).alias(
-                    "bucket"
-                ),
-            )
+                i.alias("pos"),
+                _bucket_expr(g, n, num_buckets, salt).alias("bucket"),
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    arrs = [_order_arr(n) for n in sorted(set(int(n) for n in orders))]
+    stream = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(stream).alias("g")
+    ).select("id", "g.ord", "g.pos", "g.bucket")
 
 
 def _bucket_counts(posts: DataFrame, name: str) -> DataFrame:
@@ -156,8 +144,19 @@ def dsir_train(
         salt=salt,
         orders=orders,
     )
-    ct = _bucket_counts(dsir_gram_posts(target, **kw), "c_target")
-    cr = _bucket_counts(dsir_gram_posts(raw, **kw), "c_raw")
+    from chapterhousedb_spark.operators.dedup import _persist_for_self_join
+
+    # each histogram feeds BOTH the totals aggregate and the bucket
+    # join below; without the cache the dominant cost — hashing every
+    # gram of each corpus — runs twice (round-12 review fix, verified
+    # 8 scans -> 2 in the plan). The cached frames are <= num_buckets
+    # rows (tracked handles, released with the dedup self-join caches)
+    ct = _persist_for_self_join(
+        _bucket_counts(dsir_gram_posts(target, **kw), "c_target"), True
+    )
+    cr = _persist_for_self_join(
+        _bucket_counts(dsir_gram_posts(raw, **kw), "c_raw"), True
+    )
     totals = (
         ct.agg(F.coalesce(F.sum("c_target"), F.lit(0)).alias("n_target"))
         .crossJoin(

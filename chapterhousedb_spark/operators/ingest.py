@@ -142,12 +142,21 @@ def admit_batch(
     n_batch = batch.count()
     n_quality_rejected = 0
     quality_persisted = None
+    raw_persisted = None
     if quality_fn is not None:
-        # persist the gated batch: it feeds the n_quality_rejected
+        # persist the RAW batch first: every gate references it more
+        # than once internally (fineweb: gopher + c4 + the survivors
+        # join-back; dsir: per-order gram scans + join-back), so
+        # without this cache the gate recomputes the micro-batch's
+        # source lineage per reference (round-12 review fix); then
+        # persist the GATED batch: it feeds the n_quality_rejected
         # count, the cross dedup gate AND the admitted anti-join below
         # — without the cache the quality joins replay ~3x per
         # micro-batch (the same hazard `admitted` is persisted for)
-        batch = quality_fn(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        raw_persisted = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        batch = quality_fn(raw_persisted).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         quality_persisted = batch
     # everything from here runs under the unpersist guarantee: a
     # failure anywhere below (a raising gate_fn, a cross-join analysis
@@ -214,6 +223,8 @@ def admit_batch(
             admitted.unpersist()
         if quality_persisted is not None:
             quality_persisted.unpersist()
+        if raw_persisted is not None:
+            raw_persisted.unpersist()
 
 
 def _admit_batch_writes(

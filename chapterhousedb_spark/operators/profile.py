@@ -252,31 +252,30 @@ def source_overlap(
     source embedded in a big one, which Jaccard dilutes.
 
     At 100 TB: one distinct-(group, gram) shuffle (map-side combine
-    collapses each group's repeats first), then ONE groupBy(gram)
-    whose state is the gram's group-SET (<= #groups, never
-    corpus-sized) exploded into <= G^2/2 pair rows per gram — the
-    hot-stopword skew an a-join-b-on-gram self-join would hit never
-    materializes. Output is G^2 rows."""
+    collapses each group's repeats first) whose result is CACHED —
+    the distinct posts feed the per-gram group sets AND both sides of
+    the size lookup, and without the cache the corpus explode runs
+    once per consumer (round-12 review fix: verified 3 scans -> 1;
+    tracked handle, released with the dedup self-join caches) — then
+    ONE groupBy(gram) whose state is the gram's group-SET (<=
+    #groups, never corpus-sized) exploded into <= G^2/2 pair rows per
+    gram — the hot-stopword skew an a-join-b-on-gram self-join would
+    hit never materializes. Output is G^2 rows."""
     if ngram < 1:
         raise ValueError(f"source_overlap: ngram must be >= 1, got {ngram}")
-    from chapterhousedb_spark.operators.dedup import normalize_text
-
-    words = F.filter(
-        F.split(normalize_text(text_col), " "), lambda w: w != ""
+    from chapterhousedb_spark.operators.dedup import (
+        _persist_for_self_join,
+        split_words,
+        word_ngrams,
     )
-    if ngram == 1:
-        grams = words
-    else:
-        grams = F.when(
-            F.size(words) >= ngram,
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (ngram - 1)),
-                lambda i: F.array_join(F.slice(words, i, ngram), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    posts = (
-        df.select(F.col(group_col).alias("g"), F.explode(grams).alias("gram"))
-        .distinct()
+
+    words = split_words(text_col)
+    grams = words if ngram == 1 else word_ngrams(words, ngram)
+    posts = _persist_for_self_join(
+        df.select(
+            F.col(group_col).alias("g"), F.explode(grams).alias("gram")
+        ).distinct(),
+        True,
     )
     sizes = posts.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     tok_groups = (

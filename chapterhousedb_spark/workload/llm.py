@@ -1385,7 +1385,7 @@ _SD_COS = """list_reduce(list_prepend(CAST(0 AS DOUBLE),
     WITH base AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 100000 AS vec_id,
+      SELECT vec_id + 10000000 AS vec_id,
              list_transform(embedding,
                x -> CAST(x * 1.25e0 AS FLOAT)) AS embedding
       FROM embeddings WHERE vec_id % 5 = 0),
@@ -1452,7 +1452,7 @@ def semdedup_fixed_q(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     twins = emb.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + 10000000).alias("vec_id"),
         F.expr(
             "transform(embedding, x -> CAST(x * 1.25e0 AS FLOAT))"
         ).alias("embedding"),

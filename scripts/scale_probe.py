@@ -447,7 +447,9 @@ def probe(spark, docs, embs) -> dict:
     # stage: within-cell pair count grows ~(rows/cells)^2 per cell, so
     # the 10x step should show ~100x pair work split over 16 cells;
     # survivors == rows (no natural near-dups), time tracks the pair
-    # join. 16 dyadic centroids, same family as the gated row.
+    # join. Keys are semdedup_cells_* — semdedup_rows_* already names
+    # the round-9 SRP-blocked probe above (round-12 review fix).
+    # 16 dyadic centroids, same family as the gated row.
     from chapterhousedb_spark.operators.similarity import (
         semdedup_survivors,
     )
@@ -461,7 +463,8 @@ def probe(spark, docs, embs) -> dict:
             embs.select("vec_id", "embedding"), sd_cents, threshold=0.45
         )
     )
-    out["semdedup_rows"], out["semdedup_rows_sec"] = n, t
+    out["semdedup_cells_rows"], out["semdedup_cells_rows_sec"] = n, t
+    release_self_join_caches()
     return out
 
 
