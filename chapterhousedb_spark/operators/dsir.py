@@ -93,26 +93,54 @@ def dsir_gram_posts(
 
     words = split_words(text_col)
     # ONE scan for every order (round-12 review fix — the old
-    # union-of-orders shape scanned the corpus once PER order): each
-    # order's gram windows become (ord, pos, bucket) structs, the
-    # per-order arrays concatenate, and a single posexplode emits the
-    # whole gram stream. The (g, i) two-arg transform is deliberate —
-    # i is the in-order gram position.
-    def _order_arr(n):
-        return F.transform(
-            word_ngrams(words, n),
-            lambda g, i: F.struct(
-                F.lit(n).alias("ord"),
-                i.alias("pos"),
-                _bucket_expr(g, n, num_buckets, salt).alias("bucket"),
-            ),
-        )
-
-    arrs = [_order_arr(n) for n in sorted(set(int(n) for n in orders))]
-    stream = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(stream).alias("g")
-    ).select("id", "g.ord", "g.pos", "g.bucket")
+    # union-of-orders shape scanned the corpus once PER order),
+    # staying entirely on native operators: the per-order gram arrays
+    # stack into an array<array<string>>, a first posexplode yields
+    # one (order-index, grams) row per order per doc, a second
+    # posexplode yields the gram stream, and the md5 bucketing runs as
+    # a flat whole-stage-codegen projection. (Two rejected shapes,
+    # both measured slower on gram-dense corpora: per-order
+    # explode+union re-scans the corpus per order; building
+    # (ord,pos,gram) structs inside a transform lambda evaluates
+    # interpreted, ~2.5x the flat hash cost.)
+    ns = sorted(set(int(n) for n in orders))
+    stacked = F.array(*[word_ngrams(words, n) for n in ns])
+    ord_lookup = F.array(*[F.lit(n) for n in ns])
+    lvl1 = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(stacked).alias("oidx", "grams"),
+    )
+    flat = lvl1.select(
+        "id",
+        F.element_at(ord_lookup, F.col("oidx") + 1).alias("ord"),
+        F.posexplode("grams").alias("pos", "gram"),
+    )
+    # one md5 per gram instance; the per-order salt must match
+    # _bucket_expr's f"{salt}:{order}:" prefix exactly
+    return flat.select(
+        "id",
+        "ord",
+        "pos",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:"),
+                            F.col("ord").cast("string"),
+                            F.lit(":"),
+                            F.col("gram"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % num_buckets
+        ).alias("bucket"),
+    )
 
 
 def _bucket_counts(posts: DataFrame, name: str) -> DataFrame:

@@ -365,8 +365,11 @@ def probe(spark, docs, embs) -> dict:
     # subset is never empty under the probe's arbitrary fixed betas.
     from pyspark.sql.window import Window
 
+    # same fan-out rationale as the dsir probe below: the trigram gate
+    # is md5-dense and the probe corpus is partition-poor
     scored = lang_ngram_score(
-        docs, fixed_betas, num_buckets=16, keep_cols=("text",)
+        docs.repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+        fixed_betas, num_buckets=16, keep_cols=("text",)
     )
     major = (
         scored.groupBy("lang_pred")
@@ -436,12 +439,20 @@ def probe(spark, docs, embs) -> dict:
     # fold shuffle; rows == docs, time ~linear in corpus grams.
     from chapterhousedb_spark.operators.dsir import dsir_score, dsir_train
 
+    # mirror the headline query's fan-out: the gram hashing is
+    # compute-dense and the probe corpus arrives in a handful of
+    # partitions, so without this the stage under-parallelizes and the
+    # wall measures partition count, not operator cost (the A/B that
+    # picked the one-scan gram shape showed equal total core-seconds
+    # across shapes but 2x wall swings from partition-count artifacts)
+    fan = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     model = dsir_train(
-        docs.filter(F.col("doc_id") % 7 == 0), docs, num_buckets=1024
+        fan.filter(F.col("doc_id") % 7 == 0), fan, num_buckets=1024
     )
     n, t = timed_count(
-        dsir_score(docs, model, num_buckets=1024, log_weight=False)
+        dsir_score(fan, model, num_buckets=1024, log_weight=False)
     )
+    release_self_join_caches()
     out["dsir_rows"], out["dsir_rows_sec"] = n, t
     # round-12 cluster-blocked SemDeDup — the HONESTLY quadratic
     # stage: within-cell pair count grows ~(rows/cells)^2 per cell, so
