@@ -1141,8 +1141,9 @@ def lsh_tune(
         fp_weight * integral_0^t p(s) ds            (false positives)
       + fn_weight * integral_t^1 (1 - p(s)) ds      (false negatives)
 
-    by 1000-point midpoint quadrature — well under a second of pure
-    python, no Spark. Returns {num_hashes, bands, rows,
+    by 1000-point midpoint quadrature — vectorized numpy with the
+    per-rows power hoisted out of the bands loop (ADVICE r12), a few
+    milliseconds driver-side, no Spark. Returns {num_hashes, bands, rows,
     threshold_midpoint, fp_area, fn_area, cost}: threshold_midpoint =
     (1/b)^(1/r), the similarity where p = 1 - (1 - 1/b)^b ~ 0.63,
     i.e. the S-curve's rise point. Weight fp_weight up when the
@@ -1157,21 +1158,28 @@ def lsh_tune(
         raise ValueError(f"lsh_tune: max_hashes must be >= 2, got {max_hashes}")
     if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight == 0:
         raise ValueError("lsh_tune: weights must be >= 0 and not both zero")
+    import numpy as np
+
     n_pts = 1000
     best = None
+    # midpoint grids on [0, t] and [t, 1]
+    ks = (np.arange(n_pts) + 0.5) / n_pts
+    s_lo = threshold * ks
+    s_hi = threshold + (1.0 - threshold) * ks
     for rows in range(1, max_hashes + 1):
+        # hoist the pow out of the bands loop (ADVICE r12): q = 1-s^r
+        # is shared by every b, and (1-s^r)^b accumulates by one
+        # elementwise multiply per band step — ~3M pow calls collapse
+        # to ~3M vectorized multiplies (<10 ms at max_hashes=256)
+        q_lo = 1.0 - s_lo**rows
+        q_hi = 1.0 - s_hi**rows
+        qb_lo = np.ones(n_pts)
+        qb_hi = np.ones(n_pts)
         for bands in range(1, max_hashes // rows + 1):
-            fp = 0.0
-            fn = 0.0
-            # midpoint rule on [0, t] and [t, 1]
-            for k in range(n_pts):
-                s = threshold * (k + 0.5) / n_pts
-                fp += 1.0 - (1.0 - s**rows) ** bands
-            fp *= threshold / n_pts
-            for k in range(n_pts):
-                s = threshold + (1.0 - threshold) * (k + 0.5) / n_pts
-                fn += (1.0 - s**rows) ** bands
-            fn *= (1.0 - threshold) / n_pts
+            qb_lo *= q_lo
+            qb_hi *= q_hi
+            fp = float((1.0 - qb_lo).sum()) * threshold / n_pts
+            fn = float(qb_hi.sum()) * (1.0 - threshold) / n_pts
             cost = fp_weight * fp + fn_weight * fn
             cand = {
                 "num_hashes": bands * rows,

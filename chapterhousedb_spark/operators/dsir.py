@@ -56,13 +56,29 @@ DEFAULT_BUCKETS = 8192
 DEFAULT_SALT = "dsir-v1"
 
 
-def _bucket_expr(gram: Column, order: int, num_buckets: int, salt: str) -> Column:
+def _bucket_expr(
+    gram: Column, order: int | Column, num_buckets: int, salt: str
+) -> Column:
     """Engine-portable hashed-feature bucket: first 8 md5 hex digits
-    (as an integer) of 'salt:order:gram', mod num_buckets."""
+    (as an integer) of 'salt:order:gram', mod num_buckets. The ONE
+    definition of the bucket hash — dsir_gram_posts calls it with a
+    dynamic order column (ADVICE r12: the previously inlined copy
+    could silently drift from this contract helper)."""
+    ord_part = (
+        F.lit(str(int(order)))
+        if isinstance(order, int)
+        else order.cast("string")
+    )
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit(f"{salt}:{order}:"), gram)), 1, 8
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"), ord_part, F.lit(":"), gram
+                    )
+                ),
+                1,
+                8,
             ),
             16,
             10,
@@ -115,30 +131,13 @@ def dsir_gram_posts(
         F.element_at(ord_lookup, F.col("oidx") + 1).alias("ord"),
         F.posexplode("grams").alias("pos", "gram"),
     )
-    # one md5 per gram instance; the per-order salt must match
-    # _bucket_expr's f"{salt}:{order}:" prefix exactly
+    # one md5 per gram instance, via the single contract helper
     return flat.select(
         "id",
         "ord",
         "pos",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{salt}:"),
-                            F.col("ord").cast("string"),
-                            F.lit(":"),
-                            F.col("gram"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % num_buckets
+        _bucket_expr(
+            F.col("gram"), F.col("ord"), num_buckets, salt
         ).alias("bucket"),
     )
 

@@ -143,29 +143,31 @@ def admit_batch(
     n_quality_rejected = 0
     quality_persisted = None
     raw_persisted = None
-    if quality_fn is not None:
-        # persist the RAW batch first: every gate references it more
-        # than once internally (fineweb: gopher + c4 + the survivors
-        # join-back; dsir: per-order gram scans + join-back), so
-        # without this cache the gate recomputes the micro-batch's
-        # source lineage per reference (round-12 review fix); then
-        # persist the GATED batch: it feeds the n_quality_rejected
-        # count, the cross dedup gate AND the admitted anti-join below
-        # — without the cache the quality joins replay ~3x per
-        # micro-batch (the same hazard `admitted` is persisted for)
-        raw_persisted = batch.persist(StorageLevel.MEMORY_AND_DISK)
-        batch = quality_fn(raw_persisted).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        quality_persisted = batch
-    # everything from here runs under the unpersist guarantee: a
-    # failure anywhere below (a raising gate_fn, a cross-join analysis
-    # error, an appender's dims guard) must not leak cached state into
-    # the long-lived streaming session — one RDD per retried
-    # micro-batch
     admitted = None
+    # everything from here runs under the unpersist guarantee: a
+    # failure anywhere below — INCLUDING quality_fn itself raising
+    # during DataFrame construction (an analysis error is exactly the
+    # failure class this guards; ADVICE r12), a raising gate_fn, a
+    # cross-join analysis error, an appender's dims guard — must not
+    # leak cached state into the long-lived streaming session — one
+    # RDD per retried micro-batch
     try:
-        if quality_persisted is not None:
+        if quality_fn is not None:
+            # persist the RAW batch first: every gate references it
+            # more than once internally (fineweb: gopher + c4 + the
+            # survivors join-back; dsir: per-order gram scans +
+            # join-back), so without this cache the gate recomputes
+            # the micro-batch's source lineage per reference (round-12
+            # review fix); then persist the GATED batch: it feeds the
+            # n_quality_rejected count, the cross dedup gate AND the
+            # admitted anti-join below — without the cache the quality
+            # joins replay ~3x per micro-batch (the same hazard
+            # `admitted` is persisted for)
+            raw_persisted = batch.persist(StorageLevel.MEMORY_AND_DISK)
+            batch = quality_fn(raw_persisted).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            quality_persisted = batch
             n_quality_rejected = n_batch - batch.count()
         if gate_fn is not None:
             cross = gate_fn(batch, corpus)

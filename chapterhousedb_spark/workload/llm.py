@@ -1451,6 +1451,26 @@ def semdedup_fixed_q(spark, sf_dir):
     from chapterhousedb_spark.operators.similarity import semdedup_survivors
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # the twin id offset must clear every natural id (ADVICE r12: at a
+    # scale factor with >=1e7 embeddings the planted ids would collide
+    # with natural ones — identically in both engines, so the gate
+    # would keep passing while the scaffold's semantics silently
+    # changed). assert_true fails the JOB loudly instead; on success it
+    # is NULL and the coalesce adds 0, leaving the gated values
+    # untouched.
+    _offset_guard = F.coalesce(
+        F.assert_true(
+            F.col("vec_id") < 10000000,
+            F.lit("semdedup_fixed: natural vec_id >= 1e7 collides "
+                  "with the planted-twin id offset"),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    # guard EVERY natural id (not just the %5 twin sources): any
+    # natural id >= 1e7 would alias a twin id in the union below
+    emb = emb.select(
+        (F.col("vec_id") + _offset_guard).alias("vec_id"), "embedding"
+    )
     twins = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 10000000).alias("vec_id"),
         F.expr(
