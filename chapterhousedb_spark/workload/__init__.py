@@ -868,11 +868,26 @@ def _current_round() -> int:
     artifacts the round driver leaves at the repo root (max N + 1;
     1 outside a driver checkout). Deterministic within a round: the
     current round's artifact is only written AFTER the correctness run
-    that consumes this ordering."""
+    that consumes this ordering.
+
+    SPARK_GRAFT_ROUND, when set to a positive integer, overrides the
+    artifact glob entirely (VERDICT r12 #7): any out-of-band
+    CORRECTNESS_r{N}.json (a judge scratch file, a partial copy) would
+    otherwise silently shift the rotation window. Invalid values are
+    ignored rather than raised — a typo'd env var must not break every
+    import of the workload package."""
     import glob
     import os
     import re
 
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env is not None:
+        try:
+            n = int(env)
+            if n >= 1:
+                return n
+        except ValueError:
+            pass
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )

@@ -256,3 +256,36 @@ def test_same_round_record_reads_latest_complete(tmp_path, monkeypatch):
     # other rounds' records never match
     (tmp_path / "BENCH_LOCAL_r9.json").write_text("{}")
     assert b._same_round_record()[0] == "BENCH_LOCAL_r8b.json"
+
+
+def test_drift_reference_skips_flagged_records(tmp_path, monkeypatch):
+    """The aggregate-drift MEASUREMENT baseline skips records that were
+    themselves drift-flagged (VERDICT r12 #3: r12e ran under a mid-run
+    load spike, got flagged +35.6%, became r13's reference and
+    whipsawed a normal run to -44.3%), while the PERSISTENCE flag still
+    reads the newest record. If every record is flagged, the newest
+    wins as a last resort."""
+    b = _bench()
+    _stage(tmp_path, monkeypatch, b)
+    (tmp_path / "BENCH_LOCAL_r8.json").write_text(json.dumps({
+        "queries": {"q1": 1.0},
+        "calibration": {"spark_range_sum_median_sec": 0.2},
+        "regressions": {"aggregate_drift": {"flagged": False}},
+    }))
+    (tmp_path / "BENCH_LOCAL_r8b.json").write_text(json.dumps({
+        "queries": {"q1": 1.4},
+        "calibration": {"spark_range_sum_median_sec": 0.21},
+        "regressions": {"aggregate_drift": {"flagged": True}},
+    }))
+    name, times, med, newest_flag = b._drift_reference(None)
+    # measurement ref = the unflagged r8; persistence flag = newest (r8b)
+    assert name == "BENCH_LOCAL_r8.json" and times == {"q1": 1.0}
+    assert med == 0.2 and newest_flag is True
+    # all-flagged fallback: newest record despite its flag
+    (tmp_path / "BENCH_LOCAL_r8.json").write_text(json.dumps({
+        "queries": {"q1": 1.0},
+        "calibration": {"spark_range_sum_median_sec": 0.2},
+        "regressions": {"aggregate_drift": {"flagged": True}},
+    }))
+    name, times, med, newest_flag = b._drift_reference(None)
+    assert name == "BENCH_LOCAL_r8b.json" and newest_flag is True

@@ -71,3 +71,34 @@ def test_full_tail_regate_cycle_at_most_9_rounds():
         "re-gate cycle; raise _ROTATION_K (and grow _SWAP_POOL) to "
         "restore the <=9-round cadence"
     )
+
+
+def test_current_round_env_override_beats_stray_artifacts(monkeypatch):
+    """VERDICT r12 #7: _current_round derives the rotation window from
+    repo-root CORRECTNESS artifacts — any out-of-band file (a judge
+    scratch CORRECTNESS_r99.json) would silently shift the window.
+    SPARK_GRAFT_ROUND pins the round regardless of what is on disk;
+    invalid values fall back to the glob instead of raising."""
+    glob_round = w._current_round()  # derived from the real artifacts
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert w._current_round() == 7
+    # a stray artifact cannot shift an env-pinned round (the env path
+    # returns before the glob ever runs)
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "12")
+    assert w._current_round() == 12
+    # invalid values are ignored, not raised
+    for bad in ("zero", "", "-3", "0"):
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", bad)
+        assert w._current_round() == glob_round
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    assert w._current_round() == glob_round
+    # bench.py's twin derivation must agree under the same override
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod_rot", "/root/repo/bench.py"
+    )
+    b = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(b)
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    assert b._current_round_n() == 7
