@@ -135,6 +135,8 @@ HEADLINE = [
     "dsir_weights",
     "semdedup_fixed",
     "source_overlap",
+    # round 13 new shapes, benched from birth
+    "media_near_dup",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -505,9 +505,13 @@ def simhash(
     return packed.withColumnRenamed("id", id_col)
 
 
-def _simhash_block_keys(chunks: int, max_hamming: int) -> list[Column]:
-    """Blocking keys for hamming(simhash) <= max_hamming (Manku et al.,
-    WWW'07 construction, public algorithm).
+def _simhash_block_keys(
+    chunks: int, max_hamming: int, hash_col: str = "simhash"
+) -> list[Column]:
+    """Blocking keys for hamming(<hash_col>) <= max_hamming (Manku et
+    al., WWW'07 construction, public algorithm). hash_col is any
+    64-bit fingerprint column — text SimHash here, image aHash/dHash
+    in operators/multimodal.py (round 13).
 
     The 64 bits partition into `chunks` blocks (widths as even as
     possible, covering all 64 bits). A pair within the hamming budget
@@ -535,13 +539,60 @@ def _simhash_block_keys(chunks: int, max_hamming: int) -> list[Column]:
     widths = [base + 1 if i < rem else base for i in range(chunks)]
     offsets = [sum(widths[:i]) for i in range(chunks)]
     blocks = [
-        F.expr(f"(simhash >> {offsets[i]}) & {(1 << widths[i]) - 1}")
+        F.expr(f"(`{hash_col}` >> {offsets[i]}) & {(1 << widths[i]) - 1}")
         for i in range(chunks)
     ]
     return [
         F.xxhash64(F.lit(ci), *[blocks[j] for j in combo])
         for ci, combo in enumerate(itertools.combinations(range(chunks), agree))
     ]
+
+
+def hamming_near_dup_pairs(
+    fingerprints: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    persist: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(<hash_col>) <=
+    max_hamming over any 64-bit fingerprint column — the shared
+    candidate-generation + exact-verify core behind text SimHash
+    (simhash_near_dup_pairs) and image aHash/dHash near-dup
+    (multimodal.media_near_dup_pairs). Pigeonhole blocking
+    (_simhash_block_keys): equi-joins on C(chunks, chunks-max_hamming)
+    combination keys, verified exactly with bit_count(xor). Recall is
+    GUARANTEED by the pigeonhole argument at any chunks > max_hamming;
+    no cross join at any setting. Sizing rule as documented on
+    simhash_near_dup_pairs."""
+    fp = _persist_for_self_join(
+        fingerprints.select(id_col, hash_col), persist
+    )
+    keys = _simhash_block_keys(chunks, max_hamming, hash_col)
+    blocked = fp.select(
+        F.col(id_col),
+        hash_col,
+        F.explode(F.array(*keys)).alias("bk"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_near_dup_pairs(
@@ -568,32 +619,11 @@ def simhash_near_dup_pairs(
     recall is guaranteed either way by the pigeonhole argument.
     """
     sh = simhash(df, text_col, id_col)
-    # persist the compact (id, simhash) fingerprints — 16 bytes/doc —
-    # not the keys-exploded form (x C(chunks, agree) larger)
-    sh = _persist_for_self_join(sh, persist)
-    keys = _simhash_block_keys(chunks, max_hamming)
-    blocked = sh.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(F.array(*keys)).alias("bk"),
-    )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-                "hamming"
-            ),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
+    # hamming_near_dup_pairs persists the compact (id, simhash)
+    # fingerprints — 16 bytes/doc — not the keys-exploded form
+    # (x C(chunks, agree) larger)
+    return hamming_near_dup_pairs(
+        sh, "simhash", id_col, max_hamming, chunks, persist
     )
 
 

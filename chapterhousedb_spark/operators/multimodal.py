@@ -2576,3 +2576,290 @@ def _decode_png_pixels(payload: bytes):
     if color == 3:
         return bytes(buf), w, h, 3, 2, 8  # re-encode as 8-bit truecolor
     return bytes(buf), w, h, channels, color, depth if depth == 16 else 8
+
+
+# ------------------------------------------------- perceptual near-dup
+# aHash/dHash image fingerprints + hamming-blocked pairs (VERDICT r12
+# #1): the classic average-hash / difference-hash construction (public
+# algorithm — Krawetz's "Looks Like It" writeup; the imagehash package
+# implements the same) so a RESIZED or RE-ENCODED duplicate image —
+# which survives exact byte-level dedup by definition — pairs with its
+# original. Fingerprints are 64-bit longs, so candidate generation
+# reuses the Manku pigeonhole blocking from text SimHash
+# (dedup.hamming_near_dup_pairs) unchanged: bucketed equi-joins, exact
+# bit_count(xor) verify, guaranteed recall, no cross join at any
+# scale.
+
+
+def encode_png_rgb(pixels: bytes, width: int, height: int) -> bytes:
+    """A real PNG from raw interleaved RGB bytes (8-bit truecolor,
+    type-0 filter rows, stdlib zlib): the deterministic-scaffold
+    encoder for the media near-dup gate and tests. Round-trips
+    _decode_png_pixels byte-exactly — filters are a compression
+    choice, not a fidelity one."""
+    import zlib
+
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"encode_png_rgb: expected {width * height * 3} RGB bytes, "
+            f"got {len(pixels)}"
+        )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride]
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_bmp_rgb(pixels: bytes, width: int, height: int) -> bytes:
+    """A real 24-bit bottom-up BI_RGB Windows BMP from raw interleaved
+    RGB bytes — the second scaffold format (distinct container, same
+    raster) so the near-dup gate exercises two independent decode
+    paths. Round-trips _bmp_pixels byte-exactly."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"encode_bmp_rgb: expected {width * height * 3} RGB bytes, "
+            f"got {len(pixels)}"
+        )
+    stride = ((width * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[(y * width + x) * 3 : (y * width + x) * 3 + 3]
+            row += bytes((b, g, r))
+        body += bytes(row) + b"\x00" * (stride - len(row))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    hdr_off = 14 + 40
+    file_hdr = b"BM" + struct.pack(
+        "<IHHI", hdr_off + len(body), 0, 0, hdr_off
+    )
+    return file_hdr + info + bytes(body)
+
+
+def _gray_grid(payload: bytes):
+    """Decode any supported still-image payload to an (h, w) uint8
+    grayscale numpy array, or None for undecodable/audio payloads.
+    Multi-channel rasters reduce by INTEGER luma
+    (299*R + 587*G + 114*B) // 1000 — exact arithmetic both engines
+    can replay (the gate scaffold plants R=G=B so luma == the planted
+    value under ANY weights); 16-bit samples take their high byte;
+    alpha is ignored (a duplicate with a different alpha block is
+    still the same picture); GIF hashes its FIRST frame (the poster
+    frame — per-frame dedup composes via gif_frames upstream)."""
+    import numpy as np
+
+    if payload is None:
+        return None
+
+    def luma(rgb: "np.ndarray") -> "np.ndarray":
+        r = rgb[:, :, 0].astype(np.int64)
+        g = rgb[:, :, 1].astype(np.int64)
+        b = rgb[:, :, 2].astype(np.int64)
+        return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+    if payload[:2] == b"P6":
+        hdr = _parse_ppm_header(payload)
+        if hdr is None:
+            return None
+        w, h, off = hdr
+        body = payload[off : off + w * h * 3]
+        if len(body) != w * h * 3:
+            return None
+        return luma(np.frombuffer(body, np.uint8).reshape(h, w, 3))
+    if payload[:8] == _PNG_SIG:
+        d = _decode_png_pixels(payload)
+        if d is None:
+            return None
+        body, w, h, channels, _color, depth = d
+        if depth == 16:
+            a = np.frombuffer(body, ">u2").reshape(h, w, channels)
+            a = (a >> 8).astype(np.uint8)
+        else:
+            a = np.frombuffer(body, np.uint8).reshape(h, w, channels)
+        if channels >= 3:
+            return luma(a[:, :, :3])
+        return a[:, :, 0]  # gray / gray+alpha: the gray channel
+    if payload[:2] == b"BM":
+        d = _bmp_pixels(payload)
+        if d is None:
+            return None
+        body, w, h = d
+        return luma(np.frombuffer(body, np.uint8).reshape(h, w, 3))
+    if payload[:2] == b"\xff\xd8":
+        got = _decode_jpeg_pixels(payload)
+        if got is None:
+            return None
+        pixels, _samp = got
+        if pixels.shape[2] >= 3:
+            return luma(pixels[:, :, :3].astype(np.uint8))
+        return pixels[:, :, 0].astype(np.uint8)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        got = _gif_iter_frames(payload)
+        if got is None:
+            return None
+        _dims, frames = got
+        if not frames:
+            return None
+        fw, fh, pal, idxs = frames[0]
+        if fw == 0 or fh == 0 or len(idxs) != fw * fh:
+            return None
+        pal_arr = np.asarray(pal, dtype=np.uint8)  # (n, 3)
+        rgb = pal_arr[np.asarray(idxs, dtype=np.int64)].reshape(fh, fw, 3)
+        return luma(rgb)
+    return None
+
+
+def _nn_gather(gray, tw: int, th: int):
+    """Nearest-neighbor downsample by index gather — the SAME mapping
+    _resize_rgb uses (src = (i * src_dim) // target_dim), which the
+    gate's DuckDB oracle replays as integer arithmetic."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return gray[ys][:, xs]
+
+
+def _pack_bits(bits) -> int:
+    """Row-major LSB-first 64-bit pack into a SIGNED long (bit 63 set
+    wraps negative — Spark/DuckDB BIGINT semantics)."""
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _ahash_int(gray8) -> int:
+    """Average hash: bit (y*8+x) = 1 iff 64*pixel > sum(pixels) —
+    integer compare, no float mean, exactly replayable in SQL."""
+    total = int(gray8.astype("int64").sum())
+    bits = (64 * gray8.astype("int64") > total).flatten()
+    return _pack_bits(bits)
+
+
+def _dhash_int(gray9x8) -> int:
+    """Difference hash over a 9-wide x 8-tall grid: bit (y*8+x) = 1
+    iff px[y][x+1] > px[y][x] (strict)."""
+    bits = (gray9x8[:, 1:] > gray9x8[:, :-1]).flatten()
+    return _pack_bits(bits)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """(media_id, ahash, dhash, ok): 64-bit perceptual fingerprints
+    per image payload via the Arrow-batched mapInPandas decode path.
+    aHash = 8x8 nearest-neighbor grayscale thumbnail thresholded at
+    its integer mean; dHash = horizontal gradient signs over a 9x8
+    thumbnail. Both are invariant to N-fold nearest-neighbor upscales
+    and to lossless re-encoding across containers (PNG<->BMP<->PPM) —
+    the re-encoded-duplicate classes exact dedup misses. Undecodable
+    payloads come back (NULL, NULL, ok=False); one bad blob never
+    kills the task.
+
+    At 100 TB: embarrassingly parallel single scan, fingerprints are
+    16 bytes/image; everything downstream (blocking, pair joins)
+    operates on the longs, never on the payloads."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    g = _gray_grid(p)
+                except Exception:
+                    g = None
+                if g is None or g.size == 0:
+                    out.append((None, None, False))
+                    continue
+                out.append(
+                    (
+                        _ahash_int(_nn_gather(g, 8, 8)),
+                        _dhash_int(_nn_gather(g, 9, 8)),
+                        True,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "ahash": pd.array(
+                        [a for a, _, _ in out], dtype="Int64"
+                    ),
+                    "dhash": pd.array(
+                        [d for _, d, _ in out], dtype="Int64"
+                    ),
+                    "ok": [k for _, _, k in out],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _hash, PHASH_SCHEMA
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame,
+    method: str = "ahash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    persist: bool = True,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup pairs: perceptual
+    fingerprints (media_phash) + the Manku pigeonhole hamming blocking
+    shared with text SimHash (dedup.hamming_near_dup_pairs). method
+    picks the fingerprint: 'ahash' (robust to uniform brightness
+    content, threshold-at-mean) or 'dhash' (gradient signs — robust
+    to global brightness/contrast shifts). Undecodable payloads are
+    excluded (they have no fingerprint; they can't pair).
+
+    At 100 TB: one decode scan -> 16-byte fingerprints; candidate
+    buckets from C(chunks, chunks-max_hamming) combination keys keep
+    the self-join shuffle balanced exactly as the text-simhash sizing
+    rule documents (chunks=7..8 at 1e9+ images)."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(
+            f"media_near_dup_pairs: method must be 'ahash' or 'dhash', "
+            f"got {method!r}"
+        )
+    from chapterhousedb_spark.operators.dedup import hamming_near_dup_pairs
+
+    # pass a pre-computed (and ideally persisted) media_phash frame
+    # when pairing on BOTH methods — one decode scan instead of two
+    fp = (fingerprints if fingerprints is not None else media_phash(media))
+    fp = fp.filter(F.col("ok")).select("media_id", method)
+    return hamming_near_dup_pairs(
+        fp, method, "media_id", max_hamming, chunks, persist
+    )

@@ -81,7 +81,8 @@ _DRIVER_FIRST = [
     # machinery under training_order), and scalar_subquery (the
     # uncorrelated-scalar decorrelation is now gated through
     # tpch_q22's threshold subquery; correlated through tpch_q17)
-    "corpus_diff",
+    # (corpus_diff sat here rounds 6-12; demoted round 13 to pay for
+    # media_near_dup — see the round-13 batch comment below)
     "histogram_totalprice",
     # round-6 fifth batch: the composed curation pipeline (filter ->
     # per-source cap -> split -> training order under one oracle) —
@@ -562,6 +563,21 @@ _DRIVER_FIRST = [
     # Paid for by demoting tpch_q15_top_supplier (see its comment
     # above).
     "source_overlap",
+    # round-13 new surface, gated at birth (VERDICT r12 #1): image
+    # perceptual near-dup — aHash/dHash fingerprints through the REAL
+    # PNG/BMP codec round-trip (executor-built scaffold images from an
+    # md5 pixel formula; 2x-upscaled re-encoded twins) paired via the
+    # Manku pigeonhole blocking shared with text SimHash. The oracle
+    # brute-forces all pairwise hammings from the same literal
+    # formula, so codec fidelity, the integer hash arithmetic AND the
+    # blocking's guaranteed-recall property are all under one gate.
+    # Paid for by demoting corpus_diff: long driver-green (r6-r12),
+    # the corpus-diagnostics family keeps source_overlap +
+    # table_profile (pool) in-window, its digest full-outer-join
+    # machinery stays re-hashed against DuckDB every pytest run
+    # (test_oracle_parity), and it re-earns driver-green via rotation
+    # like every demoted row.
+    "media_near_dup",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -578,6 +594,9 @@ _DRIVER_FIRST = [
     "table_profile",
 ]
 _DRIVER_LAST = [
+    # round-13 demotions, one per new gated row (see the round-13
+    # batch comments in _DRIVER_FIRST for each pairing):
+    "corpus_diff",
     # round-12 demotions, one per new gated row (see the round-12
     # batch comments in _DRIVER_FIRST for each pairing):
     "tpch_q11_important_parts",

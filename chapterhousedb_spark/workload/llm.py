@@ -4685,3 +4685,178 @@ def simhash_md5_fingerprints_q(spark, sf_dir):
         ).otherwise(F.lit(0).cast("bigint"))
         fp = term if fp is None else fp + term
     return agged.select("doc_id", fp.alias("simhash16")).orderBy("doc_id")
+
+
+@query(
+    "media_near_dup",
+    oracle="""
+    -- planted image scaffold (VERDICT r12 #1): 12 base images keyed by
+    -- the smallest doc_ids; each pixel of image `base` at SOURCE grid
+    -- cell (y, x) is the first md5 byte of 'phash:base:y:x' — pure
+    -- literal arithmetic both engines derive independently. Every
+    -- doc_id % 3 == 0 base also plants a 2x nearest-neighbor UPSCALED
+    -- twin (id + 1000000) in the OTHER container format. The oracle
+    -- recomputes the 8x8 aHash / 9x8 dHash thumbnails straight from
+    -- the pixel formula (thumbnail gather src = (i * src_dim) //
+    -- target_dim, so the 16x16 base reads cell (2y, 2x) and the 32x32
+    -- twin provably resolves to the SAME cells) and brute-forces all
+    -- pairwise hammings — gating the Spark side's codec round-trip
+    -- (encode -> decode -> luma), the hash arithmetic AND the
+    -- pigeonhole blocking's guaranteed-recall property at once.
+    WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12),
+    mids AS (
+      SELECT doc_id AS base, CAST(doc_id AS BIGINT) AS media_id FROM ids
+      UNION ALL
+      SELECT doc_id AS base, CAST(doc_id + 1000000 AS BIGINT) AS media_id
+      FROM ids WHERE doc_id % 3 = 0),
+    g8 AS (
+      SELECT media_id, y.y AS y, x.x AS x,
+             CAST(('0x' || substring(md5('phash:' || CAST(base AS VARCHAR)
+                   || ':' || CAST(2 * y.y AS VARCHAR)
+                   || ':' || CAST(2 * x.x AS VARCHAR)), 1, 2)) AS BIGINT)
+               AS v
+      FROM mids, generate_series(0, 7) y(y), generate_series(0, 7) x(x)),
+    s8 AS (SELECT media_id, SUM(v) AS sv FROM g8 GROUP BY media_id),
+    ab AS (
+      SELECT g8.media_id, y, x,
+             CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS bit
+      FROM g8 JOIN s8 USING (media_id)),
+    g9 AS (
+      SELECT media_id, y.y AS y, x.x AS x,
+             CAST(('0x' || substring(md5('phash:' || CAST(base AS VARCHAR)
+                   || ':' || CAST(2 * y.y AS VARCHAR)
+                   || ':' || CAST((x.x * 16) // 9 AS VARCHAR)), 1, 2))
+               AS BIGINT) AS v
+      FROM mids, generate_series(0, 7) y(y), generate_series(0, 8) x(x)),
+    db AS (
+      SELECT a.media_id, a.y, a.x,
+             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM g9 a JOIN g9 b
+        ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8),
+    ap AS (
+      SELECT 'ahash' AS method, a.media_id AS id_a, b.media_id AS id_b,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM ab a JOIN ab b
+        ON a.y = b.y AND a.x = b.x AND a.media_id < b.media_id
+      GROUP BY 1, 2, 3),
+    dp AS (
+      SELECT 'dhash' AS method, a.media_id AS id_a, b.media_id AS id_b,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM db a JOIN db b
+        ON a.y = b.y AND a.x = b.x AND a.media_id < b.media_id
+      GROUP BY 1, 2, 3)
+    SELECT method, id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM (SELECT * FROM ap UNION ALL SELECT * FROM dp)
+    WHERE hamming <= 3
+    ORDER BY method, id_a, id_b
+    """,
+)
+def media_near_dup_q(spark, sf_dir):
+    """Image perceptual near-dup under the hash gate (VERDICT r12 #1
+    — the operator that catches what exact dedup cannot: a RESIZED or
+    RE-ENCODED duplicate image). The scaffold builds REAL image bytes
+    executor-side — 16x16 truecolor PNGs (even bases) and 24-bit BMPs
+    (odd bases) whose pixels come from the md5 literal formula, plus a
+    2x nearest-neighbor upscaled twin in the OTHER container for every
+    doc_id % 3 == 0 base (id + 1000000; resized AND re-encoded). The
+    production operator (multimodal.media_near_dup_pairs) then really
+    decodes them (encode_png_rgb/_decode_png_pixels,
+    encode_bmp_rgb/_bmp_pixels), hashes (aHash: 8x8 thumbnail
+    thresholded at 64*v > sum; dHash: 9x8 horizontal gradient signs —
+    both integer-exact), and pairs via the Manku pigeonhole blocking
+    shared with text SimHash. The oracle brute-forces ALL pairs from
+    the same pixel formula, so equality also gates the blocking's
+    guaranteed-recall property (a candidate the blocks missed would be
+    a missing row). Planted twins pair at hamming 0 on both methods;
+    the 12 md5-decorrelated bases sit >= 18 bits apart (measured), so
+    nothing else pairs — and if the corpus ever changes that, both
+    engines agree on whatever pairs exist."""
+    from chapterhousedb_spark.operators.multimodal import (
+        encode_bmp_rgb,
+        encode_png_rgb,
+        media_near_dup_pairs,
+        media_phash,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # twin id offset must clear every natural id (the semdedup_fixed
+    # discipline): fail the job loudly rather than silently aliasing
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("doc_id") < 1000000,
+            F.lit(
+                "media_near_dup: natural doc_id >= 1e6 collides with "
+                "the planted-twin id offset"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    ids = (
+        docs.select((F.col("doc_id") + guard).cast("long").alias("base"))
+        .orderBy("base")
+        .limit(12)
+    )
+    base = ids.select(
+        "base", F.col("base").alias("media_id"), F.lit(1).alias("scale")
+    )
+    twins = ids.filter(F.col("base") % 3 == 0).select(
+        "base",
+        (F.col("base") + 1000000).alias("media_id"),
+        F.lit(2).alias("scale"),
+    )
+
+    def _build(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for b, s in zip(pdf["base"], pdf["scale"]):
+                b, s = int(b), int(s)
+                n = 16 * s
+                img = np.zeros((n, n, 3), np.uint8)
+                for yy in range(16):
+                    for xx in range(16):
+                        v = int(
+                            hashlib.md5(
+                                f"phash:{b}:{yy}:{xx}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        img[
+                            yy * s : (yy + 1) * s, xx * s : (xx + 1) * s, :
+                        ] = v
+                raw = img.tobytes()
+                # twins land in the OTHER container: resized AND
+                # re-encoded duplicates both exercise the gate
+                fmt_png = (b % 2 == 0) if s == 1 else (b % 2 == 1)
+                payloads.append(
+                    encode_png_rgb(raw, n, n)
+                    if fmt_png
+                    else encode_bmp_rgb(raw, n, n)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "payload": payloads}
+            )
+
+    media = base.unionByName(twins).mapInPandas(
+        _build, "media_id long, payload binary"
+    )
+    # one decode scan for both methods
+    fp = media_phash(media)
+    parts = [
+        media_near_dup_pairs(
+            media, method=m, max_hamming=3, chunks=4,
+            persist=False, fingerprints=fp,
+        ).select(
+            F.lit(m).alias("method"),
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        for m in ("ahash", "dhash")
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("method", "id_a", "id_b")

@@ -1350,3 +1350,135 @@ def test_resize_media_bmp(spark):
     want = src[ys][:, xs].mean()
     d1 = decode_real(bytes(got[1]["payload"]))
     assert abs(d1["mean_pixel"] - want) < 1e-9
+
+
+# ------------------------------------------------- perceptual near-dup
+
+
+def _rand_rgb(seed: int, w: int, h: int):
+    """Deterministic md5-decorrelated RGB raster (R=G=B), as bytes."""
+    import hashlib
+
+    import numpy as np
+
+    img = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x, :] = int(
+                hashlib.md5(f"t:{seed}:{y}:{x}".encode()).hexdigest()[:2], 16
+            )
+    return img
+
+
+def test_phash_invariant_to_resize_and_reencode():
+    """The whole point of perceptual hashing: an N-fold nearest-
+    neighbor upscale re-encoded in a DIFFERENT container hashes
+    identically; a distinct image lands far away in hamming space."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        _ahash_int,
+        _dhash_int,
+        _gray_grid,
+        _nn_gather,
+        encode_bmp_rgb,
+        encode_png_rgb,
+    )
+
+    base = _rand_rgb(1, 16, 16)
+    twin = np.kron(base, np.ones((3, 3, 1), np.uint8))  # 3x upscale
+    other = _rand_rgb(2, 16, 16)
+
+    def hashes(img, enc):
+        h, w, _ = img.shape
+        g = _gray_grid(enc(img.tobytes(), w, h))
+        assert g is not None and g.shape == (h, w)
+        assert (g == img[:, :, 0]).all()  # R=G=B -> luma == channel
+        return _ahash_int(_nn_gather(g, 8, 8)), _dhash_int(
+            _nn_gather(g, 9, 8)
+        )
+
+    hb = hashes(base, encode_png_rgb)
+    ht = hashes(twin, encode_bmp_rgb)  # resized AND re-encoded
+    ho = hashes(other, encode_png_rgb)
+    assert hb == ht
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(hb[0], ho[0]) > 10 and ham(hb[1], ho[1]) > 10
+
+
+def test_gray_grid_covers_every_codec():
+    """One luma definition across containers: the same raster through
+    PPM, PNG, BMP and GIF decodes to the same grayscale grid; JPEG
+    (lossy) lands within quantization distance; junk returns None."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        _encode_jpeg,
+        _gray_grid,
+        encode_bmp_rgb,
+        encode_png_rgb,
+        make_gif_blob,
+    )
+
+    img = _rand_rgb(3, 16, 16)
+    raw = img.tobytes()
+    ppm = b"P6\n16 16\n255\n" + raw
+    g_ppm = _gray_grid(ppm)
+    g_png = _gray_grid(encode_png_rgb(raw, 16, 16))
+    g_bmp = _gray_grid(encode_bmp_rgb(raw, 16, 16))
+    assert (g_ppm == g_png).all() and (g_ppm == g_bmp).all()
+    # true-color luma: distinct channels weight 299/587/114
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2] = 200, 100, 50
+    g = _gray_grid(encode_png_rgb(rgb.tobytes(), 2, 2))
+    assert int(g[0, 0]) == (299 * 200 + 587 * 100 + 114 * 50) // 1000
+    # JPEG: near-lossless flat-quant encode -> within a few levels
+    g_jpg = _gray_grid(_encode_jpeg(img, quant=1))
+    assert g_jpg.shape == (16, 16)
+    assert int(np.abs(g_jpg.astype(int) - g_ppm.astype(int)).max()) <= 4
+    # GIF first frame (grayscale palette ramp is exactly representable)
+    gif = make_gif_blob(4, 4, n_frames=2)
+    assert _gray_grid(gif) is not None and _gray_grid(gif).shape == (4, 4)
+    assert _gray_grid(b"not an image") is None
+    assert _gray_grid(None) is None
+
+
+def test_media_near_dup_pairs_e2e(spark):
+    """Planted resize-twin pairs (hamming 0), the distinct image does
+    not pair, the undecodable payload is excluded not fatal — through
+    the real Spark mapInPandas + blocked-join path, on both methods."""
+    from chapterhousedb_spark.operators.multimodal import (
+        encode_bmp_rgb,
+        encode_png_rgb,
+        media_near_dup_pairs,
+        media_phash,
+    )
+
+    import numpy as np
+
+    base = _rand_rgb(7, 16, 16)
+    twin = np.kron(base, np.ones((2, 2, 1), np.uint8))
+    other = _rand_rgb(8, 16, 16)
+    rows = [
+        (1, encode_png_rgb(base.tobytes(), 16, 16)),
+        (2, encode_bmp_rgb(twin.tobytes(), 32, 32)),
+        (3, encode_png_rgb(other.tobytes(), 16, 16)),
+        (4, b"junk payload"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fp = {r["media_id"]: r for r in media_phash(media).collect()}
+    assert fp[4]["ok"] is False and fp[4]["ahash"] is None
+    assert fp[1]["ahash"] == fp[2]["ahash"]
+    assert fp[1]["dhash"] == fp[2]["dhash"]
+    for method in ("ahash", "dhash"):
+        got = media_near_dup_pairs(
+            media, method=method, max_hamming=3, persist=False
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [
+            (1, 2, 0)
+        ]
+    with pytest.raises(ValueError, match="method"):
+        media_near_dup_pairs(media, method="phash")
