@@ -137,6 +137,7 @@ HEADLINE = [
     "source_overlap",
     # round 13 new shapes, benched from birth
     "media_near_dup",
+    "bpe_segment_fixed",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

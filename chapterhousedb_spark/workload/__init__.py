@@ -265,7 +265,8 @@ _DRIVER_FIRST = [
     # anti join `LeftAnti, BuildRight, true`) is plan-asserted in
     # test_plans.py, anti-join correctness stays gated through
     # tpch_q21/tpch_q22, and it re-earns driver-green via rotation.
-    "ngram_repetition",
+    # (ngram_repetition sat here rounds 9-12; demoted round 13 to pay
+    # for bpe_segment_fixed — see the round-13 batch comment below)
     # ...plus the C4 line-level cleanup, whose rebuilt text is
     # hash-checked character-exactly (every line predicate + the
     # sentence-count page rule under one oracle). Paid for by demoting
@@ -578,6 +579,21 @@ _DRIVER_FIRST = [
     # (test_oracle_parity), and it re-earns driver-green via rotation
     # like every demoted row.
     "media_near_dup",
+    # ...plus BPE merge application under a pinned merge list (VERDICT
+    # r12 #2 — the LAST trained-model family without a hash-gated
+    # twin): the production pandas rank-greedy path faces a DuckDB
+    # in-order replace() replay bit-exactly over the corpus vocabulary
+    # plus a planted scaffold that fires every merge at any sf (path
+    # equivalence pinned by tests/test_text.py). Gating it at birth
+    # also caught a DuckDB WITH RECURSIVE quirk (bare UNION across CTE
+    # branches does not dedupe) latent in the unigram gate. Paid for
+    # by demoting ngram_repetition: long driver-green (r9-r12), the
+    # quality-heuristics family keeps gopher_quality + pipeline_fineweb
+    # (composed gopher+c4 stages) in-window, its 9-gram-table plan
+    # stays re-hashed against DuckDB every pytest run
+    # (test_oracle_parity), and it re-earns driver-green via rotation
+    # like every demoted row.
+    "bpe_segment_fixed",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -597,6 +613,7 @@ _DRIVER_LAST = [
     # round-13 demotions, one per new gated row (see the round-13
     # batch comments in _DRIVER_FIRST for each pairing):
     "corpus_diff",
+    "ngram_repetition",
     # round-12 demotions, one per new gated row (see the round-12
     # batch comments in _DRIVER_FIRST for each pairing):
     "tpch_q11_important_parts",

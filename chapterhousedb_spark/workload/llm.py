@@ -4005,11 +4005,16 @@ _UNI_FIXED_VALUES = ", ".join(
     -- (the current corpus has 31 in-alphabet words at every sf, so
     -- today the cap is a no-op)
     w1c AS (SELECT word FROM w1 ORDER BY word LIMIT 200),
-    words AS (
+    -- explicit DISTINCT over UNION ALL, not a bare UNION: inside a
+    -- WITH RECURSIVE block DuckDB parses `A UNION B` as a pseudo-
+    -- recursive union and does NOT dedupe across branches (the
+    -- bpe_segment_fixed gate caught this class at birth r13; here a
+    -- pair concat colliding with a corpus word would double a row)
+    words AS (SELECT DISTINCT word FROM (
       SELECT word FROM w1
-      UNION
+      UNION ALL
       SELECT a.word || b.word AS word FROM w1c a, w1c b
-      WHERE length(a.word) + length(b.word) <= 10),
+      WHERE length(a.word) + length(b.word) <= 10)),
     paths(word, pos, score) AS (
       SELECT word, 0, CAST(0 AS DOUBLE) FROM words
       UNION ALL
@@ -4860,3 +4865,129 @@ def media_near_dup_q(spark, sf_dir):
         for m in ("ahash", "dhash")
     ]
     return parts[0].unionByName(parts[1]).orderBy("method", "id_a", "id_b")
+
+
+# pinned BPE merge list for the bpe_segment_fixed gate (VERDICT r12
+# #2 — the LAST trained-model family without a hash-gated scoring
+# twin). The list satisfies the trained-merge invariant bpe_segment
+# documents (every operand is a base char or the product of an
+# EARLIER merge), under which rank-greedy application (the production
+# pandas path), the in-order JVM fold and a sequential in-order
+# replay all fix the same segmentation — pinned by
+# tests/test_text.py::test_bpe_segment_fixed_paths_agree.
+_BPE_FIXED_MERGES = [
+    ("e", "</w>"),
+    ("t", "h"),
+    ("th", "e</w>"),
+    ("a", "n"),
+    ("i", "n"),
+    ("an", "d"),
+    ("s", "</w>"),
+    ("o", "r"),
+]
+# planted scaffold words guaranteeing every pinned merge fires (and
+# interacts: 'tenth' blocks th+e</w>, 'sand' chains a+n then an+d,
+# 'sailors' ends or+s</w>) whatever the corpus vocabulary holds
+_BPE_FIXED_WORDS = [
+    "the", "then", "tithe", "sand", "and", "hands", "north", "tenth",
+    "tin", "into", "ethos", "shore", "sore", "thee", "anthem",
+    "internal", "thorn", "earths", "orchid", "sailors",
+]
+_BPE_FIXED_MVALUES = ", ".join(
+    f"({i}, '|{left}||{right}|', '|{left}{right}|')"
+    for i, (left, right) in enumerate(_BPE_FIXED_MERGES)
+)
+_BPE_FIXED_WVALUES = ", ".join(f"('{w}')" for w in _BPE_FIXED_WORDS)
+
+
+@query(
+    "bpe_segment_fixed",
+    oracle=f"""
+    -- in-order merge replay by non-overlapping left-to-right
+    -- replace() over a delimited symbol encoding: the sequence
+    -- [t, h, e, </w>] is the string '|t||h||e||</w>|' (every symbol
+    -- wrapped in its own '|' pair, so a merge is exactly
+    -- replace(seq, '|l||r|', '|lr|') — the doubled delimiter keeps
+    -- adjacent matches independent: '|a||a||a||a|' -> '|aa||aa|',
+    -- matching the operator's left-to-right single pass). For a
+    -- merge list satisfying the trained invariant (see
+    -- _BPE_FIXED_MERGES) this in-order replay equals the production
+    -- rank-greedy application bit-for-bit.
+    WITH RECURSIVE w0 AS (
+      SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+'))
+        AS word
+      FROM documents),
+    w1 AS (SELECT word FROM w0 WHERE regexp_matches(word, '^[a-z]+$')
+           ORDER BY word LIMIT 300),
+    -- explicit DISTINCT over UNION ALL, not a bare UNION: inside a
+    -- WITH RECURSIVE block DuckDB parses `A UNION B` as a pseudo-
+    -- recursive union and does NOT dedupe across the branches (a
+    -- planted word also present in the corpus came through twice —
+    -- caught at birth by the row-count gate)
+    words AS (SELECT DISTINCT word FROM (
+      SELECT word FROM w1
+      UNION ALL
+      SELECT word FROM (VALUES {_BPE_FIXED_WVALUES}) t(word))),
+    enc AS (
+      SELECT word,
+             '|' || array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> substring(word, i, 1)), '||')
+               || '||</w>|' AS seq
+      FROM words),
+    merges(step, pat, rep) AS (
+      SELECT * FROM (VALUES {_BPE_FIXED_MVALUES})),
+    app(word, seq, step) AS (
+      SELECT word, seq, 0 FROM enc
+      UNION ALL
+      SELECT a.word, replace(a.seq, m.pat, m.rep), a.step + 1
+      FROM app a JOIN merges m ON m.step = a.step
+      WHERE a.step < {len(_BPE_FIXED_MERGES)})
+    SELECT word, replace(trim(seq, '|'), '||', ' ') AS tokens,
+           CAST(len(string_split(trim(seq, '|'), '||')) AS INT)
+             AS n_tokens
+    FROM app WHERE step = {len(_BPE_FIXED_MERGES)} ORDER BY word
+    """,
+)
+def bpe_segment_fixed_q(spark, sf_dir):
+    """BPE merge APPLICATION under a pinned merge list (VERDICT r12
+    #2, the unigram_segment_fixed discipline for the last ungated
+    trained-model family): the production bpe_segment — through its
+    PRODUCTION pandas rank-greedy path (8 merges > the JVM-fold
+    threshold) — faces a DuckDB in-order replace() replay bit-exactly
+    on every corpus word plus a planted scaffold that guarantees every
+    pinned merge fires at any sf. Scaffold scope = in-alphabet corpus
+    words (the pinned symbols are a-z + '</w>'; a word with digits
+    would still segment — untouched symbols pass through — but stays
+    out of the gate for vocab determinism), capped at the first 300
+    ascending like the unigram gate. Merge LEARNING (bpe_train's
+    iterative pair counting) stays rows-only by design, pinned by the
+    distributed==sequential bit-equality tests in tests/test_text.py;
+    this row closes the apply-side gap so every trained-model family
+    now has a hash-gated twin."""
+    from chapterhousedb_spark.operators.dedup import normalize_text
+    from chapterhousedb_spark.operators.text import bpe_segment
+
+    docs = load(spark, sf_dir, "documents")
+    w1 = (
+        docs.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .distinct()
+        .orderBy("word")
+        .limit(300)
+    )
+    planted = spark.createDataFrame(
+        [(w,) for w in _BPE_FIXED_WORDS], "word string"
+    )
+    words = w1.unionByName(planted).distinct()
+    seg = bpe_segment(
+        words, _BPE_FIXED_MERGES, text_col="word", id_col="word",
+        use_pandas=True,
+    )
+    return seg.select(
+        "word",
+        F.array_join("tokens", " ").alias("tokens"),
+        "n_tokens",
+    ).orderBy("word")

@@ -1413,3 +1413,66 @@ def test_kneser_ney_surprisal_and_guards(spark):
         assert abs(got[did] - want) < 1e-12, did
     with _pytest.raises(ValueError, match="discount"):
         kneser_ney_bigram(df, discount=1.5)
+
+
+def test_bpe_segment_fixed_paths_agree(spark):
+    """The bpe_segment_fixed gate applies the pinned merge list through
+    the PRODUCTION pandas rank-greedy path; its DuckDB oracle replays
+    merges IN ORDER. Those agree only under the trained-merge
+    invariant the pinned list must satisfy (every operand is a base
+    char or an earlier merge's product) — pin JVM fold == pandas
+    rank-greedy == sequential in-order replay on the scaffold words,
+    so an edit to _BPE_FIXED_MERGES that breaks the invariant fails
+    here, not as an opaque hash mismatch."""
+    from chapterhousedb_spark.operators.text import bpe_segment
+    from chapterhousedb_spark.workload.llm import (
+        _BPE_FIXED_MERGES,
+        _BPE_FIXED_WORDS,
+    )
+
+    def in_order(word):
+        syms = list(word) + ["</w>"]
+        for left, right in _BPE_FIXED_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    # invariant check on the list itself: operands must pre-exist
+    available = set("abcdefghijklmnopqrstuvwxyz") | {"</w>"}
+    for left, right in _BPE_FIXED_MERGES:
+        assert left in available and right in available, (left, right)
+        available.add(left + right)
+
+    df = spark.createDataFrame(
+        [(w,) for w in _BPE_FIXED_WORDS], "word string"
+    )
+    for use_pandas in (True, False):
+        got = {
+            r["word"]: list(r["tokens"])
+            for r in bpe_segment(
+                df,
+                _BPE_FIXED_MERGES,
+                text_col="word",
+                id_col="word",
+                use_pandas=use_pandas,
+            ).collect()
+        }
+        for w in _BPE_FIXED_WORDS:
+            assert got[w] == in_order(w), (use_pandas, w, got[w])
+    # every pinned merge actually fires somewhere in the scaffold
+    fired = set()
+    for w in _BPE_FIXED_WORDS:
+        fired.update(in_order(w))
+    for left, right in _BPE_FIXED_MERGES:
+        assert left + right in fired, (left, right)
