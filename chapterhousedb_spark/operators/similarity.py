@@ -147,6 +147,49 @@ def _unit_expr(vec_col: str) -> Column:
     )
 
 
+def _deterministic_train_cap(
+    train: DataFrame, cap: int, seed: int
+) -> DataFrame:
+    """FAISS-practice bounded training set (VERDICT r12 #4): Lloyd's
+    fits only need the cluster structure, so cap the training rows at
+    ~256 per centroid with a DETERMINISTIC, partitioning-independent
+    selection. The selection key is xxhash64(unit_vec, seed) — the
+    SAME content-keyed ordering the k-seeds init already TakeOrders by
+    — so (a) the cap costs exactly the one sort the fit pays anyway
+    (the seeds then read the cached cap output instead of re-sorting
+    the corpus), and (b) the chosen seeds are IDENTICAL to the
+    uncapped fit's at any corpus size: the k hash-smallest vectors are
+    inside the cap hash-smallest whenever cap >= k. Returns
+    (__u, __h) rows. At 100 TB this turns an O(corpus) per-iteration
+    cost into a constant ~256*k rows; on a corpus under the cap it
+    selects everything and the fit is unchanged.
+
+    The sort-limit lands its output on ONE partition
+    (TakeOrderedAndProject's single reducer); re-spread only when the
+    capped set warrants parallel iteration tasks (~4k rows per task —
+    a tiny training set across 32 tasks pays more in scheduling +
+    per-task pandas batches than one task doing the whole set; both
+    misconfigurations measured 1.5-3x slower at sf0.1). Round-robin
+    repartitioning is safe because the fit is partitioning-INDEPENDENT
+    by construction (scaled-integer order-independent means, lowest-id
+    tie-breaks — test-pinned bit-identical)."""
+    capped = (
+        train.select("__u", F.xxhash64("__u", F.lit(seed)).alias("__h"))
+        .orderBy("__h", "__u")
+        .limit(cap)
+    )
+    try:
+        ceiling = int(
+            train.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        ceiling = 32
+    n = max(1, min(ceiling, cap // 4096))
+    # n == 1: the sort-limit already left everything on one partition —
+    # a repartition(1) would only add an exchange
+    return capped if n == 1 else capped.repartition(n)
+
+
 def ivf_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -154,6 +197,7 @@ def ivf_fit(
     seed: int = 7,
     max_iter: int = 5,
     sample_fraction: float | None = None,
+    max_train: int | None = None,
 ) -> list[list[float]]:
     """Fit the IVF coarse quantizer; returns the centroids as PLAIN
     python lists (json-serializable driver-side state, ~n_cells*dims
@@ -168,25 +212,46 @@ def ivf_fit(
     _lloyd_iterations): hash-smallest init, lowest-id tie-break,
     order-independent scaled-integer means — the centroids are
     bit-identical under any partitioning and re-draw under a new
-    seed; no pyspark.ml dependency, max_iter+2 jobs total."""
+    seed; no pyspark.ml dependency, max_iter+2 jobs total (fewer when
+    the loop converges early — see _lloyd_iterations).
+
+    max_train bounds the training rows DETERMINISTICALLY (VERDICT r12
+    #4, _deterministic_train_cap): None -> 256 * n_cells (FAISS
+    practice); 0 disables the cap. Unlike sample_fraction (Bernoulli,
+    partitioning-sensitive) the cap is content-keyed — the SAME
+    xxhash64 ordering the seeds init uses, so the seeds are identical
+    capped or not, and the fitted centroids stay bit-identical under
+    any partitioning."""
     unit = df.select(_unit_expr(vec_col).alias("__u"))
     train = unit.sample(sample_fraction, seed=seed) if sample_fraction else unit
-    seeds_rows = (
-        train.select("__u", F.xxhash64("__u", F.lit(seed)).alias("__h"))
-        .orderBy("__h", "__u")
-        .limit(n_cells)
-        .collect()
-    )
-    if not seeds_rows:
-        raise ValueError("ivf_fit: empty training set")
-    books = [[[float(x) for x in r["__u"]] for r in seeds_rows]]
-    sub = train.select(
-        F.lit(0).alias("__s"), F.col("__u").alias("__v")
-    ).cache()
+    cap = max(256 * n_cells if max_train is None else max_train, n_cells)
+    capped = None
+    if max_train is None or max_train > 0:
+        # persist the capped set: both consumers below (seeds, sub)
+        # would otherwise re-run the sort-limit chain
+        capped = _deterministic_train_cap(train, cap, seed).cache()
+        hashed = capped
+    else:
+        hashed = train.select(
+            "__u", F.xxhash64("__u", F.lit(seed)).alias("__h")
+        )
     try:
-        return _lloyd_iterations(sub, books, max_iter)[0]
+        seeds_rows = (
+            hashed.orderBy("__h", "__u").limit(n_cells).collect()
+        )
+        if not seeds_rows:
+            raise ValueError("ivf_fit: empty training set")
+        books = [[[float(x) for x in r["__u"]] for r in seeds_rows]]
+        sub = (capped if capped is not None else train).select(
+            F.lit(0).alias("__s"), F.col("__u").alias("__v")
+        ).cache()
+        try:
+            return _lloyd_iterations(sub, books, max_iter)[0]
+        finally:
+            sub.unpersist()
     finally:
-        sub.unpersist()
+        if capped is not None:
+            capped.unpersist()
 
 
 def ivf_assign(
@@ -833,6 +898,7 @@ def pq_fit(
     dims: int | None = None,
     normalize: bool = True,
     max_abs: float = 1.0,
+    max_train: int | None = None,
 ) -> list[list[list[float]]]:
     """Fit the m sub-codebooks (k=2^nbits centroids each, dims/m wide)
     by Lloyd's iterations over the L2-normalized corpus — ALL m
@@ -882,42 +948,54 @@ def pq_fit(
     unit = df.select(uexpr.alias("__u"))
     train = unit.sample(sample_fraction, seed=seed) if sample_fraction else unit
     k = 1 << nbits
-    # deterministic init: the k hash-smallest unit vectors (TakeOrdered
-    # — bounded driver state), sliced per subspace
-    seeds_rows = (
-        train.select("__u", F.xxhash64("__u", F.lit(seed)).alias("__h"))
-        .orderBy("__h", "__u")
-        .limit(k)
-        .collect()
-    )
-    if not seeds_rows:
-        raise ValueError("pq_fit: empty training set")
-    k = min(k, len(seeds_rows))
-    books: list[list[list[float]]] = [
-        [
-            [float(x) for x in r["__u"][s * dsub : (s + 1) * dsub]]
-            for r in seeds_rows[:k]
-        ]
-        for s in range(m)
-    ]
-    sub = train.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice("__u", s * dsub + 1, dsub).alias("v"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("g")
-    ).select(F.col("g.s").alias("__s"), F.col("g.v").alias("__v"))
-    sub = sub.cache()
+    # deterministic FAISS-practice training cap (VERDICT r12 #4):
+    # None -> 256 * k rows (shared by all m subspaces); 0 disables
+    cap = max(256 * k if max_train is None else max_train, k)
+    capped = None
+    if max_train is None or max_train > 0:
+        # persist the capped set: both consumers below (seeds, sub)
+        # would otherwise re-run the sort-limit chain
+        capped = _deterministic_train_cap(train, cap, seed).cache()
+        hashed = capped
+    else:
+        hashed = train.select(
+            "__u", F.xxhash64("__u", F.lit(seed)).alias("__h")
+        )
     try:
-        return _lloyd_iterations(sub, books, max_iter, max_abs=max_abs)
+        # deterministic init: the k hash-smallest unit vectors
+        # (TakeOrdered — bounded driver state), sliced per subspace
+        seeds_rows = hashed.orderBy("__h", "__u").limit(k).collect()
+        if not seeds_rows:
+            raise ValueError("pq_fit: empty training set")
+        k = min(k, len(seeds_rows))
+        books: list[list[list[float]]] = [
+            [
+                [float(x) for x in r["__u"][s * dsub : (s + 1) * dsub]]
+                for r in seeds_rows[:k]
+            ]
+            for s in range(m)
+        ]
+        sub = (capped if capped is not None else train).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("__u", s * dsub + 1, dsub).alias("v"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("g")
+        ).select(F.col("g.s").alias("__s"), F.col("g.v").alias("__v"))
+        sub = sub.cache()
+        try:
+            return _lloyd_iterations(sub, books, max_iter, max_abs=max_abs)
+        finally:
+            sub.unpersist()
     finally:
-        sub.unpersist()
+        if capped is not None:
+            capped.unpersist()
 
 
 def _lloyd_iterations(
@@ -996,6 +1074,14 @@ def _lloyd_iterations(
             nxt[r["__s"]][r["__c"]] = [
                 r[f"d{i}"] / factor / cnt for i in range(dsub)
             ]
+        if nxt == books:
+            # exact fixed point: the argmin is deterministic given
+            # identical books (ties to the lowest id), so every further
+            # iteration recomputes these same assignments and these
+            # same scaled-integer means — stopping here is OUTPUT-
+            # IDENTICAL to running out max_iter, it just skips the
+            # redundant Spark jobs (test-pinned)
+            break
         books = nxt
     return books
 
