@@ -138,6 +138,7 @@ HEADLINE = [
     # round 13 new shapes, benched from birth
     "media_near_dup",
     "bpe_segment_fixed",
+    "streaming_ingest_media",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

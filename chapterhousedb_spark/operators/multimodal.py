@@ -2863,3 +2863,56 @@ def media_near_dup_pairs(
     return hamming_near_dup_pairs(
         fp, method, "media_id", max_hamming, chunks, persist
     )
+
+
+def media_near_dup_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    method: str = "ahash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Bipartite image near-dup: which `batch` images sit within
+    `max_hamming` bits of something in `corpus` — the perceptual twin
+    of minhash/simhash `_cross` for the incremental-ingest admission
+    gate (a re-encoded or resized copy of an already-ingested image
+    must not re-enter the corpus). Returns (batch_id, corpus_id,
+    hamming). Same fingerprints and Manku pigeonhole blocking as the
+    self-join form (an image's hash is byte-identical on either side);
+    the block join is batch >< corpus only, so each crawl batch costs
+    one corpus fingerprint scan + map-side key computation — the
+    corpus is never re-paired against itself. At 100 TB the corpus
+    side should be a PERSISTED fingerprint table maintained at write
+    time (media_phash output is 16 bytes/image), not a per-batch
+    decode."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(
+            f"media_near_dup_pairs_cross: method must be 'ahash' or "
+            f"'dhash', got {method!r}"
+        )
+    from chapterhousedb_spark.operators.dedup import _simhash_block_keys
+
+    keys = _simhash_block_keys(chunks, max_hamming, method)
+
+    def _blocked(media):
+        fp = media_phash(media).filter(F.col("ok")).select(
+            "media_id", method
+        )
+        return fp.select(
+            "media_id", method, F.explode(F.array(*keys)).alias("bk")
+        )
+
+    a = _blocked(batch).alias("a")
+    b = _blocked(corpus).alias("b")
+    return (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.col("a.media_id").alias("batch_id"),
+            F.col("b.media_id").alias("corpus_id"),
+            F.bit_count(
+                F.col(f"a.{method}").bitwiseXOR(F.col(f"b.{method}"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

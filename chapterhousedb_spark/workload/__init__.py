@@ -391,7 +391,9 @@ _DRIVER_FIRST = [
     # bucket-decomposed-prefix-sum == naive-running-sum invariant
     # stays re-hashed on every pytest run (test_oracle_parity), and
     # it re-earns driver-green via rotation like every demoted row.
-    "embedding_mrl",
+    # (embedding_mrl sat here rounds 10-12; demoted round 13 to pay
+    # for streaming_ingest_media — see the round-13 batch comment
+    # below)
     # ...plus cluster-balanced corpus subsampling (pinned-centroid
     # cell assignment composed with the per-group md5 cap under ONE
     # oracle — the embedding-space diversity primitive). Paid for by
@@ -594,6 +596,23 @@ _DRIVER_FIRST = [
     # (test_oracle_parity), and it re-earns driver-green via rotation
     # like every demoted row.
     "bpe_segment_fixed",
+    # ...plus the multimodal admission gate composed into the
+    # streaming ingest path (VERDICT r12 #6): the same foreachBatch ->
+    # admit_batch -> merge_upsert -> marker-flip machinery as
+    # streaming_ingest_corpus with the near-dup gate swapped for the
+    # bipartite perceptual image gate (media_near_dup_pairs_cross) —
+    # planted real PNG/BMP images (md5 pixel formula, 2x-upscale twin
+    # pairs straddling the version split) drain as ordered micro-
+    # batches and DuckDB replays the ENTIRE chained admission from the
+    # formula (84 stage-1 + 83 chained stage-2 rejections at sf0.01 —
+    # non-vacuous by construction). Paid for by demoting embedding_mrl:
+    # long driver-green (r10-r12), the quantization family keeps
+    # pq_fixed_codebook + ivf_fixed_centroids in-window plus
+    # pipeline_retrieval's composed sq8/BQ stage replays, its prefix-
+    # dot arithmetic stays re-hashed against DuckDB every pytest run
+    # (test_oracle_parity), and it re-earns driver-green via rotation
+    # like every demoted row.
+    "streaming_ingest_media",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -614,6 +633,7 @@ _DRIVER_LAST = [
     # batch comments in _DRIVER_FIRST for each pairing):
     "corpus_diff",
     "ngram_repetition",
+    "embedding_mrl",
     # round-12 demotions, one per new gated row (see the round-12
     # batch comments in _DRIVER_FIRST for each pairing):
     "tpch_q11_important_parts",

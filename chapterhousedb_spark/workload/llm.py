@@ -4692,6 +4692,62 @@ def simhash_md5_fingerprints_q(spark, sf_dir):
     return agged.select("doc_id", fp.alias("simhash16")).orderBy("doc_id")
 
 
+def _planted_media(df, out_cols):
+    """Executor-side scaffold image builder shared by the media gate
+    rows: every input row carries (base long, scale int, fmt
+    'png'|'bmp') and comes back as (*out_cols, payload binary) — REAL
+    encoded bytes whose SOURCE-grid pixel (y, x) is the first md5 byte
+    of 'phash:{base}:{y}:{x}' (a literal formula DuckDB replays),
+    nearest-neighbor upscaled by `scale`. Arrow-batched mapInPandas;
+    nothing driver-side."""
+    from pyspark.sql import types as T
+
+    from chapterhousedb_spark.operators.multimodal import (
+        encode_bmp_rgb,
+        encode_png_rgb,
+    )
+
+    fields = [df.schema[c] for c in out_cols]
+    schema = T.StructType(
+        fields + [T.StructField("payload", T.BinaryType(), True)]
+    )
+
+    def _build(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for b, s, fmt in zip(pdf["base"], pdf["scale"], pdf["fmt"]):
+                b, s = int(b), int(s)
+                n = 16 * s
+                img = np.zeros((n, n, 3), np.uint8)
+                for yy in range(16):
+                    for xx in range(16):
+                        v = int(
+                            hashlib.md5(
+                                f"phash:{b}:{yy}:{xx}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        img[
+                            yy * s : (yy + 1) * s, xx * s : (xx + 1) * s, :
+                        ] = v
+                raw = img.tobytes()
+                payloads.append(
+                    encode_png_rgb(raw, n, n)
+                    if fmt == "png"
+                    else encode_bmp_rgb(raw, n, n)
+                )
+            out = pdf[list(out_cols)].copy()
+            out["payload"] = payloads
+            yield out
+
+    return df.mapInPandas(_build, schema)
+
+
 @query(
     "media_near_dup",
     oracle="""
@@ -4778,8 +4834,6 @@ def media_near_dup_q(spark, sf_dir):
     nothing else pairs — and if the corpus ever changes that, both
     engines agree on whatever pairs exist."""
     from chapterhousedb_spark.operators.multimodal import (
-        encode_bmp_rgb,
-        encode_png_rgb,
         media_near_dup_pairs,
         media_phash,
     )
@@ -4802,6 +4856,11 @@ def media_near_dup_q(spark, sf_dir):
         .orderBy("base")
         .limit(12)
     )
+    # twins land in the OTHER container: resized AND re-encoded
+    # duplicates both exercise the gate
+    fmt_of = F.when(
+        (F.col("scale") == 1) == (F.col("base") % 2 == 0), F.lit("png")
+    ).otherwise(F.lit("bmp"))
     base = ids.select(
         "base", F.col("base").alias("media_id"), F.lit(1).alias("scale")
     )
@@ -4810,45 +4869,8 @@ def media_near_dup_q(spark, sf_dir):
         (F.col("base") + 1000000).alias("media_id"),
         F.lit(2).alias("scale"),
     )
-
-    def _build(batches):
-        import hashlib
-
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            payloads = []
-            for b, s in zip(pdf["base"], pdf["scale"]):
-                b, s = int(b), int(s)
-                n = 16 * s
-                img = np.zeros((n, n, 3), np.uint8)
-                for yy in range(16):
-                    for xx in range(16):
-                        v = int(
-                            hashlib.md5(
-                                f"phash:{b}:{yy}:{xx}".encode()
-                            ).hexdigest()[:2],
-                            16,
-                        )
-                        img[
-                            yy * s : (yy + 1) * s, xx * s : (xx + 1) * s, :
-                        ] = v
-                raw = img.tobytes()
-                # twins land in the OTHER container: resized AND
-                # re-encoded duplicates both exercise the gate
-                fmt_png = (b % 2 == 0) if s == 1 else (b % 2 == 1)
-                payloads.append(
-                    encode_png_rgb(raw, n, n)
-                    if fmt_png
-                    else encode_bmp_rgb(raw, n, n)
-                )
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"].values, "payload": payloads}
-            )
-
-    media = base.unionByName(twins).mapInPandas(
-        _build, "media_id long, payload binary"
+    media = _planted_media(
+        base.unionByName(twins).withColumn("fmt", fmt_of), ["media_id"]
     )
     # one decode scan for both methods
     fp = media_phash(media)
@@ -4991,3 +5013,138 @@ def bpe_segment_fixed_q(spark, sf_dir):
         F.array_join("tokens", " ").alias("tokens"),
         "n_tokens",
     ).orderBy("word")
+
+
+@query(
+    "streaming_ingest_media",
+    oracle="""
+    -- chained MEDIA admission (VERDICT r12 #6): documents split 3 ways
+    -- by doc_id into a seeded corpus version + two micro-batches, each
+    -- doc carrying a REAL planted image whose pixels come from the md5
+    -- literal formula keyed by base = doc_id // 2 — so every id pair
+    -- (2g, 2g+1) is the SAME picture at 1x and 2x scale in different
+    -- containers (PNG/BMP), and consecutive versions (doc_id % 3)
+    -- guarantee some groups exercise stage-2 chaining: a version-2 doc
+    -- whose only twin is a version-1 doc is rejected ONLY because
+    -- batch 1's admission landed in the corpus first. The oracle
+    -- recomputes every distinct base's 8x8 aHash from the formula,
+    -- brute-forces base-pair hammings, and replays the chained
+    -- admission; the Spark side decodes the real bytes through the
+    -- streaming foreachBatch path.
+    WITH grp AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INT) AS version,
+             doc_id // 2 AS base
+      FROM documents),
+    bases AS (SELECT DISTINCT base FROM grp),
+    g8 AS (
+      SELECT base, y.y AS y, x.x AS x,
+             CAST(('0x' || substring(md5('phash:' || CAST(base AS VARCHAR)
+                   || ':' || CAST(2 * y.y AS VARCHAR)
+                   || ':' || CAST(2 * x.x AS VARCHAR)), 1, 2)) AS BIGINT)
+               AS v
+      FROM bases, generate_series(0, 7) y(y), generate_series(0, 7) x(x)),
+    s8 AS (SELECT base, SUM(v) AS sv FROM g8 GROUP BY base),
+    ab AS (
+      SELECT g8.base, y, x,
+             CASE WHEN 64 * v > sv THEN 1 ELSE 0 END AS bit
+      FROM g8 JOIN s8 USING (base)),
+    near AS (
+      SELECT a.base AS ba, b.base AS bb
+      FROM ab a JOIN ab b ON a.y = b.y AND a.x = b.x
+      GROUP BY a.base, b.base
+      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+    seed AS (SELECT doc_id, base FROM grp WHERE version = 0),
+    b1 AS (SELECT doc_id, base FROM grp WHERE version = 1),
+    b2 AS (SELECT doc_id, base FROM grp WHERE version = 2),
+    rej1 AS (SELECT DISTINCT x.doc_id
+             FROM b1 x JOIN near n ON n.ba = x.base
+             JOIN seed s ON s.base = n.bb),
+    c1 AS (SELECT doc_id, base FROM seed
+           UNION ALL
+           SELECT doc_id, base FROM b1
+           WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+    rej2 AS (SELECT DISTINCT x.doc_id
+             FROM b2 x JOIN near n ON n.ba = x.base
+             JOIN c1 c ON c.base = n.bb),
+    fin AS (SELECT doc_id FROM c1
+            UNION ALL
+            SELECT doc_id FROM b2
+            WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+    SELECT g.doc_id, g.version
+    FROM fin f JOIN grp g ON g.doc_id = f.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def streaming_ingest_media_q(spark, sf_dir):
+    """The MULTIMODAL admission gate composed into the streaming
+    ingest path (VERDICT r12 #6): the same foreachBatch -> admit_batch
+    -> merge_upsert -> marker-flip machinery streaming_ingest_corpus
+    gates, with the near-dup gate swapped for the bipartite perceptual
+    image gate (multimodal.media_near_dup_pairs_cross) — a re-encoded
+    or resized copy of an already-ingested image must not re-enter the
+    corpus. Every doc carries a REAL planted image (md5 pixel formula,
+    base = doc_id // 2, odd ids are the 2x-upscaled BMP twin of their
+    even PNG groupmate), landing files drain as ordered micro-batches,
+    and the oracle replays the whole chained admission from the
+    formula — codec round-trip through parquet binary columns, hash
+    arithmetic, the blocked bipartite join's recall AND the versioned
+    merge/commit machinery all under one hash gate."""
+    import os
+
+    from chapterhousedb_spark.operators.ingest import (
+        ingest_stream,
+        init_ingest,
+    )
+    from chapterhousedb_spark.operators.multimodal import (
+        media_near_dup_pairs_cross,
+    )
+    from chapterhousedb_spark.streaming.batcher import read_versioned_base
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("version"),
+        F.expr("doc_id div 2").alias("base"),
+        (F.lit(1) + (F.col("doc_id") % 2)).cast("int").alias("scale"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("bmp"))
+        .alias("fmt"),
+    )
+    media_docs = _planted_media(docs, ["doc_id", "version"])
+    root = scratch_dir(prefix="chdb_ingest_media_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for i, grp in enumerate((1, 2)):
+        media_docs.filter(F.col("version") == grp).coalesce(1).write.parquet(
+            os.path.join(landing, f"f{i}")
+        )
+    # pin micro-batch order: batch 2's gate must see batch 1's
+    # admissions (the chained semantics the oracle replays)
+    for i, d in enumerate(("f0", "f1")):
+        full = os.path.join(landing, d)
+        for f in os.listdir(full):
+            os.utime(os.path.join(full, f), (1_600_000_000 + i,) * 2)
+
+    def media_gate(batch, corpus):
+        return media_near_dup_pairs_cross(
+            batch.select(F.col("doc_id").alias("media_id"), "payload"),
+            corpus.select(F.col("doc_id").alias("media_id"), "payload"),
+            method="ahash",
+            max_hamming=3,
+        ).select("batch_id", "corpus_id")
+
+    init_ingest(
+        media_docs.filter("version = 0"), os.path.join(root, "corpus")
+    )
+    q = ingest_stream(
+        spark.readStream.schema(media_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*")),
+        os.path.join(root, "corpus"),
+        os.path.join(root, "ckpt"),
+        gate_fn=media_gate,
+    )
+    q.awaitTermination()
+    final, _ver = read_versioned_base(spark, os.path.join(root, "corpus"))
+    return final.select(
+        "doc_id", F.col("version").cast("int").alias("version")
+    ).orderBy("doc_id")

@@ -1482,3 +1482,62 @@ def test_media_near_dup_pairs_e2e(spark):
         ]
     with pytest.raises(ValueError, match="method"):
         media_near_dup_pairs(media, method="phash")
+
+
+def test_media_admission_gate_e2e(spark, tmp_path):
+    """VERDICT r12 #6: the perceptual image gate composed into the
+    ingest admission path (admit_batch with gate_fn =
+    media_near_dup_pairs_cross). A batch image that is a RESIZED +
+    RE-ENCODED copy of a corpus image is rejected; a distinct image
+    and an undecodable payload are admitted (no fingerprint -> cannot
+    pair); the versioned merge carries the binary payload column
+    through parquet intact."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.ingest import admit_batch, init_ingest
+    from chapterhousedb_spark.operators.multimodal import (
+        encode_bmp_rgb,
+        encode_png_rgb,
+        media_near_dup_pairs_cross,
+    )
+    from chapterhousedb_spark.streaming.batcher import read_versioned_base
+
+    seed_img = _rand_rgb(21, 16, 16)
+    other_seed = _rand_rgb(22, 16, 16)
+    twin = np.kron(seed_img, np.ones((2, 2, 1), np.uint8))
+    fresh = _rand_rgb(23, 16, 16)
+    corpus_rows = [
+        (0, 0, encode_png_rgb(seed_img.tobytes(), 16, 16)),
+        (1, 0, encode_png_rgb(other_seed.tobytes(), 16, 16)),
+    ]
+    batch_rows = [
+        (10, 1, encode_bmp_rgb(twin.tobytes(), 32, 32)),  # resized copy
+        (11, 1, encode_png_rgb(fresh.tobytes(), 16, 16)),  # new picture
+        (12, 1, b"not an image"),  # undecodable: admitted, not fatal
+    ]
+    schema = "doc_id long, version int, payload binary"
+    root = str(tmp_path / "corpus")
+    init_ingest(spark.createDataFrame(corpus_rows, schema), root)
+
+    from pyspark.sql import functions as F
+
+    def media_gate(batch, corpus):
+        return media_near_dup_pairs_cross(
+            batch.select(F.col("doc_id").alias("media_id"), "payload"),
+            corpus.select(F.col("doc_id").alias("media_id"), "payload"),
+            method="ahash",
+            max_hamming=3,
+        ).select("batch_id", "corpus_id")
+
+    res = admit_batch(
+        spark.createDataFrame(batch_rows, schema), root, gate_fn=media_gate
+    )
+    assert res["n_batch"] == 3 and res["n_admitted"] == 2
+    final, ver = read_versioned_base(spark, root)
+    assert ver == 1
+    got = {r["doc_id"]: r for r in final.collect()}
+    assert sorted(got) == [0, 1, 11, 12]  # twin (10) rejected
+    # payload bytes survive the merge byte-exactly
+    assert bytes(got[11]["payload"]) == encode_png_rgb(
+        fresh.tobytes(), 16, 16
+    )
