@@ -139,6 +139,7 @@ HEADLINE = [
     "media_near_dup",
     "bpe_segment_fixed",
     "streaming_ingest_media",
+    "audio_near_dup",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

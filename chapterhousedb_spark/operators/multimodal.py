@@ -2916,3 +2916,106 @@ def media_near_dup_pairs_cross(
         .dropDuplicates(["batch_id", "corpus_id"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------- audio near-dup
+
+AUDIO_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("aphash", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_phash(media: DataFrame, n_windows: int = 64) -> DataFrame:
+    """(media_id, aphash, ok): a 64-bit perceptual audio fingerprint —
+    the energy-envelope analogue of the image aHash (same family as
+    the published Haitsma-Kalker/Chromaprint energy-difference
+    constructions, reduced to integer-exact arithmetic). The decoded
+    stream (any _wav_linear_samples container: PCM 8/16, G.711,
+    IMA-ADPCM) mixes down to mono by exact per-frame channel sums,
+    splits into n_windows equal windows (frame t -> window
+    (t * n) // len), and bit k is the integer compare
+    n * energy[k] > total_energy with energy = sum |sample|.
+
+    Invariances that matter for dedup, all EXACT (no float):
+    - container re-encode: a G.711 mu-law/A-law copy whose codewords
+      expand to the same linear samples hashes identically;
+    - k-fold sample repetition (crude resample) when the frame count
+      divides n_windows-evenly: every window energy scales by k, and
+      the compare is scale-invariant;
+    - uniform gain by any positive integer factor, same argument.
+    Streams shorter than n_windows frames (or undecodable) come back
+    (NULL, ok=False). One decode scan, 16 bytes/clip downstream."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    got = _wav_linear_samples(p) if p is not None else None
+                except Exception:
+                    got = None
+                if got is None:
+                    out.append((None, False))
+                    continue
+                samples, _rate, channels = got
+                n_frames = len(samples) // max(channels, 1)
+                if n_frames < n_windows:
+                    out.append((None, False))
+                    continue
+                arr = np.asarray(
+                    samples[: n_frames * channels], dtype=np.int64
+                )
+                frames = (
+                    arr.reshape(n_frames, channels).sum(axis=1)
+                    if channels > 1
+                    else arr
+                )
+                idx = (np.arange(n_frames) * n_windows) // n_frames
+                e = np.zeros(n_windows, dtype=np.int64)
+                np.add.at(e, idx, np.abs(frames))
+                total = int(e.sum())
+                bits = (n_windows * e) > total
+                out.append((_pack_bits(bits), True))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "aphash": pd.array(
+                        [a for a, _ in out], dtype="Int64"
+                    ),
+                    "ok": [k for _, k in out],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _hash, AUDIO_PHASH_SCHEMA
+    )
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    persist: bool = True,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) audio near-dup pairs: audio_phash
+    fingerprints through the SAME Manku pigeonhole blocking as text
+    SimHash and image aHash (dedup.hamming_near_dup_pairs) — a
+    re-encoded (G.711) or crudely resampled copy of an already-seen
+    clip pairs with its original at hamming 0. Undecodable/too-short
+    clips are excluded (no fingerprint; they can't pair)."""
+    from chapterhousedb_spark.operators.dedup import hamming_near_dup_pairs
+
+    fp = (
+        fingerprints if fingerprints is not None else audio_phash(media)
+    )
+    fp = fp.filter(F.col("ok")).select("media_id", "aphash")
+    return hamming_near_dup_pairs(
+        fp, "aphash", "media_id", max_hamming, chunks, persist
+    )

@@ -34,7 +34,8 @@ _DRIVER_FIRST = [
     # driver's 50-row window (ADVICE r4), paid for by demoting
     # long-stable family-redundant rows below
     "streaming_events_hourly_files",
-    "streaming_asof_enrich",
+    # (streaming_asof_enrich sat here rounds 5-12; demoted round 13 to
+    # pay for audio_near_dup — see the round-13 batch comment below)
     "streaming_interval_join",
     # round-6 seventh batch: LEFT OUTER stream-stream interval join
     # (the funnel "did NOT convert" shape) — paid for by demoting
@@ -613,6 +614,23 @@ _DRIVER_FIRST = [
     # (test_oracle_parity), and it re-earns driver-green via rotation
     # like every demoted row.
     "streaming_ingest_media",
+    # ...plus audio perceptual near-dup (the AUDIO half of the
+    # multimodal-dedup ask; media_near_dup covers images): the
+    # audio_phash energy-envelope fingerprint over REAL WAV containers
+    # (PCM16 base clips, a G.711 mu-law re-encoded twin with
+    # bit-identical linear samples by codeword-value construction, and
+    # a 2x sample-repetition upsample twin) paired via the shared
+    # Manku blocking, brute-force-replayed by DuckDB from the literal
+    # sample formula including the mu-law expansion arithmetic. Paid
+    # for by demoting streaming_asof_enrich: long driver-green
+    # (r5-r12), the streaming family keeps SEVEN gated rows in-window
+    # (events_hourly_files, interval_join, dedup, enrich,
+    # ingest_corpus, ingest_quality, ingest_media, plus sessionize in
+    # the rotation pool), its ASOF semantics stay hash-gated through
+    # the same DuckDB ASOF oracle on the batch twin asof_join_events
+    # (re-hashed every pytest run via test_oracle_parity), and it
+    # re-earns driver-green via rotation like every demoted row.
+    "audio_near_dup",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -634,6 +652,7 @@ _DRIVER_LAST = [
     "corpus_diff",
     "ngram_repetition",
     "embedding_mrl",
+    "streaming_asof_enrich",
     # round-12 demotions, one per new gated row (see the round-12
     # batch comments in _DRIVER_FIRST for each pairing):
     "tpch_q11_important_parts",

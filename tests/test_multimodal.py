@@ -1541,3 +1541,61 @@ def test_media_admission_gate_e2e(spark, tmp_path):
     assert bytes(got[11]["payload"]) == encode_png_rgb(
         fresh.tobytes(), 16, 16
     )
+
+
+def test_audio_phash_invariances_and_pairs(spark):
+    """audio_phash: mu-law re-encode and 2x sample-repetition twins
+    hash identically; a distinct clip lands far away; stereo mixdown
+    is the exact per-frame channel sum; too-short and undecodable
+    clips mark their own row. Pairs flow through the shared hamming
+    blocking."""
+    import hashlib
+
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        _ulaw_to_linear16,
+        audio_near_dup_pairs,
+        audio_phash,
+        make_wav_blob,
+        make_wav_compressed_blob,
+    )
+
+    def clip(seed):
+        return [
+            int(
+                hashlib.md5(f"t:{seed}:{t}".encode()).hexdigest()[:2], 16
+            )
+            for t in range(512)
+        ]
+
+    cw = clip(1)
+    pcm = [_ulaw_to_linear16(c) for c in cw]
+    other = [_ulaw_to_linear16(c) for c in clip(2)]
+    stereo = [s for s in pcm for _ in range(2)]  # L == R
+    rows = [
+        (1, make_wav_blob(pcm, 8000)),
+        (2, make_wav_compressed_blob(bytes(cw), 7)),  # mu-law re-encode
+        (3, make_wav_blob([s for s in pcm for _ in range(2)], 16000)),
+        (4, make_wav_blob(other, 8000)),
+        (5, make_wav_blob(pcm[:32], 8000)),  # < 64 frames: no hash
+        (6, b"RIFFjunk"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fp = {r["media_id"]: r for r in audio_phash(media).collect()}
+    assert fp[1]["aphash"] == fp[2]["aphash"] == fp[3]["aphash"]
+    assert fp[5]["ok"] is False and fp[6]["ok"] is False
+    h = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert h(fp[1]["aphash"], fp[4]["aphash"]) > 10
+    # stereo frame (L+R) == 2x mono sample -> uniform gain -> same hash
+    st = spark.createDataFrame(
+        [(7, make_wav_blob(stereo, 8000, channels=2))],
+        "media_id long, payload binary",
+    )
+    assert audio_phash(st).collect()[0]["aphash"] == fp[1]["aphash"]
+    got = audio_near_dup_pairs(media, max_hamming=3, persist=False).collect()
+    assert sorted((r["id_a"], r["id_b"], r["hamming"]) for r in got) == [
+        (1, 2, 0),
+        (1, 3, 0),
+        (2, 3, 0),
+    ]
