@@ -595,6 +595,45 @@ def hamming_near_dup_pairs(
     )
 
 
+def hamming_near_dup_pairs_cross(
+    batch_fp: DataFrame,
+    corpus_fp: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Bipartite twin of hamming_near_dup_pairs over any 64-bit
+    fingerprint column: (batch_id, corpus_id, hamming) for batch rows
+    within `max_hamming` bits of something in the corpus — the
+    candidate core behind the simhash, image-aHash/dHash and
+    audio-envelope ingest admission gates. The block join is batch ><
+    corpus only; the corpus is never re-paired against itself."""
+    keys = _simhash_block_keys(chunks, max_hamming, hash_col)
+
+    def _blocked(fp):
+        return fp.select(
+            F.col(id_col),
+            hash_col,
+            F.explode(F.array(*keys)).alias("bk"),
+        )
+
+    a = _blocked(batch_fp).alias("a")
+    b = _blocked(corpus_fp).alias("b")
+    return (
+        a.join(b, F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

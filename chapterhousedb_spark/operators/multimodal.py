@@ -2890,31 +2890,43 @@ def media_near_dup_pairs_cross(
             f"media_near_dup_pairs_cross: method must be 'ahash' or "
             f"'dhash', got {method!r}"
         )
-    from chapterhousedb_spark.operators.dedup import _simhash_block_keys
+    from chapterhousedb_spark.operators.dedup import (
+        hamming_near_dup_pairs_cross,
+    )
 
-    keys = _simhash_block_keys(chunks, max_hamming, method)
-
-    def _blocked(media):
-        fp = media_phash(media).filter(F.col("ok")).select(
+    def _fp(media):
+        return media_phash(media).filter(F.col("ok")).select(
             "media_id", method
         )
-        return fp.select(
-            "media_id", method, F.explode(F.array(*keys)).alias("bk")
+
+    return hamming_near_dup_pairs_cross(
+        _fp(batch), _fp(corpus), method, "media_id", max_hamming, chunks
+    )
+
+
+def audio_near_dup_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Bipartite audio near-dup: which `batch` clips sit within
+    `max_hamming` bits of something in `corpus` (audio_phash
+    fingerprints through the shared bipartite Manku blocking) — the
+    audio admission gate for incremental ingest, composable as
+    admit_batch's gate_fn exactly like the image and text gates.
+    Returns (batch_id, corpus_id, hamming)."""
+    from chapterhousedb_spark.operators.dedup import (
+        hamming_near_dup_pairs_cross,
+    )
+
+    def _fp(media):
+        return audio_phash(media).filter(F.col("ok")).select(
+            "media_id", "aphash"
         )
 
-    a = _blocked(batch).alias("a")
-    b = _blocked(corpus).alias("b")
-    return (
-        a.join(b, F.col("a.bk") == F.col("b.bk"))
-        .select(
-            F.col("a.media_id").alias("batch_id"),
-            F.col("b.media_id").alias("corpus_id"),
-            F.bit_count(
-                F.col(f"a.{method}").bitwiseXOR(F.col(f"b.{method}"))
-            ).alias("hamming"),
-        )
-        .dropDuplicates(["batch_id", "corpus_id"])
-        .filter(F.col("hamming") <= max_hamming)
+    return hamming_near_dup_pairs_cross(
+        _fp(batch), _fp(corpus), "aphash", "media_id", max_hamming, chunks
     )
 
 

@@ -1599,3 +1599,53 @@ def test_audio_phash_invariances_and_pairs(spark):
         (1, 3, 0),
         (2, 3, 0),
     ]
+
+
+def test_audio_admission_gate_e2e(spark, tmp_path):
+    """The audio gate composes into admit_batch exactly like the image
+    and text gates: a mu-law re-encoded copy of a corpus clip is
+    rejected, a distinct clip is admitted."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.ingest import admit_batch, init_ingest
+    from chapterhousedb_spark.operators.multimodal import (
+        _ulaw_to_linear16,
+        audio_near_dup_pairs_cross,
+        make_wav_blob,
+        make_wav_compressed_blob,
+    )
+    from chapterhousedb_spark.streaming.batcher import read_versioned_base
+
+    def cw(seed):
+        return [
+            int(hashlib.md5(f"a:{seed}:{t}".encode()).hexdigest()[:2], 16)
+            for t in range(512)
+        ]
+
+    seed_cw, fresh_cw = cw(1), cw(2)
+    corpus_rows = [
+        (0, 0, make_wav_blob([_ulaw_to_linear16(c) for c in seed_cw], 8000))
+    ]
+    batch_rows = [
+        (10, 1, make_wav_compressed_blob(bytes(seed_cw), 7)),  # re-encode
+        (11, 1, make_wav_blob([_ulaw_to_linear16(c) for c in fresh_cw], 8000)),
+    ]
+    schema = "doc_id long, version int, payload binary"
+    root = str(tmp_path / "corpus")
+    init_ingest(spark.createDataFrame(corpus_rows, schema), root)
+
+    def audio_gate(batch, corpus):
+        return audio_near_dup_pairs_cross(
+            batch.select(F.col("doc_id").alias("media_id"), "payload"),
+            corpus.select(F.col("doc_id").alias("media_id"), "payload"),
+            max_hamming=3,
+        ).select("batch_id", "corpus_id")
+
+    res = admit_batch(
+        spark.createDataFrame(batch_rows, schema), root, gate_fn=audio_gate
+    )
+    assert res["n_admitted"] == 1
+    final, _ = read_versioned_base(spark, root)
+    assert sorted(r["doc_id"] for r in final.collect()) == [0, 11]
