@@ -39,12 +39,20 @@ def test_recover_gives_empty_when_dict_is_cut():
 
 
 def test_previous_round_times_reads_real_artifacts():
-    """Against the repo's real BENCH_r*.json files the loader must find
-    the newest parsable round (>= 5, the driver-wrapped tail format)."""
+    """Against the repo's real artifacts the loader must find the
+    newest complete record — a BENCH_LOCAL file or history line, NOT
+    the driver-wrapped BENCH_r files whose queries dict the summary-
+    line tail truncation destroyed from r10 on (the round-13 fix:
+    deltas/flags had silently compared against round-5 walls)."""
     b = _bench()
     n, times, factor, median = b._previous_round_times()
-    assert n is not None and n >= 5
-    assert len(times) > 10
+    assert n is not None and n >= 12
+    assert len(times) > 50
+    assert median is not None  # median-pair normalization engages
+    # sf pinning: an sf nothing was ever recorded at yields the
+    # BENCH_r fallback (round <= 5, the last full wrapper payload)
+    n2, t2, _, med2 = b._previous_round_times(sf=0.5)
+    assert (n2 is None or n2 <= 5) and med2 is None
 
 
 def test_persist_local_writes_roundtrippable_json(tmp_path, monkeypatch):
