@@ -140,6 +140,7 @@ HEADLINE = [
     "bpe_segment_fixed",
     "streaming_ingest_media",
     "audio_near_dup",
+    "video_near_dup",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

@@ -3031,3 +3031,206 @@ def audio_near_dup_pairs(
     return hamming_near_dup_pairs(
         fp, "aphash", "media_id", max_hamming, chunks, persist
     )
+
+
+# ------------------------------------------------- video near-dup
+
+
+def encode_gif_gray(frames: list[bytes], width: int, height: int) -> bytes:
+    """A real multi-frame GIF89a from raw GRAYSCALE rasters (one
+    bytes-like of width*height gray values per frame) under a 256-entry
+    identity-gray global palette (index k -> (k, k, k)) — the video
+    scaffold encoder: palette-resolved RGB decodes back to R=G=B=gray,
+    so integer luma recovers the planted values byte-exactly. Real
+    in-module LZW, same framing as make_gif_blob."""
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(
+                f"encode_gif_gray: expected {width * height} gray bytes "
+                f"per frame, got {len(f)}"
+            )
+    palette = b"".join(bytes((k, k, k)) for k in range(256))
+    out = bytearray(b"GIF89a" + struct.pack("<HH", width, height))
+    out += bytes([0x80 | 7, 0, 0]) + palette  # 256-entry GCT
+    min_code = 8
+    for f in frames:
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += b"\x00"  # no local table, sequential
+        lzw = _gif_lzw_encode(list(f), min_code)
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gray_frames(payload: bytes):
+    """Decode a payload to a LIST of (h, w) uint8 grayscale frames —
+    every frame for multi-frame GIFs (each through its own palette),
+    the single raster for the still formats (via _gray_grid). None if
+    nothing decodes."""
+    import numpy as np
+
+    if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+        got = _gif_iter_frames(payload)
+        if got is None:
+            return None
+        _dims, frames = got
+        out = []
+        for fw, fh, pal, idxs in frames:
+            if fw == 0 or fh == 0 or len(idxs) != fw * fh:
+                return None
+            pal_arr = np.asarray(pal, dtype=np.uint8)
+            rgb = pal_arr[np.asarray(idxs, dtype=np.int64)].reshape(
+                fh, fw, 3
+            )
+            r = rgb[:, :, 0].astype(np.int64)
+            g = rgb[:, :, 1].astype(np.int64)
+            b = rgb[:, :, 2].astype(np.int64)
+            out.append(
+                ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+            )
+        return out or None
+    g = _gray_grid(payload)
+    return None if g is None else [g]
+
+
+VIDEO_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("fhash", T.LongType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def video_phash(media: DataFrame, every_nth: int = 1) -> DataFrame:
+    """Per-frame perceptual fingerprints: one (media_id, frame_idx,
+    fhash, ok) row per SAMPLED frame (every_nth frame-sampling, the
+    sample_frames discipline), fhash = the image aHash of that frame's
+    8x8 grayscale thumbnail. Still images yield one row; undecodable
+    payloads yield one (NULL, NULL, ok=False) row so accounting stays
+    1:1-traceable. The mapInPandas generator is 1->N — batches stream,
+    nothing driver-side."""
+    if every_nth < 1:
+        raise ValueError(
+            f"video_phash: every_nth must be >= 1, got {every_nth}"
+        )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs, oks = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = _gray_frames(p)
+                except Exception:
+                    frames = None
+                if not frames:
+                    ids.append(mid)
+                    idxs.append(None)
+                    hs.append(None)
+                    oks.append(False)
+                    continue
+                for fi in range(0, len(frames), every_nth):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hs.append(_ahash_int(_nn_gather(frames[fi], 8, 8)))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "fhash": pd.array(hs, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _hash, VIDEO_PHASH_SCHEMA
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    min_containment: float = 0.8,
+    every_nth: int = 1,
+    max_df: int | None = None,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, containment) video near-dup pairs by
+    frame-fingerprint containment: two videos pair when the smaller
+    one's DISTINCT frame hashes are mostly contained in the other's —
+    the metric that catches a re-encoded copy (every frame hash
+    matches), a frame-SAMPLED copy (its hashes are a subset:
+    containment 1.0 where Jaccard would dilute), and a clip cut from
+    a longer video.
+
+    Candidate generation is an inverted-index equi-join on the exact
+    64-bit frame hash (frames explode once; co-occurrence counts give
+    n_shared directly) — no cross join. max_df is the scale guard, the
+    ngram_jaccard discipline: a frame hash appearing in d videos
+    contributes ~d^2/2 candidate pairs (black/intro frames are the
+    stop-grams of video), so hashes above the document-frequency cap
+    drop from candidate generation AND from the per-video set sizes —
+    exact containment over the df-filtered hash universe. At 100 TB:
+    one decode scan -> 16 bytes per sampled frame; the join keys are
+    corpus-cardinality hashes, shuffle stays balanced under the cap."""
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else video_phash(media, every_nth=every_nth)
+    )
+    posts = (
+        fp.filter(F.col("ok"))
+        .select("media_id", "fhash")
+        .dropDuplicates(["media_id", "fhash"])
+    )
+    if max_df is not None:
+        keep = (
+            posts.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fhash")
+        )
+        posts = posts.join(keep, "fhash")
+    sizes = posts.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    a = posts.alias("a")
+    b = posts.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("media_id").alias("id_a"), F.col("n_frames").alias("na")
+    )
+    sb = sizes.select(
+        F.col("media_id").alias("id_b"), F.col("n_frames").alias("nb")
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / F.least(F.col("na"), F.col("nb")).cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -436,7 +436,8 @@ _DRIVER_FIRST = [
     # in-window, its strip chain stays re-hashed against DuckDB on
     # every pytest run (test_oracle_parity), and it re-earns
     # driver-green via rotation like every demoted row.
-    "url_dedup_docs",
+    # (url_dedup_docs sat here rounds 11-12; demoted round 13 to pay
+    # for video_near_dup — see the round-13 batch comment below)
     # ...plus unigram-LM Viterbi segmentation under a pinned model
     # (VERDICT r10 #4 — the tokenizer-family counterpart of
     # pq_fixed_codebook: the production lattice DP faces a full
@@ -631,6 +632,21 @@ _DRIVER_FIRST = [
     # (re-hashed every pytest run via test_oracle_parity), and it
     # re-earns driver-green via rotation like every demoted row.
     "audio_near_dup",
+    # ...plus video near-dup by frame-fingerprint containment
+    # (completing the image/audio/VIDEO perceptual-dedup triple):
+    # per-frame aHash through the real multi-frame GIF decode, distinct
+    # frame-hash inverted index, containment rule — catching both the
+    # re-encoded copy AND the frame-sampled copy (containment 1.0 where
+    # Jaccard dilutes to 0.5); DuckDB replays every frame signature
+    # from the literal pixel formula and the containment arithmetic.
+    # Paid for by demoting url_dedup_docs: long driver-green (r11-r12),
+    # the URL family keeps url_domain_cap + url_etld_cap in-window
+    # (host normalization + the md5 cap composed), its canonicalize
+    # chain stays re-hashed against DuckDB every pytest run
+    # (test_oracle_parity) and unit-tested rule-by-rule in
+    # tests/test_urls.py, and it re-earns driver-green via rotation
+    # like every demoted row.
+    "video_near_dup",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -653,6 +669,7 @@ _DRIVER_LAST = [
     "ngram_repetition",
     "embedding_mrl",
     "streaming_asof_enrich",
+    "url_dedup_docs",
     # round-12 demotions, one per new gated row (see the round-12
     # batch comments in _DRIVER_FIRST for each pairing):
     "tpch_q11_important_parts",

@@ -5317,3 +5317,164 @@ def audio_near_dup_q(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "video_near_dup",
+    oracle="""
+    -- planted video scaffold: 12 base clips (smallest doc_ids), each a
+    -- REAL 6-frame 16x16 grayscale GIF whose frame-f pixel (y, x) is
+    -- the first md5 byte of 'vhash:base:f:y:x'. Twins: doc_id % 3 = 0
+    -- re-encodes all 6 frames 2x-upscaled (+1000000 — per-frame hash
+    -- invariance under the nearest-neighbor gather, the media_near_dup
+    -- proof); doc_id % 4 = 1 keeps every SECOND frame (+2000000 — the
+    -- frame-sampled copy whose hash set is a SUBSET: containment 1.0
+    -- where Jaccard would dilute to 0.5). The oracle recomputes every
+    -- frame's 8x8 aHash bit string from the formula, joins on exact
+    -- frame-signature equality and replays the containment rule.
+    WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 12),
+    mids AS (
+      SELECT doc_id AS base, CAST(doc_id AS BIGINT) AS media_id,
+             1 AS step
+      FROM ids
+      UNION ALL
+      SELECT doc_id, CAST(doc_id + 1000000 AS BIGINT), 1
+      FROM ids WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, CAST(doc_id + 2000000 AS BIGINT), 2
+      FROM ids WHERE doc_id % 4 = 1),
+    fr AS (
+      SELECT base, media_id, f.f AS f
+      FROM mids, generate_series(0, 5) f(f)
+      WHERE f.f % step = 0),
+    g8 AS (
+      SELECT media_id, f, y.y AS y, x.x AS x,
+             CAST(('0x' || substring(md5('vhash:'
+                   || CAST(base AS VARCHAR) || ':' || CAST(f AS VARCHAR)
+                   || ':' || CAST(2 * y.y AS VARCHAR)
+                   || ':' || CAST(2 * x.x AS VARCHAR)), 1, 2)) AS BIGINT)
+               AS v
+      FROM fr, generate_series(0, 7) y(y), generate_series(0, 7) x(x)),
+    s8 AS (SELECT media_id, f, SUM(v) AS sv FROM g8
+           GROUP BY media_id, f),
+    fsig AS (
+      SELECT g8.media_id, g8.f,
+             string_agg(CASE WHEN 64 * v > sv THEN '1' ELSE '0' END,
+                        '' ORDER BY y, x) AS sig
+      FROM g8 JOIN s8 ON s8.media_id = g8.media_id AND s8.f = g8.f
+      GROUP BY g8.media_id, g8.f),
+    posts AS (SELECT DISTINCT media_id, sig FROM fsig),
+    sizes AS (SELECT media_id, COUNT(*) AS n FROM posts
+              GROUP BY media_id),
+    shared AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             COUNT(*) AS n_shared
+      FROM posts a JOIN posts b
+        ON a.sig = b.sig AND a.media_id < b.media_id
+      GROUP BY 1, 2)
+    SELECT s.id_a, s.id_b, CAST(s.n_shared AS INT) AS n_shared,
+           CAST(s.n_shared AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM shared s
+    JOIN sizes sa ON sa.media_id = s.id_a
+    JOIN sizes sb ON sb.media_id = s.id_b
+    WHERE CAST(s.n_shared AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.99
+    ORDER BY s.id_a, s.id_b
+    """,
+)
+def video_near_dup_q(spark, sf_dir):
+    """Video near-dup by frame-fingerprint containment under the hash
+    gate — completing the image (media_near_dup) / audio
+    (audio_near_dup) / VIDEO perceptual-dedup triple: the production
+    video_phash (per-frame aHash through the real multi-frame GIF
+    decode: LZW, per-frame palettes) + video_near_dup_pairs (distinct
+    frame-hash inverted index, containment rule) face a DuckDB replay
+    of the same literal pixel formula. The scaffold plants REAL
+    6-frame grayscale GIFs (encode_gif_gray, identity-gray palette so
+    luma recovers planted values byte-exactly) with a 2x-upscaled
+    re-encoded twin AND an every-second-frame sampled twin — the two
+    duplicate classes frame-exact and whole-file hashing both miss."""
+    from chapterhousedb_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("doc_id") < 1000000,
+            F.lit(
+                "video_near_dup: natural doc_id >= 1e6 collides with "
+                "the planted-twin id offsets"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    ids = (
+        docs.select((F.col("doc_id") + guard).cast("long").alias("base"))
+        .orderBy("base")
+        .limit(12)
+    )
+    rows = ids.select(
+        "base", F.col("base").alias("media_id"), F.lit("full").alias("kind")
+    )
+    rows = rows.unionByName(
+        ids.filter(F.col("base") % 3 == 0).select(
+            "base",
+            (F.col("base") + 1000000).alias("media_id"),
+            F.lit("up").alias("kind"),
+        )
+    ).unionByName(
+        ids.filter(F.col("base") % 4 == 1).select(
+            "base",
+            (F.col("base") + 2000000).alias("media_id"),
+            F.lit("samp").alias("kind"),
+        )
+    )
+
+    def _build(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from chapterhousedb_spark.operators.multimodal import (
+            encode_gif_gray,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for b, kind in zip(pdf["base"], pdf["kind"]):
+                b = int(b)
+                scale = 2 if kind == "up" else 1
+                fids = (0, 2, 4) if kind == "samp" else (0, 1, 2, 3, 4, 5)
+                n = 16 * scale
+                frames = []
+                for f in fids:
+                    img = np.zeros((n, n), np.uint8)
+                    for yy in range(16):
+                        for xx in range(16):
+                            img[
+                                yy * scale : (yy + 1) * scale,
+                                xx * scale : (xx + 1) * scale,
+                            ] = int(
+                                hashlib.md5(
+                                    f"vhash:{b}:{f}:{yy}:{xx}".encode()
+                                ).hexdigest()[:2],
+                                16,
+                            )
+                    frames.append(img.tobytes())
+                payloads.append(encode_gif_gray(frames, n, n))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values, "payload": payloads}
+            )
+
+    media = rows.mapInPandas(_build, "media_id long, payload binary")
+    return (
+        video_near_dup_pairs(media, min_containment=0.99)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            "containment",
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1649,3 +1649,69 @@ def test_audio_admission_gate_e2e(spark, tmp_path):
     assert res["n_admitted"] == 1
     final, _ = read_versioned_base(spark, root)
     assert sorted(r["doc_id"] for r in final.collect()) == [0, 11]
+
+
+def test_video_near_dup_containment(spark):
+    """Frame-fingerprint containment: a 2x-upscaled re-encode matches
+    on ALL frames, an every-second-frame sample reaches containment
+    1.0 (Jaccard would dilute to 0.5), a distinct clip doesn't pair,
+    max_df drops a stop-frame shared by everything, and an
+    undecodable payload degrades its own row."""
+    import hashlib
+
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import (
+        encode_gif_gray,
+        video_near_dup_pairs,
+        video_phash,
+    )
+
+    def frame(seed, f, scale=1):
+        n = 16 * scale
+        img = np.zeros((n, n), np.uint8)
+        for y in range(16):
+            for x in range(16):
+                img[y * scale : (y + 1) * scale, x * scale : (x + 1) * scale] = int(
+                    hashlib.md5(f"v:{seed}:{f}:{y}:{x}".encode()).hexdigest()[:2],
+                    16,
+                )
+        return img.tobytes()
+
+    base = encode_gif_gray([frame(1, f) for f in range(6)], 16, 16)
+    up = encode_gif_gray([frame(1, f, 2) for f in range(6)], 32, 32)
+    samp = encode_gif_gray([frame(1, f) for f in (0, 2, 4)], 16, 16)
+    other = encode_gif_gray([frame(2, f) for f in range(6)], 16, 16)
+    rows = [(1, base), (2, up), (3, samp), (4, other), (5, b"junk")]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    fp = video_phash(media).collect()
+    per = {}
+    for r in fp:
+        per.setdefault(r["media_id"], []).append(r)
+    assert len(per[1]) == 6 and all(r["ok"] for r in per[1])
+    assert len(per[5]) == 1 and per[5][0]["ok"] is False
+    # every_nth sampling halves the rows
+    assert len(
+        [r for r in video_phash(media, every_nth=2).collect()
+         if r["media_id"] == 1]
+    ) == 3
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["containment"])
+        for r in video_near_dup_pairs(media, min_containment=0.99).collect()
+    }
+    assert got[(1, 2)] == (6, 1.0)
+    assert got[(1, 3)] == (3, 1.0)
+    assert got[(2, 3)] == (3, 1.0)
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    # a shared stop-frame (black) must not glue distinct clips together
+    blackish = [
+        (10, encode_gif_gray([frame(7, 0), b"\x00" * 256], 16, 16)),
+        (11, encode_gif_gray([frame(8, 0), b"\x00" * 256], 16, 16)),
+    ]
+    m2 = spark.createDataFrame(blackish, "media_id long, payload binary")
+    with_df = video_near_dup_pairs(m2, min_containment=0.99, max_df=1)
+    assert with_df.collect() == []
+    without = video_near_dup_pairs(m2, min_containment=0.5)
+    assert len(without.collect()) == 1  # the stop-frame pairs them
+    with pytest.raises(ValueError, match="every_nth"):
+        video_phash(media, every_nth=0)
