@@ -943,16 +943,33 @@ _SWAP_POOL = [
     # run via test_oracle_parity):
     "tpch_q18_large_orders",
     "streaming_sessionize",
+    # round-13 additions (K goes 13 -> 15; the pool grows to 18
+    # in-window members, >= K + 2 slack). All three long driver-green
+    # and family-redundant: scalars keep scan_filter_project +
+    # read_files_front_door + the per-pytest-run re-hash while
+    # scalar_funcs sits out; the TPC-H family keeps q7/q18/q19 (pool
+    # peers) + the rotation-cycled set while q20 sits out (its double
+    # decorrelation plan is asserted in test_plans.py); quality
+    # heuristics keep pipeline_fineweb's composed gopher+c4 replay +
+    # the fixed-weights twins while gopher_quality sits out:
+    "scalar_funcs",
+    "tpch_q20_dominant_supplier",
+    "gopher_quality",
 ]
 _WINDOW = 50
-# 13 swaps/round over a ~98-row oracle-able tail: the full tail
-# re-earns driver-green every <= 9 rounds (ceil(tail/K); VERDICT r11
-# #2 bought headroom BEFORE the round-12 demotions — the K=11 pool
-# sat at exactly ceil(95/11)=9, so the first new gated row would have
-# tripped the cadence pin). tests/test_rotation.py pins
-# ceil(pool/K) <= 9 from the live ordering, so tail growth past ~117
-# rows fails loudly instead of silently slowing the cadence again.
-_ROTATION_K = 13
+# 15 swaps/round over a ~107-row oracle-able tail: the full tail
+# re-earns driver-green every <= 8 rounds (ceil(tail/K)). K went
+# 13 -> 15 in round 13 for the same reason it went 11 -> 13 in round
+# 12 (VERDICT r11 #2: buy headroom BEFORE the new rows, not after the
+# pin trips): the five round-13 demotions put the K=13 pool at
+# exactly ceil(107/13)=9, the pinned ceiling, so round 14's first new
+# gated row would have tripped the cadence pin. The pool below grew
+# to 18 in-window members (>= K + 2 slack, so one member drifting out
+# of the window can never push the swap onto the silent-no-op path).
+# tests/test_rotation.py pins ceil(pool/K) <= 9 from the live
+# ordering, so tail growth past ~135 rows fails loudly instead of
+# silently slowing the cadence again.
+_ROTATION_K = 15
 
 
 def _current_round() -> int:
