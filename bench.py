@@ -141,6 +141,7 @@ HEADLINE = [
     "streaming_ingest_media",
     "audio_near_dup",
     "video_near_dup",
+    "wordpiece_segment_fixed",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their
@@ -486,9 +487,20 @@ _FLAG_FLOOR_SEC = 0.15
 _FLAG_GRANULARITY_SEC = 0.05
 
 
-def _flagged(deltas_norm: dict, noise_floor: dict) -> list[str]:
+def _flagged(
+    deltas_norm: dict,
+    noise_floor: dict,
+    repeat_deltas_norm: dict | None = None,
+) -> list[str]:
     """Queries whose positive host-normalized delta exceeds their own
-    first-vs-repeat spread (the per-query empirical noise floor)."""
+    first-vs-repeat spread (the per-query empirical noise floor).
+
+    When the query has a same-session REPEAT wall, the repeat must
+    confirm the regression (its own delta also over threshold):
+    round 13's gusty host inflated a contiguous block of first walls
+    3-10x while every repeat wall sat at normal (41.7 s -> 3.9 s) — a
+    real plan regression is slow BOTH times, a host gust is not.
+    Queries without a repeat keep the single-wall rule."""
     out = []
     for q, d in deltas_norm.items():
         nf = noise_floor.get(q) or {}
@@ -499,7 +511,9 @@ def _flagged(deltas_norm: dict, noise_floor: dict) -> list[str]:
             else _FLAG_FLOOR_SEC
         )
         if d > thr:
-            out.append(q)
+            rep = (repeat_deltas_norm or {}).get(q)
+            if rep is None or rep > thr:
+                out.append(q)
     return sorted(out)
 
 
@@ -814,7 +828,15 @@ def main() -> None:
         # block, never a test assertion (a slow sandbox must not flake
         # the suite); the judge reads `regressions.persistent` instead
         # of doing delta archaeology.
-        flags = _flagged(deltas_norm, noise_floor)
+        # repeat-confirmed flags: where a same-session repeat wall
+        # exists, it must independently exceed the threshold too (a
+        # host gust inflates one wall; a plan regression inflates both)
+        repeat_deltas_norm = {
+            q: round(nf["repeat_sec"] / f_now - prev[q] / f_prev, 3)
+            for q, nf in noise_floor.items()
+            if q in prev and nf.get("repeat_sec") is not None
+        }
+        flags = _flagged(deltas_norm, noise_floor, repeat_deltas_norm)
         prev_rec_name, prev_flags = _previous_record_flags()
         # aggregate host-drift gate (VERDICT r11 #1): the host-
         # normalized SUM over the pinned stable subset, compared to the

@@ -2307,3 +2307,124 @@ def kneser_ney_bigram(
     if surprisal:
         cols.append(F.col("kn_surprisal"))
     return scored.groupBy("id").agg(*aggs).select(*cols)
+
+
+def wordpiece_segment(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "[UNK]",
+    max_word_len: int = 100,
+) -> DataFrame:
+    """WordPiece segmentation (the BERT tokenizer's apply step, Wu et
+    al. 2016 / Devlin et al. 2019 — greedy LONGEST-MATCH-FIRST): each
+    normalized word matches the longest vocab piece prefixing its
+    remainder, word-initial pieces plain and continuations prefixed
+    '##'; a word with NO match at any position (or longer than
+    max_word_len, the BERT rule) becomes a single `unk` token.
+    Returns (id, tokens array, n_tokens) — the bpe_segment /
+    unigram_segment output contract, so the three tokenizer families
+    are drop-in interchangeable downstream (packing, vocab reports).
+
+    Physical shape: the vocab ships once per executor via
+    sc.broadcast (two longest-first python dicts keyed by piece
+    length); an Arrow-batched mapInPandas segments per word with a
+    memo — Zipf reuse makes the amortized cost per token tiny, and the
+    plan size is constant in vocab size (the JVM-fold alternative
+    would inline the vocab into the plan). Shuffle-free, one corpus
+    scan; a 30k-piece vocab is ~300 KB broadcast. Training is
+    deliberately out of scope: WordPiece vocabs ship pretrained, and
+    the repo's learned-vocab training paths are bpe_train (pair
+    frequency) and unigram_train (EM) — this completes the APPLY side
+    of the third major tokenizer family. Segmentation arithmetic is
+    hash-gated under a pinned vocab by the wordpiece_segment_fixed
+    declared query."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if id_col in ("tokens", "n_tokens"):
+        raise ValueError(
+            f"wordpiece_segment: id_col={id_col!r} collides with an "
+            f"output column; rename the id column first"
+        )
+    starts = sorted(
+        {p for p in vocab if not p.startswith("##")},
+        key=len,
+        reverse=True,
+    )
+    conts = sorted(
+        {p[2:] for p in vocab if p.startswith("##") and len(p) > 2},
+        key=len,
+        reverse=True,
+    )
+    if not starts:
+        raise ValueError("wordpiece_segment: vocab has no word-initial pieces")
+    spark = df.sparkSession
+    vocab_bc = spark.sparkContext.broadcast(
+        (set(starts), set(conts), max(map(len, starts)),
+         max(map(len, conts)) if conts else 0)
+    )
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__words"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                id_col,
+                src.schema.fields[0].dataType,
+                src.schema.fields[0].nullable,
+            ),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        start_set, cont_set, max_s, max_c = vocab_bc.value
+        memo: dict[str, list[str]] = {}
+
+        def seg_word(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            if not word or len(word) > max_word_len:
+                memo[word] = [unk]
+                return [unk]
+            toks: list[str] = []
+            pos, n = 0, len(word)
+            while pos < n:
+                table, cap = (
+                    (start_set, max_s) if pos == 0 else (cont_set, max_c)
+                )
+                end = min(n, pos + cap)
+                while end > pos and word[pos:end] not in table:
+                    end -= 1
+                if end == pos:  # no match anywhere -> whole word UNK
+                    memo[word] = [unk]
+                    return [unk]
+                toks.append(
+                    word[pos:end] if pos == 0 else "##" + word[pos:end]
+                )
+                pos = end
+            memo[word] = toks
+            return toks
+
+        for pdf in batches:
+            toks = [
+                [t for w in words if w for t in seg_word(w)]
+                for words in pdf["__words"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__id"].values,
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return src.mapInPandas(_segment, out_schema)

@@ -460,7 +460,9 @@ _DRIVER_FIRST = [
     # temperature_mix gated in-window, its rebuilt-text hash stays
     # re-checked against DuckDB on every pytest run
     # (test_oracle_parity), and it re-earns driver-green via rotation.
-    "lang_ngram_fixed",
+    # (lang_ngram_fixed sat here rounds 11-12; demoted round 13 to pay
+    # for wordpiece_segment_fixed — see the round-13 batch comment
+    # below)
     # ...plus the FULL FineWeb admission composition under the gate
     # (VERDICT r10 #8 — quality -> dedup -> merge -> commit through
     # the streaming engine, both quality predicates + the chained
@@ -647,6 +649,19 @@ _DRIVER_FIRST = [
     # tests/test_urls.py, and it re-earns driver-green via rotation
     # like every demoted row.
     "video_near_dup",
+    # ...plus WordPiece greedy longest-match-first segmentation under
+    # a pinned vocab — hash gates now cover the APPLY side of all
+    # THREE tokenizer families (BPE rank-greedy, unigram Viterbi,
+    # WordPiece greedy), with the BERT whole-word [UNK] rule made
+    # load-bearing by omitting 'q' from the pinned vocab. Paid for by
+    # demoting lang_ngram_fixed: long driver-green (r11-r12), the
+    # trained-classifier family keeps quality_score_fixed in-window
+    # AND pipeline_ccnet's composed in-window oracle replays the SAME
+    # lang_ngram_score gate arithmetic end-to-end, its pinned-weights
+    # replay stays re-hashed against DuckDB every pytest run
+    # (test_oracle_parity), and it re-earns driver-green via rotation
+    # like every demoted row.
+    "wordpiece_segment_fixed",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -670,6 +685,7 @@ _DRIVER_LAST = [
     "embedding_mrl",
     "streaming_asof_enrich",
     "url_dedup_docs",
+    "lang_ngram_fixed",
     # round-12 demotions, one per new gated row (see the round-12
     # batch comments in _DRIVER_FIRST for each pairing):
     "tpch_q11_important_parts",

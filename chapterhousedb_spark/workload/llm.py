@@ -5478,3 +5478,131 @@ def video_near_dup_q(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# pinned WordPiece vocab for the wordpiece_segment_fixed gate: every
+# single letter EXCEPT 'q' (word-initial and '##'-continuation forms),
+# so any corpus word containing 'q' exercises the whole-word [UNK]
+# rule with no match possible, plus multi-char pieces that make the
+# greedy longest-match-first rule load-bearing (e.g. 'the' must beat
+# 'th' and 't'; '##ing' must beat '##i')
+_WP_FIXED_VOCAB = (
+    [c for c in "abcdefghijklmnoprstuvwxyz"]
+    + ["##" + c for c in "abcdefghijklmnoprstuvwxyz"]
+    + ["th", "the", "data", "sort", "str", "in", "wh"]
+    + ["##ing", "##ed", "##er", "##at", "##ion", "##le", "##ream"]
+)
+_WP_FIXED_PVALUES = ", ".join(
+    f"('{p[2:]}', true)" if p.startswith("##") else f"('{p}', false)"
+    for p in _WP_FIXED_VOCAB
+)
+
+
+@query(
+    "wordpiece_segment_fixed",
+    oracle=f"""
+    -- greedy longest-match-first replay: best-match-per-(word, pos) is
+    -- precomputed NON-recursively (a window rank over every candidate
+    -- piece at every position), then a recursive walk follows the
+    -- unique best chain; words whose walk never reaches the end (no
+    -- piece matched somewhere, or 'q' words with no match at all)
+    -- LEFT-JOIN to NULL and take the whole-word [UNK] rule
+    WITH RECURSIVE w0 AS (
+      SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+'))
+        AS word
+      FROM documents),
+    -- scaffold scope is words of 1..24 chars (the fixed position
+    -- series below — DuckDB's generate_series cannot take a lateral
+    -- column argument; both engines apply the same length cap)
+    w1 AS (SELECT word FROM w0
+           WHERE regexp_matches(word, '^[a-z]{{1,24}}$')
+           ORDER BY word LIMIT 300),
+    words AS (SELECT DISTINCT word FROM (
+      SELECT word FROM w1
+      UNION ALL
+      SELECT word FROM (VALUES ('the'), ('there'), ('thing'),
+        ('data'), ('database'), ('sorted'), ('sorting'), ('string'),
+        ('stream'), ('whale'), ('nation'), ('inhaled'), ('battle'),
+        ('integer'), ('quay')) t(word))),
+    pieces(raw, cont) AS (SELECT * FROM (VALUES {_WP_FIXED_PVALUES})),
+    best AS (
+      SELECT word, pos, piece, advance FROM (
+        SELECT w.word, g.pos AS pos,
+               CASE WHEN g.pos > 0 THEN '##' || p.raw ELSE p.raw END
+                 AS piece,
+               length(p.raw) AS advance,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w.word, g.pos
+                 ORDER BY length(p.raw) DESC) AS rn
+        FROM words w
+        JOIN generate_series(0, 23) g(pos)
+          ON g.pos < length(w.word)
+        JOIN pieces p
+          ON p.cont = (g.pos > 0)
+         AND substr(w.word, g.pos + 1, length(p.raw)) = p.raw)
+      WHERE rn = 1),
+    walk(word, pos, toks) AS (
+      SELECT word, 0, CAST('' AS VARCHAR) FROM words
+      UNION ALL
+      SELECT w.word, w.pos + b.advance,
+             CASE WHEN w.toks = '' THEN b.piece
+                  ELSE w.toks || ' ' || b.piece END
+      FROM walk w JOIN best b ON b.word = w.word AND b.pos = w.pos
+      WHERE w.pos < length(w.word)),
+    seg AS (SELECT word, toks FROM walk WHERE pos = length(word))
+    SELECT w.word,
+           COALESCE(s.toks, '[UNK]') AS tokens,
+           CAST(CASE WHEN s.toks IS NULL THEN 1
+                ELSE len(string_split(s.toks, ' ')) END AS INT)
+             AS n_tokens
+    FROM words w LEFT JOIN seg s ON s.word = w.word
+    ORDER BY w.word
+    """,
+)
+def wordpiece_segment_fixed_q(spark, sf_dir):
+    """WordPiece greedy longest-match-first segmentation under a
+    PINNED vocab (the bpe_segment_fixed / unigram_segment_fixed
+    discipline, completing hash gates for all THREE tokenizer-apply
+    families): the production wordpiece_segment — broadcast vocab,
+    Arrow-batched pandas, per-word memo — faces a DuckDB replay that
+    precomputes the unique longest match per (word, position) and
+    walks the chain recursively. Scaffold = in-alphabet corpus words
+    (capped first-300 ascending) plus planted words that make every
+    rule load-bearing: multi-piece beats shorter prefixes ('the' over
+    'th'), continuation pieces ('##ing', '##ream'), and the BERT
+    whole-word [UNK] rule (the vocab omits 'q' in both forms, so the
+    corpus word 'query' and the planted 'quay' have no complete
+    match)."""
+    from chapterhousedb_spark.operators.dedup import normalize_text
+    from chapterhousedb_spark.operators.text import wordpiece_segment
+
+    docs = load(spark, sf_dir, "documents")
+    w1 = (
+        docs.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]{1,24}$"))
+        .distinct()
+        .orderBy("word")
+        .limit(300)
+    )
+    planted = spark.createDataFrame(
+        [
+            (w,)
+            for w in (
+                "the", "there", "thing", "data", "database", "sorted",
+                "sorting", "string", "stream", "whale", "nation",
+                "inhaled", "battle", "integer", "quay",
+            )
+        ],
+        "word string",
+    )
+    words = w1.unionByName(planted).distinct()
+    seg = wordpiece_segment(
+        words, _WP_FIXED_VOCAB, text_col="word", id_col="word"
+    )
+    return seg.select(
+        "word",
+        F.array_join("tokens", " ").alias("tokens"),
+        "n_tokens",
+    ).orderBy("word")

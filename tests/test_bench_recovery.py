@@ -297,3 +297,21 @@ def test_drift_reference_skips_flagged_records(tmp_path, monkeypatch):
     }))
     name, times, med, newest_flag = b._drift_reference(None)
     assert name == "BENCH_LOCAL_r8b.json" and newest_flag is True
+
+
+def test_flagged_requires_repeat_confirmation():
+    """A query with a same-session repeat wall flags only when the
+    repeat's delta ALSO exceeds the threshold — one gust-inflated
+    first wall (r13c: 41.7 s first, 3.9 s repeat) cannot flag; a real
+    regression (slow both times) still does; queries without repeats
+    keep the single-wall rule."""
+    b = _bench()
+    nf = {
+        "gusty": {"spread_sec": 0.2, "repeat_sec": 1.0},
+        "regressed": {"spread_sec": 0.2, "repeat_sec": 9.0},
+    }
+    deltas = {"gusty": 5.0, "regressed": 5.0, "norepeat": 5.0}
+    repeats = {"gusty": 0.05, "regressed": 4.8}
+    assert b._flagged(deltas, nf, repeats) == ["norepeat", "regressed"]
+    # without repeat data the old single-wall behavior is unchanged
+    assert b._flagged(deltas, nf) == ["gusty", "norepeat", "regressed"]

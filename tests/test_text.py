@@ -1476,3 +1476,58 @@ def test_bpe_segment_fixed_paths_agree(spark):
         fired.update(in_order(w))
     for left, right in _BPE_FIXED_MERGES:
         assert left + right in fired, (left, right)
+
+
+def test_wordpiece_segment_semantics(spark):
+    """Greedy longest-match-first vs a sequential reference on the
+    pinned gate vocab: multi-piece beats shorter prefixes, '##'
+    continuations apply after position 0, a word with no match
+    anywhere (or over max_word_len) becomes ONE [UNK], and the output
+    contract matches bpe/unigram (id, tokens, n_tokens)."""
+    from chapterhousedb_spark.operators.text import wordpiece_segment
+    from chapterhousedb_spark.workload.llm import _WP_FIXED_VOCAB
+
+    starts = {p for p in _WP_FIXED_VOCAB if not p.startswith("##")}
+    conts = {p[2:] for p in _WP_FIXED_VOCAB if p.startswith("##")}
+
+    def ref(word, max_len=100):
+        if not word or len(word) > max_len:
+            return ["[UNK]"]
+        toks, pos = [], 0
+        while pos < len(word):
+            table = starts if pos == 0 else conts
+            end = len(word)
+            while end > pos and word[pos:end] not in table:
+                end -= 1
+            if end == pos:
+                return ["[UNK]"]
+            toks.append(word[pos:end] if pos == 0 else "##" + word[pos:end])
+            pos = end
+        return toks
+
+    words = [
+        "the", "there", "thing", "data", "database", "sorting",
+        "stream", "whale", "quay", "query", "a", "x" * 101,
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: (list(r["tokens"]), r["n_tokens"])
+        for r in wordpiece_segment(
+            df, _WP_FIXED_VOCAB, text_col="word", id_col="word"
+        ).collect()
+    }
+    for w in words:
+        expect = ref(w)
+        assert got[w] == (expect, len(expect)), (w, got[w], expect)
+    # load-bearing greedy cases, pinned explicitly
+    assert got["the"][0] == ["the"]  # not ['th', '##e'] or ['t', ...]
+    assert got["sorting"][0] == ["sort", "##ing"]
+    assert got["stream"][0] == ["str", "##e", "##a", "##m"]
+    assert got["quay"][0] == ["[UNK]"]  # no 'q' piece in either form
+    assert got["x" * 101][0] == ["[UNK]"]  # BERT max-word-length rule
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="id_col"):
+        wordpiece_segment(df, _WP_FIXED_VOCAB, text_col="word", id_col="tokens")
+    with _pytest.raises(ValueError, match="word-initial"):
+        wordpiece_segment(df, ["##a"], text_col="word", id_col="word")
