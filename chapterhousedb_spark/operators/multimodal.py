@@ -3234,3 +3234,71 @@ def video_near_dup_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def video_near_dup_pairs_cross(
+    batch: DataFrame,
+    corpus: DataFrame,
+    min_containment: float = 0.8,
+    every_nth: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Bipartite video near-dup: which `batch` clips are mostly
+    CONTAINED (by distinct frame fingerprints) in some corpus clip —
+    the video admission gate completing the image/audio/video trio for
+    admit_batch(gate_fn=...). Containment divides by the BATCH side's
+    distinct-hash count (the incoming clip is the one being judged: a
+    frame-sampled or truncated copy of an already-ingested video still
+    scores 1.0). Returns (batch_id, corpus_id, n_shared, containment).
+    Same inverted-index shape and max_df stop-frame guard as the
+    self-join form; the join is batch >< corpus only."""
+
+    def _posts(media):
+        return (
+            video_phash(media, every_nth=every_nth)
+            .filter(F.col("ok"))
+            .select("media_id", "fhash")
+            .dropDuplicates(["media_id", "fhash"])
+        )
+
+    bp = _posts(batch)
+    cp = _posts(corpus)
+    if max_df is not None:
+        keep = (
+            cp.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fhash")
+        )
+        cp = cp.join(keep, "fhash")
+        bp = bp.join(keep, "fhash")
+    sizes = bp.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    a = bp.alias("a")
+    b = cp.alias("b")
+    shared = (
+        a.join(b, F.col("a.fhash") == F.col("b.fhash"))
+        .groupBy(
+            F.col("a.media_id").alias("batch_id"),
+            F.col("b.media_id").alias("corpus_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("media_id").alias("batch_id"), "nb"
+            ),
+            "batch_id",
+        )
+        .select(
+            "batch_id",
+            "corpus_id",
+            "n_shared",
+            (F.col("n_shared") / F.col("nb").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

@@ -1715,3 +1715,52 @@ def test_video_near_dup_containment(spark):
     assert len(without.collect()) == 1  # the stop-frame pairs them
     with pytest.raises(ValueError, match="every_nth"):
         video_phash(media, every_nth=0)
+
+
+def test_video_admission_gate_e2e(spark, tmp_path):
+    """The video gate composes into admit_batch like the image/audio
+    gates: a frame-sampled copy of a corpus clip is rejected (its
+    distinct hashes are a subset -> containment 1.0), a distinct clip
+    is admitted."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from chapterhousedb_spark.operators.ingest import admit_batch, init_ingest
+    from chapterhousedb_spark.operators.multimodal import (
+        encode_gif_gray,
+        video_near_dup_pairs_cross,
+    )
+    from chapterhousedb_spark.streaming.batcher import read_versioned_base
+
+    def frame(seed, f):
+        return bytes(
+            int(hashlib.md5(f"vg:{seed}:{f}:{i}".encode()).hexdigest()[:2], 16)
+            for i in range(16 * 16)
+        )
+
+    corpus_rows = [
+        (0, 0, encode_gif_gray([frame(1, f) for f in range(6)], 16, 16))
+    ]
+    batch_rows = [
+        (10, 1, encode_gif_gray([frame(1, f) for f in (0, 2, 4)], 16, 16)),
+        (11, 1, encode_gif_gray([frame(2, f) for f in range(6)], 16, 16)),
+    ]
+    schema = "doc_id long, version int, payload binary"
+    root = str(tmp_path / "corpus")
+    init_ingest(spark.createDataFrame(corpus_rows, schema), root)
+
+    def video_gate(batch, corpus):
+        return video_near_dup_pairs_cross(
+            batch.select(F.col("doc_id").alias("media_id"), "payload"),
+            corpus.select(F.col("doc_id").alias("media_id"), "payload"),
+            min_containment=0.99,
+        ).select("batch_id", "corpus_id")
+
+    res = admit_batch(
+        spark.createDataFrame(batch_rows, schema), root, gate_fn=video_gate
+    )
+    assert res["n_admitted"] == 1
+    final, _ = read_versioned_base(spark, root)
+    assert sorted(r["doc_id"] for r in final.collect()) == [0, 11]
