@@ -270,10 +270,28 @@ def _recover_from_tail(tail: str) -> tuple[dict, dict]:
 
 def _previous_round_times(
     sf: float | None = None,
-) -> tuple[int | None, dict[str, float], float | None, float | None]:
-    """Per-query times of the newest complete PREVIOUS record, for
-    round deltas: (round_n, times, that record's host_factor, its
-    median Spark probe).
+) -> tuple[
+    int | None,
+    dict[str, float],
+    float | None,
+    float | None,
+    dict[str, float],
+]:
+    """Per-query times of the newest complete PREVIOUS-round record,
+    for round deltas: (round_n, times, that record's host_factor, its
+    median Spark probe, its repeat walls).
+
+    SUFFIXED records of the CURRENT round are skipped (ADVICE r13: a
+    builder's earlier same-round run must not become the round-over-
+    round baseline — intra-round comparisons live in the same_round
+    block instead). The PLAIN current-round record stays eligible: by
+    the _persist_local naming convention it is the DRIVER's
+    end-of-previous-round run (max CORRECTNESS on disk + 1 at a time
+    when the current round's artifact doesn't exist yet), i.e.
+    previous-round CODE — r14 plain carries r13's 106 queries. A
+    rehydrated `sf: null` counts as 0.1, the only sf ever recorded
+    before the field existed (ADVICE r13 — a null must not match ANY
+    requested sf).
 
     Preference order (round-13 fix): the newest complete in-repo
     record at the same scale factor (BENCH_LOCAL file or history
@@ -288,17 +306,25 @@ def _previous_round_times(
     import glob
     import re
 
+    cur_n = _current_round_n()
     for name, obj in _iter_bench_records():
         times = obj.get("queries") or {}
         med = (obj.get("calibration") or {}).get("spark_range_sum_median_sec")
-        rec_sf = obj.get("sf", 0.1)
-        if times and (sf is None or rec_sf is None or rec_sf == sf):
-            m = re.search(r"BENCH_LOCAL_r(\d+)", name)
+        rec_sf = obj.get("sf") or 0.1
+        m = re.search(r"BENCH_LOCAL_r(\d+)([a-z]?)", name)
+        rec_n = int(m.group(1)) if m else None
+        rec_suffix = m.group(2) if m else ""
+        if rec_n is not None and (
+            rec_n > cur_n or (rec_n == cur_n and rec_suffix)
+        ):
+            continue
+        if times and (sf is None or rec_sf == sf):
             return (
-                int(m.group(1)) if m else None,
+                rec_n,
                 times,
                 obj.get("host_factor"),
                 med,
+                _repeat_walls_of(obj),
             )
     here = os.path.dirname(os.path.abspath(__file__))
     best_n, best_times, best_factor, best_median = None, {}, None, None
@@ -332,7 +358,21 @@ def _previous_round_times(
                     round(sp / _ANCHOR_SPARK_RANGE_SUM_SEC, 3) if sp else None
                 )
                 best_median = cal.get("spark_range_sum_median_sec")
-    return best_n, best_times, best_factor, best_median
+    return best_n, best_times, best_factor, best_median, {}
+
+
+def _repeat_walls_of(obj: dict) -> dict[str, float]:
+    """A record's same-session repeat walls ({query: repeat_sec}), from
+    its noise_floor block (full files, or history lines rehydrated via
+    repeat_walls). Used so repeat-confirmed regression deltas compare
+    repeat-vs-repeat (ADVICE r13: repeat walls are systematically
+    faster than first walls, so repeat-vs-first suppressed genuine
+    regressions whose repeat stayed under the previous FIRST wall)."""
+    return {
+        q: nf.get("repeat_sec")
+        for q, nf in (obj.get("noise_floor") or {}).items()
+        if isinstance(nf, dict) and nf.get("repeat_sec") is not None
+    }
 
 
 def _current_round_n() -> int:
@@ -418,6 +458,11 @@ def _iter_bench_records():
                     "aggregate_drift": rec.get("aggregate_drift"),
                     "persistent": rec.get("persistent"),
                 },
+                "noise_floor": {
+                    q: {"repeat_sec": v}
+                    for q, v in (rec.get("repeat_walls") or {}).items()
+                    if v is not None
+                },
             }
             order.append((int(m.group(1)), m.group(2), name))
     for _, _, name in sorted(order, reverse=True):
@@ -465,8 +510,10 @@ def _drift_reference(sf: float | None) -> tuple[str, dict, float, bool] | None:
     for name, obj in _iter_bench_records():
         times = obj.get("queries") or {}
         med = (obj.get("calibration") or {}).get("spark_range_sum_median_sec")
-        rec_sf = obj.get("sf", 0.1)
-        if times and med and (sf is None or rec_sf is None or rec_sf == sf):
+        # null sf (rehydrated pre-r12 lines) counts as 0.1, the only sf
+        # ever recorded before the field existed (ADVICE r13)
+        rec_sf = obj.get("sf") or 0.1
+        if times and med and (sf is None or rec_sf == sf):
             agg = (obj.get("regressions") or {}).get("aggregate_drift") or {}
             flagged = bool(agg.get("flagged"))
             if newest is None:
@@ -593,6 +640,44 @@ def _aggregate_drift(
             )
         ),
     }
+
+
+# When the first and repeat walls disagree by more than this, a THIRD
+# wall adjudicates (VERDICT r13 #3: a host gust landing on the REPEAT
+# wall — similarity_pq 9.55 s -> 28.56 s in r13 — inflated spread_pct,
+# which widens the flag threshold for every future round).
+_THIRD_WALL_SPREAD_PCT = 50.0
+
+
+def _noise_entry(first: float, rerun) -> dict:
+    """One noise_floor entry from the query's first wall plus a rerun
+    callable (returns a wall in seconds). Gust-resistant: when the two
+    walls disagree by more than _THIRD_WALL_SPREAD_PCT a third wall is
+    run, and the recorded spread comes from the two CLOSEST (smallest)
+    walls — one gusty wall, whichever side it lands on, can no longer
+    inflate the spread. repeat_sec is the MIN of the non-first walls,
+    so the repeat-confirmation rule in _flagged also resists a single
+    gusty repeat. All walls are recorded when a third ran."""
+    rep = round(rerun(), 3)
+    walls = [first, rep]
+    two_wall_pct = (
+        200.0 * abs(first - rep) / (first + rep) if first + rep else 0.0
+    )
+    if two_wall_pct > _THIRD_WALL_SPREAD_PCT:
+        walls.append(round(rerun(), 3))
+    lo = sorted(walls)
+    spread = lo[1] - lo[0]
+    entry = {
+        "first_sec": first,
+        "repeat_sec": min(walls[1:]),
+        "spread_sec": round(spread, 3),
+        "spread_pct": round(200.0 * spread / (lo[0] + lo[1]), 1)
+        if lo[0] + lo[1]
+        else 0.0,
+    }
+    if len(walls) > 2:
+        entry["walls"] = walls
+    return entry
 
 
 def _median_of(fn, n: int) -> tuple[float, list[float]]:
@@ -722,6 +807,13 @@ def _history_entry(payload: dict, record_name: str) -> dict:
         "persistent": regs.get("persistent"),
         "aggregate_drift": agg,
         "queries": payload.get("queries"),
+        # compact repeat walls so repeat-vs-repeat deltas survive the
+        # full file's deletion (ADVICE r13)
+        "repeat_walls": {
+            q: nf.get("repeat_sec")
+            for q, nf in (payload.get("noise_floor") or {}).items()
+            if isinstance(nf, dict) and nf.get("repeat_sec") is not None
+        },
     }
 
 
@@ -746,20 +838,14 @@ def main() -> None:
         ]
         noise_floor = {}
         for name in probes:
-            rep = round(run_query(spark, name, sf_dir, sink_root), 3)
-            first = times[name]
-            noise_floor[name] = {
-                "first_sec": first,
-                "repeat_sec": rep,
-                "spread_sec": round(abs(first - rep), 3),
-                "spread_pct": round(200.0 * abs(first - rep) / (first + rep), 1)
-                if first + rep
-                else 0.0,
-            }
+            noise_floor[name] = _noise_entry(
+                times[name],
+                lambda n=name: run_query(spark, n, sf_dir, sink_root),
+            )
         total = round(sum(times.values()), 3)
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-        prev_n, prev, prev_factor, prev_median = _previous_round_times(
-            sf=float(sf) if sf else None
+        prev_n, prev, prev_factor, prev_median, prev_repeats = (
+            _previous_round_times(sf=float(sf) if sf else None)
         )
         deltas = {
             q: round(times[q] - prev[q], 3) for q in times if q in prev
@@ -830,9 +916,18 @@ def main() -> None:
         # of doing delta archaeology.
         # repeat-confirmed flags: where a same-session repeat wall
         # exists, it must independently exceed the threshold too (a
-        # host gust inflates one wall; a plan regression inflates both)
+        # host gust inflates one wall; a plan regression inflates both).
+        # The repeat compares against the PREVIOUS record's repeat wall
+        # when one exists (ADVICE r13: repeats run warm, so comparing a
+        # repeat against the previous FIRST wall silently suppressed
+        # regressions whose repeat stayed under the prior cold wall);
+        # only queries with no prior repeat fall back to the first wall.
         repeat_deltas_norm = {
-            q: round(nf["repeat_sec"] / f_now - prev[q] / f_prev, 3)
+            q: round(
+                nf["repeat_sec"] / f_now
+                - (prev_repeats.get(q, prev[q])) / f_prev,
+                3,
+            )
             for q, nf in noise_floor.items()
             if q in prev and nf.get("repeat_sec") is not None
         }

@@ -45,13 +45,20 @@ def test_previous_round_times_reads_real_artifacts():
     line tail truncation destroyed from r10 on (the round-13 fix:
     deltas/flags had silently compared against round-5 walls)."""
     b = _bench()
-    n, times, factor, median = b._previous_round_times()
+    n, times, factor, median, repeats = b._previous_round_times()
     assert n is not None and n >= 12
+    # ADVICE r13: the baseline is never a SUFFIXED record of the
+    # current round (a builder's own earlier same-code run); the plain
+    # current-round record (the driver's previous-code run) is allowed
+    assert n <= b._current_round_n()
     assert len(times) > 50
     assert median is not None  # median-pair normalization engages
+    # repeat walls surface for repeat-vs-repeat regression deltas
+    assert isinstance(repeats, dict) and len(repeats) > 0
+    assert all(isinstance(v, float) for v in repeats.values())
     # sf pinning: an sf nothing was ever recorded at yields the
     # BENCH_r fallback (round <= 5, the last full wrapper payload)
-    n2, t2, _, med2 = b._previous_round_times(sf=0.5)
+    n2, t2, _, med2, _rep2 = b._previous_round_times(sf=0.5)
     assert (n2 is None or n2 <= 5) and med2 is None
 
 
@@ -315,3 +322,78 @@ def test_flagged_requires_repeat_confirmation():
     assert b._flagged(deltas, nf, repeats) == ["norepeat", "regressed"]
     # without repeat data the old single-wall behavior is unchanged
     assert b._flagged(deltas, nf) == ["gusty", "norepeat", "regressed"]
+
+
+def test_previous_round_times_skips_suffixed_same_round(tmp_path, monkeypatch):
+    """ADVICE r13: during round N the builder's own suffixed r{N}
+    records (same code, earlier in the round) must not become the
+    round-over-round baseline — but the PLAIN r{N} record stays
+    eligible, because by the _persist_local convention it is the
+    driver's end-of-round-(N-1) run (previous-round code). Null sf on
+    rehydrated lines coalesces to 0.1 instead of matching any sf."""
+    b = _bench()
+    _stage(tmp_path, monkeypatch, b)
+    (tmp_path / "CORRECTNESS_r8.json").write_text("{}")  # current round = 9
+    (tmp_path / "BENCH_LOCAL_r9b.json").write_text(json.dumps({
+        "queries": {"q1": 9.0},
+        "sf": 0.1,
+        "calibration": {"spark_range_sum_median_sec": 0.9},
+    }))
+    (tmp_path / "BENCH_LOCAL_r9.json").write_text(json.dumps({
+        "queries": {"q1": 5.0},
+        "sf": 0.1,
+        "host_factor": 1.2,
+        "calibration": {"spark_range_sum_median_sec": 0.5},
+        "noise_floor": {"q1": {"first_sec": 5.0, "repeat_sec": 4.5}},
+    }))
+    n, times, factor, med, repeats = b._previous_round_times(sf=0.1)
+    assert n == 9 and times == {"q1": 5.0} and med == 0.5
+    assert repeats == {"q1": 4.5}
+    # sf pin: a null-sf history line counts as 0.1, so an sf0.01 run
+    # must NOT baseline against it (the exact mismatch ADVICE r13 named)
+    (tmp_path / "BENCH_LOCAL_r9.json").unlink()
+    (tmp_path / "BENCH_LOCAL_r9b.json").unlink()
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(json.dumps({
+        "record": "BENCH_LOCAL_r7.json",
+        "queries": {"q1": 1.0},
+        "sf": None,
+        "calibration_median_sec": 0.25,
+        "repeat_walls": {"q1": 0.9},
+    }) + "\n")
+    n01, t01, _, med01, _rep01 = b._previous_round_times(sf=0.01)
+    assert t01 == {} and med01 is None
+    n1, t1, _, med1, rep1 = b._previous_round_times(sf=0.1)
+    assert n1 == 7 and t1 == {"q1": 1.0} and med1 == 0.25
+    # repeat walls survive rehydration from the compact history field
+    assert rep1 == {"q1": 0.9}
+
+
+def test_noise_entry_third_wall_adjudicates_gusts():
+    """VERDICT r13 #3: a gust landing on either wall triggers a third
+    wall; the recorded spread comes from the two closest walls, and
+    repeat_sec is the min of the non-first walls, so one gusty wall
+    can neither inflate future flag thresholds nor fake/suppress the
+    repeat confirmation."""
+    b = _bench()
+    # gust on the REPEAT wall (r13's similarity_pq 9.55 -> 28.56 case)
+    reruns = iter([28.56, 9.8])
+    e = b._noise_entry(9.55, lambda: next(reruns))
+    assert e["walls"] == [9.55, 28.56, 9.8]
+    assert e["repeat_sec"] == 9.8
+    assert e["spread_sec"] == round(9.8 - 9.55, 3)
+    assert e["spread_pct"] < 60.0
+    # gust on the FIRST wall (r13c's 41.7 first / 3.9 repeat case)
+    reruns = iter([3.9, 4.1])
+    e = b._noise_entry(41.7, lambda: next(reruns))
+    assert e["walls"] == [41.7, 3.9, 4.1]
+    assert e["repeat_sec"] == 3.9
+    assert e["spread_sec"] == round(4.1 - 3.9, 3)
+    # agreeing walls: no third run, legacy two-wall shape
+    reruns = iter([2.1])
+    e = b._noise_entry(2.0, lambda: next(reruns))
+    assert "walls" not in e
+    assert e["repeat_sec"] == 2.1 and e["spread_sec"] == 0.1
+    # zero-wall degenerate case stays finite
+    reruns = iter([0.0])
+    e = b._noise_entry(0.0, lambda: next(reruns))
+    assert e["spread_pct"] == 0.0
