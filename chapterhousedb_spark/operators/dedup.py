@@ -432,11 +432,40 @@ def minhash_near_dup_pairs_cross(
     rows broadcast (AQE) and the corpus pays ONE scan + map-side band
     hashing with no shuffle at all; at worst the exchange is bounded by
     the batch. Production composition: run this per micro-batch before
-    merge_stream admits survivors into the corpus."""
-    _check_bands(num_hashes, bands)
-    rows = num_hashes // bands
+    merge_stream admits survivors into the corpus — and at any real
+    corpus size, hand admit_batch a fingerprint_root so the corpus-side
+    signatures come from the persisted sidecar
+    (minhash_near_dup_pairs_cross_sigs) instead of this full re-scan."""
     b_sigs = minhash_signature(batch, text_col, id_col, num_hashes, shingle_k)
     c_sigs = minhash_signature(corpus, text_col, id_col, num_hashes, shingle_k)
+    return minhash_near_dup_pairs_cross_sigs(
+        b_sigs,
+        c_sigs,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def minhash_near_dup_pairs_cross_sigs(
+    b_sigs: DataFrame,
+    c_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """minhash_near_dup_pairs_cross from PRECOMPUTED signature frames
+    ((id, sig) as minhash_signature emits) — the fingerprint-sidecar
+    path (VERDICT r13 #1): the corpus side reads a persisted signature
+    table maintained at write time by ingest.admit_batch, so each
+    micro-batch costs one batch-side signature pass and a bipartite
+    band join, never a corpus re-scan. Returns (batch_id, corpus_id,
+    jaccard) with jaccard >= threshold, identical to the from-text
+    form on the same inputs (the from-text form delegates here)."""
+    _check_bands(num_hashes, bands)
+    rows = num_hashes // bands
     b_band = _band_signatures(b_sigs, id_col, ["sig"], bands, rows).alias("b")
     c_band = _band_signatures(c_sigs, id_col, ["sig"], bands, rows).alias("c")
     cands = (
@@ -682,29 +711,15 @@ def simhash_near_dup_pairs_cross(
     byte-identical on either side); the block join is batch >< corpus
     only, so each crawl batch costs one corpus scan + map-side
     fingerprint/key computation, with the small batch side broadcast —
-    the corpus is never re-paired against itself."""
+    the corpus is never re-paired against itself. For incremental
+    ingest at scale, persist the (id, simhash) fingerprints in a
+    sidecar (ingest.fingerprint_kit('simhash')) and feed
+    hamming_near_dup_pairs_cross directly instead of re-hashing the
+    corpus per batch."""
     b_sh = simhash(batch, text_col, id_col)
     c_sh = simhash(corpus, text_col, id_col)
-    keys = _simhash_block_keys(chunks, max_hamming)
-
-    def _blocked(sh):
-        return sh.select(
-            F.col(id_col), "simhash", F.explode(F.array(*keys)).alias("bk")
-        )
-
-    a = _blocked(b_sh).alias("a")
-    b = _blocked(c_sh).alias("b")
-    return (
-        a.join(b, F.col("a.bk") == F.col("b.bk"))
-        .select(
-            F.col(f"a.{id_col}").alias("batch_id"),
-            F.col(f"b.{id_col}").alias("corpus_id"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .dropDuplicates(["batch_id", "corpus_id"])
-        .filter(F.col("hamming") <= max_hamming)
+    return hamming_near_dup_pairs_cross(
+        b_sh, c_sh, "simhash", id_col, max_hamming, chunks
     )
 
 

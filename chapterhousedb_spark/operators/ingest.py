@@ -38,6 +38,226 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fingerprint_path(fingerprint_root: str, ver: int) -> str:
+    """Sidecar version directory — same v{n:06d} naming as the corpus
+    so corpus version N and its fingerprints travel under one number."""
+    return f"{fingerprint_root}/v{ver:06d}"
+
+
+def read_fingerprints(
+    spark, corpus_root: str, fingerprint_root: str
+) -> tuple[DataFrame, int]:
+    """The fingerprint sidecar rows for the corpus's CURRENT version
+    (the corpus _LATEST marker is the single commit point — the
+    sidecar has no marker of its own). Returns (DataFrame, version)."""
+    from chapterhousedb_spark.streaming.batcher import _read_latest_marker
+
+    ver = _read_latest_marker(spark, corpus_root)
+    return spark.read.parquet(_fingerprint_path(fingerprint_root, ver)), ver
+
+
+def fingerprint_kit(kind: str, id_col: str = "doc_id", **kwargs):
+    """(fingerprint_fn, pairs_fn) for admit_batch's fingerprint-sidecar
+    admission path (VERDICT r13 #1): `fingerprint_fn(df)` maps payload
+    rows to compact fingerprint rows (always carrying `id_col`, so the
+    sidecar upserts on the same key as the corpus), and
+    `pairs_fn(batch_fp, corpus_fp)` is the bipartite near-dup gate
+    over fingerprints alone — the corpus side is read from the
+    persisted sidecar, never recomputed (for images that means the
+    corpus is never re-DECODED per micro-batch).
+
+    Kinds and their kwargs (defaults in parentheses):
+    - 'minhash': text_col ('text'), num_hashes (64), bands (16),
+      shingle_k (5), threshold (0.7). Fingerprint = (id, sig).
+    - 'simhash': text_col ('text'), max_hamming (3), chunks (4).
+      Fingerprint = (id, simhash).
+    - 'image': method ('ahash'), max_hamming (3), chunks (4),
+      payload_col ('payload'). Fingerprint = media_phash rows
+      (ahash, dhash, ok) — 16 bytes/image.
+    - 'audio': max_hamming (3), chunks (4), n_windows (64),
+      payload_col ('payload'). Fingerprint = audio_phash rows.
+    - 'video': min_containment (0.8), every_nth (1), max_df (None),
+      payload_col ('payload'). Fingerprint = video_phash rows (one
+      per sampled frame — the sidecar upsert replaces ALL of a
+      replaced id's frame rows, multi-row ids are fine).
+
+    The pairs_fn contract matches gate_fn's output: a DataFrame with
+    (batch_id, corpus_id) columns (extra score columns are ignored by
+    admit_batch)."""
+    kinds = ("minhash", "simhash", "image", "audio", "video")
+    if kind not in kinds:
+        raise ValueError(
+            f"fingerprint_kit: unknown kind {kind!r}; expected one of "
+            f"{sorted(kinds)}"
+        )
+    payload_col = kwargs.pop("payload_col", "payload")
+
+    def _as_media(df):
+        cols = [F.col(id_col).alias("media_id")]
+        if payload_col != "payload":
+            cols.append(F.col(payload_col).alias("payload"))
+        else:
+            cols.append(F.col("payload"))
+        return df.select(*cols)
+
+    def _keyed(fp):
+        return fp.withColumnRenamed("media_id", id_col)
+
+    def _ids_back(pairs):
+        return pairs  # all kits already emit batch_id/corpus_id
+
+    if kind == "minhash":
+        from chapterhousedb_spark.operators.dedup import (
+            minhash_near_dup_pairs_cross_sigs,
+            minhash_signature,
+        )
+
+        text_col = kwargs.pop("text_col", "text")
+        num_hashes = kwargs.pop("num_hashes", 64)
+        bands = kwargs.pop("bands", 16)
+        shingle_k = kwargs.pop("shingle_k", 5)
+        threshold = kwargs.pop("threshold", 0.7)
+        _reject_extra(kind, kwargs)
+
+        def fp_fn(df):
+            return minhash_signature(
+                df, text_col, id_col, num_hashes, shingle_k
+            )
+
+        def pairs_fn(batch_fp, corpus_fp):
+            return minhash_near_dup_pairs_cross_sigs(
+                batch_fp,
+                corpus_fp,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=threshold,
+            )
+
+        return fp_fn, pairs_fn
+
+    if kind == "simhash":
+        from chapterhousedb_spark.operators.dedup import (
+            hamming_near_dup_pairs_cross,
+            simhash,
+        )
+
+        text_col = kwargs.pop("text_col", "text")
+        max_hamming = kwargs.pop("max_hamming", 3)
+        chunks = kwargs.pop("chunks", 4)
+        _reject_extra(kind, kwargs)
+
+        def fp_fn(df):
+            return simhash(df, text_col, id_col)
+
+        def pairs_fn(batch_fp, corpus_fp):
+            return hamming_near_dup_pairs_cross(
+                batch_fp, corpus_fp, "simhash", id_col, max_hamming, chunks
+            )
+
+        return fp_fn, pairs_fn
+
+    if kind == "image":
+        from chapterhousedb_spark.operators.multimodal import (
+            media_near_dup_pairs_cross,
+            media_phash,
+        )
+
+        method = kwargs.pop("method", "ahash")
+        max_hamming = kwargs.pop("max_hamming", 3)
+        chunks = kwargs.pop("chunks", 4)
+        _reject_extra(kind, kwargs)
+
+        def fp_fn(df):
+            return _keyed(media_phash(_as_media(df)))
+
+        def pairs_fn(batch_fp, corpus_fp):
+            return media_near_dup_pairs_cross(
+                None,
+                None,
+                method=method,
+                max_hamming=max_hamming,
+                chunks=chunks,
+                batch_fingerprints=batch_fp.withColumnRenamed(
+                    id_col, "media_id"
+                ),
+                corpus_fingerprints=corpus_fp.withColumnRenamed(
+                    id_col, "media_id"
+                ),
+            )
+
+        return fp_fn, pairs_fn
+
+    if kind == "audio":
+        from chapterhousedb_spark.operators.multimodal import (
+            audio_near_dup_pairs_cross,
+            audio_phash,
+        )
+
+        max_hamming = kwargs.pop("max_hamming", 3)
+        chunks = kwargs.pop("chunks", 4)
+        n_windows = kwargs.pop("n_windows", 64)
+        _reject_extra(kind, kwargs)
+
+        def fp_fn(df):
+            return _keyed(audio_phash(_as_media(df), n_windows=n_windows))
+
+        def pairs_fn(batch_fp, corpus_fp):
+            return audio_near_dup_pairs_cross(
+                None,
+                None,
+                max_hamming=max_hamming,
+                chunks=chunks,
+                batch_fingerprints=batch_fp.withColumnRenamed(
+                    id_col, "media_id"
+                ),
+                corpus_fingerprints=corpus_fp.withColumnRenamed(
+                    id_col, "media_id"
+                ),
+            )
+
+        return fp_fn, pairs_fn
+
+    # video
+    from chapterhousedb_spark.operators.multimodal import (
+        video_near_dup_pairs_cross,
+        video_phash,
+    )
+
+    min_containment = kwargs.pop("min_containment", 0.8)
+    every_nth = kwargs.pop("every_nth", 1)
+    max_df = kwargs.pop("max_df", None)
+    _reject_extra(kind, kwargs)
+
+    def fp_fn(df):
+        return _keyed(video_phash(_as_media(df), every_nth=every_nth))
+
+    def pairs_fn(batch_fp, corpus_fp):
+        return video_near_dup_pairs_cross(
+            None,
+            None,
+            min_containment=min_containment,
+            every_nth=every_nth,
+            max_df=max_df,
+            batch_fingerprints=batch_fp.withColumnRenamed(
+                id_col, "media_id"
+            ),
+            corpus_fingerprints=corpus_fp.withColumnRenamed(
+                id_col, "media_id"
+            ),
+        )
+
+    return fp_fn, pairs_fn
+
+
+def _reject_extra(kind: str, kwargs: dict) -> None:
+    if kwargs:
+        raise ValueError(
+            f"fingerprint_kit({kind!r}): unexpected kwargs "
+            f"{sorted(kwargs)}"
+        )
+
+
 def admit_batch(
     batch: DataFrame,
     corpus_root: str,
@@ -52,6 +272,9 @@ def admit_batch(
     gate_fn=None,
     quality_fn=None,
     index_paths: dict[str, str] | None = None,
+    fingerprint_root: str | None = None,
+    fingerprint_fn=None,
+    fp_gate_fn=None,
 ) -> dict:
     """Admit one batch into a versioned corpus. Steps:
 
@@ -82,6 +305,28 @@ def admit_batch(
     embedding-side embedding_near_dup_pairs_cross for vector corpora.
     Default: the MinHash bipartite gate with this function's
     threshold/num_hashes/bands.
+
+    `fingerprint_root` (VERDICT r13 #1) switches the gate to the
+    FINGERPRINT SIDECAR path — the scale fix for the one O(corpus)
+    per-batch cost the gate_fn path has: gate_fn receives the raw
+    corpus rows, so every micro-batch re-fingerprints (for images:
+    re-DECODES) the whole corpus. With a sidecar, the corpus side of
+    the gate is a persisted fingerprint table (seeded by init_ingest,
+    upserted here on every commit under the same version number as
+    the corpus), so a micro-batch costs one batch-side fingerprint
+    pass + a bipartite fingerprint join — O(batch + collisions),
+    never O(corpus). `fingerprint_fn`/`fp_gate_fn` come as a pair
+    (build one with `fingerprint_kit`): fingerprint_fn(df) -> compact
+    fingerprint rows carrying id_col; fp_gate_fn(batch_fp, corpus_fp)
+    -> (batch_id, corpus_id, ...) pairs. Omitting both uses the
+    MinHash kit with this function's text_col/threshold/num_hashes/
+    bands — identical admission decisions to the default gate_fn
+    path. Mutually exclusive with gate_fn. Crash contract: the
+    sidecar v+1 write is mode=overwrite and happens BEFORE the marker
+    flip, so a replayed batch rewrites it idempotently and a reader
+    never sees a corpus version without its fingerprints. When
+    labels_root is maintained, self-pairs among admitted docs come
+    from fp_gate_fn over the batch fingerprints (no re-fingerprint).
 
     `index_paths` maps index kind -> persisted index root: "ivf"
     (ivf_write_index layouts), "srp", "pq" (incl. by_residual), "sq8",
@@ -125,6 +370,31 @@ def admit_batch(
             "reject_near_dups=False records duplicates in the labels — "
             "pass labels_root"
         )
+    if fingerprint_root is not None and gate_fn is not None:
+        raise ValueError(
+            "fingerprint_root and gate_fn are mutually exclusive: the "
+            "sidecar path gates on persisted fingerprints (fp_gate_fn), "
+            "gate_fn receives raw corpus rows"
+        )
+    if (fingerprint_fn is None) != (fp_gate_fn is None):
+        raise ValueError(
+            "fingerprint_fn and fp_gate_fn come as a pair (build one "
+            "with fingerprint_kit); got only one of them"
+        )
+    if fingerprint_root is None and fingerprint_fn is not None:
+        raise ValueError(
+            "fingerprint_fn/fp_gate_fn need fingerprint_root — there "
+            "is no sidecar to read or maintain without it"
+        )
+    if fingerprint_root is not None and fingerprint_fn is None:
+        fingerprint_fn, fp_gate_fn = fingerprint_kit(
+            "minhash",
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
     _INDEX_KINDS = ("ivf", "srp", "pq", "sq8", "mrl")
     if index_paths:
         # validate BEFORE any writes: a typo'd kind must not leave a
@@ -144,6 +414,8 @@ def admit_batch(
     quality_persisted = None
     raw_persisted = None
     admitted = None
+    batch_fp = None
+    corpus_fp = None
     # everything from here runs under the unpersist guarantee: a
     # failure anywhere below — INCLUDING quality_fn itself raising
     # during DataFrame construction (an analysis error is exactly the
@@ -169,7 +441,22 @@ def admit_batch(
             )
             quality_persisted = batch
             n_quality_rejected = n_batch - batch.count()
-        if gate_fn is not None:
+        if fingerprint_root is not None:
+            # sidecar path: the corpus side of the gate is the
+            # PERSISTED fingerprint table at the corpus's current
+            # version — the corpus payloads are never re-read, let
+            # alone re-fingerprinted/re-decoded, per micro-batch.
+            # batch_fp persists because it feeds the gate AND the
+            # sidecar upsert (and the label self-pairs when
+            # maintained); one fingerprint pass per batch, total.
+            corpus_fp = spark.read.parquet(
+                _fingerprint_path(fingerprint_root, ver)
+            )
+            batch_fp = fingerprint_fn(batch).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            cross = fp_gate_fn(batch_fp, corpus_fp)
+        elif gate_fn is not None:
             cross = gate_fn(batch, corpus)
         else:
             cross = minhash_near_dup_pairs_cross(
@@ -219,6 +506,10 @@ def admit_batch(
             n_batch,
             text_col,
             n_quality_rejected,
+            fingerprint_root=fingerprint_root,
+            batch_fp=batch_fp,
+            corpus_fp=corpus_fp,
+            fp_gate_fn=fp_gate_fn,
         )
     finally:
         if admitted is not None:
@@ -227,6 +518,8 @@ def admit_batch(
             quality_persisted.unpersist()
         if raw_persisted is not None:
             raw_persisted.unpersist()
+        if batch_fp is not None:
+            batch_fp.unpersist()
 
 
 def _admit_batch_writes(
@@ -246,10 +539,15 @@ def _admit_batch_writes(
     n_batch,
     text_col,
     n_quality_rejected,
+    fingerprint_root=None,
+    batch_fp=None,
+    corpus_fp=None,
+    fp_gate_fn=None,
 ) -> dict:
-    """admit_batch's write half (merge -> labels -> index appends ->
-    marker flip), split out so the caller can guarantee the persisted
-    `admitted` frame is released on every exit path."""
+    """admit_batch's write half (merge -> labels -> fingerprint-sidecar
+    upsert -> index appends -> marker flip), split out so the caller
+    can guarantee the persisted `admitted`/`batch_fp` frames are
+    released on every exit path."""
     from chapterhousedb_spark.operators.cluster import components_update
     from chapterhousedb_spark.operators.dedup import minhash_near_dup_pairs
     from chapterhousedb_spark.operators.merge import merge_upsert
@@ -258,17 +556,37 @@ def _admit_batch_writes(
     merged = merge_upsert(corpus, admitted, [id_col], version_col)
     merged.write.mode("overwrite").parquet(f"{corpus_root}/v{ver + 1:06d}")
     n_admitted = admitted.count()
+    admitted_fp = None
+    if fingerprint_root is not None:
+        admitted_fp = batch_fp.join(
+            admitted.select(id_col), id_col, "semi"
+        )
     if labels_root is not None:
         labels = spark.read.parquet(f"{labels_root}/v{ver}")
-        selfp = minhash_near_dup_pairs(
-            admitted,
-            text_col=text_col,
-            id_col=id_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            persist=False,
-        ).select("id_a", "id_b")
+        if admitted_fp is not None:
+            # self-pairs among admitted docs from their fingerprints —
+            # the sidecar path never re-fingerprints; identical ids
+            # (every doc trivially pairs with itself under any gate)
+            # drop out, and components_update treats (a,b)/(b,a)
+            # duplicates as the same edge
+            selfp = (
+                fp_gate_fn(admitted_fp, admitted_fp)
+                .select(
+                    F.col("batch_id").alias("id_a"),
+                    F.col("corpus_id").alias("id_b"),
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+            )
+        else:
+            selfp = minhash_near_dup_pairs(
+                admitted,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                persist=False,
+            ).select("id_a", "id_b")
         pairs = selfp if cross_pairs is None else cross_pairs.unionByName(selfp)
         new_labels = components_update(
             labels, pairs, new_nodes=admitted.select(id_col)
@@ -277,6 +595,20 @@ def _admit_batch_writes(
         # BEFORE the marker flip leaves an orphan v+1 dir; the
         # checkpoint replays the batch and must be able to rewrite it
         new_labels.write.mode("overwrite").parquet(f"{labels_root}/v{ver + 1}")
+    if fingerprint_root is not None:
+        # sidecar upsert, mirroring merge_upsert's replace-on-key
+        # semantics (a re-admitted id's fingerprints are REPLACED, not
+        # appended — multi-row fingerprints like video frame hashes
+        # anti-join away wholesale). mode=overwrite + written BEFORE
+        # the marker flip: a replayed batch rewrites v+1 idempotently,
+        # and no reader ever sees a corpus version without its
+        # fingerprint table.
+        new_fp = corpus_fp.join(
+            admitted.select(id_col), id_col, "left_anti"
+        ).unionByName(admitted_fp)
+        new_fp.write.mode("overwrite").parquet(
+            _fingerprint_path(fingerprint_root, ver + 1)
+        )
     if index_paths:
         from chapterhousedb_spark.operators.similarity import (
             ivf_append,
@@ -312,16 +644,31 @@ def init_ingest(
     corpus_root: str,
     labels_root: str | None = None,
     id_col: str = "doc_id",
+    fingerprint_root: str | None = None,
+    fingerprint_fn=None,
 ):
     """Seed the versioned corpus (and singleton labels when
-    maintained) for an ingest loop."""
+    maintained) for an ingest loop. With fingerprint_root +
+    fingerprint_fn (the sidecar contract — pair with admit_batch's
+    fingerprint_root), the seed's fingerprints are computed ONCE here
+    and written as sidecar v0; every subsequent admission reads and
+    upserts the sidecar instead of re-fingerprinting corpus payloads."""
     from chapterhousedb_spark.streaming.batcher import init_versioned_base
 
+    if (fingerprint_root is None) != (fingerprint_fn is None):
+        raise ValueError(
+            "fingerprint_root and fingerprint_fn come together (build "
+            "the fn with fingerprint_kit)"
+        )
     init_versioned_base(seed, corpus_root)
     if labels_root is not None:
         seed.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
         ).write.mode("overwrite").parquet(f"{labels_root}/v0")
+    if fingerprint_root is not None:
+        fingerprint_fn(seed).write.mode("overwrite").parquet(
+            _fingerprint_path(fingerprint_root, 0)
+        )
 
 
 def fineweb_quality_gate(

@@ -239,10 +239,51 @@ class TableFunctionRegistry:
 # --------------------------------------------------------------- built-ins
 
 
+def _read_files_format(call: TableFuncCall) -> str:
+    """Format of a read_files() call: the explicit format=> argument,
+    else the glob's extension (.csv/.tsv -> csv, .json/.jsonl -> json,
+    anything else -> parquet, the reference's native format). The
+    reference's own roadmap lists CSV and JSON as unchecked read_files
+    formats (README.md:63-66); Spark reads both natively, so the front
+    door dispatches the same call-site syntax across all three."""
+    fmt = call.named_args.get("format")
+    if fmt is not None:
+        if fmt not in ("parquet", "csv", "json"):
+            raise TableFuncSyntaxError(
+                f"read_files: format must be parquet|csv|json, got {fmt!r}"
+            )
+        return fmt
+    ext = call.glob.rsplit(".", 1)[-1].lower() if "." in call.glob else ""
+    if ext in ("csv", "tsv"):
+        return "csv"
+    if ext in ("json", "jsonl", "ndjson"):
+        return "json"
+    return "parquet"
+
+
 def _build_read_files(
     spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
 ) -> DataFrame:
-    return spark.read.parquet(connections.resolve(call.glob, call.connection))
+    path = connections.resolve(call.glob, call.connection)
+    fmt = _read_files_format(call)
+    if fmt == "csv":
+        sep = call.named_args.get("delimiter")
+        if sep is None:
+            sep = "\t" if call.glob.lower().endswith(".tsv") else ","
+        return (
+            spark.read.option("header", call.named_args.get("header", "true"))
+            .option("sep", sep)
+            .option(
+                "inferSchema", call.named_args.get("infer_schema", "true")
+            )
+            .csv(path)
+        )
+    if fmt == "json":
+        reader = spark.read
+        if call.named_args.get("multiline", "false") == "true":
+            reader = reader.option("multiLine", "true")
+        return reader.json(path)
+    return spark.read.parquet(path)
 
 
 def _build_read_csv(
@@ -260,7 +301,16 @@ def _build_read_csv(
 READ_FILES = TableFunction(
     name="read_files",
     build=_build_read_files,
-    allowed_args=frozenset({"connection"}),
+    allowed_args=frozenset(
+        {
+            "connection",
+            "format",
+            "header",
+            "delimiter",
+            "infer_schema",
+            "multiline",
+        }
+    ),
 )
 
 READ_CSV = TableFunction(

@@ -324,7 +324,8 @@ _DRIVER_FIRST = [
     # MIN), tpch_q20 (double decorrelation, plan-asserted exchange
     # reuse) and tpch_q22 (threshold broadcast) gated in-window, and
     # it re-earns driver-green via rotation.
-    "embedding_clusters",
+    # (embedding_clusters sat here rounds 9-13; demoted round 14 to
+    # pay for read_files_csv — see the round-14 batch comment below)
     # ...plus the composed retrieval funnel (BQ hamming prefilter ->
     # SQ8 dequantized rerank -> exact cosine top-10, every stage score
     # a gated column — the quantization family's capstone, all three
@@ -368,7 +369,8 @@ _DRIVER_FIRST = [
     # signatures as its stage 1) and streaming_ingest_corpus (same
     # band family through the chained streaming admission), and it
     # re-earns driver-green via rotation like every demoted row.
-    "dedup_clusters_star",
+    # (dedup_clusters_star sat here rounds 10-13; demoted round 14 to
+    # pay for read_files_jsonl — see the round-14 batch comment below)
     # ...plus the RESIDUAL IVF-PQ chain (residual_frame -> residual
     # codes -> per-cell LUT fold) under pinned state — the one
     # quantizer arithmetic the two twins above don't reach. Paid for
@@ -662,6 +664,31 @@ _DRIVER_FIRST = [
     # (test_oracle_parity), and it re-earns driver-green via rotation
     # like every demoted row.
     "wordpiece_segment_fixed",
+    # round-14 new surface, gated at birth (VERDICT r13 #5 — the
+    # reference's own unchecked roadmap formats, README.md:63-66): CSV
+    # through the read_files front door — a real header'd CSV
+    # round-trip with a synthesized comma-bearing column so writer
+    # quoting and reader unquoting are both load-bearing, plus schema
+    # inference; the oracle derives the same rows from parquet. Paid
+    # for by demoting embedding_clusters: long driver-green (r9-r13),
+    # the k-means/quantizer family keeps ivf_fixed_centroids in-window
+    # (the same Lloyd assignment arithmetic under pinned centroids)
+    # plus pipeline_cluster_balance and embedding_mrl in the rotation
+    # pool, its assignment chain stays re-hashed against DuckDB every
+    # pytest run (test_oracle_parity), and it re-earns driver-green
+    # via rotation like every demoted row.
+    "read_files_csv",
+    # ...plus JSONL through the same front door (the other roadmap
+    # format): newline-delimited JSON round-trip over documents whose
+    # texts carry newlines/quotes, so the JSON escaping path is
+    # load-bearing. Paid for by demoting dedup_clusters_star:
+    # driver-green r10-r13, the cluster-labels family keeps
+    # dedup_survivors in-window (pool-pinned) and dedup_clusters in
+    # the rotation pool, star-contraction == plain-CC equality stays
+    # randomized-tested in tests/test_cluster.py and re-hashed every
+    # pytest run (test_oracle_parity), and it re-earns driver-green
+    # via rotation like every demoted row.
+    "read_files_jsonl",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -678,6 +705,10 @@ _DRIVER_FIRST = [
     "table_profile",
 ]
 _DRIVER_LAST = [
+    # round-14 demotions, one per new gated row (see the round-14
+    # batch comments in _DRIVER_FIRST for each pairing):
+    "embedding_clusters",
+    "dedup_clusters_star",
     # round-13 demotions, one per new gated row (see the round-13
     # batch comments in _DRIVER_FIRST for each pairing):
     "corpus_diff",

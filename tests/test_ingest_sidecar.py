@@ -1,0 +1,331 @@
+"""Fingerprint-sidecar admission path (VERDICT r13 #1): admit_batch
+gates against a PERSISTED fingerprint table seeded by init_ingest and
+upserted on every commit, so corpus payloads are fingerprinted (for
+images: decoded) exactly once, at write time — never per micro-batch."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from chapterhousedb_spark.operators.ingest import (
+    admit_batch,
+    fingerprint_kit,
+    init_ingest,
+    read_fingerprints,
+)
+from chapterhousedb_spark.streaming.batcher import (
+    _write_latest_marker,
+    read_versioned_base,
+)
+
+T0 = "the quick brown fox jumps over the lazy dog again and again " * 3
+T1 = "completely different content about spark and parquet tables " * 3
+NOVEL1 = "a genuinely new document with its own unique words " * 3
+NOVEL2 = "another new arrival entirely unlike anything before it " * 3
+
+
+def _seed(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=0, text=T0, version=0), Row(doc_id=1, text=T1, version=0)]
+    )
+
+
+def _batches(spark):
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=T0 + " tail", version=1),  # dup of 0
+            Row(doc_id=101, text=NOVEL1, version=1),  # admit
+        ]
+    )
+    b2 = spark.createDataFrame(
+        [
+            Row(doc_id=200, text=NOVEL1 + " tweak", version=2),  # dup of 101
+            Row(doc_id=201, text=NOVEL2, version=2),  # admit
+        ]
+    )
+    return b1, b2
+
+
+def test_minhash_sidecar_matches_default_gate(spark, tmp_path):
+    """The default (kit-less) sidecar path is the MinHash kit with
+    admit_batch's own params — chained admissions must be IDENTICAL to
+    the raw-corpus default gate on the same batches, including a
+    batch-2 near-dup of a batch-1 admission (proving the sidecar
+    really advanced at the v1 commit)."""
+    b1, b2 = _batches(spark)
+    raw_root = str(tmp_path / "raw")
+    sc_root = str(tmp_path / "side")
+    fp_root = str(tmp_path / "side_fp")
+    init_ingest(_seed(spark), raw_root)
+    mh_fp, _mh_pairs = fingerprint_kit("minhash", id_col="doc_id")
+    init_ingest(
+        _seed(spark), sc_root,
+        fingerprint_root=fp_root, fingerprint_fn=mh_fp,
+    )
+    for b in (b1, b2):
+        r_raw = admit_batch(b, raw_root)
+        r_sc = admit_batch(b, sc_root, fingerprint_root=fp_root)
+        assert r_raw["n_admitted"] == r_sc["n_admitted"]
+        assert r_raw["n_rejected"] == r_sc["n_rejected"]
+    raw_final, _ = read_versioned_base(spark, raw_root)
+    sc_final, ver = read_versioned_base(spark, sc_root)
+    assert ver == 2
+    ids = {r["doc_id"] for r in sc_final.collect()}
+    assert ids == {r["doc_id"] for r in raw_final.collect()} == {0, 1, 101, 201}
+    # sidecar rows track the corpus exactly: one signature per live doc
+    fp, fp_ver = read_fingerprints(spark, sc_root, fp_root)
+    assert fp_ver == 2
+    assert {r["doc_id"] for r in fp.collect()} == ids
+    # and the signatures are the real minhash signatures (spot-check
+    # one against a fresh computation)
+    fresh = mh_fp(sc_final.filter("doc_id = 201")).collect()[0]
+    stored = fp.filter("doc_id = 201").collect()[0]
+    assert list(stored["sig"]) == list(fresh["sig"])
+
+
+def _gray_png(seed: int) -> bytes:
+    from chapterhousedb_spark.operators.multimodal import encode_png_rgb
+
+    px = bytearray()
+    for y in range(8):
+        for x in range(8):
+            v = int(
+                hashlib.md5(f"sidecar:{seed}:{y}:{x}".encode()).hexdigest()[:2],
+                16,
+            )
+            px += bytes((v, v, v))
+    return encode_png_rgb(bytes(px), 8, 8)
+
+
+def _gray_bmp_2x(seed: int) -> bytes:
+    """16x16 nearest-neighbor upscale of _gray_png(seed)'s raster in a
+    different container — aHash-identical to the 1x PNG."""
+    from chapterhousedb_spark.operators.multimodal import encode_bmp_rgb
+
+    px = bytearray()
+    for y in range(16):
+        for x in range(16):
+            v = int(
+                hashlib.md5(
+                    f"sidecar:{seed}:{y // 2}:{x // 2}".encode()
+                ).hexdigest()[:2],
+                16,
+            )
+            px += bytes((v, v, v))
+    return encode_bmp_rgb(bytes(px), 16, 16)
+
+
+def test_image_sidecar_decodes_corpus_exactly_once(spark, tmp_path):
+    """THE sidecar contract (VERDICT r13 #1 'done' criterion): across
+    N micro-batches, every payload — corpus seed and batch rows alike —
+    passes through the fingerprint decode exactly ONCE. An accumulator
+    tap on the payload column counts fingerprint evaluations; the gate
+    still REJECTS re-encoded/upscaled twins of seeded images in every
+    batch, proving the admissions really use the (persisted) sidecar
+    fingerprints rather than skipping the corpus side."""
+    acc = spark.sparkContext.accumulator(0)
+    fp_fn, pairs_fn = fingerprint_kit("image", id_col="doc_id")
+
+    def counting_fp(df):
+        @F.udf("binary")
+        def tap(p):
+            acc.add(1)
+            return p
+
+        return fp_fn(df.withColumn("payload", tap("payload")))
+
+    schema = "doc_id long, version int, payload binary"
+    seed = spark.createDataFrame(
+        [(0, 0, _gray_png(1)), (1, 0, _gray_png(2))], schema
+    )
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    init_ingest(
+        seed, root, fingerprint_root=fp_root, fingerprint_fn=counting_fp
+    )
+    batches = [
+        # b1: BMP 2x twin of seeded 0 -> reject; novel -> admit
+        [(100, 1, _gray_bmp_2x(1)), (101, 1, _gray_png(3))],
+        # b2: twin of b1's ADMITTED 101 -> reject; novel -> admit
+        [(200, 2, _gray_bmp_2x(3)), (201, 2, _gray_png(4))],
+        # b3: twin of the original seed again -> still rejected
+        [(300, 3, _gray_bmp_2x(2)), (301, 3, _gray_png(5))],
+    ]
+    for rows in batches:
+        res = admit_batch(
+            spark.createDataFrame(rows, schema),
+            root,
+            fingerprint_root=fp_root,
+            fingerprint_fn=counting_fp,
+            fp_gate_fn=pairs_fn,
+        )
+        assert res["n_admitted"] == 1 and res["n_rejected"] == 1
+    final, ver = read_versioned_base(spark, root)
+    assert ver == 3
+    assert {r["doc_id"] for r in final.collect()} == {0, 1, 101, 201, 301}
+    # 2 seed payloads + 2 per batch x 3 batches = 8 decodes, total.
+    # The raw-corpus gate would have re-decoded the growing corpus
+    # every batch (2 + 3 + 4 extra decodes on this data).
+    assert acc.value == 8
+    fp, _ = read_fingerprints(spark, root, fp_root)
+    got = {r["doc_id"]: r["ahash"] for r in fp.collect()}
+    assert set(got) == {0, 1, 101, 201, 301}
+    # stored fingerprint equals a fresh hash of the same payload
+    fresh = fp_fn(seed.filter("doc_id = 0")).collect()[0]
+    assert got[0] == fresh["ahash"]
+
+
+def test_video_sidecar_upsert_replaces_frame_rows(spark, tmp_path):
+    """Multi-row fingerprints (video: one row per frame) upsert
+    WHOLESALE: re-admitting an id replaces all its frame rows, never
+    appends to them."""
+    from chapterhousedb_spark.operators.multimodal import encode_gif_gray
+
+    def frame(seed, f):
+        return bytes(
+            int(
+                hashlib.md5(f"vsc:{seed}:{f}:{i}".encode()).hexdigest()[:2],
+                16,
+            )
+            for i in range(16 * 16)
+        )
+
+    def clip(seed, n):
+        return encode_gif_gray([frame(seed, f) for f in range(n)], 16, 16)
+
+    fp_fn, pairs_fn = fingerprint_kit(
+        "video", id_col="doc_id", min_containment=0.99
+    )
+    schema = "doc_id long, version int, payload binary"
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    init_ingest(
+        spark.createDataFrame([(1, 0, clip(1, 4))], schema),
+        root,
+        fingerprint_root=fp_root,
+        fingerprint_fn=fp_fn,
+    )
+    fp0, _ = read_fingerprints(spark, root, fp_root)
+    old_hashes = {r["fhash"] for r in fp0.collect()}
+    assert len(old_hashes) == 4
+    # same id, entirely different 6-frame clip: not a near-dup, so it
+    # is admitted and merge_upsert REPLACES the corpus row — the
+    # sidecar must replace the frame rows the same way
+    res = admit_batch(
+        spark.createDataFrame([(1, 1, clip(2, 6))], schema),
+        root,
+        fingerprint_root=fp_root,
+        fingerprint_fn=fp_fn,
+        fp_gate_fn=pairs_fn,
+    )
+    assert res["n_admitted"] == 1
+    fp1, _ = read_fingerprints(spark, root, fp_root)
+    rows = fp1.collect()
+    assert len(rows) == 6  # replaced, not 4 + 6
+    assert {r["fhash"] for r in rows}.isdisjoint(old_hashes)
+    # and a frame-sampled copy of the NEW clip is rejected via sidecar
+    sampled = encode_gif_gray(
+        [frame(2, f) for f in (0, 2, 4)], 16, 16
+    )
+    res2 = admit_batch(
+        spark.createDataFrame([(9, 2, sampled)], schema),
+        root,
+        fingerprint_root=fp_root,
+        fingerprint_fn=fp_fn,
+        fp_gate_fn=pairs_fn,
+    )
+    assert res2["n_admitted"] == 0 and res2["n_rejected"] == 1
+
+
+def test_sidecar_crash_replay_is_idempotent(spark, tmp_path):
+    """The marker flip stays the single commit point: rewinding the
+    corpus marker (simulating a crash after the v+1 writes but before
+    the flip) and replaying the same batch rewrites corpus AND sidecar
+    v+1 to the same state."""
+    b1, _ = _batches(spark)
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    mh_fp, _ = fingerprint_kit("minhash", id_col="doc_id")
+    init_ingest(
+        _seed(spark), root, fingerprint_root=fp_root, fingerprint_fn=mh_fp
+    )
+    admit_batch(b1, root, fingerprint_root=fp_root)
+    fp_a, ver_a = read_fingerprints(spark, root, fp_root)
+    ids_a = sorted(r["doc_id"] for r in fp_a.collect())
+    # crash simulation: marker back to v0; v1 dirs remain on disk
+    _write_latest_marker(spark, root, 0)
+    res = admit_batch(b1, root, fingerprint_root=fp_root)
+    assert res["version"] == 1
+    fp_b, ver_b = read_fingerprints(spark, root, fp_root)
+    assert ver_b == ver_a == 1
+    assert sorted(r["doc_id"] for r in fp_b.collect()) == ids_a == [0, 1, 101]
+
+
+def test_sidecar_maintains_labels_without_refingerprint(spark, tmp_path):
+    """labels_root + sidecar: self-pairs among admitted docs come from
+    the batch fingerprints (fp_gate_fn over batch_fp), so two near-dup
+    docs admitted in one batch land in one component — with zero extra
+    fingerprint passes."""
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    labels_root = str(tmp_path / "labels")
+    mh_fp, _ = fingerprint_kit("minhash", id_col="doc_id")
+    init_ingest(
+        _seed(spark),
+        root,
+        labels_root=labels_root,
+        fingerprint_root=fp_root,
+        fingerprint_fn=mh_fp,
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=T0 + " tail", version=1),  # dup of corpus 0
+            Row(doc_id=101, text=NOVEL1, version=1),
+            Row(doc_id=102, text=NOVEL1 + " tweak", version=1),  # dup of 101
+        ]
+    )
+    res = admit_batch(
+        batch,
+        root,
+        labels_root=labels_root,
+        fingerprint_root=fp_root,
+        reject_near_dups=False,
+    )
+    assert res["n_admitted"] == 3
+    labels = {
+        r["id"]: r["component"]
+        for r in spark.read.parquet(f"{labels_root}/v1").collect()
+    }
+    assert set(labels) == {0, 1, 100, 101, 102}
+    assert labels[100] == labels[0]  # cross pair folded
+    assert labels[101] == labels[102]  # self pair from fingerprints
+    assert labels[101] != labels[0]
+
+
+def test_sidecar_validation_errors(spark, tmp_path):
+    b1, _ = _batches(spark)
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    mh_fp, mh_pairs = fingerprint_kit("minhash", id_col="doc_id")
+    with pytest.raises(ValueError, match="come together"):
+        init_ingest(_seed(spark), root, fingerprint_root=fp_root)
+    init_ingest(
+        _seed(spark), root, fingerprint_root=fp_root, fingerprint_fn=mh_fp
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        admit_batch(
+            b1, root, gate_fn=lambda b, c: None, fingerprint_root=fp_root
+        )
+    with pytest.raises(ValueError, match="pair"):
+        admit_batch(b1, root, fingerprint_root=fp_root, fingerprint_fn=mh_fp)
+    with pytest.raises(ValueError, match="need fingerprint_root"):
+        admit_batch(b1, root, fingerprint_fn=mh_fp, fp_gate_fn=mh_pairs)
+    with pytest.raises(ValueError, match="unknown kind"):
+        fingerprint_kit("bloom")
+    with pytest.raises(ValueError, match="unexpected kwargs"):
+        fingerprint_kit("image", zoom=2)

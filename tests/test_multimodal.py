@@ -1764,3 +1764,82 @@ def test_video_admission_gate_e2e(spark, tmp_path):
     assert res["n_admitted"] == 1
     final, _ = read_versioned_base(spark, root)
     assert sorted(r["doc_id"] for r in final.collect()) == [0, 11]
+
+
+def test_y4m_parse_roundtrip_and_corrupt():
+    """Y4M (YUV4MPEG2) — the real video container (VERDICT r13 #4):
+    encode_y4m_gray plants luma verbatim in the Y plane; _parse_y4m
+    recovers it byte-exactly across chroma layouts; malformed streams
+    (truncated frame, missing dims, unknown colorspace, bad frame
+    magic, zero frames) return None rather than raising."""
+    from chapterhousedb_spark.operators.multimodal import (
+        _parse_y4m,
+        decode_real,
+        encode_y4m_gray,
+    )
+
+    f0 = bytes(range(256))
+    f1 = bytes((3 * i) % 256 for i in range(256))
+    for cs in ("420jpeg", "420mpeg2", "422", "444", "mono"):
+        p = encode_y4m_gray([f0, f1], 16, 16, colorspace=cs)
+        w, h, frames = _parse_y4m(p)
+        assert (w, h, len(frames)) == (16, 16, 2)
+        assert frames[0].tobytes() == f0
+        assert frames[1].tobytes() == f1
+    p = encode_y4m_gray([f0, f1], 16, 16)
+    d = decode_real(p)
+    assert d["ok"] and d["n_frames"] == 2 and d["width"] == 16
+    assert d["mean_pixel"] == (sum(f0) + sum(f1)) / 512
+    # corrupt / boundary cases: None (ok=False upstream), never raise
+    assert _parse_y4m(p[: len(p) - 10]) is None  # truncated frame
+    assert _parse_y4m(b"YUV4MPEG2 W16\nFRAME\n") is None  # no H
+    assert _parse_y4m(b"YUV4MPEG2 W16 H16 Cfoo\n") is None  # colorspace
+    assert _parse_y4m(p.replace(b"FRAME", b"FRAMX", 1)) is None
+    assert _parse_y4m(b"YUV4MPEG2 W16 H16\n") is None  # zero frames
+    assert _parse_y4m(b"YUV4MPEG2 W15 H15\nFRAME\n") is None  # odd@420
+    assert _parse_y4m(b"YUV4MPEG2 W16 H16") is None  # header unterminated
+    with pytest.raises(ValueError, match="even dimensions"):
+        encode_y4m_gray([f0], 15, 15)
+    with pytest.raises(ValueError, match="luma bytes"):
+        encode_y4m_gray([f0[:-1]], 16, 16)
+
+
+def test_video_near_dup_cross_container_gif_y4m(spark):
+    """A Y4M re-encode of a GIF clip is a near-dup at containment 1.0:
+    the per-frame fingerprint hashes the luma grid, and the Y4M Y
+    plane IS the luma — container identity never enters the hash. A
+    corrupt Y4M yields one ok=False accounting row and pairs with
+    nothing."""
+    import hashlib
+
+    from chapterhousedb_spark.operators.multimodal import (
+        encode_gif_gray,
+        encode_y4m_gray,
+        video_near_dup_pairs,
+        video_phash,
+    )
+
+    def frame(seed, f):
+        return bytes(
+            int(hashlib.md5(f"y4x:{seed}:{f}:{i}".encode()).hexdigest()[:2], 16)
+            for i in range(16 * 16)
+        )
+
+    clips = [
+        (1, encode_gif_gray([frame(1, f) for f in range(5)], 16, 16)),
+        (2, encode_y4m_gray([frame(1, f) for f in range(5)], 16, 16)),
+        # Y4M frame-sampled copy: containment 1.0 via subset rule
+        (3, encode_y4m_gray([frame(1, f) for f in (0, 2, 4)], 16, 16)),
+        (4, encode_y4m_gray([frame(9, f) for f in range(5)], 16, 16)),
+        (5, b"YUV4MPEG2 W16 H16\nFRAME\ntruncated"),
+    ]
+    media = spark.createDataFrame(clips, "media_id long, payload binary")
+    fp = video_phash(media)
+    bad = fp.filter("media_id = 5").collect()
+    assert len(bad) == 1 and bad[0]["ok"] is False
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in video_near_dup_pairs(media, min_containment=0.99).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert all(c == 1.0 for c in got.values())

@@ -110,7 +110,47 @@ class TestTableFunctionRegistry:
     def test_unknown_named_arg_rejected(self):
         reg = default_table_function_registry()
         with pytest.raises(TableFuncSyntaxError):
-            reg.rewrite("select * from read_files('a.parquet', header=>'true')")
+            reg.rewrite(
+                "select * from read_files('a.parquet', compression=>'zip')"
+            )
+
+    def test_read_files_format_dispatch(self):
+        """read_files dispatches on extension (the reference's roadmap
+        formats, README.md:63-66) or an explicit format=> override;
+        a bogus format value raises the syntax-error class."""
+        from chapterhousedb_spark.sqlfront.table_funcs import (
+            TableFuncCall,
+            _read_files_format,
+        )
+
+        def call(glob, **named):
+            return TableFuncCall(
+                func="read_files", glob=glob, named_args=named, view_name="v"
+            )
+
+        assert _read_files_format(call("a/*.parquet")) == "parquet"
+        assert _read_files_format(call("a/*")) == "parquet"  # no extension
+        assert _read_files_format(call("a/*.csv")) == "csv"
+        assert _read_files_format(call("a/*.TSV")) == "csv"
+        assert _read_files_format(call("a/*.json")) == "json"
+        assert _read_files_format(call("a/*.jsonl")) == "json"
+        assert _read_files_format(call("a/*.ndjson")) == "json"
+        # explicit format beats the extension
+        assert _read_files_format(call("a/*.dat", format="csv")) == "csv"
+        with pytest.raises(TableFuncSyntaxError, match="format must be"):
+            _read_files_format(call("a/*.csv", format="xml"))
+
+    def test_read_files_csv_json_args_allowed(self):
+        reg = default_table_function_registry()
+        _, calls = reg.rewrite(
+            "select * from read_files('d/*.csv', header=>'false', "
+            "delimiter=>'|', format=>'csv')"
+        )
+        assert calls[0].named_args["delimiter"] == "|"
+        _, calls = reg.rewrite(
+            "select * from read_files('d/*.json', multiline=>'true')"
+        )
+        assert calls[0].named_args["multiline"] == "true"
 
     def test_mixed_functions_one_statement(self):
         reg = default_table_function_registry()
