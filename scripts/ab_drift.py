@@ -109,7 +109,14 @@ def main() -> None:
     args = ap.parse_args()
     legs = []
     for i in range(args.pairs):
-        for label, path in (("a", args.a), ("b", args.b)):
+        # alternate WITHIN-pair order (a,b / b,a / a,b ...): a monotone
+        # host ramp — thermal, background load growing or draining —
+        # otherwise lands systematically on the second leg and reads
+        # as a code delta
+        order = (("a", args.a), ("b", args.b))
+        if i % 2:
+            order = order[::-1]
+        for label, path in order:
             rec = run_leg(path, args.sf_dir)
             rec["label"] = label
             rec["pair"] = i
