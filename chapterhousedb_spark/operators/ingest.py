@@ -22,10 +22,17 @@ the marker flip and keyed to the same version number, so a reader
 never observes a corpus version whose labels are missing.
 
 At 100 TB: every stage is the already-audited incremental shape —
-the corpus pays one scan for the gate (batch side broadcasts), the
-merge shuffles on the key once, label maintenance re-solves only
+the merge shuffles on the key once, label maintenance re-solves only
 touched components, and the index append writes only touched cells.
-Per-batch cost is O(batch + touched state), never O(corpus).
+The GATE has two modes: the raw mode hands gate_fn the corpus rows
+(one corpus scan — and for media gates a corpus DECODE — per batch),
+which is fine for bounded corpora but O(corpus) per micro-batch; the
+FINGERPRINT SIDECAR mode (fingerprint_root, VERDICT r13 #1) gates
+against a persisted fingerprint table seeded by init_ingest and
+upserted at every commit, so corpus payloads are fingerprinted
+exactly once, at write time, and per-batch gate cost is
+O(batch + collisions). With the sidecar, per-batch cost is
+O(batch + touched state), never O(corpus).
 
 Reference parity note: the reference engine (ChapterhouseDB) ships
 an ingest/merge loop for arrow records (SURVEY.md §2.1 inserters/);

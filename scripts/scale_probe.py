@@ -737,6 +737,148 @@ def probe_cross(spark, docs, embs) -> dict:
     return out
 
 
+def probe_media(spark, docs, tmp_root: str) -> dict:
+    """Round-13/14 families over the 10x step (VERDICT r13 #7):
+    perceptual image/audio/video near-dup (fixed twin structure — one
+    planted twin per base, so pairs must scale ~linearly with bases),
+    WordPiece segmentation (one output row per doc), and the
+    fingerprint-SIDECAR ingest gate vs the per-batch re-decode it
+    replaces (fixed 200-image batch against the growing media corpus:
+    the decode path re-fingerprints the corpus every call, the sidecar
+    path reads a 16-byte/image parquet — its wall must stay ~flat-ish
+    per batch while the decode path grows with the corpus)."""
+    from chapterhousedb_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        media_near_dup_pairs,
+        media_near_dup_pairs_cross,
+        media_phash,
+        video_near_dup_pairs,
+    )
+    from chapterhousedb_spark.operators.text import wordpiece_segment
+    from chapterhousedb_spark.workload.llm import _WP_FIXED_VOCAB
+
+    out: dict = {}
+    bases = docs.select((F.col("doc_id")).alias("base"))
+
+    def _images(batches):
+        import numpy as np
+        import pandas as pd
+
+        from chapterhousedb_spark.operators.multimodal import (
+            encode_bmp_rgb,
+            encode_png_rgb,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for b in pdf["base"]:
+                b = int(b)
+                g = np.random.default_rng(b).integers(
+                    0, 256, (8, 8), dtype=np.uint8
+                )
+                rgb1 = np.repeat(g[:, :, None], 3, axis=2).tobytes()
+                up = np.repeat(np.repeat(g, 2, 0), 2, 1)
+                rgb2 = np.repeat(up[:, :, None], 3, axis=2).tobytes()
+                ids += [2 * b, 2 * b + 1]
+                payloads += [
+                    encode_png_rgb(rgb1, 8, 8),
+                    encode_bmp_rgb(rgb2, 16, 16),
+                ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = bases.mapInPandas(_images, "media_id long, payload binary")
+    n, t = timed_count(media_near_dup_pairs(media, max_hamming=3))
+    release_self_join_caches()
+    out["media_pairs"], out["media_pairs_sec"] = n, t
+
+    def _clips(batches):
+        import numpy as np
+        import pandas as pd
+
+        from chapterhousedb_spark.operators.multimodal import make_wav_blob
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for b in pdf["base"]:
+                b = int(b)
+                s = np.random.default_rng(b).integers(
+                    -3000, 3000, 128, dtype=np.int64
+                )
+                ids += [2 * b, 2 * b + 1]
+                payloads += [
+                    make_wav_blob(list(map(int, s))),
+                    make_wav_blob(list(map(int, np.repeat(s, 2)))),
+                ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    audio = bases.mapInPandas(_clips, "media_id long, payload binary")
+    n, t = timed_count(audio_near_dup_pairs(audio, max_hamming=3))
+    release_self_join_caches()
+    out["audio_pairs"], out["audio_pairs_sec"] = n, t
+
+    def _videos(batches):
+        import numpy as np
+        import pandas as pd
+
+        from chapterhousedb_spark.operators.multimodal import (
+            encode_gif_gray,
+            encode_y4m_gray,
+        )
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for b in pdf["base"]:
+                b = int(b)
+                frames = [
+                    np.random.default_rng(b * 7 + f)
+                    .integers(0, 256, 256, dtype=np.uint8)
+                    .tobytes()
+                    for f in range(4)
+                ]
+                ids += [2 * b, 2 * b + 1]
+                payloads += [
+                    encode_gif_gray(frames, 16, 16),
+                    # cross-container frame-sampled twin
+                    encode_y4m_gray(frames[::2], 16, 16),
+                ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    video = bases.mapInPandas(_videos, "media_id long, payload binary")
+    n, t = timed_count(
+        video_near_dup_pairs(video, min_containment=0.99, max_df=50)
+    )
+    release_self_join_caches()
+    out["video_pairs"], out["video_pairs_sec"] = n, t
+
+    n, t = timed_count(wordpiece_segment(docs, _WP_FIXED_VOCAB))
+    out["wordpiece_rows"], out["wordpiece_rows_sec"] = n, t
+
+    # sidecar-vs-decode ingest gate: fixed 200-image batch (twins of
+    # the 100 smallest bases) against the media corpus
+    batch = (
+        bases.orderBy("base")
+        .limit(100)
+        .mapInPandas(_images, "media_id long, payload binary")
+        .select((F.col("media_id") + F.lit(90_000_000)).alias("media_id"), "payload")
+    )
+    n, t = timed_count(
+        media_near_dup_pairs_cross(batch, media, max_hamming=3)
+    )
+    out["media_cross_decode_pairs"], out["media_cross_decode_sec"] = n, t
+    fp_path = os.path.join(tmp_root, f"fp_{docs.count()}")
+    t0 = time.perf_counter()
+    media_phash(media).write.mode("overwrite").parquet(fp_path)
+    out["media_sidecar_write_sec"] = round(time.perf_counter() - t0, 3)
+    corpus_fp = spark.read.parquet(fp_path)
+    n, t = timed_count(
+        media_near_dup_pairs_cross(
+            batch, None, max_hamming=3, corpus_fingerprints=corpus_fp
+        )
+    )
+    out["media_cross_sidecar_pairs"], out["media_cross_sidecar_sec"] = n, t
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = build_session(app_name="scale-probe")
@@ -759,6 +901,15 @@ def main() -> None:
     large.update(probe_recall(spark, embs_l))
     small.update(probe_quant(spark, embs_s))
     large.update(probe_quant(spark, embs_l))
+    import tempfile
+
+    tmp_root = tempfile.mkdtemp(prefix="chdb_scale_probe_")
+    # media probes use the RAW docs (the blown-up text copies carry no
+    # payloads); small = 10% of bases, the same 10x step
+    small.update(
+        probe_media(spark, docs.filter(F.col("doc_id") < n_docs // 10), tmp_root)
+    )
+    large.update(probe_media(spark, docs, tmp_root))
     ratios = {
         k: (round(large[k] / small[k], 2) if small[k] else None)
         for k in small
