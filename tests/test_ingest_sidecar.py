@@ -329,3 +329,72 @@ def test_sidecar_validation_errors(spark, tmp_path):
         fingerprint_kit("bloom")
     with pytest.raises(ValueError, match="unexpected kwargs"):
         fingerprint_kit("image", zoom=2)
+
+
+def test_audio_and_simhash_kits_through_admit_batch(spark, tmp_path):
+    """The remaining two fingerprint_kit families e2e: the audio kit
+    rejects a G.711-style re-encode... (here: a 2x sample-repetition
+    twin, the audio_phash invariance) of a seeded clip via the sidecar,
+    and the simhash kit gates text without re-hashing the corpus."""
+    import numpy as np
+
+    from chapterhousedb_spark.operators.multimodal import make_wav_blob
+
+    def clip(seed):
+        s = np.random.default_rng(seed).integers(
+            -3000, 3000, 128, dtype=np.int64
+        )
+        return list(map(int, s))
+
+    fp_fn, pairs_fn = fingerprint_kit("audio", id_col="doc_id")
+    schema = "doc_id long, version int, payload binary"
+    root = str(tmp_path / "acorpus")
+    fp_root = str(tmp_path / "afp")
+    init_ingest(
+        spark.createDataFrame([(1, 0, make_wav_blob(clip(7)))], schema),
+        root,
+        fingerprint_root=fp_root,
+        fingerprint_fn=fp_fn,
+    )
+    twin = make_wav_blob(
+        list(map(int, np.repeat(np.array(clip(7)), 2))), sample_rate=16000
+    )
+    res = admit_batch(
+        spark.createDataFrame(
+            [(10, 1, twin), (11, 1, make_wav_blob(clip(9)))], schema
+        ),
+        root,
+        fingerprint_root=fp_root,
+        fingerprint_fn=fp_fn,
+        fp_gate_fn=pairs_fn,
+    )
+    assert res["n_admitted"] == 1 and res["n_rejected"] == 1
+    fp, _ = read_fingerprints(spark, root, fp_root)
+    assert {r["doc_id"] for r in fp.collect()} == {1, 11}
+
+    # simhash kit over text
+    sh_fp, sh_pairs = fingerprint_kit(
+        "simhash", id_col="doc_id", max_hamming=3
+    )
+    troot = str(tmp_path / "tcorpus")
+    tfp = str(tmp_path / "tfp")
+    init_ingest(
+        _seed(spark), troot, fingerprint_root=tfp, fingerprint_fn=sh_fp
+    )
+    b = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=T0.replace("dog", "cat", 1), version=1),
+            Row(doc_id=101, text=NOVEL1, version=1),
+        ]
+    )
+    res = admit_batch(
+        b,
+        troot,
+        fingerprint_root=tfp,
+        fingerprint_fn=sh_fp,
+        fp_gate_fn=sh_pairs,
+    )
+    assert res["n_admitted"] == 1 and res["n_rejected"] == 1
+    fp, _ = read_fingerprints(spark, troot, tfp)
+    got = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    assert set(got) == {0, 1, 101}
