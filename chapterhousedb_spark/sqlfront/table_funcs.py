@@ -266,22 +266,33 @@ def _build_read_files(
 ) -> DataFrame:
     path = connections.resolve(call.glob, call.connection)
     fmt = _read_files_format(call)
+    # explicit schema ('name type, ...' DDL) skips the inference pass —
+    # at scale, inference is a full extra read of the files; parquet is
+    # self-describing so the arg is csv/json-only
+    schema = call.named_args.get("schema")
+    if schema is not None and fmt == "parquet":
+        raise TableFuncSyntaxError(
+            "read_files: schema=> applies to csv/json only (parquet is "
+            "self-describing)"
+        )
     if fmt == "csv":
         sep = call.named_args.get("delimiter")
         if sep is None:
             sep = "\t" if call.glob.lower().endswith(".tsv") else ","
-        return (
-            spark.read.option("header", call.named_args.get("header", "true"))
-            .option("sep", sep)
-            .option(
-                "inferSchema", call.named_args.get("infer_schema", "true")
-            )
-            .csv(path)
-        )
+        reader = spark.read.option(
+            "header", call.named_args.get("header", "true")
+        ).option("sep", sep)
+        if schema is not None:
+            return reader.schema(schema).csv(path)
+        return reader.option(
+            "inferSchema", call.named_args.get("infer_schema", "true")
+        ).csv(path)
     if fmt == "json":
         reader = spark.read
         if call.named_args.get("multiline", "false") == "true":
             reader = reader.option("multiLine", "true")
+        if schema is not None:
+            reader = reader.schema(schema)
         return reader.json(path)
     return spark.read.parquet(path)
 
@@ -309,6 +320,7 @@ READ_FILES = TableFunction(
             "delimiter",
             "infer_schema",
             "multiline",
+            "schema",
         }
     ),
 )

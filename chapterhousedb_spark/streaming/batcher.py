@@ -702,17 +702,25 @@ def _read_marker_or(
 
 
 def vacuum_versions(
-    spark: SparkSession, base_root: str, keep_last: int = 2
+    spark: SparkSession, base_root: str, keep_last: int = 2,
+    marker_root: str | None = None,
 ) -> list[int]:
     """Retention sweep for a versioned base: delete all but the newest
     `keep_last` version directories (the _LATEST version is always
     kept, so keep_last >= 1). Returns the removed version numbers.
     Time travel (read_versioned_base(version=N)) only reaches retained
     versions — vacuumed ones raise. Never touches the markers, so a
-    concurrent reader of the current version is unaffected."""
+    concurrent reader of the current version is unaffected.
+
+    `marker_root` covers roots that version in LOCKSTEP with another
+    base but carry no marker of their own — the fingerprint sidecar
+    (round 14): `vacuum_versions(spark, fp_root,
+    marker_root=corpus_root)` keeps the sidecar versions the corpus
+    marker still governs and sweeps the rest with the same
+    current-version guarantee."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the current version)")
-    latest = _read_latest_marker(spark, base_root)
+    latest = _read_latest_marker(spark, marker_root or base_root)
     versions = list_versions(spark, base_root)
     keep = set(sorted(versions)[-keep_last:]) | {latest}
     jvm = spark._jvm

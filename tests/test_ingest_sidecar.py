@@ -398,3 +398,28 @@ def test_audio_and_simhash_kits_through_admit_batch(spark, tmp_path):
     fp, _ = read_fingerprints(spark, troot, tfp)
     got = {r["doc_id"]: r["simhash"] for r in fp.collect()}
     assert set(got) == {0, 1, 101}
+
+
+def test_vacuum_covers_sidecar_via_marker_root(spark, tmp_path):
+    """The sidecar versions in lockstep with the corpus but has no
+    marker of its own; vacuum_versions(marker_root=corpus_root) sweeps
+    old sidecar versions under the corpus marker's protection."""
+    from chapterhousedb_spark.streaming.batcher import vacuum_versions
+
+    b1, b2 = _batches(spark)
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    mh_fp, _ = fingerprint_kit("minhash", id_col="doc_id")
+    init_ingest(
+        _seed(spark), root, fingerprint_root=fp_root, fingerprint_fn=mh_fp
+    )
+    admit_batch(b1, root, fingerprint_root=fp_root)
+    admit_batch(b2, root, fingerprint_root=fp_root)
+    removed = vacuum_versions(spark, fp_root, keep_last=1, marker_root=root)
+    assert removed == [0, 1]
+    # current version intact and readable
+    fp, ver = read_fingerprints(spark, root, fp_root)
+    assert ver == 2 and {r["doc_id"] for r in fp.collect()} == {0, 1, 101, 201}
+    # a sidecar root alone (no marker anywhere) still raises loudly
+    with pytest.raises(FileNotFoundError):
+        vacuum_versions(spark, fp_root, keep_last=1)

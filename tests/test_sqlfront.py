@@ -140,6 +140,45 @@ class TestTableFunctionRegistry:
         with pytest.raises(TableFuncSyntaxError, match="format must be"):
             _read_files_format(call("a/*.csv", format="xml"))
 
+    def test_read_files_explicit_schema(self, spark, tmp_path):
+        """schema=> ('name type, ...' DDL) skips the inference pass —
+        the 100 TB path (inference re-reads every file); parquet is
+        self-describing so schema=> on parquet is a syntax error."""
+        import pyspark.sql.types as T
+
+        from chapterhousedb_spark.config import ConnectionRegistry
+        from chapterhousedb_spark.sqlfront.table_funcs import (
+            TableFuncCall,
+            _build_read_files,
+        )
+
+        (tmp_path / "t.csv").write_text("a,b\n1,x\n2,y\n")
+
+        def call(**named):
+            return TableFuncCall(
+                func="read_files",
+                glob=str(tmp_path / "t.csv"),
+                named_args=named,
+                view_name="v",
+            )
+
+        df = _build_read_files(spark, ConnectionRegistry(), call(
+            schema="a bigint, b string"))
+        assert df.schema == T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+        ])
+        assert df.count() == 2
+        with pytest.raises(TableFuncSyntaxError, match="self-describing"):
+            _build_read_files(
+                spark,
+                ConnectionRegistry(),
+                TableFuncCall(
+                    func="read_files", glob="x/*.parquet",
+                    named_args={"schema": "a int"}, view_name="v",
+                ),
+            )
+
     def test_read_files_csv_json_args_allowed(self):
         reg = default_table_function_registry()
         _, calls = reg.rewrite(
