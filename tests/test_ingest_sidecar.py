@@ -423,3 +423,56 @@ def test_vacuum_covers_sidecar_via_marker_root(spark, tmp_path):
     # a sidecar root alone (no marker anywhere) still raises loudly
     with pytest.raises(FileNotFoundError):
         vacuum_versions(spark, fp_root, keep_last=1)
+
+
+def test_quality_gate_composes_with_sidecar(spark, tmp_path):
+    """quality_fn runs BEFORE fingerprinting: a quality-rejected doc is
+    never decoded (the accumulator tap counts survivors only) and never
+    enters the sidecar; the dedup gate still rejects twins among the
+    survivors."""
+    acc = spark.sparkContext.accumulator(0)
+    fp_fn, pairs_fn = fingerprint_kit("image", id_col="doc_id")
+
+    def counting_fp(df):
+        @F.udf("binary")
+        def tap(p):
+            acc.add(1)
+            return p
+
+        return fp_fn(df.withColumn("payload", tap("payload")))
+
+    def quality(batch):
+        # metadata predicate: odd versions are "low quality"
+        return batch.filter(F.col("quality") >= 0)
+
+    schema = "doc_id long, version int, quality int, payload binary"
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    init_ingest(
+        spark.createDataFrame([(0, 0, 1, _gray_png(1))], schema),
+        root,
+        fingerprint_root=fp_root,
+        fingerprint_fn=counting_fp,
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, 1, -1, _gray_png(9)),  # quality-rejected: never decoded
+            (101, 1, 1, _gray_bmp_2x(1)),  # survivor, twin of seed 0
+            (102, 1, 1, _gray_png(2)),  # survivor, novel
+        ],
+        schema,
+    )
+    res = admit_batch(
+        batch,
+        root,
+        fingerprint_root=fp_root,
+        fingerprint_fn=counting_fp,
+        fp_gate_fn=pairs_fn,
+        quality_fn=quality,
+    )
+    assert res["n_quality_rejected"] == 1
+    assert res["n_admitted"] == 1 and res["n_rejected"] == 2
+    # seed (1) + the two quality survivors (2) — doc 100 never decoded
+    assert acc.value == 3
+    fp, _ = read_fingerprints(spark, root, fp_root)
+    assert {r["doc_id"] for r in fp.collect()} == {0, 102}
