@@ -142,6 +142,10 @@ HEADLINE = [
     "audio_near_dup",
     "video_near_dup",
     "wordpiece_segment_fixed",
+    # round 14 new shapes, benched from birth
+    "read_files_csv",
+    "read_files_jsonl",
+    "chunk_overlap_docs",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

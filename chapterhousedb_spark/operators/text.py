@@ -2428,3 +2428,84 @@ def wordpiece_segment(
             )
 
     return src.mapInPandas(_segment, out_schema)
+
+
+def chunk_text(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the RAG /
+    embedding-prep step (split every document into chunk_tokens-token
+    windows starting every `stride` tokens; stride defaults to
+    chunk_tokens, i.e. no overlap; stride < chunk_tokens overlaps
+    consecutive chunks by chunk_tokens - stride tokens, the standard
+    retrieval-chunking shape). Returns one row per chunk:
+    (id, chunk_idx, tok_start, n_tokens, chunk_text).
+
+    Semantics, pinned for the oracle: tokens are the document's
+    non-empty whitespace-split words with case and punctuation
+    PRESERVED (chunking feeds an embedder — unlike the dedup
+    operators it must not normalize); chunk i covers token positions
+    [i*stride, i*stride + chunk_tokens); chunks are emitted while
+    their start position is inside the document, so the final chunk
+    may be short; documents with zero tokens emit no rows;
+    chunk_text rejoins the window's tokens with single spaces (other
+    inter-token whitespace does not survive — by design, chunk
+    boundaries already break byte-exactness).
+
+    Physical shape: one projection (split + filter), one posexplode
+    over a computed sequence of chunk starts, one slice +
+    array_join — all JVM-side whole-stage codegen, no shuffle at all;
+    output rows ~ total_tokens/stride. At 100 TB this is a map-only
+    pass whose cost is the scan itself."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    n = F.size("__toks")
+    # number of chunks: 1 + ceil((n - chunk)/stride) for n > 0, via
+    # integer arithmetic (floor div of the positive numerator)
+    n_chunks = F.lit(1) + F.floor(
+        (
+            F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+            + F.lit(stride - 1)
+        )
+        / F.lit(stride)
+    ).cast("int")
+    # empty/NULL documents emit no rows. The n >= 1 guard must gate the
+    # sequence itself: Spark's sequence(1, 0) generates a DESCENDING
+    # [1, 0], not an empty array
+    starts = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: (i - F.lit(1)) * F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            "__toks",
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("__start").cast("int").alias("tok_start"),
+            F.size(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+            ).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -485,7 +485,8 @@ _DRIVER_FIRST = [
     # (both in-window), its own oracle stays re-hashed on every pytest
     # run (test_oracle_parity), and it re-earns driver-green via
     # rotation like every demoted row.
-    "url_domain_cap",
+    # (url_domain_cap sat here rounds 11-13; demoted round 14 to pay
+    # for chunk_overlap_docs — see the round-14 batch comment below)
     # ...plus interpolated Kneser-Ney bigram LM fluency — the
     # CCNet-style LM-quality stage with KenLM's smoothing, closed-form
     # from corpus counts so the ENTIRE trained model (discount /
@@ -689,6 +690,18 @@ _DRIVER_FIRST = [
     # pytest run (test_oracle_parity), and it re-earns driver-green
     # via rotation like every demoted row.
     "read_files_jsonl",
+    # ...plus fixed-size token-window chunking with overlap (the
+    # RAG/embedding prep step — one shuffle-free posexplode pass whose
+    # chunk-count formula, start positions, short final chunk and
+    # single-space rejoin DuckDB replays verbatim; chunk=32/stride=24
+    # guarantees overlapping multi-chunk docs at every sf). Paid for
+    # by demoting url_domain_cap: driver-green r11-r13, the URL family
+    # keeps url_etld_cap in-window — the strictly stronger composition
+    # (same canonicalize + md5 cap arithmetic over eTLD+1 instead of
+    # raw host) — its own oracle stays re-hashed every pytest run
+    # (test_oracle_parity), and it re-earns driver-green via rotation
+    # like every demoted row.
+    "chunk_overlap_docs",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -709,6 +722,7 @@ _DRIVER_LAST = [
     # batch comments in _DRIVER_FIRST for each pairing):
     "embedding_clusters",
     "dedup_clusters_star",
+    "url_domain_cap",
     # round-13 demotions, one per new gated row (see the round-13
     # batch comments in _DRIVER_FIRST for each pairing):
     "corpus_diff",

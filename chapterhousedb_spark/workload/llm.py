@@ -5659,3 +5659,53 @@ def wordpiece_segment_fixed_q(spark, sf_dir):
         F.array_join("tokens", " ").alias("tokens"),
         "n_tokens",
     ).orderBy("word")
+
+
+@query(
+    "chunk_overlap_docs",
+    oracle=r"""
+    -- fixed-size token-window chunking with overlap (round 14 — the
+    -- RAG/embedding prep step): case-preserving whitespace tokens,
+    -- chunk i covers positions [i*stride, i*stride + chunk), final
+    -- chunk may be short, zero-token docs emit nothing. chunk=32,
+    -- stride=24 (8-token overlap).
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS n_chunks
+      FROM t WHERE len(toks) >= 1),
+    c2 AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(1, n_chunks)) AS i
+      FROM c)
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS chunk_idx,
+           CAST((i - 1) * 24 AS INT) AS tok_start,
+           CAST(len(toks[(i - 1) * 24 + 1 :
+                         least((i - 1) * 24 + 32, n)]) AS INT)
+             AS n_tokens,
+           array_to_string(toks[(i - 1) * 24 + 1 :
+                                least((i - 1) * 24 + 32, n)], ' ')
+             AS chunk_text
+    FROM c2
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_overlap_docs_q(spark, sf_dir):
+    """Retrieval chunking under the hash gate: the production
+    chunk_text operator (one shuffle-free posexplode pass; see its
+    docstring for the pinned semantics) faces a DuckDB replay of the
+    window arithmetic — chunk-count formula, start positions, the
+    short final chunk, single-space rejoin — over the corpus verbatim.
+    chunk=32/stride=24 guarantees multi-chunk docs with overlap at
+    every sf."""
+    from chapterhousedb_spark.operators.text import chunk_text
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_text(docs, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )

@@ -1531,3 +1531,56 @@ def test_wordpiece_segment_semantics(spark):
         wordpiece_segment(df, _WP_FIXED_VOCAB, text_col="word", id_col="tokens")
     with _pytest.raises(ValueError, match="word-initial"):
         wordpiece_segment(df, ["##a"], text_col="word", id_col="word")
+
+
+def test_chunk_text_semantics(spark):
+    """Pinned chunking semantics (the chunk_overlap_docs oracle's
+    contract): chunk i covers [i*stride, i*stride+chunk); the final
+    chunk may be short; zero-token and NULL docs emit nothing; case
+    and punctuation are preserved (chunking feeds an embedder, not the
+    dedup normalizer); default stride = chunk (no overlap)."""
+    import pytest
+
+    from chapterhousedb_spark.operators.text import chunk_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "  Mixed,  CASE!  kept "),
+            (3, "   "),
+            (4, None),
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in chunk_text(df, chunk_tokens=3, stride=2)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, 0, 3, "a b c"),
+        (1, 1, 2, 3, "c d e"),
+        (1, 2, 4, 3, "e f g"),
+        (2, 0, 0, 3, "Mixed, CASE! kept"),
+        (5, 0, 0, 1, "solo"),
+    ]
+    # no-overlap default; exact-multiple boundary emits no empty chunk
+    got = [
+        tuple(r)
+        for r in chunk_text(df.filter("doc_id = 1"), chunk_tokens=7)
+        .collect()
+    ]
+    assert got == [(1, 0, 0, 7, "a b c d e f g")]
+    got = [
+        tuple(r)
+        for r in chunk_text(df.filter("doc_id = 1"), chunk_tokens=3)
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert [g[4] for g in got] == ["a b c", "d e f", "g"]
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_text(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_text(df, chunk_tokens=3, stride=0)
