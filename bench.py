@@ -611,11 +611,27 @@ def _aggregate_drift(
     if len(common) < 10 or not ref_med:
         return None
     f_ref = median_probe / ref_med
-    now_norm = sum(times[q] for q in common) / f_ref
+    raw_sum = sum(times[q] for q in common)
+    now_norm = raw_sum / f_ref
     ref_sum = sum(ref_times[q] for q in common)
     drift_pct = round(100.0 * (now_norm - ref_sum) / ref_sum, 1)
+    drift_pct_raw = round(100.0 * (raw_sum - ref_sum) / ref_sum, 1)
     agg_flagged = abs(drift_pct) > _DRIFT_THRESHOLD_PCT
     subset_query_flags = sorted(set(flags) & set(common))
+    if not agg_flagged:
+        classification = "none"
+    elif subset_query_flags:
+        classification = "plan_cost_candidates"
+    elif (drift_pct > 0) != (drift_pct_raw > 0):
+        # the normalized sum moved OPPOSITE to the raw sum: the probe
+        # over-responded to something the suite didn't feel (round 14:
+        # probe median 0.83 s — 4x typical — while the raw subset sum
+        # sat mid-range of adjacent records; normalized read -73%).
+        # The r14 interleaved A/B (AB_DRIFT_r14.json) established the
+        # probe-vs-suite decoupling on this host empirically.
+        classification = "probe_overcorrection"
+    else:
+        classification = "uniform_host_drift"
     return {
         "rule": (
             "host-normalized sum over the pinned stable subset moves "
@@ -625,8 +641,10 @@ def _aggregate_drift(
         "subset_n": len(common),
         "ref": ref_name,
         "sum_sec_host_norm": round(now_norm, 3),
+        "sum_sec_raw": round(raw_sum, 3),
         "ref_sum_sec": round(ref_sum, 3),
         "drift_pct": drift_pct,
+        "drift_pct_raw": drift_pct_raw,
         # residual correction factor: multiply the range-sum host
         # factor by this to get the subset-implied one
         "residual_host_factor": round(now_norm / ref_sum, 3),
@@ -634,15 +652,7 @@ def _aggregate_drift(
         "flagged_prev": ref_flagged,
         "persistent": bool(agg_flagged and ref_flagged),
         "subset_query_flags": subset_query_flags,
-        "classification": (
-            "none"
-            if not agg_flagged
-            else (
-                "uniform_host_drift"
-                if not subset_query_flags
-                else "plan_cost_candidates"
-            )
-        ),
+        "classification": classification,
     }
 
 

@@ -236,6 +236,18 @@ def test_aggregate_drift_classification(tmp_path, monkeypatch):
     }))
     blk = b._aggregate_drift(now, [], 0.5)
     assert blk["flagged_prev"] is True and blk["persistent"] is True
+    # probe over-correction (round 14): the probe runs 4x typical while
+    # the raw subset sum sits slightly ABOVE the reference — normalized
+    # reads deeply negative, raw reads positive; opposite signs name
+    # the probe, not the work
+    raw_up = {q: 1.2 for q in sub}
+    blk = b._aggregate_drift(raw_up, [], 2.0)
+    assert blk["flagged"] is True
+    assert blk["drift_pct"] < 0 < blk["drift_pct_raw"]
+    assert blk["classification"] == "probe_overcorrection"
+    # subset flags still take precedence over the decoupling call
+    blk = b._aggregate_drift(raw_up, [sub[1]], 2.0)
+    assert blk["classification"] == "plan_cost_candidates"
     # too few common subset rows -> no block rather than a noisy one
     assert b._aggregate_drift({sub[0]: 1.0}, [], 0.5) is None
     # sf guard: a reference at a different scale factor never compares
