@@ -542,6 +542,7 @@ def _flagged(
     deltas_norm: dict,
     noise_floor: dict,
     repeat_deltas_norm: dict | None = None,
+    deltas_raw: dict | None = None,
 ) -> list[str]:
     """Queries whose positive host-normalized delta exceeds their own
     first-vs-repeat spread (the per-query empirical noise floor).
@@ -551,7 +552,15 @@ def _flagged(
     round 13's gusty host inflated a contiguous block of first walls
     3-10x while every repeat wall sat at normal (41.7 s -> 3.9 s) — a
     real plan regression is slow BOTH times, a host gust is not.
-    Queries without a repeat keep the single-wall rule."""
+    Queries without a repeat keep the single-wall rule.
+
+    When `deltas_raw` is given, the RAW (unnormalized) delta must also
+    clear the threshold (round 14: a probe pair that read 31% fast
+    inflated every normalized delta ~44% and flagged 64 queries whose
+    raw walls had not moved — a real plan regression is visible in raw
+    seconds too, a probe-pair artifact is not; the converse probe
+    failure, under-responding to a uniformly slower host, remains the
+    aggregate gate's job)."""
     out = []
     for q, d in deltas_norm.items():
         nf = noise_floor.get(q) or {}
@@ -563,8 +572,12 @@ def _flagged(
         )
         if d > thr:
             rep = (repeat_deltas_norm or {}).get(q)
-            if rep is None or rep > thr:
-                out.append(q)
+            if rep is not None and rep <= thr:
+                continue
+            raw = (deltas_raw or {}).get(q)
+            if raw is not None and raw <= thr:
+                continue
+            out.append(q)
     return sorted(out)
 
 
@@ -945,7 +958,9 @@ def main() -> None:
             for q, nf in noise_floor.items()
             if q in prev and nf.get("repeat_sec") is not None
         }
-        flags = _flagged(deltas_norm, noise_floor, repeat_deltas_norm)
+        flags = _flagged(
+            deltas_norm, noise_floor, repeat_deltas_norm, deltas_raw=deltas
+        )
         prev_rec_name, prev_flags = _previous_record_flags()
         # aggregate host-drift gate (VERDICT r11 #1): the host-
         # normalized SUM over the pinned stable subset, compared to the

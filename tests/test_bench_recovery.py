@@ -334,6 +334,13 @@ def test_flagged_requires_repeat_confirmation():
     assert b._flagged(deltas, nf, repeats) == ["norepeat", "regressed"]
     # without repeat data the old single-wall behavior is unchanged
     assert b._flagged(deltas, nf) == ["gusty", "norepeat", "regressed"]
+    # raw confirmation (round 14): a probe-pair artifact inflates every
+    # NORMALIZED delta while raw walls sit still — queries whose raw
+    # delta stays under their spread cannot flag; a real regression
+    # (raw delta over threshold too) still does
+    raws = {"gusty": 0.01, "regressed": 4.9, "norepeat": 0.02}
+    assert b._flagged(deltas, nf, repeats, deltas_raw=raws) == ["regressed"]
+    assert b._flagged(deltas, nf, deltas_raw=raws) == ["regressed"]
 
 
 def test_previous_round_times_skips_suffixed_same_round(tmp_path, monkeypatch):
