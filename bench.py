@@ -542,7 +542,7 @@ def _flagged(
     deltas_norm: dict,
     noise_floor: dict,
     repeat_deltas_norm: dict | None = None,
-    deltas_raw: dict | None = None,
+    deltas_confirm: dict | None = None,
 ) -> list[str]:
     """Queries whose positive host-normalized delta exceeds their own
     first-vs-repeat spread (the per-query empirical noise floor).
@@ -554,13 +554,18 @@ def _flagged(
     real plan regression is slow BOTH times, a host gust is not.
     Queries without a repeat keep the single-wall rule.
 
-    When `deltas_raw` is given, the RAW (unnormalized) delta must also
-    clear the threshold (round 14: a probe pair that read 31% fast
-    inflated every normalized delta ~44% and flagged 64 queries whose
-    raw walls had not moved — a real plan regression is visible in raw
-    seconds too, a probe-pair artifact is not; the converse probe
-    failure, under-responding to a uniformly slower host, remains the
-    aggregate gate's job)."""
+    When `deltas_confirm` is given, the confirmation delta must also
+    clear the threshold. The caller passes SUITE-MEDIAN-normalized
+    deltas (times/r_med - prev, r_med = median per-query raw ratio
+    vs the previous record): round 14's probe pair read 31% fast and
+    inflated every probe-normalized delta ~44%, flagging 64 queries
+    whose raw walls had not moved — the suite median is the host
+    factor the SUITE itself implies, immune to a decoupled probe in
+    either direction (a plain raw-delta guard, the first r14 cut,
+    would instead mask a genuine regression whenever the host got
+    uniformly faster: review finding). A shared cost moving MOST
+    queries at once partially absorbs into the median — that case
+    remains the aggregate gate's job."""
     out = []
     for q, d in deltas_norm.items():
         nf = noise_floor.get(q) or {}
@@ -574,8 +579,8 @@ def _flagged(
             rep = (repeat_deltas_norm or {}).get(q)
             if rep is not None and rep <= thr:
                 continue
-            raw = (deltas_raw or {}).get(q)
-            if raw is not None and raw <= thr:
+            conf = (deltas_confirm or {}).get(q)
+            if conf is not None and conf <= thr:
                 continue
             out.append(q)
     return sorted(out)
@@ -680,11 +685,18 @@ def _noise_entry(first: float, rerun) -> dict:
     """One noise_floor entry from the query's first wall plus a rerun
     callable (returns a wall in seconds). Gust-resistant: when the two
     walls disagree by more than _THIRD_WALL_SPREAD_PCT a third wall is
-    run, and the recorded spread comes from the two CLOSEST (smallest)
-    walls — one gusty wall, whichever side it lands on, can no longer
-    inflate the spread. repeat_sec is the MIN of the non-first walls,
-    so the repeat-confirmation rule in _flagged also resists a single
-    gusty repeat. All walls are recorded when a third ran."""
+    run, and the recorded spread comes from the two CLOSEST walls —
+    one gusty wall, whichever side AND whichever direction (slow gust
+    or cache-fluke fast) it lands on, can no longer inflate the
+    spread. The two-smallest rule the first round-14 cut used still
+    let a gusty-FAST wall both inflate the spread and become
+    repeat_sec (review finding): with walls [10.0, 3.0, 9.5] the
+    smallest pair spans 3.0-9.5 while the CLOSEST pair is (9.5, 10.0).
+    repeat_sec is the non-first member of the closest pair when one
+    exists (the wall corroborated by another), else the min of the
+    repeats — so the repeat-confirmation rule in _flagged compares
+    against a corroborated wall. All walls are recorded when a third
+    ran."""
     rep = round(rerun(), 3)
     walls = [first, rep]
     two_wall_pct = (
@@ -692,14 +704,22 @@ def _noise_entry(first: float, rerun) -> dict:
     )
     if two_wall_pct > _THIRD_WALL_SPREAD_PCT:
         walls.append(round(rerun(), 3))
-    lo = sorted(walls)
-    spread = lo[1] - lo[0]
+    order = sorted(range(len(walls)), key=lambda i: walls[i])
+    gaps = [
+        (walls[order[i + 1]] - walls[order[i]], i)
+        for i in range(len(order) - 1)
+    ]
+    spread, gi = min(gaps)
+    pair_idx = {order[gi], order[gi + 1]}
+    pair_repeats = [walls[i] for i in pair_idx if i != 0]
     entry = {
         "first_sec": first,
-        "repeat_sec": min(walls[1:]),
+        "repeat_sec": min(pair_repeats) if pair_repeats else min(walls[1:]),
         "spread_sec": round(spread, 3),
-        "spread_pct": round(200.0 * spread / (lo[0] + lo[1]), 1)
-        if lo[0] + lo[1]
+        "spread_pct": round(
+            200.0 * spread / (walls[order[gi]] + walls[order[gi + 1]]), 1
+        )
+        if walls[order[gi]] + walls[order[gi + 1]]
         else 0.0,
     }
     if len(walls) > 2:
@@ -958,8 +978,29 @@ def main() -> None:
             for q, nf in noise_floor.items()
             if q in prev and nf.get("repeat_sec") is not None
         }
+        # suite-implied host factor: median per-query raw ratio vs the
+        # previous record over queries big enough for a stable ratio —
+        # the confirmation normalizer _flagged uses (see its docstring)
+        import statistics
+
+        ratio_pool = [
+            times[q] / prev[q]
+            for q in times
+            if q in prev and prev[q] >= 0.5 and times[q] > 0
+        ]
+        r_med = (
+            statistics.median(ratio_pool) if len(ratio_pool) >= 5 else 1.0
+        )
+        deltas_suite = {
+            q: round(times[q] / r_med - prev[q], 3)
+            for q in times
+            if q in prev
+        }
         flags = _flagged(
-            deltas_norm, noise_floor, repeat_deltas_norm, deltas_raw=deltas
+            deltas_norm,
+            noise_floor,
+            repeat_deltas_norm,
+            deltas_confirm=deltas_suite,
         )
         prev_rec_name, prev_flags = _previous_record_flags()
         # aggregate host-drift gate (VERDICT r11 #1): the host-
@@ -1002,6 +1043,7 @@ def main() -> None:
             "host_factor_cold": host_factor_cold,
             "prev_host_factor": prev_factor,
             "host_factor_vs_prev": f_now,
+            "suite_ratio_median_vs_prev": round(r_med, 3),
             "host_norm_kind": norm_kind,
             "deltas_vs_prev_host_normalized": deltas_norm,
             "same_round": same_block,

@@ -97,7 +97,15 @@ def fingerprint_kit(kind: str, id_col: str = "doc_id", **kwargs):
             f"fingerprint_kit: unknown kind {kind!r}; expected one of "
             f"{sorted(kinds)}"
         )
-    payload_col = kwargs.pop("payload_col", "payload")
+    # payload_col is a MEDIA-kind kwarg; popping it before dispatch
+    # would let the text kinds silently swallow it (round-14 review),
+    # breaking the strict-kwargs contract _reject_extra enforces for
+    # every other irrelevant kwarg
+    payload_col = (
+        kwargs.pop("payload_col", "payload")
+        if kind in ("image", "audio", "video")
+        else "payload"
+    )
 
     def _as_media(df):
         cols = [F.col(id_col).alias("media_id")]
@@ -109,9 +117,6 @@ def fingerprint_kit(kind: str, id_col: str = "doc_id", **kwargs):
 
     def _keyed(fp):
         return fp.withColumnRenamed("media_id", id_col)
-
-    def _ids_back(pairs):
-        return pairs  # all kits already emit batch_id/corpus_id
 
     if kind == "minhash":
         from chapterhousedb_spark.operators.dedup import (

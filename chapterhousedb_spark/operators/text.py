@@ -2481,12 +2481,19 @@ def chunk_text(
     ).cast("int")
     # empty/NULL documents emit no rows. The n >= 1 guard must gate the
     # sequence itself: Spark's sequence(1, 0) generates a DESCENDING
-    # [1, 0], not an empty array
+    # [1, 0], not an empty array. The start < n filter enforces the
+    # documented 'start position inside the document' rule in the
+    # stride > chunk_tokens (gapped-sampling) regime, where the
+    # chunk-count formula alone can land a start exactly past the end
+    # and emit a degenerate empty chunk (round-14 review finding).
     starts = F.when(
         n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_chunks),
-            lambda i: (i - F.lit(1)) * F.lit(stride),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: (i - F.lit(1)) * F.lit(stride),
+            ),
+            lambda s: s < n,
         ),
     ).otherwise(F.array().cast("array<int>"))
     return (

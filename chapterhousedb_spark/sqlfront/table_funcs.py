@@ -261,20 +261,40 @@ def _read_files_format(call: TableFuncCall) -> str:
     return "parquet"
 
 
+# which read_files named args apply to which resolved format — an arg
+# given for a format it cannot affect raises instead of being silently
+# dropped (round-14 review: read_files('d/*.json', delimiter=>'|')
+# validated cleanly and read with the default comma semantics)
+_READ_FILES_FMT_ARGS = {
+    "parquet": frozenset({"connection", "format"}),
+    "csv": frozenset(
+        {"connection", "format", "header", "delimiter", "infer_schema",
+         "schema"}
+    ),
+    "json": frozenset({"connection", "format", "multiline", "schema"}),
+}
+
+
 def _build_read_files(
     spark: SparkSession, connections: "ConnectionRegistry", call: TableFuncCall
 ) -> DataFrame:
     path = connections.resolve(call.glob, call.connection)
     fmt = _read_files_format(call)
+    inapplicable = set(call.named_args) - _READ_FILES_FMT_ARGS[fmt]
+    if inapplicable:
+        raise TableFuncSyntaxError(
+            f"read_files: argument(s) {sorted(inapplicable)} do not apply "
+            f"to format {fmt!r}"
+            + (
+                " (parquet is self-describing)"
+                if fmt == "parquet" and "schema" in inapplicable
+                else ""
+            )
+        )
     # explicit schema ('name type, ...' DDL) skips the inference pass —
     # at scale, inference is a full extra read of the files; parquet is
     # self-describing so the arg is csv/json-only
     schema = call.named_args.get("schema")
-    if schema is not None and fmt == "parquet":
-        raise TableFuncSyntaxError(
-            "read_files: schema=> applies to csv/json only (parquet is "
-            "self-describing)"
-        )
     if fmt == "csv":
         sep = call.named_args.get("delimiter")
         if sep is None:

@@ -65,15 +65,7 @@ def scan_filter_project(spark, sf_dir):
 def read_files_front_door(spark, sf_dir):
     """The reference's one table function, exercised through our SQL
     front door end-to-end (read_files_task.rs:65-114 -> temp-view rewrite)."""
-    from chapterhousedb_spark.engine import Engine
-
-    eng = Engine.__new__(Engine)  # lightweight: reuse session, no results dir
-    eng.spark = spark
-    from chapterhousedb_spark.config import ConnectionRegistry
-    from chapterhousedb_spark.sqlfront import default_table_function_registry
-
-    eng.connections = ConnectionRegistry()
-    eng.table_functions = default_table_function_registry()
+    eng = _front_door_engine(spark)
     return eng.dataframe(
         f"""
         select p_partkey, upper(p_brand) as brand_uc, p_retailprice

@@ -30,31 +30,19 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-# the pinned aggregate-drift subset (bench._DRIFT_SUBSET as of r11)
-SUBSET = [
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping",
-    "tpch_q4_order_priority",
-    "tpch_q5_region_revenue",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_cust_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_lone_blame",
-    "tpch_q22_idle_balances",
-]
+# the pinned aggregate-drift subset, imported from the gate this script
+# adjudicates — a hardcoded copy could silently diverge from it
+# (round-14 review finding). Imported from THIS checkout: the A/B legs
+# run the checkout-specific QUERIES, but the measured subset must be
+# the single current definition on both sides.
+import importlib.util as _ilu
+
+_spec = _ilu.spec_from_file_location("bench_mod", os.path.join(REPO, "bench.py"))
+_bench = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_bench)
+SUBSET = list(_bench._DRIFT_SUBSET)
 
 _RUNNER = r"""
 import json, os, sys, time

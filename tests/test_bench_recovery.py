@@ -334,13 +334,16 @@ def test_flagged_requires_repeat_confirmation():
     assert b._flagged(deltas, nf, repeats) == ["norepeat", "regressed"]
     # without repeat data the old single-wall behavior is unchanged
     assert b._flagged(deltas, nf) == ["gusty", "norepeat", "regressed"]
-    # raw confirmation (round 14): a probe-pair artifact inflates every
-    # NORMALIZED delta while raw walls sit still — queries whose raw
-    # delta stays under their spread cannot flag; a real regression
-    # (raw delta over threshold too) still does
-    raws = {"gusty": 0.01, "regressed": 4.9, "norepeat": 0.02}
-    assert b._flagged(deltas, nf, repeats, deltas_raw=raws) == ["regressed"]
-    assert b._flagged(deltas, nf, deltas_raw=raws) == ["regressed"]
+    # suite-median confirmation (round 14): a probe-pair artifact
+    # inflates every PROBE-normalized delta while the suite-implied
+    # deltas sit still — queries whose confirmation delta stays under
+    # their spread cannot flag; a real regression (over threshold in
+    # the suite-normalized view too) still does
+    conf = {"gusty": 0.01, "regressed": 4.9, "norepeat": 0.02}
+    assert b._flagged(deltas, nf, repeats, deltas_confirm=conf) == [
+        "regressed"
+    ]
+    assert b._flagged(deltas, nf, deltas_confirm=conf) == ["regressed"]
 
 
 def test_previous_round_times_skips_suffixed_same_round(tmp_path, monkeypatch):
@@ -412,6 +415,14 @@ def test_noise_entry_third_wall_adjudicates_gusts():
     e = b._noise_entry(2.0, lambda: next(reruns))
     assert "walls" not in e
     assert e["repeat_sec"] == 2.1 and e["spread_sec"] == 0.1
+    # gusty-FAST repeat (review finding): the closest pair is
+    # (9.5, 10.0), not the two smallest (3.0, 9.5) — the fluke-fast
+    # wall can neither inflate the spread nor become repeat_sec
+    reruns = iter([3.0, 9.5])
+    e = b._noise_entry(10.0, lambda: next(reruns))
+    assert e["walls"] == [10.0, 3.0, 9.5]
+    assert e["spread_sec"] == 0.5
+    assert e["repeat_sec"] == 9.5
     # zero-wall degenerate case stays finite
     reruns = iter([0.0])
     e = b._noise_entry(0.0, lambda: next(reruns))

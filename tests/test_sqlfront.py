@@ -178,6 +178,23 @@ class TestTableFunctionRegistry:
                     named_args={"schema": "a int"}, view_name="v",
                 ),
             )
+        # format-irrelevant args raise instead of being silently
+        # dropped (csv options on json, csv/json options on parquet)
+        for glob, named in (
+            ("x/*.json", {"delimiter": "|"}),
+            ("x/*.json", {"header": "false"}),
+            ("x/*.parquet", {"header": "false"}),
+            ("x/*.csv", {"multiline": "true"}),
+        ):
+            with pytest.raises(TableFuncSyntaxError, match="do not apply"):
+                _build_read_files(
+                    spark,
+                    ConnectionRegistry(),
+                    TableFuncCall(
+                        func="read_files", glob=glob,
+                        named_args=named, view_name="v",
+                    ),
+                )
 
     def test_read_files_csv_json_args_allowed(self):
         reg = default_table_function_registry()

@@ -1580,6 +1580,25 @@ def test_chunk_text_semantics(spark):
         .collect()
     ]
     assert [g[4] for g in got] == ["a b c", "d e f", "g"]
+    # stride > chunk_tokens (gapped sampling): no degenerate empty
+    # chunk when the formula lands a start exactly past the end
+    got = [
+        tuple(r)
+        for r in chunk_text(df.filter("doc_id = 1"), chunk_tokens=2, stride=3)
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert got == [
+        (1, 0, 0, 2, "a b"),
+        (1, 1, 3, 2, "d e"),
+        (1, 2, 6, 1, "g"),
+    ]
+    got = [
+        tuple(r)
+        for r in chunk_text(df.filter("doc_id = 5"), chunk_tokens=1, stride=5)
+        .collect()
+    ]
+    assert got == [(5, 0, 0, 1, "solo")]
     with pytest.raises(ValueError, match="chunk_tokens"):
         chunk_text(df, chunk_tokens=0)
     with pytest.raises(ValueError, match="stride"):
