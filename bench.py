@@ -804,11 +804,27 @@ def _persist_local(payload: dict) -> str | None:
     # the round's CORRECTNESS artifact lands both derive the same N) —
     # round 8 lost the driver's round-7 record to exactly this overlap.
     # Suffixes keep every run: BENCH_LOCAL_r9.json, r9b, r9c, ...
+    # A name already claimed by a HISTORY line is also taken (round 14:
+    # a record folded into history freed its on-disk name, the next run
+    # re-claimed it, and two different records shared one history name
+    # — the rehydrator keeps first-wins, silently serving stale walls)
+    taken = set()
+    hist = os.path.join(here, _HISTORY_FILE)
+    if os.path.exists(hist):
+        try:
+            for line in open(hist):
+                try:
+                    taken.add(json.loads(line).get("record"))
+                except json.JSONDecodeError:
+                    continue
+        except OSError:
+            pass
     suffixes = [""] + [chr(c) for c in range(ord("b"), ord("z") + 1)]
     path = None
     for suf in suffixes:
-        cand = os.path.join(here, f"BENCH_LOCAL_r{n}{suf}.json")
-        if not os.path.exists(cand):
+        name = f"BENCH_LOCAL_r{n}{suf}.json"
+        cand = os.path.join(here, name)
+        if not os.path.exists(cand) and name not in taken:
             path = cand
             break
     if path is None:

@@ -346,6 +346,26 @@ def test_flagged_requires_repeat_confirmation():
     assert b._flagged(deltas, nf, deltas_confirm=conf) == ["regressed"]
 
 
+def test_persist_local_never_reuses_history_claimed_names(tmp_path, monkeypatch):
+    """A record folded into history (file deleted, line retained) frees
+    its on-disk name; _persist_local must NOT re-claim it — two records
+    sharing one history name made the rehydrator silently serve the
+    first (stale) one's walls (round-14 incident)."""
+    b = _bench()
+    _stage(tmp_path, monkeypatch, b)
+    (tmp_path / "CORRECTNESS_r7.json").write_text("{}")
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"record": "BENCH_LOCAL_r8.json", "queries": {"q": 1}})
+        + "
+"
+        + json.dumps({"record": "BENCH_LOCAL_r8b.json", "queries": {"q": 1}})
+        + "
+"
+    )
+    path = b._persist_local({"queries": {"q": 2.0}})
+    assert path.endswith("BENCH_LOCAL_r8c.json")
+
+
 def test_previous_round_times_skips_suffixed_same_round(tmp_path, monkeypatch):
     """ADVICE r13: during round N the builder's own suffixed r{N}
     records (same code, earlier in the round) must not become the
