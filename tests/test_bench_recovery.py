@@ -356,11 +356,9 @@ def test_persist_local_never_reuses_history_claimed_names(tmp_path, monkeypatch)
     (tmp_path / "CORRECTNESS_r7.json").write_text("{}")
     (tmp_path / "BENCH_HISTORY.jsonl").write_text(
         json.dumps({"record": "BENCH_LOCAL_r8.json", "queries": {"q": 1}})
-        + "
-"
+        + "\n"
         + json.dumps({"record": "BENCH_LOCAL_r8b.json", "queries": {"q": 1}})
-        + "
-"
+        + "\n"
     )
     path = b._persist_local({"queries": {"q": 2.0}})
     assert path.endswith("BENCH_LOCAL_r8c.json")
