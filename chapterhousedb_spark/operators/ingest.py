@@ -51,16 +51,147 @@ def _fingerprint_path(fingerprint_root: str, ver: int) -> str:
     return f"{fingerprint_root}/v{ver:06d}"
 
 
+def _fp_buckets_of(spark, fingerprint_root: str) -> int:
+    """The sidecar's bucket count (its _BUCKETS marker; 0 = the plain
+    whole-table layout). The root self-describes, so admit_batch and
+    read_fingerprints need no layout parameter."""
+    from chapterhousedb_spark.streaming.batcher import _read_marker_or
+
+    return _read_marker_or(spark, fingerprint_root, "_BUCKETS", 0)
+
+
+def _fp_bucket_col(id_col: str, buckets: int):
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).cast("int")
+
+
+def _fs_list_names(spark, path: str) -> list[str]:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def _fp_versions(spark, fingerprint_root: str) -> list[int]:
+    return sorted(
+        int(n[1:])
+        for n in _fs_list_names(spark, fingerprint_root)
+        if n.startswith("v") and n[1:].isdigit()
+    )
+
+
+def _fp_buckets_in(spark, fingerprint_root: str, ver: int) -> set[int]:
+    return {
+        int(n.split("=", 1)[1])
+        for n in _fs_list_names(spark, _fingerprint_path(fingerprint_root, ver))
+        if n.startswith("__b=")
+    }
+
+
+def _read_fingerprints_at(
+    spark, fingerprint_root: str, ver: int, buckets: int
+) -> DataFrame:
+    """Sidecar rows AS OF corpus version `ver`. Plain layout: one
+    whole-table version dir. Bucketed layout (init_ingest
+    fingerprint_buckets=B): each version dir holds only the buckets
+    that commit TOUCHED, so bucket k's state at version V is its
+    newest writer <= V — resolved from one filesystem listing per
+    retained version, no manifest file needed. Reads address the
+    __b=k leaf dirs directly (the partition column stays in the dir
+    name, never in the data)."""
+    if not buckets:
+        return spark.read.parquet(_fingerprint_path(fingerprint_root, ver))
+    need = set(range(buckets))
+    paths: list[str] = []
+    for v in sorted(
+        (x for x in _fp_versions(spark, fingerprint_root) if x <= ver),
+        reverse=True,
+    ):
+        present = _fp_buckets_in(spark, fingerprint_root, v) & need
+        paths.extend(
+            f"{_fingerprint_path(fingerprint_root, v)}/__b={k}"
+            for k in sorted(present)
+        )
+        need -= present
+        if not need:
+            break
+    if not paths:
+        raise FileNotFoundError(
+            f"no fingerprint buckets at or below version {ver} under "
+            f"{fingerprint_root}"
+        )
+    return spark.read.parquet(*paths)
+
+
 def read_fingerprints(
     spark, corpus_root: str, fingerprint_root: str
 ) -> tuple[DataFrame, int]:
     """The fingerprint sidecar rows for the corpus's CURRENT version
     (the corpus _LATEST marker is the single commit point — the
-    sidecar has no marker of its own). Returns (DataFrame, version)."""
+    sidecar has no marker of its own). Handles both layouts via the
+    sidecar's _BUCKETS marker. Returns (DataFrame, version)."""
     from chapterhousedb_spark.streaming.batcher import _read_latest_marker
 
     ver = _read_latest_marker(spark, corpus_root)
-    return spark.read.parquet(_fingerprint_path(fingerprint_root, ver)), ver
+    buckets = _fp_buckets_of(spark, fingerprint_root)
+    return _read_fingerprints_at(spark, fingerprint_root, ver, buckets), ver
+
+
+def vacuum_fingerprints(
+    spark,
+    corpus_root: str,
+    fingerprint_root: str,
+    keep_last: int = 1,
+) -> list[int]:
+    """Retention sweep for a fingerprint sidecar. Plain layout:
+    delegates to the versioned-base sweep under the corpus marker's
+    protection. Bucketed layout: a version directory may be the NEWEST
+    WRITER of a bucket that no later version touched, so the sweep
+    keeps (a) every version the CURRENT resolution references, (b) the
+    newest keep_last versions, and (c) anything above the corpus
+    marker (an orphan v+1 from a crash — the replay owns it). Time
+    travel only reaches retained versions, as with the corpus vacuum.
+    Returns the removed version numbers."""
+    from chapterhousedb_spark.streaming.batcher import _read_latest_marker
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    buckets = _fp_buckets_of(spark, fingerprint_root)
+    if not buckets:
+        from chapterhousedb_spark.streaming.batcher import vacuum_versions
+
+        return vacuum_versions(
+            spark, fingerprint_root, keep_last, marker_root=corpus_root
+        )
+    latest = _read_latest_marker(spark, corpus_root)
+    versions = _fp_versions(spark, fingerprint_root)
+    referenced: set[int] = set()
+    need = set(range(buckets))
+    for v in sorted((x for x in versions if x <= latest), reverse=True):
+        present = _fp_buckets_in(spark, fingerprint_root, v) & need
+        if present:
+            referenced.add(v)
+        need -= present
+        if not need:
+            break
+    keep = (
+        referenced
+        | set(sorted(versions)[-keep_last:])
+        | {v for v in versions if v > latest}
+    )
+    jvm = spark._jvm
+    removed = []
+    for v in versions:
+        if v in keep:
+            continue
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            _fingerprint_path(fingerprint_root, v)
+        )
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+        removed.append(v)
+    return removed
 
 
 def fingerprint_kit(kind: str, id_col: str = "doc_id", **kwargs):
@@ -428,6 +559,7 @@ def admit_batch(
     admitted = None
     batch_fp = None
     corpus_fp = None
+    fp_buckets = 0
     # everything from here runs under the unpersist guarantee: a
     # failure anywhere below — INCLUDING quality_fn itself raising
     # during DataFrame construction (an analysis error is exactly the
@@ -461,8 +593,10 @@ def admit_batch(
             # batch_fp persists because it feeds the gate AND the
             # sidecar upsert (and the label self-pairs when
             # maintained); one fingerprint pass per batch, total.
-            corpus_fp = spark.read.parquet(
-                _fingerprint_path(fingerprint_root, ver)
+            # The root self-describes its layout (_BUCKETS marker).
+            fp_buckets = _fp_buckets_of(spark, fingerprint_root)
+            corpus_fp = _read_fingerprints_at(
+                spark, fingerprint_root, ver, fp_buckets
             )
             batch_fp = fingerprint_fn(batch).persist(
                 StorageLevel.MEMORY_AND_DISK
@@ -522,6 +656,7 @@ def admit_batch(
             batch_fp=batch_fp,
             corpus_fp=corpus_fp,
             fp_gate_fn=fp_gate_fn,
+            fp_buckets=fp_buckets,
         )
     finally:
         if admitted is not None:
@@ -555,6 +690,7 @@ def _admit_batch_writes(
     batch_fp=None,
     corpus_fp=None,
     fp_gate_fn=None,
+    fp_buckets=0,
 ) -> dict:
     """admit_batch's write half (merge -> labels -> fingerprint-sidecar
     upsert -> index appends -> marker flip), split out so the caller
@@ -615,12 +751,35 @@ def _admit_batch_writes(
         # the marker flip: a replayed batch rewrites v+1 idempotently,
         # and no reader ever sees a corpus version without its
         # fingerprint table.
-        new_fp = corpus_fp.join(
-            admitted.select(id_col), id_col, "left_anti"
-        ).unionByName(admitted_fp)
-        new_fp.write.mode("overwrite").parquet(
-            _fingerprint_path(fingerprint_root, ver + 1)
-        )
+        if fp_buckets:
+            # bucketed layout: v+1 holds ONLY the buckets admitted ids
+            # touch — full contents for those buckets (survivor rows +
+            # admitted rows), nothing for the rest, which the reader
+            # resolves from their newest earlier writer. Commit cost is
+            # O(touched buckets' rows), not O(all fingerprints).
+            bcol = _fp_bucket_col(id_col, fp_buckets)
+            admitted_fp_b = admitted_fp.withColumn("__b", bcol)
+            touched = [
+                r["__b"]
+                for r in admitted_fp_b.select("__b").distinct().collect()
+            ]
+            survivors = (
+                corpus_fp.withColumn("__b", bcol)
+                .filter(F.col("__b").isin(touched))
+                .join(admitted.select(id_col), id_col, "left_anti")
+            )
+            survivors.unionByName(admitted_fp_b).write.partitionBy(
+                "__b"
+            ).mode("overwrite").parquet(
+                _fingerprint_path(fingerprint_root, ver + 1)
+            )
+        else:
+            new_fp = corpus_fp.join(
+                admitted.select(id_col), id_col, "left_anti"
+            ).unionByName(admitted_fp)
+            new_fp.write.mode("overwrite").parquet(
+                _fingerprint_path(fingerprint_root, ver + 1)
+            )
     if index_paths:
         from chapterhousedb_spark.operators.similarity import (
             ivf_append,
@@ -658,19 +817,42 @@ def init_ingest(
     id_col: str = "doc_id",
     fingerprint_root: str | None = None,
     fingerprint_fn=None,
+    fingerprint_buckets: int | None = None,
 ):
     """Seed the versioned corpus (and singleton labels when
     maintained) for an ingest loop. With fingerprint_root +
     fingerprint_fn (the sidecar contract — pair with admit_batch's
     fingerprint_root), the seed's fingerprints are computed ONCE here
     and written as sidecar v0; every subsequent admission reads and
-    upserts the sidecar instead of re-fingerprinting corpus payloads."""
-    from chapterhousedb_spark.streaming.batcher import init_versioned_base
+    upserts the sidecar instead of re-fingerprinting corpus payloads.
+
+    `fingerprint_buckets=B` picks the BUCKETED sidecar layout: ids
+    hash into B buckets (pmod(xxhash64(id), B)) stored as __b=k
+    partition dirs, and each admission's v+1 writes ONLY the buckets
+    its admitted ids touch — commit cost drops from O(all
+    fingerprints) to O(touched buckets' rows), the remaining
+    per-commit O(corpus) term at very large corpora. Size B around
+    corpus_size/expected_batch_size: a batch touching >= B buckets
+    degenerates to the full rewrite. The layout is recorded in a
+    _BUCKETS marker, so admit_batch and read_fingerprints need no
+    extra parameter; retention needs vacuum_fingerprints (a version
+    dir may be the newest writer of a bucket no later version
+    touched)."""
+    from chapterhousedb_spark.streaming.batcher import (
+        _write_marker,
+        init_versioned_base,
+    )
 
     if (fingerprint_root is None) != (fingerprint_fn is None):
         raise ValueError(
             "fingerprint_root and fingerprint_fn come together (build "
             "the fn with fingerprint_kit)"
+        )
+    if fingerprint_buckets is not None and fingerprint_root is None:
+        raise ValueError("fingerprint_buckets needs fingerprint_root")
+    if fingerprint_buckets is not None and fingerprint_buckets < 1:
+        raise ValueError(
+            f"fingerprint_buckets must be >= 1, got {fingerprint_buckets}"
         )
     init_versioned_base(seed, corpus_root)
     if labels_root is not None:
@@ -678,9 +860,23 @@ def init_ingest(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
         ).write.mode("overwrite").parquet(f"{labels_root}/v0")
     if fingerprint_root is not None:
-        fingerprint_fn(seed).write.mode("overwrite").parquet(
-            _fingerprint_path(fingerprint_root, 0)
-        )
+        fp = fingerprint_fn(seed)
+        if fingerprint_buckets:
+            fp.withColumn(
+                "__b", _fp_bucket_col(id_col, fingerprint_buckets)
+            ).write.partitionBy("__b").mode("overwrite").parquet(
+                _fingerprint_path(fingerprint_root, 0)
+            )
+            _write_marker(
+                seed.sparkSession,
+                fingerprint_root,
+                "_BUCKETS",
+                fingerprint_buckets,
+            )
+        else:
+            fp.write.mode("overwrite").parquet(
+                _fingerprint_path(fingerprint_root, 0)
+            )
 
 
 def fineweb_quality_gate(

@@ -476,3 +476,85 @@ def test_quality_gate_composes_with_sidecar(spark, tmp_path):
     assert acc.value == 3
     fp, _ = read_fingerprints(spark, root, fp_root)
     assert {r["doc_id"] for r in fp.collect()} == {0, 102}
+
+
+def test_bucketed_sidecar_writes_only_touched_buckets(spark, tmp_path):
+    """The bucketed layout (init_ingest fingerprint_buckets=B): each
+    commit's v+1 holds ONLY the buckets admitted ids touch; admissions,
+    rejections and the resolved fingerprint set are IDENTICAL to the
+    plain layout on the same chained batches; crash replay rewrites
+    v+1 idempotently; vacuum keeps every version that is still the
+    newest writer of some bucket."""
+    import os
+
+    from chapterhousedb_spark.operators.ingest import (
+        _fp_bucket_col,
+        vacuum_fingerprints,
+    )
+
+    b1, b2 = _batches(spark)
+    mh_fp, _ = fingerprint_kit("minhash", id_col="doc_id")
+    plain_root = str(tmp_path / "plain")
+    plain_fp = str(tmp_path / "plain_fp")
+    init_ingest(
+        _seed(spark), plain_root,
+        fingerprint_root=plain_fp, fingerprint_fn=mh_fp,
+    )
+    B = 8
+    root = str(tmp_path / "bucketed")
+    fp_root = str(tmp_path / "bucketed_fp")
+    init_ingest(
+        _seed(spark), root,
+        fingerprint_root=fp_root, fingerprint_fn=mh_fp,
+        fingerprint_buckets=B,
+    )
+    for b in (b1, b2):
+        r_plain = admit_batch(b, plain_root, fingerprint_root=plain_fp)
+        r_buck = admit_batch(b, root, fingerprint_root=fp_root)
+        assert r_plain["n_admitted"] == r_buck["n_admitted"]
+        assert r_plain["n_rejected"] == r_buck["n_rejected"]
+    fp_p, _ = read_fingerprints(spark, plain_root, plain_fp)
+    fp_b, ver = read_fingerprints(spark, root, fp_root)
+    assert ver == 2
+    assert sorted(r["doc_id"] for r in fp_b.collect()) == sorted(
+        r["doc_id"] for r in fp_p.collect()
+    ) == [0, 1, 101, 201]
+    # v1/v2 hold exactly the admitted ids' buckets (one admission each)
+    expect = {
+        1: {101},
+        2: {201},
+    }
+    for v, ids in expect.items():
+        got = {
+            int(n.split("=")[1])
+            for n in os.listdir(f"{fp_root}/v{v:06d}")
+            if n.startswith("__b=")
+        }
+        want = {
+            r["__b"]
+            for r in spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long"
+            ).select(_fp_bucket_col("doc_id", B).alias("__b")).collect()
+        }
+        assert got == want, (v, got, want)
+    # crash replay: rewind the marker, re-admit b2 — same final state
+    _write_latest_marker(spark, root, 1)
+    r = admit_batch(b2, root, fingerprint_root=fp_root)
+    assert r["version"] == 2
+    fp_b2, _ = read_fingerprints(spark, root, fp_root)
+    assert sorted(r["doc_id"] for r in fp_b2.collect()) == [0, 1, 101, 201]
+    # vacuum: v0 is still the newest writer of the seed ids' buckets,
+    # so it MUST survive keep_last=1; resolution stays intact
+    removed = vacuum_fingerprints(spark, root, fp_root, keep_last=1)
+    assert 0 not in removed
+    fp_b3, _ = read_fingerprints(spark, root, fp_root)
+    assert sorted(r["doc_id"] for r in fp_b3.collect()) == [0, 1, 101, 201]
+    # validation
+    with pytest.raises(ValueError, match="needs fingerprint_root"):
+        init_ingest(_seed(spark), root, fingerprint_buckets=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        init_ingest(
+            _seed(spark), root,
+            fingerprint_root=fp_root, fingerprint_fn=mh_fp,
+            fingerprint_buckets=0,
+        )
