@@ -1075,17 +1075,64 @@ def _current_round() -> int:
 _ROTATION_INFO: dict = {
     "demoted": [],
     "promoted": [],
+    "promoted_last_green": {},
     "window_static": [],
     "pool_size": 0,
 }
 
 
+def _last_green_rounds() -> dict[str, int]:
+    """Last driver-green round per query name — the max N over the
+    repo-root CORRECTNESS_r{N}.json artifacts where all three match
+    flags are true — considering only rounds strictly before
+    _current_round(). The strict bound keeps the derivation consistent
+    with the round source: under an SPARK_GRAFT_ROUND pin (VERDICT
+    r12 #7) a stray later artifact can shift neither the round nor the
+    staleness ranking. Rows never driver-green map to 0 (stalest)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    cur = _current_round()
+    out: dict[str, int] = {}
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m or int(m.group(1)) >= cur:
+            continue
+        n = int(m.group(1))
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for q, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and n > out.get(q, 0)
+            ):
+                out[q] = n
+    return out
+
+
 def _rotate(order: list[str]) -> list[str]:
     """Swap _ROTATION_K stable tail rows into the driver's window
-    (and _ROTATION_K _SWAP_POOL rows out), round-robin keyed on the
-    round number — so every oracle-able row re-earns driver-green
-    every ~len(pool)/K rounds. Pure reordering: the set of declared
-    queries and their definitions never change."""
+    (and _ROTATION_K _SWAP_POOL rows out). Promotion is stalest-first
+    (VERDICT r14 #1): the K pool rows whose last driver-green round is
+    oldest (never-green first) enter the window, so a staleness
+    backlog drains at K rows/round instead of waiting on round-robin
+    phase — once a row re-earns green its artifact timestamps it fresh
+    and the next-stalest cohort promotes. Demotion stays round-robin
+    over _SWAP_POOL. Pure reordering: the set of declared queries and
+    their definitions never change."""
     window, tail = order[:_WINDOW], order[_WINDOW:]
     _ROTATION_INFO["window_static"] = list(window)
     pool = [n for n in tail if n in ORACLES]
@@ -1093,12 +1140,18 @@ def _rotate(order: list[str]) -> list[str]:
     demotable = [n for n in _SWAP_POOL if n in window]
     if not pool or len(demotable) < _ROTATION_K:
         return order
+    last_green = _last_green_rounds()
+    ranked = sorted(
+        range(len(pool)), key=lambda i: (last_green.get(pool[i], 0), i)
+    )
+    promoted = [pool[i] for i in ranked[:_ROTATION_K]]
     base = (_current_round() - 6) * _ROTATION_K  # rotation started round 6
-    promoted = [pool[(base + i) % len(pool)] for i in range(_ROTATION_K)]
     demoted = [demotable[(base + i) % len(demotable)] for i in range(_ROTATION_K)]
-    promoted = list(dict.fromkeys(promoted))  # dedupe if pool < K (defensive)
     _ROTATION_INFO["demoted"] = list(demoted)
     _ROTATION_INFO["promoted"] = list(promoted)
+    _ROTATION_INFO["promoted_last_green"] = {
+        n: last_green.get(n, 0) for n in promoted
+    }
     new_window = [n for n in window if n not in demoted] + promoted
     new_tail = demoted + [n for n in tail if n not in promoted]
     return new_window + new_tail

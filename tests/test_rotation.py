@@ -102,3 +102,55 @@ def test_current_round_env_override_beats_stray_artifacts(monkeypatch):
     spec.loader.exec_module(b)
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
     assert b._current_round_n() == 7
+
+
+def test_promotion_is_stalest_first():
+    """VERDICT r14 #1: promotion must take the K pool rows whose last
+    driver-green round (from the CORRECTNESS_r* artifacts) is oldest,
+    ties broken by pool order — so the staleness backlog drains at K
+    rows/round instead of waiting on round-robin phase."""
+    info = w._ROTATION_INFO
+    promoted = info["promoted"]
+    assert promoted, "rotation never ran"
+    # recompute the expected ranking from the same inputs
+    order = [n for n in w._DRIVER_FIRST if n in w.QUERIES]
+    order += [
+        n
+        for n in w.QUERIES
+        if n not in w._DRIVER_FIRST and n not in w._DRIVER_LAST
+    ]
+    # the live QUERIES ordering is already rotated; rebuild the static
+    # pool from the recorded static window instead
+    static_window = set(info["window_static"])
+    pool = [
+        n
+        for n in w.QUERIES
+        if n in w.ORACLES and n not in static_window and n not in promoted
+    ]
+    last_green = w._last_green_rounds()
+    max_promoted = max(last_green.get(n, 0) for n in promoted)
+    # no unpromoted pool row may be strictly staler than the freshest
+    # promoted row (ties are legal: pool-order break)
+    for n in pool:
+        assert last_green.get(n, 0) >= max_promoted, (
+            f"{n} (last green r{last_green.get(n, 0)}) was left in the "
+            f"tail while a fresher row (r{max_promoted}) promoted"
+        )
+    # the diagnostic records each promoted row's staleness
+    assert set(info["promoted_last_green"]) == set(promoted)
+
+
+def test_last_green_rounds_ignores_current_and_later_artifacts(
+    monkeypatch,
+):
+    """Stray artifacts at N >= the pinned round must shift neither the
+    round (VERDICT r12 #7) nor the staleness ranking — else a judge
+    scratch CORRECTNESS_r99.json could mark every row fresh and stall
+    the backlog drain."""
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "5")
+    lg5 = w._last_green_rounds()
+    assert lg5, "no artifacts parsed"
+    assert max(lg5.values()) <= 4
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    lg = w._last_green_rounds()
+    assert max(lg.values()) < w._current_round()
