@@ -216,7 +216,14 @@ _DRIFT_THRESHOLD_PCT = 5.0
 # file is gone, so round-over-round comparisons survive the cleanup.
 _HISTORY_FILE = "BENCH_HISTORY.jsonl"
 
-# Host-speed anchors. The COLD anchor is the driver's round-4 calibration
+# Host-speed anchors — DIAGNOSTIC ONLY from round 15 (VERDICT r14 #2):
+# the primary host normalizer is the suite-median ratio vs the previous
+# record (_suite_ratio_median); the spark.range probe's median swung 5x
+# across same-day runs while raw suite totals moved <10%, so probe-pair
+# normalization manufactures regressions in either direction. The probe
+# factors below remain recorded for cross-record comparability with the
+# r4-r14 artifacts.
+# The COLD anchor is the driver's round-4 calibration
 # triple (BENCH_r04.json, committed as the canonical anchor in BASELINE.md
 # §host-calibration): host_factor_cold = this run's first spark_range_sum
 # sample / anchor. The cold sample includes codegen compilation and swung
@@ -517,7 +524,10 @@ def _drift_reference(sf: float | None) -> tuple[str, dict, float, bool] | None:
         # null sf (rehydrated pre-r12 lines) counts as 0.1, the only sf
         # ever recorded before the field existed (ADVICE r13)
         rec_sf = obj.get("sf") or 0.1
-        if times and med and (sf is None or rec_sf == sf):
+        # med (the record's probe median) is diagnostic-only from r15
+        # (VERDICT r14 #2) — a record without one still anchors the
+        # suite-median comparison
+        if times and (sf is None or rec_sf == sf):
             agg = (obj.get("regressions") or {}).get("aggregate_drift") or {}
             flagged = bool(agg.get("flagged"))
             if newest is None:
@@ -555,17 +565,18 @@ def _flagged(
     Queries without a repeat keep the single-wall rule.
 
     When `deltas_confirm` is given, the confirmation delta must also
-    clear the threshold. The caller passes SUITE-MEDIAN-normalized
-    deltas (times/r_med - prev, r_med = median per-query raw ratio
-    vs the previous record): round 14's probe pair read 31% fast and
-    inflated every probe-normalized delta ~44%, flagging 64 queries
-    whose raw walls had not moved — the suite median is the host
-    factor the SUITE itself implies, immune to a decoupled probe in
-    either direction (a plain raw-delta guard, the first r14 cut,
-    would instead mask a genuine regression whenever the host got
-    uniformly faster: review finding). A shared cost moving MOST
-    queries at once partially absorbs into the median — that case
-    remains the aggregate gate's job."""
+    clear the threshold. From r15 the primary caller passes NO
+    confirmation dict: the suite-median-normalized view that served as
+    r14's confirmation stage is now the primary `deltas_norm` itself
+    (VERDICT r14 #2 — round 14's probe pair read 31% fast and inflated
+    every probe-normalized delta ~44%, flagging 64 queries whose raw
+    walls had not moved; the suite median is the host factor the SUITE
+    itself implies, immune to a decoupled probe in either direction,
+    while a plain raw-delta guard would mask a genuine regression
+    whenever the host got uniformly faster). The parameter stays for
+    callers that want an extra normalizer cross-check. A shared cost
+    moving MOST queries at once partially absorbs into the median —
+    that case remains the aggregate gate's job (drift_pct_raw)."""
     out = []
     for q, d in deltas_norm.items():
         nf = noise_floor.get(q) or {}
@@ -608,29 +619,59 @@ def _previous_record_flags() -> tuple[str | None, list[str] | None]:
     return None, None
 
 
+def _suite_ratio_median(times: dict, ref_times: dict) -> float:
+    """Suite-implied host factor vs a reference record: the median
+    per-query raw wall ratio over shared queries big enough for a
+    stable ratio (>= 0.5 s at the reference). ~100 paired walls vs the
+    3-sample spark.range probe — immune to a probe decoupled from
+    suite throughput in either direction (the r14 finding, proven by
+    the interleaved A/B in AB_DRIFT_r14.json). Falls back to 1.0
+    (raw comparison) when fewer than 5 stable pairs exist."""
+    import statistics
+
+    pool = [
+        times[q] / ref_times[q]
+        for q in times
+        if q in ref_times and ref_times[q] >= 0.5 and times[q] > 0
+    ]
+    return statistics.median(pool) if len(pool) >= 5 else 1.0
+
+
 def _aggregate_drift(
-    times: dict, flags: list, median_probe: float, sf: float | None = None
+    times: dict,
+    flags: list,
+    median_probe: float | None = None,
+    sf: float | None = None,
 ) -> dict | None:
-    """Aggregate host-drift block (VERDICT r11 #1): the host-normalized
-    SUM over the pinned stable subset, compared to the newest complete
-    record that was not itself drift-flagged (see _drift_reference).
-    A uniform move here with NO per-query flags inside the
-    subset is residual host drift the single range-sum probe
-    under-corrected (the r10f->r11d pattern: +7% cold-anchor-normalized
-    creep that every per-query spread swallowed); a move with subset
-    members flagged is a real shared plan cost. Mirrors the per-query
-    persistence rule: two consecutive flagged records = persistent.
-    Returns None when no usable reference exists."""
+    """Aggregate drift block (VERDICT r11 #1, renormalized per VERDICT
+    r14 #2): the SUM over the pinned stable subset, suite-median
+    normalized, compared to the newest complete record that was not
+    itself drift-flagged (see _drift_reference). The normalizer is the
+    median per-query raw ratio vs that reference over ALL shared
+    stable queries — the spark.range probe pair it replaces
+    demonstrably over-corrected on this host (r14: residual factor
+    0.484, `probe_overcorrection` fired persistent two records
+    running) and is now only a reported diagnostic (`probe_median_sec`).
+
+    What survives suite normalization is a shared cost SPECIFIC to the
+    subset (e.g. every TPC-H join slowed while the LLM ops did not):
+    with subset members individually flagged it classifies as
+    plan-cost candidates, without them as `subset_shared_cost`. A
+    suite-WIDE uniform move (host drift or a cost every query pays)
+    absorbs into the median by construction and remains visible in
+    `drift_pct_raw`, which is always reported alongside. Mirrors the
+    per-query persistence rule: two consecutive flagged records =
+    persistent. Returns None when no usable reference exists."""
     drift_ref = _drift_reference(sf)
-    if drift_ref is None or not median_probe:
+    if drift_ref is None:
         return None
     ref_name, ref_times, ref_med, ref_flagged = drift_ref
     common = [q for q in _DRIFT_SUBSET if q in times and q in ref_times]
-    if len(common) < 10 or not ref_med:
+    if len(common) < 10:
         return None
-    f_ref = median_probe / ref_med
+    r_med_ref = _suite_ratio_median(times, ref_times)
     raw_sum = sum(times[q] for q in common)
-    now_norm = raw_sum / f_ref
+    now_norm = raw_sum / r_med_ref
     ref_sum = sum(ref_times[q] for q in common)
     drift_pct = round(100.0 * (now_norm - ref_sum) / ref_sum, 1)
     drift_pct_raw = round(100.0 * (raw_sum - ref_sum) / ref_sum, 1)
@@ -640,32 +681,25 @@ def _aggregate_drift(
         classification = "none"
     elif subset_query_flags:
         classification = "plan_cost_candidates"
-    elif (drift_pct > 0) != (drift_pct_raw > 0):
-        # the normalized sum moved OPPOSITE to the raw sum: the probe
-        # over-responded to something the suite didn't feel (round 14:
-        # probe median 0.83 s — 4x typical — while the raw subset sum
-        # sat mid-range of adjacent records; normalized read -73%).
-        # The r14 interleaved A/B (AB_DRIFT_r14.json) established the
-        # probe-vs-suite decoupling on this host empirically.
-        classification = "probe_overcorrection"
     else:
-        classification = "uniform_host_drift"
+        classification = "subset_shared_cost"
     return {
         "rule": (
-            "host-normalized sum over the pinned stable subset moves "
-            f">{_DRIFT_THRESHOLD_PCT}% vs the newest UNFLAGGED record; "
-            "persistent when the newest record also flagged"
+            "suite-median-normalized sum over the pinned stable subset "
+            f"moves >{_DRIFT_THRESHOLD_PCT}% vs the newest UNFLAGGED "
+            "record; persistent when the newest record also flagged"
         ),
         "subset_n": len(common),
         "ref": ref_name,
-        "sum_sec_host_norm": round(now_norm, 3),
+        "sum_sec_suite_norm": round(now_norm, 3),
         "sum_sec_raw": round(raw_sum, 3),
         "ref_sum_sec": round(ref_sum, 3),
+        "suite_ratio_median_vs_ref": round(r_med_ref, 3),
         "drift_pct": drift_pct,
         "drift_pct_raw": drift_pct_raw,
-        # residual correction factor: multiply the range-sum host
-        # factor by this to get the subset-implied one
-        "residual_host_factor": round(now_norm / ref_sum, 3),
+        # probe diagnostics only — never a divisor (VERDICT r14 #2)
+        "probe_median_sec": median_probe,
+        "ref_probe_median_sec": ref_med,
         "flagged": agg_flagged,
         "flagged_prev": ref_flagged,
         "persistent": bool(agg_flagged and ref_flagged),
@@ -913,19 +947,32 @@ def main() -> None:
         deltas = {
             q: round(times[q] - prev[q], 3) for q in times if q in prev
         }
-        # Host-normalized view: divide each side by its round's host_factor
-        # before differencing, so a uniformly slower/faster sandbox host
-        # (round 4 measured ~1.4x flat vs round 2) reads as ~0 delta and
-        # only genuine plan changes stand out. When the previous round
-        # recorded a MEDIAN probe (r6+), normalize median-to-median —
-        # this round's times are rescaled into the previous round's host
-        # seconds (anchor constants cancel in the delta); otherwise fall
-        # back to the cold-probe/anchor pair (r1-r3 normalize as 1.0).
-        # headline host_factor is MEDIAN-anchored from r13 (VERDICT r12
-        # #3: the cold first-sample factor swung 0.866 -> 2.502 across
-        # adjacent same-host records while the median probe sat at
-        # 0.17-0.27); the cold factor stays as a separately reported
-        # constant for r4-r12 anchor comparability.
+        # Host-normalized view (VERDICT r14 #2): the PRIMARY normalizer
+        # is the suite itself — r_med = median per-query raw wall ratio
+        # vs the previous record over stable pairs (~100 paired walls).
+        # This round's times are rescaled into the previous record's
+        # host seconds, so a uniformly slower/faster sandbox host reads
+        # as ~0 delta and only genuine plan changes stand out. The
+        # spark.range probe pair that normalized r4-r14 is demoted to a
+        # reported diagnostic: its median swung 5x across same-day runs
+        # while raw suite totals moved <10% (AB_DRIFT_r14.json /
+        # BENCH_r14's residual_host_factor 0.484), so a probe-normalized
+        # view manufactures regressions in either direction. A real
+        # regression in ONE query shifts a ~100-sample median
+        # negligibly; a cost moving MOST queries at once absorbs into
+        # the median and remains visible in deltas_vs_prev (raw) and
+        # the aggregate gate's drift_pct_raw.
+        r_med = _suite_ratio_median(times, prev)
+        norm_kind = "suite_median"
+        deltas_norm = {
+            q: round(times[q] / r_med - prev[q], 3)
+            for q in times
+            if q in prev
+        }
+        # probe diagnostics (never divisors from r15): the median-
+        # anchored and cold-anchored factors keep cross-record
+        # comparability with r4-r14, and the probe-pair-normalized
+        # deltas record what the retired normalizer would have said.
         host_factor = round(
             calibration["spark_range_sum_median_sec"]
             / _ANCHOR_SPARK_RANGE_SUM_MEDIAN_SEC,
@@ -935,16 +982,14 @@ def main() -> None:
             calibration["spark_range_sum_sec"] / _ANCHOR_SPARK_RANGE_SUM_SEC, 3
         )
         if prev_median:
-            f_now = round(
+            f_probe_now = round(
                 calibration["spark_range_sum_median_sec"] / prev_median, 3
             )
-            f_prev = 1.0
-            norm_kind = "median_pair"
+            f_probe_prev = 1.0
         else:
-            f_now, f_prev = host_factor_cold, (prev_factor or 1.0)
-            norm_kind = "cold_anchor"
-        deltas_norm = {
-            q: round(times[q] / f_now - prev[q] / f_prev, 3)
+            f_probe_now, f_probe_prev = host_factor_cold, (prev_factor or 1.0)
+        deltas_probe = {
+            q: round(times[q] / f_probe_now - prev[q] / f_probe_prev, 3)
             for q in times
             if q in prev
         }
@@ -957,14 +1002,13 @@ def main() -> None:
         same_block = None
         if same is not None:
             ref_name, ref_times, ref_med = same
-            f_same = round(
-                calibration["spark_range_sum_median_sec"] / ref_med, 3
-            )
+            r_same = _suite_ratio_median(times, ref_times)
             same_block = {
                 "ref": ref_name,
-                "host_factor_vs_ref": f_same,
+                "suite_ratio_median_vs_ref": round(r_same, 3),
+                "ref_probe_median_sec": ref_med,
                 "deltas_host_normalized": {
-                    q: round(times[q] / f_same - ref_times[q], 3)
+                    q: round(times[q] / r_same - ref_times[q], 3)
                     for q in times
                     if q in ref_times
                 },
@@ -987,46 +1031,22 @@ def main() -> None:
         # only queries with no prior repeat fall back to the first wall.
         repeat_deltas_norm = {
             q: round(
-                nf["repeat_sec"] / f_now
-                - (prev_repeats.get(q, prev[q])) / f_prev,
+                nf["repeat_sec"] / r_med - prev_repeats.get(q, prev[q]),
                 3,
             )
             for q, nf in noise_floor.items()
             if q in prev and nf.get("repeat_sec") is not None
         }
-        # suite-implied host factor: median per-query raw ratio vs the
-        # previous record over queries big enough for a stable ratio —
-        # the confirmation normalizer _flagged uses (see its docstring)
-        import statistics
-
-        ratio_pool = [
-            times[q] / prev[q]
-            for q in times
-            if q in prev and prev[q] >= 0.5 and times[q] > 0
-        ]
-        r_med = (
-            statistics.median(ratio_pool) if len(ratio_pool) >= 5 else 1.0
-        )
-        deltas_suite = {
-            q: round(times[q] / r_med - prev[q], 3)
-            for q in times
-            if q in prev
-        }
-        flags = _flagged(
-            deltas_norm,
-            noise_floor,
-            repeat_deltas_norm,
-            deltas_confirm=deltas_suite,
-        )
+        # flags come from the suite-normalized deltas with repeat-wall
+        # confirmation; the probe-confirmation stage is gone with the
+        # probe (the suite-median view IS the former confirmation
+        # normalizer, now primary — VERDICT r14 #2)
+        flags = _flagged(deltas_norm, noise_floor, repeat_deltas_norm)
         prev_rec_name, prev_flags = _previous_record_flags()
-        # aggregate host-drift gate (VERDICT r11 #1): the host-
-        # normalized SUM over the pinned stable subset, compared to the
-        # newest complete record. A uniform move here with NO per-query
-        # flags inside the subset is residual host drift the single
-        # range-sum probe under-corrected (the r10f->r11d +7% pattern);
-        # a move with subset members flagged is a real shared plan
-        # cost. Mirrors the per-query persistence rule: two consecutive
-        # flagged records = persistent.
+        # aggregate drift gate (VERDICT r11 #1, suite-normalized per
+        # r14 #2): the subset SUM vs the newest unflagged record. What
+        # survives suite normalization is a subset-specific shared
+        # cost; a suite-wide move stays visible in drift_pct_raw.
         drift_block = _aggregate_drift(
             times,
             flags,
@@ -1035,10 +1055,10 @@ def main() -> None:
         )
         regressions = {
             "rule": (
-                "host-normalized delta > own noise spread (min "
+                "suite-median-normalized delta > own noise spread (min "
                 f"{_FLAG_GRANULARITY_SEC}s; queries without a repeat "
                 f"wall use a flat {_FLAG_FLOOR_SEC}s floor) in two "
-                "consecutive records"
+                "consecutive records, repeat-wall confirmed"
             ),
             "flagged_now": flags,
             "prev_record": prev_rec_name,
@@ -1055,13 +1075,14 @@ def main() -> None:
             "prev_round": prev_n,
             "deltas_vs_prev": deltas,
             "host_factor": host_factor,
-            "host_factor_kind": "median_anchor",
+            "host_factor_kind": "probe_diagnostic",
             "host_factor_cold": host_factor_cold,
             "prev_host_factor": prev_factor,
-            "host_factor_vs_prev": f_now,
+            "host_factor_vs_prev": f_probe_now,
             "suite_ratio_median_vs_prev": round(r_med, 3),
             "host_norm_kind": norm_kind,
             "deltas_vs_prev_host_normalized": deltas_norm,
+            "deltas_vs_prev_probe_normalized": deltas_probe,
             "same_round": same_block,
             "flags": flags,
             "regressions": regressions,

@@ -295,6 +295,15 @@ def _build_read_files(
     # at scale, inference is a full extra read of the files; parquet is
     # self-describing so the arg is csv/json-only
     schema = call.named_args.get("schema")
+    if schema is not None and "infer_schema" in call.named_args:
+        # mutually exclusive by construction: an explicit schema skips
+        # the inference pass entirely, so infer_schema would be
+        # silently inert — exactly the class _READ_FILES_FMT_ARGS
+        # rejects for cross-format args (ADVICE r14)
+        raise TableFuncSyntaxError(
+            "read_files: schema=> and infer_schema=> are mutually "
+            "exclusive (an explicit schema skips inference)"
+        )
     if fmt == "csv":
         sep = call.named_args.get("delimiter")
         if sep is None:

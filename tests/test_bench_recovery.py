@@ -201,59 +201,86 @@ def test_persist_local_appends_history_line(tmp_path, monkeypatch):
 
 
 def test_aggregate_drift_classification(tmp_path, monkeypatch):
-    """The aggregate gate (VERDICT r11 #1): a uniform move of the
-    pinned stable subset beyond 5% flags as host drift when no subset
-    query flags individually, as plan-cost candidates when one does,
-    and goes persistent only on two consecutive flagged records."""
+    """The aggregate gate (VERDICT r11 #1, renormalized per VERDICT
+    r14 #2): suite-median-normalized subset sum vs the newest unflagged
+    record. A host-wide uniform move normalizes away (stays visible in
+    drift_pct_raw only); a subset-SPECIFIC shared cost flags as
+    `subset_shared_cost` (or plan-cost candidates when a member flags
+    individually); persistence needs two consecutive flagged records.
+    The spark.range probe median is recorded but never divides — a 4x
+    probe excursion (the r14 probe_overcorrection pattern) cannot move
+    drift_pct at all."""
     b = _bench()
     _stage(tmp_path, monkeypatch, b)
     sub = b._DRIFT_SUBSET[:12]
-    ref_times = {q: 1.0 for q in sub}
+    # reference carries the subset plus 20 non-subset stable queries —
+    # like the real suite (~22 subset rows of ~110), the subset is a
+    # minority of the median pool
+    extra = [f"llm_op_{i}" for i in range(20)]
+    ref_times = {q: 1.0 for q in sub + extra}
     (tmp_path / "BENCH_LOCAL_r8.json").write_text(json.dumps({
         "queries": ref_times,
         "calibration": {"spark_range_sum_median_sec": 0.5},
     }))
-    # same median, every subset query +8% -> uniform host drift
-    now = {q: 1.08 for q in sub}
-    blk = b._aggregate_drift(now, [], 0.5)
+    # host-wide uniform +30%: every shared query moves together ->
+    # the suite median absorbs it; raw records it; gate stays quiet
+    uniform = {q: 1.3 for q in sub + extra}
+    blk = b._aggregate_drift(uniform, [], 0.5)
     assert blk["subset_n"] == 12 and blk["ref"] == "BENCH_LOCAL_r8.json"
-    assert blk["drift_pct"] == 8.0 and blk["flagged"] is True
-    assert blk["classification"] == "uniform_host_drift"
-    assert blk["persistent"] is False  # ref record carried no drift flag
-    # the same +8% raw move on a host whose median probe also moved +8%
-    # normalizes away -> not flagged
-    blk = b._aggregate_drift(now, [], 0.54)
+    assert blk["drift_pct"] == 0.0 and blk["drift_pct_raw"] == 30.0
     assert blk["flagged"] is False and blk["classification"] == "none"
+    assert blk["suite_ratio_median_vs_ref"] == 1.3
+    # subset-specific +20% while the rest of the suite sits still ->
+    # survives normalization (median stays ~1.0) and flags
+    subset_only = {q: 1.2 for q in sub} | {q: 1.0 for q in extra}
+    blk = b._aggregate_drift(subset_only, [], 0.5)
+    assert blk["flagged"] is True
+    assert blk["drift_pct"] == 20.0
+    assert blk["classification"] == "subset_shared_cost"
+    assert blk["persistent"] is False  # ref record carried no drift flag
     # a flagged subset member reclassifies as plan cost
-    blk = b._aggregate_drift(now, [sub[0]], 0.5)
+    blk = b._aggregate_drift(subset_only, [sub[0]], 0.5)
     assert blk["classification"] == "plan_cost_candidates"
     assert blk["subset_query_flags"] == [sub[0]]
+    # the probe CANNOT move the verdict: a 4x probe excursion with the
+    # same walls yields byte-identical drift numbers (r14's persistent
+    # probe_overcorrection firing is structurally impossible now)
+    blk_probe = b._aggregate_drift(subset_only, [], 2.0)
+    blk_base = b._aggregate_drift(subset_only, [], 0.5)
+    assert blk_probe["drift_pct"] == blk_base["drift_pct"]
+    assert blk_probe["classification"] == blk_base["classification"]
+    assert blk_probe["probe_median_sec"] == 2.0  # diagnostic only
     # persistence: the reference record itself flagged -> persistent
     (tmp_path / "BENCH_LOCAL_r8b.json").write_text(json.dumps({
         "queries": ref_times,
         "calibration": {"spark_range_sum_median_sec": 0.5},
         "regressions": {"aggregate_drift": {"flagged": True}},
     }))
-    blk = b._aggregate_drift(now, [], 0.5)
+    blk = b._aggregate_drift(subset_only, [], 0.5)
     assert blk["flagged_prev"] is True and blk["persistent"] is True
-    # probe over-correction (round 14): the probe runs 4x typical while
-    # the raw subset sum sits slightly ABOVE the reference — normalized
-    # reads deeply negative, raw reads positive; opposite signs name
-    # the probe, not the work
-    raw_up = {q: 1.2 for q in sub}
-    blk = b._aggregate_drift(raw_up, [], 2.0)
-    assert blk["flagged"] is True
-    assert blk["drift_pct"] < 0 < blk["drift_pct_raw"]
-    assert blk["classification"] == "probe_overcorrection"
-    # subset flags still take precedence over the decoupling call
-    blk = b._aggregate_drift(raw_up, [sub[1]], 2.0)
-    assert blk["classification"] == "plan_cost_candidates"
     # too few common subset rows -> no block rather than a noisy one
     assert b._aggregate_drift({sub[0]: 1.0}, [], 0.5) is None
     # sf guard: a reference at a different scale factor never compares
     # (records predating the sf field count as sf0.1)
-    assert b._aggregate_drift(now, [], 0.5, sf=0.01) is None
-    assert b._aggregate_drift(now, [], 0.5, sf=0.1) is not None
+    assert b._aggregate_drift(subset_only, [], 0.5, sf=0.01) is None
+    assert b._aggregate_drift(subset_only, [], 0.5, sf=0.1) is not None
+
+
+def test_suite_ratio_median_stability():
+    """_suite_ratio_median: median per-query raw ratio over shared
+    queries >= 0.5 s at the reference; small/new/vanished queries and
+    a single regressed outlier cannot move it; < 5 stable pairs falls
+    back to 1.0 (raw comparison)."""
+    b = _bench()
+    ref = {f"q{i}": 1.0 for i in range(9)}
+    ref["tiny"] = 0.1          # under the stability floor -> excluded
+    now = {f"q{i}": 2.0 for i in range(9)}
+    now["tiny"] = 50.0
+    now["brand_new"] = 99.0    # not shared -> excluded
+    now["q0"] = 40.0           # one genuine regression -> outvoted
+    assert b._suite_ratio_median(now, ref) == 2.0
+    # under 5 stable pairs: raw comparison
+    assert b._suite_ratio_median({"a": 3.0}, {"a": 1.0}) == 1.0
 
 
 def test_same_round_record_reads_latest_complete(tmp_path, monkeypatch):

@@ -178,6 +178,14 @@ class TestTableFunctionRegistry:
                     named_args={"schema": "a int"}, view_name="v",
                 ),
             )
+        # schema=> and infer_schema=> together: the explicit schema
+        # would silently swallow infer_schema — reject (ADVICE r14)
+        with pytest.raises(TableFuncSyntaxError, match="mutually exclusive"):
+            _build_read_files(
+                spark,
+                ConnectionRegistry(),
+                call(schema="a bigint, b string", infer_schema="true"),
+            )
         # format-irrelevant args raise instead of being silently
         # dropped (csv options on json, csv/json options on parquet)
         for glob, named in (
