@@ -410,8 +410,11 @@ def test_vacuum_covers_sidecar_via_marker_root(spark, tmp_path):
     root = str(tmp_path / "corpus")
     fp_root = str(tmp_path / "fp")
     mh_fp, _ = fingerprint_kit("minhash", id_col="doc_id")
+    # pin the PLAIN layout (B=1): this test models the plain retention
+    # idiom; bucketed roots need vacuum_fingerprints instead
     init_ingest(
-        _seed(spark), root, fingerprint_root=fp_root, fingerprint_fn=mh_fp
+        _seed(spark), root, fingerprint_root=fp_root, fingerprint_fn=mh_fp,
+        fingerprint_buckets=1,
     )
     admit_batch(b1, root, fingerprint_root=fp_root)
     admit_batch(b2, root, fingerprint_root=fp_root)
@@ -499,6 +502,7 @@ def test_bucketed_sidecar_writes_only_touched_buckets(spark, tmp_path):
     init_ingest(
         _seed(spark), plain_root,
         fingerprint_root=plain_fp, fingerprint_fn=mh_fp,
+        fingerprint_buckets=1,  # pin plain: the equivalence baseline
     )
     B = 8
     root = str(tmp_path / "bucketed")
@@ -558,3 +562,166 @@ def test_bucketed_sidecar_writes_only_touched_buckets(spark, tmp_path):
             fingerprint_root=fp_root, fingerprint_fn=mh_fp,
             fingerprint_buckets=0,
         )
+
+
+def test_auto_bucketing_derivation(spark, tmp_path):
+    """VERDICT r14 #3: the bucketed layout is the DEFAULT — init_ingest
+    derives B = ceil(seed_rows / expected_batch_size) (clamped to
+    [1, 4096]) when fingerprint_buckets isn't pinned; without the hint
+    the default batch-fraction assumption applies; B == 1 selects the
+    plain layout; a pinned B plus the hint is rejected (the hint would
+    be silently inert)."""
+    from chapterhousedb_spark.operators.ingest import _fp_buckets_of
+
+    mh_fp, _ = fingerprint_kit("minhash", id_col="doc_id")
+    seed10 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{T0} variant {i}", version=0) for i in range(10)]
+    )
+    # hint: 10 rows / batches of 2 -> B = 5
+    root = str(tmp_path / "c1")
+    fp_root = str(tmp_path / "fp1")
+    init_ingest(
+        seed10, root, fingerprint_root=fp_root, fingerprint_fn=mh_fp,
+        expected_batch_size=2,
+    )
+    assert _fp_buckets_of(spark, fp_root) == 5
+    assert any(
+        n.startswith("__b=") for n in os.listdir(f"{fp_root}/v000000")
+    )
+    # no hint: default fraction (seed//256 -> floor 1 for tiny seeds)
+    # gives B = seed_rows for a tiny seed — still bucketed
+    root2, fp2 = str(tmp_path / "c2"), str(tmp_path / "fp2")
+    init_ingest(seed10, root2, fingerprint_root=fp2, fingerprint_fn=mh_fp)
+    assert _fp_buckets_of(spark, fp2) == 10
+    # hint >= seed -> B = 1 -> PLAIN layout (no marker, no __b dirs)
+    root3, fp3 = str(tmp_path / "c3"), str(tmp_path / "fp3")
+    init_ingest(
+        seed10, root3, fingerprint_root=fp3, fingerprint_fn=mh_fp,
+        expected_batch_size=100,
+    )
+    assert _fp_buckets_of(spark, fp3) == 0
+    assert not any(
+        n.startswith("__b=") for n in os.listdir(f"{fp3}/v000000")
+    )
+    # the auto layout round-trips through an admission
+    b1, _ = _batches(spark)
+    admit_batch(b1, root, fingerprint_root=fp_root)
+    fp, ver = read_fingerprints(spark, root, fp_root)
+    assert ver == 1 and 101 in {r["doc_id"] for r in fp.collect()}
+    # pinned B + hint: mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        init_ingest(
+            seed10, str(tmp_path / "c4"),
+            fingerprint_root=str(tmp_path / "fp4"), fingerprint_fn=mh_fp,
+            fingerprint_buckets=4, expected_batch_size=2,
+        )
+    # hint without a sidecar: silently inert -> rejected
+    with pytest.raises(ValueError, match="needs fingerprint_root"):
+        init_ingest(seed10, str(tmp_path / "c5"), expected_batch_size=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        init_ingest(
+            seed10, str(tmp_path / "c6"),
+            fingerprint_root=str(tmp_path / "fp6"), fingerprint_fn=mh_fp,
+            expected_batch_size=0,
+        )
+
+
+def test_bucketed_vacuum_preserves_time_travel(spark, tmp_path):
+    """ADVICE r14 (medium): the bucketed sweep must keep every sidecar
+    version referenced by the resolution of ANY corpus version still
+    on disk — not just the marker's — so _read_fingerprints_at(v) at
+    an older retained corpus version returns COMPLETE data (an absent
+    bucket is indistinguishable from a never-populated one, so a
+    silently thinner read is the failure mode)."""
+    from chapterhousedb_spark.operators.ingest import (
+        _fp_buckets_of,
+        _read_fingerprints_at,
+        vacuum_fingerprints,
+    )
+    from chapterhousedb_spark.streaming.batcher import vacuum_versions
+
+    b1, b2 = _batches(spark)
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    mh_fp, _ = fingerprint_kit("minhash", id_col="doc_id")
+    init_ingest(
+        _seed(spark), root, fingerprint_root=fp_root, fingerprint_fn=mh_fp,
+        fingerprint_buckets=8,
+    )
+    admit_batch(b1, root, fingerprint_root=fp_root)
+    admit_batch(b2, root, fingerprint_root=fp_root)
+    B = _fp_buckets_of(spark, fp_root)
+    # every corpus version still on disk (v0..v2) resolves completely
+    ids_at = {
+        v: sorted(
+            r["doc_id"]
+            for r in _read_fingerprints_at(spark, fp_root, v, B).collect()
+        )
+        for v in (0, 1, 2)
+    }
+    assert ids_at == {0: [0, 1], 1: [0, 1, 101], 2: [0, 1, 101, 201]}
+    removed = vacuum_fingerprints(spark, root, fp_root, keep_last=1)
+    # corpus v0/v1/v2 all on disk -> every sidecar version is part of
+    # some retained resolution; nothing may be swept
+    assert removed == []
+    for v in (0, 1, 2):
+        got = sorted(
+            r["doc_id"]
+            for r in _read_fingerprints_at(spark, fp_root, v, B).collect()
+        )
+        assert got == ids_at[v], (v, got)
+    # drop corpus v0/v1 (retention sweep on the corpus itself), then
+    # the sidecar sweep may remove versions only the vanished corpus
+    # versions referenced — while v2's resolution stays complete
+    vacuum_versions(spark, root, keep_last=1)
+    vacuum_fingerprints(spark, root, fp_root, keep_last=1)
+    got = sorted(
+        r["doc_id"]
+        for r in _read_fingerprints_at(spark, fp_root, 2, B).collect()
+    )
+    assert got == ids_at[2]
+
+
+def test_resolution_listing_cache_bounds_per_batch_cost(spark, tmp_path):
+    """ADVICE r14 (low): the bucketed read resolution caches committed
+    version-dir listings process-locally, so a steady-state stream
+    pays one root listing plus one listing per NEW version — not
+    O(#versions) listings per micro-batch. Entries for vacuumed
+    versions reconcile away against the fresh root listing."""
+    import chapterhousedb_spark.operators.ingest as ing
+
+    b1, b2 = _batches(spark)
+    root = str(tmp_path / "corpus")
+    fp_root = str(tmp_path / "fp")
+    mh_fp, _ = fingerprint_kit("minhash", id_col="doc_id")
+    init_ingest(
+        _seed(spark), root, fingerprint_root=fp_root, fingerprint_fn=mh_fp,
+        fingerprint_buckets=8,
+    )
+    calls = []
+    real = ing._fp_buckets_in
+
+    def counting(spark_, root_, ver):
+        calls.append(ver)
+        return real(spark_, root_, ver)
+
+    ing._FP_LISTING_CACHE.pop(fp_root, None)
+    try:
+        ing._fp_buckets_in = counting
+        admit_batch(b1, root, fingerprint_root=fp_root)
+        admit_batch(b2, root, fingerprint_root=fp_root)
+        # v0 listed exactly once across both admissions (first gate
+        # read); v1 once (second gate read); v2 never (not yet read)
+        assert calls.count(0) == 1 and calls.count(1) == 1
+        assert 2 not in calls
+        fp, _ = read_fingerprints(spark, root, fp_root)
+        assert sorted(r["doc_id"] for r in fp.collect()) == [0, 1, 101, 201]
+        # the current read listed only the NEW version
+        assert calls.count(2) == 1 and calls.count(0) == 1
+    finally:
+        ing._fp_buckets_in = real
+    # reconciliation: a vanished version drops out of the cache
+    cache = ing._FP_LISTING_CACHE[fp_root]
+    assert set(cache) == {0, 1, 2}
+    ing._fp_buckets_map(spark, fp_root, [1, 2])
+    assert set(ing._FP_LISTING_CACHE[fp_root]) == {1, 2}
