@@ -17,6 +17,7 @@ Reference lifecycle being reproduced (see SURVEY.md §3):
 from chapterhousedb_spark.config import ConnectionRegistry, FsConnection, S3Connection
 from chapterhousedb_spark.engine import Engine, QueryHandle, QueryStatus
 from chapterhousedb_spark.results import QueryDataIterator, ResultCursor
+from chapterhousedb_spark.server import QueryClient, QueryServer, serve
 from chapterhousedb_spark.session import build_session
 from chapterhousedb_spark.sqlfront import TableFunction, TableFunctionRegistry
 
@@ -26,10 +27,13 @@ __all__ = [
     "ConnectionRegistry",
     "Engine",
     "FsConnection",
+    "QueryClient",
     "QueryDataIterator",
     "QueryHandle",
+    "QueryServer",
     "QueryStatus",
     "ResultCursor",
+    "serve",
     "S3Connection",
     "TableFunction",
     "TableFunctionRegistry",

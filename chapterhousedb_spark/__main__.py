@@ -187,6 +187,60 @@ def _repl(
     return rc
 
 
+def _make_emit_note(fmt: str):
+    """(emit, note) printers for one run: status/progress lines go to
+    stdout for the human grid, stderr when stdout must stay
+    machine-readable (jsonl)."""
+    note_stream = sys.stderr if fmt == "jsonl" else sys.stdout
+
+    def note(msg: str) -> None:
+        print(msg, file=note_stream)
+
+    def emit(page: pa.Table, *, first: bool) -> None:
+        if fmt == "jsonl":
+            import json
+
+            cols = page.column_names
+            for row in zip(*(page.column(c).to_pylist() for c in cols)):
+                # default=str covers timestamps/decimals/bytes
+                print(json.dumps(dict(zip(cols, row)), default=str))
+        else:
+            print(_format_page(page, header=first))
+
+    return emit, note
+
+
+def _page_result(it, total_rows, *, browse, max_pages, page_size, emit, note):
+    """Page one completed statement's result — either the explicit
+    bidirectional --browse sequence (reference
+    tui_query_data_iterator.rs:58-143 prev/next flow) or forward to
+    the end. Works over any iterator with next_page/prev_page, local
+    (results.QueryDataIterator) or remote (server._RemoteDataIterator)."""
+    if browse is not None:
+        for step in browse.split(","):
+            s = step.strip().lower()
+            if s in ("n", "next"):
+                page, label = it.next_page(), "next"
+            else:  # validated at parse time: only p/prev left
+                page, label = it.prev_page(), "prev"
+            if page is None:
+                note(f"-- browse {label}: no page")
+            else:
+                note(f"-- browse {label}: rows={page.num_rows}")
+                emit(page, first=True)
+        note(f"-- {total_rows} row(s) total")
+        return
+    n_pages = 0
+    while (page := it.next_page()) is not None:
+        emit(page, first=n_pages == 0)
+        n_pages += 1
+        if max_pages and n_pages >= max_pages:
+            break
+        if page.num_rows == page_size:
+            note(f"-- page {n_pages} --")
+    note(f"-- {total_rows} row(s)")
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m chapterhousedb_spark",
@@ -273,9 +327,56 @@ def main(argv: list[str] | None = None) -> int:
         "seconds (Engine.cancel kills its Spark job group); the "
         "statement reports as an error, later statements still run",
     )
+    ap.add_argument(
+        "--serve",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="serve this engine on 127.0.0.1:PORT (0 picks a free "
+        "port, printed on startup) instead of running statements; "
+        "other processes connect with --connect (the reference's "
+        "client/server split, async_query_client.rs)",
+    )
+    ap.add_argument(
+        "--connect",
+        default=None,
+        metavar="HOST:PORT",
+        help="run the statements against a server started with "
+        "--serve instead of building a local Spark session",
+    )
     args = ap.parse_args(argv)
 
-    if args.repl:
+    if args.serve is not None and args.connect is not None:
+        ap.error("--serve and --connect are mutually exclusive")
+    if args.serve is not None:
+        for flag, val in (
+            ("--sql", args.sql),
+            ("--sql-file", args.sql_file),
+            ("--repl", args.repl or None),
+            ("--explain", args.explain or None),
+            ("--browse", args.browse),
+        ):
+            if val:
+                ap.error(f"{flag} does not combine with --serve (the "
+                         "server only serves; submit from a --connect "
+                         "client)")
+    if args.connect is not None:
+        # everything session-side lives in the SERVING process
+        for flag, val in (
+            ("--repl", args.repl or None),
+            ("--explain", args.explain or None),
+            ("--connection", args.connection or None),
+            ("--fair-pool", args.fair_pool or None),
+            ("--results-dir", args.results_dir),
+            ("--shuffle-partitions", args.shuffle_partitions),
+        ):
+            if val:
+                ap.error(f"{flag} is a server-side setting; pass it to "
+                         "the --serve process")
+
+    if args.serve is not None:
+        text = None
+    elif args.repl:
         if args.sql is not None or args.sql_file is not None:
             ap.error("--repl reads statements interactively; drop --sql/--sql-file")
         for flag, val in (
@@ -334,13 +435,61 @@ def main(argv: list[str] | None = None) -> int:
         if bad:
             ap.error(f"bad --browse step(s) {bad}; use n/next/p/prev")
 
-    if args.pool and not fair_pools:
+    if args.pool and not fair_pools and args.connect is None:
         # a pool property on the default FIFO session is silently ignored
-        # by Spark — refuse rather than no-op
+        # by Spark — refuse rather than no-op (with --connect the pool
+        # routes to the SERVER's session, whose mode we can't see here)
         ap.error(
             f"--pool {args.pool!r} requires FAIR mode: define the pool "
             f"with --fair-pool (e.g. --fair-pool {args.pool}=2:4)"
         )
+
+    if args.connect is not None:
+        # Spark-free client path: submit/poll/page against a --serve
+        # process (the reference's AsyncQueryClient lifecycle)
+        from chapterhousedb_spark.server import QueryClient
+
+        host, _, port_s = args.connect.rpartition(":")
+        if not port_s.isdigit():
+            ap.error(f"bad --connect {args.connect!r}; expected HOST:PORT")
+        emit, note = _make_emit_note(args.format)
+        rc = 0
+        client = QueryClient(host or "127.0.0.1", int(port_s))
+        try:
+            queries = client.submit(text, pool=args.pool)
+            submitted_at = time.monotonic()
+            for i, q in enumerate(queries):
+                qid = q["query_id"]
+                if args.statement_timeout is None:
+                    st = client.wait(qid)
+                else:
+                    remaining = args.statement_timeout - (
+                        time.monotonic() - submitted_at
+                    )
+                    st = client.wait(qid, timeout=max(remaining, 0.0))
+                    if st["status"] not in ("COMPLETE", "ERROR"):
+                        client.cancel(qid)
+                        st = client.wait(qid)
+                note(
+                    f"-- [{i + 1}/{len(queries)}] "
+                    f"{st['status'].lower()}: {q['sql'].strip()}"
+                )
+                if st["status"] == "ERROR":
+                    print(f"-- error: {st['error']}", file=sys.stderr)
+                    rc = 1
+                    continue
+                _page_result(
+                    client.iterator(qid, page_size=args.page_size),
+                    st["num_rows"],
+                    browse=args.browse if i == 0 else None,
+                    max_pages=args.max_pages,
+                    page_size=args.page_size,
+                    emit=emit,
+                    note=note,
+                )
+        finally:
+            client.close()
+        return rc
 
     eng = Engine(
         spark=build_session(
@@ -353,6 +502,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     rc = 0
     try:
+        if args.serve is not None:
+            from chapterhousedb_spark.server import QueryServer
+
+            srv = QueryServer(eng, port=args.serve)
+            # the port line is the startup handshake a parent process
+            # (or test) reads to find a port-0 binding
+            print(f"-- serving on {srv.host}:{srv.port}", flush=True)
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.close()
+            return 0
         if args.explain:
             from chapterhousedb_spark.sqlfront import split_statements
 
@@ -360,23 +523,7 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"-- [{i + 1}] plan: {stmt.strip()}")
                 print(eng.explain(stmt))
             return 0
-        # status/progress lines: stdout for the human grid, stderr when
-        # stdout must stay machine-readable (jsonl)
-        note_stream = sys.stderr if args.format == "jsonl" else sys.stdout
-
-        def note(msg: str) -> None:
-            print(msg, file=note_stream)
-
-        def emit(page: pa.Table, *, first: bool) -> None:
-            if args.format == "jsonl":
-                import json
-
-                cols = page.column_names
-                for row in zip(*(page.column(c).to_pylist() for c in cols)):
-                    # default=str covers timestamps/decimals/bytes
-                    print(json.dumps(dict(zip(cols, row)), default=str))
-            else:
-                print(_format_page(page, header=first))
+        emit, note = _make_emit_note(args.format)
 
         if args.repl:
             return _repl(
@@ -412,32 +559,15 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"-- error: {h.error}", file=sys.stderr)
                 rc = 1
                 continue
-            it = eng.iterator(h.query_id, page_size=args.page_size)
-            if args.browse is not None and i == 0:
-                # explicit bidirectional paging (reference
-                # tui_query_data_iterator.rs:58-143 prev/next flow)
-                for step in args.browse.split(","):
-                    s = step.strip().lower()
-                    if s in ("n", "next"):
-                        page, label = it.next_page(), "next"
-                    else:  # validated at parse time: only p/prev left
-                        page, label = it.prev_page(), "prev"
-                    if page is None:
-                        note(f"-- browse {label}: no page")
-                    else:
-                        note(f"-- browse {label}: rows={page.num_rows}")
-                        emit(page, first=True)
-                note(f"-- {h.num_rows} row(s) total")
-                continue
-            n_pages = 0
-            while (page := it.next_page()) is not None:
-                emit(page, first=n_pages == 0)
-                n_pages += 1
-                if args.max_pages and n_pages >= args.max_pages:
-                    break
-                if page.num_rows == args.page_size:
-                    note(f"-- page {n_pages} --")
-            note(f"-- {h.num_rows} row(s)")
+            _page_result(
+                eng.iterator(h.query_id, page_size=args.page_size),
+                h.num_rows,
+                browse=args.browse if i == 0 else None,
+                max_pages=args.max_pages,
+                page_size=args.page_size,
+                emit=emit,
+                note=note,
+            )
     finally:
         eng.close()
     return rc
