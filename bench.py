@@ -146,6 +146,9 @@ HEADLINE = [
     "read_files_csv",
     "read_files_jsonl",
     "chunk_overlap_docs",
+    # round 15 new shapes, benched from birth
+    "srp_multitable_ann",
+    "pq_refine_fixed",
 ]
 
 # Cheap stable queries re-run twice at the end of the suite; their

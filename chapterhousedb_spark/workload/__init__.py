@@ -349,7 +349,9 @@ _DRIVER_FIRST = [
     # fold is replayed inside the gated embedding_dedup / knn_graph /
     # embedding_clusters oracles and now ivf_fixed_centroids' oracle;
     # both re-earn driver-green via rotation like every demoted row).
-    "pq_fixed_codebook",
+    # (pq_fixed_codebook sat here rounds 9-14; demoted round 15 to pay
+    # for pq_refine_fixed, which STRICTLY SUBSUMES its ADC arithmetic
+    # — see the round-15 batch comment below)
     "ivf_fixed_centroids",
     # ...plus the remaining Gopher quality heuristics (symbol-to-word
     # ratio, bullet/ellipsis line fractions, alpha-word fraction,
@@ -563,7 +565,8 @@ _DRIVER_FIRST = [
     # planted scaled-twin scaffold guaranteeing non-vacuous pairs at
     # every sf. Paid for by demoting pipeline_cluster_balance (see its
     # comment above).
-    "semdedup_fixed",
+    # (semdedup_fixed sat here rounds 11-14; demoted round 15 to pay
+    # for srp_multitable_ann — see the round-15 batch comment below)
     # ...plus the cross-source vocabulary overlap matrix (the pre-mix
     # corpus-composition diagnostic: near-identical crawls posing as
     # two sources inflate dedup load and silently double their mix
@@ -702,6 +705,28 @@ _DRIVER_FIRST = [
     # (test_oracle_parity), and it re-earns driver-green via rotation
     # like every demoted row.
     "chunk_overlap_docs",
+    # round-15 additions (VERDICT r14 #5's recall program, gated at
+    # birth): multi-table SRP-LSH — two independent pinned sign
+    # matrices (seeds 7/101), per-table probe sets, candidate union in
+    # one corpus pass, exact rerank, all replayed by the oracle. Paid
+    # for by demoting semdedup_fixed: driver-green r11-r14, the
+    # SRP/embedding family keeps the new row's two pinned matrices
+    # in-window plus similarity_ann in the rotation pool (promoted
+    # stalest-first this very round), its composed dedup chain stays
+    # re-hashed every pytest run (test_oracle_parity), and it re-earns
+    # driver-green via rotation like every demoted row.
+    "srp_multitable_ann",
+    # ...plus pq_topk's refine branch under the pinned codebook — ADC
+    # top-40 cut, broadcast join back, exact-cosine rerank to top 10,
+    # both cut points and the cosine fold replayed by the oracle. Paid
+    # for by demoting pq_fixed_codebook: driver-green r9-r14, and the
+    # new row runs the IDENTICAL codebook through the IDENTICAL
+    # encode -> LUT -> ADC chain before the cut, so the subsumed
+    # arithmetic cannot drift without breaking the stronger gate; its
+    # own full-corpus ADC oracle stays re-hashed every pytest run
+    # (test_oracle_parity), and it re-earns driver-green via rotation
+    # like every demoted row.
+    "pq_refine_fixed",
     # Round-12 structural fix: the window used to SPILL past
     # _DRIVER_FIRST into module-registration order for its last few
     # seats, so adding a row silently shifted which middle rows held
@@ -718,6 +743,10 @@ _DRIVER_FIRST = [
     "table_profile",
 ]
 _DRIVER_LAST = [
+    # round-15 demotions, one per new gated row (see the round-15
+    # batch comments in _DRIVER_FIRST for each pairing):
+    "semdedup_fixed",
+    "pq_fixed_codebook",
     # round-14 demotions, one per new gated row (see the round-14
     # batch comments in _DRIVER_FIRST for each pairing):
     "embedding_clusters",

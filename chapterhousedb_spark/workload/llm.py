@@ -92,24 +92,38 @@ _SRP_SIGNS = [
 ]
 
 
-def _srp_bucket_sql(vec: str) -> str:
-    """DuckDB expression for the 6-plane SRP bucket of `vec`."""
+# The second hash TABLE's sign matrix (seed 101, same planes/dims
+# derivation) for the multi-table row below — pinned the same way,
+# asserted against the live Spark derivation by the same test.
+_SRP_SIGNS_101 = [
+    [1, -1, 1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1],
+    [-1, 1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1],
+    [1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1],
+    [-1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, -1],
+    [1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, 1, 1],
+    [-1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1],
+]
+
+
+def _srp_bucket_sql(vec: str, signs: list | None = None) -> str:
+    """DuckDB expression for the 6-plane SRP bucket of `vec` under the
+    given pinned sign matrix (default: the seed-7 table)."""
     terms = []
-    for p, row in enumerate(_SRP_SIGNS):
-        signs = ", ".join(str(s) for s in row)
+    for p, row in enumerate(signs if signs is not None else _SRP_SIGNS):
+        signs_sql = ", ".join(str(s) for s in row)
         terms.append(
             f"(CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * ([{signs}][i]))) > 0 "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{signs_sql}][i]))) > 0 "
             f"THEN {1 << p} ELSE 0 END)"
         )
     return " + ".join(terms)
 
 
-def _srp_probes(planes: int = 6) -> list[int]:
+def _srp_probes(planes: int = 6, signs: list | None = None) -> list[int]:
     """Query bucket of the all-ones vector + its 1-bit-flip neighbors
     (multiprobe=1), from the pinned sign matrix."""
     qb = 0
-    for p, row in enumerate(_SRP_SIGNS[:planes]):
+    for p, row in enumerate((signs if signs is not None else _SRP_SIGNS)[:planes]):
         if float(sum(row)) > 0:
             qb |= 1 << p
     return sorted({qb} | {qb ^ (1 << p) for p in range(planes)})
@@ -824,6 +838,43 @@ def similarity_ann_q(spark, sf_dir):
     return srp_ann_topk(load(spark, sf_dir, "embeddings"), _ONES64, k=10, planes=6)
 
 
+@query(
+    "srp_multitable_ann",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_srp_bucket_sql("embedding")} AS b0,
+             {_srp_bucket_sql("embedding", _SRP_SIGNS_101)} AS b1
+      FROM embeddings)
+    SELECT vec_id, {_COS_ONES.format(v="embedding")} AS cosine
+    FROM b
+    WHERE b0 IN ({", ".join(str(p) for p in _srp_probes())})
+       OR b1 IN ({", ".join(str(p) for p in _srp_probes(signs=_SRP_SIGNS_101))})
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def srp_multitable_ann_q(spark, sf_dir):
+    """Multi-table SRP-LSH approximate top-10 (VERDICT r14 #5): TWO
+    independent 6-plane hash tables (seeds 7 and 101), per-table
+    multiprobe-1 bucket sets, candidates unioned across tables in ONE
+    corpus pass, then one exact rerank. Recall compounds as
+    1 - (1-p)^T across tables where deeper multiprobe flattens — the
+    measured curve lives in scripts/scale_probe.py srp_recall_curve.
+    The oracle replays BOTH pinned sign matrices, both probe sets, the
+    OR-union and the rerank hash-exactly, so the gate pins the
+    multi-table candidate semantics, not just row counts. At scale
+    each table is its own bucket-partitioned index (srp_write_index
+    per seed) and the probe reads T x probe-set bucket directories."""
+    return srp_ann_topk(
+        load(spark, sf_dir, "embeddings"),
+        _ONES64,
+        k=10,
+        planes=6,
+        seeds=[7, 101],
+    )
+
+
 @query("pack_best_fit")  # rows-only: BFD bin packing is iterative
 def pack_best_fit_q(spark, sf_dir):
     """Document-integrity packing (text.pack_best_fit, round 10):
@@ -1223,6 +1274,111 @@ def pq_fixed_codebook_q(spark, sf_dir):
         ).alias("codes"),
         "adc_score",
     ).orderBy("vec_id")
+
+
+def _pq_refine_fixed_oracle() -> str:
+    """DuckDB replay of pq_topk's REFINE branch under the pinned
+    codebook: the full _pq_fixed_oracle encode -> LUT -> ADC chain,
+    cut to the top-40 ADC candidates (DESC score, vec_id tie-break —
+    pq_topk's exact ordering), then the exact-cosine rerank
+    (cosine_scores' left-folded dot/norm with the query norm inlined
+    as the same Python double, greatest(denom, 1e-12) clamp included)
+    to the final top 10."""
+    books, qv = _pq_fixed_books(), _pq_fixed_query()
+
+    def lut(s: int, c: int) -> str:
+        terms = []
+        for j in range(_PQF_DSUB):
+            cv = repr(float(books[s][c][j]))
+            q = repr(float(qv[s * _PQF_DSUB + j]))
+            terms.append(
+                f"(CAST({cv} AS DOUBLE) - CAST({q} AS DOUBLE))"
+                f" * (CAST({cv} AS DOUBLE) - CAST({q} AS DOUBLE))"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def dist(s: int, c: int) -> str:
+        terms = []
+        for j in range(_PQF_DSUB):
+            cv = repr(float(books[s][c][j]))
+            idx = s * _PQF_DSUB + j + 1
+            terms.append(
+                f"(CAST(v[{idx}] AS DOUBLE) - CAST({cv} AS DOUBLE))"
+                f" * (CAST(v[{idx}] AS DOUBLE) - CAST({cv} AS DOUBLE))"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    ds_cols = ",\n      ".join(
+        f"[{', '.join(dist(s, c) for c in range(_PQF_K))}] AS ds{s}"
+        for s in range(_PQF_M)
+    )
+    c_cols = ",\n      ".join(
+        f"CAST(list_position(ds{s}, list_aggregate(ds{s}, 'min')) - 1 AS INT)"
+        f" AS c{s}"
+        for s in range(_PQF_M)
+    )
+    lut_lists = ",\n      ".join(
+        f"[{', '.join(lut(s, c) for c in range(_PQF_K))}] AS lut{s}"
+        for s in range(_PQF_M)
+    )
+    adc = " + ".join(f"lut{s}[c{s} + 1]" for s in range(_PQF_M))
+    qn = sum(v * v for v in qv) ** 0.5
+    q_list = "[" + ", ".join(_sql_double(v) for v in qv) + "]"
+    cos = (
+        f"list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(e.v[i] AS DOUBLE) * ({q_list}[i]))) "
+        f"/ greatest(sqrt(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> CAST(e.v[i] AS DOUBLE) * CAST(e.v[i] AS DOUBLE)))) "
+        f"* {_sql_double(qn)}, 1e-12)"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    dl AS (SELECT vec_id,
+      {ds_cols}
+    FROM e),
+    cs AS (SELECT vec_id,
+      {c_cols}
+    FROM dl),
+    lt AS (SELECT
+      {lut_lists}),
+    adc AS (
+      SELECT vec_id,
+             CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)
+               * (CAST(0 AS DOUBLE) + {adc}) AS adc_score
+      FROM cs CROSS JOIN lt
+      ORDER BY adc_score DESC, vec_id LIMIT 40)
+    SELECT e.vec_id, {cos} AS approx_cosine
+    FROM adc JOIN e ON adc.vec_id = e.vec_id
+    ORDER BY approx_cosine DESC, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("pq_refine_fixed", oracle=_pq_refine_fixed_oracle())
+def pq_refine_fixed_q(spark, sf_dir):
+    """pq_topk's refine branch under the hash gate (VERDICT r14 #5):
+    the PRODUCTION path — pq_encode -> pq_adc_scores -> top-40 ADC cut
+    (DESC score, id tie-break) -> broadcast id semi-join back to the
+    corpus -> EXACT cosine rerank -> top 10 — runs against the same
+    pinned literal codebook as pq_fixed_codebook, so DuckDB replays
+    the entire funnel including both cut points bit-exactly. This
+    STRICTLY SUBSUMES pq_fixed_codebook's ADC arithmetic (identical
+    codebook, identical LUT fold) and additionally pins the refine
+    composition that lifts PQ recall past 0.9@10 on the probe corpus
+    (scripts/scale_probe.py pq_refine_curve); only `refine` rows ever
+    load their full vectors, so the rerank is O(refine) row reads at
+    any corpus size."""
+    from chapterhousedb_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        _pq_fixed_query(),
+        k=10,
+        refine=40,
+        codebooks=_pq_fixed_books(),
+        normalize=False,
+    )
 
 
 # --------------------------------------------- pinned-centroid IVF twin

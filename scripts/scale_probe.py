@@ -479,16 +479,33 @@ def probe(spark, docs, embs) -> dict:
     return out
 
 
-def probe_recall(spark, embs, n_queries: int = 20) -> dict:
-    """ANN recall@10 at DEFAULT settings vs exact brute force (VERDICT
-    r7 #4): SRP (planes=16, multiprobe=1) and IVF (n_cells=16,
-    nprobe=4, centroids fit once and reused across queries — the
+# the recommended SRP config (VERDICT r14 #5): multi-table LSH at
+# planes=12, multiprobe=3, 6 independent tables — the cheapest swept
+# config clearing recall@10 >= 0.8 on the probe corpus (which is
+# near-uniform synthetic data, LSH's WORST case; clustered real
+# embeddings reach the same recall with fewer tables/probes). The
+# per-table probe set is 299 of 4096 buckets; the 6-table union's
+# realized candidate fraction is measured and recorded per run as
+# srp_recommended.scanned_frac.
+_SRP_TABLE_SEEDS = [7, 101, 211, 307, 401, 503]
+_SRP_RECOMMENDED = {"planes": 12, "multiprobe": 3, "tables": 6}
+
+
+def probe_recall(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
+    """ANN recall@10 vs exact brute force (VERDICT r7 #4, curve per
+    r14 #5): the headline srp_recall_at_10 is the RECOMMENDED
+    multi-table config (_SRP_RECOMMENDED — recall compounds
+    1-(1-p)^T across tables where multiprobe alone plateaus, measured
+    0.83 vs 0.40 for the old planes=16/multiprobe=1 default, which
+    stays recorded as srp_default_recall_at_10); IVF stays n_cells=16,
+    nprobe=4, centroids fit once and reused across queries (the
     production shape). Queries are the first `n_queries` corpus
     vectors by id, so the true top-1 (the vector itself) is always
-    reachable and recall isolates bucket/cell pruning loss. Users
-    tuning planes/multiprobe/nprobe read these numbers against the
-    equivalence guarantees (nprobe=n_cells == brute force,
-    multiprobe=planes == full scan)."""
+    reachable and recall isolates bucket/cell pruning loss.
+    curve=True additionally sweeps table count at the recommended
+    planes/multiprobe (srp_recall_curve — the recall-vs-cost curve
+    users tune against, alongside the equivalence guarantees:
+    nprobe=n_cells == brute force, multiprobe=planes == full scan)."""
     from chapterhousedb_spark.operators.similarity import (
         cosine_topk,
         ivf_ann_topk,
@@ -501,15 +518,32 @@ def probe_recall(spark, embs, n_queries: int = 20) -> dict:
         for r in embs.orderBy("vec_id").limit(n_queries).collect()
     ]
     centroids = ivf_fit(embs, "embedding", n_cells=16, seed=7, max_iter=5)
-    srp_hits = ivf_hits = 0
-    t_srp = t_ivf = t_exact = 0.0
-    for _, qv in qs:
+    n_corpus = embs.count()
+    rec_p, rec_mp = _SRP_RECOMMENDED["planes"], _SRP_RECOMMENDED["multiprobe"]
+    rec_seeds = _SRP_TABLE_SEEDS[: _SRP_RECOMMENDED["tables"]]
+
+    def srp_conf(qv, planes, mp, seeds):
+        return {
+            r["vec_id"]
+            for r in srp_ann_topk(
+                embs, qv, k=10, planes=planes, multiprobe=mp, seeds=seeds
+            ).collect()
+        }
+
+    srp_hits = srp_def_hits = ivf_hits = 0
+    t_srp = t_srp_def = t_ivf = t_exact = 0.0
+    exact_by_q = {}
+    for qid, qv in qs:
         t0 = time.perf_counter()
         exact = {r["vec_id"] for r in cosine_topk(embs, qv, k=10).collect()}
         t_exact += time.perf_counter() - t0
+        exact_by_q[qid] = exact
         t0 = time.perf_counter()
-        srp = {r["vec_id"] for r in srp_ann_topk(embs, qv, k=10).collect()}
+        srp = srp_conf(qv, rec_p, rec_mp, rec_seeds)
         t_srp += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        srp_def = srp_conf(qv, 16, 1, [7])
+        t_srp_def += time.perf_counter() - t0
         t0 = time.perf_counter()
         ivf = {
             r["vec_id"]
@@ -517,27 +551,83 @@ def probe_recall(spark, embs, n_queries: int = 20) -> dict:
         }
         t_ivf += time.perf_counter() - t0
         srp_hits += len(srp & exact)
+        srp_def_hits += len(srp_def & exact)
         ivf_hits += len(ivf & exact)
+    # realized candidate fraction of the recommended config (mean over
+    # the first 5 queries): the honest scan cost next to the recall
+    from chapterhousedb_spark.operators.similarity import (
+        srp_probe_buckets,
+        srp_signature,
+    )
+    from pyspark.sql import functions as F
+
+    fracs = []
+    for _, qv in qs[:5]:
+        dims = len(qv)
+        qdf = spark.range(1).select(
+            F.array(*[F.lit(float(v)) for v in qv]).alias("qv")
+        )
+        qrow = qdf.select(
+            *[
+                srp_signature("qv", rec_p, dims, s).alias(f"b{i}")
+                for i, s in enumerate(rec_seeds)
+            ]
+        ).collect()[0]
+        cond = None
+        for i, s in enumerate(rec_seeds):
+            probes = srp_probe_buckets(qrow[f"b{i}"], rec_p, rec_mp)
+            c = srp_signature("embedding", rec_p, dims, s).isin(probes)
+            cond = c if cond is None else (cond | c)
+        fracs.append(embs.filter(cond).count() / max(n_corpus, 1))
     denom = 10 * len(qs)
-    return {
+    out = {
         "ann_queries": len(qs),
         "srp_recall_at_10": round(srp_hits / denom, 3),
+        "srp_default_recall_at_10": round(srp_def_hits / denom, 3),
+        "srp_recommended": dict(
+            _SRP_RECOMMENDED,
+            scanned_frac=round(sum(fracs) / len(fracs), 3),
+        ),
         "ivf_recall_at_10": round(ivf_hits / denom, 3),
         "exact_topk_sec": round(t_exact, 3),
         "srp_topk_sec": round(t_srp, 3),
+        "srp_default_topk_sec": round(t_srp_def, 3),
         "ivf_topk_sec": round(t_ivf, 3),
     }
+    if curve:
+        curve_out = {}
+        for n_tables in (1, 2, 4):
+            hits, t = 0, 0.0
+            for qid, qv in qs:
+                t0 = time.perf_counter()
+                got = srp_conf(qv, rec_p, rec_mp, _SRP_TABLE_SEEDS[:n_tables])
+                t += time.perf_counter() - t0
+                hits += len(got & exact_by_q[qid])
+            curve_out[f"tables_{n_tables}"] = {
+                "recall_at_10": round(hits / denom, 3),
+                "topk_sec": round(t, 3),
+            }
+        curve_out[f"tables_{_SRP_RECOMMENDED['tables']}"] = {
+            "recall_at_10": out["srp_recall_at_10"],
+            "topk_sec": out["srp_topk_sec"],
+        }
+        out["srp_recall_curve"] = curve_out
+    return out
 
 
-def probe_quant(spark, embs, n_queries: int = 20) -> dict:
-    """Compressed-vector probe (round 9): PQ recall@10 at defaults
-    (m=8, nbits=4 -> 8 nibble-codes per 64-dim vector) and SQ8 top-10
-    overlap vs exact brute force, in the production shape — quantizers
-    fit ONCE per corpus, codes materialized once, every query scans
-    only the code column. The ratio rows prove the per-query scan cost
-    stays linear while the scanned bytes shrink (4x for SQ8, ~32x for
-    PQ codes); recall at defaults is the number users tune m/nbits/
-    refine against (the PQ twin of probe_recall's SRP/IVF rows)."""
+def probe_quant(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
+    """Compressed-vector probe (round 9, refine program per VERDICT
+    r14 #5): the headline pq_recall_at_10 is the RECOMMENDED shape —
+    residual codes (m=8, nbits=4) + exact rerank of the ADC top-100
+    (O(100) full-vector reads per query at any corpus size); the raw
+    no-refine ADC recall stays recorded for continuity. SQ8/BQ top-10
+    overlap vs exact brute force as before, all in the production
+    shape — quantizers fit ONCE per corpus, codes materialized once,
+    every query scans only the code column. The ratio rows prove the
+    per-query scan cost stays linear while the scanned bytes shrink
+    (4x for SQ8, ~32x for PQ codes). curve=True sweeps the refine
+    depth (pq_refine_curve — the recall-vs-cost curve users tune
+    m/nbits/refine against, the PQ twin of srp_recall_curve)."""
     from chapterhousedb_spark.operators.similarity import (
         bq_encode,
         bq_scores,
@@ -591,11 +681,39 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
     t_sq_build = time.perf_counter() - t0
     pq_hits = sq_hits = res_hits = bq_hits = 0
     t_pq = t_sq = t_res = t_bq = 0.0
+    # refine rerank (VERDICT r14 #5 — the recommended production
+    # shape): ADC top-R candidate ids broadcast-join back to the
+    # corpus, exact cosine reranks R rows. O(R) full-vector reads per
+    # query at ANY corpus size, so the recall lift is nearly free.
+    refine_levels = (20, 50, 100) if curve else (100,)
+    ref_hits = {r: 0 for r in refine_levels}
+    ref_secs = {r: 0.0 for r in refine_levels}
+
+    def refined(scored_df, qv, r):
+        top = (
+            scored_df.orderBy(F.col("approx_cosine").desc(), "vec_id")
+            .limit(r)
+            .select("vec_id")
+        )
+        kept = embs.join(F.broadcast(top), "vec_id")
+        return {x["vec_id"] for x in cosine_topk(kept, qv, k=10).collect()}
+
     try:
         for _, qv in qs:
             exact = {
                 r["vec_id"] for r in cosine_topk(embs, qv, k=10).collect()
             }
+            for r in refine_levels:
+                t0 = time.perf_counter()
+                got = refined(
+                    pq_adc_scores_residual(
+                        coded_res, books_res, cents, qv, all_cells
+                    ),
+                    qv,
+                    r,
+                )
+                ref_secs[r] += time.perf_counter() - t0
+                ref_hits[r] += len(got & exact)
             t0 = time.perf_counter()
             pq = {
                 r["vec_id"]
@@ -644,8 +762,14 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
         coded_res.unpersist()
         coded_bq.unpersist()
     denom = 10 * len(qs)
-    return {
-        "pq_recall_at_10": round(pq_hits / denom, 3),
+    out = {
+        # headline = the RECOMMENDED config (residual codes + exact
+        # rerank of the ADC top-100, VERDICT r14 #5); the raw
+        # no-refine ADC numbers r9-r14 reported under this key stay
+        # recorded as pq_adc_norefine_recall_at_10
+        "pq_recall_at_10": round(ref_hits[100] / denom, 3),
+        "pq_refined_topk_sec": round(ref_secs[100], 3),
+        "pq_adc_norefine_recall_at_10": round(pq_hits / denom, 3),
         "pq_residual_recall_at_10": round(res_hits / denom, 3),
         "sq8_recall_at_10": round(sq_hits / denom, 3),
         "bq_recall_at_10": round(bq_hits / denom, 3),
@@ -658,6 +782,21 @@ def probe_quant(spark, embs, n_queries: int = 20) -> dict:
         "sq8_topk_sec": round(t_sq, 3),
         "bq_topk_sec": round(t_bq, 3),
     }
+    if curve:
+        out["pq_refine_curve"] = {
+            "refine_0": {
+                "recall_at_10": round(res_hits / denom, 3),
+                "topk_sec": round(t_res, 3),
+            },
+            **{
+                f"refine_{r}": {
+                    "recall_at_10": round(ref_hits[r] / denom, 3),
+                    "topk_sec": round(ref_secs[r], 3),
+                }
+                for r in refine_levels
+            },
+        }
+    return out
 
 
 def probe_cross(spark, docs, embs) -> dict:
@@ -897,9 +1036,12 @@ def main() -> None:
     large = probe(spark, docs_l, embs_l)
     small.update(probe_cross(spark, docs_s, embs_s))
     large.update(probe_cross(spark, docs_l, embs_l))
-    small.update(probe_recall(spark, embs_s))
+    # the recall-vs-cost curves (table-count / refine-depth sweeps)
+    # run at the small scale only; the large pass keeps the headline
+    # configs so the ratio rows still prove linear per-query scan cost
+    small.update(probe_recall(spark, embs_s, curve=True))
     large.update(probe_recall(spark, embs_l))
-    small.update(probe_quant(spark, embs_s))
+    small.update(probe_quant(spark, embs_s, curve=True))
     large.update(probe_quant(spark, embs_l))
     import tempfile
 
@@ -913,6 +1055,8 @@ def main() -> None:
     ratios = {
         k: (round(large[k] / small[k], 2) if small[k] else None)
         for k in small
+        # curve/config blocks are small-only or non-numeric — no ratio
+        if k in large and isinstance(small[k], (int, float))
     }
     print(json.dumps({"small": small, "large": large, "ratio": ratios}))
 

@@ -141,6 +141,72 @@ def test_pinned_srp_signs_match_spark_derivation(spark):
         live[r["i"]] = r["s"]
     assert [live[p * 64 : (p + 1) * 64] for p in range(6)] == _SRP_SIGNS
     assert _srp_probes() == [3, 33, 34, 35, 39, 43, 51]
+    # the second hash table's matrix (seed 101 — srp_multitable_ann)
+    from chapterhousedb_spark.workload.llm import _SRP_SIGNS_101
+
+    rows101 = (
+        spark.range(6 * 64)
+        .select(
+            F.col("id").cast("int").alias("i"),
+            F.expr("(xxhash64(CAST(id AS INT), 101) & 1) * 2 - 1").alias("s"),
+        )
+        .collect()
+    )
+    live101 = [0] * (6 * 64)
+    for r in rows101:
+        live101[r["i"]] = r["s"]
+    assert [live101[p * 64 : (p + 1) * 64] for p in range(6)] == _SRP_SIGNS_101
+    assert _SRP_SIGNS_101 != _SRP_SIGNS  # genuinely independent tables
+
+
+def test_srp_multitable_union_semantics(spark):
+    """srp_ann_topk(seeds=[...]) — multi-table LSH (VERDICT r14 #5):
+    seeds=[s] equals the single-table seed=s path exactly; the
+    multi-table candidate set CONTAINS every member table's (so its
+    top-k cosine can only improve toward exact); multiprobe=planes
+    degenerates every table to a full scan == brute force; seeds=[]
+    raises."""
+    import pytest as _pytest
+
+    from chapterhousedb_spark.operators.similarity import (
+        cosine_topk,
+        srp_ann_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [0.4, -0.2, 0.9, 0.1, -0.6, 0.3, 0.2, -0.8]
+    one = srp_ann_topk(
+        df, qv, k=10, planes=6, multiprobe=1, seed=7
+    ).collect()
+    one_as_list = srp_ann_topk(
+        df, qv, k=10, planes=6, multiprobe=1, seeds=[7]
+    ).collect()
+    assert [r["vec_id"] for r in one] == [r["vec_id"] for r in one_as_list]
+    # containment: every single-table top-k cosine <= the union's kth
+    multi = srp_ann_topk(
+        df, qv, k=10, planes=6, multiprobe=1, seeds=[7, 101, 211]
+    ).collect()
+    exact = cosine_topk(df, qv, k=10).collect()
+    def score_sum(rows):
+        return sum(r["cosine"] for r in rows)
+    assert (
+        score_sum(one) <= score_sum(multi) + 1e-12 <= score_sum(exact) + 2e-12
+    )
+    # degenerate: multiprobe=planes on every table == brute force
+    full = srp_ann_topk(
+        df, qv, k=10, planes=6, multiprobe=6, seeds=[7, 101]
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+    with _pytest.raises(ValueError, match="at least one"):
+        srp_ann_topk(df, qv, k=10, planes=6, seeds=[])
 
 
 def test_embedding_near_dup_finds_planted_pair(vectors):
@@ -1809,3 +1875,34 @@ def test_lloyd_early_stop_is_output_identical(vectors):
     ps = pq_fit(df, m=2, nbits=1, max_iter=6)
     pl = pq_fit(df, m=2, nbits=1, max_iter=25)
     assert ps == pl
+
+
+def test_pq_topk_normalize_false_refine_degenerates_to_brute_force(spark):
+    """pq_topk(normalize=False) threads the raw-space flag through
+    encode AND scoring (the pinned-codebook twins' shape —
+    pq_refine_fixed runs this exact path); refine >= corpus still
+    degenerates to exact brute force regardless of the flag."""
+    from chapterhousedb_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+    )
+    from chapterhousedb_spark.workload.llm import (
+        _pq_fixed_books,
+        _pq_fixed_query,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [float((i * 13 + j * 5) % 9 - 4) / 4.0 for j in range(64)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qv = _pq_fixed_query()
+    got = pq_topk(
+        df, qv, k=5, refine=1000, codebooks=_pq_fixed_books(), normalize=False
+    ).collect()
+    exact = cosine_topk(df, qv, k=5).collect()
+    assert [(r["vec_id"], r["approx_cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
