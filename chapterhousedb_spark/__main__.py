@@ -361,10 +361,11 @@ def main(argv: list[str] | None = None) -> int:
                          "server only serves; submit from a --connect "
                          "client)")
     if args.connect is not None:
-        # everything session-side lives in the SERVING process
+        # everything session-side lives in the SERVING process (but
+        # --repl/--explain work remotely: the reference's TUI client
+        # is itself a remote client, and plans come from the server's
+        # Catalyst via the explain op)
         for flag, val in (
-            ("--repl", args.repl or None),
-            ("--explain", args.explain or None),
             ("--connection", args.connection or None),
             ("--fair-pool", args.fair_pool or None),
             ("--results-dir", args.results_dir),
@@ -445,61 +446,25 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     if args.connect is not None:
-        # Spark-free client path: submit/poll/page against a --serve
+        # Spark-free client path: the Engine-shaped RemoteEngine facade
+        # runs the SAME batch/REPL/explain flow below against a --serve
         # process (the reference's AsyncQueryClient lifecycle)
-        from chapterhousedb_spark.server import QueryClient
+        from chapterhousedb_spark.server import QueryClient, RemoteEngine
 
         host, _, port_s = args.connect.rpartition(":")
         if not port_s.isdigit():
             ap.error(f"bad --connect {args.connect!r}; expected HOST:PORT")
-        emit, note = _make_emit_note(args.format)
-        rc = 0
-        client = QueryClient(host or "127.0.0.1", int(port_s))
-        try:
-            queries = client.submit(text, pool=args.pool)
-            submitted_at = time.monotonic()
-            for i, q in enumerate(queries):
-                qid = q["query_id"]
-                if args.statement_timeout is None:
-                    st = client.wait(qid)
-                else:
-                    remaining = args.statement_timeout - (
-                        time.monotonic() - submitted_at
-                    )
-                    st = client.wait(qid, timeout=max(remaining, 0.0))
-                    if st["status"] not in ("COMPLETE", "ERROR"):
-                        client.cancel(qid)
-                        st = client.wait(qid)
-                note(
-                    f"-- [{i + 1}/{len(queries)}] "
-                    f"{st['status'].lower()}: {q['sql'].strip()}"
-                )
-                if st["status"] == "ERROR":
-                    print(f"-- error: {st['error']}", file=sys.stderr)
-                    rc = 1
-                    continue
-                _page_result(
-                    client.iterator(qid, page_size=args.page_size),
-                    st["num_rows"],
-                    browse=args.browse if i == 0 else None,
-                    max_pages=args.max_pages,
-                    page_size=args.page_size,
-                    emit=emit,
-                    note=note,
-                )
-        finally:
-            client.close()
-        return rc
-
-    eng = Engine(
-        spark=build_session(
-            app_name="chdb-cli",
-            shuffle_partitions=args.shuffle_partitions,
-            fair_pools=fair_pools or None,
-        ),
-        results_dir=args.results_dir,
-        connections=ConnectionRegistry(conns) if conns else None,
-    )
+        eng = RemoteEngine(QueryClient(host or "127.0.0.1", int(port_s)))
+    else:
+        eng = Engine(
+            spark=build_session(
+                app_name="chdb-cli",
+                shuffle_partitions=args.shuffle_partitions,
+                fair_pools=fair_pools or None,
+            ),
+            results_dir=args.results_dir,
+            connections=ConnectionRegistry(conns) if conns else None,
+        )
     rc = 0
     try:
         if args.serve is not None:

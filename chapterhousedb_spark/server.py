@@ -174,6 +174,13 @@ class QueryServer:
                 "ok": True,
                 "cancelled": self.engine.cancel(self._handle(req).query_id),
             }, None
+        if op == "explain":
+            return {
+                "ok": True,
+                "plan": self.engine.explain(
+                    req["sql"], formatted=bool(req.get("formatted", True))
+                ),
+            }, None
         raise ValueError(f"unknown op {op!r}")
 
     def _handle(self, req: dict):
@@ -285,6 +292,13 @@ class QueryClient:
             "cancelled"
         ]
 
+    def explain(self, sql: str, formatted: bool = True) -> str:
+        """Optimized plan text for one statement, planned server-side
+        (the session — and thus Catalyst — lives with the server)."""
+        return self._call(
+            {"op": "explain", "sql": sql, "formatted": formatted}
+        )[0]["plan"]
+
     def close(self) -> None:
         try:
             self._sock.close()
@@ -326,6 +340,66 @@ class _RemoteDataIterator:
         return self._client.fetch(
             self._query_id, (self._next - 1) * self.page_size, self.page_size
         )
+
+
+class RemoteQueryHandle:
+    """QueryHandle-shaped view of a remote query: wait() polls the
+    server (bounded server-side waits), status/error/num_rows reflect
+    the last poll. Covers the attribute surface the CLI batch loop and
+    REPL read off a local handle."""
+
+    def __init__(self, client: QueryClient, query_id: str, sql: str):
+        self._client = client
+        self.query_id = query_id
+        self.sql = sql
+        self._st: dict = {"status": "QUEUED", "error": None, "num_rows": None}
+
+    def wait(self, timeout: float | None = None) -> "RemoteQueryHandle":
+        self._st = self._client.wait(self.query_id, timeout=timeout)
+        return self
+
+    @property
+    def status(self):
+        from chapterhousedb_spark.engine import QueryStatus
+
+        return QueryStatus[self._st["status"]]
+
+    @property
+    def error(self) -> str | None:
+        return self._st.get("error")
+
+    @property
+    def num_rows(self) -> int | None:
+        return self._st.get("num_rows")
+
+
+class RemoteEngine:
+    """Engine-shaped facade over QueryClient covering the surface the
+    CLI/REPL drives (sql / handle-wait / iterator / cancel / explain /
+    close), so `--connect` runs the exact same batch and REPL code
+    paths as a local Engine — the reference's TUI client is itself a
+    remote client, making this the reference-faithful mode."""
+
+    def __init__(self, client: QueryClient):
+        self._client = client
+
+    def sql(self, text: str, pool: str | None = None) -> list[RemoteQueryHandle]:
+        return [
+            RemoteQueryHandle(self._client, q["query_id"], q["sql"])
+            for q in self._client.submit(text, pool=pool)
+        ]
+
+    def explain(self, statement: str, formatted: bool = True) -> str:
+        return self._client.explain(statement, formatted=formatted)
+
+    def cancel(self, query_id: str) -> bool:
+        return self._client.cancel(query_id)
+
+    def iterator(self, query_id: str, page_size: int = 50):
+        return self._client.iterator(query_id, page_size)
+
+    def close(self) -> None:
+        self._client.close()
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 0) -> QueryServer:

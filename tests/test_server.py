@@ -201,6 +201,58 @@ def test_second_process_full_lifecycle(tmp_path):
         )
         assert again.returncode == 0, again.stderr[-2000:]
         assert "-- 1 row(s)" in again.stdout
+        # remote --explain: the plan comes from the SERVER's Catalyst
+        plan = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "chapterhousedb_spark",
+                "--connect",
+                f"127.0.0.1:{port}",
+                "--sql",
+                "select count(*) as n from "
+                "read_files('region.parquet', connection=>'data')",
+                "--explain",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert plan.returncode == 0, plan.stderr[-2000:]
+        assert "-- [1] plan:" in plan.stdout
+        assert "Aggregate" in plan.stdout or "HashAggregate" in plan.stdout
+        # remote --repl over piped stdin: statement, page both
+        # directions, \explain, quit — the reference's TUI client IS a
+        # remote client, so this is the reference-faithful mode
+        repl = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "chapterhousedb_spark",
+                "--connect",
+                f"127.0.0.1:{port}",
+                "--repl",
+                "--page-size",
+                "10",
+            ],
+            input=(
+                "select n_nationkey from "
+                "read_files('nation.parquet', connection=>'data') "
+                "order by n_nationkey;\n"
+                "n\np\n"
+                "\\explain select 1 as one;\n"
+                "\\q\n"
+            ),
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert repl.returncode == 0, repl.stderr[-2000:]
+        assert "-- complete:" in repl.stdout
+        assert "-- 25 row(s); n=next page, p=prev page" in repl.stdout
+        assert "-- next: rows=10" in repl.stdout
+        assert "-- prev: rows=10" in repl.stdout
+        assert "Project" in repl.stdout  # \explain plan text
     finally:
         server.terminate()
         try:
@@ -212,7 +264,8 @@ def test_second_process_full_lifecycle(tmp_path):
 def test_serve_connect_flag_validation():
     """--serve/--connect argument contract: mutually exclusive;
     --serve takes no statements; --connect rejects server-side
-    session flags."""
+    session flags (but --repl/--explain work remotely — covered by
+    the subprocess drive)."""
     from chapterhousedb_spark.__main__ import main
 
     for argv in (
@@ -222,6 +275,8 @@ def test_serve_connect_flag_validation():
         ["--connect", "127.0.0.1:1", "--sql", "select 1", "--repl"],
         ["--connect", "127.0.0.1:1", "--sql", "select 1",
          "--shuffle-partitions", "4"],
+        ["--connect", "127.0.0.1:1", "--sql", "select 1",
+         "--fair-pool", "etl=2"],
         ["--connect", "not-a-port", "--sql", "select 1"],
     ):
         with pytest.raises(SystemExit) as ei:
