@@ -91,7 +91,7 @@ def _repl(
     submission, like batch mode)."""
     import time as _time
 
-    from chapterhousedb_spark import QueryStatus
+    from chapterhousedb_spark.status import QueryStatus
 
     # input() writes its prompt to stdout, so only go through it when
     # BOTH ends are a tty — with stdout redirected (`--repl > out.txt`
@@ -398,15 +398,16 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.sql_file) as f:
             text = f.read()
 
-    from chapterhousedb_spark import (
-        ConnectionRegistry,
-        Engine,
-        FsConnection,
-        QueryStatus,
-        build_session,
-    )
+    # QueryStatus is Spark-free (status.py); the Engine/session imports
+    # happen only on the LOCAL path below, so --connect stays a thin
+    # client (stdlib + pyarrow — no pyspark import, round-15 review
+    # finding)
+    from chapterhousedb_spark.status import QueryStatus
 
     conns = {}
+    if args.connection:
+        from chapterhousedb_spark.config import FsConnection
+
     for spec in args.connection:
         name, sep, base = spec.partition("=")
         if not sep or not name:
@@ -456,6 +457,12 @@ def main(argv: list[str] | None = None) -> int:
             ap.error(f"bad --connect {args.connect!r}; expected HOST:PORT")
         eng = RemoteEngine(QueryClient(host or "127.0.0.1", int(port_s)))
     else:
+        from chapterhousedb_spark import (
+            ConnectionRegistry,
+            Engine,
+            build_session,
+        )
+
         eng = Engine(
             spark=build_session(
                 app_name="chdb-cli",

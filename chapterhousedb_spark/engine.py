@@ -20,7 +20,6 @@ reference's multi-query admission loop (query_handler_state.rs:421-466).
 
 from __future__ import annotations
 
-import enum
 import os
 import shutil
 import tempfile
@@ -44,16 +43,10 @@ from chapterhousedb_spark.sqlfront.table_funcs import (
 )
 
 
-class QueryStatus(enum.Enum):
-    """Mirrors the reference's Status enum (query_handler_state.rs:28-35)."""
-
-    QUEUED = "queued"
-    RUNNING = "running"
-    COMPLETE = "complete"
-    ERROR = "error"
-
-    def terminal(self) -> bool:
-        return self in (QueryStatus.COMPLETE, QueryStatus.ERROR)
+# QueryStatus lives in the Spark-free status module so thin clients
+# (server.QueryClient, CLI --connect) can share it without pyspark;
+# re-exported here for backward compatibility.
+from chapterhousedb_spark.status import QueryStatus  # noqa: E402
 
 
 @dataclass

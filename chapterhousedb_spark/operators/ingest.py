@@ -102,15 +102,21 @@ _FP_LISTING_CACHE: dict[str, dict[int, frozenset]] = {}
 
 
 def _fp_buckets_map(
-    spark, fingerprint_root: str, versions: list[int]
+    spark,
+    fingerprint_root: str,
+    versions: list[int],
+    live_versions: list[int] | None = None,
 ) -> dict[int, frozenset]:
     """{version: populated buckets} for the given COMMITTED sidecar
     versions, via the process-local listing cache: only versions not
-    yet cached pay a filesystem listing. `versions` must come from a
-    fresh _fp_versions listing; cached versions absent from it are
-    reconciled away."""
+    yet cached pay a filesystem listing. Reconciliation evicts cached
+    versions absent from `live_versions` (the FULL fresh root listing
+    — defaults to `versions`): a vacuumed dir drops out, while a
+    time-travel read at an older version, whose `versions` is a
+    filtered subset, cannot evict still-live newer entries (round-15
+    review finding)."""
     cache = _FP_LISTING_CACHE.setdefault(fingerprint_root, {})
-    live = set(versions)
+    live = set(versions if live_versions is None else live_versions)
     for v in [v for v in cache if v not in live]:
         del cache[v]
     for v in versions:
@@ -125,9 +131,14 @@ def _fp_resolution(
     """{bucket: newest writer version <= ver} for every bucket that has
     one — the bucketed layout's read resolution. Listings are cached
     per committed version (see _FP_LISTING_CACHE), so a steady-state
-    stream pays one root listing plus one listing per NEW version."""
-    versions = [v for v in _fp_versions(spark, fingerprint_root) if v <= ver]
-    bmap = _fp_buckets_map(spark, fingerprint_root, versions)
+    stream pays one root listing plus one listing per NEW version.
+    Versions above `ver` (an uncommitted crash-attempt v+1) are never
+    listed or cached — only the marker flip makes a dir immutable."""
+    all_versions = _fp_versions(spark, fingerprint_root)
+    versions = [v for v in all_versions if v <= ver]
+    bmap = _fp_buckets_map(
+        spark, fingerprint_root, versions, live_versions=all_versions
+    )
     need = set(range(buckets))
     out: dict[int, int] = {}
     for v in sorted(versions, reverse=True):
@@ -216,7 +227,10 @@ def vacuum_fingerprints(
     latest = _read_latest_marker(spark, corpus_root)
     versions = _fp_versions(spark, fingerprint_root)
     bmap = _fp_buckets_map(
-        spark, fingerprint_root, [v for v in versions if v <= latest]
+        spark,
+        fingerprint_root,
+        [v for v in versions if v <= latest],
+        live_versions=versions,
     )
     # one reverse sweep marks, for every corpus version still on disk,
     # the sidecar versions its resolution touches: sidecar version v is
@@ -965,6 +979,12 @@ def init_ingest(
                 f"expected_batch_size must be >= 1, got {expected_batch_size}"
             )
     init_versioned_base(seed, corpus_root)
+    # a re-seed of an EXISTING fingerprint_root in this process must
+    # drop its cached listings — v0 is about to be rewritten, possibly
+    # with a different bucket count, and reconciliation alone cannot
+    # see an in-place rewrite (round-15 review finding)
+    if fingerprint_root is not None:
+        _FP_LISTING_CACHE.pop(fingerprint_root, None)
     if labels_root is not None:
         seed.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")

@@ -52,7 +52,7 @@ import threading
 
 import pyarrow as pa
 
-_MAX_FRAME = 64 * 1024 * 1024  # defensive cap for request frames
+_MAX_FRAME = 64 * 1024 * 1024  # defensive cap for REQUEST frames
 _MAX_WAIT_S = 60.0  # per-request bound on status wait_s
 
 
@@ -66,13 +66,21 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
     return buf
 
 
-def _read_frame(sock: socket.socket) -> bytes | None:
+def _read_frame(
+    sock: socket.socket, max_len: int | None = None
+) -> bytes | None:
+    """One length-prefixed frame. `max_len` guards the SERVER against
+    hostile request lengths; the client reads responses uncapped — a
+    legitimately large Arrow page (wide binary columns x page_size)
+    must not fail after the 4-byte header is consumed, which would
+    leave the body unread and desynchronize the connection (round-15
+    review finding)."""
     head = _recv_exact(sock, 4)
     if head is None:
         return None
     (length,) = struct.unpack(">I", head)
-    if length > _MAX_FRAME:
-        raise ValueError(f"frame of {length} bytes exceeds cap {_MAX_FRAME}")
+    if max_len is not None and length > max_len:
+        raise ValueError(f"frame of {length} bytes exceeds cap {max_len}")
     return _recv_exact(sock, length)
 
 
@@ -107,7 +115,7 @@ class QueryServer:
             def handle(self) -> None:  # one persistent connection
                 while True:
                     try:
-                        body = _read_frame(self.request)
+                        body = _read_frame(self.request, _MAX_FRAME)
                     except (ConnectionError, ValueError, OSError):
                         return
                     if body is None:
@@ -139,6 +147,22 @@ class QueryServer:
         if op == "ping":
             return {"ok": True}, None
         if op == "submit":
+            if req.get("pool") is not None:
+                # the scheduler mode lives with THIS session — the
+                # client's CLI guard cannot see it, so the server is
+                # the right place to refuse the silent FIFO no-op
+                # (round-15 review finding; same contract as the
+                # local --pool-without---fair-pool refusal)
+                mode = self.engine.spark.conf.get(
+                    "spark.scheduler.mode", "FIFO"
+                )
+                if str(mode).upper() != "FAIR":
+                    raise ValueError(
+                        f"pool {req['pool']!r} needs a FAIR-mode server "
+                        "session (start --serve with --fair-pool); this "
+                        "server runs FIFO, where the pool property is "
+                        "silently ignored"
+                    )
             handles = self.engine.sql(req["sql"], pool=req.get("pool"))
             return {
                 "ok": True,
@@ -193,15 +217,24 @@ class QueryServer:
     # -------------------------------------------------------------- serving
 
     def serve_forever(self) -> None:
+        self._serving = True
         self._tcp.serve_forever(poll_interval=0.2)
 
     def serve_in_background(self) -> "QueryServer":
+        # mark before starting: the thread WILL enter serve_forever,
+        # and a shutdown() issued first just makes it exit immediately
+        self._serving = True
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
         self._thread.start()
         return self
 
     def close(self) -> None:
-        self._tcp.shutdown()
+        # BaseServer.shutdown() waits on an event only serve_forever's
+        # finally ever sets — calling it on a server that never
+        # entered serve_forever (Ctrl-C between construction and
+        # serving) deadlocks (round-15 review finding)
+        if getattr(self, "_serving", False):
+            self._tcp.shutdown()
         self._tcp.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
@@ -225,12 +258,19 @@ class QueryClient:
 
     def _call(self, req: dict) -> tuple[dict, bytes | None]:
         with self._lock:
-            _write_frame(self._sock, json.dumps(req).encode())
-            body = _read_frame(self._sock)
-            if body is None:
-                raise ConnectionError("server closed the connection")
-            resp = json.loads(body)
-            arrow = _read_frame(self._sock) if resp.get("arrow") else None
+            try:
+                _write_frame(self._sock, json.dumps(req).encode())
+                body = _read_frame(self._sock)
+                if body is None:
+                    raise ConnectionError("server closed the connection")
+                resp = json.loads(body)
+                arrow = _read_frame(self._sock) if resp.get("arrow") else None
+            except Exception:
+                # a transport-level failure mid-exchange leaves unread
+                # bytes in the socket; any later request would read
+                # them as a frame header — close rather than desync
+                self.close()
+                raise
         if not resp.get("ok"):
             raise RemoteQueryError(resp.get("error") or "request failed")
         return resp, arrow
@@ -284,8 +324,15 @@ class QueryClient:
     def iterator(self, query_id: str, page_size: int = 50):
         """Bidirectional pager over the remote result with the same
         fixed-grid contract as results.QueryDataIterator (page k =
-        rows [k*page_size, (k+1)*page_size))."""
-        return _RemoteDataIterator(self, query_id, page_size)
+        rows [k*page_size, (k+1)*page_size)). Mirrors Engine.iterator's
+        error contract: a non-COMPLETE query raises instead of paging
+        an empty snapshot (round-15 review finding)."""
+        st = self.status(query_id)
+        if st["status"] != "COMPLETE":
+            raise RemoteQueryError(
+                f"query {query_id} not complete (status={st['status']})"
+            )
+        return _RemoteDataIterator(self, query_id, page_size, st["num_rows"])
 
     def cancel(self, query_id: str) -> bool:
         return self._call({"op": "cancel", "query_id": query_id})[0][
@@ -317,11 +364,17 @@ class _RemoteDataIterator:
     fetched lazily by offset — the remote twin of the reference TUI's
     data iterator (client/tui_query_data_iterator.rs)."""
 
-    def __init__(self, client: QueryClient, query_id: str, page_size: int):
+    def __init__(
+        self,
+        client: QueryClient,
+        query_id: str,
+        page_size: int,
+        total_rows: int,
+    ):
         self._client = client
         self._query_id = query_id
         self.page_size = page_size
-        self._total = client.total_rows(query_id)
+        self._total = total_rows
         self._next = 0
 
     def next_page(self) -> pa.Table | None:
@@ -360,7 +413,7 @@ class RemoteQueryHandle:
 
     @property
     def status(self):
-        from chapterhousedb_spark.engine import QueryStatus
+        from chapterhousedb_spark.status import QueryStatus
 
         return QueryStatus[self._st["status"]]
 

@@ -1159,9 +1159,15 @@ def _rotate(order: list[str]) -> list[str]:
     oldest (never-green first) enter the window, so a staleness
     backlog drains at K rows/round instead of waiting on round-robin
     phase — once a row re-earns green its artifact timestamps it fresh
-    and the next-stalest cohort promotes. Demotion stays round-robin
-    over _SWAP_POOL. Pure reordering: the set of declared queries and
-    their definitions never change."""
+    and the next-stalest cohort promotes. A row that keeps FAILING
+    keeps re-promoting (its last-green never advances) — deliberate:
+    a wrong answer must stay in the driver's artifact until fixed,
+    not rotate back into the tail's shadow; the cost is one pinned
+    slot per failing row, and a cohort of >= K simultaneous failures
+    (which would stall rotation entirely) is a red-alert round by
+    itself. Demotion stays round-robin over _SWAP_POOL. Pure
+    reordering: the set of declared queries and their definitions
+    never change."""
     window, tail = order[:_WINDOW], order[_WINDOW:]
     _ROTATION_INFO["window_static"] = list(window)
     pool = [n for n in tail if n in ORACLES]

@@ -118,6 +118,15 @@ def test_remote_error_propagation_and_bad_requests(served):
         assert c.ping()
         # cancel on a terminal query: False (nothing to do)
         assert c.cancel(q["query_id"]) is False
+        # iterator on a non-COMPLETE query mirrors Engine.iterator's
+        # error contract instead of paging an empty snapshot
+        with pytest.raises(RemoteQueryError, match="not complete"):
+            c.iterator(q["query_id"])
+        # a remote pool on a FIFO server session is refused, not
+        # silently ignored (the local --pool guard's server-side twin)
+        with pytest.raises(RemoteQueryError, match="FAIR"):
+            c.submit("select 1 as one", pool="etl")
+        assert c.ping()
 
 
 def test_second_process_full_lifecycle(tmp_path):
@@ -201,6 +210,32 @@ def test_second_process_full_lifecycle(tmp_path):
         )
         assert again.returncode == 0, again.stderr[-2000:]
         assert "-- 1 row(s)" in again.stdout
+        # thin-client proof: the same --connect run with pyspark
+        # IMPORT-BLOCKED — the client path must be stdlib + pyarrow
+        # only (server.py's Spark-free promise; round-15 review
+        # finding: the eager package __init__ used to pull pyspark)
+        blocker = (
+            "import importlib.abc, sys\n"
+            "class _Block(importlib.abc.MetaPathFinder):\n"
+            "    def find_spec(self, name, path, target=None):\n"
+            "        if name.split('.')[0] == 'pyspark':\n"
+            "            raise ModuleNotFoundError('pyspark blocked')\n"
+            "sys.meta_path.insert(0, _Block())\n"
+            "from chapterhousedb_spark.__main__ import main\n"
+            f"rc = main(['--connect', '127.0.0.1:{port}', '--sql', "
+            "\"select count(*) as n from read_files('region.parquet', "
+            "connection=>'data')\"])\n"
+            "assert 'pyspark' not in sys.modules\n"
+            "raise SystemExit(rc)\n"
+        )
+        thin = subprocess.run(
+            [sys.executable, "-c", blocker],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        assert thin.returncode == 0, (thin.stdout, thin.stderr[-2000:])
+        assert "-- 1 row(s)" in thin.stdout
         # remote --explain: the plan comes from the SERVER's Catalyst
         plan = subprocess.run(
             [
