@@ -215,6 +215,100 @@ def _deterministic_train_cap(
     return capped if n == 1 else capped.repartition(n)
 
 
+def _capped_train_rows(
+    train: DataFrame, cap: int, seed: int
+) -> list[list[float]]:
+    """Collect the deterministic training cap to the driver, in the
+    cap's own (__h, __u) order (TakeOrderedAndProject output order is
+    the sort order, so the first k rows ARE the hash-smallest seeds).
+    ONE Spark job; ≤ cap rows of dims doubles — the same bounded-fetch
+    budget as the seeds collect the Spark-side fit already paid
+    (VERDICT r12 #4 sizes cap at 256·k — ~1-2 MB at the defaults,
+    constant in corpus size)."""
+    ordered = (
+        train.select("__u", F.xxhash64("__u", F.lit(seed)).alias("__h"))
+        .orderBy("__h", "__u")
+        .limit(cap)
+    )
+    return [[float(x) for x in r["__u"]] for r in ordered.collect()]
+
+
+def _round_half_up(x):
+    """Vectorized exact replay of Spark's round(double) (HALF_UP on the
+    exact double value). floor(x + 0.5) is NOT equivalent: when x+0.5
+    is inexact the float addition can round across the integer
+    boundary (e.g. x = 0.5 - 2^-54). abs/floor/subtract are exact for
+    |x| < 2^51, so frac is the exact fractional part and the >= 0.5
+    comparison is the exact HALF_UP tie rule (away from zero)."""
+    import numpy as np
+
+    ax = np.abs(x)
+    fl = np.floor(ax)
+    r = fl + ((ax - fl) >= 0.5)
+    return np.where(x < 0, -r, r)
+
+
+def _lloyd_local(
+    X_by_s: list,
+    books: list[list[list[float]]],
+    max_iter: int,
+    n_train: int,
+    max_abs: float = 1.0,
+) -> list[list[list[float]]]:
+    """Driver-side replay of _lloyd_iterations over the COLLECTED
+    capped training set — bit-identical to the Spark loop by
+    construction, job-free. Every arithmetic step mirrors the
+    distributed path exactly: the nearest-centroid distances are the
+    same numpy expression the pandas UDF evaluates (same dtype, same
+    shape, same reduction axis — identical float results), the means
+    are the same scaled-integer sums (`round(v * 2^shift)` replayed
+    with the exact HALF_UP rule, summed as int64 — order-independent,
+    exact), and the convergence test is the same nxt == books
+    fixpoint. Used only when the training set is capped (≤ 256·k rows
+    by default); max_train=0 keeps the distributed loop, so the
+    at-scale path stays exercised."""
+    import math
+
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    # identical shift/factor derivation to _lloyd_iterations
+    shift = min(
+        48,
+        62
+        - max(n_train, 1).bit_length()
+        - (max(1, math.ceil(max_abs)) - 1).bit_length()
+        - 1,
+    )
+    factor = float(1 << shift)
+    X = [np.asarray(X_by_s[s], dtype=np.float64) for s in range(m)]
+    # v * 2^shift is exact (power-of-two scale), so the scaled-integer
+    # grid is iteration-independent: round once, before the loop
+    S = [
+        _round_half_up(X[s] * factor).astype(np.int64) for s in range(m)
+    ]
+    for _ in range(max_iter):
+        nxt = [[list(c) for c in b] for b in books]
+        for s in range(m):
+            cur = np.asarray(books[s], dtype=np.float64)
+            if not len(X[s]):
+                continue
+            d = ((X[s][:, None, :] - cur[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in np.unique(assign):
+                idx = np.nonzero(assign == c)[0]
+                cnt = int(len(idx))
+                sums = S[s][idx].sum(axis=0)
+                nxt[s][int(c)] = [
+                    int(sums[i]) / factor / cnt for i in range(dsub)
+                ]
+        if nxt == books:
+            break
+        books = nxt
+    return books
+
+
 def ivf_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -250,33 +344,33 @@ def ivf_fit(
     unit = df.select(_unit_expr(vec_col).alias("__u"))
     train = unit.sample(sample_fraction, seed=seed) if sample_fraction else unit
     cap = max(256 * n_cells if max_train is None else max_train, n_cells)
-    capped = None
     if max_train is None or max_train > 0:
-        # persist the capped set: both consumers below (seeds, sub)
-        # would otherwise re-run the sort-limit chain
-        capped = _deterministic_train_cap(train, cap, seed).cache()
-        hashed = capped
-    else:
-        hashed = train.select(
-            "__u", F.xxhash64("__u", F.lit(seed)).alias("__h")
-        )
-    try:
-        seeds_rows = (
-            hashed.orderBy("__h", "__u").limit(n_cells).collect()
-        )
-        if not seeds_rows:
+        # capped fit: ONE Spark job (the sort-limit collect), then the
+        # whole Lloyd's loop runs driver-side over the ≤ cap collected
+        # rows — bit-identical to the distributed loop (see
+        # _lloyd_local), minus the per-iteration job + shuffle + Arrow
+        # round-trips that dominated the fit's wall time (the capped
+        # training set is ~1 MB; the Spark loop paid max_iter+2 jobs to
+        # iterate over it)
+        rows = _capped_train_rows(train, cap, seed)
+        if not rows:
             raise ValueError("ivf_fit: empty training set")
-        books = [[[float(x) for x in r["__u"]] for r in seeds_rows]]
-        sub = (capped if capped is not None else train).select(
-            F.lit(0).alias("__s"), F.col("__u").alias("__v")
-        ).cache()
-        try:
-            return _lloyd_iterations(sub, books, max_iter)[0]
-        finally:
-            sub.unpersist()
+        books = [[list(u) for u in rows[:n_cells]]]
+        return _lloyd_local([rows], books, max_iter, len(rows))[0]
+    hashed = train.select(
+        "__u", F.xxhash64("__u", F.lit(seed)).alias("__h")
+    )
+    seeds_rows = hashed.orderBy("__h", "__u").limit(n_cells).collect()
+    if not seeds_rows:
+        raise ValueError("ivf_fit: empty training set")
+    books = [[[float(x) for x in r["__u"]] for r in seeds_rows]]
+    sub = train.select(
+        F.lit(0).alias("__s"), F.col("__u").alias("__v")
+    ).cache()
+    try:
+        return _lloyd_iterations(sub, books, max_iter)[0]
     finally:
-        if capped is not None:
-            capped.unpersist()
+        sub.unpersist()
 
 
 def ivf_assign(
@@ -976,51 +1070,59 @@ def pq_fit(
     # deterministic FAISS-practice training cap (VERDICT r12 #4):
     # None -> 256 * k rows (shared by all m subspaces); 0 disables
     cap = max(256 * k if max_train is None else max_train, k)
-    capped = None
     if max_train is None or max_train > 0:
-        # persist the capped set: both consumers below (seeds, sub)
-        # would otherwise re-run the sort-limit chain
-        capped = _deterministic_train_cap(train, cap, seed).cache()
-        hashed = capped
-    else:
-        hashed = train.select(
-            "__u", F.xxhash64("__u", F.lit(seed)).alias("__h")
-        )
-    try:
-        # deterministic init: the k hash-smallest unit vectors
-        # (TakeOrdered — bounded driver state), sliced per subspace
-        seeds_rows = hashed.orderBy("__h", "__u").limit(k).collect()
-        if not seeds_rows:
+        # capped fit: one sort-limit collect, then driver-side Lloyd's
+        # over the collected rows — bit-identical to the distributed
+        # loop (see _lloyd_local); all m subspaces advance together as
+        # numpy slices of the same collected set, zero further jobs
+        rows = _capped_train_rows(train, cap, seed)
+        if not rows:
             raise ValueError("pq_fit: empty training set")
-        k = min(k, len(seeds_rows))
-        books: list[list[list[float]]] = [
-            [
-                [float(x) for x in r["__u"][s * dsub : (s + 1) * dsub]]
-                for r in seeds_rows[:k]
-            ]
+        k = min(k, len(rows))
+        books = [
+            [u[s * dsub : (s + 1) * dsub] for u in rows[:k]]
             for s in range(m)
         ]
-        sub = (capped if capped is not None else train).select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.slice("__u", s * dsub + 1, dsub).alias("v"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("g")
-        ).select(F.col("g.s").alias("__s"), F.col("g.v").alias("__v"))
-        sub = sub.cache()
-        try:
-            return _lloyd_iterations(sub, books, max_iter, max_abs=max_abs)
-        finally:
-            sub.unpersist()
+        X_by_s = [
+            [u[s * dsub : (s + 1) * dsub] for u in rows] for s in range(m)
+        ]
+        return _lloyd_local(
+            X_by_s, books, max_iter, len(rows), max_abs=max_abs
+        )
+    hashed = train.select(
+        "__u", F.xxhash64("__u", F.lit(seed)).alias("__h")
+    )
+    # deterministic init: the k hash-smallest unit vectors
+    # (TakeOrdered — bounded driver state), sliced per subspace
+    seeds_rows = hashed.orderBy("__h", "__u").limit(k).collect()
+    if not seeds_rows:
+        raise ValueError("pq_fit: empty training set")
+    k = min(k, len(seeds_rows))
+    books = [
+        [
+            [float(x) for x in r["__u"][s * dsub : (s + 1) * dsub]]
+            for r in seeds_rows[:k]
+        ]
+        for s in range(m)
+    ]
+    sub = train.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("__u", s * dsub + 1, dsub).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("g")
+    ).select(F.col("g.s").alias("__s"), F.col("g.v").alias("__v"))
+    sub = sub.cache()
+    try:
+        return _lloyd_iterations(sub, books, max_iter, max_abs=max_abs)
     finally:
-        if capped is not None:
-            capped.unpersist()
+        sub.unpersist()
 
 
 def _lloyd_iterations(
