@@ -115,7 +115,15 @@ def connected_components(
     else:
         node_ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
 
-    labels = node_ids.select("id", F.col("id").alias("comp")).localCheckpoint()
+    # LAZY localCheckpoint: the convergence aggregate right below is the
+    # round's ONLY action — it computes every partition (a global sum),
+    # which materializes the checkpoint in the SAME job, so each round
+    # costs one Spark job instead of two (eager checkpoint + separate
+    # agg). Lineage truncation and cached-partition reuse are identical
+    # to the eager form once that first action has run.
+    labels = node_ids.select("id", F.col("id").alias("comp")).localCheckpoint(
+        eager=False
+    )
     # decimal sum: immune to long overflow even at 1e9 nodes with 64-bit ids
     sum_expr = F.sum(F.col("comp").cast("decimal(38,0)"))
     prev_sum = labels.agg(sum_expr).first()[0]
@@ -126,7 +134,7 @@ def connected_components(
         )
         new_labels = (
             labels.union(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_sum = new_labels.agg(sum_expr).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
@@ -201,7 +209,10 @@ def connected_components_star(
             .distinct()
         )
 
-    E = e.distinct().localCheckpoint(eager=True)
+    # lazy checkpoint: _sig's count+hash aggregate computes every
+    # partition, materializing the checkpoint in the same job (one job
+    # per round instead of checkpoint + sig — see the label loop)
+    E = e.distinct().localCheckpoint(eager=False)
 
     def _sig(frame: DataFrame) -> tuple:
         row = frame.agg(
@@ -246,7 +257,7 @@ def connected_components_star(
             .union(smins.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = _sig(E)
         if cur == prev:
