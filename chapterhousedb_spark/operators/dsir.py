@@ -155,13 +155,23 @@ def dsir_train(
     salt: str = DEFAULT_SALT,
     orders: tuple = (1, 2),
     alpha: float = 1.0,
+    target_posts: DataFrame | None = None,
+    raw_posts: DataFrame | None = None,
 ) -> DataFrame:
     """Fit both hashed-n-gram models closed-form. Returns ONE row per
     bucket (all `num_buckets` of them, so scoring never misses a
     lookup): (bucket, c_target, c_raw, p_target, p_raw, ratio) with
     Laplace smoothing p = (c + alpha) / (N + alpha * num_buckets) —
     alpha > 0 keeps every ratio finite and positive. The model is at
-    most num_buckets rows regardless of corpus size: broadcast it."""
+    most num_buckets rows regardless of corpus size: broadcast it.
+
+    target_posts / raw_posts: optional precomputed dsir_gram_posts
+    frames (hashing every gram is the dominant cost — when the target
+    is a slice of raw, one shared posts frame filtered by id serves
+    both sides and the scoring pass, cutting corpus hashing to a
+    single scan; gram posts are derived per document, so slicing posts
+    by id is identical to hashing the sliced corpus). Caller owns the
+    num_buckets/salt/orders agreement with the precomputed frame."""
     if alpha <= 0:
         raise ValueError(f"dsir: alpha must be > 0, got {alpha}")
     kw = dict(
@@ -178,11 +188,15 @@ def dsir_train(
     # gram of each corpus — runs twice (round-12 review fix, verified
     # 8 scans -> 2 in the plan). The cached frames are <= num_buckets
     # rows (tracked handles, released with the dedup self-join caches)
+    if target_posts is None:
+        target_posts = dsir_gram_posts(target, **kw)
+    if raw_posts is None:
+        raw_posts = dsir_gram_posts(raw, **kw)
     ct = _persist_for_self_join(
-        _bucket_counts(dsir_gram_posts(target, **kw), "c_target"), True
+        _bucket_counts(target_posts, "c_target"), True
     )
     cr = _persist_for_self_join(
-        _bucket_counts(dsir_gram_posts(raw, **kw), "c_raw"), True
+        _bucket_counts(raw_posts, "c_raw"), True
     )
     totals = (
         ct.agg(F.coalesce(F.sum("c_target"), F.lit(0)).alias("n_target"))
@@ -225,21 +239,27 @@ def dsir_score(
     salt: str = DEFAULT_SALT,
     orders: tuple = (1, 2),
     log_weight: bool = True,
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document importance weights under a dsir_train model
     (num_buckets/salt/orders must match training). Returns one row per
     doc with >= 1 gram: (id_col, n_grams, ratio_prod[, log_weight]).
     ratio_prod is the bit-portable ordered ratio product (gate-safe);
     log_weight is the paper's log statistic (numpy-pinned, NOT gate-
-    safe — see the module contract)."""
-    posts = dsir_gram_posts(
-        df,
-        text_col=text_col,
-        id_col=id_col,
-        num_buckets=num_buckets,
-        salt=salt,
-        orders=orders,
-    )
+    safe — see the module contract).
+
+    posts: optional precomputed dsir_gram_posts frame for `df` (share
+    one persisted gram scan with dsir_train — see dsir_train). Caller
+    owns the num_buckets/salt/orders agreement."""
+    if posts is None:
+        posts = dsir_gram_posts(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            num_buckets=num_buckets,
+            salt=salt,
+            orders=orders,
+        )
     scored = posts.join(
         F.broadcast(model.select("bucket", "ratio")), "bucket"
     )

@@ -2577,6 +2577,13 @@ def semdedup_survivors(
         ).otherwise(F.col("id_b"))
     dominated = pairs.select(loser.alias(id_col)).distinct()
     out = tagged if tag_cols else df
+    if tag_cols and persist and set(others) <= {id_col, vec_col}:
+        # the persisted pair base already holds every output column —
+        # serve the survivor side from the cache instead of re-running
+        # the assign+align chain a second time (same columns, same
+        # order; only taken when the input carries nothing beyond
+        # id+vector, so base is lossless)
+        out = base.select(*others, "__sd_cell", "__sd_align")
     survivors = out.join(dominated, id_col, "left_anti")
     if tag_cols:
         survivors = survivors.withColumnRenamed(

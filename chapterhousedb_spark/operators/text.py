@@ -2158,6 +2158,10 @@ def unigram_segment(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lp, ml, unk = bc.value
+        # per-task Viterbi memo, same idiom as bpe_segment/wordpiece:
+        # _uni_viterbi is deterministic per word, and Zipf reuse means
+        # most occurrences hit the memo instead of re-running the DP
+        memo: dict = {}
         for pdf in batches:
             ids, pieces_col, n_col, s_col = [], [], [], []
             for rid, words in zip(pdf["__id"], pdf["__words"]):
@@ -2166,7 +2170,11 @@ def unigram_segment(
                 for w in words if words is not None else []:
                     if not w:
                         continue
-                    ps, s = _uni_viterbi(w, lp, ml, unk)
+                    got = memo.get(w)
+                    if got is None:
+                        got = _uni_viterbi(w, lp, ml, unk)
+                        memo[w] = got
+                    ps, s = got
                     pieces.extend(ps)
                     score += s
                 ids.append(rid)
@@ -2252,6 +2260,13 @@ def kneser_ney_bigram(
     posts = df.select(
         F.col(id_col).alias("id"), F.posexplode(pairs).alias("pos", "p")
     ).select("id", "pos", "p.w1", "p.w2")
+    # bg feeds FOUR consumers (ctx, cont, n_distinct, probs). This is
+    # NOT re-computed per consumer: all four live under the one final
+    # action, and Spark reuses the identical posts-explode shuffle-map
+    # stage across them (measured r15: persisting bg here was ~0.2 s
+    # SLOWER at sf0.1 — the cache write only added a barrier). Persist
+    # pays off only when duplicated subtrees span separate jobs or
+    # differ in their map stages (see dsir_train's histograms).
     bg = posts.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx = bg.groupBy("w1").agg(
         F.sum("c_bg").alias("c_w1"),

@@ -2384,16 +2384,24 @@ def pipeline_pretrain_q(spark, sf_dir):
     (min-id per component) -> deterministic 90/5/5 split. Each stage is
     the declared operator used elsewhere; this entry pins that they
     compose (the practical shape of a real corpus-prep job)."""
+    from chapterhousedb_spark.operators.dedup import _persist_for_self_join
+
     docs = load(spark, sf_dir, "documents")
-    clean = docs.join(
+    # persist the COMPACT quality-gate id list (not the text-bearing
+    # clean frame): the regex stats chain runs once, and the node list
+    # for the component solve reads the cache instead of re-running
+    # docs -> text_stats -> filter (clean's doc_ids ARE the gate ids —
+    # doc_id is unique in documents)
+    clean_ids = _persist_for_self_join(
         text_stats(docs)
         .filter("passes_quality AND n_tokens >= 20")
         .select("doc_id"),
-        "doc_id",
+        True,
     )
+    clean = docs.join(clean_ids, "doc_id")
     pairs = ngram_jaccard_pairs(clean, ngram_k=3, threshold=0.2, max_doc_freq=100)
     comps = connected_components(
-        pairs, nodes=clean.select("doc_id"), id_col="doc_id", component_col="cluster_id"
+        pairs, nodes=clean_ids, id_col="doc_id", component_col="cluster_id"
     )
     survivors = comps.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     return train_val_test_split(
@@ -3530,6 +3538,12 @@ def pipeline_fineweb_q(spark, sf_dir):
     mix a broadcast join — no new scale term beyond the stages'
     own."""
     docs = load(spark, sf_dir, "documents")
+    # no stage persists here: every consumer sits under the ONE final
+    # action, and Spark's shuffle-stage reuse already computes each
+    # duplicated map stage once (measured r15: tracked persists on the
+    # floor-id list and the survivor frame were ~neutral-to-slower at
+    # sf0.1 — the win in this query is the window keeper election
+    # below, 112 -> 42 Exchanges)
     q = docs.join(
         text_stats(docs).filter("n_tokens >= 25").select("doc_id"), "doc_id"
     ).select("doc_id", "source", "text")
@@ -3540,12 +3554,22 @@ def pipeline_fineweb_q(spark, sf_dir):
         ),
         "doc_id",
     )
+    from pyspark.sql import Window
+
     from chapterhousedb_spark.operators.dedup import normalize_text
 
     hashed = gated.withColumn("__th", F.md5(normalize_text(F.col("text"))))
-    keepers = hashed.groupBy("__th").agg(F.min("doc_id").alias("doc_id"))
-    canon = hashed.join(keepers, ["__th", "doc_id"]).select(
-        "doc_id", "source", "top2gram_char_frac"
+    # keeper election as ONE window pass (min doc_id per text hash)
+    # instead of a groupBy + self-join — the join shape consumed
+    # `hashed` twice, re-running the stats+repetition upstream per
+    # side. Same keeper set: doc_id == min(doc_id) over the hash group.
+    canon = (
+        hashed.withColumn(
+            "__keep",
+            F.min("doc_id").over(Window.partitionBy("__th")),
+        )
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .select("doc_id", "source", "top2gram_char_frac")
     )
     mixed = temperature_mix(canon, alpha=0.5, target_frac=0.5, salt="fw")
     return mixed.join(canon.select("doc_id", "top2gram_char_frac"), "doc_id")
@@ -3806,7 +3830,12 @@ def dsir_weights_q(spark, sf_dir):
     gated set, pinned by tests/test_dsir.py's numpy replay instead."""
     from pyspark.sql import Window
 
-    from chapterhousedb_spark.operators.dsir import dsir_score, dsir_train
+    from chapterhousedb_spark.operators.dedup import _persist_for_self_join
+    from chapterhousedb_spark.operators.dsir import (
+        dsir_gram_posts,
+        dsir_score,
+        dsir_train,
+    )
 
     # same small-file artifact as pipeline_ccnet: the gram hashing is
     # compute-dense (one portable md5 per gram instance) and a single
@@ -3815,8 +3844,23 @@ def dsir_weights_q(spark, sf_dir):
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     target = docs.filter(F.col("doc_id") % 7 == 0)
-    model = dsir_train(target, docs, num_buckets=1024)
-    scored = dsir_score(docs, model, num_buckets=1024, log_weight=False)
+    # hash the corpus gram stream ONCE: the same persisted posts frame
+    # serves the raw-count histogram, the target histogram (gram posts
+    # are per-document, so filtering posts by id == hashing the sliced
+    # corpus), and the scoring join — previously ~2.14 full gram scans
+    posts = _persist_for_self_join(
+        dsir_gram_posts(docs, num_buckets=1024), True
+    )
+    model = dsir_train(
+        target,
+        docs,
+        num_buckets=1024,
+        target_posts=posts.filter(F.col("id") % 7 == 0),
+        raw_posts=posts,
+    )
+    scored = dsir_score(
+        docs, model, num_buckets=1024, log_weight=False, posts=posts
+    )
     w = Window.orderBy(F.col("ratio_prod").desc(), F.col("doc_id").asc())
     ranked = scored.select(
         "doc_id",
@@ -5050,8 +5094,13 @@ def media_near_dup_q(spark, sf_dir):
     media = _planted_media(
         base.unionByName(twins).withColumn("fmt", fmt_of), ["media_id"]
     )
-    # one decode scan for both methods
-    fp = media_phash(media)
+    # one decode scan for both methods: persist the 16-byte-per-row
+    # fingerprint frame (tracked; bench/engine release it after the
+    # pairs materialize) — unpersisted, the decode+phash chain runs 4x
+    # (self-join both sides x two methods)
+    from chapterhousedb_spark.operators.dedup import _persist_for_self_join
+
+    fp = _persist_for_self_join(media_phash(media), True)
     parts = [
         media_near_dup_pairs(
             media, method=m, max_hamming=3, chunks=4,
@@ -5497,7 +5546,9 @@ def audio_near_dup_q(spark, sf_dir):
 
     media = rows.mapInPandas(_build, "media_id long, payload binary")
     return (
-        audio_near_dup_pairs(media, max_hamming=3, persist=False)
+        # default persist: the WAV-decode+phash chain would otherwise
+        # run on BOTH sides of the Hamming self-join
+        audio_near_dup_pairs(media, max_hamming=3)
         .select(
             "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
         )
