@@ -908,6 +908,16 @@ _FP_AUTO_BUCKET_CAP = 4096
 # default batch-size assumption when no expected_batch_size hint is
 # given: batches around 1/256 of the seed, so large corpora get B=256
 _FP_AUTO_BATCH_FRACTION = 256
+# no-hint derivation also floors bucket SIZE: below ~4096 rows a
+# bucket is a tiny parquet file whose per-commit directory/listing
+# overhead exceeds the rewrite it saves (measured r15: a ~1.7k-row
+# sf0.1 seed auto-derived B≈278 six-row buckets and inflated
+# streaming_ingest_corpus from ~6 s to ~75 s — hundreds of small-file
+# dirs rewritten per micro-batch commit). Small sidecars take the
+# plain layout; the bucketed win only exists when buckets are big
+# enough that NOT rewriting them matters. An explicit
+# expected_batch_size hint is applied literally (caller's judgment).
+_FP_AUTO_MIN_ROWS_PER_BUCKET = 4096
 
 
 def init_ingest(
@@ -938,8 +948,11 @@ def init_ingest(
     `expected_batch_size` (rows per admitted micro-batch) to apply the
     SCALE.md sizing rule directly — without the hint, batches are
     assumed to run ~1/256 of the seed, giving B=256 for any large
-    corpus. A batch touching >= B buckets degenerates to the full
-    rewrite, so too-small B is the conservative direction. Pin
+    corpus, AND buckets are floored at ~4096 rows each (a small seed
+    derives B=1/plain: sub-file-sized buckets cost more in per-commit
+    directory overhead than the rewrite they save — measured r15). A
+    batch touching >= B buckets degenerates to the full rewrite, so
+    too-small B is the conservative direction. Pin
     `fingerprint_buckets=B` to override the derivation entirely;
     B == 1 (pinned or derived, e.g. an empty/tiny seed) selects the
     plain whole-table layout, which is identical at that size. The
@@ -1006,6 +1019,14 @@ def init_ingest(
             fingerprint_buckets = max(
                 1, min(_FP_AUTO_BUCKET_CAP, math.ceil(seed_n / batch_n))
             )
+            if expected_batch_size is None:
+                # default heuristic only: keep buckets at least
+                # _FP_AUTO_MIN_ROWS_PER_BUCKET rows so tiny sidecars
+                # stay plain (see the bound's comment above)
+                fingerprint_buckets = min(
+                    fingerprint_buckets,
+                    max(1, seed_n // _FP_AUTO_MIN_ROWS_PER_BUCKET),
+                )
         if fingerprint_buckets > 1:
             fp.withColumn(
                 "__b", _fp_bucket_col(id_col, fingerprint_buckets)

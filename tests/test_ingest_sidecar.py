@@ -588,11 +588,16 @@ def test_auto_bucketing_derivation(spark, tmp_path):
     assert any(
         n.startswith("__b=") for n in os.listdir(f"{fp_root}/v000000")
     )
-    # no hint: default fraction (seed//256 -> floor 1 for tiny seeds)
-    # gives B = seed_rows for a tiny seed — still bucketed
+    # no hint: the default heuristic floors bucket SIZE at ~4096 rows
+    # (r15 — B = seed_rows for a tiny seed meant one-row buckets whose
+    # per-commit directory overhead dwarfed the rewrite saving), so a
+    # tiny seed derives B = 1 -> PLAIN layout
     root2, fp2 = str(tmp_path / "c2"), str(tmp_path / "fp2")
     init_ingest(seed10, root2, fingerprint_root=fp2, fingerprint_fn=mh_fp)
-    assert _fp_buckets_of(spark, fp2) == 10
+    assert _fp_buckets_of(spark, fp2) == 0
+    assert not any(
+        n.startswith("__b=") for n in os.listdir(f"{fp2}/v000000")
+    )
     # hint >= seed -> B = 1 -> PLAIN layout (no marker, no __b dirs)
     root3, fp3 = str(tmp_path / "c3"), str(tmp_path / "fp3")
     init_ingest(
