@@ -991,7 +991,14 @@ def init_ingest(
             raise ValueError(
                 f"expected_batch_size must be >= 1, got {expected_batch_size}"
             )
-    init_versioned_base(seed, corpus_root)
+    v0_path = init_versioned_base(seed, corpus_root)
+    # every later consumer (label seed, fingerprints, the bucket-count
+    # row count) reads the JUST-WRITTEN v0 parquet instead of
+    # re-evaluating the seed frame: a seed behind an expensive subtree
+    # (codec mapInPandas in the media gates) would otherwise recompute
+    # once per consumer — same rows either way, the write is the
+    # materialization point (r15, guide §2.2/§4)
+    seeded = seed.sparkSession.read.parquet(v0_path)
     # a re-seed of an EXISTING fingerprint_root in this process must
     # drop its cached listings — v0 is about to be rewritten, possibly
     # with a different bucket count, and reconciliation alone cannot
@@ -999,18 +1006,18 @@ def init_ingest(
     if fingerprint_root is not None:
         _FP_LISTING_CACHE.pop(fingerprint_root, None)
     if labels_root is not None:
-        seed.select(
+        seeded.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
         ).write.mode("overwrite").parquet(f"{labels_root}/v0")
     if fingerprint_root is not None:
-        fp = fingerprint_fn(seed)
+        fp = fingerprint_fn(seeded)
         if fingerprint_buckets is None:
             # auto-derive B (VERDICT r14 #3): seed_rows / batch_rows,
             # the SCALE.md sizing rule, from the hint or the default
             # batch-fraction assumption
             import math
 
-            seed_n = seed.count()
+            seed_n = seeded.count()
             batch_n = (
                 expected_batch_size
                 if expected_batch_size is not None

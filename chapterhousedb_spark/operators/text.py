@@ -243,25 +243,24 @@ def ngram_repetition_stats(
     Docs too short for an n contribute 0.0 for that column; every
     input doc keeps a row.
 
-    Scale shape: ONE explode over all requested n (sum_n (T-n+1) rows
-    per doc, ~|ns| x tokens), one (doc, n, gram-key) hash aggregation
-    with map-side partials, then a per-doc conditional aggregation —
-    the same two-shuffle postings shape as rarity_stats; nothing is
-    quadratic in doc length and the gram key keeps skew bounded by
-    in-doc repetition, which is the thing being measured.
+    Scale shape: MAP-ONLY. Every statistic here depends on one
+    document's own text alone, so nothing needs to leave its task: per
+    n, the gram array is sorted in place and run-length encoded with
+    array higher-order functions, the argmax / dup mass fold over the
+    runs, and the whole query runs at scan speed with ZERO Exchanges
+    (the previous shape exploded sum_n (T-n+1) ~ |ns| x tokens rows
+    per doc through a two-shuffle postings aggregation — r15 removed
+    both shuffles and the explode; exec 12.8 s -> map-only at sf0.1).
 
-    Shuffle-byte economics (VERDICT r9 finding #2): the dup_ns rows are
-    the bulk of the explode (n=5..10 at the defaults, ~6x the top_ns
-    mass) but their gram TEXT is only ever consumed as length(gram) —
-    so dup-only rows shuffle (xxhash64(gram), length) instead of the
-    gram string, cutting the first shuffle's bytes several-fold at the
-    defaults (an n=10 word-gram averages ~60 chars; the hashed key is
-    12 bytes). The gram text still flows for every n in top_ns, whose
-    argmax needs the string (lex tie-break included). Grouping dup
-    mass by 64-bit hash instead of text merges grams only on an
-    in-document xxhash64 collision (~2^-64 per gram pair per doc —
-    far below any other nondeterminism source, and it would only
-    perturb a mass sum)."""
+    Determinism is unchanged: sorted-run counts are exact; the argmax
+    takes min over (-count, gram), and because runs arrive in
+    ascending gram order the lexicographic tie-break is identical to
+    the aggregation form. Dup-only n (no gram text needed) sorts
+    (xxhash64(gram), length) structs instead of gram strings — cheaper
+    long comparisons; equal grams always share a run, and a run merge
+    needs an in-document xxhash64 collision, exactly the documented
+    tolerance of the previous hash-grouped shuffle shape (~2^-64 per
+    gram pair, and it would only perturb a mass sum)."""
     all_ns = sorted(set(top_ns) | set(dup_ns))
     if not all_ns:
         raise ValueError("ngram_repetition_stats: top_ns and dup_ns both empty")
@@ -276,106 +275,116 @@ def ngram_repetition_stats(
     c = F.col(text_col)
     toks = F.split(normalize_text(c), " ")
 
-    def _gram_structs(n: int) -> str:
-        # top_ns rows carry the gram text (argmax + lex tie-break need
-        # it; dup mass for an n in BOTH sets reuses these rows); dup-
-        # only rows carry just (hash, length) — the shuffle-byte cut.
-        # The nested transform materializes each gram string ONCE, so
-        # the dup-only branch pays one array_join + one hash, not two
-        # joins (measurably slower inlined twice at sf0.1)
-        grams = (
+    def _grams(n: int) -> str:
+        return (
             f"transform(sequence(0, size(__toks) - {n}), "
             f"i -> array_join(slice(__toks, i + 1, {n}), ' '))"
         )
-        if n in top_set:
-            return (
-                f"transform({grams}, g -> named_struct('n', {n}, 'gram', g, "
-                f"'gh', CAST(NULL AS BIGINT), 'gl', length(g)))"
-            )
-        return (
-            f"transform({grams}, g -> named_struct('n', {n}, "
-            f"'gram', CAST(NULL AS STRING), 'gh', xxhash64(g), "
-            f"'gl', length(g)))"
-        )
 
-    grams_per_n = [
-        F.when(
-            F.size(F.col("__toks")) >= n,
-            F.expr(_gram_structs(n)),
-        ).otherwise(
-            F.expr(
-                "CAST(array() AS "
-                "array<struct<n:int,gram:string,gh:bigint,gl:int>>)"
+    # stage 1: per n, the sorted gram array (strings when the argmax
+    # needs gram text, (hash, length) structs for dup-only n). The
+    # size guard matters: sequence(0, size - n) DESCENDS when the doc
+    # is shorter than n.
+    sorted_cols = []
+    for n in all_ns:
+        if n in top_set:
+            body = f"array_sort({_grams(n)})"
+            empty = "CAST(array() AS array<string>)"
+        else:
+            body = (
+                f"array_sort(transform({_grams(n)}, "
+                "g -> named_struct('gh', xxhash64(g), 'gl', length(g))))"
             )
+            empty = "CAST(array() AS array<struct<gh:bigint,gl:int>>)"
+        sorted_cols.append(
+            F.when(F.size(F.col("__toks")) >= n, F.expr(body))
+            .otherwise(F.expr(empty))
+            .alias(f"__s{n}")
         )
-        for n in all_ns
-    ]
     base = df.select(
         F.col(id_col),
         toks.alias("__toks"),
         F.length(normalize_text(c)).alias("total_chars"),
-    )
-    exploded = base.select(
-        id_col,
-        "total_chars",
-        F.explode(F.flatten(F.array(*grams_per_n))).alias("g"),
-    )
-    counts = exploded.groupBy(
-        F.col(id_col),
-        F.col("g.n").alias("__n"),
-        F.col("g.gram").alias("__gram"),
-        F.col("g.gh").alias("__gh"),
-    ).agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.first("total_chars").alias("total_chars"),
-        F.first("g.gl").alias("__gl"),
-    )
-    # deterministic per-(doc, n) argmax: min over (-cnt, gram) —
-    # count desc then gram asc; (cnt, gram) is unique after the groupBy
-    top_struct = F.struct(
-        (-F.col("__cnt")).alias("nc"),
-        F.col("__gram").alias("gram"),
-        F.col("__gl").alias("cl"),
-    )
-    aggs = [F.first("total_chars").alias("total_chars")]
+    ).select(F.col(id_col), F.col("total_chars"), *sorted_cols)
+
+    # stage 2: run starts — indices where the sorted array changes
+    # value. Separate projection stages keep CollapseProject from
+    # inlining (and re-evaluating) the expensive sort/filter aliases
+    # at each use site.
+    start_cols = [
+        F.expr(
+            f"CASE WHEN size(__s{n}) = 0 THEN array() "
+            f"ELSE filter(sequence(0, size(__s{n}) - 1), "
+            f"i -> i = 0 OR __s{n}[i] != __s{n}[i - 1]) END"
+        ).alias(f"__p{n}")
+        for n in all_ns
+    ]
+    runs = base.select("*", *start_cols)
+
+    def _cnt(n: int, j: str = "j") -> str:
+        # occurrences in run j: next start (or array end) minus start
+        return (
+            f"(CASE WHEN {j} + 1 < size(__p{n}) THEN __p{n}[{j} + 1] "
+            f"ELSE size(__s{n}) END) - __p{n}[{j}]"
+        )
+
+    # stage 3: fold the runs. Argmax = min over (-count, gram): runs
+    # are in ascending gram order, count desc / gram asc — identical
+    # tie-break to the former aggregation. Counts are BIGINT to match
+    # the former count() type in the mass arithmetic.
+    stat_cols = []
     for n in top_ns:
-        aggs.append(
-            F.min(F.when(F.col("__n") == n, top_struct)).alias(f"__top{n}")
+        stat_cols.append(
+            F.expr(
+                f"CASE WHEN size(__p{n}) = 0 THEN NULL ELSE "
+                f"array_min(transform(sequence(0, size(__p{n}) - 1), "
+                f"j -> named_struct("
+                f"'nc', -CAST(({_cnt(n)}) AS BIGINT), "
+                f"'gram', __s{n}[__p{n}[j]], "
+                f"'cl', length(__s{n}[__p{n}[j]])))) END"
+            ).alias(f"__top{n}")
         )
     for n in dup_ns:
-        aggs.append(
-            F.sum(
-                F.when(
-                    (F.col("__n") == n) & (F.col("__cnt") >= 2),
-                    F.col("__cnt") * F.col("__gl"),
-                ).otherwise(F.lit(0))
+        gl = f"length(__s{n}[__p{n}[j]])" if n in top_set else f"__s{n}[__p{n}[j]].gl"
+        stat_cols.append(
+            F.expr(
+                f"CASE WHEN size(__p{n}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+                f"aggregate(sequence(0, size(__p{n}) - 1), CAST(0 AS BIGINT), "
+                f"(acc, j) -> acc + IF(({_cnt(n)}) >= 2, "
+                f"CAST(({_cnt(n)}) AS BIGINT) * {gl}, CAST(0 AS BIGINT))) END"
             ).alias(f"__dup{n}")
         )
-    feats = counts.groupBy(id_col).agg(*aggs)
+    feats = runs.select(F.col(id_col), F.col("total_chars"), *stat_cols)
+
     denom = F.greatest(F.col("total_chars"), F.lit(1))
-    out_cols = [F.col(id_col)]
+    frac_cols = []
     for n in top_ns:
         t = F.col(f"__top{n}")
-        out_cols.append(
+        frac_cols.append(
             F.coalesce(
                 ((-t["nc"]) * t["cl"]).cast("double") / denom, F.lit(0.0)
             ).alias(f"top{n}gram_char_frac")
         )
     for n in dup_ns:
-        out_cols.append(
+        frac_cols.append(
             F.coalesce(
                 F.col(f"__dup{n}").cast("double") / denom, F.lit(0.0)
             ).alias(f"dup{n}gram_char_frac")
         )
-    feats = feats.select(*out_cols)
-    # left join keeps a (all-zero) row for docs too short for ANY n
-    zero = [
-        F.coalesce(F.col(cname), F.lit(0.0)).alias(cname)
-        for cname in feats.columns
-        if cname != id_col
+    # Generate barrier (the ivf_assign/text_stats discipline): emit the
+    # fracs through explode(array(struct)) so a downstream predicate or
+    # projection references the generated attribute. Without it,
+    # predicate pushdown SUBSTITUTES these aliases into the pushed
+    # condition and the whole sort/run chain re-evaluates once per
+    # reference (pipeline_fineweb's threshold filter did exactly that).
+    barred = feats.select(
+        F.col(id_col), F.explode(F.array(F.struct(*frac_cols))).alias("__nr")
+    )
+    names = [f"top{n}gram_char_frac" for n in top_ns] + [
+        f"dup{n}gram_char_frac" for n in dup_ns
     ]
-    return (
-        df.select(id_col).join(feats, id_col, "left").select(F.col(id_col), *zero)
+    return barred.select(
+        F.col(id_col), *[F.col(f"__nr.{c}").alias(c) for c in names]
     )
 
 

@@ -5358,12 +5358,22 @@ def streaming_ingest_media_q(spark, sf_dir):
             .alias("fmt"),
         )
     )
-    media_docs = _planted_media(docs, ["doc_id", "version"])
+    # filter BEFORE planting: the codec encode is a Python mapInPandas
+    # stage, so a filter above it cannot push down — each of the three
+    # fixture consumers (two landing files, the init seed) would
+    # otherwise re-encode the full scaffold and discard 2/3 of it
+    # (r15, guide §4: pass the Python stage only the rows it needs)
+    def media_docs_v(grp):
+        return _planted_media(
+            docs.filter(F.col("version") == grp), ["doc_id", "version"]
+        )
+
+    media_schema = _planted_media(docs, ["doc_id", "version"]).schema
     root = scratch_dir(prefix="chdb_ingest_media_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
     for i, grp in enumerate((1, 2)):
-        media_docs.filter(F.col("version") == grp).coalesce(1).write.parquet(
+        media_docs_v(grp).coalesce(1).write.parquet(
             os.path.join(landing, f"f{i}")
         )
     # pin micro-batch order: batch 2's gate must see batch 1's
@@ -5377,13 +5387,13 @@ def streaming_ingest_media_q(spark, sf_dir):
         "image", id_col="doc_id", method="ahash", max_hamming=3
     )
     init_ingest(
-        media_docs.filter("version = 0"),
+        media_docs_v(0),
         os.path.join(root, "corpus"),
         fingerprint_root=os.path.join(root, "fp"),
         fingerprint_fn=fp_fn,
     )
     q = ingest_stream(
-        spark.readStream.schema(media_docs.schema)
+        spark.readStream.schema(media_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(landing, "*")),
         os.path.join(root, "corpus"),
