@@ -53,7 +53,7 @@ from chapterhousedb_spark.operators.text import (
     vocabulary,
 )
 from chapterhousedb_spark.functions.exact import davg, davg_sql
-from chapterhousedb_spark.workload.registry import load, query, scratch_dir
+from chapterhousedb_spark.workload.registry import fan_out, load, query, scratch_dir
 
 # normalized text, oracle side (mirror of operators.dedup.normalize_text)
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -361,7 +361,7 @@ def ngram_repetition_q(spark, sf_dir):
     gram table for every n, count, deterministic tie-broken argmax,
     dup mass, coalesced zero rows — so the hash gate pins the exact
     integer masses and the single final division."""
-    return ngram_repetition_stats(load(spark, sf_dir, "documents"))
+    return ngram_repetition_stats(fan_out(load(spark, sf_dir, "documents")))
 
 
 # the synthetic documents are single-line and punctuation-free, so the
@@ -772,14 +772,19 @@ def dedup_minhash_q(spark, sf_dir):
     """MinHash+LSH near-dup pairs (banded signature join; xxhash64-based
     so rows-only here; recall/precision asserted in tests/test_dedup.py)."""
     return minhash_near_dup_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.5, num_hashes=64, bands=16
+        fan_out(load(spark, sf_dir, "documents")),
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
     )
 
 
 @query("dedup_simhash")
 def dedup_simhash_q(spark, sf_dir):
     """SimHash near-dup pairs (pigeonhole-blocked hamming join)."""
-    return simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_dup_pairs(
+        fan_out(load(spark, sf_dir, "documents")), max_hamming=3
+    )
 
 
 _ONES64 = [1.0] * 64
@@ -1000,7 +1005,7 @@ def quality_score_fixed_q(spark, sf_dir):
     )
     from chapterhousedb_spark.operators.text import text_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     scored = logreg_eta(
         text_stats(docs), _QUALITY_FIXED_BETA, QUALITY_FEATURES, "quality_eta"
     )
@@ -1089,7 +1094,7 @@ def lang_ngram_fixed_q(spark, sf_dir):
     it."""
     from chapterhousedb_spark.operators.classifier import lang_ngram_score
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     sent = F.col("doc_id") % 4
     text = F.concat(
         F.when(sent == 0, F.lit(_LANGID_SENT["en"]))
@@ -1606,7 +1611,9 @@ def semdedup_fixed_q(spark, sf_dir):
     rule, and the surviving (cell, align) diagnostics bit-exactly."""
     from chapterhousedb_spark.operators.similarity import semdedup_survivors
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(
+        load(spark, sf_dir, "embeddings"), key="vec_id"
+    ).select("vec_id", "embedding")
     # the twin id offset must clear every natural id (ADVICE r12: at a
     # scale factor with >=1e7 embeddings the planted ids would collide
     # with natural ones — identically in both engines, so the gate
@@ -1766,7 +1773,7 @@ def pq_residual_fixed_q(spark, sf_dir):
     )
 
     cents, books = _pqr_cents(), _pq_fixed_books()
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"), key="vec_id")
     res = residual_frame(emb.select("vec_id", "embedding"), cents)
     coded = pq_encode(res, books, "pq_resid", normalize=False).drop("pq_resid")
     scored = pq_adc_scores_residual(
@@ -2797,7 +2804,7 @@ def url_dedup_docs_q(spark, sf_dir):
     the group."""
     from chapterhousedb_spark.operators.urls import url_dedup
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     variant = F.col("doc_id") % 6
     k = F.expr("CAST(doc_id DIV 6 AS STRING)")
     url = (
@@ -3716,6 +3723,11 @@ def kn_bigram_scores_q(spark, sf_dir):
     in tests/test_text.py instead."""
     from chapterhousedb_spark.operators.text import kneser_ney_bigram
 
+    # fan_out measured and REJECTED here (r15): KN's map stage is a
+    # light tokenize (no md5), so the single-split scan is not the
+    # bottleneck — the cost is the four downstream aggregation
+    # consumers, and the extra exchange only added scheduling overhead
+    # (idle-box A/B medians ~3.3 s plain vs ~4.3 s fanned at sf0.1)
     return (
         kneser_ney_bigram(load(spark, sf_dir, "documents"))
         .orderBy("doc_id")
@@ -3840,9 +3852,7 @@ def dsir_weights_q(spark, sf_dir):
     # same small-file artifact as pipeline_ccnet: the gram hashing is
     # compute-dense (one portable md5 per gram instance) and a single
     # local parquet serializes it onto one core — fan out first
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = fan_out(load(spark, sf_dir, "documents"))
     target = docs.filter(F.col("doc_id") % 7 == 0)
     # hash the corpus gram stream ONCE: the same persisted posts frame
     # serves the raw-count histogram, the target histogram (gram posts
@@ -4017,9 +4027,7 @@ def pipeline_ccnet_q(spark, sf_dir):
     # scale the scan supplies partitions and this is one cheap
     # balanced exchange of the raw docs ahead of four shuffling
     # stages.
-    docs = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = fan_out(load(spark, sf_dir, "documents"))
     # the md5-heavy language gate feeds BOTH sides of KN's internal
     # posts reuse (count tables + instance scoring) — persist the
     # gated slice so the trigram scoring projection runs once, not

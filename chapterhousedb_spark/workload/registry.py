@@ -43,6 +43,27 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Rebalance a small scan across the session's cores ahead of a
+    compute-dense per-row stage (guide §2: scale-adaptive partitioning,
+    the pipeline_ccnet discipline generalized). A local testdata
+    parquet arrives as ONE scan split, serializing the whole downstream
+    map stage onto one core while the rest idle (measured r15:
+    dedup_minhash 4.9–12.6 s -> 1.5–3.2 s at sf0.1 on local[32]).
+    Scale-adaptive: when the scan already supplies >=
+    defaultParallelism partitions — the 100 TB case — this is a no-op,
+    so the exchange is never paid where the scan parallelism suffices.
+    Hash-repartition on the row id keeps the exchange deterministic;
+    only apply where the result is partitioning-independent (per-row
+    outputs, exact/int aggregations, min/max folds — every use site is
+    oracle-gated)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p, key)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md layout).
 

@@ -519,14 +519,20 @@ def test_pq_adc_scan_is_code_only_and_pruned(spark, tmp_path, sf_dir):
 
 
 def test_ngram_repetition_plan_shape(spark):
-    """Repetition coverage is the two-shuffle postings shape: the
-    (doc, n, gram) counts collapse map-side before the exchange, no
-    cartesian anywhere, and the final per-doc fold is a hash
-    aggregate."""
+    """Repetition coverage is MAP-ONLY (r15): every statistic is a
+    function of one document's own text, computed by sorted-run
+    folds in JVM higher-order functions — no aggregation exchange, no
+    join, no Python eval. The only allowed Exchange is the adaptive
+    input fan-out (a single RoundRobin/hash repartition of the raw
+    docs); there must be no aggregate anywhere."""
     plan = physical_plan(q("ngram_repetition", spark))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # at most the fan-out exchange — never a shuffle of gram postings
+    assert plan.count("Exchange") <= 1
 
 
 def test_c4_clean_plan_is_single_scan(spark):
