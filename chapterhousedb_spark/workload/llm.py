@@ -580,7 +580,10 @@ def ngram_jaccard_q(spark, sf_dir):
     scale); the oracle brute-forces the identical df-filtered Jaccard
     at sf0.01. Only full 3-grams count on both sides."""
     return ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), ngram_k=3, threshold=0.2, max_doc_freq=100
+        fan_out(load(spark, sf_dir, "documents")),
+        ngram_k=3,
+        threshold=0.2,
+        max_doc_freq=100,
     )
 
 
@@ -636,7 +639,7 @@ def dedup_clusters_q(spark, sf_dir):
     Spark side is iterative min-label propagation
     (operators/cluster.py); the oracle replays it as a recursive CTE —
     full hash-match on the component labeling."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(docs, ngram_k=3, threshold=0.2, max_doc_freq=100)
     return connected_components(
         pairs,
@@ -662,7 +665,7 @@ def dedup_clusters_star_q(spark, sf_dir):
     identical recursive-CTE oracle, so the alternating algorithm's
     fixpoint — not just its unit tests — faces the driver's hash gate
     on real near-dup structure."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     from chapterhousedb_spark.operators.cluster import (
         connected_components_star,
     )
@@ -691,7 +694,7 @@ def dedup_survivors_q(spark, sf_dir):
     """End state of the dedup pipeline: one canonical survivor (min doc
     id) per near-dup cluster with its cluster size; singletons survive
     as clusters of 1."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(docs, ngram_k=3, threshold=0.2, max_doc_freq=100)
     return dedup_survivors(docs, pairs)
 
@@ -1509,7 +1512,7 @@ def pipeline_cluster_balance_q(spark, sf_dir):
     from chapterhousedb_spark.operators.sampling import grouped_sample
     from chapterhousedb_spark.operators.similarity import ivf_assign
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"), key="vec_id")
     assigned = ivf_assign(
         emb.select("vec_id", "embedding"), _ivf_fixed_centroids()
     )
@@ -1963,7 +1966,9 @@ def knn_graph_q(spark, sf_dir):
     similarity-graph construction."""
     from chapterhousedb_spark.operators.similarity import knn_join
 
-    return knn_join(load(spark, sf_dir, "embeddings"), k=3, planes=6)
+    return knn_join(
+        fan_out(load(spark, sf_dir, "embeddings"), key="vec_id"), k=3, planes=6
+    )
 
 
 _RETR_COS = (
@@ -2174,7 +2179,9 @@ def embedding_near_dup_q(spark, sf_dir):
     check is non-vacuous; the oracle replays the same blocked pipeline
     (pinned signs) in DuckDB."""
     return embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.45, planes=6
+        fan_out(load(spark, sf_dir, "embeddings"), key="vec_id"),
+        threshold=0.45,
+        planes=6,
     )
 
 
@@ -2212,7 +2219,7 @@ def embedding_clusters_q(spark, sf_dir):
     dedup_clusters."""
     from chapterhousedb_spark.operators.cluster import connected_components
 
-    embs = load(spark, sf_dir, "embeddings")
+    embs = fan_out(load(spark, sf_dir, "embeddings"), key="vec_id")
     pairs = embedding_near_dup_pairs(embs, threshold=0.45, planes=6)
     return connected_components(
         pairs.select("id_a", "id_b"),
@@ -2393,7 +2400,7 @@ def pipeline_pretrain_q(spark, sf_dir):
     compose (the practical shape of a real corpus-prep job)."""
     from chapterhousedb_spark.operators.dedup import _persist_for_self_join
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     # persist the COMPACT quality-gate id list (not the text-bearing
     # clean frame): the regex stats chain runs once, and the node list
     # for the component solve reads the cache instead of re-running
@@ -2551,7 +2558,7 @@ def contamination_check_q(spark, sf_dir):
     corpus is 3 (measured; near-dup cluster size), far under 256, so
     the df filter drops nothing here. Probes too short to emit any
     8-gram are reported by contamination_short_probes (tested)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     probe = docs.filter(F.col("doc_id") % 17 == 0)
     return contamination_pairs(
         docs, probe, ngram_k=8, threshold=0.8, max_doc_freq=256
@@ -2594,7 +2601,7 @@ def duplicate_spans_q(spark, sf_dir):
     from chapterhousedb_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(
-        load(spark, sf_dir, "documents"), span_tokens=16, min_df=2
+        fan_out(load(spark, sf_dir, "documents")), span_tokens=16, min_df=2
     )
 
 
@@ -2653,7 +2660,7 @@ def dedup_span_rewrite_q(spark, sf_dir):
 
     return (
         remove_duplicate_spans(
-            load(spark, sf_dir, "documents"), span_tokens=16, min_df=2
+            fan_out(load(spark, sf_dir, "documents")), span_tokens=16, min_df=2
         )
         .orderBy("doc_id")
     )
@@ -3458,7 +3465,7 @@ def pipeline_curation_q(spark, sf_dir):
     order) without interference. At 100 TB: stats filter is map-side,
     the cap is one shuffle on source, split is map-side, the order is
     one shuffle on shard over the train subset only."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     clean = docs.join(
         text_stats(docs)
         .filter("passes_quality AND n_tokens >= 20")
@@ -3544,7 +3551,7 @@ def pipeline_fineweb_q(spark, sf_dir):
     postings shape on survivors only, dedup one hash shuffle,
     mix a broadcast join — no new scale term beyond the stages'
     own."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     # no stage persists here: every consumer sits under the ONE final
     # action, and Spark's shuffle-stage reuse already computes each
     # duplicated map stage once (measured r15: tracked persists on the
@@ -4490,7 +4497,7 @@ def pipeline_two_stage_dedup_q(spark, sf_dir):
     identical composition, gated here with the portable twin."""
     from chapterhousedb_spark.operators.dedup import two_stage_dedup
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     bands = _md5_band_keys(docs)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

@@ -594,9 +594,11 @@ def test_pipeline_cluster_balance_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
-    # exchanges: the cell-keyed window partitioning (+ the driver-side
-    # orderBy collect) — never a join shuffle
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    # exchanges: the cell-keyed window partitioning plus the adaptive
+    # input fan-out (r15 — a no-op at real scan parallelism); never a
+    # join shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Join" not in plan
 
 
 def test_pack_best_fit_plan_shape(spark):
