@@ -53,7 +53,13 @@ from chapterhousedb_spark.operators.text import (
     vocabulary,
 )
 from chapterhousedb_spark.functions.exact import davg, davg_sql
-from chapterhousedb_spark.workload.registry import fan_out, load, query, scratch_dir
+from chapterhousedb_spark.workload.registry import (
+    fan_out,
+    load,
+    parallel_writes,
+    query,
+    scratch_dir,
+)
 
 # normalized text, oracle side (mirror of operators.dedup.normalize_text)
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -4605,10 +4611,17 @@ def streaming_ingest_corpus_q(spark, sf_dir):
     root = scratch_dir(prefix="chdb_ingest_stream_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for i, grp in enumerate((1, 2)):
-        docs.filter(F.col("version") == grp).coalesce(1).write.parquet(
-            os.path.join(landing, f"f{i}")
-        )
+    # the two landing files are independent single-file writes —
+    # overlap them (guide §2.6); mtimes are pinned afterwards, so the
+    # micro-batch ORDER is unaffected by which write finishes first
+    parallel_writes(
+        *[
+            lambda i=i, grp=grp: docs.filter(F.col("version") == grp)
+            .coalesce(1)
+            .write.parquet(os.path.join(landing, f"f{i}"))
+            for i, grp in enumerate((1, 2))
+        ]
+    )
     # deterministic micro-batch ORDER: the file source processes
     # oldest-first, so pin f0 strictly older than f1 (batch 2's gate
     # must see batch 1's admissions — the chained semantics the
@@ -4784,10 +4797,16 @@ def streaming_ingest_quality_q(spark, sf_dir):
     root = scratch_dir(prefix="chdb_ingest_quality_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for i, grp in enumerate((1, 2)):
-        planted.filter(F.col("version") == grp).coalesce(1).write.parquet(
-            os.path.join(landing, f"f{i}")
-        )
+    # overlapped independent landing writes (guide §2.6; see
+    # streaming_ingest_corpus) — mtime pinning below keeps batch order
+    parallel_writes(
+        *[
+            lambda i=i, grp=grp: planted.filter(F.col("version") == grp)
+            .coalesce(1)
+            .write.parquet(os.path.join(landing, f"f{i}"))
+            for i, grp in enumerate((1, 2))
+        ]
+    )
     for i, d in enumerate(("f0", "f1")):
         full = os.path.join(landing, d)
         for f in os.listdir(full):
@@ -5387,10 +5406,17 @@ def streaming_ingest_media_q(spark, sf_dir):
     root = scratch_dir(prefix="chdb_ingest_media_")
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
-    for i, grp in enumerate((1, 2)):
-        media_docs_v(grp).coalesce(1).write.parquet(
-            os.path.join(landing, f"f{i}")
-        )
+    # overlapped independent landing writes (guide §2.6; see
+    # streaming_ingest_corpus) — each encodes only its version slice,
+    # and mtime pinning below keeps the micro-batch order
+    parallel_writes(
+        *[
+            lambda i=i, grp=grp: media_docs_v(grp)
+            .coalesce(1)
+            .write.parquet(os.path.join(landing, f"f{i}"))
+            for i, grp in enumerate((1, 2))
+        ]
+    )
     # pin micro-batch order: batch 2's gate must see batch 1's
     # admissions (the chained semantics the oracle replays)
     for i, d in enumerate(("f0", "f1")):

@@ -64,6 +64,20 @@ def fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return df.repartition(p, key)
 
 
+def parallel_writes(*thunks) -> None:
+    """Run independent write thunks as concurrent driver-thread jobs
+    (guide §2.6): fixture scaffolds write several small files whose
+    walls are job-scheduling + FS-commit constants, so overlapping the
+    independent writes cuts the scaffold wall without changing any
+    artifact. Each thunk must be self-contained (no shared mutable
+    state); the first failure re-raises."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for fut in [pool.submit(t) for t in thunks]:
+            fut.result()
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md layout).
 

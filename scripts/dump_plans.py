@@ -1,7 +1,7 @@
-"""Dump .explain('formatted') for headline queries into plans/r15/.
+"""Dump .explain('formatted') for headline queries into plans/r16/ (override with $SPARK_GRAFT_PLAN_ROUND).
 
 Usage: python scripts/dump_plans.py <suffix> [query ...]
-Writes plans/r15/<query>_<suffix>.txt for each named query (default: a
+Writes plans/<round>/<query>_<suffix>.txt for each named query (default: a
 pinned heavy set). Plan capture is driver-only (no job runs).
 """
 
@@ -49,7 +49,9 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEAVY
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(HERE, "plans", "r15")
+    out_dir = os.path.join(
+        HERE, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from chapterhousedb_spark.session import build_session
