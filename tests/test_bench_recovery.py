@@ -472,3 +472,25 @@ def test_noise_entry_third_wall_adjudicates_gusts():
     reruns = iter([0.0])
     e = b._noise_entry(0.0, lambda: next(reruns))
     assert e["spread_pct"] == 0.0
+
+
+def test_perq_array_reconstructs_walls_in_headline_order():
+    """VERDICT r15 #2: the final summary line carries a positional
+    array of 1-decimal walls in HEADLINE order plus an order hash, so
+    a reader holding only that line (the driver keeps just the stdout
+    tail) can reconstruct every per-query wall. Pin the recipe both
+    sides must agree on."""
+    import hashlib
+
+    import bench
+
+    times = {q: 0.1 * (i % 7) + 0.3 for i, q in enumerate(bench.HEADLINE)}
+    perq = [round(times[q], 1) for q in bench.HEADLINE]
+    order_hash = hashlib.md5(
+        ",".join(bench.HEADLINE).encode()
+    ).hexdigest()[:8]
+    # reconstruction: zip(HEADLINE, perq) recovers the walls to 0.1 s
+    rebuilt = dict(zip(bench.HEADLINE, perq))
+    assert all(abs(rebuilt[q] - times[q]) <= 0.05 + 1e-9 for q in times)
+    assert len(perq) == len(bench.HEADLINE)
+    assert len(order_hash) == 8
