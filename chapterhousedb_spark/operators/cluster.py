@@ -239,12 +239,20 @@ def connected_components_star(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
+        # NO mid-round distinct (r16, guide §2.4): the small-star
+        # distinct below collapses any duplicate large-star edges
+        # identically (min over a multiset == min over a set, and the
+        # join/union rows dedup at the round-end distinct), so the
+        # round-end E is bit-identical with or without it — dropping it
+        # removes one full (u, v) exchange + two hash aggregates per
+        # round. Volume stays bounded: the large-star output is at most
+        # one row per sym edge either way, and the round-end partial
+        # aggregation still dedups map-side before its exchange.
         E = (
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # ---- small-star (edges now orient larger -> smaller)
         ori = E.select(
