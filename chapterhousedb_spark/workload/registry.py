@@ -78,6 +78,26 @@ def parallel_writes(*thunks) -> None:
             fut.result()
 
 
+# Session-scoped relation memo (r16, guide §6.1): spark.read.parquet
+# re-lists the directory and re-reads the parquet footer for schema on
+# EVERY call (~0.1 s driver-side each), and one bench run issues ~153
+# load() calls over the same ~10 immutable tables. Catalog tables get
+# this for free (Spark caches the resolved relation per session);
+# bare-path reads don't, so memoize the resolved DataFrame per
+# (session, dir, table). A DataFrame is an immutable lazy plan — every
+# action on it still computes from the parquet files, so NOTHING about
+# query results, caching or timing semantics changes; only the
+# repeated footer/listing constant goes away. Weak-keyed by session so
+# a closed session's entries drop with it.
+import threading as _threading
+import weakref as _weakref
+
+_LOAD_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+_LOAD_MEMO_LOCK = _threading.Lock()
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table (TESTDATA.md layout).
 
@@ -92,6 +112,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     raw microsecond value and hash-matches DuckDB, which reads the
     same file as a naive TIMESTAMP.
     """
+    with _LOAD_MEMO_LOCK:
+        memo = _LOAD_MEMO.setdefault(spark, {})
+        cached = memo.get((sf_dir, table))
+    if cached is not None:
+        return cached
     if table == "events":
         # Defensive: the correctness harness builds its own plain
         # SparkSession where build_session()'s conf is absent; without
@@ -111,4 +136,6 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":  # timestamp[us], not UTC-adjusted
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    with _LOAD_MEMO_LOCK:
+        _LOAD_MEMO.setdefault(spark, {})[(sf_dir, table)] = df
     return df

@@ -154,3 +154,26 @@ def test_last_green_rounds_ignores_current_and_later_artifacts(
     monkeypatch.delenv("SPARK_GRAFT_ROUND")
     lg = w._last_green_rounds()
     assert max(lg.values()) < w._current_round()
+
+
+def test_load_memo_reuses_relation_per_session(spark):
+    """r16 guide-§6.1 optimization: registry.load memoizes the resolved
+    DataFrame per (session, dir, table) so repeated loads of the same
+    immutable table skip the ~0.1 s footer/listing constant. The memo
+    must return the SAME lazy plan (identity), stay keyed per dir and
+    table, and keep the events ts normalization on memo hits."""
+    from chapterhousedb_spark.workload.registry import load
+
+    sf = "/root/testdata/sf0.001"
+    a = load(spark, sf, "documents")
+    b = load(spark, sf, "documents")
+    assert a is b
+    c = load(spark, sf, "region")
+    assert c is not a
+    e1 = load(spark, sf, "events")
+    e2 = load(spark, sf, "events")
+    assert e1 is e2
+    assert dict(e1.dtypes)["ts"] == "timestamp"
+    # a different dir is a different key (tests point load at tmp dirs)
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    assert d is not a
