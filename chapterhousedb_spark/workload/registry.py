@@ -56,12 +56,28 @@ def fan_out(df: DataFrame, key: str = "doc_id") -> DataFrame:
     Hash-repartition on the row id keeps the exchange deterministic;
     only apply where the result is partitioning-independent (per-row
     outputs, exact/int aggregations, min/max folds — every use site is
-    oracle-gated)."""
+    oracle-gated).
+
+    Probe cost (r16, VERDICT r15 minor #5): `df.rdd` builds a full
+    Python-wrapped RDD per call (~130-190 ms); the JVM-side
+    `queryExecution().toRdd()` plans the same physical RDD without the
+    Python serializer wrapper (~60 ms), and the (key, result) pair is
+    memoized ON the input DataFrame — every call site passes the
+    session-memoized `load()` frame, so each (table, key) pays the
+    probe once per session instead of once per query. A DataFrame is
+    an immutable lazy plan, so handing back the same fanned-out plan
+    changes nothing downstream."""
+    cached = getattr(df, "_chdb_fan_out", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    return df.repartition(p, key)
+    if df._jdf.queryExecution().toRdd().getNumPartitions() >= p:
+        out = df
+    else:
+        out = df.repartition(p, key)
+    df._chdb_fan_out = (key, out)
+    return out
 
 
 def parallel_writes(*thunks) -> None:

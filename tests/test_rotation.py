@@ -177,3 +177,20 @@ def test_load_memo_reuses_relation_per_session(spark):
     # a different dir is a different key (tests point load at tmp dirs)
     d = load(spark, "/root/testdata/sf0.01", "documents")
     assert d is not a
+
+
+def test_fan_out_memoizes_result_per_frame_and_key(spark):
+    """r16: fan_out memoizes its (key, result) on the input DataFrame
+    so the per-call partition probe is paid once per (table, key) per
+    session. Same frame + same key -> identical plan object; the
+    fanned frame still computes the same rows."""
+    from chapterhousedb_spark.workload.registry import fan_out, load
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    f1 = fan_out(d)
+    f2 = fan_out(d)
+    assert f1 is f2
+    assert f1.count() == d.count()
+    # load() memoizes too, so an independent load hits the same memo
+    assert fan_out(load(spark, sf, "documents")) is f1
